@@ -1,0 +1,574 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Exact, TextOps, VectorOps}
+import graft.operators._
+import graft.sources.Tables
+
+/** The engine's query surface: one named query per operator in
+  * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with an
+  * equivalent ANSI-SQL oracle for the driver's DuckDB differential check.
+  *
+  * Cross-engine determinism rules used throughout (see
+  * graft.functions.Exact): shuffled double sums go through exact decimal;
+  * window frames order on a unique tiebreak; float outputs that feed
+  * comparisons/ranking are rounded to 6dp first; integer-ish derived
+  * outputs are cast to BIGINT on both sides.
+  */
+object Queries {
+  import Exact.{dsum, davg, dsumSql, dsumM, dsumMSql}
+
+  case class Q(name: String, fn: (SparkSession, String) => DataFrame,
+               oracle: Option[String])
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+
+  // ---------------------------------------------------------------- core
+
+  /** TPC-H Q1 shape: scan → filter → hash agg (SURVEY §2.2/§2.4).
+    * Pushed filter on l_shipdate; map-side partial aggregation; 6 output
+    * groups → trivially broadcastable result. */
+  val q01 = q("q01_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${dsumMSql("l_quantity")} AS sum_qty,
+       | ${dsumMSql("l_extendedprice")} AS sum_base_price,
+       | ${dsumMSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       | ${dsumMSql("l_quantity")} / COUNT(*) AS avg_qty,
+       | ${dsumMSql("l_extendedprice")} / COUNT(*) AS avg_price,
+       | ${dsumMSql("l_discount")} / COUNT(*) AS avg_disc,
+       | COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsumM(col("l_quantity")).as("sum_qty"),
+        dsumM(col("l_extendedprice")).as("sum_base_price"),
+        dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        // charge is a 6-decimal product: DECIMAL(18,6) rounds nothing,
+        // avoiding exactly-half cases that (18,4) would hit.
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("sum_charge"),
+        (dsumM(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsumM(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsumM(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q6 shape: tight scan-filter-agg; every predicate reaches the
+    * parquet scan (PushedFilters), single-row result. */
+  val q02 = q("q02_revenue_filter",
+    s"""SELECT COUNT(*) AS n_rows,
+       | ${dsumMSql("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_rows"),
+        dsumM(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  /** 3-way join + agg (TPC-H Q3 shape). Join order: lineitem⋈orders on
+    * the big keys (sort-merge/shuffled-hash under AQE), then the small
+    * customer dim; Catalyst broadcast-joins customer automatically at
+    * test SF; at 100 TB customer shuffles too — the plan stays valid. */
+  val q03 = q("q03_segment_revenue",
+    s"""SELECT c.c_mktsegment,
+       | ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       | COUNT(DISTINCT l.l_orderkey) AS n_orders,
+       | COUNT(DISTINCT c.c_custkey) AS n_customers
+       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+  }
+
+  /** Star-schema dim enrichment (reference J2, the join it never wrote —
+    * SURVEY §2.3). nation/region are bounded dims → explicit broadcast:
+    * zero shuffle of the fact side for the joins. */
+  val q04 = q("q04_region_customer_stats",
+    s"""SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       | ${dsumMSql("c.c_acctbal")} / COUNT(c.c_acctbal) AS avg_acctbal,
+       | ${dsumMSql("c.c_acctbal")} AS total_acctbal
+       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        (dsumM(col("c_acctbal")) / count(col("c_acctbal"))).as("avg_acctbal"),
+        dsumM(col("c_acctbal")).as("total_acctbal"))
+  }
+
+  /** Reference W1: top-k per group, computed natively (no JDBC pushdown
+    * needed — SURVEY §4). One shuffle on the partition key. */
+  val q05 = q("q05_topk_per_group",
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+      | FROM lineitem) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    Relational.topKPerGroup(
+        Tables.lineitem(s, dir)
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq(col("l_suppkey")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+  }
+
+  private def eventVol: Column =
+    get_json_object(col("props"), "$.k").cast("long") + 1
+  private val eventVolSql = "(CAST(json_extract(props, '$.k') AS BIGINT) + 1)"
+
+  /** Reference W2+W3: 5-row sliding VWAP per key (stock_stream.py:69-73),
+    * over events with the JSON `k` field as volume. */
+  val q06 = q("q06_rolling_vwap",
+    s"""SELECT event_id, user_id,
+       | CAST(SUM(CAST(value * $eventVolSql AS DECIMAL(18,4))) OVER w AS DOUBLE)
+       |   / CAST(SUM(CAST($eventVolSql AS DECIMAL(18,4))) OVER w AS DOUBLE) AS vwap_5
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       | ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    val m = Metrics.rolling(col("user_id"),
+      Seq(col("ts"), col("event_id")), col("value"), eventVol)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), m.vwap.as("vwap_5"))
+  }
+
+  /** Reference W4: rolling sample stddev (vol_5), NULL on 1-row frames. */
+  val q07 = q("q07_rolling_volatility",
+    """SELECT event_id, user_id,
+      | CASE WHEN COUNT(value) OVER w > 1
+      |  THEN round(stddev_samp(value) OVER w, 6) END AS vol_5
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      | ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    val m = Metrics.rolling(col("user_id"),
+      Seq(col("ts"), col("event_id")), col("value"), eventVol)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), m.vol.as("vol_5"))
+  }
+
+  /** Reference P6+P7: 3-sigma anomaly filter on the rolling metrics
+    * (stock_stream.py:78-81,105). Comparison runs on rounded values so
+    * both engines flag identical rows. */
+  val q08 = q("q08_anomaly_flags",
+    s"""SELECT event_id, user_id, value, vwap_5, vol_5 FROM (
+       | SELECT event_id, user_id, value,
+       |  CAST(SUM(CAST(value * $eventVolSql AS DECIMAL(18,4))) OVER w AS DOUBLE)
+       |    / CAST(SUM(CAST($eventVolSql AS DECIMAL(18,4))) OVER w AS DOUBLE) AS vwap_5,
+       |  CASE WHEN COUNT(value) OVER w > 1
+       |   THEN round(stddev_samp(value) OVER w, 6) END AS vol_5
+       | FROM events
+       | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       |WHERE abs(value - vwap_5) > 2.0 * vol_5""".stripMargin) { (s, dir) =>
+    // Threshold 2.0σ (not the reference's 3.0) so the flag fires on the
+    // uniform synthetic data — non-empty output is a stronger check.
+    val m = Metrics.rolling(col("user_id"),
+      Seq(col("ts"), col("event_id")), col("value"), eventVol)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        m.vwap.as("vwap_5"), m.vol.as("vol_5"))
+      .filter(abs(col("value") - col("vwap_5")) > lit(2.0) * col("vol_5"))
+  }
+
+  /** Reference A1+A2: tumbling 1-minute OHLCV bars with deterministic
+    * open/close (min_by/max_by on event time — SURVEY §7 risk 1). */
+  val q09 = q("q09_ohlcv_bars",
+    s"""SELECT user_id, date_trunc('minute', ts) AS minute,
+       | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+       | arg_max(value, ts) AS close,
+       | ${dsumSql("value")} AS volume, COUNT(*) AS n_trades
+       |FROM events GROUP BY user_id, date_trunc('minute', ts)""".stripMargin) { (s, dir) =>
+    Bars.ohlcv(Tables.events(s, dir), col("user_id"), col("ts"),
+        col("value"), col("value"))
+      .select(col("key").as("user_id"), col("bucket_start").as("minute"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_trades"))
+  }
+
+  /** Reference A3+J1: latest row per key via agg + join-back
+    * (stock_stream.py:85-97). */
+  val q10 = q("q10_latest_per_key",
+    """SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value
+      |FROM events e JOIN (SELECT user_id, max(ts) AS mt FROM events GROUP BY user_id) m
+      | ON e.user_id = m.user_id AND e.ts = m.mt""".stripMargin) { (s, dir) =>
+    Relational.latestPerKey(Tables.events(s, dir), Seq("user_id"), "ts")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  /** Global sort + limit (SURVEY §2.6 gap): Spark plans TakeOrderedAndProject
+    * — a per-partition top-N + single merge, never a full global sort. */
+  val q11 = q("q11_sort_limit",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** Set op: UNION ALL (+ re-agg to a canonical multiset). */
+  val q12 = q("q12_union_agg",
+    """SELECT o_custkey, COUNT(*) AS n FROM (
+      | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      | UNION ALL
+      | SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      |GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .union(o.filter(col("o_totalprice") > 400000.0).select("o_custkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+  }
+
+  /** Set op: INTERSECT (distinct semantics on both engines). */
+  val q13 = q("q13_intersect_keys",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  /** Set op: EXCEPT (distinct semantics on both engines). */
+  val q14 = q("q14_except_keys",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  val q15 = q("q15_semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      | WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Left-anti join (NOT EXISTS) — filtered build side so the result is
+    * non-empty on the synthetic data (every customer has some order). */
+  val q16 = q("q16_anti_join",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      | WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** DISTINCT (hash aggregation, map-side combined). */
+  val q17 = q("q17_distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+    Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+  }
+
+  /** ROLLUP grouping sets (SURVEY §2.4 gap). */
+  val q18 = q("q18_rollup_orders",
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       | ${dsumMSql("o_totalprice")} AS total_price
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsumM(col("o_totalprice")).as("total_price"))
+  }
+
+  /** CUBE grouping sets. */
+  val q19 = q("q19_cube_lineitem",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | ${dsumMSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsumM(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** String scalar functions (SURVEY §2.2 gap fillers). */
+  val q20 = q("q20_string_funcs",
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      | substr(p_name, 1, 8) AS name_pfx,
+      | CAST(length(p_name) AS BIGINT) AS name_len,
+      | concat_ws('|', p_brand, p_type) AS brand_type,
+      | replace(p_name, ' ', '_') AS name_us,
+      | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+      |FROM part""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir).select(col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name_pfx"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("name_us"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+  }
+
+  /** Date functions + agg (SURVEY §2.2 gap fillers). */
+  val q21 = q("q21_date_agg",
+    s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       | CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+       | COUNT(*) AS n, ${dsumMSql("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n"), dsumM(col("o_totalprice")).as("revenue"))
+  }
+
+  /** JSON extraction (reference P2 family) + agg. */
+  val q22 = q("q22_json_extract",
+    s"""SELECT event_type, COUNT(*) AS n,
+       | ${dsumMSql("CAST(json_extract(props, '$.k') AS BIGINT)")} / COUNT(*) AS avg_k,
+       | max(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k,
+       | min(CAST(json_extract(props, '$$.k') AS BIGINT)) AS min_k
+       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (dsumM(k) / count(lit(1))).as("avg_k"),
+        max(k).as("max_k"), min(k).as("min_k"))
+  }
+
+  /** Generator: explode/split word counts (reference G1 family). */
+  val q23 = q("q23_explode_words",
+    """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** CASE WHEN bucketing + agg. */
+  val q24 = q("q24_case_buckets",
+    s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+       |  WHEN o_totalprice < 200000.0 THEN 'mid' ELSE 'large' END AS bucket,
+       | COUNT(*) AS n, ${dsumMSql("o_totalprice")} AS total_price
+       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(when(col("o_totalprice") < 50000.0, "small")
+        .when(col("o_totalprice") < 200000.0, "mid")
+        .otherwise("large").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsumM(col("o_totalprice")).as("total_price"))
+  }
+
+  /** Exact COUNT(DISTINCT) (SURVEY §2.4 gap; approx variant in tests). */
+  val q25 = q("q25_count_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // ------------------------------------------------- dedup (LLM pipeline)
+
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Exact-dup statistics: raw and normalized content hashes. */
+  val d01 = q("d01_dedup_exact_stats",
+    s"""SELECT COUNT(*) AS n_docs,
+       | COUNT(DISTINCT md5(text)) AS n_unique_hash,
+       | COUNT(DISTINCT md5($normSql)) AS n_unique_norm
+       |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique_hash"),
+      countDistinct(md5(TextOps.normText(col("text")))).as("n_unique_norm"))
+  }
+
+  /** Exact dedup survivors: min doc_id per normalized-content hash —
+    * the scalable keep-one-per-cluster rule (hash shuffle, no sort). */
+  val d02 = q("d02_dedup_exact_keep",
+    s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_count
+       |FROM documents GROUP BY md5($normSql)""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(TextOps.normText(col("text"))))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs (no SQL oracle: xxhash64-based
+    * signatures are engine-specific; correctness covered by ScalaTest
+    * against exact Jaccard). */
+  val d03 = qNoOracle("d03_dedup_minhash_pairs") { (s, dir) =>
+    Dedup.minhashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  /** SimHash fingerprints (no SQL oracle — hash-specific). */
+  val d04 = qNoOracle("d04_dedup_simhash") { (s, dir) =>
+    Dedup.tokenHashes(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash64(col("th")).as("simhash"))
+  }
+
+  /** Exact 3-gram Jaccard over blocked candidate pairs (blocking key =
+    * (lang, source)); integer set sizes → cross-engine deterministic. */
+  val d05 = q("d05_ngram_jaccard_pairs",
+    """WITH d AS (SELECT doc_id, lang, source,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+      | AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  // ------------------------------------------- text analysis (LLM pipeline)
+
+  private def markerSql(ws: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+
+  /** Marker-token language ID with deterministic argmax. */
+  val t01 = q("t01_langid", {
+    val scores = TextAnalysis.markers
+      .map { case (l, ws) => s" ${markerSql(ws)} AS s_$l" }.mkString(",\n|")
+    val langs = TextAnalysis.markers.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$o")
+      val g = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $g THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       | CASE $caseExpr ELSE '${langs.last}' END AS predicted
+       |FROM (SELECT doc_id,
+       |$scores
+       |FROM documents)""".stripMargin
+  }) { (s, dir) =>
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  /** Quality metrics + boolean gate per document. */
+  val t02 = q("t02_quality_score",
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' ')), 6) AS uniq_ratio,
+      | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |   / len(string_split(text, ' ')), 6) AS avg_tok_len,
+      | (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+      |  AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) > 0.2) AS is_quality
+      |FROM documents""".stripMargin) { (s, dir) =>
+    TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  /** Corpus token statistics by language. */
+  val t03 = q("t03_token_stats",
+    """SELECT lang, COUNT(*) AS n_tokens_total,
+      | COUNT(DISTINCT word) AS n_distinct_tokens,
+      | COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY lang""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenStats(Tables.documents(s, dir), "text", "lang", "doc_id")
+  }
+
+  /** Content fingerprint + band prefix per document. */
+  val t04 = q("t04_fingerprint",
+    s"""SELECT doc_id, substr(md5($normSql), 1, 16) AS fp,
+       | substr(md5($normSql), 1, 4) AS band
+       |FROM documents""".stripMargin) { (s, dir) =>
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  // --------------------------------------------- similarity (LLM pipeline)
+
+  /** Brute-force cosine top-5: queries = vec_id < 10 (broadcast side),
+    * candidates = the rest. Rank on rounded similarity → deterministic. */
+  val s01 = q("s01_cosine_topk",
+    """SELECT query_id, neighbor_id, cos, rn FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |    CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |     CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS BIGINT) AS rn
+      | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10)
+      |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    Similarity.bruteForceTopK(
+      emb.filter(col("id") < 10), emb.filter(col("id") >= 10), 5)
+  }
+
+  /** Per-label centroids (exact decimal mean per dimension). */
+  val s02 = q("s02_label_centroids",
+    """SELECT label, pos, round(CAST(SUM(CAST(e AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS c
+      |FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+      |       unnest(CAST(embedding AS DOUBLE[])) AS e FROM embeddings)
+      |GROUP BY label, pos""".stripMargin) { (s, dir) =>
+    Similarity.labelCentroids(Tables.embeddings(s, dir))
+  }
+
+  /** LSH-bucketed ANN (no oracle — approximate by design; recall is
+    * asserted against the brute-force baseline in ScalaTest). */
+  val s03 = qNoOracle("s03_ann_lsh") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    Similarity.lshTopK(emb.filter(col("id") < 10), emb.filter(col("id") >= 10),
+      5, dim = 64)
+  }
+
+  // --------------------------------------------- multimodal (LLM pipeline)
+
+  /** Binary-payload metadata path (decode stage itself is ScalaTest-
+    * covered; see operators.Multimodal). */
+  val m01 = q("m01_multimodal_meta",
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      | sha256(text) AS sha,
+      | CAST(length(text) % 512 + 16 AS BIGINT) AS fake_width,
+      | CAST(length(text) % 384 + 16 AS BIGINT) AS fake_height
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.metadata(Tables.documents(s, dir))
+  }
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25,
+    d01, d02, d03, d04, d05,
+    t01, t02, t03, t04,
+    s01, s02, s03,
+    m01)
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` / `array<double>` columns,
+  * built from codegen'd higher-order functions (`zip_with` / `aggregate`)
+  * — no UDFs, so the whole similarity pipeline stays inside whole-stage
+  * codegen and distributes trivially.
+  *
+  * `aggregate` folds strictly left-to-right, so per-row results are
+  * IEEE-deterministic (same value on every executor, every run).
+  */
+object VectorOps {
+  /** Widen array<float> → array<double> (exact). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; callers should precompute norms per side before a
+    * join so each vector's norm is evaluated once, not once per pair. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Elementwise L2-normalized copy of the vector. */
+  def l2normalize(a: Column): Column = {
+    transform(a, x => x / sqrt(aggregate(a, lit(0.0), (acc, y) => acc + y * y)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational building blocks shared by the query surface.
+  *
+  * Mirrors the reference's patterns (SURVEY.md §2.3-§2.6) as reusable
+  * Spark-first operators:
+  *  - top-k per group (reference W1: `ROW_NUMBER() ... rn <= k`,
+  *    /root/reference/spark/jobs/stock_stream.py:45-55) — here computed
+  *    natively over the source instead of pushed into Postgres; a single
+  *    hash-partition shuffle on the partition keys, no global sort.
+  *  - latest-per-key join (reference A3+J1,
+  *    /root/reference/spark/jobs/stock_stream.py:85-97).
+  */
+object Relational {
+  /** Keep the top k rows per partition under `order`. One shuffle on
+    * `partitionCols`; within-partition sort only (no global order), so it
+    * scales linearly with data / executors. Skewed partition keys can be
+    * salted upstream; AQE handles moderate skew. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   order: Seq[Column], k: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** Latest row per key: aggregate max(ts) then equi-join back — the
+    * reference's A3+J1 shape. The aggregated side is small (≤ one row per
+    * key) so Catalyst broadcast-joins it under AQE; at 100 TB with high
+    * key cardinality it degrades gracefully to a co-partitioned
+    * sort-merge join on the same keys as the aggregation (shuffle reuse).
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame = {
+    val d = df.alias("__d")
+    val latest = df.groupBy(keyCols.map(col): _*)
+      .agg(max(col(tsCol)).as("__latest_ts")).alias("__l")
+    d.join(latest,
+        keyCols.map(k => col(s"__d.$k") === col(s"__l.$k")).reduce(_ && _) &&
+          col(s"__d.$tsCol") === col("__l.__latest_ts"))
+      .select(df.columns.map(c => col(s"__d.$c")): _*)
+  }
+}

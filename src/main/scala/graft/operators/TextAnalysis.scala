@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Text analysis for training-data pipelines: marker-token language ID,
+  * quality scoring, token statistics, and content fingerprinting — all
+  * single-pass, codegen'd column expressions over the documents table.
+  */
+object TextAnalysis {
+  /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
+    * Fixed, documented sets: scores are occurrence counts of each
+    * language's function words in the token stream. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "在"))
+
+  /** Per-doc language scores + argmax prediction (first language in
+    * `markers` order wins ties — deterministic). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val scored = docs.select(
+      (col(idCol).as("doc_id") +:
+        markers.map { case (l, ws) => TextOps.markerCount(toks, ws).as(s"s_$l") }): _*)
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), els) =>
+        val rest = langs.drop(i + 1).map(o => col(s"s_$o"))
+        when(col(s"s_$l") >= (if (rest.size == 1) rest.head else greatest(rest: _*)), l)
+          .otherwise(els)
+    }
+    scored.withColumn("predicted", pred)
+  }
+
+  /** Quality metrics per document: token counts, uniqueness ratio, mean
+    * token length, and a boolean gate — the usual cheap pre-filters
+    * before expensive dedup/embedding stages. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("n_tok", size(TextOps.tokens(col("t"))).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(TextOps.tokens(col("t")))).cast("long"))
+      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tok"), 6))
+      .withColumn("avg_tok_len",
+        round(length(replace(col("t"), lit(" "), lit(""))).cast("double") / col("n_tok"), 6))
+      .withColumn("is_quality",
+        col("n_tok").between(10, 1000) && col("uniq_ratio") > 0.2)
+      .drop("t")
+  }
+
+  /** Corpus token statistics by language: total/distinct token counts and
+    * document counts — a single explode + hash aggregation. */
+  def tokenStats(docs: DataFrame, textCol: String, langCol: String,
+                 idCol: String): DataFrame = {
+    docs.select(col(langCol).as("lang"), col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens_total"),
+        countDistinct(col("word")).as("n_distinct_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Stable 128-bit fingerprint + 16-bit band prefix per document —
+    * the blocking key for distributed exact-dup clustering. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        substring(TextOps.fingerprint(col(textCol)), 1, 16).as("fp"))
+      .withColumn("band", substring(col("fp"), 1, 4))
+}

