@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   * per key per day at 1440).
   */
 object Metrics {
-  val AnomalyThreshold = 3.0 // reference: stock_stream.py:17
+  /** Reference default (stock_stream.py:17). NOTE: with the current row
+    * INSIDE its own 5-row frame (the reference's frame spec,
+    * rowsBetween(-4,0)), max achievable |price−vwap| / stddev is
+    * √5 ≈ 2.236 — a 3.0σ flag can never fire at lookback 4. The
+    * reference would never alert; we keep 3.0 as the parity default and
+    * let callers pass a reachable threshold. */
+  val AnomalyThreshold = 3.0
 
   def rolling(key: Column, order: Seq[Column], price: Column,
               volume: Column, lookback: Int = 4): RollingCols = {
@@ -46,10 +52,11 @@ object Metrics {
   }
 
   case class RollingCols(vwap: Column, vol: Column) {
-    /** 3-sigma anomaly predicate on the (rounded) rolling metrics. NULL
+    /** k-sigma anomaly predicate on the rolling metrics. NULL
       * volatility (frame of 1) yields NULL → filtered out, matching the
       * reference's filter semantics (stock_stream.py:105). */
-    def isAnomaly(price: Column): Column =
-      abs(price - vwap) > lit(Metrics.AnomalyThreshold) * vol
+    def isAnomaly(price: Column,
+                  threshold: Double = Metrics.AnomalyThreshold): Column =
+      abs(price - vwap) > lit(threshold) * vol
   }
 }

@@ -50,14 +50,15 @@ object MinuteStream {
 
   /** W2-W4 + P6 on a (micro-)batch of bars: 5-bar VWAP, sample-stddev
     * volatility, 3-sigma anomaly flag (stock_stream.py:61-82). */
-  def metricsOnBars(bars: DataFrame): DataFrame = {
+  def metricsOnBars(bars: DataFrame,
+                    threshold: Double = Metrics.AnomalyThreshold): DataFrame = {
     val m = Metrics.rolling(col("symbol"), Seq(col("timestamp")),
       col("close"), col("volume"))
     bars.select(col("symbol"), col("timestamp"), col("close"),
         m.vwap.as("vwap_5"), m.vol.as("vol_5"))
       .withColumn("is_anomaly",
         coalesce(abs(col("close") - col("vwap_5")) >
-          lit(Metrics.AnomalyThreshold) * col("vol_5"), lit(false)))
+          lit(threshold) * col("vol_5"), lit(false)))
   }
 
   /** T1/T2/T7 + S6: 1-minute micro-batches, checkpointed, foreachBatch

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextOps
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  // near-dup: one word changed; distinct: different text entirely
+  private val docs = Seq(
+    (0L, base),
+    (1L, base.replace("lazy", "sleepy")),
+    (2L, "completely different content about spark query engines and shuffles here now"),
+    (3L, base) // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("normText collapses case and whitespace") {
+    val got = Seq(("  A  B\tC ", 1)).toDF("t", "x")
+      .select(TextOps.normText(col("t"))).as[String].head()
+    assert(got == "a b c")
+  }
+
+  test("shingles builds n-grams and collapses short docs to one shingle") {
+    val got = Seq(("w1 w2 w3 w4", 1), ("w1 w2", 2)).toDF("t", "id")
+      .select(col("id"), TextOps.shingles(TextOps.tokens(col("t")), 3).as("sh"))
+      .as[(Int, Seq[String])].collect().sortBy(_._1).map(_._2)
+    assert(got(0) == Seq("w1 w2 w3", "w2 w3 w4"))
+    assert(got(1) == Seq("w1 w2"))
+  }
+
+  test("exact jaccard: identical=1, disjoint=0") {
+    val d = docs.select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+    val a = d.select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val b = d.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    val j = a.crossJoin(b).select(col("ida"), col("idb"),
+      Dedup.jaccard(col("sha"), col("shb")).as("j")).as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 2L)) == 0.0)
+    assert(j((0L, 1L)) > 0.4 && j((0L, 1L)) < 1.0)
+  }
+
+  test("minhash est_jaccard tracks exact jaccard; LSH surfaces dup pairs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // exact dup must be a candidate with est ~1
+    assert(pairs((0L, 3L)) == 1.0)
+    // near dup should be surfaced with high estimate
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.4)
+    // unrelated doc 2 should not pair with anything
+    assert(!pairs.keys.exists { case (x, y) => x == 2L || y == 2L })
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming distance") {
+    val th = Dedup.tokenHashes(docs, "doc_id", "text")
+    val sh = th.select(col("doc_id"), Dedup.simhash64(col("th")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) <= 16)
+    assert(hamming(sh(0L), sh(2L)) > 16)
+  }
+
+  test("exact dedup keeps min doc_id per normalized hash") {
+    val kept = docs.groupBy(md5(TextOps.normText(col("text"))))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .select("keep_id", "n").as[(Long, Long)].collect().toMap
+    assert(kept(0L) == 2L) // docs 0 and 3 collapse, keeper is 0
+    assert(kept(1L) == 1L && kept(2L) == 1L)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topKPerGroup keeps exactly k best rows per key with stable order") {
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+      ("b", 5, 1.0)).toDF("k", "id", "v")
+    val top = Relational.topKPerGroup(df, Seq(col("k")),
+      Seq(col("v").desc, col("id")), 2)
+    val rows = top.select("k", "id", "rn").as[(String, Int, Long)]
+      .collect().sortBy(r => (r._1, r._3))
+    // ties on v=30.0 broken by id: id=2 before id=4
+    assert(rows.toSeq == Seq(("a", 2, 1L), ("a", 4, 2L), ("b", 5, 1L)))
+  }
+
+  test("latestPerKey returns the max-ts row per key, keeping all columns") {
+    val df = Seq(
+      ("a", 1L, "x"), ("a", 3L, "y"), ("b", 2L, "z")).toDF("k", "ts", "payload")
+    val got = Relational.latestPerKey(df, Seq("k"), "ts")
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 3L, "y"), ("b", 2L, "z")))
+  }
+
+  test("latestPerKey keeps ties (both rows at the max ts)") {
+    val df = Seq(("a", 5L, 1), ("a", 5L, 2), ("a", 1L, 3)).toDF("k", "ts", "n")
+    assert(Relational.latestPerKey(df, Seq("k"), "ts").count() == 2)
+  }
+}

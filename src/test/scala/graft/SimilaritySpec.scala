@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vector ops: dot, norm, cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")),
+      VectorOps.norm(col("a")),
+      VectorOps.cosine(col("a"), col("b"))).as[(Double, Double, Double)].head()
+    assert(r._1 == 8.0)
+    assert(math.abs(r._2 - math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r._3 - 8.0 / math.sqrt(65.0)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val c = Seq(
+      (10L, Seq(1.0, 0.0)),   // cos 1
+      (11L, Seq(1.0, 1.0)),   // cos ~.707
+      (12L, Seq(0.0, 1.0)),   // cos 0
+      (13L, Seq(2.0, 0.0))    // cos 1 (tie with 10, larger id)
+    ).toDF("id", "vec")
+    val got = Similarity.bruteForceTopK(q, c, 3)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSeq == Seq(10L, 13L, 11L))
+    assert(got(0)._3 == 1.0)
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def cluster(center: Array[Double], n: Int, from: Int) =
+      (0 until n).map { i =>
+        (from + i).toLong -> center.map(x => x + rnd.nextGaussian() * 0.05).toSeq
+      }
+    val c1 = Array.fill(dim)(rnd.nextGaussian())
+    val c2 = Array.fill(dim)(rnd.nextGaussian())
+    val all = cluster(c1, 30, 100) ++ cluster(c2, 30, 200)
+    val cands = all.toDF("id", "vec")
+    val qs = Seq(0L -> c1.toSeq, 1L -> c2.toSeq).toDF("id", "vec")
+    val brute = Similarity.bruteForceTopK(qs, cands, 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val lsh = Similarity.lshTopK(qs, cands, 5, dim, tables = 4, bitsPerTable = 6)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("labelCentroids: exact mean per dimension") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (2, Seq(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df)
+      .as[(Int, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1, 0L)) == 2.0 && got((1, 1L)) == 3.0)
+    assert(got((2, 0L)) == 10.0 && got((2, 1L)) == 20.0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId scores marker occurrences and argmaxes deterministically") {
+    val docs = Seq(
+      (0L, "the cat and the dog"),      // en: the,and → 3
+      (1L, "der hund und die katze"),   // de: der,und,die → 3
+      (2L, "zzz yyy xxx")               // all zero → first lang wins
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "s_en", "s_de", "predicted")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == (0L, 3L, 0L, "en"))
+    assert(got(1) == (1L, 0L, 3L, "de"))
+    assert(got(2)._4 == "en") // tie → first in marker order
+  }
+
+  test("quality metrics on a known string") {
+    val docs = Seq((0L, "a b b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(docs, "doc_id", "text")
+      .select("n_tok", "n_uniq", "uniq_ratio", "avg_tok_len", "is_quality")
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(r._1 == 4L && r._2 == 3L)
+    assert(r._3 == 0.75)
+    assert(r._4 == 1.0)
+    assert(!r._5) // only 4 tokens, below the 10-token gate
+  }
+
+  test("fingerprints are stable across whitespace/case variants") {
+    val docs = Seq((0L, "Hello  World"), (1L, "hello world")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .select("fp").as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0).length == 16)
+  }
+
+  test("multimodal decode: deterministic fake features through mapPartitions") {
+    implicit val s = spark
+    val docs = Seq((0L, "abc"), (1L, "a much longer payload body here"), (2L, "xy"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(Multimodal.asMedia(docs))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    val f0 = feats(0)
+    assert(f0.kind == "image" && f0.n_bytes == 3L)
+    assert(f0.sha == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(f0.width == 3 % 512 + 16 && f0.height == 3 % 384 + 16)
+    // video kind gets multi-frame
+    assert(feats(2).kind == "video" && feats(2).n_frames == 2 % 30 + 1)
+    // brightness in [0,1]
+    assert(feats.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
+    // running twice yields identical results (determinism)
+    val again = Multimodal.decodeFeatures(Multimodal.asMedia(docs))
+      .collect().sortBy(_.media_id)
+    assert(feats.toSeq == again.toSeq)
+  }
+
+  test("metadata path matches FakeCodec on byte length and sha") {
+    implicit val s = spark
+    val docs = Seq((7L, "payload")).toDF("doc_id", "text")
+    val meta = Multimodal.metadata(docs).as[(Long, Long, String, Long, Long)].head()
+    val feat = Multimodal.decodeFeatures(Multimodal.asMedia(docs)).head()
+    assert(meta._2 == feat.n_bytes && meta._3 == feat.sha)
+  }
+}
