@@ -427,8 +427,7 @@ object Queries {
 
   /** SimHash fingerprints (no SQL oracle — hash-specific). */
   val d04 = qNoOracle("d04_dedup_simhash") { (s, dir) =>
-    Dedup.tokenHashes(Tables.documents(s, dir), "doc_id", "text")
-      .select(col("doc_id"), Dedup.simhash64(col("th")).as("simhash"))
+    Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
   }
 
   /** Exact 3-gram Jaccard over blocked candidate pairs (blocking key =

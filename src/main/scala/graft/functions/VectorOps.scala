@@ -15,11 +15,13 @@ object VectorOps {
   /** Widen array<float> → array<double> (exact). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native-expression dot / norm (graft.plans.VectorExprs): the
+    * higher-order-function forms are interpreted per element, which is
+    * the hot loop inside pairwise similarity joins. Accumulation order
+    * (left-to-right) is identical, so values are bit-equal. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExprs.dot(a, b)
 
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  def normSq(a: Column): Column = graft.plans.VectorExprs.normSq(a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 

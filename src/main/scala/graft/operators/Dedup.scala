@@ -16,53 +16,15 @@ import graft.functions.TextOps
   * signature pass is a single narrow scan.
   */
 object Dedup {
-  /** Deterministic MinHash permutation coefficients via a fixed LCG —
-    * no runtime randomness, same signatures on every run/executor.
-    * Bounded to 2^30 so `h32 * a + b` stays under 2^62: ANSI-safe (no
-    * long overflow) while remaining exact. */
-  private def coeffs(n: Int): Seq[(Long, Long)] = {
-    var x = 0x9E3779B97F4A7C15L
-    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
-    Seq.fill(n)(((next() & 0x3FFFFFFFL) | 1L, next() & 0x3FFFFFFFL))
-  }
-
-  /** Largest prime below 2^32 — the permutation field. */
-  private val P32 = 4294967291L
-
-  /** MinHash signature (array<long>, length `numHashes`) from a
-    * pre-hashed shingle array. Single left fold: per shingle build the
-    * `numHashes` permuted values, then elementwise-min into the
-    * accumulator. The hash array is referenced exactly ONCE — higher-
-    * order functions are interpreted (no codegen CSE), so an
-    * expression that references it k times recomputes it k times per
-    * row (a 30× slowdown in the naive array-of-array_min form). */
-  def minhashFromHashes(hs: Column, numHashes: Int): Column = {
-    val cs = coeffs(numHashes)
-    val perms = transform(hs, h =>
-      array(cs.map { case (a, b) => pmod(h * a + b, lit(P32)) }: _*))
-    aggregate(perms, array_repeat(lit(P32), numHashes),
-      (acc, x) => zip_with(acc, x, (u, v) => least(u, v)))
-  }
-
-  /** (doc_id, hs): per-doc array of 32-bit shingle hashes. Kept as its
-    * own projection so downstream expressions reference a materialized
-    * attribute, not the (expensive) token/shingle pipeline — Catalyst's
-    * CollapseProject keeps non-cheap multiply-referenced projections
-    * separate. */
-  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                    shingleN: Int = 3): DataFrame = {
-    val toks = TextOps.tokens(lower(col(textCol)))
-    docs.select(col(idCol).as("doc_id"),
-        TextOps.shingles(toks, shingleN).as("sh"))
-      .select(col("doc_id"),
-        transform(col("sh"), s => pmod(xxhash64(s), lit(P32))).as("hs"))
-  }
-
-  /** (doc_id, sig) per document: tokenize → n-gram shingle → MinHash. */
+  /** (doc_id, sig) per document: tokenize → n-gram shingle → MinHash,
+    * via the native [[graft.plans.MinHashShingleSig]] expression (one
+    * tight per-row loop; the composed higher-order-function form is
+    * interpreted per lambda frame and was ~10× slower). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int, shingleN: Int = 3): DataFrame =
-    shingleHashes(docs, idCol, textCol, shingleN)
-      .select(col("doc_id"), minhashFromHashes(col("hs"), numHashes).as("sig"))
+    docs.select(col(idCol).as("doc_id"),
+      graft.plans.TextHash.minhashSig(
+        TextOps.tokens(lower(col(textCol))), shingleN, numHashes).as("sig"))
 
   /** LSH candidate pairs with estimated Jaccard. `bands` bands of
     * `numHashes/bands` rows; docs sharing any band key become candidates.
@@ -103,26 +65,12 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash from a pre-hashed token array (see shingleHashes on
-    * why the hash array must be a materialized attribute): one fold
-    * accumulating the 64 signed bit-counts, then one pass packing the
-    * sign bits. Each input column is referenced exactly once. */
-  def simhash64(tokenHashes: Column): Column = {
-    // per token: array of ±1 per bit; fold: elementwise sum
-    val contribs = transform(tokenHashes, h =>
-      array((0 until 64).map(i =>
-        when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)): _*))
-    val sums = aggregate(contribs,
-      array_repeat(lit(0), 64), (acc, x) => zip_with(acc, x, (u, v) => u + v))
-    aggregate(zip_with(sums, typedlit((0 until 64).map(i => 1L << i)),
-        (s, bit) => when(s > 0, bit).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
-
-  /** (doc_id, token_hashes) helper for simhash64. */
-  def tokenHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (doc_id, simhash): 64-bit SimHash per document via the native
+    * [[graft.plans.SimHash64]] expression. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      transform(TextOps.tokens(lower(col(textCol))), t => xxhash64(t)).as("th"))
+      graft.plans.TextHash.simhash(
+        TextOps.tokens(lower(col(textCol)))).as("simhash"))
 
   /** Exact n-gram Jaccard over candidate pairs produced by a blocking
     * key (here: any equi-join the caller supplies). Shingle sets are

@@ -47,10 +47,9 @@ object Similarity {
   /** Sign-pattern signature for one hash table: a bit per hyperplane. */
   private def signature(vec: Column, table: Array[Array[Double]]): Column =
     table.zipWithIndex.map { case (plane, i) =>
-      val proj = aggregate(zip_with(vec, lit(plane), (x, p) => x * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+      when(VectorOps.dot(vec, typedlit(plane.toSeq)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN via L random-hyperplane hash tables of `bitsPerTable` bits.
     * Vectors sharing a (table, signature) bucket with a query are scored

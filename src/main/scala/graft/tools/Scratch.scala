@@ -19,7 +19,6 @@ object Scratch {
     val df = name match {
       case "entry" => graft.SparkEntry.entry(spark)
       case "_sigs" => Dedup.signatures(Tables.documents(spark, dir), "doc_id", "text", 32)
-      case "_hashes" => Dedup.shingleHashes(Tables.documents(spark, dir), "doc_id", "text")
       case _ => graft.SparkEntry.queries(name)(spark, dir)
     }
     if (sys.env.contains("SCRATCH_EXPLAIN")) { df.explain("formatted"); df.show(10, false) }

@@ -58,8 +58,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical texts equal; near-dups within small hamming distance") {
-    val th = Dedup.tokenHashes(docs, "doc_id", "text")
-    val sh = th.select(col("doc_id"), Dedup.simhash64(col("th")).as("s"))
+    val sh = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(sh(0L) == sh(3L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
