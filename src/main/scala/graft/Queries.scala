@@ -562,10 +562,66 @@ object Queries {
     Multimodal.metadata(Tables.documents(s, dir))
   }
 
+
+  /** Cumulative (running) aggregation per key — unbounded-preceding
+    * frame, exact decimal running sum. */
+  val q26 = q("q26_running_total",
+    """SELECT user_id, event_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value,
+      | CAST(COUNT(*) OVER w AS BIGINT) AS running_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      sum(col("value").cast(Exact.M)).over(w).cast("double").as("running_value"),
+      count(lit(1)).over(w).cast("long").as("running_n"))
+  }
+
+  /** Offset window functions: lag/lead deltas per key. */
+  val q27 = q("q27_lag_lead",
+    """SELECT user_id, event_id,
+      | lag(value) OVER w AS prev_value,
+      | lead(value) OVER w AS next_value,
+      | value - lag(value) OVER w AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+  }
+
+  /** Ranking family beyond row_number: dense_rank + ntile buckets. */
+  val q28 = q("q28_rank_ntile",
+    """SELECT o_custkey, o_orderkey,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+      dense_rank().over(w).cast("long").as("drk"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** HLL approximate distinct (no oracle: sketch-specific estimates;
+    * ScalaTest asserts the estimate lands within 5% of exact). */
+  val q29 = qNoOracle("q29_approx_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05,
     t01, t02, t03, t04,
     s01, s02, s03,

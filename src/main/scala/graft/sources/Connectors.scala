@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink builders mirroring the reference's connector surface
+  * (SURVEY §2.1). Kafka and JDBC construct standard Spark readers/
+  * writers — they need a broker/database at runtime (none in this
+  * container), so they are exercised only as plan builders; CSV and
+  * parquet paths are fully tested.
+  */
+object Connectors {
+  /** S1: batch-read a topic earliest→latest
+    * (reference spark/jobs/stock_batch.py:36-44). */
+  def kafkaBatch(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** S2: stream from latest offsets
+    * (reference spark/jobs/stock_stream.py:122-129). */
+  def kafkaStream(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** S3: JDBC source with an arbitrary pushdown subquery as the table
+    * (reference stock_stream.py:39-58). Prefer native window ops over
+    * sink re-reads (SURVEY §7 risk 3); kept for source parity. */
+  def jdbcQuery(spark: SparkSession, url: String, query: String,
+                props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, s"($query) AS t", props)
+
+  /** S4/S5: JDBC append/overwrite writer
+    * (reference spark/utilities.py:29-47). */
+  def writeJdbc(df: DataFrame, url: String, table: String, mode: SaveMode,
+                props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
+  /** S7: header CSV with explicit schema (no inference scan —
+    * reference reads company metadata CSV,
+    * apache_kafka/producers/stock_producer.py:107-125). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Parquet sink partitioned by a column — the engine's durable-table
+    * story at scale (partition pruning on read). */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String],
+                   mode: SaveMode = SaveMode.Append): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
