@@ -610,6 +610,25 @@ object Queries {
       ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** As-of join (trade→latest quote at or before the trade time),
+    * via the single-shuffle union+carry-forward operator. Oracle uses
+    * the SQL engine's native ASOF JOIN — same inclusive semantics. */
+  val q30 = q("q30_asof_join",
+    """SELECT t.event_id, t.user_id,
+      | q.event_id AS quote_event_id, q.value AS quote_value
+      |FROM (SELECT * FROM events WHERE event_id % 2 = 1) t
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 0) q
+      | ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val trades = ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "ts")
+    val quotes = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("q_event_id"), col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", "ts",
+        Map("q_event_id" -> "quote_event_id", "value" -> "quote_value"))
+      .select("event_id", "user_id", "quote_event_id", "quote_value")
+  }
+
   /** HLL approximate distinct (no oracle: sketch-specific estimates;
     * ScalaTest asserts the estimate lands within 5% of exact). */
   val q29 = qNoOracle("q29_approx_distinct") { (s, dir) =>
@@ -621,7 +640,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     d01, d02, d03, d04, d05,
     t01, t02, t03, t04,
     s01, s02, s03,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row with
+  * `right.ts <= left.ts` within the same key — the canonical
+  * trade-to-quote / event-to-latest-state join. The reference
+  * approximates this with a per-batch "latest bar per symbol" JDBC
+  * subquery (stock_stream.py:39-58); this is the general, single-pass
+  * form.
+  *
+  * Implementation (built-ins only, per the compose-first rule): tag and
+  * union both sides, then one window per key ordered by (ts, side) and
+  * carry the right columns forward with last_value(ignoreNulls). Equal
+  * timestamps: the right row sorts first, so matches are inclusive
+  * (`<=`), same as the oracle engine's ASOF semantics.
+  *
+  * Scale: exactly one hash shuffle on the key + an in-partition sort —
+  * no range cross-product, no per-row subquery; state is one carried
+  * row per key during the scan. Skewed keys can be salted upstream.
+  */
+object AsOfJoin {
+  /** @param left       probe side (keeps all its columns)
+    * @param right      reference side; only `rightCols` are attached
+    * @param keyCols    equi-key columns present on both sides
+    * @param leftTs     left event-time column name
+    * @param rightTs    right event-time column name
+    * @param rightCols  right columns to carry (renamed as given) */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTs: String, rightTs: String,
+           rightCols: Map[String, String]): DataFrame = {
+    val carried = rightCols.values.toSeq
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    // typed nulls — union requires both sides to agree on column types
+    val lPadded = rightCols.foldLeft(l) { case (d, (src, dst)) =>
+      d.withColumn(dst, lit(null).cast(right.schema(src).dataType))
+    }
+    val r0 = right.select(
+      (keyCols.map(col) :+ col(rightTs).as("__ts")) ++
+        rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
+      .withColumn("__side", lit(0))
+    // align right frame to the left's full column set (typed nulls elsewhere)
+    val rPadded = lPadded.columns.foldLeft(r0) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(lPadded.schema(c).dataType))
+    }.select(lPadded.columns.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val joined = carried.foldLeft(lPadded.union(rPadded)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    joined.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+}

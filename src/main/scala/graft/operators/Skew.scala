@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys — the 100 TB failure mode a uniform
+  * testdata run never shows (one symbol carrying half the trades turns
+  * a groupBy/join into a single straggler task).
+  *
+  * Two standard remedies, as composable operators:
+  *  - salted two-phase aggregation: shard each key across `salts`
+  *    partial groups, aggregate, then merge partials. Works for any
+  *    aggregate with an associative merge (sum/count/min/max).
+  *  - salted broadcast-replicated join: replicate the small side once
+  *    per salt so a salted big side still matches. (For two big sides,
+  *    AQE's skew-join split — on by default in Spark 4 — is the tool.)
+  */
+object Skew {
+  /** One aggregate spec: output name, input expression, and function
+    * ("sum" | "count" | "min" | "max"). */
+  case class Agg(name: String, expr: Column, fn: String)
+
+  private def apply1(a: Agg): Column = (a.fn match {
+    case "sum" => sum(a.expr)
+    case "count" => count(a.expr)
+    case "min" => min(a.expr)
+    case "max" => max(a.expr)
+  }).as(a.name)
+
+  /** Merge of a phase-1 partial: count partials merge by SUM. */
+  private def merge1(a: Agg): Column = (a.fn match {
+    case "sum" | "count" => sum(col(a.name))
+    case "min" => min(col(a.name))
+    case "max" => max(col(a.name))
+  }).as(a.name)
+
+  /** Two-phase salted aggregation. Phase 1 groups on (keys, salt),
+    * spreading a hot key over `salts` reducers; phase 2 merges the
+    * partials on the true keys (tiny: ≤ salts rows per key). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+                aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty)
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(apply1(aggs.head), aggs.tail.map(apply1): _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(merge1(aggs.head), aggs.tail.map(merge1): _*)
+  }
+
+  /** Salted equi-join of a skewed big side against a small dim: the big
+    * side gets a uniform salt in [0, salts); the small side is
+    * replicated once per salt value and broadcast. A hot key's rows
+    * spread over `salts` tasks instead of one straggler. */
+  def saltedBroadcastJoin(big: DataFrame, small: DataFrame,
+                          key: String, salts: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(broadcast(smallS), Seq(key, "__salt")).drop("__salt")
+  }
+}

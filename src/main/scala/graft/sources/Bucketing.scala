@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support: pre-shuffle once at write time so repeated
+  * joins/aggregations on the bucket key run with NO exchange at read
+  * time — the core strategy for a fact table that is joined on the
+  * same key by every query (lineitem.l_orderkey ⋈ orders.o_orderkey at
+  * 100 TB: bucket both once, then every join is a zipped local join).
+  *
+  * Uses the session catalog's managed tables (`saveAsTable` — plain
+  * `.parquet(path)` cannot persist bucket metadata).
+  */
+object Bucketing {
+  /** Write `df` as a managed table bucketed (and sorted) by `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two tables bucketed on the same key with the same bucket
+    * count: Catalyst sees compatible output partitionings and plans a
+    * sort-merge join with zero Exchange on either side. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, Skew}
+
+class AsOfSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("asOf attaches latest right row at or before left ts, per key") {
+    val trades = Seq(
+      ("A", ts(50), 1L), ("A", ts(150), 2L), ("A", ts(250), 3L),
+      ("B", ts(100), 4L)
+    ).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      ("A", ts(100), 10.0), ("A", ts(200), 20.0), ("B", ts(100), 5.0)
+    ).toDF("sym", "t", "px")
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t",
+        Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty)          // no quote yet at t=50
+    assert(got(2L).contains(10.0))   // latest quote <= 150 is t=100
+    assert(got(3L).contains(20.0))   // latest quote <= 250 is t=200
+    assert(got(4L).contains(5.0))    // equal timestamps match (inclusive)
+  }
+
+  test("saltedAgg equals plain aggregation") {
+    val df = Seq.tabulate(1000)(i => ("hot", i.toDouble)) ++
+      Seq.tabulate(10)(i => (s"k$i", i.toDouble))
+    val data = df.toDF("k", "v")
+    val plain = data.groupBy("k").agg(
+        sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .as[(String, Double, Long, Double, Double)].collect().toSet
+    val salted = Skew.saltedAgg(data, Seq("k"), 8, Seq(
+        Skew.Agg("s", col("v"), "sum"), Skew.Agg("n", lit(1), "count"),
+        Skew.Agg("mn", col("v"), "min"), Skew.Agg("mx", col("v"), "max")))
+      .as[(String, Double, Long, Double, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("saltedBroadcastJoin equals plain join") {
+    val big = Seq.tabulate(500)(i => ("hot", i)) ++ Seq.tabulate(5)(i => (s"k$i", i))
+    val bigDf = big.toDF("k", "v")
+    val dim = Seq(("hot", "HOT"), ("k1", "K1"), ("k3", "K3")).toDF("k", "name")
+    val plain = bigDf.join(dim, "k").select("k", "v", "name")
+      .as[(String, Int, String)].collect().toSet
+    val salted = Skew.saltedBroadcastJoin(bigDf, dim, "k", 4)
+      .select("k", "v", "name").as[(String, Int, String)].collect().toSet
+    assert(salted == plain)
+  }
+}

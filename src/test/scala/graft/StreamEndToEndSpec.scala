@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.MinuteStream
+
+/** E2 parity end-to-end (SURVEY §3): envelopes → parse → watermarked
+  * deduped bars → foreachBatch → parquet bars+metrics + alert rows. */
+class StreamEndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("full pipeline writes bars and metrics parquet and surfaces alerts") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_stream").toString
+    val checkpoint = Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[String]
+    var alerts = 0L
+    val q = MinuteStream.start(spark, input.toDF(), checkpoint, out,
+      trigger = Trigger.ProcessingTime("0 seconds"),
+      onAlert = (df: DataFrame) => { alerts += df.count() })
+    val m0 = 1735732800000L
+    def env(p: Double, t: Long, v: Double) =
+      s"""{"data": [{"p": $p, "s": "AAPL", "t": $t, "v": $v}]}"""
+    // five minutes of bars; the last minute spikes with tiny volume
+    input.addData(env(100.0, m0 + 1000, 1000.0))
+    input.addData(env(100.0, m0 + 61000, 1000.0))
+    input.addData(env(100.0, m0 + 121000, 1000.0))
+    input.addData(env(100.0, m0 + 181000, 1000.0))
+    input.addData(env(500.0, m0 + 241000, 1.0))
+    // push watermark far enough to close all five windows
+    input.addData(env(100.0, m0 + 600000, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val bars = spark.read.parquet(s"$out/bars")
+    assert(bars.count() >= 5, s"expected ≥5 closed bars, got ${bars.count()}")
+    val metrics = spark.read.parquet(s"$out/metrics")
+    assert(metrics.columns.toSet ==
+      Set("symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"))
+    assert(metrics.count() == bars.count())
+  }
+}
