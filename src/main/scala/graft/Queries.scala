@@ -629,6 +629,54 @@ object Queries {
       .select("event_id", "user_id", "quote_event_id", "quote_value")
   }
 
+  /** SQL entry path (TPC-H Q5 shape): the engine's surface is also
+    * plain `spark.sql` over registered views — same Catalyst plan as
+    * the DataFrame API, verified against the identical oracle text. */
+  val q31 = q("q31_sql_nation_revenue",
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin) { (s, dir) =>
+    Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold on the rounded
+    * cosine so both engines make identical inclusion decisions). */
+  val d06 = q("d06_dedup_embedding",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |   CAST(b.embedding AS DOUBLE[])), 6) > 0.45""".stripMargin) { (s, dir) =>
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45)
+  }
+
+  /** IVF-probed ANN (no oracle — approximate; ScalaTest asserts recall
+    * against the brute-force baseline). */
+  val s04 = qNoOracle("s04_ann_ivf") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ivfIndex(emb.filter(col("id") >= 10), nCentroids = 16)
+    Similarity.ivfTopK(emb.filter(col("id") < 10), model, k = 5, nProbe = 4)
+  }
+
   /** HLL approximate distinct (no oracle: sketch-specific estimates;
     * ScalaTest asserts the estimate lands within 5% of exact). */
   val q29 = qNoOracle("q29_approx_distinct") { (s, dir) =>
@@ -640,9 +688,9 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    d01, d02, d03, d04, d05,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
+    d01, d02, d03, d04, d05, d06,
     t01, t02, t03, t04,
-    s01, s02, s03,
+    s01, s02, s03, s04,
     m01)
 }

@@ -79,6 +79,95 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) index: deterministic k-means over the corpus;
+    * vectors are listed under their nearest centroid. Queries probe
+    * only the `nProbe` nearest lists — the classic recall/cost dial
+    * for billion-vector corpora. Centroids live on the driver (a few
+    * KB: nCentroids × dim) and ship to executors as literals; the
+    * corpus itself never leaves its partitions except the one hash
+    * shuffle on centroid id at query time. */
+  case class IVFModel(centroids: Array[Array[Double]], assignments: DataFrame)
+
+  /** argmin over centroids of the L2 distance surrogate
+    * (|c|² − 2·v·c — |v|² is constant per row): array_min over
+    * struct(dist, idx) picks the lowest distance, ties by index. */
+  private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(vec, typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** Build the index: hash-seeded init (first `nCentroids` vectors by
+    * xxhash64 of id — deterministic pseudo-random spread), then
+    * `iters` Lloyd rounds. Each round is one broadcast-assign pass +
+    * one hash aggregation; centroid updates collect only
+    * nCentroids × dim doubles to the driver. */
+  def ivfIndex(candidates: DataFrame, nCentroids: Int, iters: Int = 3): IVFModel = {
+    val base = candidates.select(col("id"), col("vec"))
+    var cents: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id"))).limit(nCentroids)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cid", nearestCentroid(col("vec"), cents))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(graft.functions.Exact.davg(col("col")).as("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      it += 1
+    }
+    IVFModel(cents, base.withColumn("cid", nearestCentroid(col("vec"), cents)))
+  }
+
+  /** Probe: route each query to its `nProbe` nearest lists, join on the
+    * (tiny-cardinality) centroid id, exact-cosine re-rank, top-k. */
+  def ivfTopK(queries: DataFrame, model: IVFModel, k: Int, nProbe: Int): DataFrame = {
+    val dists = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        VectorOps.norm(col("vec")).as("qn"),
+        explode(transform(slice(array_sort(dists), 1, nProbe), s => s.getField("i")))
+          .as("cid"))
+    val c = model.assignments.select(col("cid"), col("id").as("neighbor_id"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    val scored = q.join(c, "cid")
+      .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .select("query_id", "neighbor_id", "cos").distinct()
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs whose
+    * rounded cosine clears `threshold`. Brute-force pair generation
+    * here (oracle-parity path); at corpus scale route through
+    * [[lshTopK]]/[[ivfTopK]] buckets first — same scoring column. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      VectorOps.norm(col("v")).as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      VectorOps.norm(col("v")).as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(VectorOps.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6))
+      .filter(col("cos") > threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** Per-label centroid, one row per (label, dimension). Exact decimal
     * mean → identical across engines. posexplode keeps the dimension
     * index; the aggregation is a plain hash groupBy (map-side combined).

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions so `spark.sql(...)` users get them too:
+  *
+  *   graft_minhash(tokens, shingleN, numHashes) → array<bigint>
+  *   graft_simhash(tokens)                      → bigint
+  *   graft_dot(a, b)                            → double
+  *   graft_norm_sq(a)                           → double
+  *
+  * Wire up via `.withExtensions(new GraftExtensions)` or the standard
+  * `spark.sql.extensions=graft.plans.GraftExtensions` conf, or call
+  * `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashShingleSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) =>
+        MinHashShingleSig(args.head, intArg(args(1), "shingleN"),
+          intArg(args(2), "numHashes"))),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("graft_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => VecDot(args.head, args(1))),
+    ("graft_norm_sq",
+      new ExpressionInfo(classOf[VecNormSq].getName, "graft_norm_sq"),
+      (args: Seq[Expression]) => VecNormSq(args.head)))
+
+  /** Register on an already-built session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+}

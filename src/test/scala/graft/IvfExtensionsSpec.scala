@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.plans.GraftExtensions
+
+class IvfExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ivfTopK achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 2))
+    val cands = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 40).map { i =>
+        (ci * 100 + i + 100).toLong -> c.map(x => x + rnd.nextGaussian() * 0.1).toSeq
+      }
+    }.toSeq.toDF("id", "vec")
+    val qs = centers.zipWithIndex
+      .map { case (c, i) => i.toLong -> c.toSeq }.toSeq.toDF("id", "vec")
+    val brute = Similarity.bruteForceTopK(qs, cands, 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val model = Similarity.ivfIndex(cands, nCentroids = 8, iters = 3)
+    val ivf = Similarity.ivfTopK(qs, model, k = 5, nProbe = 3)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("ivfIndex assigns every vector to a valid centroid") {
+    val cands = Seq.tabulate(50)(i => (i.toLong, Seq.fill(8)(i * 0.1))).toDF("id", "vec")
+    val model = Similarity.ivfIndex(cands, nCentroids = 4, iters = 2)
+    assert(model.centroids.length == 4)
+    val cids = model.assignments.select("cid").distinct().as[Int].collect()
+    assert(cids.forall(c => c >= 0 && c < 4))
+    assert(model.assignments.count() == 50)
+  }
+
+  test("extension-registered SQL functions evaluate") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash(array('a','b')) AS sh,
+        |  graft_minhash(array('w1','w2','w3','w4'), 3, 8) AS mh,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_norm_sq(array(3.0d, 4.0d)) AS n2""".stripMargin).head()
+    assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("n2") == 25.0)
+    // SQL function values match the Column-API expressions
+    val viaCol = Seq((Seq("a", "b"), 1)).toDF("toks", "x")
+      .select(graft.plans.TextHash.simhash(col("toks"))).as[Long].head()
+    assert(r.getAs[Long]("sh") == viaCol)
+  }
+}
