@@ -511,6 +511,19 @@ object Queries {
     TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** Regex tokenization + rolling-hash fingerprint (integer-exact). */
+  val t05 = q("t05_token_rolling",
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+      |       t -> CAST(ascii(t) + length(t) AS BIGINT))),
+      |   (h, v) -> (h * 131 + v) % 1000000007) AS roll_hash
+      |FROM documents""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenRolling(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   // --------------------------------------------- similarity (LLM pipeline)
 
   /** Brute-force cosine top-5: queries = vec_id < 10 (broadcast side),
@@ -690,7 +703,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     d01, d02, d03, d04, d05, d06,
-    t01, t02, t03, t04,
+    t01, t02, t03, t04, t05,
     s01, s02, s03, s04,
     m01)
 }

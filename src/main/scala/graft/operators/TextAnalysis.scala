@@ -64,6 +64,23 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
+  /** BPE-ish regex tokenization (letter runs / digit runs / single
+    * punctuation, the usual pre-tokenizer shape) + a polynomial rolling
+    * hash over the token stream — a cheap order-sensitive document
+    * fingerprint (two docs with the same words in different order get
+    * different hashes, unlike the bag-of-words md5 path). All integer
+    * arithmetic, so it is engine-exact. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenRolling(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0))
+    val tokVals = transform(toks, t => (ascii(t) + length(t)).cast("long"))
+    docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_regex_tokens"),
+      aggregate(tokVals, lit(0L),
+        (h, v) => pmod(h * 131 + v, lit(1000000007L))).as("roll_hash"))
+  }
+
   /** Stable 128-bit fingerprint + 16-bit band prefix per document —
     * the blocking key for distributed exact-dup clustering. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
