@@ -150,9 +150,12 @@ object Queries {
        |FROM events
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
        | ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    // project the JSON volume once: a multiply-referenced non-cheap
+    // expression stays a separate projection (no CollapseProject), so
+    // the parse runs once per row instead of once per window term
     val m = Metrics.rolling(col("user_id"),
-      Seq(col("ts"), col("event_id")), col("value"), eventVol)
-    Tables.events(s, dir)
+      Seq(col("ts"), col("event_id")), col("value"), col("vol"))
+    Tables.events(s, dir).withColumn("vol", eventVol)
       .select(col("event_id"), col("user_id"), m.vwap.as("vwap_5"))
   }
 
@@ -165,8 +168,8 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       | ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
     val m = Metrics.rolling(col("user_id"),
-      Seq(col("ts"), col("event_id")), col("value"), eventVol)
-    Tables.events(s, dir)
+      Seq(col("ts"), col("event_id")), col("value"), col("vol"))
+    Tables.events(s, dir).withColumn("vol", eventVol)
       .select(col("event_id"), col("user_id"), m.vol.as("vol_5"))
   }
 
@@ -187,8 +190,8 @@ object Queries {
     // Threshold 2.0σ (not the reference's 3.0) so the flag fires on the
     // uniform synthetic data — non-empty output is a stronger check.
     val m = Metrics.rolling(col("user_id"),
-      Seq(col("ts"), col("event_id")), col("value"), eventVol)
-    Tables.events(s, dir)
+      Seq(col("ts"), col("event_id")), col("value"), col("vol"))
+    Tables.events(s, dir).withColumn("vol", eventVol)
       .select(col("event_id"), col("user_id"), col("value"),
         m.vwap.as("vwap_5"), m.vol.as("vol_5"))
       .filter(abs(col("value") - col("vwap_5")) > lit(2.0) * col("vol_5"))

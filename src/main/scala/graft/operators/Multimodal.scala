@@ -62,6 +62,50 @@ object Multimodal {
     }
   }
 
+  case class Frame(media_id: Long, frame_idx: Int, data: Array[Byte])
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * stands in for a decoded video frame. The plumbing is the real
+    * shape — one flatMap per file, frames inherit the file's
+    * partitioning, no driver round-trip — only the chunk-decode is
+    * fake. */
+  def sampleFrames(files: Dataset[MediaFile], frameBytes: Int = 16,
+                   stride: Int = 2): Dataset[Frame] = {
+    import files.sparkSession.implicits._
+    files.flatMap { f =>
+      val nFrames = math.max(1, f.payload.length / frameBytes)
+      (0 until nFrames by stride).map { i =>
+        Frame(f.media_id, i,
+          f.payload.slice(i * frameBytes, (i + 1) * frameBytes))
+      }
+    }
+  }
+
+  /** Resize stub: stride-sample the payload down to exactly w×h bytes
+    * (zero-padded), the byte-grid shape a real resampler would emit.
+    * Deterministic; batch shape identical to a codec-backed version. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Decode+resize in one partition pass (what the real pipeline runs:
+    * decode → thumbnail → feature row, never materializing full-size
+    * frames outside the partition). */
+  def thumbnails(files: Dataset[MediaFile], w: Int, h: Int): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.map(f => (f.media_id, f.kind, resizeStub(f.payload, w, h)))
+    }.toDF("media_id", "kind", "thumb")
+  }
+
   /** Pure-column metadata path (no decode): cheap filters that should
     * run BEFORE the decode stage at scale. Oracle-checkable. */
   def metadata(docs: DataFrame): DataFrame =

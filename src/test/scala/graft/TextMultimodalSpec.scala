@@ -62,6 +62,23 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(feats.toSeq == again.toSeq)
   }
 
+  test("frame sampling and resize keep shapes and determinism") {
+    implicit val s = spark
+    val docs = Seq((0L, "0123456789abcdef0123456789abcdef0123456789abcdef"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // 48 bytes / 16 = 3 frames, stride 2 → indices 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames.forall(_.data.length == 16))
+    val thumb = Multimodal.thumbnails(media, 4, 4).collect().head
+    assert(thumb.getAs[Array[Byte]]("thumb").length == 16)
+    val again = Multimodal.thumbnails(media, 4, 4).collect().head
+    assert(thumb.getAs[Array[Byte]]("thumb").toSeq ==
+      again.getAs[Array[Byte]]("thumb").toSeq)
+  }
+
   test("metadata path matches FakeCodec on byte length and sha") {
     implicit val s = spark
     val docs = Seq((7L, "payload")).toDF("doc_id", "text")
