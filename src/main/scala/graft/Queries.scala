@@ -394,6 +394,57 @@ object Queries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube). */
+  val q32 = q("q32_grouping_sets",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | ${dsumMSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | ${dsumMSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Sorted group concatenation (collect_set → sort → join = the
+    * deterministic string_agg). */
+  val q33 = q("q33_group_concat",
+    """SELECT l_returnflag,
+      | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      | COUNT(DISTINCT l_linestatus) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+  }
+
+  /** Exact interpolated percentiles (both engines: linear interpolation
+    * over the sorted values; rounded 6dp to absorb last-ulp interp
+    * differences). */
+  val q34 = q("q34_percentiles",
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      | round(quantile_cont(l_quantity, 0.75), 6) AS p75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))
+  }
+
+  /** Pivot (wide aggregation) with a fixed value set. */
+  val q35 = q("q35_pivot",
+    """SELECT l_returnflag,
+      | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+  }
+
   // ------------------------------------------------- dedup (LLM pipeline)
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -705,6 +756,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
+    q32, q33, q34, q35,
     d01, d02, d03, d04, d05, d06,
     t01, t02, t03, t04, t05,
     s01, s02, s03, s04,
