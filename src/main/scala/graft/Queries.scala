@@ -740,7 +740,8 @@ object Queries {
   val s04 = qNoOracle("s04_ann_ivf") { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-    val model = Similarity.ivfIndex(emb.filter(col("id") >= 10), nCentroids = 16)
+    val model = Similarity.ivfIndex(emb.filter(col("id") >= 10),
+      nCentroids = 16, iters = 2)
     Similarity.ivfTopK(emb.filter(col("id") < 10), model, k = 5, nProbe = 4)
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.types._
@@ -53,16 +53,26 @@ object TextHash {
   * array (array<string> → array<long> of length `numHashes`).
   * Shingle hash = splitmix-combined xxhash64 of the member tokens;
   * short documents collapse to one whole-document shingle. One pass:
-  * O(tokens × numHashes), no per-shingle string allocation. */
+  * O(tokens × numHashes), no per-shingle string allocation.
+  *
+  * Codegen calls straight into [[compute]] via a reference object — the
+  * surrounding operators stay in whole-stage codegen with no row
+  * materialization or boxing at the boundary. */
 case class MinHashShingleSig(child: Expression, shingleN: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private lazy val cs = TextHash.coeffs(numHashes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashShingleSig].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(toks: ArrayData): GenericArrayData = {
     val n = toks.numElements()
     // token hashes
     val th = new Array[Long](n)
@@ -99,14 +109,20 @@ case class MinHashShingleSig(child: Expression, shingleN: Int, numHashes: Int)
 }
 
 /** 64-bit SimHash of a token array (array<string> → long): signed
-  * per-bit vote of each token's xxhash64, packed by vote sign. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * per-bit vote of each token's xxhash64, packed by vote sign.
+  * Codegen: reference-object call (see [[MinHashShingleSig]]). */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.numElements()) {
@@ -124,7 +140,7 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =

@@ -3,15 +3,14 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native vector-math expressions over array<double> columns. The
-  * zip_with/aggregate higher-order forms are interpreted (one lambda
-  * frame per element); these run the same IEEE-identical left-to-right
-  * loops in plain JVM code. Used by the similarity operators where the
-  * dot product sits inside a pairwise join (the hot loop).
+/** Native vector-math expressions over array<double> columns with full
+  * whole-stage codegen (`doGenCode` emits the loop inline — no lambda
+  * frames, no boxing, no codegen boundary). Used by the similarity
+  * operators where the dot product sits inside a pairwise join.
   */
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
@@ -22,8 +21,7 @@ object VectorExprs {
 
 /** Σ aᵢ·bᵢ, accumulated left-to-right (bit-identical to the
   * aggregate(zip_with(...)) form it replaces). */
-case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -37,13 +35,27 @@ case class VecDot(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
 
 /** Σ aᵢ², accumulated left-to-right. */
-case class VecNormSq(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class VecNormSq(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -54,6 +66,23 @@ case class VecNormSq(child: Expression)
     while (i < a.numElements()) { val x = a.getDouble(i); acc += x * x; i += 1 }
     java.lang.Double.valueOf(acc)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): VecNormSq =
     copy(child = c)
