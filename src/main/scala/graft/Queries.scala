@@ -394,6 +394,25 @@ object Queries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Same as-of semantics through the NATIVE whole-operator path
+    * (graft.plans.AsOfJoinExec — custom LogicalPlan + Strategy +
+    * SparkPlan), checked against the identical oracle as q30. */
+  val q36 = q("q36_asof_native",
+    """SELECT t.event_id, t.user_id,
+      | q.event_id AS quote_event_id, q.value AS quote_value
+      |FROM (SELECT * FROM events WHERE event_id % 2 = 1) t
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 0) q
+      | ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val trades = ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "ts")
+    val quotes = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("q_event_id"), col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asOfNative(trades, quotes, Seq("user_id"), "ts", "ts",
+        Map("q_event_id" -> "quote_event_id", "value" -> "quote_value"))
+      .select("event_id", "user_id", "quote_event_id", "quote_value")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube). */
   val q32 = q("q32_grouping_sets",
     s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -757,7 +776,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35,
+    q32, q33, q34, q35, q36,
     d01, d02, d03, d04, d05, d06,
     t01, t02, t03, t04, t05,
     s01, s02, s03, s04,

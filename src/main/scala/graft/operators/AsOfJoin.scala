@@ -54,4 +54,37 @@ object AsOfJoin {
     }
     joined.filter(col("__side") === 1).drop("__ts", "__side")
   }
+
+  /** Native whole-operator form (graft.plans.AsOfJoinExec): sort-merge
+    * scan with one carried right row per key — zero padding columns, no
+    * window frames, one pass. Same semantics (left-outer, inclusive
+    * `right.ts <= left.ts`) as [[asOf]]; requires timestamp/long
+    * ordering columns. The right side is re-aliased, so self-as-of
+    * (same source both sides) is safe. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 leftTs: String, rightTs: String,
+                 rightCols: Map[String, String]): DataFrame = {
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    import org.apache.spark.sql.GraftShim
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // fresh exprIds on the right via aliases → self-as-of safe
+    val rAliased = right.select(
+      keyCols.map(c => col(c).as(s"__rk_$c")) ++
+        Seq(col(rightTs).as("__rts")) ++
+        rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rAliased.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      keyCols.map(attr(lPlan, _)), keyCols.map(c => attr(rPlan, s"__rk_$c")),
+      attr(lPlan, leftTs), attr(rPlan, "__rts"),
+      rightCols.values.toSeq.map(attr(rPlan, _)))
+    GraftShim.ofRows(spark, node)
+  }
 }

@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a raw logical plan (runs full analysis) —
+    * needed to surface custom logical operators (graft.plans) as
+    * ordinary DataFrames. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -29,6 +29,29 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(got(4L).contains(5.0))    // equal timestamps match (inclusive)
   }
 
+  test("asOfNative matches the composed form and plans the custom exec") {
+    val trades = Seq(
+      ("A", ts(50), 1L), ("A", ts(150), 2L), ("A", ts(250), 3L),
+      ("B", ts(100), 4L), ("C", ts(10), 5L)
+    ).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      ("A", ts(100), 10.0), ("A", ts(200), 20.0), ("B", ts(100), 5.0),
+      ("D", ts(1), 99.0)
+    ).toDF("sym", "t", "px")
+    val native = AsOfJoin.asOfNative(trades, quotes, Seq("sym"), "t", "t",
+        Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px")
+    val composed = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t",
+        Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px")
+    assert(native.as[(Long, Option[Double])].collect().toSet ==
+      composed.as[(Long, Option[Double])].collect().toSet)
+    // AQE wraps the plan (AdaptiveSparkPlanExec hides its inner plan
+    // from collect), so assert on the rendered tree
+    assert(native.queryExecution.executedPlan.treeString.contains("AsOfJoin"),
+      "expected AsOfJoinExec in the physical plan")
+  }
+
   test("saltedAgg equals plain aggregation") {
     val df = Seq.tabulate(1000)(i => ("hot", i.toDouble)) ++
       Seq.tabulate(10)(i => (s"k$i", i.toDouble))
