@@ -464,6 +464,21 @@ object Queries {
       .agg(count(lit(1)))
   }
 
+  /** Correlated scalar subquery (Catalyst decorrelates it into a left
+    * outer aggregate-join — no per-row re-execution). */
+  val q37 = q("q37_correlated_subquery",
+    """SELECT c_custkey, c_name,
+      | (SELECT max(o_totalprice) FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""SELECT c_custkey, c_name,
+      | (SELECT max(o_totalprice) FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c""".stripMargin)
+  }
+
   // ------------------------------------------------- dedup (LLM pipeline)
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -595,6 +610,28 @@ object Queries {
       |   (h, v) -> (h * 131 + v) % 1000000007) AS roll_hash
       |FROM documents""".stripMargin) { (s, dir) =>
     TextAnalysis.tokenRolling(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  /** Char-trigram language ID (the n-gram-profile heuristic). */
+  val t06 = q("t06_langid_chargram", {
+    val scores = TextAnalysis.charTrigrams.map { case (l, gs) =>
+      val set = gs.map(g => s"'${g}'").mkString(", ")
+      s" CAST(len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 1, 2)), " +
+        s"i -> substr(lower(text), CAST(i AS INT), 3)), g -> g IN ($set))) AS BIGINT) AS g_$l"
+    }.mkString(",\n|")
+    val langs = TextAnalysis.charTrigrams.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"g_$o")
+      val g = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN g_$l >= $g THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"g_$l").mkString(", ")},
+       | CASE $caseExpr ELSE '${langs.last}' END AS predicted
+       |FROM (SELECT doc_id,
+       |$scores
+       |FROM documents)""".stripMargin
+  }) { (s, dir) =>
+    TextAnalysis.langIdCharNgram(Tables.documents(s, dir), "doc_id", "text")
   }
 
   // --------------------------------------------- similarity (LLM pipeline)
@@ -776,9 +813,9 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36,
+    q32, q33, q34, q35, q36, q37,
     d01, d02, d03, d04, d05, d06,
-    t01, t02, t03, t04, t05,
+    t01, t02, t03, t04, t05, t06,
     s01, s02, s03, s04,
     m01)
 }

@@ -64,6 +64,39 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
+  /** Character-trigram language profiles — the n-gram flavor of the
+    * language-ID heuristic (word-marker scoring above is the
+    * stopword flavor). Trigrams chosen from each language's highest-
+    * frequency character sequences. */
+  val charTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und"),
+    "es" -> Seq(" de", "los", "ión", "ent", "que"),
+    "fr" -> Seq("les", " le", "ent", "de ", "une"),
+    "zh" -> Seq("的", "是", "在"))
+
+  /** Per-doc char-trigram scores + argmax (same deterministic tie
+    * order as [[langId]]). One pass: trigram generation and scoring
+    * are codegen'd SQL-lambda expressions. */
+  def langIdCharNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = expr(
+      s"transform(sequence(1, greatest(length(lower($textCol)) - 2, 1)), " +
+        s"i -> substring(lower($textCol), i, 3))")
+    val scored = docs.select(
+      (col(idCol).as("doc_id") +:
+        charTrigrams.map { case (l, gs) =>
+          size(filter(grams, g => g.isInCollection(gs))).cast("long").as(s"g_$l")
+        }): _*)
+    val langs = charTrigrams.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), els) =>
+        val rest = langs.drop(i + 1).map(o => col(s"g_$o"))
+        when(col(s"g_$l") >= (if (rest.size == 1) rest.head else greatest(rest: _*)), l)
+          .otherwise(els)
+    }
+    scored.withColumn("predicted", pred)
+  }
+
   /** BPE-ish regex tokenization (letter runs / digit runs / single
     * punctuation, the usual pre-tokenizer shape) + a polynomial rolling
     * hash over the token stream — a cheap order-sensitive document
