@@ -39,7 +39,14 @@ object Dedup {
                             numHashes: Int = 32, bands: Int = 16,
                             shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
+    // The signature frame feeds four subplans (two band-join sides, two
+    // sig join-backs); with broadcast joins Spark cannot dedupe them
+    // via ReusedExchange, so the whole tokenize→shingle→minhash pass
+    // would run four times. localCheckpoint materializes it once — the
+    // in-memory analog of persisting a signature table, which is the
+    // production shape at corpus scale.
     val sigs = signatures(docs, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(false)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),

@@ -106,7 +106,8 @@ object Similarity {
     * one hash aggregation; centroid updates collect only
     * nCentroids × dim doubles to the driver. */
   def ivfIndex(candidates: DataFrame, nCentroids: Int, iters: Int = 3): IVFModel = {
-    val base = candidates.select(col("id"), col("vec"))
+    // each Lloyd round re-reads the corpus; materialize it once
+    val base = candidates.select(col("id"), col("vec")).localCheckpoint(false)
     var cents: Array[Array[Double]] = base
       .orderBy(xxhash64(col("id"))).limit(nCentroids)
       .select(col("vec")).collect()
@@ -125,6 +126,32 @@ object Similarity {
       it += 1
     }
     IVFModel(cents, base.withColumn("cid", nearestCentroid(col("vec"), cents)))
+  }
+
+  /** Persist an IVF index as catalog tables: centroids (tiny, one row
+    * per (cid, pos)) + assignments bucketed by centroid id, so probes
+    * join the posting lists with no shuffle of the corpus — build
+    * once, probe many, the production lifecycle. */
+  def saveIvfIndex(spark: org.apache.spark.sql.SparkSession, model: IVFModel,
+                   name: String, buckets: Int = 8): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) => (i, p, v) } }
+      .toSeq.toDF("cid", "pos", "v")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_centroids")
+    model.assignments.write.mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(s"${name}_assignments")
+  }
+
+  /** Reload a persisted IVF index. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): IVFModel = {
+    val rows = spark.table(s"${name}_centroids").collect()
+    val n = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Double](n, dim)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    IVFModel(cents, spark.table(s"${name}_assignments"))
   }
 
   /** Probe: route each query to its `nProbe` nearest lists, join on the

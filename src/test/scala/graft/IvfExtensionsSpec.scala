@@ -38,6 +38,25 @@ class IvfExtensionsSpec extends AnyFunSuite {
     assert(model.assignments.count() == 50)
   }
 
+  test("persisted IVF index probes identically to the in-memory model") {
+    val rnd = new scala.util.Random(3)
+    val cands = Seq.tabulate(60)(i =>
+      (i.toLong + 100, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val qs = Seq.tabulate(3)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val model = Similarity.ivfIndex(cands, nCentroids = 4, iters = 2)
+    spark.sql("DROP TABLE IF EXISTS ivf_t_centroids")
+    spark.sql("DROP TABLE IF EXISTS ivf_t_assignments")
+    Similarity.saveIvfIndex(spark, model, "ivf_t")
+    val loaded = Similarity.loadIvfIndex(spark, "ivf_t")
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    val direct = Similarity.ivfTopK(qs, model, 3, 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaTable = Similarity.ivfTopK(qs, loaded, 3, 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(direct == viaTable)
+  }
+
   test("extension-registered SQL functions evaluate") {
     GraftExtensions.register(spark)
     val r = spark.sql(
