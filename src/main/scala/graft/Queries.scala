@@ -464,6 +464,28 @@ object Queries {
       .agg(count(lit(1)))
   }
 
+  /** Bucketized range join: events matched to synthetic 5-minute
+    * per-user intervals (every 10th event opens one). The oracle is the
+    * plain BETWEEN theta join; the engine runs the equi-join-on-bucket
+    * plan (see Relational.rangeJoin). */
+  val q38 = q("q38_range_join",
+    """SELECT e.event_id, e.user_id, i.event_id AS interval_id
+      |FROM events e JOIN
+      | (SELECT event_id, user_id, ts AS start_ts,
+      |   ts + INTERVAL 5 MINUTE AS end_ts
+      |  FROM events WHERE event_id % 10 = 0) i
+      | ON e.user_id = i.user_id
+      |  AND e.ts >= i.start_ts AND e.ts < i.end_ts""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val intervals = ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 5 MINUTE")).as("end_ts"))
+    Relational.rangeJoin(ev.select("event_id", "user_id", "ts"), intervals,
+        Seq("user_id"), "ts", "start_ts", "end_ts")
+      .select("event_id", "user_id", "interval_id")
+  }
+
   /** Correlated scalar subquery (Catalyst decorrelates it into a left
     * outer aggregate-join — no per-row re-execution). */
   val q37 = q("q37_correlated_subquery",
@@ -813,7 +835,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37,
+    q32, q33, q34, q35, q36, q37, q38,
     d01, d02, d03, d04, d05, d06,
     t01, t02, t03, t04, t05, t06,
     s01, s02, s03, s04,

@@ -28,6 +28,29 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Range (interval) join: left rows matched to right intervals
+    * containing their timestamp, same equi-key. A naive theta join is
+    * a per-key cross product; instead each interval is exploded into
+    * the coarse time buckets it covers and the join becomes an
+    * EQUI-join on (key, bucket) + an exact range filter — linear in
+    * data + interval spans, shuffle on the bucketed key. An event's
+    * timestamp falls in exactly one bucket, so no post-join dedup is
+    * needed. Bucket width should be on the order of typical interval
+    * length (too fine → more exploded rows; too coarse → more
+    * filtered candidates). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                tsCol: String, startCol: String, endCol: String,
+                bucket: String = "1 minute"): DataFrame = {
+    val bucketExpr = (c: Column) => date_trunc("minute", c)
+    val rBucketed = right.withColumn("__bucket",
+      explode(sequence(bucketExpr(col(startCol)), bucketExpr(col(endCol)),
+        expr(s"INTERVAL $bucket"))))
+    val lBucketed = left.withColumn("__bucket", bucketExpr(col(tsCol)))
+    lBucketed.join(rBucketed, keys :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** Latest row per key: aggregate max(ts) then equi-join back — the
     * reference's A3+J1 shape. The aggregated side is small (≤ one row per
     * key) so Catalyst broadcast-joins it under AQE; at 100 TB with high

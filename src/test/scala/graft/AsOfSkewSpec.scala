@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, Relational, Skew}
 
 class AsOfSkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -50,6 +50,25 @@ class AsOfSkewSpec extends AnyFunSuite {
     // from collect), so assert on the rendered tree
     assert(native.queryExecution.executedPlan.treeString.contains("AsOfJoin"),
       "expected AsOfJoinExec in the physical plan")
+  }
+
+  test("rangeJoin equals the naive theta join") {
+    val rnd = new scala.util.Random(5)
+    val base = 1735732800000L
+    val events = Seq.tabulate(300)(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", ts(base + rnd.nextInt(3600) * 1000L)))
+      .toDF("event_id", "user", "t")
+    val intervals = Seq.tabulate(40)(i =>
+      { val s0 = base + rnd.nextInt(3600) * 1000L
+        (i.toLong + 1000, s"u${rnd.nextInt(5)}", ts(s0), ts(s0 + 330000)) })
+      .toDF("interval_id", "user", "start_ts", "end_ts")
+    val fast = Relational.rangeJoin(events, intervals, Seq("user"),
+        "t", "start_ts", "end_ts")
+      .select("event_id", "interval_id").as[(Long, Long)].collect().toSet
+    val naive = events.join(intervals, Seq("user"))
+      .filter(col("t") >= col("start_ts") && col("t") < col("end_ts"))
+      .select("event_id", "interval_id").as[(Long, Long)].collect().toSet
+    assert(fast == naive && naive.nonEmpty)
   }
 
   test("saltedAgg equals plain aggregation") {
