@@ -45,7 +45,7 @@ object AsOfJoin {
     val rPadded = lPadded.columns.foldLeft(r0) { (d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(lPadded.schema(c).dataType))
-    }.select(lPadded.columns.map(col): _*)
+    }.select(lPadded.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)

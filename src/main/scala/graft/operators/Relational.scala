@@ -64,6 +64,6 @@ object Relational {
     d.join(latest,
         keyCols.map(k => col(s"__d.$k") === col(s"__l.$k")).reduce(_ && _) &&
           col(s"__d.$tsCol") === col("__l.__latest_ts"))
-      .select(df.columns.map(c => col(s"__d.$c")): _*)
+      .select(df.columns.toIndexedSeq.map(c => col(s"__d.$c")): _*)
   }
 }

@@ -94,7 +94,7 @@ object Similarity {
     * (|c|² − 2·v·c — |v|² is constant per row): array_min over
     * struct(dist, idx) picks the lowest distance, ties by index. */
   private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+    array_min(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * VectorOps.dot(vec, typedlit(c.toSeq))).as("d"),
         lit(i).as("i"))
@@ -157,7 +157,7 @@ object Similarity {
   /** Probe: route each query to its `nProbe` nearest lists, join on the
     * (tiny-cardinality) centroid id, exact-cosine re-rank, top-k. */
   def ivfTopK(queries: DataFrame, model: IVFModel, k: Int, nProbe: Int): DataFrame = {
-    val dists = array(model.centroids.zipWithIndex.map { case (c, i) =>
+    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
         lit(i).as("i"))
