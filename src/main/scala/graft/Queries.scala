@@ -486,6 +486,87 @@ object Queries {
       .select("event_id", "user_id", "interval_id")
   }
 
+  /** RANGE frame (time-based sliding aggregate: trailing 5 minutes per
+    * key, by value range on epoch seconds — not a row count). */
+  val q39 = q("q39_range_frame",
+    """SELECT event_id, user_id,
+      | CAST(COUNT(*) OVER w AS BIGINT) AS n_5min,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_5min
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      | RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-300, 0)
+    Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      count(lit(1)).over(w).cast("long").as("n_5min"),
+      sum(col("value").cast(Exact.M)).over(w).cast("double").as("sum_5min"))
+  }
+
+  /** Positional window values: first/last/nth over an ordered frame. */
+  val q40 = q("q40_window_positional",
+    """SELECT event_id, user_id,
+      | first_value(value) OVER w AS first_v,
+      | nth_value(value, 2) OVER w AS second_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      first(col("value")).over(w).as("first_v"),
+      nth_value(col("value"), 2).over(w).as("second_v"))
+  }
+
+  /** Array scalar functions over tokenized text. */
+  val q41 = q("q41_array_funcs",
+    """SELECT doc_id,
+      | list_contains(string_split(text, ' '), 'the') AS has_the,
+      | array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      | array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS sorted_vocab
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir).select(col("doc_id"),
+      array_contains(toks, "the").as("has_the"),
+      concat_ws(" ", slice(toks, 1, 3)).as("first3"),
+      size(toks).cast("long").as("n"),
+      concat_ws(",", array_sort(array_distinct(toks))).as("sorted_vocab"))
+  }
+
+  /** Multiset set-ops: EXCEPT ALL / INTERSECT ALL keep duplicates. */
+  val q42 = q("q42_multiset_ops",
+    """SELECT o_custkey, COUNT(*) AS n FROM (
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      | EXCEPT ALL
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+  }
+
+  /** NULL-handling scalars over an outer join (coalesce / nullif /
+    * null predicates). */
+  val q43 = q("q43_null_funcs",
+    """SELECT c.c_custkey,
+      | coalesce(m.mx, 0.0) AS max_or_zero,
+      | (m.mx IS NULL) AS no_big_order,
+      | nullif(c.c_mktsegment, 'BUILDING') AS seg_nb
+      |FROM customer c LEFT JOIN
+      | (SELECT o_custkey, max(o_totalprice) AS mx FROM orders
+      |  WHERE o_totalprice > 450000.0 GROUP BY o_custkey) m
+      | ON c.c_custkey = m.o_custkey""".stripMargin) { (s, dir) =>
+    val m = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+      .groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("mx"))
+    Tables.customer(s, dir)
+      .join(m, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("mx"), lit(0.0)).as("max_or_zero"),
+        col("mx").isNull.as("no_big_order"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"))
+  }
+
   /** Correlated scalar subquery (Catalyst decorrelates it into a left
     * outer aggregate-join — no per-row re-execution). */
   val q37 = q("q37_correlated_subquery",
@@ -835,7 +916,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38,
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     d01, d02, d03, d04, d05, d06,
     t01, t02, t03, t04, t05, t06,
     s01, s02, s03, s04,
