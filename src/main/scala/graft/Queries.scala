@@ -621,6 +621,15 @@ object Queries {
     Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** Near-dup cluster assignment: LSH candidate pairs → connected
+    * components (min-label propagation). No SQL oracle (depends on the
+    * hash-specific candidate set); component logic is unit-tested on
+    * known graphs. */
+  val d07 = qNoOracle("d07_dedup_clusters") { (s, dir) =>
+    Dedup.clusters(
+      Dedup.minhashCandidatePairs(Tables.documents(s, dir), "doc_id", "text"))
+  }
+
   /** Exact 3-gram Jaccard over blocked candidate pairs (blocking key =
     * (lang, source)); integer set sizes → cross-engine deterministic. */
   val d05 = q("d05_ngram_jaccard_pairs",
@@ -917,7 +926,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    d01, d02, d03, d04, d05, d06,
+    d01, d02, d03, d04, d05, d06, d07,
     t01, t02, t03, t04, t05, t06,
     s01, s02, s03, s04,
     m01)

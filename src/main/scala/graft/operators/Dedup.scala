@@ -85,4 +85,39 @@ object Dedup {
   def jaccard(shA: Column, shB: Column): Column =
     round(size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB)), 6)
+
+  /** Duplicate-cluster assignment: connected components over candidate
+    * pairs via iterative min-label propagation — the keep-one-per-
+    * cluster step after LSH. Each iteration is two hash joins + one
+    * aggregation (all shuffles on the node id); labels converge in
+    * O(cluster diameter) rounds, and near-dup clusters are shallow in
+    * practice, so `maxIter` ≈ 5-10 suffices. Output: (doc_id,
+    * cluster_id = min doc_id reachable), one row per node appearing in
+    * `pairs`. */
+  def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint(false)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // candidate label per node: min of own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(false)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
 }

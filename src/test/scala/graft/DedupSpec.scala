@@ -66,6 +66,15 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sh(0L), sh(2L)) > 16)
   }
 
+  test("clusters: connected components assign min reachable id") {
+    // components: {1,2,3,4} via chain, {10,11}, {20} isolated pair-less
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup keeps min doc_id per normalized hash") {
     val kept = docs.groupBy(md5(TextOps.normText(col("text"))))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
