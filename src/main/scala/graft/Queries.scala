@@ -626,8 +626,11 @@ object Queries {
     * hash-specific candidate set); component logic is unit-tested on
     * known graphs. */
   val d07 = qNoOracle("d07_dedup_clusters") { (s, dir) =>
+    // threshold the edges: raw band collisions include low-similarity
+    // false positives that would transitively merge unrelated docs
     Dedup.clusters(
-      Dedup.minhashCandidatePairs(Tables.documents(s, dir), "doc_id", "text"))
+      Dedup.minhashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5))
   }
 
   /** Exact 3-gram Jaccard over blocked candidate pairs (blocking key =

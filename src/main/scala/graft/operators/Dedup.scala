@@ -87,37 +87,50 @@ object Dedup {
       size(array_union(shA, shB)), 6)
 
   /** Duplicate-cluster assignment: connected components over candidate
-    * pairs via iterative min-label propagation — the keep-one-per-
-    * cluster step after LSH. Each iteration is two hash joins + one
-    * aggregation (all shuffles on the node id); labels converge in
-    * O(cluster diameter) rounds, and near-dup clusters are shallow in
-    * practice, so `maxIter` ≈ 5-10 suffices. Output: (doc_id,
-    * cluster_id = min doc_id reachable), one row per node appearing in
-    * `pairs`. */
+    * pairs — the keep-one-per-cluster step after LSH. Min-label
+    * propagation with pointer jumping (each round also adopts the label
+    * of the current label), so convergence takes O(log diameter) rounds
+    * — maxIter=8 covers any realistic component. Convergence is
+    * detected by comparing the exact label sum between rounds (labels
+    * only ever decrease, so an unchanged sum means a fixpoint) — one
+    * cheap aggregate instead of a full change-detection join. Throws if
+    * the cap is hit without converging rather than silently returning a
+    * split component. Output: (doc_id, cluster_id = min doc_id in the
+    * component), one row per node appearing in `pairs`. */
   def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint(false)
+    def labelSum(df: DataFrame): BigDecimal =
+      df.agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // candidate label per node: min of own and neighbors' labels
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.union(viaNeighbors)
+      // pointer jump: also adopt the label of the current label
+      val viaLabel = labels.alias("a")
+        .join(labels.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("jump")).alias("b"), "cluster_id")
+        .select(col("doc_id"), col("jump").as("cluster_id"))
+      val next = labels.union(viaNeighbors).union(viaLabel)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(false)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).limit(1).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
-      converged = changed == 0
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 }

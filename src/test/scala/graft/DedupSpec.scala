@@ -75,6 +75,14 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: long chain converges via pointer jumping") {
+    // diameter-20 chain — plain one-hop propagation would need 20
+    // rounds; pointer jumping must close it within the default cap
+    val pairs = (1L until 21L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got.size == 21 && got.values.forall(_ == 1L))
+  }
+
   test("exact dedup keeps min doc_id per normalized hash") {
     val kept = docs.groupBy(md5(TextOps.normText(col("text"))))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
