@@ -731,8 +731,9 @@ object Queries {
   val t06 = q("t06_langid_chargram", {
     val scores = TextAnalysis.charTrigrams.map { case (l, gs) =>
       val set = gs.map(g => s"'${g}'").mkString(", ")
-      s" CAST(len(list_filter(list_transform(range(1, greatest(length(lower(text)) - 1, 2)), " +
-        s"i -> substr(lower(text), CAST(i AS INT), 3)), g -> g IN ($set))) AS BIGINT) AS g_$l"
+      val n = gs.head.length // grams of each language's marker length
+      s" CAST(len(list_filter(list_transform(range(1, greatest(length(lower(text)) - $n + 2, 2)), " +
+        s"i -> substr(lower(text), CAST(i AS INT), $n)), g -> g IN ($set))) AS BIGINT) AS g_$l"
     }.mkString(",\n|")
     val langs = TextAnalysis.charTrigrams.map(_._1)
     val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
@@ -792,10 +793,10 @@ object Queries {
   /** Binary-payload metadata path (decode stage itself is ScalaTest-
     * covered; see operators.Multimodal). */
   val m01 = q("m01_multimodal_meta",
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       | sha256(text) AS sha,
-      | CAST(length(text) % 512 + 16 AS BIGINT) AS fake_width,
-      | CAST(length(text) % 384 + 16 AS BIGINT) AS fake_height
+      | CAST(octet_length(encode(text)) % 512 + 16 AS BIGINT) AS fake_width,
+      | CAST(octet_length(encode(text)) % 384 + 16 AS BIGINT) AS fake_height
       |FROM documents""".stripMargin) { (s, dir) =>
     Multimodal.metadata(Tables.documents(s, dir))
   }

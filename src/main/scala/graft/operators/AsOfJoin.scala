@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Implementation (built-ins only, per the compose-first rule): tag and
   * union both sides, then one window per key ordered by (ts, side) and
-  * carry the right columns forward with last_value(ignoreNulls). Equal
-  * timestamps: the right row sorts first, so matches are inclusive
-  * (`<=`), same as the oracle engine's ASOF semantics.
+  * carry the right row forward as a single struct with
+  * last_value(ignoreNulls) — one struct, not one window per column, so
+  * every carried value comes from the SAME right row and a genuinely
+  * NULL right value stays NULL instead of falling through to an older
+  * row. Equal timestamps: the right row sorts first, so matches are
+  * inclusive (`<=`), same as the oracle engine's ASOF semantics.
   *
   * Scale: exactly one hash shuffle on the key + an in-partition sort —
   * no range cross-product, no per-row subquery; state is one carried
@@ -31,15 +34,17 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String,
            rightCols: Map[String, String]): DataFrame = {
-    val carried = rightCols.values.toSeq
-    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    // typed nulls — union requires both sides to agree on column types
-    val lPadded = rightCols.foldLeft(l) { case (d, (src, dst)) =>
-      d.withColumn(dst, lit(null).cast(right.schema(src).dataType))
-    }
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // the carried right row as one struct — typed null on the left side
+    // (union requires both sides to agree on column types)
+    val rStruct = StructType(rightCols.toSeq.map { case (src, dst) =>
+      StructField(dst, right.schema(src).dataType, nullable = true) })
+    val lPadded = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStruct))
     val r0 = right.select(
-      (keyCols.map(col) :+ col(rightTs).as("__ts")) ++
-        rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
+      (keyCols.map(col) :+ col(rightTs).as("__ts")) :+
+        struct(rightCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+          .as("__r"): _*)
       .withColumn("__side", lit(0))
     // align right frame to the left's full column set (typed nulls elsewhere)
     val rPadded = lPadded.columns.foldLeft(r0) { (d, c) =>
@@ -49,10 +54,11 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = carried.foldLeft(lPadded.union(rPadded)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    joined.filter(col("__side") === 1).drop("__ts", "__side")
+    val joined = lPadded.union(rPadded)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.values.foldLeft(joined.filter(col("__side") === 1)) { (d, dst) =>
+      d.withColumn(dst, col("__r").getField(dst))
+    }.drop("__ts", "__side", "__r")
   }
 
   /** Native whole-operator form (graft.plans.AsOfJoinExec): sort-merge

@@ -38,6 +38,9 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 32, bands: Int = 16,
                             shingleN: Int = 3): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently drop signature components from banding")
     val rows = numHashes / bands
     // The signature frame feeds four subplans (two band-join sides, two
     // sig join-backs); with broadcast joins Spark cannot dedupe them
@@ -102,9 +105,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint(false)
-    def labelSum(df: DataFrame): BigDecimal =
-      df.agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+    def labelSum(df: DataFrame): BigDecimal = {
+      // sum() over an empty frame is SQL NULL — map it to 0 explicitly
+      val s = df.agg(sum(col("cluster_id")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head().getDecimal(0)
+      if (s == null) BigDecimal(0) else BigDecimal(s)
+    }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var prevSum = labelSum(labels)

@@ -109,9 +109,12 @@ object Multimodal {
   /** Pure-column metadata path (no decode): cheap filters that should
     * run BEFORE the decode stage at scale. Oracle-checkable. */
   def metadata(docs: DataFrame): DataFrame =
+    // byte lengths (octet_length), not character counts — FakeCodec
+    // derives its values from payload BYTES, and the two paths must
+    // agree for non-ASCII text
     docs.select(col("doc_id"),
-      length(col("text")).cast("long").as("n_bytes"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
       sha2(col("text").cast("binary"), 256).as("sha"),
-      (length(col("text")) % 512 + 16).cast("long").as("fake_width"),
-      (length(col("text")) % 384 + 16).cast("long").as("fake_height"))
+      (octet_length(col("text")) % 512 + 16).cast("long").as("fake_width"),
+      (octet_length(col("text")) % 384 + 16).cast("long").as("fake_height"))
 }

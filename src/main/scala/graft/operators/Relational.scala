@@ -41,10 +41,18 @@ object Relational {
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 tsCol: String, startCol: String, endCol: String,
                 bucket: String = "1 minute"): DataFrame = {
-    val bucketExpr = (c: Column) => date_trunc("minute", c)
-    val rBucketed = right.withColumn("__bucket",
-      explode(sequence(bucketExpr(col(startCol)), bucketExpr(col(endCol)),
-        expr(s"INTERVAL $bucket"))))
+    // epoch-aligned tumbling bucket of width `bucket` — both sides must
+    // truncate to the SAME grid the explode steps over, or a non-minute
+    // `bucket` silently drops matches (left buckets would fall between
+    // the right side's sequence points). One window() per projection:
+    // Spark rejects multiple time-window expressions in one operator.
+    val bucketExpr = (c: Column) => window(c, bucket).getField("start")
+    val rBucketed = right
+      .withColumn("__bs", bucketExpr(col(startCol)))
+      .withColumn("__be", bucketExpr(col(endCol)))
+      .withColumn("__bucket",
+        explode(sequence(col("__bs"), col("__be"), expr(s"INTERVAL $bucket"))))
+      .drop("__bs", "__be")
     val lBucketed = left.withColumn("__bucket", bucketExpr(col(tsCol)))
     lBucketed.join(rBucketed, keys :+ "__bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))

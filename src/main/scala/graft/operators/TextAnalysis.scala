@@ -40,7 +40,6 @@ object TextAnalysis {
     * token length, and a boolean gate — the usual cheap pre-filters
     * before expensive dedup/embedding stages. */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
       .withColumn("n_tok", size(TextOps.tokens(col("t"))).cast("long"))
       .withColumn("n_uniq", size(array_distinct(TextOps.tokens(col("t")))).cast("long"))
@@ -77,15 +76,19 @@ object TextAnalysis {
 
   /** Per-doc char-trigram scores + argmax (same deterministic tie
     * order as [[langId]]). One pass: trigram generation and scoring
-    * are codegen'd SQL-lambda expressions. */
+    * are codegen'd SQL-lambda expressions. Each language is scored
+    * over grams of its own marker length (zh markers are single
+    * characters — comparing them against 3-char grams would never
+    * match, leaving g_zh stuck at 0). */
   def langIdCharNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = expr(
-      s"transform(sequence(1, greatest(length(lower($textCol)) - 2, 1)), " +
-        s"i -> substring(lower($textCol), i, 3))")
+    def grams(n: Int) = expr(
+      s"transform(sequence(1, greatest(length(lower($textCol)) - ${n - 1}, 1)), " +
+        s"i -> substring(lower($textCol), i, $n))")
     val scored = docs.select(
       (col(idCol).as("doc_id") +:
         charTrigrams.map { case (l, gs) =>
-          size(filter(grams, g => g.isInCollection(gs))).cast("long").as(s"g_$l")
+          size(filter(grams(gs.head.length), g => g.isInCollection(gs)))
+            .cast("long").as(s"g_$l")
         }): _*)
     val langs = charTrigrams.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {

@@ -74,6 +74,11 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val lTsProj = UnsafeProjection.create(Seq(lts), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rts), rOut)
       val carriedProj = UnsafeProjection.create(carriedAttrs, rOut)
+      // Emit UnsafeRows: parents (shuffle, collect/take) cast rows to
+      // UnsafeRow, so a raw JoinedRow would ClassCastException there.
+      val carriedNullable = carriedAttrs.map(_.withNullability(true))
+      val resultProj =
+        UnsafeProjection.create(lOut ++ carriedNullable, lOut ++ carriedNullable)
       val keyOrdering =
         RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType).toIndexedSeq)
       val nullRight = new GenericInternalRow(carriedAttrs.size)
@@ -111,8 +116,8 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             advanceRight()
           }
           if (carriedKey != null && keyOrdering.compare(carriedKey, lKey) == 0)
-            joined(l, carriedRow)
-          else joined(l, nullRight)
+            resultProj(joined(l, carriedRow))
+          else resultProj(joined(l, nullRight))
         }
       }
     }

@@ -20,7 +20,9 @@ object VectorExprs {
 }
 
 /** Σ aᵢ·bᵢ, accumulated left-to-right (bit-identical to the
-  * aggregate(zip_with(...)) form it replaces). */
+  * aggregate(zip_with(...)) form it replaces for equal-length inputs;
+  * mismatched lengths truncate to the shorter array, where the HOF
+  * form would return NULL). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
