@@ -58,22 +58,27 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int, tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
     val all = planes(tables * bitsPerTable, dim)
+    // (id, bucket) only — the embedding arrays never ride the bucket
+    // join or the pair dedup; vectors+norms join back afterwards on int
+    // ids (same pattern as Dedup.minhashCandidatePairs, measured ~4×
+    // faster than deduping rows that carry the arrays).
     def bucketed(df: DataFrame, idName: String): DataFrame = {
       val sigs = (0 until tables).map { t =>
         struct(lit(t).as("tbl"),
           signature(col("vec"), all.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("sig"))
       }
-      df.select(col("id").as(idName), col("vec"), VectorOps.norm(col("vec")).as(s"${idName}_n"),
-        explode(array(sigs: _*)).as("bucket"))
+      df.select(col("id").as(idName), explode(array(sigs: _*)).as("bucket"))
     }
-    val q = bucketed(queries, "query_id")
-      .select(col("query_id"), col("vec").as("qv"), col("query_id_n").as("qn"), col("bucket"))
-    val c = bucketed(candidates, "neighbor_id")
-      .select(col("neighbor_id"), col("vec").as("cv"), col("neighbor_id_n").as("cn"), col("bucket"))
-    val cand = q.join(c, "bucket")
-      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-    val scored = cand.withColumn("cos",
-      round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val pairs = bucketed(queries, "query_id")
+      .join(bucketed(candidates, "neighbor_id"), "bucket")
+      .select("query_id", "neighbor_id").distinct()
+    val qBase = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      VectorOps.norm(col("vec")).as("qn"))
+    val cBase = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      VectorOps.norm(col("vec")).as("cn"))
+    val scored = pairs.join(cBase, "neighbor_id").join(broadcast(qBase), "query_id")
+      .withColumn("cos",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "cos", "rn")
