@@ -750,6 +750,21 @@ object Queries {
     TextAnalysis.langIdCharNgram(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** Deterministic hash-based dataset splitting (train/val/test by
+    * md5(doc_id) nibble) — reproducible across engines and runs. */
+  val t07 = q("t07_hash_split",
+    """SELECT split, COUNT(*) AS n, min(doc_id) AS min_id FROM (
+      | SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+      |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+      |   ELSE 'test' END AS split
+      | FROM documents)
+      |GROUP BY split""".stripMargin) { (s, dir) =>
+    TextAnalysis.hashSplit(Tables.documents(s, dir), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+  }
+
   // --------------------------------------------- similarity (LLM pipeline)
 
   /** Brute-force cosine top-5: queries = vec_id < 10 (broadcast side),
@@ -931,7 +946,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     d01, d02, d03, d04, d05, d06, d07,
-    t01, t02, t03, t04, t05, t06,
+    t01, t02, t03, t04, t05, t06, t07,
     s01, s02, s03, s04,
     m01)
 }

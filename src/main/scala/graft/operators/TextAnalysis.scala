@@ -117,6 +117,16 @@ object TextAnalysis {
         (h, v) => pmod(h * 131 + v, lit(1000000007L))).as("roll_hash"))
   }
 
+  /** Deterministic train/val/test assignment by content-independent
+    * id hash — reproducible across runs, engines, and partitionings
+    * (no RNG, no sampling state). The first hex nibble of md5(id)
+    * buckets 0-15: 13/16 train (~81%), 2/16 val (~12.5%), 1/16 test. */
+  def hashSplit(docs: DataFrame, idCol: String): DataFrame = {
+    val nibble = substring(md5(col(idCol).cast("string")), 1, 1)
+    docs.withColumn("split",
+      when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
+  }
+
   /** Stable 128-bit fingerprint + 16-bit band prefix per document —
     * the blocking key for distributed exact-dup clustering. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
