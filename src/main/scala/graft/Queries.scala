@@ -582,6 +582,91 @@ object Queries {
       |FROM customer c""".stripMargin)
   }
 
+  /** TPC-H Q7 shape: bilateral trade volume between nation pairs via a
+    * 6-table join (two nation roles). Both nation sides broadcast. */
+  val q44 = q("q44_nation_trade",
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       | ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       | COUNT(*) AS n
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name <> n2.n_name
+       |GROUP BY n1.n_name, n2.n_name""".stripMargin) { (s, dir) =>
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q10 shape: top returned-revenue customers (join + agg +
+    * global top-N — TakeOrderedAndProject, no full sort). */
+  val q45 = q("q45_returned_topn",
+    s"""SELECT * FROM (
+       | SELECT c.c_custkey, c.c_name,
+       |  ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+       | FROM customer c
+       | JOIN orders o ON c.c_custkey = o.o_custkey
+       | JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       | WHERE l.l_returnflag = 'R'
+       | GROUP BY c.c_custkey, c.c_name)
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share).
+    * Ratio of two exact decimal sums → deterministic double. */
+  val q46 = q("q46_promo_share",
+    s"""SELECT
+       | ${dsumMSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |  / ${dsumMSql("l_extendedprice * (1.0 - l_discount)")} AS promo_share,
+       | COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .agg((dsumM(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
+        dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_share"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q18 shape: large orders via HAVING + join back. */
+  val q47 = q("q47_large_orders",
+    s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, big.sum_qty
+       |FROM orders o JOIN (
+       | SELECT l_orderkey, ${dsumMSql("l_quantity")} AS sum_qty
+       | FROM lineitem GROUP BY l_orderkey
+       | HAVING ${dsumMSql("l_quantity")} > 150.0) big
+       | ON o.o_orderkey = big.l_orderkey""".stripMargin) { (s, dir) =>
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsumM(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+  }
+
   // ------------------------------------------------- dedup (LLM pipeline)
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -945,6 +1030,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+    q44, q45, q46, q47,
     d01, d02, d03, d04, d05, d06, d07,
     t01, t02, t03, t04, t05, t06, t07,
     s01, s02, s03, s04,
