@@ -29,8 +29,11 @@ object VectorOps {
     * join so each vector's norm is evaluated once, not once per pair. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Elementwise L2-normalized copy of the vector. */
-  def l2normalize(a: Column): Column = {
-    transform(a, x => x / sqrt(aggregate(a, lit(0.0), (acc, y) => acc + y * y)))
-  }
+  /** Elementwise L2-normalized copy of the vector. Uses the native
+    * [[norm]] (tight codegen'd loop) rather than an `aggregate` HOF —
+    * the lambda body is re-evaluated per element, so the norm must be
+    * cheap; callers on hot paths should still precompute the norm as
+    * its own column and divide. */
+  def l2normalize(a: Column): Column =
+    transform(a, x => x / norm(a))
 }

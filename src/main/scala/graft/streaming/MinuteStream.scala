@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.expressions.Window
 import graft.model.Schemas
 import graft.operators.Metrics
+import graft.sources.Connectors
 
 /** The reference's streaming pipeline (E2, SURVEY.md §3) rebuilt on
   * Structured Streaming with the two acknowledged TODOs fixed
@@ -33,17 +33,21 @@ object MinuteStream {
         (col("t") / 1000).cast("timestamp").as("timestamp"))
 
   /** A1+A2 with T4/T5: watermarked, deduped, tumbling 1-minute OHLCV.
-    * Deterministic open/close via min_by/max_by on event time. */
+    * Dedup keys the FULL trade payload — a re-delivered trade is
+    * byte-identical, while two genuine trades in the same millisecond
+    * differ in price or volume and must both count toward the bar.
+    * Deterministic open/close via min_by/max_by on (event time, price)
+    * so same-ms ties break stably. */
   def minuteBars(trades: DataFrame, watermark: String = "2 minutes"): DataFrame =
     trades
       .withWatermark("timestamp", watermark)
-      .dropDuplicatesWithinWatermark(Seq("symbol", "timestamp"))
+      .dropDuplicatesWithinWatermark(Seq("symbol", "timestamp", "price", "volume"))
       .groupBy(window(col("timestamp"), "1 minute"), col("symbol"))
       .agg(
-        min_by(col("price"), col("timestamp")).as("open"),
+        min_by(col("price"), struct(col("timestamp"), col("price"))).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), col("timestamp")).as("close"),
+        max_by(col("price"), struct(col("timestamp"), col("price"))).as("close"),
         sum(col("volume")).as("volume"))
       .select(col("window.start").as("timestamp"), col("symbol"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
@@ -65,10 +69,14 @@ object MinuteStream {
     * sink writing bars + metrics parquet (append, partitioned by symbol
     * for sink-side pruning). Alert rows = metrics filtered on the flag —
     * the only place a `collect()` is legitimate (driver-side alerting,
-    * reference S9). */
-  def start(spark: SparkSession, envelopes: DataFrame, checkpoint: String,
+    * reference S9). NOTE: the parity default `threshold` = 3.0 is
+    * mathematically unreachable with a 5-bar frame
+    * ((max−min)/stddev_samp ≤ √8 ≈ 2.83, see Metrics.AnomalyThreshold)
+    * — pass a reachable threshold for `onAlert` to ever fire. */
+  def start(envelopes: DataFrame, checkpoint: String,
             outDir: String,
             trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+            threshold: Double = Metrics.AnomalyThreshold,
             onAlert: DataFrame => Unit = _ => ()): StreamingQuery = {
     val bars = minuteBars(parseTrades(envelopes))
     bars.writeStream
@@ -78,9 +86,9 @@ object MinuteStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.write.mode("append").parquet(s"$outDir/bars")
-          val metrics = metricsOnBars(batch)
-          metrics.write.mode("append").parquet(s"$outDir/metrics")
+          Connectors.writeParquet(batch, s"$outDir/bars", Seq("symbol"))
+          val metrics = metricsOnBars(batch, threshold)
+          Connectors.writeParquet(metrics, s"$outDir/metrics", Seq("symbol"))
           onAlert(metrics.filter(col("is_anomaly")))
         } finally batch.unpersist()
         ()

@@ -12,7 +12,10 @@ import graft.operators.Metrics
   * re-reading its last 10 bars from the sink every minute
   * (/root/reference/spark/jobs/stock_stream.py:39-58, SURVEY §7 risk
   * 3). Keeping the bounded frame in state is the streaming-native fix:
-  * no sink round-trip, O(lookback) state per key, identical math.
+  * no sink round-trip, O(lookback) state per key, same math as
+  * [[graft.operators.Metrics.rolling]] (exact-decimal frame sums, 6dp
+  * vol rounding). Remaining divergence: an all-zero-volume frame yields
+  * NaN vwap here vs NULL in the batch path (both suppress the flag).
   */
 object RollingMetricsStream {
   val Lookback = 5 // frame size, matching rowsBetween(-4, 0)
@@ -24,11 +27,21 @@ object RollingMetricsStream {
 
   private[streaming] def metricsFor(frame: List[(Long, Double, Double)],
                                     threshold: Double): MetricRow = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // Mirror Metrics.rolling's exact-decimal frame sums (cast to
+    // DECIMAL(18,4) before summing) and its 6dp vol rounding, so the
+    // streaming path and the per-batch window path agree on borderline
+    // anomaly flags instead of diverging in the last ulps.
+    def d4(x: Double) = JBD.valueOf(x).setScale(4, RoundingMode.HALF_UP)
     val closes = frame.map(_._2)
-    val vwap = frame.map(b => b._2 * b._3).sum / frame.map(_._3).sum
+    val num = frame.map(b => d4(b._2 * b._3)).reduce(_ add _)
+    val den = frame.map(b => d4(b._3)).reduce(_ add _)
+    val vwap =
+      if (den.signum == 0) Double.NaN else num.doubleValue / den.doubleValue
     val vol = if (frame.size > 1) {
       val m = closes.sum / closes.size
-      Some(math.sqrt(closes.map(c => (c - m) * (c - m)).sum / (closes.size - 1)))
+      val sd = math.sqrt(closes.map(c => (c - m) * (c - m)).sum / (closes.size - 1))
+      Some(JBD.valueOf(sd).setScale(6, RoundingMode.HALF_UP).doubleValue)
     } else None
     val cur = frame.last
     MetricRow("", new java.sql.Timestamp(cur._1), cur._2, vwap, vol,

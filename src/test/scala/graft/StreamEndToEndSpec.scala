@@ -19,8 +19,9 @@ class StreamEndToEndSpec extends AnyFunSuite {
     val checkpoint = Files.createTempDirectory("graft_ckpt").toString
     val input = MemoryStream[String]
     var alerts = 0L
-    val q = MinuteStream.start(spark, input.toDF(), checkpoint, out,
+    val q = MinuteStream.start(input.toDF(), checkpoint, out,
       trigger = Trigger.ProcessingTime("0 seconds"),
+      threshold = 2.0,
       onAlert = (df: DataFrame) => { alerts += df.count() })
     val m0 = 1735732800000L
     def env(p: Double, t: Long, v: Double) =
@@ -41,5 +42,6 @@ class StreamEndToEndSpec extends AnyFunSuite {
     assert(metrics.columns.toSet ==
       Set("symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"))
     assert(metrics.count() == bars.count())
+    assert(alerts >= 1L, "the spike bar must surface through onAlert")
   }
 }
