@@ -667,6 +667,58 @@ object Queries {
       .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
   }
 
+  /** TPC-H Q2 shape: cheapest observed supplier per part (min-per-group
+    * via rank on the rounded unit price, deterministic tiebreak). */
+  val q48 = q("q48_cheapest_supplier",
+    """SELECT p_partkey, l_suppkey, unit_price FROM (
+      | SELECT l_partkey AS p_partkey, l_suppkey,
+      |  round(l_extendedprice / l_quantity, 6) AS unit_price,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |   ORDER BY round(l_extendedprice / l_quantity, 6), l_suppkey) AS BIGINT) AS rn
+      | FROM lineitem) WHERE rn = 1""".stripMargin) { (s, dir) =>
+    Relational.topKPerGroup(
+        Tables.lineitem(s, dir).select(
+          col("l_partkey").as("p_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price")),
+        Seq(col("p_partkey")), Seq(col("unit_price"), col("l_suppkey")), 1)
+      .select("p_partkey", "l_suppkey", "unit_price")
+  }
+
+  /** TPC-H Q22 shape: scalar-subquery comparison (above-average account
+    * balance) + NOT EXISTS, with the average computed decimal-exact so
+    * the comparison boundary is identical on both engines. */
+  val q49 = q("q49_above_avg_idle",
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |  / COUNT(*) FROM customer)
+      | AND NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val avgBal = c.agg((dsumM(col("c_acctbal")) / count(lit(1))).as("a"))
+      .head().getDouble(0)
+    c.filter(col("c_acctbal") > avgBal)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+  }
+
+  /** TPC-H Q9 shape: profit by supplier nation × order year. */
+  val q50 = q("q50_nation_year_profit",
+    s"""SELECT n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       | ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS profit
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"))
+  }
+
   // ------------------------------------------------- dedup (LLM pipeline)
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -1030,7 +1082,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47,
+    q44, q45, q46, q47, q48, q49, q50,
     d01, d02, d03, d04, d05, d06, d07,
     t01, t02, t03, t04, t05, t06, t07,
     s01, s02, s03, s04,
