@@ -770,6 +770,22 @@ object Queries {
         .filter(col("est_jaccard") >= 0.5))
   }
 
+  /** Cluster-level MinHash sketches: one unionized signature per
+    * near-dup cluster (custom Aggregator — elementwise min is the
+    * signature of the member-set union). No oracle (hash-specific);
+    * Aggregator semantics are unit-tested. */
+  val d08 = qNoOracle("d08_cluster_signatures") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val cl = Dedup.clusters(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5))
+    val sigs = Dedup.signatures(docs, "doc_id", "text", numHashes = 32)
+    sigs.join(cl, "doc_id")
+      .groupBy("cluster_id")
+      .agg(graft.functions.Aggregators.minhashUnion(32)(col("sig")).as("cluster_sig"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Exact 3-gram Jaccard over blocked candidate pairs (blocking key =
     * (lang, source)); integer set sizes → cross-engine deterministic. */
   val d05 = q("d05_ngram_jaccard_pairs",
@@ -1083,7 +1099,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50,
-    d01, d02, d03, d04, d05, d06, d07,
+    d01, d02, d03, d04, d05, d06, d07, d08,
     t01, t02, t03, t04, t05, t06, t07,
     s01, s02, s03, s04,
     m01)

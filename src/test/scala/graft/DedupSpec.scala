@@ -83,6 +83,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 21 && got.values.forall(_ == 1L))
   }
 
+  test("minhashUnion aggregator: cluster signature = elementwise min") {
+    val sigs = Seq(
+      (1L, Seq(5L, 9L, 3L)), (1L, Seq(2L, 10L, 4L)), (2L, Seq(7L, 7L, 7L))
+    ).toDF("cluster_id", "sig")
+    val got = sigs.groupBy("cluster_id")
+      .agg(graft.functions.Aggregators.minhashUnion(3)(col("sig")).as("cs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(2L, 9L, 3L))
+    assert(got(2L) == Seq(7L, 7L, 7L))
+    // union property: aggregating real signatures equals elementwise min
+    val docs = Seq((0L, base), (1L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text")
+    val docSigs = Dedup.signatures(docs, "doc_id", "text", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val merged = docSigs(0L).zip(docSigs(1L)).map { case (a, b) => math.min(a, b) }
+    val aggd = Dedup.signatures(docs, "doc_id", "text", 16)
+      .withColumn("g", lit(1)).groupBy("g")
+      .agg(graft.functions.Aggregators.minhashUnion(16)(col("sig")).as("cs"))
+      .select("cs").as[Seq[Long]].head()
+    assert(aggd == merged.toSeq)
+  }
+
   test("exact dedup keeps min doc_id per normalized hash") {
     val kept = docs.groupBy(md5(TextOps.normText(col("text"))))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
