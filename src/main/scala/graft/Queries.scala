@@ -719,6 +719,49 @@ object Queries {
       .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"))
   }
 
+  /** Distribution window functions: percent_rank / cume_dist. */
+  val q51 = q("q51_percent_rank",
+    """SELECT o_orderkey, o_custkey,
+      | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+  }
+
+  /** Date/interval arithmetic: month/day offsets with month-end
+    * clamping, last_day, quarter truncation. */
+  val q52 = q("q52_date_arith",
+    """SELECT o_orderkey,
+      | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      | CAST(o_orderdate + INTERVAL 10 DAY AS DATE) AS plus10d,
+      | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(col("o_orderkey"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      date_add(col("o_orderdate").cast("date"), 10).as("plus10d"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"))
+  }
+
+  /** String padding/slicing scalars. */
+  val q53 = q("q53_string_pad",
+    """SELECT p_partkey,
+      | lpad(p_brand, 12, '*') AS brand_l, rpad(p_brand, 12, '-') AS brand_r,
+      | reverse(p_name) AS name_rev,
+      | left(p_name, 4) AS name_l4, right(p_name, 4) AS name_r4
+      |FROM part""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir).select(col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("brand_l"),
+      rpad(col("p_brand"), 12, "-").as("brand_r"),
+      reverse(col("p_name")).as("name_rev"),
+      substring(col("p_name"), 1, 4).as("name_l4"),
+      expr("right(p_name, 4)").as("name_r4"))
+  }
+
   // ------------------------------------------------- dedup (LLM pipeline)
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -1098,7 +1141,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50,
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
     d01, d02, d03, d04, d05, d06, d07, d08,
     t01, t02, t03, t04, t05, t06, t07,
     s01, s02, s03, s04,
