@@ -842,8 +842,11 @@ object Queries {
       |   / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
       |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
       | AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+    // both self-join sides consume the shingle frame — materialize it
+    // once instead of recomputing the shingle pipeline per side
     val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
       array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .localCheckpoint(false)
     val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "source"))

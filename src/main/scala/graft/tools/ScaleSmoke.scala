@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Scale validation: deterministic in-memory data ~50× the bench SF
+  * (5M events / 50k docs / 50k embeddings), driving the heavy
+  * operators. The point is observing SCALING, not absolute numbers:
+  * an operator whose runtime grows superlinearly here would melt at
+  * 100 TB. Data is generated from `spark.range` + hash-derived
+  * columns — deterministic, fully distributed, no driver materialize.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleSmoke [nEvents] [nDocs]"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.length > 0) args(0).toLong else 5000000L
+    val nDocs = if (args.length > 1) args(1).toLong else 50000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val vocab = Seq("the", "fast", "key", "order", "sort", "table", "scan",
+      "merge", "part", "window", "small", "hash", "join", "row", "data",
+      "slow", "filter", "customer", "line", "batch", "value", "group",
+      "query", "stream", "agg", "vector", "column", "a", "and", "of")
+    val vocabCol = typedlit(vocab)
+
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(xxhash64(col("id")), lit(2592000L)) * 1000000L).as("ts"),
+      pmod(xxhash64(col("id"), lit(1)), lit(5000L)).as("user_id"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(49000L)).cast("double") / 100.0 + 1.0).as("value"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(100L)) + 1).as("vol"))
+
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(60) + pmod(xxhash64(col("id")), lit(60)).cast("int")),
+        i => element_at(vocabCol, (pmod(xxhash64(col("id"), i), lit(vocab.size.toLong)) + 1).cast("int")))).as("text"))
+
+    val embeddings = spark.range(nDocs).select(
+      col("id").as("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id"), i, lit(7)), lit(2000L)).cast("double") - 1000.0) / 1000.0).as("vec"))
+
+    def time(name: String)(body: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      // noop sink materializes all columns (count() would let Catalyst
+      // prune unused window/projection expressions)
+      body.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s ${dt}%8.2f s")
+      (name, dt)
+    }
+
+    // warmup
+    events.limit(1).count(); docs.limit(1).count()
+
+    val results = Seq(
+      time("groupby_agg_5M") {
+        events.groupBy(pmod(col("user_id"), lit(100L)))
+          .agg(sum(col("value").cast(graft.functions.Exact.M)), count(lit(1)))
+      },
+      time("window_metrics_5M") {
+        val m = Metrics.rolling(col("user_id"), Seq(col("ts"), col("event_id")),
+          col("value"), col("vol"))
+        events.select(col("event_id"), m.vwap.as("v"), m.vol.as("s"))
+      },
+      time("ohlcv_bars_5M") {
+        Bars.ohlcv(events, col("user_id"), col("ts"), col("value"), col("vol"))
+      },
+      time("topk_per_group_5M") {
+        Relational.topKPerGroup(events, Seq(col("user_id")),
+          Seq(col("value").desc, col("event_id")), 3)
+      },
+      time("asof_native_5M") {
+        val trades = events.filter(col("event_id") % 2 === 1)
+          .select("event_id", "user_id", "ts")
+        val quotes = events.filter(col("event_id") % 2 === 0)
+          .select(col("event_id").as("qid"), col("user_id"), col("ts"), col("value"))
+        AsOfJoin.asOfNative(trades, quotes, Seq("user_id"), "ts", "ts",
+          Map("qid" -> "quote_id", "value" -> "qv"))
+      },
+      time("minhash_pairs_50k_docs") {
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      },
+      time("simhash_50k_docs") {
+        Dedup.simhashes(docs, "doc_id", "text")
+      },
+      time("lsh_ann_50k_vecs") {
+        Similarity.lshTopK(
+          embeddings.filter(col("id") < 16), embeddings.filter(col("id") >= 16),
+          5, dim = 64)
+      })
+
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
+    spark.stop()
+  }
+}
