@@ -83,11 +83,13 @@ object Dedup {
         TextOps.tokens(lower(col(textCol)))).as("simhash"))
 
   /** Exact n-gram Jaccard over candidate pairs produced by a blocking
-    * key (here: any equi-join the caller supplies). Shingle sets are
-    * deduped; |A∩B| / |A∪B| in integer arithmetic → deterministic. */
+    * key (here: any equi-join the caller supplies). Set semantics,
+    * |A∩B| / |A∪B| in integer arithmetic → deterministic. Native
+    * one-pass expression (graft.plans.ArrayJaccard) — the composed
+    * array_intersect + array_union built two hash sets and two
+    * intermediate arrays per pair in the join's inner loop. */
   def jaccard(shA: Column, shB: Column): Column =
-    round(size(array_intersect(shA, shB)).cast("double") /
-      size(array_union(shA, shB)), 6)
+    graft.plans.SetExprs.jaccard(shA, shB)
 
   /** Duplicate-cluster assignment: connected components over candidate
     * pairs — the keep-one-per-cluster step after LSH. Min-label
