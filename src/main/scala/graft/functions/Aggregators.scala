@@ -32,7 +32,7 @@ object Aggregators {
     }
     override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
     override def bufferEncoder: Encoder[Array[Long]] =
-      Encoders.javaSerialization(classOf[Array[Long]])
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }

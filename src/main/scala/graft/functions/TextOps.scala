@@ -32,7 +32,9 @@ object TextOps {
 
   /** Occurrence count of marker tokens in a token array — the scoring
     * primitive for n-gram/stopword language ID. Counts occurrences (not
-    * distinct membership) via a codegen'd lambda filter. */
+    * distinct membership) via the native hash-set expression
+    * (graft.plans.MarkerCount) — the size(filter(...)) form evaluates
+    * an interpreted lambda with a linear IN-list per element. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+    graft.plans.SetExprs.markerCount(toks, markers)
 }

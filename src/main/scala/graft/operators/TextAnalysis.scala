@@ -88,24 +88,19 @@ object TextAnalysis {
     * characters — comparing them against 3-char grams would never
     * match, leaving g_zh stuck at 0). */
   def langIdCharNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Materialize lower(text) once, then one gram array per distinct
-    // gram length, each in its own projection. Inlining the gram
-    // expression into every score column re-evaluated lower(text) per
-    // gram position per language (O(5·len²) per doc — measured 18s at
-    // sf0.1 vs ~1s materialized).
-    val gramLens = charTrigrams.map(_._2.head.length).distinct
+    // lower(text) is materialized once (five score columns reference
+    // it); each score is a fused native expression that slides the
+    // n-char window and counts marker hits — no gram array is ever
+    // built. The original inlined transform(sequence..substring) form
+    // re-evaluated lower(text) per gram per language: O(5·len²) per
+    // doc, measured 18s at sf0.1 vs ~1s for the fused form.
     val lowered = docs.select(col(idCol).as("doc_id"),
       lower(col(textCol)).as("__lt"))
-    val withGrams = lowered.select(
-      (col("doc_id") +: gramLens.map { n =>
-        expr(s"transform(sequence(1, greatest(length(__lt) - ${n - 1}, 1)), " +
-          s"i -> substring(__lt, i, $n))").as(s"__g$n")
-      }): _*)
-    val scored = withGrams.select(
+    val scored = lowered.select(
       (col("doc_id") +:
         charTrigrams.map { case (l, gs) =>
-          size(filter(col(s"__g${gs.head.length}"), g => g.isInCollection(gs)))
-            .cast("long").as(s"g_$l")
+          graft.plans.SetExprs.charGramMarkerCount(col("__lt"), gs, gs.head.length)
+            .as(s"g_$l")
         }): _*)
     val langs = charTrigrams.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {

@@ -10,6 +10,115 @@ import org.apache.spark.sql.types._
 object SetExprs {
   def jaccard(a: Column, b: Column): Column =
     GraftShim.column(ArrayJaccard(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def markerCount(arr: Column, markers: Seq[String]): Column =
+    GraftShim.column(MarkerCount(GraftShim.expression(arr), markers))
+
+  def charGramMarkerCount(s: Column, markers: Seq[String], n: Int): Column =
+    GraftShim.column(CharGramMarkerCount(GraftShim.expression(s), markers, n))
+}
+
+/** Fused char-n-gram marker count over a STRING: slides an n-char
+  * window and counts hash-set hits without materializing a gram array
+  * (the transform(sequence...substring) form allocates one string per
+  * position per row). Gram positions replicate the SQL form
+  * `transform(sequence(1, greatest(len-(n-1), 1)), i -> substring(s, i, n))`:
+  * strings shorter than n contribute their single whole-string
+  * candidate. */
+case class CharGramMarkerCount(child: Expression, markers: Seq[String], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val markerBytes: Array[Array[Byte]] =
+    markers.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** One O(bytes) pass builds char→byte offsets; each window is then a
+    * direct byte-range compare against the few marker byte strings —
+    * no per-gram string allocation, no O(position) re-scans (which
+    * substringSQL would pay, making the naive loop O(len²)). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    import org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte
+    val bytes = s.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      offs(nChars) = i
+      i += numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    offs(nChars) = bytes.length
+    val last = math.max(nChars - (n - 1), 1) // gram count (1-based SQL parity)
+    var count = 0L
+    var p = 0
+    while (p < last) {
+      val start = offs(p)
+      val end = offs(math.min(p + n, nChars))
+      val glen = end - start
+      var m = 0
+      var hit = false
+      while (!hit && m < markerBytes.length) {
+        val mb = markerBytes(m)
+        if (mb.length == glen) {
+          var k = 0
+          while (k < glen && bytes(start + k) == mb(k)) k += 1
+          hit = k == glen
+        }
+        m += 1
+      }
+      if (hit) count += 1
+      p += 1
+    }
+    count
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cgmc", this, classOf[CharGramMarkerCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGramMarkerCount =
+    copy(child = c)
+}
+
+/** Occurrence count of marker strings in a string array (NOT distinct —
+  * each occurrence counts), as one loop against a prebuilt hash set.
+  * Replaces size(filter(arr, x -> x IN (...))), whose lambda is
+  * interpreted per element with a linear IN-list scan. */
+case class MarkerCount(child: Expression, markers: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[Any](markers.size * 2)
+    markers.foreach(m => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(m)))
+    s
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData): Long = {
+    var n = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      if (set.contains(a.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mc", this, classOf[MarkerCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MarkerCount =
+    copy(child = c)
 }
 
 /** Jaccard similarity |A∩B| / |A∪B| of two string arrays (duplicates
