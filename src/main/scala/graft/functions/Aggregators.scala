@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -18,8 +18,13 @@ object Aggregators {
       extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
     override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+      // a wrong-length signature must fail loudly: silently skipping the
+      // tail would leave Long.MaxValue sentinels in the sketch, which
+      // then spuriously "match" other truncated sketches downstream
+      require(sig.length == numHashes,
+        s"signature length ${sig.length} != numHashes $numHashes")
       var i = 0
-      while (i < numHashes && i < sig.length) {
+      while (i < numHashes) {
         if (sig(i) < buf(i)) buf(i) = sig(i)
         i += 1
       }

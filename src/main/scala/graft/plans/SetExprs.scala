@@ -103,9 +103,10 @@ case class MarkerCount(child: Expression, markers: Seq[String])
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   def compute(a: ArrayData): Long = {
+    val len = a.numElements()
     var n = 0L
     var i = 0
-    while (i < a.numElements()) {
+    while (i < len) {
       if (set.contains(a.getUTF8String(i))) n += 1
       i += 1
     }
@@ -127,37 +128,46 @@ case class MarkerCount(child: Expression, markers: Seq[String])
   * full set builds plus two materialized intermediate arrays) — this
   * sits in the inner loop of pairwise similarity joins. Matches
   * `round(size(array_intersect)/size(array_union), 6)` exactly:
-  * integer set sizes, HALF_UP rounding. */
+  * integer set sizes, HALF_UP rounding. Two empty arrays (a 0/0
+  * union) yield NULL — the oracle engine's division-by-zero result —
+  * rather than ANSI Spark's DIVIDE_BY_ZERO error or a fabricated 0. */
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = compute(
     l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val setA = new java.util.HashSet[Any](a.numElements() * 2)
+  /** Boxed so the 0/0 case can be NULL, matching the composed form. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val nA = a.numElements()
+    val nB = b.numElements()
+    val setA = new java.util.HashSet[Any](nA * 2)
     var i = 0
-    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
-    val seenB = new java.util.HashSet[Any](b.numElements() * 2)
+    while (i < nA) { setA.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[Any](nB * 2)
     var inter = 0
     var bOnly = 0
     i = 0
-    while (i < b.numElements()) {
+    while (i < nB) {
       val v = b.getUTF8String(i)
       if (seenB.add(v)) { if (setA.contains(v)) inter += 1 else bOnly += 1 }
       i += 1
     }
     val union = setA.size + bOnly
-    if (union == 0) 0.0
+    if (union == 0) null
     else java.math.BigDecimal.valueOf(inter.toDouble / union)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("jac", this, classOf[ArrayJaccard].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccard =

@@ -17,9 +17,11 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.length > 0) args(0).toLong else 5000000L
     val nDocs = if (args.length > 1) args(1).toLong else 50000L
+    // same knob as Bench; default stays the measured local[32] shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,24 +65,31 @@ object ScaleSmoke {
     // warmup
     events.limit(1).count(); docs.limit(1).count()
 
+    // labels reflect the ACTUAL sizes (defaults: 5M / 50k), so runs with
+    // overridden args don't report under the default-scale names
+    def fmt(n: Long): String =
+      if (n >= 1000000L) s"${n / 1000000L}M" else s"${n / 1000L}k"
+    val ne = fmt(nEvents)
+    val nd = fmt(nDocs)
+
     val results = Seq(
-      time("groupby_agg_5M") {
+      time(s"groupby_agg_$ne") {
         events.groupBy(pmod(col("user_id"), lit(100L)))
           .agg(sum(col("value").cast(graft.functions.Exact.M)), count(lit(1)))
       },
-      time("window_metrics_5M") {
+      time(s"window_metrics_$ne") {
         val m = Metrics.rolling(col("user_id"), Seq(col("ts"), col("event_id")),
           col("value"), col("vol"))
         events.select(col("event_id"), m.vwap.as("v"), m.vol.as("s"))
       },
-      time("ohlcv_bars_5M") {
+      time(s"ohlcv_bars_$ne") {
         Bars.ohlcv(events, col("user_id"), col("ts"), col("value"), col("vol"))
       },
-      time("topk_per_group_5M") {
+      time(s"topk_per_group_$ne") {
         Relational.topKPerGroup(events, Seq(col("user_id")),
           Seq(col("value").desc, col("event_id")), 3)
       },
-      time("asof_native_5M") {
+      time(s"asof_native_$ne") {
         val trades = events.filter(col("event_id") % 2 === 1)
           .select("event_id", "user_id", "ts")
         val quotes = events.filter(col("event_id") % 2 === 0)
@@ -88,13 +97,13 @@ object ScaleSmoke {
         AsOfJoin.asOfNative(trades, quotes, Seq("user_id"), "ts", "ts",
           Map("qid" -> "quote_id", "value" -> "qv"))
       },
-      time("minhash_pairs_50k_docs") {
+      time(s"minhash_pairs_${nd}_docs") {
         Dedup.minhashCandidatePairs(docs, "doc_id", "text")
       },
-      time("simhash_50k_docs") {
+      time(s"simhash_${nd}_docs") {
         Dedup.simhashes(docs, "doc_id", "text")
       },
-      time("lsh_ann_50k_vecs") {
+      time(s"lsh_ann_${nd}_vecs") {
         Similarity.lshTopK(
           embeddings.filter(col("id") < 16), embeddings.filter(col("id") >= 16),
           5, dim = 64)
