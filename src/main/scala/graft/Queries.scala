@@ -198,11 +198,14 @@ object Queries {
   }
 
   /** Reference A1+A2: tumbling 1-minute OHLCV bars with deterministic
-    * open/close (min_by/max_by on event time — SURVEY §7 risk 1). */
+    * open/close (min_by/max_by on the (event time, price) tuple —
+    * SURVEY §7 risk 1 — so same-timestamp ties break identically on
+    * both engines and match the streaming path). */
   val q09 = q("q09_ohlcv_bars",
     s"""SELECT user_id, date_trunc('minute', ts) AS minute,
-       | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-       | arg_max(value, ts) AS close,
+       | min(struct_pack(t := ts, v := value)).v AS open,
+       | max(value) AS high, min(value) AS low,
+       | max(struct_pack(t := ts, v := value)).v AS close,
        | ${dsumSql("value")} AS volume, COUNT(*) AS n_trades
        |FROM events GROUP BY user_id, date_trunc('minute', ts)""".stripMargin) { (s, dir) =>
     Bars.ohlcv(Tables.events(s, dir), col("user_id"), col("ts"),
@@ -459,9 +462,15 @@ object Queries {
       | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
       | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    // an absent (returnflag, linestatus) cell pivots to NULL while the
+    // oracle's SUM(CASE ...) yields 0 — coalesce to the oracle's
+    // 0-for-empty semantics so the match isn't data-dependent
     Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"))
   }
 
   /** Bucketized range join: events matched to synthetic 5-minute
@@ -693,10 +702,13 @@ object Queries {
       |  / COUNT(*) FROM customer)
       | AND NOT EXISTS (SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin) { (s, dir) =>
+    // the scalar average stays IN the plan (crossJoin of a broadcast
+    // 1-row aggregate) — no eager .head() action at plan-build time,
+    // and the customer scan isn't run twice
     val c = Tables.customer(s, dir)
-    val avgBal = c.agg((dsumM(col("c_acctbal")) / count(lit(1))).as("a"))
-      .head().getDouble(0)
-    c.filter(col("c_acctbal") > avgBal)
+    val avgBal = c.agg((dsumM(col("c_acctbal")) / count(lit(1))).as("__avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
       .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_acctbal")
@@ -816,7 +828,10 @@ object Queries {
   /** Cluster-level MinHash sketches: one unionized signature per
     * near-dup cluster (custom Aggregator — elementwise min is the
     * signature of the member-set union). No oracle (hash-specific);
-    * Aggregator semantics are unit-tested. */
+    * Aggregator semantics are unit-tested. The signature is emitted as
+    * a comma-joined scalar string — a raw array<bigint> column can't be
+    * sorted/hashed by the harness's rows-check (pandas lexsort dies on
+    * ndarray cells), which left this query entirely unchecked in r01. */
   val d08 = qNoOracle("d08_cluster_signatures") { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val cl = Dedup.clusters(
@@ -825,8 +840,11 @@ object Queries {
     val sigs = Dedup.signatures(docs, "doc_id", "text", numHashes = 32)
     sigs.join(cl, "doc_id")
       .groupBy("cluster_id")
-      .agg(graft.functions.Aggregators.minhashUnion(32)(col("sig")).as("cluster_sig"),
+      .agg(graft.functions.Aggregators.minhashUnion(32)(col("sig")).as("sig_arr"),
         count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        array_join(col("sig_arr").cast("array<string>"), ",").as("cluster_sig"),
+        col("n_members"))
   }
 
   /** Exact 3-gram Jaccard over blocked candidate pairs (blocking key =

@@ -29,11 +29,9 @@ object VectorOps {
     * join so each vector's norm is evaluated once, not once per pair. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Elementwise L2-normalized copy of the vector. Uses the native
-    * [[norm]] (tight codegen'd loop) rather than an `aggregate` HOF —
-    * the lambda body is re-evaluated per element, so the norm must be
-    * cheap; callers on hot paths should still precompute the norm as
-    * its own column and divide. */
-  def l2normalize(a: Column): Column =
-    transform(a, x => x / norm(a))
+  /** Elementwise L2-normalized copy of the vector: a native one-pass
+    * expression (norm accumulated once, one divide per element). The
+    * previous HOF form re-evaluated the norm inside the `transform`
+    * lambda — O(d²) per row. Zero vectors pass through unchanged. */
+  def l2normalize(a: Column): Column = graft.plans.VectorExprs.l2normalize(a)
 }

@@ -10,9 +10,10 @@ import graft.functions.Exact
   *
   * The reference uses `first(price)/last(price)` for open/close, which in
   * Spark are arrival-order-dependent (SURVEY.md §7 risk 1). We pin
-  * deterministic semantics: open/close = value at the min/max event time
-  * (`min_by`/`max_by`), which is also what the oracle (`arg_min`/
-  * `arg_max`) computes.
+  * deterministic semantics: open/close = price at the min/max
+  * (event time, price) tuple — the price tiebreak makes two trades in
+  * the same instant resolve identically on every engine and run, and
+  * matches the streaming path (MinuteStream.minuteBars) exactly.
   *
   * Scale: a single hash aggregation on (key, window) with map-side partial
   * aggregation; no sort, no extra shuffle. The same expression tree runs
@@ -26,10 +27,10 @@ object Bars {
             volume: Column, bucket: String = "1 minute"): DataFrame = {
     df.groupBy(key.as("key"), window(ts, bucket).as("w"))
       .agg(
-        min_by(price, ts).as("open"),
+        min_by(price, struct(ts, price)).as("open"),
         max(price).as("high"),
         min(price).as("low"),
-        max_by(price, ts).as("close"),
+        max_by(price, struct(ts, price)).as("close"),
         Exact.dsum(volume).as("volume"),
         count(lit(1)).as("n_trades"))
       .withColumn("bucket_start", col("w.start"))

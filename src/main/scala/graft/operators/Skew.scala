@@ -34,14 +34,23 @@ object Skew {
     case "max" => max(col(a.name))
   }).as(a.name)
 
+  /** Retry-deterministic salt: a hash of the row's payload columns.
+    * `monotonically_increasing_id()`/`rand()` change when a failed task
+    * re-runs (ids are partition-relative), so a row could move salt
+    * mid-job; a content hash is a pure function of the row and assigns
+    * the same salt on every attempt. Identical rows share a salt — for
+    * aggregation that only means their partials merge in one shard,
+    * which is exactly what a combiner does anyway. */
+  private[graft] def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts))
+
   /** Two-phase salted aggregation. Phase 1 groups on (keys, salt),
     * spreading a hot key over `salts` reducers; phase 2 merges the
     * partials on the true keys (tiny: ≤ salts rows per key). */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 aggs: Seq[Agg]): DataFrame = {
     require(aggs.nonEmpty)
-    val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val salted = df.withColumn("__salt", contentSalt(df, salts))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(apply1(aggs.head), aggs.tail.map(apply1): _*)
@@ -55,8 +64,7 @@ object Skew {
     * spread over `salts` tasks instead of one straggler. */
   def saltedBroadcastJoin(big: DataFrame, small: DataFrame,
                           key: String, salts: Int): DataFrame = {
-    val bigS = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val bigS = big.withColumn("__salt", contentSalt(big, salts))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(broadcast(smallS), Seq(key, "__salt")).drop("__salt")

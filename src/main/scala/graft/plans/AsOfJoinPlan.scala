@@ -24,10 +24,23 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                         leftTs: Attribute, rightTs: Attribute,
                         carried: Seq[Attribute]) extends BinaryNode {
+  // The exec reads ordering values with getLong, which is only correct
+  // for 8-byte-backed types; an int/date column would silently read an
+  // unsigned-extended slot and mis-join. Fail at plan construction.
+  for (a <- Seq(leftTs, rightTs))
+    require(AsOfJoinNode.longBacked(a.dataType),
+      s"as-of ordering column '${a.name}' must be TIMESTAMP or BIGINT, " +
+        s"got ${a.dataType.simpleString} — cast it explicitly first")
   override def output: Seq[Attribute] =
     left.output ++ carried.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): AsOfJoinNode = copy(left = l, right = r)
+}
+
+object AsOfJoinNode {
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampType, TimestampNTZType}
+  def longBacked(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType || dt == LongType
 }
 
 object AsOfJoinStrategy extends SparkStrategy {

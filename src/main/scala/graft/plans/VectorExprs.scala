@@ -17,6 +17,8 @@ object VectorExprs {
     GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
   def normSq(a: Column): Column =
     GraftShim.column(VecNormSq(GraftShim.expression(a)))
+  def l2normalize(a: Column): Column =
+    GraftShim.column(VecL2Normalize(GraftShim.expression(a)))
 }
 
 /** Σ aᵢ·bᵢ, accumulated left-to-right (bit-identical to the
@@ -87,5 +89,58 @@ case class VecNormSq(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(c: Expression): VecNormSq =
+    copy(child = c)
+}
+
+/** v / ‖v‖ in one pass over the array (norm computed once, then one
+  * divide per element — the HOF `transform(a, x => x / norm(a))` form
+  * re-evaluates the norm lambda-frame per element, O(d²) per row).
+  * A zero vector is returned unchanged (no NaNs). */
+case class VecL2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    val norm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (norm == 0.0) a.getDouble(i) else a.getDouble(i) / norm
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val norm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  $acc += $x * $x;
+         |}
+         |double $norm = java.lang.Math.sqrt($acc);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $norm == 0.0 ? $a.getDouble($i) : $a.getDouble($i) / $norm;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): VecL2Normalize =
     copy(child = c)
 }

@@ -14,8 +14,15 @@ import graft.operators.Metrics
   * 3). Keeping the bounded frame in state is the streaming-native fix:
   * no sink round-trip, O(lookback) state per key, same math as
   * [[graft.operators.Metrics.rolling]] (exact-decimal frame sums, 6dp
-  * vol rounding). Remaining divergence: an all-zero-volume frame yields
-  * NaN vwap here vs NULL in the batch path (both suppress the flag).
+  * vol rounding). The retained buffer is kept in EVENT-TIME order (a
+  * late bar is inserted at its timestamp position, not appended), so a
+  * late bar's frame is the bars at-or-before it — the same frame the
+  * batch window computes — as long as those bars are still within the
+  * Lookback-sized buffer. Remaining divergences vs batch, both
+  * inherent to bounded-state append-mode streaming: (1) an all-zero-
+  * volume frame yields NaN vwap here vs NULL in batch (both suppress
+  * the flag); (2) rows already emitted are not retro-emitted when a
+  * late bar would have entered their frame.
   */
 object RollingMetricsStream {
   val Lookback = 5 // frame size, matching rowsBetween(-4, 0)
@@ -50,13 +57,17 @@ object RollingMetricsStream {
 
   def update(threshold: Double)(symbol: String, in: Iterator[Bar],
              state: GroupState[RollState]): Iterator[MetricRow] = {
-    var frame = state.getOption.map(_.bars).getOrElse(Nil)
+    var buf = state.getOption.map(_.bars).getOrElse(Nil)
     val out = in.toSeq.sortBy(_.timestamp.getTime).map { b =>
-      frame = (frame :+ ((b.timestamp.getTime, b.close, b.volume)))
-        .takeRight(Lookback)
+      val bar = (b.timestamp.getTime, b.close, b.volume)
+      // frame = bars at-or-before this bar (event time), this bar last —
+      // matches the batch window's ROWS BETWEEN 4 PRECEDING AND CURRENT
+      // even when `b` is late relative to already-buffered bars
+      val frame = buf.filter(_._1 < bar._1).takeRight(Lookback - 1) :+ bar
+      buf = (buf :+ bar).sortBy(_._1).takeRight(Lookback)
       metricsFor(frame, threshold).copy(symbol = symbol)
     }
-    if (out.nonEmpty) state.update(RollState(frame))
+    if (out.nonEmpty) state.update(RollState(buf))
     out.iterator
   }
 

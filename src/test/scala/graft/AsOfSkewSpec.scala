@@ -85,6 +85,18 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("content salt is retry-deterministic and actually spreads rows") {
+    val df = Seq.tabulate(100)(i => (s"k${i % 3}", i.toDouble)).toDF("k", "v")
+    def salts() = df.withColumn("s", Skew.contentSalt(df, 8))
+      .orderBy("v").select("s").as[Int].collect().toSeq
+    val first = salts()
+    // a pure content hash assigns the same salt on every evaluation —
+    // what a task retry needs (mono_id/rand would reshuffle rows)
+    assert(first == salts())
+    assert(first.distinct.length > 1, "salt must spread a hot key")
+    assert(first.forall(s => s >= 0 && s < 8))
+  }
+
   test("saltedBroadcastJoin equals plain join") {
     val big = Seq.tabulate(500)(i => ("hot", i)) ++ Seq.tabulate(5)(i => (s"k$i", i))
     val bigDf = big.toDF("k", "v")

@@ -28,6 +28,19 @@ class BarsMetricsSpec extends AnyFunSuite {
     assert(bars(2) == ("B", 5.0, 5.0, 5.0, 5.0, 10.0, 1L))
   }
 
+  test("ohlcv: same-timestamp ties break on (ts, price), matching the streaming path") {
+    val trades = Seq(
+      ("A", ts("2025-01-01 10:00:05"), 12.0, 1.0),
+      ("A", ts("2025-01-01 10:00:05"), 10.0, 1.0), // same instant as above
+      ("A", ts("2025-01-01 10:00:40"), 11.0, 1.0),
+      ("A", ts("2025-01-01 10:00:40"), 13.0, 1.0)  // same instant as above
+    ).toDF("symbol", "t", "price", "vol")
+    val b = Bars.ohlcv(trades, col("symbol"), col("t"), col("price"), col("vol"))
+      .select("open", "close").as[(Double, Double)].head()
+    // open = price at min (ts, price); close = price at max (ts, price)
+    assert(b == ((10.0, 13.0)))
+  }
+
   test("ohlcv property: low <= open,close <= high; volume conserved (seeded random)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {

@@ -54,4 +54,27 @@ class RollingStreamSpec extends AnyFunSuite {
     assert(streaming.last._4, "expected anomaly on the cross-batch spike")
     assert(streaming.count(_._4) == 1)
   }
+
+  test("late bar is framed at its event-time position, not arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Bar]
+    val q = RollingMetricsStream.metrics(input.toDS(), threshold = 2.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rolling_late_test").start()
+    // minutes 0,1,3,4 arrive first; minute 2 arrives late in batch 2
+    input.addData(bar("A", 0, 10.0, 1.0), bar("A", 1, 20.0, 1.0),
+      bar("A", 3, 40.0, 1.0), bar("A", 4, 50.0, 1.0))
+    q.processAllAvailable()
+    input.addData(bar("A", 2, 30.0, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val late = spark.table("rolling_late_test")
+      .filter(col("timestamp") === new Timestamp(2 * 60000L))
+      .select("vwap_5", "vol_5")
+      .as[(Double, Option[Double])].head()
+    // its frame is the bars at-or-before minute 2: closes 10, 20, 30 —
+    // NOT (10,20,40,50,30) in arrival order
+    assert(math.abs(late._1 - 20.0) < 1e-9, s"vwap ${late._1}")
+    assert(math.abs(late._2.get - 10.0) < 1e-9, s"vol ${late._2}")
+  }
 }

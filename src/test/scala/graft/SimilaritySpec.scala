@@ -54,6 +54,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("l2normalize: unit norm in one pass, zero vector unchanged") {
+    val df = Seq((1, Seq(3.0, 4.0)), (2, Seq(0.0, 0.0))).toDF("id", "v")
+    val got = df.select(col("id"), VectorOps.l2normalize(col("v")).as("n"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(1) == Seq(0.6, 0.8))
+    assert(got(2) == Seq(0.0, 0.0))
+  }
+
   test("labelCentroids: exact mean per dimension") {
     val df = Seq(
       (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (2, Seq(10.0f, 20.0f))
