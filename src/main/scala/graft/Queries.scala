@@ -847,30 +847,27 @@ object Queries {
         col("n_members"))
   }
 
-  /** Exact 3-gram Jaccard over blocked candidate pairs (blocking key =
-    * (lang, source)); integer set sizes → cross-engine deterministic. */
+  /** Exact 3-gram Jaccard near-dup pairs (j ≥ 0.5), LSH-routed: MinHash
+    * band buckets generate candidates (hash shuffle on the band key —
+    * no blocking-key self-join whose hot block is O(n²) at corpus
+    * scale), then the exact integer-arithmetic Jaccard re-ranks and
+    * thresholds. The oracle is the full pairwise join with the same
+    * threshold — equality holds because LSH recall at j ≥ 0.5 is ~1
+    * (16 bands × 2 rows; the corpus is bimodal, dups ≥ 0.75 vs noise
+    * ≤ 0.15; asserted against the full join in DedupSpec). */
   val d05 = q("d05_ngram_jaccard_pairs",
-    """WITH d AS (SELECT doc_id, lang, source,
+    """WITH d AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(t) >= 3
       |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       |   ELSE [array_to_string(t, ' ')] END) AS sh
-      | FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents))
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |   / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-      |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
-      | AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
-    // both self-join sides consume the shingle frame — materialize it
-    // once instead of recomputing the shingle pipeline per side
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-      .localCheckpoint(false)
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |SELECT doc_a, doc_b, jaccard FROM (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin) { (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
   }
 
   // ------------------------------------------- text analysis (LLM pipeline)
@@ -1128,7 +1125,12 @@ object Queries {
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold on the rounded
-    * cosine so both engines make identical inclusion decisions). */
+    * cosine so both engines make identical inclusion decisions). The
+    * registered plan generates candidates from hyperplane-LSH buckets
+    * (equi-join on the bucket key, no cartesian product) and re-ranks
+    * with the exact cosine; the oracle is the full pairwise join.
+    * Equality holds because the LSH parameters are sized for recall=1
+    * at this threshold (asserted vs brute force in SimilaritySpec). */
   val d06 = q("d06_dedup_embedding",
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1136,7 +1138,7 @@ object Queries {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |   CAST(b.embedding AS DOUBLE[])), 6) > 0.45""".stripMargin) { (s, dir) =>
-    Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45)
+    Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), 0.45, dim = 64)
   }
 
   /** IVF-probed ANN (no oracle — approximate; ScalaTest asserts recall

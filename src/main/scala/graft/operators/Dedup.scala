@@ -91,6 +91,34 @@ object Dedup {
   def jaccard(shA: Column, shB: Column): Column =
     graft.plans.SetExprs.jaccard(shA, shB)
 
+  /** Exact n-gram Jaccard near-duplicate pairs, LSH-routed: candidate
+    * pairs come from [[minhashCandidatePairs]] (banded equi-join — a
+    * hash shuffle on the band key), then the exact shingle-set Jaccard
+    * re-ranks each candidate and `threshold` filters. Replaces the
+    * (blocking-key self-join) form, whose hot block is O(n²) at corpus
+    * scale; here the quadratic term is bounded by LSH bucket sizes.
+    *
+    * Recall: P(candidate miss) = (1 − j^rows)^bands — with the default
+    * 16 bands × 2 rows a j=0.75 pair is missed with p ≈ 2e-6; pairs at
+    * the 0.5 threshold boundary with p ≈ 1e-2, so choose a threshold
+    * comfortably below the similarity of the duplicates you must not
+    * lose (the test corpus is bimodal: dups ≥ 0.75, noise ≤ 0.15 —
+    * recall=1 asserted against the full pairwise join in DedupSpec). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, numHashes: Int = 32, bands: Int = 16,
+                   shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleN)
+      .select("doc_a", "doc_b")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      .localCheckpoint(false)
+    cand.join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Duplicate-cluster assignment: connected components over candidate
     * pairs — the keep-one-per-cluster step after LSH. Min-label
     * propagation with pointer jumping (each round also adopts the label

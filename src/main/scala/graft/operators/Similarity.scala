@@ -51,6 +51,21 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** (id, bucket) per (row, table): bucket = struct(table idx, sign
+    * signature). Arrays never ride the bucket join or the pair dedup;
+    * vectors+norms join back afterwards on int ids (same pattern as
+    * Dedup.minhashCandidatePairs, measured ~4× faster than deduping
+    * rows that carry the arrays). */
+  private def hyperplaneBuckets(df: DataFrame, idName: String,
+                                all: Array[Array[Double]],
+                                tables: Int, bitsPerTable: Int): DataFrame = {
+    val sigs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        signature(col("vec"), all.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("sig"))
+    }
+    df.select(col("id").as(idName), explode(array(sigs: _*)).as("bucket"))
+  }
+
   /** ANN via L random-hyperplane hash tables of `bitsPerTable` bits.
     * Vectors sharing a (table, signature) bucket with a query are scored
     * exactly; top-k per query returned. Recall grows with L; cost is
@@ -58,17 +73,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int, tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
     val all = planes(tables * bitsPerTable, dim)
-    // (id, bucket) only — the embedding arrays never ride the bucket
-    // join or the pair dedup; vectors+norms join back afterwards on int
-    // ids (same pattern as Dedup.minhashCandidatePairs, measured ~4×
-    // faster than deduping rows that carry the arrays).
-    def bucketed(df: DataFrame, idName: String): DataFrame = {
-      val sigs = (0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          signature(col("vec"), all.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("sig"))
-      }
-      df.select(col("id").as(idName), explode(array(sigs: _*)).as("bucket"))
-    }
+    def bucketed(df: DataFrame, idName: String): DataFrame =
+      hyperplaneBuckets(df, idName, all, tables, bitsPerTable)
     val pairs = bucketed(queries, "query_id")
       .join(bucketed(candidates, "neighbor_id"), "bucket")
       .select("query_id", "neighbor_id").distinct()
@@ -182,10 +188,11 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs whose
-    * rounded cosine clears `threshold`. Brute-force pair generation
-    * here (oracle-parity path); at corpus scale route through
-    * [[lshTopK]]/[[ivfTopK]] buckets first — same scoring column. */
+  /** Embedding-cosine near-duplicate pairs, brute force: all (a<b)
+    * pairs whose rounded cosine clears `threshold`. Exact by
+    * construction — kept as the oracle twin / recall baseline for
+    * [[embeddingNearDupPairsLsh]] (asserted equal in SimilaritySpec);
+    * the registered d06 query runs the LSH-bucketed form. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
@@ -194,6 +201,45 @@ object Similarity {
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       VectorOps.norm(col("v")).as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(VectorOps.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6))
+      .filter(col("cos") > threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: candidate
+    * (a<b) pairs come from a self-equi-join on (table, hyperplane
+    * signature) — a hash shuffle on the bucket key, never a cartesian
+    * product — then exact-cosine re-rank and threshold. Same output
+    * columns and threshold semantics as [[embeddingNearDupPairs]].
+    *
+    * Recall tuning: P(pair missed) = (1 − (1 − θ/π)^bits)^tables. The
+    * defaults (4 bits × 48 tables) are sized for thresholds as low as
+    * ~0.45 (θ ≈ 63°): miss ≈ 1e-4 per qualifying pair, verified
+    * recall=1 against brute force on the test corpora (SimilaritySpec).
+    * For genuine near-dup corpora (cos ≥ 0.9 dups), far fewer tables
+    * suffice — the low threshold is the expensive regime, and with a
+    * threshold inside the bulk of the pair-similarity distribution the
+    * OUTPUT itself grows quadratically, which no candidate generation
+    * can avoid. Buckets keep the work shuffle-partitioned either way. */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                               dim: Int, tables: Int = 48,
+                               bitsPerTable: Int = 4): DataFrame = {
+    val all = planes(tables * bitsPerTable, dim)
+    val e = embeddings.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    // (id, bucket) only; materialized once — it feeds both join sides
+    val bucketed = hyperplaneBuckets(e, "id", all, tables, bitsPerTable)
+      .localCheckpoint(false)
+    val pairs = bucketed.select(col("bucket"), col("id").as("vec_a"))
+      .join(bucketed.select(col("bucket"), col("id").as("vec_b")), "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = e.select(col("id").as("vec_a"), col("vec").as("va"),
+      VectorOps.norm(col("vec")).as("na"))
+    val vb = e.select(col("id").as("vec_b"), col("vec").as("vb"),
+      VectorOps.norm(col("vec")).as("nb"))
+    pairs.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cos", round(VectorOps.dot(col("va"), col("vb")) /
         (col("na") * col("nb")), 6))
       .filter(col("cos") > threshold)

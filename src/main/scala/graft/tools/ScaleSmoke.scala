@@ -103,6 +103,11 @@ object ScaleSmoke {
       time(s"simhash_${nd}_docs") {
         Dedup.simhashes(docs, "doc_id", "text")
       },
+      time(s"jaccard_pairs_${nd}_docs") {
+        // LSH-routed exact Jaccard (the registered d05 plan): cost is
+        // signatures + banded join, never a blocked all-pairs product
+        Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      },
       time(s"lsh_ann_${nd}_vecs") {
         Similarity.lshTopK(
           embeddings.filter(col("id") < 16), embeddings.filter(col("id") >= 16),

@@ -14,8 +14,34 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, Similarity}
     import graft.sources.Tables
+    if (name == "_neardup_parity") {
+      // LSH-routed d05/d06 pair generation vs brute force at this SF —
+      // the empirical recall=1 check backing the registered plans
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val lshJ = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      val sh = docs.select(col("doc_id"),
+        array_distinct(graft.functions.TextOps.shingles(
+          graft.functions.TextOps.tokens(col("text")), 3)).as("sh"))
+        .localCheckpoint(false)
+      val fullJ = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+        .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Dedup.jaccard(col("sha"), col("shb")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      println(s"d05 lsh=${lshJ.count()} full=${fullJ.count()} " +
+        s"missed=${fullJ.exceptAll(lshJ).count()} extra=${lshJ.exceptAll(fullJ).count()}")
+      val emb = Tables.embeddings(spark, dir)
+      val lshE = Similarity.embeddingNearDupPairsLsh(emb, 0.45, dim = 64)
+      val fullE = Similarity.embeddingNearDupPairs(emb, 0.45)
+      println(s"d06 lsh=${lshE.count()} full=${fullE.count()} " +
+        s"missed=${fullE.exceptAll(lshE).count()} extra=${lshE.exceptAll(fullE).count()}")
+      spark.stop()
+      return
+    }
     val df = name match {
       case "entry" => graft.SparkEntry.entry(spark)
       case "_sigs" => Dedup.signatures(Tables.documents(spark, dir), "doc_id", "text", 32)

@@ -57,6 +57,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (x, y) => x == 2L || y == 2L })
   }
 
+  test("jaccardPairs (LSH-routed) equals the full pairwise join on the test corpus") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val lsh = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = corpus.select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+    val full = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Dedup.jaccard(col("sha"), col("shb")).as("j"))
+      .filter(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty, "corpus must contain near-dups for this test to bite")
+    assert(lsh == full, s"LSH missed ${(full -- lsh).size}, extra ${(lsh -- full).size}")
+  }
+
   test("simhash: identical texts equal; near-dups within small hamming distance") {
     val sh = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -54,6 +54,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("embeddingNearDupPairsLsh equals brute force on the test corpus (recall=1)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val brute = Similarity.embeddingNearDupPairs(emb, 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.embeddingNearDupPairsLsh(emb, 0.45, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "corpus must contain qualifying pairs")
+    assert(lsh == brute, s"LSH missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
+  }
+
   test("l2normalize: unit norm in one pass, zero vector unchanged") {
     val df = Seq((1, Seq(3.0, 4.0)), (2, Seq(0.0, 0.0))).toDF("id", "v")
     val got = df.select(col("id"), VectorOps.l2normalize(col("v")).as("n"))
