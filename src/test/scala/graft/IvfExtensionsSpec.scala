@@ -57,6 +57,21 @@ class IvfExtensionsSpec extends AnyFunSuite {
     assert(direct == viaTable)
   }
 
+  test("ensureIvfIndex builds once, then reuses the persisted index") {
+    val rnd = new scala.util.Random(7)
+    val cands = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    spark.sql("DROP TABLE IF EXISTS ivf_e_centroids")
+    spark.sql("DROP TABLE IF EXISTS ivf_e_assignments")
+    val built = Similarity.ensureIvfIndex(spark, "ivf_e", cands, nCentroids = 4, iters = 2)
+    // corpus is by-name: a second call must not evaluate it at all
+    val reused = Similarity.ensureIvfIndex(spark, "ivf_e",
+      sys.error("index rebuilt despite existing catalog tables"),
+      nCentroids = 4, iters = 2)
+    assert(built.centroids.map(_.toSeq).toSeq == reused.centroids.map(_.toSeq).toSeq)
+    assert(reused.assignments.count() == 40)
+  }
+
   test("extension-registered SQL functions evaluate") {
     GraftExtensions.register(spark)
     val r = spark.sql(
