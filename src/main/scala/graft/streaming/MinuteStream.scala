@@ -68,8 +68,9 @@ object MinuteStream {
   /** T1/T2/T7 + S6: 1-minute micro-batches, checkpointed, foreachBatch
     * sink writing bars + metrics parquet (append, partitioned by symbol
     * for sink-side pruning). Alert rows = metrics filtered on the flag —
-    * the only place a `collect()` is legitimate (driver-side alerting,
-    * reference S9). NOTE: the parity default `threshold` = 3.0 is
+    * pass `onAlert = AlertSink.webhook(url).onAlert` for reference-S9
+    * Slack delivery (formatting + bounded collect live in [[AlertSink]]).
+    * NOTE: the parity default `threshold` = 3.0 is
     * mathematically unreachable with a 5-bar frame
     * ((max−min)/stddev_samp ≤ √8 ≈ 2.83, see Metrics.AnomalyThreshold)
     * — pass a reachable threshold for `onAlert` to ever fire. */

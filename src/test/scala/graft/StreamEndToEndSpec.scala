@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.MinuteStream
+import graft.streaming.{AlertSink, MinuteStream}
 
 /** E2 parity end-to-end (SURVEY §3): envelopes → parse → watermarked
   * deduped bars → foreachBatch → parquet bars+metrics + alert rows. */
@@ -19,10 +19,11 @@ class StreamEndToEndSpec extends AnyFunSuite {
     val checkpoint = Files.createTempDirectory("graft_ckpt").toString
     val input = MemoryStream[String]
     var alerts = 0L
+    val recorder = new AlertSink.Recording
     val q = MinuteStream.start(input.toDF(), checkpoint, out,
       trigger = Trigger.ProcessingTime("0 seconds"),
       threshold = 2.0,
-      onAlert = (df: DataFrame) => { alerts += df.count() })
+      onAlert = (df: DataFrame) => { alerts += df.count(); recorder.sink.onAlert(df) })
     val m0 = 1735732800000L
     def env(p: Double, t: Long, v: Double) =
       s"""{"data": [{"p": $p, "s": "AAPL", "t": $t, "v": $v}]}"""
@@ -43,5 +44,28 @@ class StreamEndToEndSpec extends AnyFunSuite {
       Set("symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"))
     assert(metrics.count() == bars.count())
     assert(alerts >= 1L, "the spike bar must surface through onAlert")
+    // S9 parity: the delivered message matches the reference's format
+    // (stock_stream.py:108-113) — header + one line per flagged row
+    val delivered = recorder.messages.mkString("\n")
+    assert(recorder.messages.nonEmpty, "AlertSink must deliver for the spike")
+    assert(delivered.startsWith("ANOMALY DETECTED\n"))
+    assert(delivered.contains("Symbol: AAPL") && delivered.contains("Close: 500.00"),
+      s"unexpected alert text: $delivered")
+  }
+
+  test("AlertSink is silent on an empty frame and truncates floods") {
+    val flagged = Seq(
+      ("A", java.sql.Timestamp.valueOf("2025-01-01 10:01:00"), 10.0, 9.0, 0.1),
+      ("B", java.sql.Timestamp.valueOf("2025-01-01 10:00:00"), 20.0, 19.0, 0.2),
+      ("C", java.sql.Timestamp.valueOf("2025-01-01 10:02:00"), 30.0, 29.0, 0.3)
+    ).toDF("symbol", "timestamp", "close", "vwap_5", "vol_5")
+    val rec = new AlertSink.Recording
+    assert(rec.sink.deliver(flagged.limit(0)).isEmpty && rec.messages.isEmpty)
+    val capped = new scala.collection.mutable.ArrayBuffer[String]
+    val small = new AlertSink(capped += _, maxRows = 2)
+    val msg = small.deliver(flagged).get
+    // sorted by (timestamp, symbol): B first, then A; C truncated away
+    assert(msg.linesIterator.toSeq(1).contains("Symbol: B"))
+    assert(msg.contains("truncated at 2") && !msg.contains("Symbol: C"))
   }
 }
