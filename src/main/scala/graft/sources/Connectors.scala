@@ -10,33 +10,43 @@ import org.apache.spark.sql.types.StructType
   * parquet paths are fully tested.
   */
 object Connectors {
-  /** S1: batch-read a topic earliest→latest
-    * (reference spark/jobs/stock_batch.py:36-44). */
-  def kafkaBatch(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("endingOffsets", "latest")
-      .option("failOnDataLoss", "false")
-      .load()
+  /** S1 option surface (reference spark/jobs/stock_batch.py:36-44).
+    * Exposed so ConnectorsSpec can pin the exact reader configuration
+    * even though no broker exists to read from. */
+  def kafkaBatchOptions(servers: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "endingOffsets" -> "latest",
+    "failOnDataLoss" -> "false")
 
-  /** S2: stream from latest offsets
-    * (reference spark/jobs/stock_stream.py:122-129). */
+  /** S2 option surface (reference spark/jobs/stock_stream.py:122-129):
+    * latest offsets, no ending bound. */
+  def kafkaStreamOptions(servers: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "latest",
+    "failOnDataLoss" -> "false")
+
+  /** S1: batch-read a topic earliest→latest. */
+  def kafkaBatch(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.read.format("kafka").options(kafkaBatchOptions(servers, topic)).load()
+
+  /** S2: stream from latest offsets. */
   def kafkaStream(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .option("failOnDataLoss", "false")
-      .load()
+    spark.readStream.format("kafka").options(kafkaStreamOptions(servers, topic)).load()
+
+  /** The pushdown form S3 ships to the database: subquery as a derived
+    * table (reference stock_stream.py:39-58 sends "(SELECT …) as t"). */
+  def jdbcTableExpr(query: String): String = s"($query) AS t"
 
   /** S3: JDBC source with an arbitrary pushdown subquery as the table
     * (reference stock_stream.py:39-58). Prefer native window ops over
-    * sink re-reads (SURVEY §7 risk 3); kept for source parity. */
+    * sink re-reads (SURVEY §7 risk 3); kept for source parity.
+    * Runtime-exercised in ConnectorsSpec against embedded Derby. */
   def jdbcQuery(spark: SparkSession, url: String, query: String,
                 props: java.util.Properties = new java.util.Properties): DataFrame =
-    spark.read.jdbc(url, s"($query) AS t", props)
+    spark.read.jdbc(url, jdbcTableExpr(query), props)
 
   /** S4/S5: JDBC append/overwrite writer
     * (reference spark/utilities.py:29-47). */
