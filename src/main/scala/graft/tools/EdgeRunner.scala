@@ -1,0 +1,161 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.model.Schemas
+import graft.sources.Connectors
+import graft.streaming.{AlertSink, MinuteStream}
+
+/** Operational entry point — the deployable job that composes
+  * connectors, parsing, streaming, and sinks end-to-end, mirroring the
+  * reference's dispatcher (/root/reference/edge_runner.py:26,51-64:
+  * `--mode stream|batch|meta`).
+  *
+  * Differences by design: the producer side (REST/WebSocket harvesting,
+  * Kafka topic creation) is pre-Spark and out of engine scope (SURVEY
+  * §2.1 S8), so `--in` names an existing source — a Kafka topic
+  * (`kafka://host:port/topic`) or a directory of JSON lines
+  * (`file:/dir`, the sandbox-runnable path; Structured Streaming's file
+  * source gives the same unbounded-table semantics as a topic). Sinks
+  * are partitioned parquet under `--out`, or JDBC when `--jdbc-url` is
+  * given (the reference's Postgres tables: `stock_bars` append,
+  * `company_data` overwrite — spark/utilities.py:50-60).
+  *
+  * Usage:
+  * {{{
+  * runMain graft.tools.EdgeRunner --mode batch  --in file:/data/ohlcv --out /tmp/out
+  * runMain graft.tools.EdgeRunner --mode meta   --in kafka://broker:9092/stock_meta --jdbc-url jdbc:...
+  * runMain graft.tools.EdgeRunner --mode stream --in kafka://broker:9092/stream_stock \
+  *   --out /tmp/out --checkpoint /tmp/ckpt --webhook https://hooks.slack.example/T/K
+  * }}}
+  */
+object EdgeRunner {
+  case class Config(
+    mode: String,
+    in: String,
+    out: String = "",
+    checkpoint: String = "",
+    jdbcUrl: Option[String] = None,
+    dbMode: String = "append",        // reference --dbmode, applies to bars
+    threshold: Double = graft.operators.Metrics.AnomalyThreshold,
+    webhook: Option[String] = None,
+    timeoutSec: Option[Long] = None)  // stream mode: stop after N seconds
+
+  def parse(args: Array[String]): Config = {
+    val kv = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    val mode = kv.getOrElse("--mode",
+      sys.error("--mode batch|stream|meta is required"))
+    require(Set("batch", "stream", "meta")(mode), s"unknown mode $mode")
+    Config(
+      mode = mode,
+      in = kv.getOrElse("--in", sys.error("--in kafka://host:port/topic | file:/dir")),
+      out = kv.getOrElse("--out", ""),
+      checkpoint = kv.getOrElse("--checkpoint", ""),
+      jdbcUrl = kv.get("--jdbc-url"),
+      dbMode = kv.getOrElse("--dbmode", "append"),
+      threshold = kv.get("--threshold").map(_.toDouble)
+        .getOrElse(graft.operators.Metrics.AnomalyThreshold),
+      webhook = kv.get("--webhook"),
+      timeoutSec = kv.get("--timeout-sec").map(_.toLong))
+  }
+
+  /** One raw-JSON column `json`, batch flavor, from either source kind. */
+  private def readBatchJson(spark: SparkSession, in: String): DataFrame = in match {
+    case s if s.startsWith("kafka://") =>
+      val (servers, topic) = splitKafka(s)
+      Connectors.kafkaBatch(spark, servers, topic)
+        .selectExpr("CAST(value AS STRING) AS json")
+    case s if s.startsWith("file:") =>
+      spark.read.textFile(s.stripPrefix("file:")).toDF("json")
+    case other => sys.error(s"unsupported --in $other")
+  }
+
+  /** Streaming envelopes with the `value` column MinuteStream expects. */
+  private def readStreamEnvelopes(spark: SparkSession, in: String): DataFrame = in match {
+    case s if s.startsWith("kafka://") =>
+      val (servers, topic) = splitKafka(s)
+      Connectors.kafkaStream(spark, servers, topic)
+    case s if s.startsWith("file:") =>
+      spark.readStream.text(s.stripPrefix("file:"))
+    case other => sys.error(s"unsupported --in $other")
+  }
+
+  private def splitKafka(uri: String): (String, String) = {
+    val rest = uri.stripPrefix("kafka://")
+    val slash = rest.lastIndexOf('/')
+    require(slash > 0, s"expected kafka://host:port/topic, got $uri")
+    (rest.substring(0, slash), rest.substring(slash + 1))
+  }
+
+  /** JSON lines → typed rows (reference read_kafka, stock_batch.py:34-51:
+    * cast value, from_json against the explicit schema, flatten). */
+  private def parseJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("json"), schema).as("data")).select("data.*")
+
+  /** Sink dispatch: JDBC named table when configured, else partitioned
+    * parquet under out/<table> (reference write_stock_bars /
+    * write_company_data, spark/utilities.py:50-60). */
+  private def writeTable(cfg: Config, df: DataFrame, table: String,
+                         mode: SaveMode, partitionBy: Seq[String]): Unit =
+    cfg.jdbcUrl match {
+      case Some(url) => Connectors.writeJdbc(df, url, table, mode)
+      case None =>
+        require(cfg.out.nonEmpty, "--out is required without --jdbc-url")
+        Connectors.writeParquet(df, s"${cfg.out}/$table", partitionBy, mode)
+    }
+
+  private def saveMode(s: String): SaveMode =
+    if (s == "overwrite") SaveMode.Overwrite else SaveMode.Append
+
+  /** `--mode batch`: OHLCV bars → stock_bars (load_batch_ohlcv). */
+  def runBatch(spark: SparkSession, cfg: Config): Long = {
+    val bars = parseJson(readBatchJson(spark, cfg.in), Schemas.bar)
+    writeTable(cfg, bars, "stock_bars", saveMode(cfg.dbMode), Seq("symbol"))
+    bars.count()
+  }
+
+  /** `--mode meta`: company dimension → company_data, overwrite
+    * (load_batch_meta; the reference always overwrites the dim). */
+  def runMeta(spark: SparkSession, cfg: Config): Long = {
+    val meta = parseJson(readBatchJson(spark, cfg.in), Schemas.company)
+    writeTable(cfg, meta, "company_data", SaveMode.Overwrite, Seq.empty)
+    meta.count()
+  }
+
+  /** `--mode stream`: envelopes → minute bars + metrics + alerts
+    * (run_minute_stream_metric). Returns the running query. */
+  def startStream(spark: SparkSession, cfg: Config,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
+      "--out and --checkpoint are required in stream mode")
+    val sink = cfg.webhook.map(AlertSink.webhook).getOrElse(AlertSink.noop)
+    MinuteStream.start(readStreamEnvelopes(spark, cfg.in), cfg.checkpoint,
+      cfg.out, trigger, cfg.threshold, sink.onAlert)
+  }
+
+  def run(spark: SparkSession, cfg: Config): Unit = cfg.mode match {
+    case "batch" => println(s"[edge] stock_bars rows: ${runBatch(spark, cfg)}")
+    case "meta"  => println(s"[edge] company_data rows: ${runMeta(spark, cfg)}")
+    case "stream" =>
+      val q = startStream(spark, cfg)
+      cfg.timeoutSec match {
+        case Some(t) => q.awaitTermination(t * 1000L); q.stop()
+        case None    => q.awaitTermination()
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cfg) finally spark.stop()
+  }
+}

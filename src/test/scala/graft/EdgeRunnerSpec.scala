@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.EdgeRunner
+
+/** Smoke for the operational dispatcher: each mode end-to-end on file
+  * sources (the sandbox-runnable `--in` kind). */
+class EdgeRunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(java.nio.file.Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  test("--mode batch loads OHLCV JSON into partitioned parquet") {
+    val in = Files.createTempDirectory("edge_in").toString
+    val out = Files.createTempDirectory("edge_out").toString
+    writeLines(in, "bars.json", Seq(
+      """{"symbol":"AAPL","open":1.0,"high":2.0,"low":0.5,"close":1.5,"volume":100.0,"timestamp":"2025-01-01 10:00:00"}""",
+      """{"symbol":"MSFT","open":5.0,"high":6.0,"low":4.0,"close":5.5,"volume":200.0,"timestamp":"2025-01-01 10:01:00"}"""))
+    val cfg = EdgeRunner.parse(Array("--mode", "batch", "--in", s"file:$in", "--out", out))
+    assert(EdgeRunner.runBatch(spark, cfg) == 2L)
+    val bars = spark.read.parquet(s"$out/stock_bars")
+    assert(bars.count() == 2 && bars.columns.contains("close"))
+    // partitioned by symbol for sink-side pruning
+    assert(new java.io.File(s"$out/stock_bars/symbol=AAPL").exists())
+  }
+
+  test("--mode meta overwrites the company dimension") {
+    val in = Files.createTempDirectory("edge_meta").toString
+    val out = Files.createTempDirectory("edge_meta_out").toString
+    writeLines(in, "meta.json", Seq(
+      """{"symbol":"AAPL","name":"Apple","sector":"Tech","industry":"Hardware"}"""))
+    val cfg = EdgeRunner.parse(Array("--mode", "meta", "--in", s"file:$in", "--out", out))
+    assert(EdgeRunner.runMeta(spark, cfg) == 1L)
+    // overwrite semantics: a second run must not append
+    assert(EdgeRunner.runMeta(spark, cfg) == 1L)
+    assert(spark.read.parquet(s"$out/company_data").count() == 1)
+  }
+
+  test("--mode stream runs the minute pipeline off a file source") {
+    val in = Files.createTempDirectory("edge_stream").toString
+    val out = Files.createTempDirectory("edge_stream_out").toString
+    val ckpt = Files.createTempDirectory("edge_stream_ckpt").toString
+    val m0 = 1735732800000L
+    writeLines(in, "envelopes.json", Seq(
+      s"""{"data": [{"p": 100.0, "s": "AAPL", "t": ${m0 + 1000}, "v": 10.0}]}""",
+      s"""{"data": [{"p": 101.0, "s": "AAPL", "t": ${m0 + 61000}, "v": 10.0}]}""",
+      s"""{"data": [{"p": 102.0, "s": "AAPL", "t": ${m0 + 600000}, "v": 10.0}]}"""))
+    val cfg = EdgeRunner.parse(Array("--mode", "stream", "--in", s"file:$in",
+      "--out", out, "--checkpoint", ckpt))
+    val q = EdgeRunner.startStream(spark, cfg, Trigger.ProcessingTime("0 seconds"))
+    q.processAllAvailable()
+    q.stop()
+    val bars = spark.read.parquet(s"$out/bars")
+    assert(bars.count() >= 2, s"expected ≥2 closed bars, got ${bars.count()}")
+    assert(spark.read.parquet(s"$out/metrics").columns.contains("is_anomaly"))
+  }
+
+  test("parse rejects bad modes and missing inputs") {
+    intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "nope", "--in", "x")))
+    intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "batch")))
+    val cfg = EdgeRunner.parse(Array("--mode", "stream", "--in", "file:/x"))
+    intercept[IllegalArgumentException](EdgeRunner.startStream(spark, cfg))
+  }
+}
