@@ -1030,6 +1030,47 @@ object Queries {
     Multimodal.metadata(Tables.documents(s, dir))
   }
 
+  /** The typed partition-wise DECODE path itself (mapPartitions over
+    * Dataset[MediaFile]), hash-checked end-to-end: every FakeCodec
+    * output except brightness is byte-arithmetic the oracle reproduces
+    * in SQL. Proves the executor-side codec plumbing — not just the
+    * column metadata twin — computes what it claims. */
+  val m02 = q("m02_multimodal_decode",
+    """SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | sha256(text) AS sha,
+      | CAST(octet_length(encode(text)) % 512 + 16 AS BIGINT) AS width,
+      | CAST(octet_length(encode(text)) % 384 + 16 AS BIGINT) AS height,
+      | CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 30 + 1
+      |      ELSE 1 END AS BIGINT) AS n_frames
+      |FROM documents""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    Multimodal.decodeFeatures(Multimodal.asMedia(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+  }
+
+  /** Frame sampling (flatMap over the payload, stride 2 of 16-byte
+    * chunks): per-media sampled-frame count and last sampled index,
+    * both reproducible from byte lengths in the oracle. */
+  val m03 = q("m03_frame_sample",
+    """SELECT doc_id AS media_id,
+      | CAST((GREATEST(octet_length(encode(text)) // 16, 1) + 1) // 2 AS BIGINT) AS n_sampled,
+      | CAST(2 * ((GREATEST(octet_length(encode(text)) // 16, 1) - 1) // 2) AS BIGINT) AS last_idx
+      |FROM documents""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, dir)))
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frame_idx")).cast("long").as("last_idx"))
+  }
+
 
   /** Cumulative (running) aggregation per key — unbounded-preceding
     * frame, exact decimal running sum. */
@@ -1187,5 +1228,5 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08,
     t01, t02, t03, t04, t05, t06, t07,
     s01, s02, s03, s04,
-    m01)
+    m01, m02, m03)
 }
