@@ -979,6 +979,19 @@ object Queries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
   }
 
+  /** Stratified corpus re-mixing: deterministic per-language sampling
+    * rates (25% en, keep-all zh, 50% elsewhere) via the md5-threshold
+    * trick — full row output so the oracle hash-checks exactly which
+    * rows survived, not just counts. */
+  val t08 = q("t08_stratified_sample",
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      | CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'zz' ELSE '80' END""".stripMargin) { (s, dir) =>
+    TextAnalysis.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+      .select("doc_id", "lang", "source")
+  }
+
   // --------------------------------------------- similarity (LLM pipeline)
 
   /** Brute-force cosine top-5: queries = vec_id < 10 (broadcast side),
@@ -1226,7 +1239,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
     d01, d02, d03, d04, d05, d06, d07, d08,
-    t01, t02, t03, t04, t05, t06, t07,
+    t01, t02, t03, t04, t05, t06, t07, t08,
     s01, s02, s03, s04,
     m01, m02, m03)
 }

@@ -145,4 +145,26 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
         substring(TextOps.fingerprint(col(textCol)), 1, 16).as("fp"))
       .withColumn("band", substring(col("fp"), 1, 4))
+
+  /** Deterministic per-stratum downsampling — the corpus re-mixing step
+    * of a training-data pipeline (e.g. keep 25% of English, all of a
+    * low-resource language). [[hashSplit]]'s engine-portable md5 trick
+    * generalized to rates: a row survives iff its first two id-hash
+    * nibbles sort below the stratum's threshold (granularity 1/256).
+    * Content-independent and RNG-free, so the sample is reproducible
+    * across runs, engines, and partitionings, and the same row is kept
+    * in every re-run — the property that makes incremental re-builds of
+    * a 100 TB mix cheap. Strata missing from `rates` use `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    def thr(rate: Double): String =
+      if (rate >= 1.0) "zz" // sorts above every hex pair: keep all
+      else f"${math.max(0L, math.round(rate * 256))}%02x"
+    val thrCol = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
+      case (els, (k, r)) => when(col(stratumCol) === k, lit(thr(r))).otherwise(els)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 2) < thrCol)
+  }
 }
