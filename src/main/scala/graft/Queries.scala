@@ -979,6 +979,28 @@ object Queries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
   }
 
+  /** Benchmark decontamination: shingle containment of every train doc
+    * against a small eval split (doc_id % 50 = 0), eval side broadcast,
+    * train corpus never shuffled. Flags the planted duplicate at
+    * containment 1.0 plus high-overlap near-misses. */
+  val d09 = q("d09_contamination",
+    """WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |  THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |  ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 50 <> 0)
+      |SELECT train_id, eval_id, containment FROM (
+      | SELECT train_id, eval_id,
+      |  round(CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE) / len(ev.sh), 6) AS containment
+      | FROM tr, ev)
+      |WHERE containment >= 0.05""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingleN = 3, minContainment = 0.05)
+  }
+
   /** Stratified corpus re-mixing: deterministic per-language sampling
     * rates (25% en, keep-all zh, 50% elsewhere) via the md5-threshold
     * trick — full row output so the oracle hash-checks exactly which
@@ -1238,7 +1260,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    d01, d02, d03, d04, d05, d06, d07, d08,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09,
     t01, t02, t03, t04, t05, t06, t07, t08,
     s01, s02, s03, s04,
     m01, m02, m03)

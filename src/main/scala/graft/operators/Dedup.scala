@@ -119,6 +119,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination check — the decontamination step of a
+    * training-data pipeline: for each (train doc, eval doc) pair, the
+    * shingle containment |shingles(train) ∩ shingles(eval)| /
+    * |shingles(eval)|, thresholded. Scale shape: the eval side (a
+    * benchmark, thousands of docs) is BROADCAST as exploded shingles;
+    * the train corpus streams through one narrow scan + broadcast hash
+    * join — the 100 TB side is never shuffled, and the post-join
+    * aggregate is partial (map-side combined) on matched pairs only.
+    * Both frames: (`idCol`, `textCol`). Output: train_id, eval_id,
+    * containment (rounded 6dp; filter on the rounded value so both
+    * engines make identical inclusion decisions). */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3,
+                    minContainment: Double = 0.05): DataFrame = {
+    def sh(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+    val ev = sh(eval, "eval_id").localCheckpoint(false)
+    val evSizes = ev.select(col("eval_id"), size(col("sh")).cast("long").as("n_eval"))
+    val evShingles = ev.select(col("eval_id"), explode(col("sh")).as("shingle"))
+    sh(train, "train_id")
+      .select(col("train_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evShingles), "shingle")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evSizes), "eval_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_eval"), 6))
+      .filter(col("containment") >= minContainment)
+      .select("train_id", "eval_id", "containment")
+  }
+
   /** Duplicate-cluster assignment: connected components over candidate
     * pairs — the keep-one-per-cluster step after LSH. Min-label
     * propagation with pointer jumping (each round also adopts the label

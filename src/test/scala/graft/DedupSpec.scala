@@ -57,6 +57,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (x, y) => x == 2L || y == 2L })
   }
 
+  test("contamination flags eval overlap by containment, not train size") {
+    val train = Seq(
+      (10L, base),                                       // exact copy of eval 0
+      (11L, base.replace("lazy", "sleepy")),             // high overlap
+      (12L, "completely different content about spark query engines and shuffles here now")
+    ).toDF("doc_id", "text")
+    val eval = Seq((0L, base)).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text",
+        shingleN = 3, minContainment = 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((10L, 0L)) == 1.0, "exact copy must have containment 1")
+    assert(got.contains((11L, 0L)) && got((11L, 0L)) < 1.0)
+    assert(!got.keys.exists(_._1 == 12L), "unrelated doc must not be flagged")
+  }
+
   test("jaccardPairs (LSH-routed) equals the full pairwise join on the test corpus") {
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val lsh = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
