@@ -1014,6 +1014,25 @@ object Queries {
       .select("doc_id", "lang", "source")
   }
 
+  /** Sequence packing: docs → 512-token packs within 8 shards (prefix
+    * sum over a bounded window partition), then per-pack occupancy —
+    * exercises the full window + re-aggregation pipeline. */
+  val t09 = q("t09_sequence_packing",
+    """SELECT shard, pack_id, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM (
+      | SELECT doc_id, doc_id % 8 AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(len(string_split(text, ' ')))
+      |    OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+      |   - len(string_split(text, ' '))) // 512 AS BIGINT) AS pack_id
+      | FROM documents)
+      |GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        capacity = 512, shards = 8)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   // --------------------------------------------- similarity (LLM pipeline)
 
   /** Brute-force cosine top-5: queries = vec_id < 10 (broadcast side),
@@ -1261,7 +1280,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    t01, t02, t03, t04, t05, t06, t07, t08,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09,
     s01, s02, s03, s04,
     m01, m02, m03)
 }

@@ -146,6 +146,28 @@ object TextAnalysis {
         substring(TextOps.fingerprint(col(textCol)), 1, 16).as("fp"))
       .withColumn("band", substring(col("fp"), 1, 4))
 
+  /** Sequence packing — assign documents to fixed-capacity token packs
+    * (the "pack short docs into 4k-token training sequences" step).
+    * Deterministic greedy fill: within a shard, documents are laid out
+    * in id order and a document belongs to the pack containing its
+    * first token (`floor(prefix_tokens / capacity)`). Sharding
+    * (`doc_id % shards`) bounds every window partition, so the prefix
+    * sum distributes — one shuffle on the shard key, no global sort;
+    * at 100 TB, shards scale with the corpus and each pack sequence is
+    * built locally. Output: one row per doc with (shard, pack_id,
+    * n_tokens). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    capacity: Int, shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          lit(capacity.toDouble)).cast("long"))
+  }
+
   /** Deterministic per-stratum downsampling — the corpus re-mixing step
     * of a training-data pipeline (e.g. keep 25% of English, all of a
     * low-resource language). [[hashSplit]]'s engine-portable md5 trick

@@ -86,4 +86,20 @@ class TextMultimodalSpec extends AnyFunSuite {
     val feat = Multimodal.decodeFeatures(Multimodal.asMedia(docs)).head()
     assert(meta._2 == feat.n_bytes && meta._3 == feat.sha)
   }
+
+  test("packSequences fills packs greedily in id order within shards") {
+    // all docs land in shard 0 (even ids, shards=2); token counts
+    // 3,2,4,1 → first-token offsets 0,3,5,9 → packs 0,0,1,2 at cap 4
+    val docs = Seq((0L, "a b c"), (2L, "d e"), (4L, "f g h i"), (6L, "j"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, "doc_id", "text",
+        capacity = 4, shards = 2)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 2L -> 0L, 4L -> 1L, 6L -> 2L))
+    // partitioning-independent: same assignment after a repartition
+    val re = TextAnalysis.packSequences(docs.repartition(7), "doc_id", "text",
+        capacity = 4, shards = 2)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
 }
