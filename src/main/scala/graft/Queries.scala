@@ -1033,6 +1033,50 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  /** The corpus-prep pipeline END TO END as ONE declarative plan:
+    * quality gate → exact-dedup keep-one → stratified re-mix → sequence
+    * packing → per-pack occupancy. Each stage is individually verified
+    * (t02, d02, t08, t09); this query proves they COMPOSE — Catalyst
+    * sees a single plan (quality filter pushed below both dedup
+    * aggregations, one shuffle per stage key), which is exactly how a
+    * production 100 TB prep job should be written: no intermediate
+    * materialization, AQE re-plans stage by stage. */
+  val p01 = q("p01_corpus_prep",
+    s"""WITH quality AS (
+       | SELECT doc_id, text, lang FROM documents
+       | WHERE (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+       |  AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |   / len(string_split(text, ' ')) > 0.2)),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5($normSql)),
+       |sampled AS (
+       | SELECT q.doc_id, q.text FROM quality q JOIN keep k ON q.doc_id = k.doc_id
+       | WHERE substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) <
+       |  CASE q.lang WHEN 'en' THEN '80' ELSE 'zz' END),
+       |packed AS (
+       | SELECT doc_id, doc_id % 4 AS shard,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST((SUM(len(string_split(text, ' ')))
+       |    OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+       |   - len(string_split(text, ' '))) // 512 AS BIGINT) AS pack_id
+       | FROM sampled)
+       |SELECT shard, pack_id, COUNT(*) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val quality = docs.join(
+      TextAnalysis.quality(docs, "doc_id", "text")
+        .filter(col("is_quality")).select("doc_id"), "doc_id")
+    val keep = quality
+      .groupBy(md5(TextOps.normText(col("text"))))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val sampled = TextAnalysis.stratifiedSample(quality.join(keep, "doc_id"),
+      "doc_id", "lang", Map("en" -> 0.5), defaultRate = 1.0)
+    TextAnalysis.packSequences(sampled, "doc_id", "text", capacity = 512, shards = 4)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   // --------------------------------------------- similarity (LLM pipeline)
 
   /** Brute-force cosine top-5: queries = vec_id < 10 (broadcast side),
@@ -1282,5 +1326,5 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09,
     s01, s02, s03, s04,
-    m01, m02, m03)
+    m01, m02, m03, p01)
 }
