@@ -1062,15 +1062,16 @@ object Queries {
        |SELECT shard, pack_id, COUNT(*) AS n_docs,
        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val quality = docs.join(
-      TextAnalysis.quality(docs, "doc_id", "text")
-        .filter(col("is_quality")).select("doc_id"), "doc_id")
-    val keep = quality
-      .groupBy(md5(TextOps.normText(col("text"))))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val sampled = TextAnalysis.stratifiedSample(quality.join(keep, "doc_id"),
+    // ONE corpus scan: inline quality predicate, then keep-one as
+    // row_number over the norm-hash window (≡ min doc_id per group,
+    // without the groupBy + join-back that would re-scan documents)
+    val quality = Tables.documents(s, dir)
+      .filter(TextAnalysis.qualityPredicate(col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(TextOps.normText(col("text")))).orderBy(col("doc_id"))
+    val kept = quality.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val sampled = TextAnalysis.stratifiedSample(kept,
       "doc_id", "lang", Map("en" -> 0.5), defaultRate = 1.0)
     TextAnalysis.packSequences(sampled, "doc_id", "text", capacity = 512, shards = 4)
       .groupBy("shard", "pack_id")

@@ -58,6 +58,16 @@ object TextAnalysis {
       .drop("t")
   }
 
+  /** The is_quality gate as a standalone predicate — for single-scan
+    * use inside composed pipelines (p01), where materializing the full
+    * metrics frame and joining back would force extra corpus scans.
+    * Raw (unrounded) ratio, matching the oracle's comparison. */
+  def qualityPredicate(textCol: Column): Column = {
+    val toks = TextOps.tokens(textCol)
+    size(toks).between(10, 1000) &&
+      (size(array_distinct(toks)).cast("double") / size(toks) > 0.2)
+  }
+
   /** Corpus token statistics by language: total/distinct token counts and
     * document counts — a single explode + hash aggregation. */
   def tokenStats(docs: DataFrame, textCol: String, langCol: String,
