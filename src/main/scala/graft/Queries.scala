@@ -813,16 +813,38 @@ object Queries {
     Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
   }
 
-  /** Near-dup cluster assignment: LSH candidate pairs → connected
-    * components (min-label propagation). No SQL oracle (depends on the
-    * hash-specific candidate set); component logic is unit-tested on
-    * known graphs. */
-  val d07 = qNoOracle("d07_dedup_clusters") { (s, dir) =>
-    // threshold the edges: raw band collisions include low-similarity
-    // false positives that would transitively merge unrelated docs
+  /** Near-dup cluster assignment: exact-Jaccard edges (LSH-routed, the
+    * d05 pair set) → connected components (min-label propagation).
+    * Thresholding on the EXACT re-ranked jaccard — not the minhash
+    * estimate — makes the edge set engine-independent, so components
+    * are fully oracle-checkable: DuckDB rebuilds the same graph and
+    * takes min-reachable-id per node via a recursive CTE. (r01 scored
+    * this query no-oracle; the est_jaccard edge filter was the only
+    * hash-specific part.) */
+  val d07 = q("d07_dedup_clusters",
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      | WHERE jaccard >= 0.5),
+      |edges AS (
+      | SELECT doc_a AS src, doc_b AS dst FROM pairs
+      | UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+      |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin) { (s, dir) =>
     Dedup.clusters(
-      Dedup.minhashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
-        .filter(col("est_jaccard") >= 0.5))
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+        .select("doc_a", "doc_b"))
   }
 
   /** Cluster-level MinHash sketches: one unionized signature per
@@ -834,9 +856,10 @@ object Queries {
     * ndarray cells), which left this query entirely unchecked in r01. */
   val d08 = qNoOracle("d08_cluster_signatures") { (s, dir) =>
     val docs = Tables.documents(s, dir)
+    // same exact-Jaccard edge set as d07, so the two cluster views agree
     val cl = Dedup.clusters(
-      Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .filter(col("est_jaccard") >= 0.5))
+      Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+        .select("doc_a", "doc_b"))
     val sigs = Dedup.signatures(docs, "doc_id", "text", numHashes = 32)
     sigs.join(cl, "doc_id")
       .groupBy("cluster_id")
