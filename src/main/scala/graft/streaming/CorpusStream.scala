@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+import graft.operators.TextAnalysis
+
+/** Continuous corpus ingestion — the streaming face of the corpus-prep
+  * pipeline (batch twin: p01 in [[graft.Queries]]): documents arrive as
+  * JSON lines, pass the quality gate, and exact duplicates (by
+  * normalized-content fingerprint) are dropped within the watermark
+  * horizon before the append sink.
+  *
+  * Scale posture: the quality gate and fingerprint are stateless,
+  * per-row, codegen'd; the only state is the dedup map, bounded by
+  * (distinct fingerprints × watermark horizon) — the same state
+  * discipline as MinuteStream (T4/T5). A true cross-corpus dedup at
+  * 100 TB runs as the batch d02/d07 jobs over the landed data; the
+  * stream drops the re-deliveries and rapid re-posts that would
+  * otherwise dominate the landing zone.
+  */
+object CorpusStream {
+  /** Wire schema: one JSON document per line. */
+  val doc: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType),
+    StructField("ts", TimestampType, nullable = false)))
+
+  /** Raw JSON lines (column `value`) → typed doc rows. */
+  def parseDocs(lines: DataFrame): DataFrame =
+    lines.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), doc).as("d"))
+      .select("d.*")
+
+  /** Quality gate + watermarked content dedup. Works on static and
+    * streaming frames alike. */
+  def prepare(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val gated = docs
+      .filter(TextAnalysis.qualityPredicate(col("text")))
+      .withColumn("fp", md5(TextOps.normText(col("text"))))
+    if (docs.isStreaming)
+      gated.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(Seq("fp"))   // keeps first ARRIVAL
+    else {
+      // batch twin keeps min doc_id per content (the d02 rule) — a bare
+      // dropDuplicates would keep whichever row a partition saw first
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      gated.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** Run the ingestion end-to-end: lines → prepare → partitioned
+    * parquet append (by lang, the downstream mix/filter key). */
+  def start(lines: DataFrame, outDir: String, checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+            watermark: String = "10 minutes"): StreamingQuery =
+    prepare(parseDocs(lines), watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .partitionBy("lang")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CorpusStream
+
+/** Streaming corpus ingestion: quality gate + watermarked content dedup
+  * end-to-end off a memory source into partitioned parquet. */
+class CorpusStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val longText =
+    (1 to 30).map(i => s"token$i").mkString(" ") // 30 unique tokens: quality
+
+  private def doc(id: Long, text: String, lang: String, tsSec: Long) =
+    s"""{"doc_id": $id, "text": "$text", "lang": "$lang", "ts": "2025-01-01 10:${"%02d".format(tsSec / 60)}:${"%02d".format(tsSec % 60)}"}"""
+
+  test("stream drops low-quality docs and re-delivered content") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("corpus_out").toString
+    val ckpt = Files.createTempDirectory("corpus_ckpt").toString
+    val input = MemoryStream[String]
+    val q = CorpusStream.start(input.toDF(), out, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"), watermark = "10 minutes")
+    input.addData(doc(1, longText, "en", 0))
+    input.addData(doc(2, "too short", "en", 10))                  // < 10 tokens
+    input.addData(doc(3, longText, "en", 20))                     // dup of 1
+    input.addData(doc(4, longText.toUpperCase, "de", 30))         // dup after norm
+    input.addData(doc(5, longText + " extra tail tokens here", "fr", 40))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.schema(
+      org.apache.spark.sql.types.StructType(CorpusStream.doc.fields :+
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType))
+      ).parquet(out)
+    val ids = landed.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 5L), s"expected only docs 1 and 5, got $ids")
+    // partitioned by lang for downstream pruning
+    assert(new java.io.File(s"$out/lang=en").exists())
+  }
+
+  test("prepare on a static frame applies the same gate and dedup") {
+    val docs = Seq(
+      (1L, longText, "en"),
+      (2L, "too short", "en"),
+      (3L, longText, "en")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2025-01-01 10:00:00")))
+    val got = CorpusStream.prepare(docs).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}
