@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.model.Schemas
 import graft.sources.Connectors
-import graft.streaming.{AlertSink, MinuteStream}
+import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
 
 /** Operational entry point — the deployable job that composes
   * connectors, parsing, streaming, and sinks end-to-end, mirroring the
@@ -46,8 +46,8 @@ object EdgeRunner {
   def parse(args: Array[String]): Config = {
     val kv = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
     val mode = kv.getOrElse("--mode",
-      sys.error("--mode batch|stream|meta is required"))
-    require(Set("batch", "stream", "meta")(mode), s"unknown mode $mode")
+      sys.error("--mode batch|stream|meta|corpus is required"))
+    require(Set("batch", "stream", "meta", "corpus")(mode), s"unknown mode $mode")
     Config(
       mode = mode,
       in = kv.getOrElse("--in", sys.error("--in kafka://host:port/topic | file:/dir")),
@@ -135,15 +135,28 @@ object EdgeRunner {
       cfg.out, trigger, cfg.threshold, sink.onAlert)
   }
 
+  /** `--mode corpus`: streaming corpus ingestion (quality gate +
+    * watermarked content dedup → lang-partitioned parquet). Beyond the
+    * reference's surface — the LLM-pipeline counterpart of `stream`. */
+  def startCorpus(spark: SparkSession, cfg: Config,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
+      "--out and --checkpoint are required in corpus mode")
+    CorpusStream.start(readStreamEnvelopes(spark, cfg.in), cfg.out,
+      cfg.checkpoint, trigger)
+  }
+
+  private def await(q: StreamingQuery, timeoutSec: Option[Long]): Unit =
+    timeoutSec match {
+      case Some(t) => q.awaitTermination(t * 1000L); q.stop()
+      case None    => q.awaitTermination()
+    }
+
   def run(spark: SparkSession, cfg: Config): Unit = cfg.mode match {
-    case "batch" => println(s"[edge] stock_bars rows: ${runBatch(spark, cfg)}")
-    case "meta"  => println(s"[edge] company_data rows: ${runMeta(spark, cfg)}")
-    case "stream" =>
-      val q = startStream(spark, cfg)
-      cfg.timeoutSec match {
-        case Some(t) => q.awaitTermination(t * 1000L); q.stop()
-        case None    => q.awaitTermination()
-      }
+    case "batch"  => println(s"[edge] stock_bars rows: ${runBatch(spark, cfg)}")
+    case "meta"   => println(s"[edge] company_data rows: ${runMeta(spark, cfg)}")
+    case "stream" => await(startStream(spark, cfg), cfg.timeoutSec)
+    case "corpus" => await(startCorpus(spark, cfg), cfg.timeoutSec)
   }
 
   def main(args: Array[String]): Unit = {

@@ -59,6 +59,27 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/metrics").columns.contains("is_anomaly"))
   }
 
+  test("--mode corpus ingests documents with gate + dedup") {
+    val in = Files.createTempDirectory("edge_corpus").toString
+    val out = Files.createTempDirectory("edge_corpus_out").toString
+    val ckpt = Files.createTempDirectory("edge_corpus_ckpt").toString
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    writeLines(in, "docs.json", Seq(
+      s"""{"doc_id": 1, "text": "$text", "lang": "en", "ts": "2025-01-01 10:00:00"}""",
+      s"""{"doc_id": 2, "text": "short", "lang": "en", "ts": "2025-01-01 10:00:10"}""",
+      s"""{"doc_id": 3, "text": "$text", "lang": "en", "ts": "2025-01-01 10:00:20"}"""))
+    val cfg = EdgeRunner.parse(Array("--mode", "corpus", "--in", s"file:$in",
+      "--out", out, "--checkpoint", ckpt))
+    val q = EdgeRunner.startCorpus(spark, cfg, Trigger.ProcessingTime("0 seconds"))
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.types._
+    val landed = spark.read.schema(StructType(
+      graft.streaming.CorpusStream.doc.fields :+ StructField("fp", StringType)))
+      .parquet(out)
+    assert(landed.count() == 1, "only the first quality doc survives")
+  }
+
   test("parse rejects bad modes and missing inputs") {
     intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "nope", "--in", "x")))
     intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "batch")))
