@@ -801,11 +801,34 @@ object Queries {
       .select("keep_id", "dup_count")
   }
 
-  /** MinHash+LSH near-dup candidate pairs (no SQL oracle: xxhash64-based
-    * signatures are engine-specific; correctness covered by ScalaTest
-    * against exact Jaccard). */
-  val d03 = qNoOracle("d03_dedup_minhash_pairs") { (s, dir) =>
-    Dedup.minhashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+  /** MinHash+LSH near-dup candidate pairs, fully oracle-checked: the
+    * registered plan uses the engine-PORTABLE md5 signatures
+    * (Dedup.portableSignatures — string-min over fixed-width hex), so
+    * DuckDB reproduces the exact signature/band/candidate/estimate
+    * pipeline bit-for-bit. The production path — same banding, native
+    * xxhash64 signature expression, ~10× faster — is what d05/d07/d08
+    * route through and what DedupSpec covers against exact Jaccard. */
+  val d03 = q("d03_dedup_minhash_pairs",
+    """WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |ab AS (SELECT doc_id, list_transform(sh, s ->
+      |   [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 1000000007,
+      |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 1000000007]) AS ab
+      | FROM d),
+      |sigs AS (SELECT doc_id,
+      |  list_transform(range(32), i ->
+      |    list_min(list_transform(ab, p -> (p[1] + i * p[2]) % 1000000007))) AS sig
+      | FROM ab)
+      |SELECT doc_a, doc_b, est_jaccard FROM (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32, 6) AS est_jaccard,
+      |  list_max(list_transform(range(16), bb ->
+      |    CAST((a.sig[bb*2+1] = b.sig[bb*2+1] AND a.sig[bb*2+2] = b.sig[bb*2+2]) AS INT))) AS hit
+      | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+      |WHERE hit = 1""".stripMargin) { (s, dir) =>
+    Dedup.minhashCandidatePairsPortable(Tables.documents(s, dir), "doc_id", "text")
   }
 
   /** SimHash fingerprints (no SQL oracle — hash-specific). */

@@ -26,30 +26,23 @@ object Dedup {
       graft.plans.TextHash.minhashSig(
         TextOps.tokens(lower(col(textCol))), shingleN, numHashes).as("sig"))
 
-  /** LSH candidate pairs with estimated Jaccard. `bands` bands of
-    * `numHashes/bands` rows; docs sharing any band key become candidates.
-    * est_jaccard = fraction of matching signature components.
+  /** Banded LSH pair generation over a (doc_id, sig array) frame: docs
+    * sharing any band key become candidates; est_jaccard = fraction of
+    * matching signature components. Works for any element type whose
+    * string form is equality-faithful (long, hex string).
     *
     * One scan, one self-equi-join on (band_idx, band_key), one dedup
-    * shuffle on the pair key. Signatures are carried through the band
-    * explode (bands × sig ≈ a few KB/doc) — cheaper than recomputing
-    * the signature subplan for each join side, and the pair dedup keys
-    * only on (doc_a, doc_b), never on the arrays. */
-  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int = 32, bands: Int = 16,
-                            shingleN: Int = 3): DataFrame = {
+    * shuffle on the pair key. The caller materializes `sigs` once
+    * (localCheckpoint): the frame feeds four subplans (two band-join
+    * sides, two sig join-backs) and broadcast joins would otherwise
+    * recompute the signature pipeline per subplan. Pair dedup keys on
+    * int ids only; sig arrays never ride the band shuffle (measured
+    * ~4× faster than carrying them through the explode + dedup). */
+  private def bandedPairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
         "would silently drop signature components from banding")
     val rows = numHashes / bands
-    // The signature frame feeds four subplans (two band-join sides, two
-    // sig join-backs); with broadcast joins Spark cannot dedupe them
-    // via ReusedExchange, so the whole tokenize→shingle→minhash pass
-    // would run four times. localCheckpoint materializes it once — the
-    // in-memory analog of persisting a signature table, which is the
-    // production shape at corpus scale.
-    val sigs = signatures(docs, idCol, textCol, numHashes, shingleN)
-      .localCheckpoint(false)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
@@ -57,11 +50,6 @@ object Dedup {
       .toDF("doc_id", "band_idx", "band_key")
     val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
-    // Pair dedup on int ids only; sig arrays never ride the band shuffle.
-    // The two sig join-backs are identical subplans → Spark reuses one
-    // shuffle exchange (ReusedExchange) rather than recomputing the
-    // signature pipeline. Measured ~4× faster than carrying the sig
-    // arrays through the explode + dedup.
     val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -74,6 +62,37 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6))
       .select("doc_a", "doc_b", "est_jaccard")
   }
+
+  /** MinHash+LSH candidate pairs over the native xxhash64 signatures —
+    * the production path (fast, engine-specific hashes). */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 32, bands: Int = 16,
+                            shingleN: Int = 3): DataFrame =
+    bandedPairs(
+      signatures(docs, idCol, textCol, numHashes, shingleN).localCheckpoint(false),
+      numHashes, bands)
+
+  /** Engine-PORTABLE MinHash signatures: md5-seeded affine hash family
+    * (one md5 per shingle), via the native
+    * [[graft.plans.MinHashShinglePortable]] expression. Any engine with
+    * md5 reproduces them bit-for-bit, so the full MinHash+LSH pipeline
+    * becomes oracle-checkable (d03). Costs one digest per shingle —
+    * use the xxhash64 [[signatures]] for production throughput; this is
+    * the differential-testing twin. */
+  def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.plans.TextHash.minhashSigPortable(
+        TextOps.tokens(col(textCol)), shingleN, numHashes).as("sig"))
+
+  /** [[minhashCandidatePairs]] over the portable md5 signatures. */
+  def minhashCandidatePairsPortable(docs: DataFrame, idCol: String,
+                                    textCol: String, numHashes: Int = 32,
+                                    bands: Int = 16, shingleN: Int = 3): DataFrame =
+    bandedPairs(
+      portableSignatures(docs, idCol, textCol, numHashes, shingleN)
+        .localCheckpoint(false),
+      numHashes, bands)
 
   /** (doc_id, simhash): 64-bit SimHash per document via the native
     * [[graft.plans.SimHash64]] expression. */

@@ -45,6 +45,10 @@ object TextHash {
     GraftShim.column(
       MinHashShingleSig(GraftShim.expression(tokens), shingleN, numHashes))
 
+  def minhashSigPortable(tokens: Column, shingleN: Int, numHashes: Int): Column =
+    GraftShim.column(
+      MinHashShinglePortable(GraftShim.expression(tokens), shingleN, numHashes))
+
   def simhash(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
 }
@@ -106,6 +110,89 @@ case class MinHashShingleSig(child: Expression, shingleN: Int, numHashes: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashShingleSig =
     copy(child = c)
+}
+
+/** Engine-PORTABLE MinHash signature (array<string> → array<long>):
+  * component i = min over word-`shingleN`-gram shingles of
+  * `(a + i·b) mod 1000000007`, where a/b are the first/second 15 hex
+  * chars of md5(shingle) reduced mod p — pure md5 + bounded integer
+  * arithmetic, so any engine reproduces the signatures bit-for-bit
+  * (DuckDB: substr(md5(s)) + CAST('0x…' AS BIGINT); the d03 oracle).
+  * One md5 per shingle (not per component) via the Kirsch-Mitzenmacher
+  * affine family; thread-local digest because codegen shares the
+  * expression instance across tasks. The xxhash64 [[MinHashShingleSig]]
+  * stays the production signature (no string/digest work at all). */
+case class MinHashShinglePortable(child: Expression, shingleN: Int, numHashes: Int)
+    extends UnaryExpression {
+  import MinHashShinglePortable.P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashP", this, classOf[MinHashShinglePortable].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    val nShingles = if (n >= shingleN) n - shingleN + 1 else 1
+    val width = if (n >= shingleN) shingleN else n
+    val md = MinHashShinglePortable.digest.get()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(s + j).toString)
+        j += 1
+      }
+      md.reset()
+      val hx = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // hex chars [0,15) and [16,31) as 60-bit ints, reduced mod p so
+      // a + i*b never overflows (mirrors the oracle's % before the *)
+      val a = MinHashShinglePortable.hexRange(hx, 0, 15) % P
+      val b = MinHashShinglePortable.hexRange(hx, 16, 31) % P
+      var k = 0
+      while (k < numHashes) {
+        val h = (a + k * b) % P
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashShinglePortable =
+    copy(child = c)
+}
+
+object MinHashShinglePortable {
+  /** The affine-family modulus (used identically in the SQL oracle). */
+  val P = 1000000007L
+
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Value of hex-digit positions [from, until) of a digest — exactly
+    * `CAST('0x' || substr(hex, from+1, until-from) AS BIGINT)`. */
+  def hexRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < until) {
+      val b = bytes(i / 2) & 0xff
+      val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
 }
 
 /** 64-bit SimHash of a token array (array<string> → long): signed

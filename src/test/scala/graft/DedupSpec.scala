@@ -57,6 +57,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (x, y) => x == 2L || y == 2L })
   }
 
+  test("portable minhash expression matches the composed md5 form") {
+    val P = 1000000007L
+    val composed = docs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        array_min(transform(TextOps.shingles(TextOps.tokens(col("text")), 3), s =>
+          (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
+            + i.cast("long") * (conv(substring(md5(s), 17, 15), 16, 10).cast("long") % P)) % P)))
+        .as("sig")).as[(Long, Seq[Long])].collect().toMap
+    val native = graft.operators.Dedup.portableSignatures(docs, "doc_id", "text", 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == composed)
+  }
+
   test("contamination flags eval overlap by containment, not train size") {
     val train = Seq(
       (10L, base),                                       // exact copy of eval 0
