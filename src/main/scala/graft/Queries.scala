@@ -831,9 +831,23 @@ object Queries {
     Dedup.minhashCandidatePairsPortable(Tables.documents(s, dir), "doc_id", "text")
   }
 
-  /** SimHash fingerprints (no SQL oracle — hash-specific). */
-  val d04 = qNoOracle("d04_dedup_simhash") { (s, dir) =>
-    Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
+  /** SimHash fingerprints, fully oracle-checked: the registered plan
+    * uses the engine-portable 60-bit md5 variant, which the oracle
+    * rebuilds with the same hex-derived token hashes and per-bit votes.
+    * The xxhash64 [[Dedup.simhashes]] stays the production variant
+    * (unit-tested for hamming behavior in DedupSpec). */
+  val d04 = q("d04_dedup_simhash",
+    """WITH h AS (SELECT doc_id,
+      |  list_transform(string_split(lower(text), ' '), w ->
+      |    CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(list_sum(list_transform(range(60), b ->
+      |  CASE WHEN list_sum(list_transform(hs, x ->
+      |    CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM h""".stripMargin) { (s, dir) =>
+    Dedup.simhashesPortable(Tables.documents(s, dir), "doc_id", "text")
   }
 
   /** Near-dup cluster assignment: exact-Jaccard edges (LSH-routed, the

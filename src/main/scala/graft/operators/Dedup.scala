@@ -101,6 +101,13 @@ object Dedup {
       graft.plans.TextHash.simhash(
         TextOps.tokens(lower(col(textCol)))).as("simhash"))
 
+  /** Engine-portable 60-bit SimHash (md5 token hashes) — the
+    * oracle-checkable twin of [[simhashes]] (d04). */
+  def simhashesPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.plans.TextHash.simhashPortable(
+        TextOps.tokens(lower(col(textCol)))).as("simhash"))
+
   /** Exact n-gram Jaccard over candidate pairs produced by a blocking
     * key (here: any equi-join the caller supplies). Set semantics,
     * |A∩B| / |A∪B| in integer arithmetic → deterministic. Native

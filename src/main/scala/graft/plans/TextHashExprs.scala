@@ -51,6 +51,9 @@ object TextHash {
 
   def simhash(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+
+  def simhashPortable(tokens: Column): Column =
+    GraftShim.column(SimHashPortable(GraftShim.expression(tokens)))
 }
 
 /** MinHash signature over word-`shingleN`-gram shingles of a token
@@ -177,7 +180,7 @@ object MinHashShinglePortable {
   /** The affine-family modulus (used identically in the SQL oracle). */
   val P = 1000000007L
 
-  private val digest: ThreadLocal[java.security.MessageDigest] =
+  private[plans] val digest: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Value of hex-digit positions [from, until) of a digest — exactly
@@ -231,5 +234,51 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Engine-PORTABLE 60-bit SimHash (array<string> → long): per-token
+  * hash = first 15 hex chars of md5(token) (60 bits), signed per-bit
+  * vote, bit set iff the vote is strictly positive. Any md5-capable
+  * engine reproduces it (the d04 oracle does, with `>>`/`&` on the
+  * same hex-derived BIGINT). The xxhash64 [[SimHash64]] stays the
+  * production variant. */
+case class SimHashPortable(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashP", this, classOf[SimHashPortable].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(toks: ArrayData): Long = {
+    val md = MinHashShinglePortable.digest.get()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.numElements()) {
+      md.reset()
+      val hx = md.digest(toks.getUTF8String(i).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = MinHashShinglePortable.hexRange(hx, 0, 15)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashPortable =
     copy(child = c)
 }
