@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Exact, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, TextAnalysis}
+
+/** Property-based checks (plain scalacheck) of the determinism and
+  * algebra the engine's oracle parity depends on: randomized inputs,
+  * invariants that must hold for every partitioning and distribution. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("dsumM equals the BigDecimal reference sum regardless of partitioning") {
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.chooseNum(-99999.99, 99999.99)
+        .map(v => math.rint(v * 100) / 100))
+      parts <- Gen.chooseNum(1, 8)
+    } yield (xs.take(60), parts)
+    check("dsumM", Prop.forAll(gen) { case (xs, parts) =>
+      val expect = xs.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val got = xs.toDF("v").repartition(parts)
+        .agg(Exact.dsumM(col("v"))).as[Double].head()
+      got == expect
+    })
+  }
+
+  test("shingle count is max(1, n - 2) and every shingle has <= 3 words") {
+    val gen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd")))
+    check("shingles", Prop.forAll(gen) { toks =>
+      val got = Seq(Tuple1(toks.mkString(" "))).toDF("t")
+        .select(TextOps.shingles(TextOps.tokens(col("t")), 3))
+        .as[Seq[String]].head()
+      got.size == math.max(1, toks.size - 2) &&
+        got.forall(_.split(" ").length <= 3)
+    })
+  }
+
+  test("stratifiedSample is a subset, monotone in rate, and repartition-stable") {
+    val df = spark.range(0, 400).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("lang"))
+    def ids(rate: Double, parts: Int) =
+      TextAnalysis.stratifiedSample(df.repartition(parts), "doc_id", "lang",
+        Map.empty, defaultRate = rate).select("doc_id").as[Long].collect().toSet
+    val r25 = ids(0.25, 3)
+    val r50 = ids(0.5, 5)
+    val all = ids(1.0, 2)
+    assert(r25.subsetOf(r50) && r50.subsetOf(all), "rate monotonicity")
+    assert(all.size == 400)
+    assert(ids(0.5, 1) == r50, "partitioning independence")
+    // rates are 1/256-granular; uniform hashes land near the target
+    assert(math.abs(r50.size - 200) < 60, s"rate 0.5 kept ${r50.size}/400")
+  }
+
+  test("native as-of join equals a naive per-row scan on random data") {
+    val gen = for {
+      trades <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(0L, 50L)))
+      quotes <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(0L, 50L)))
+    } yield (trades, quotes.distinctBy { case (k, ts) => (k, ts) })
+    check("asof", Prop.forAll(gen) { case (trades, quotes) =>
+      // quotes are unique per (key, ts): the as-of match is well-defined
+      val t = trades.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("trade_id", "k", "ts")
+      val qv = quotes.zipWithIndex.map { case ((k, ts), i) => (i.toLong * 7, k, ts) }
+        .toDF("qid", "k", "ts")
+      val got = AsOfJoin.asOfNative(t, qv, Seq("k"), "ts", "ts",
+          Map("qid" -> "qid"))
+        .select("trade_id", "qid").as[(Long, Option[Long])].collect().toMap
+      val naive = trades.zipWithIndex.map { case ((k, ts), i) =>
+        val c = quotes.zipWithIndex
+          .filter { case ((qk, qts), _) => qk == k && qts <= ts }
+        i.toLong -> (if (c.isEmpty) None
+          else Some(c.maxBy { case ((_, qts), _) => qts }._2.toLong * 7))
+      }.toMap
+      got == naive
+    }, n = 10)
+  }
+
+  test("dot and norm match plain scala arithmetic") {
+    // 1/16-granular components: products and sums are exact in binary,
+    // so argument order cannot matter and equality is legitimate
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-64, 64).map(_ / 16.0))
+    check("dot/norm", Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(VectorOps.dot(col("a"), col("b")).as("d"),
+          VectorOps.norm(col("a")).as("n"))
+        .as[(Double, Double)].head()
+      row._1 == a.zip(b).map { case (x, y) => x * y }.sum &&
+        row._2 == math.sqrt(a.map(x => x * x).sum)
+    })
+  }
+}
