@@ -16,6 +16,59 @@ object SetExprs {
 
   def charGramMarkerCount(s: Column, markers: Seq[String], n: Int): Column =
     GraftShim.column(CharGramMarkerCount(GraftShim.expression(s), markers, n))
+
+  def shingleArray(toks: Column, n: Int): Column =
+    GraftShim.column(ShingleArray(GraftShim.expression(toks), n))
+}
+
+/** Word n-gram shingles over a token array (array<string> →
+  * array<string>), one pass: each shingle is a single UTF8String
+  * concat. Replaces the composed `transform(sequence(...), i ->
+  * concat_ws(" ", slice(toks, i+1, n)))`, whose interpreted lambda +
+  * per-shingle slice allocation dominated the shingle-heavy operators
+  * (d09 contamination measured 3.5 s warm → ~1 s at sf0.1). Semantics
+  * identical to the composed form and to the SQL oracles' shingle CTE:
+  * documents shorter than `n` collapse to one whole-document shingle.
+  */
+case class ShingleArray(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShingleArray].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(toks: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sep = ShingleArray.Space
+    val cnt = toks.numElements()
+    val nShingles = if (cnt >= n) cnt - n + 1 else 1
+    val width = if (cnt >= n) n else cnt
+    val out = new Array[AnyRef](nShingles)
+    val parts = new Array[UTF8String](width)
+    var s = 0
+    while (s < nShingles) {
+      var j = 0
+      while (j < width) { parts(j) = toks.getUTF8String(s + j); j += 1 }
+      out(s) = UTF8String.concatWs(sep, parts: _*)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleArray =
+    copy(child = c)
+}
+
+object ShingleArray {
+  private[plans] val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 }
 
 /** Fused char-n-gram marker count over a STRING: slides an n-char
