@@ -190,9 +190,18 @@ object Dedup {
     * component), one row per node appearing in `pairs`. */
   def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint(false)
+    // Size the iteration's parallelism to the GRAPH, not the session
+    // default: near-dup graphs are a sliver of the corpus (thresholded
+    // LSH pairs), and running every per-round shuffle at the session's
+    // shuffle.partitions makes tiny label frames pay pure task-schedule
+    // overhead × rounds. ~500k edges per partition; grows with the
+    // graph, so a billion-edge run still gets full parallelism.
+    val parts = math.max(1, math.min(edges0.rdd.getNumPartitions,
+      math.ceil(edges0.count() / 500000.0).toInt))
+    val edges = edges0.repartition(parts, col("dst")).localCheckpoint(false)
     def labelSum(df: DataFrame): BigDecimal = {
       // sum() over an empty frame is SQL NULL — map it to 0 explicitly
       val s = df.agg(sum(col("cluster_id")
@@ -202,6 +211,7 @@ object Dedup {
     }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .repartition(parts, col("doc_id"))
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -216,6 +226,7 @@ object Dedup {
         .select(col("doc_id"), col("jump").as("cluster_id"))
       val next = labels.union(viaNeighbors).union(viaLabel)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .repartition(parts, col("doc_id"))
         .localCheckpoint(false)
       val s = labelSum(next)
       converged = s == prevSum

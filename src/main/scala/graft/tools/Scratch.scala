@@ -42,11 +42,15 @@ object Scratch {
       spark.stop()
       return
     }
+    val tb = System.nanoTime()
     val df = name match {
       case "entry" => graft.SparkEntry.entry(spark)
       case "_sigs" => Dedup.signatures(Tables.documents(spark, dir), "doc_id", "text", 32)
       case _ => graft.SparkEntry.queries(name)(spark, dir)
     }
+    // plan-build is not free for operators with eager steps (iterative
+    // clustering, index builds) — surface it separately
+    println(s"build=${(System.nanoTime() - tb) / 1e9}s")
     if (sys.env.contains("SCRATCH_EXPLAIN")) { df.explain("formatted"); df.show(10, false) }
     val t0 = System.nanoTime()
     val n = df.count()
