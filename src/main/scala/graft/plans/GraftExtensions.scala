@@ -11,6 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_simhash(tokens)                      → bigint
   *   graft_dot(a, b)                            → double
   *   graft_norm_sq(a)                           → double
+  *   graft_shingles(tokens, n)                  → array<string>
+  *   graft_jaccard(a, b)                        → double
+  *   graft_minhash_portable(tokens, shingleN, numHashes) → array<bigint>
+  *   graft_simhash_portable(tokens)             → bigint
   *
   * Wire up via `.withExtensions(new GraftExtensions)` or the standard
   * `spark.sql.extensions=graft.plans.GraftExtensions` conf, or call
@@ -46,7 +50,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => VecDot(args.head, args(1))),
     ("graft_norm_sq",
       new ExpressionInfo(classOf[VecNormSq].getName, "graft_norm_sq"),
-      (args: Seq[Expression]) => VecNormSq(args.head)))
+      (args: Seq[Expression]) => VecNormSq(args.head)),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShingleArray(args.head, intArg(args(1), "n"))),
+    ("graft_jaccard",
+      new ExpressionInfo(classOf[ArrayJaccard].getName, "graft_jaccard"),
+      (args: Seq[Expression]) => ArrayJaccard(args.head, args(1))),
+    ("graft_minhash_portable",
+      new ExpressionInfo(classOf[MinHashShinglePortable].getName, "graft_minhash_portable"),
+      (args: Seq[Expression]) =>
+        MinHashShinglePortable(args.head, intArg(args(1), "shingleN"),
+          intArg(args(2), "numHashes"))),
+    ("graft_simhash_portable",
+      new ExpressionInfo(classOf[SimHashPortable].getName, "graft_simhash_portable"),
+      (args: Seq[Expression]) => SimHashPortable(args.head)))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

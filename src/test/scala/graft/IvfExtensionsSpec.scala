@@ -78,10 +78,18 @@ class IvfExtensionsSpec extends AnyFunSuite {
       """SELECT graft_simhash(array('a','b')) AS sh,
         |  graft_minhash(array('w1','w2','w3','w4'), 3, 8) AS mh,
         |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-        |  graft_norm_sq(array(3.0d, 4.0d)) AS n2""".stripMargin).head()
+        |  graft_norm_sq(array(3.0d, 4.0d)) AS n2,
+        |  graft_shingles(array('a','b','c','d'), 3) AS sg,
+        |  graft_jaccard(array('x','y'), array('y','z')) AS j,
+        |  graft_minhash_portable(array('w1','w2','w3','w4'), 3, 8) AS mhp,
+        |  graft_simhash_portable(array('a','b')) AS shp""".stripMargin).head()
     assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Double]("n2") == 25.0)
+    assert(r.getAs[scala.collection.Seq[String]]("sg") == Seq("a b c", "b c d"))
+    assert(r.getAs[Double]("j") == 0.333333) // jaccard rounds to 6dp
+    assert(r.getAs[scala.collection.Seq[Long]]("mhp").length == 8)
+    assert(r.getAs[Long]("shp") != 0L)
     // SQL function values match the Column-API expressions
     val viaCol = Seq((Seq("a", "b"), 1)).toDF("toks", "x")
       .select(graft.plans.TextHash.simhash(col("toks"))).as[Long].head()
