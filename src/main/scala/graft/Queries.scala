@@ -1122,15 +1122,13 @@ object Queries {
        |SELECT shard, pack_id, COUNT(*) AS n_docs,
        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
-    // ONE corpus scan: inline quality predicate, then keep-one as
-    // row_number over the norm-hash window (≡ min doc_id per group,
-    // without the groupBy + join-back that would re-scan documents)
+    // ONE corpus scan: inline quality predicate, then keep-one as a
+    // window over the norm-hash (≡ min doc_id per group, without the
+    // groupBy + join-back that would re-scan documents)
     val quality = Tables.documents(s, dir)
       .filter(TextAnalysis.qualityPredicate(col("text")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(TextOps.normText(col("text")))).orderBy(col("doc_id"))
-    val kept = quality.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val kept = Dedup.keepOneByContent(quality, "doc_id",
+      md5(TextOps.normText(col("text"))))
     val sampled = TextAnalysis.stratifiedSample(kept,
       "doc_id", "lang", Map("en" -> 0.5), defaultRate = 1.0)
     TextAnalysis.packSequences(sampled, "doc_id", "text", capacity = 512, shards = 4)

@@ -145,6 +145,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Keep-one-per-content (the d02 rule as a transform): retain the
+    * row with the minimum `idCol` per `contentKey` — one window over
+    * the content-hash partition, which Catalyst prunes to per-hash
+    * top-1 before the shuffle (WindowGroupLimit), instead of a
+    * groupBy + join-back that re-scans the input. Shared by the p01
+    * pipeline and CorpusStream's batch twin so the keep rule cannot
+    * drift between them. */
+  def keepOneByContent(df: DataFrame, idCol: String, contentKey: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(contentKey).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Benchmark-contamination check — the decontamination step of a
     * training-data pipeline: for each (train doc, eval doc) pair, the
     * shingle containment |shingles(train) ∩ shingles(eval)| /
@@ -159,6 +173,10 @@ object Dedup {
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3,
                     minContainment: Double = 0.05): DataFrame = {
+    // the shingle equi-join can only surface pairs sharing ≥1 shingle,
+    // so a 0.0 threshold (the full matrix) is not expressible here
+    require(minContainment > 0.0,
+      s"minContainment must be > 0 (zero-overlap pairs never join); got $minContainment")
     def sh(df: DataFrame, as: String) =
       df.select(col(idCol).as(as),
         array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))

@@ -193,7 +193,9 @@ object TextAnalysis {
                        defaultRate: Double): DataFrame = {
     def thr(rate: Double): String =
       if (rate >= 1.0) "zz" // sorts above every hex pair: keep all
-      else f"${math.max(0L, math.round(rate * 256))}%02x"
+      // clamp to 255: round(rate*256)=256 would format as 3-char "100",
+      // which sorts BELOW "11".."ff" and would keep ~6% instead of ~100%
+      else f"${math.min(255L, math.max(0L, math.round(rate * 256)))}%02x"
     val thrCol = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
       case (els, (k, r)) => when(col(stratumCol) === k, lit(thr(r))).otherwise(els)
     }

@@ -56,19 +56,38 @@ object AlertSink {
     val sink = new AlertSink(m => messages.synchronized { messages += m })
   }
 
+  /** Full JSON string escaping: backslash, quote, and every control
+    * char — a tab in a free-form upstream symbol would otherwise make
+    * the payload invalid JSON and lose the alert with a 400. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** HTTP POST to a Slack-compatible webhook: payload {"text": msg}.
-    * Built on java.net.http (JDK 11+); never exercised in the sandbox
-    * (zero egress) — the formatting/trigger logic is covered by the
-    * recording sink instead. */
-  def webhook(url: String): AlertSink = new AlertSink({ msg =>
-    val json = "{\"text\":\"" + msg
-      .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\"}"
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(json))
-      .build()
-    java.net.http.HttpClient.newHttpClient()
-      .send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
-    ()
-  })
+    * One shared client with connect + request timeouts — delivery runs
+    * on the streaming DRIVER inside foreachBatch, so an unresponsive
+    * endpoint must fail the one alert, not wedge every micro-batch.
+    * Never exercised in the sandbox (zero egress) — the formatting/
+    * trigger logic is covered by the recording sink instead. */
+  def webhook(url: String,
+              timeout: java.time.Duration = java.time.Duration.ofSeconds(10)): AlertSink = {
+    lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+    new AlertSink({ msg =>
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(timeout)
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "{\"text\":\"" + jsonEscape(msg) + "\"}"))
+        .build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      ()
+    })
+  }
 }

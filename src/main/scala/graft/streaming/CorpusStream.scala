@@ -44,14 +44,10 @@ object CorpusStream {
     if (docs.isStreaming)
       gated.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(Seq("fp"))   // keeps first ARRIVAL
-    else {
+    else
       // batch twin keeps min doc_id per content (the d02 rule) — a bare
       // dropDuplicates would keep whichever row a partition saw first
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("fp")).orderBy(col("doc_id"))
-      gated.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
+      graft.operators.Dedup.keepOneByContent(gated, "doc_id", col("fp"))
   }
 
   /** Run the ingestion end-to-end: lines → prepare → partitioned

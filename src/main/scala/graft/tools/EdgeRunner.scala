@@ -44,7 +44,14 @@ object EdgeRunner {
     timeoutSec: Option[Long] = None)  // stream mode: stop after N seconds
 
   def parse(args: Array[String]): Config = {
-    val kv = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    require(args.length % 2 == 0,
+      s"dangling argument '${args.last}' — flags take exactly one value")
+    val kv = args.grouped(2).collect { case Array(k, v) =>
+      require(k.startsWith("--"), s"expected a --flag, got '$k'")
+      require(!v.startsWith("--"),
+        s"flag $k is missing its value (found '$v')")
+      k -> v
+    }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus is required"))
     require(Set("batch", "stream", "meta", "corpus")(mode), s"unknown mode $mode")
@@ -109,20 +116,28 @@ object EdgeRunner {
   private def saveMode(s: String): SaveMode =
     if (s == "overwrite") SaveMode.Overwrite else SaveMode.Append
 
-  /** `--mode batch`: OHLCV bars → stock_bars (load_batch_ohlcv). */
-  def runBatch(spark: SparkSession, cfg: Config): Long = {
-    val bars = parseJson(readBatchJson(spark, cfg.in), Schemas.bar)
-    writeTable(cfg, bars, "stock_bars", saveMode(cfg.dbMode), Seq("symbol"))
-    bars.count()
+  /** Write, then count the SAME snapshot: without the persist, the
+    * count would re-run the source read — a second full scan whose
+    * Kafka offsets can differ from what was written. */
+  private def writeAndCount(cfg: Config, df: DataFrame, table: String,
+                            mode: SaveMode, partitionBy: Seq[String]): Long = {
+    df.persist()
+    try {
+      writeTable(cfg, df, table, mode, partitionBy)
+      df.count()
+    } finally { df.unpersist(); () }
   }
+
+  /** `--mode batch`: OHLCV bars → stock_bars (load_batch_ohlcv). */
+  def runBatch(spark: SparkSession, cfg: Config): Long =
+    writeAndCount(cfg, parseJson(readBatchJson(spark, cfg.in), Schemas.bar),
+      "stock_bars", saveMode(cfg.dbMode), Seq("symbol"))
 
   /** `--mode meta`: company dimension → company_data, overwrite
     * (load_batch_meta; the reference always overwrites the dim). */
-  def runMeta(spark: SparkSession, cfg: Config): Long = {
-    val meta = parseJson(readBatchJson(spark, cfg.in), Schemas.company)
-    writeTable(cfg, meta, "company_data", SaveMode.Overwrite, Seq.empty)
-    meta.count()
-  }
+  def runMeta(spark: SparkSession, cfg: Config): Long =
+    writeAndCount(cfg, parseJson(readBatchJson(spark, cfg.in), Schemas.company),
+      "company_data", SaveMode.Overwrite, Seq.empty)
 
   /** `--mode stream`: envelopes → minute bars + metrics + alerts
     * (run_minute_stream_metric). Returns the running query. */
@@ -130,7 +145,7 @@ object EdgeRunner {
                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
     require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
       "--out and --checkpoint are required in stream mode")
-    val sink = cfg.webhook.map(AlertSink.webhook).getOrElse(AlertSink.noop)
+    val sink = cfg.webhook.map(u => AlertSink.webhook(u)).getOrElse(AlertSink.noop)
     MinuteStream.start(readStreamEnvelopes(spark, cfg.in), cfg.checkpoint,
       cfg.out, trigger, cfg.threshold, sink.onAlert)
   }

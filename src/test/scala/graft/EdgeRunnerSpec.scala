@@ -85,5 +85,10 @@ class EdgeRunnerSpec extends AnyFunSuite {
     intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "batch")))
     val cfg = EdgeRunner.parse(Array("--mode", "stream", "--in", "file:/x"))
     intercept[IllegalArgumentException](EdgeRunner.startStream(spark, cfg))
+    // a flag missing its value must fail loudly, not silently re-pair
+    intercept[IllegalArgumentException](
+      EdgeRunner.parse(Array("--mode", "batch", "--in", "--out", "/tmp/x")))
+    intercept[IllegalArgumentException](
+      EdgeRunner.parse(Array("--mode", "batch", "--in")))
   }
 }

@@ -60,6 +60,9 @@ class PropertySpec extends AnyFunSuite {
     assert(ids(0.5, 1) == r50, "partitioning independence")
     // rates are 1/256-granular; uniform hashes land near the target
     assert(math.abs(r50.size - 200) < 60, s"rate 0.5 kept ${r50.size}/400")
+    // regression: round(0.999*256)=256 once formatted as 3-char "100",
+    // which sorts below most hex pairs and silently kept ~6%
+    assert(ids(0.999, 1).size >= 380, "rates just below 1.0 must keep ~all")
   }
 
   test("native as-of join equals a naive per-row scan on random data") {

@@ -68,4 +68,9 @@ class StreamEndToEndSpec extends AnyFunSuite {
     assert(msg.linesIterator.toSeq(1).contains("Symbol: B"))
     assert(msg.contains("truncated at 2") && !msg.contains("Symbol: C"))
   }
+
+  test("webhook payload escaping covers quotes, backslashes, and control chars") {
+    assert(AlertSink.jsonEscape(("a\tb\"c\\d\ne" + 1.toChar)) ==
+      "a\\tb\\\"c\\\\d\\ne\\u0001")
+  }
 }
