@@ -112,6 +112,16 @@ object ScaleSmoke {
         Similarity.lshTopK(
           embeddings.filter(col("id") < 16), embeddings.filter(col("id") >= 16),
           5, dim = 64)
+      },
+      time(s"dedup_clusters_${nd}_docs") {
+        // full near-dup pipeline: signatures → bands → exact rerank →
+        // iterative components (parallelism sized to the graph)
+        Dedup.clusters(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+          .select("doc_a", "doc_b"))
+      },
+      time(s"contamination_${nd}_docs") {
+        Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
       })
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
