@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the scale properties the operators claim
+  * (no cartesian products, broadcast on the bounded side, single-scan
+  * pipelines, pushed filters, the native as-of exec) asserted against
+  * the actual physical plans, so a refactor that silently degrades a
+  * plan fails CI rather than only showing up at 100 TB. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("d06 embedding pairs come from bucket equi-joins, never a cartesian") {
+    val p = plan("d06_dedup_embedding")
+    assert(!p.contains("CartesianProduct"), "cartesian product in d06")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in d06")
+  }
+
+  test("d09 contamination broadcasts the eval side") {
+    val p = plan("d09_contamination")
+    assert(p.contains("BroadcastExchange"), "eval side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p01 corpus prep scans documents exactly once") {
+    val p = plan("p01_corpus_prep")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"expected a single documents scan:\n$p")
+  }
+
+  test("q02 predicates reach the parquet scan") {
+    val p = plan("q02_revenue_filter")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "shipdate filter must be pushed to the scan")
+  }
+
+  test("q36 runs the native as-of exec, not a range join") {
+    val p = plan("q36_asof_native")
+    assert(p.contains("AsOfJoin"), s"native as-of exec missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s01 brute-force top-k broadcasts the query side only") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+  }
+}
