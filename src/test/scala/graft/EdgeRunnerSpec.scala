@@ -80,6 +80,33 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(landed.count() == 1, "only the first quality doc survives")
   }
 
+  test("stream mode resumes from its checkpoint without duplicating bars") {
+    val in = Files.createTempDirectory("edge_resume").toString
+    val out = Files.createTempDirectory("edge_resume_out").toString
+    val ckpt = Files.createTempDirectory("edge_resume_ckpt").toString
+    val m0 = 1735732800000L
+    def env(p: Double, t: Long) =
+      s"""{"data": [{"p": $p, "s": "AAPL", "t": $t, "v": 1.0}]}"""
+    val cfg = EdgeRunner.parse(Array("--mode", "stream", "--in", s"file:$in",
+      "--out", out, "--checkpoint", ckpt))
+    // first run: one closed bar (watermark pushed by the +10min event)
+    writeLines(in, "a.json", Seq(env(100.0, m0 + 1000), env(101.0, m0 + 600000)))
+    val q1 = EdgeRunner.startStream(spark, cfg, Trigger.ProcessingTime("0 seconds"))
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(s"$out/bars").count()
+    assert(afterFirst >= 1)
+    // second run, SAME checkpoint: only the new file may contribute
+    writeLines(in, "b.json", Seq(env(102.0, m0 + 660000), env(103.0, m0 + 1200000)))
+    val q2 = EdgeRunner.startStream(spark, cfg, Trigger.ProcessingTime("0 seconds"))
+    q2.processAllAvailable(); q2.stop()
+    val bars = spark.read.parquet(s"$out/bars")
+    // the first run's bars appear exactly once (no reprocessing of a.json)
+    assert(bars.groupBy("timestamp", "symbol").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0,
+      "restart must not duplicate closed bars")
+    assert(bars.count() > afterFirst, "restart must process the new file")
+  }
+
   test("parse rejects bad modes and missing inputs") {
     intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "nope", "--in", "x")))
     intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "batch")))
