@@ -168,11 +168,16 @@ object Similarity {
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                      corpus: => DataFrame, nCentroids: Int, iters: Int = 3,
                      buckets: Int = 8): IVFModel = synchronized {
-    val exists = spark.catalog.tableExists(s"${name}_centroids") &&
-      spark.catalog.tableExists(s"${name}_assignments")
-    if (!exists || loadIvfIndex(spark, name).centroids.length != nCentroids)
+    val existing =
+      if (spark.catalog.tableExists(s"${name}_centroids") &&
+          spark.catalog.tableExists(s"${name}_assignments"))
+        Some(loadIvfIndex(spark, name))
+      else None
+    // single load on the hot path; rebuild only on absence/param drift
+    existing.filter(_.centroids.length == nCentroids).getOrElse {
       saveIvfIndex(spark, ivfIndex(corpus, nCentroids, iters), name, buckets)
-    loadIvfIndex(spark, name)
+      loadIvfIndex(spark, name)
+    }
   }
 
   /** Reload a persisted IVF index. */

@@ -80,14 +80,23 @@ object AlertSink {
     lazy val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(timeout).build()
     new AlertSink({ msg =>
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .timeout(timeout)
-        .header("Content-Type", "application/json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-          "{\"text\":\"" + jsonEscape(msg) + "\"}"))
-        .build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
-      ()
+      // a failed DELIVERY must cost only this alert: a throw here would
+      // fail the foreachBatch AFTER bars/metrics were already appended,
+      // and the checkpoint re-run would duplicate them. Log and move on.
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(timeout)
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "{\"text\":\"" + jsonEscape(msg) + "\"}"))
+          .build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+        if (resp.statusCode() >= 300)
+          System.err.println(s"[alert] webhook returned ${resp.statusCode()}; alert dropped")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[alert] webhook delivery failed: ${e.getMessage}; alert dropped")
+      }
     })
   }
 }
