@@ -1074,6 +1074,24 @@ object Queries {
       .select("doc_id", "lang", "source")
   }
 
+  /** Repetition profile (Gopher-style repetitive-text gate): per doc,
+    * total 3-gram shingles, the most-repeated shingle's count, and the
+    * ratio — integer-exact until the final rounded division. */
+  val t10 = q("t10_repetition",
+    """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+      | CAST(MAX(c) AS BIGINT) AS max_repeat,
+      | round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repeat_ratio
+      |FROM (
+      | SELECT doc_id, sh, COUNT(*) AS c FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      | GROUP BY doc_id, sh)
+      |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
     * sum over a bounded window partition), then per-pack occupancy —
     * exercises the full window + re-aggregation pipeline. */
@@ -1383,7 +1401,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     s01, s02, s03, s04,
     m01, m02, m03, p01)
 }

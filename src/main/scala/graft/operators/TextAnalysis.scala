@@ -156,6 +156,23 @@ object TextAnalysis {
         substring(TextOps.fingerprint(col(textCol)), 1, 16).as("fp"))
       .withColumn("band", substring(col("fp"), 1, 4))
 
+  /** Repetition profile per document — the repetitive-text quality
+    * filter of large-corpus pipelines (docs dominated by one repeated
+    * n-gram are boilerplate/spam): total shingles, the count of the
+    * most-repeated shingle, and their ratio. Two-level hash aggregation
+    * (both map-side combined), integer arithmetic until the final
+    * ratio → engine-exact and scale-safe. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_shingles"),
+        max("c").cast("long").as("max_repeat"))
+      .withColumn("repeat_ratio",
+        round(col("max_repeat").cast("double") / col("n_shingles"), 6))
+
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (the "pack short docs into 4k-token training sequences" step).
     * Deterministic greedy fill: within a shard, documents are laid out
