@@ -35,7 +35,13 @@ object Bench {
       // columns), timing a plan that never computes the metric.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop the finished query's localCheckpoint blocks: queries are
+      // independent, and letting ~dozens of materialized RDDs accumulate
+      // makes later queries pay the earlier ones' memory pressure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
