@@ -28,25 +28,34 @@ object Bench {
     // timed s04 is the production probe rather than index construction
     try Queries.prepare(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column. A bare count()
       // would let Catalyst prune unused projections (e.g. window
       // columns), timing a plan that never computes the metric.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop the finished query's localCheckpoint blocks: queries are
       // independent, and letting ~dozens of materialized RDDs accumulate
       // makes later queries pay the earlier ones' memory pressure
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> dt
+      // a failed query's time-to-crash is not a benchmark number: keep
+      // it out of the timings so a regression can't read as a speedup
+      if (ok) Some(name -> dt) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -417,16 +417,14 @@ object Queries {
   }
 
   /** Explicit GROUPING SETS (beyond rollup/cube). */
-  val q32 = q("q32_grouping_sets",
+  private val q32Sql =
     s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        | ${dsumMSql("l_quantity")} AS sum_qty
        |FROM lineitem
-       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+  val q32 = q("q32_grouping_sets", q32Sql) { (s, dir) =>
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-    s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       | ${dsumMSql("l_quantity")} AS sum_qty
-       |FROM lineitem
-       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    s.sql(q32Sql)
   }
 
   /** Sorted group concatenation (collect_set → sort → join = the
@@ -578,17 +576,15 @@ object Queries {
 
   /** Correlated scalar subquery (Catalyst decorrelates it into a left
     * outer aggregate-join — no per-row re-execution). */
-  val q37 = q("q37_correlated_subquery",
+  private val q37Sql =
     """SELECT c_custkey, c_name,
       | (SELECT max(o_totalprice) FROM orders o
       |  WHERE o.o_custkey = c.c_custkey) AS max_order
-      |FROM customer c""".stripMargin) { (s, dir) =>
+      |FROM customer c""".stripMargin
+  val q37 = q("q37_correlated_subquery", q37Sql) { (s, dir) =>
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.orders(s, dir).createOrReplaceTempView("orders")
-    s.sql("""SELECT c_custkey, c_name,
-      | (SELECT max(o_totalprice) FROM orders o
-      |  WHERE o.o_custkey = c.c_custkey) AS max_order
-      |FROM customer c""".stripMargin)
+    s.sql(q37Sql)
   }
 
   /** TPC-H Q7 shape: bilateral trade volume between nation pairs via a
@@ -1316,7 +1312,10 @@ object Queries {
   /** SQL entry path (TPC-H Q5 shape): the engine's surface is also
     * plain `spark.sql` over registered views — same Catalyst plan as
     * the DataFrame API, verified against the identical oracle text. */
-  val q31 = q("q31_sql_nation_revenue",
+  // bound ONCE and passed to both the oracle and s.sql — two inline
+  // copies would drift independently and silently break the "verified
+  // against the identical oracle text" guarantee
+  private val q31Sql =
     """SELECT n_name,
       | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n
@@ -1326,18 +1325,10 @@ object Queries {
       |JOIN nation ON s_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |WHERE r_name = 'ASIA'
-      |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      |GROUP BY n_name""".stripMargin
+  val q31 = q("q31_sql_nation_revenue", q31Sql) { (s, dir) =>
     Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
-    s.sql("""SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-      | COUNT(*) AS n
-      |FROM customer JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON o_orderkey = l_orderkey
-      |JOIN supplier ON l_suppkey = s_suppkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |JOIN region ON n_regionkey = r_regionkey
-      |WHERE r_name = 'ASIA'
-      |GROUP BY n_name""".stripMargin)
+    s.sql(q31Sql)
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold on the rounded

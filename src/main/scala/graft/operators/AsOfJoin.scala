@@ -41,10 +41,17 @@ object AsOfJoin {
       StructField(dst, right.schema(src).dataType, nullable = true) })
     val lPadded = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(rStruct))
-    val r0 = right.select(
-      (keyCols.map(col) :+ col(rightTs).as("__ts")) :+
-        struct(rightCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
-          .as("__r"): _*)
+    // right rows with a NULL key or NULL ts can never satisfy
+    // `r.key = l.key AND r.ts <= l.ts`; drop them here — otherwise a
+    // NULL __ts sorts FIRST in the window and gets carried as a
+    // spurious "earliest" match, and NULL keys would meet NULL-key
+    // left rows in the same window partition (partitionBy groups NULLs)
+    val r0 = right
+      .filter((keyCols.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+      .select(
+        (keyCols.map(col) :+ col(rightTs).as("__ts")) :+
+          struct(rightCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+            .as("__r"): _*)
       .withColumn("__side", lit(0))
     // align right frame to the left's full column set (typed nulls elsewhere)
     val rPadded = lPadded.columns.foldLeft(r0) { (d, c) =>

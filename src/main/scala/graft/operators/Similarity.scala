@@ -207,7 +207,11 @@ object Similarity {
     val scored = q.join(c, "cid")
       .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
-      .select("query_id", "neighbor_id", "cos").distinct()
+      // no distinct() needed: each corpus vector lives under exactly one
+      // cid and a query explodes to nProbe DISTINCT cids, so a
+      // (query_id, neighbor_id) pair can join at most once — a dedup
+      // here would be a full extra shuffle on the hot probe path
+      .select("query_id", "neighbor_id", "cos")
     Relational.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "cos", "rn")

@@ -53,8 +53,12 @@ object TextAnalysis {
       .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tok"), 6))
       .withColumn("avg_tok_len",
         round(length(replace(col("t"), lit(" "), lit(""))).cast("double") / col("n_tok"), 6))
+      // gate on the UNROUNDED ratio (same as qualityPredicate and the
+      // t02 oracle) — the rounded uniq_ratio display column could round
+      // a ratio in (0.2, 0.2 + 5e-7) down onto the threshold
       .withColumn("is_quality",
-        col("n_tok").between(10, 1000) && col("uniq_ratio") > 0.2)
+        col("n_tok").between(10, 1000) &&
+          (col("n_uniq").cast("double") / col("n_tok") > 0.2))
       .drop("t")
   }
 

@@ -98,16 +98,26 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // lookahead on the right side
+        // lookahead on the right side; rows with a NULL key or NULL ts
+        // can never satisfy `r.key = l.key AND r.ts <= l.ts` (SQL
+        // three-valued logic), so skip them — getLong on a null slot
+        // would otherwise read 0 and carry a 1970 "match"
         private var rRow: InternalRow = _
         private var rKey: UnsafeRow = _
         private var rTsVal: Long = 0L
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKey = rKeyProj(rRow).copy()
-            rTsVal = rTsProj(rRow).getLong(0)
-          } else { rRow = null; rKey = null }
+        private def advanceRight(): Unit = {
+          rRow = null; rKey = null
+          while (rRow == null && rIter.hasNext) {
+            val cand = rIter.next()
+            val k = rKeyProj(cand)
+            val t = rTsProj(cand)
+            if (!k.anyNull && !t.isNullAt(0)) {
+              rRow = cand
+              rKey = k.copy()
+              rTsVal = t.getLong(0)
+            }
+          }
+        }
         advanceRight()
 
         // carried state: last right row whose (key, ts) ≤ current left
@@ -118,7 +128,12 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTsVal = lTsProj(l).getLong(0)
+          val lTsRow = lTsProj(l)
+          // a left row with a NULL key or NULL ts matches nothing
+          // (left-outer: emit it with NULL carried columns)
+          if (lKey.anyNull || lTsRow.isNullAt(0))
+            return resultProj(joined(l, nullRight))
+          val lTsVal = lTsRow.getLong(0)
           // consume all right rows at-or-before this left position
           while (rRow != null && {
             val c = keyOrdering.compare(rKey, lKey)

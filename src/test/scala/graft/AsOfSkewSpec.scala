@@ -52,6 +52,34 @@ class AsOfSkewSpec extends AnyFunSuite {
       "expected AsOfJoinExec in the physical plan")
   }
 
+  test("asOf and asOfNative exclude NULL keys and NULL timestamps") {
+    // SQL semantics: `r.key = l.key AND r.ts <= l.ts` is never TRUE when
+    // any operand is NULL — NULL-key/NULL-ts right rows match nothing,
+    // NULL-key/NULL-ts left rows surface with NULL carried columns.
+    val trades = Seq(
+      (Some("A"), Some(ts(150)), 1L),   // normal: matches quote at 100
+      (None: Option[String], Some(ts(150)), 2L), // NULL key → no match
+      (Some("A"), None: Option[Timestamp], 3L),  // NULL ts → no match
+      (Some("N"), Some(ts(150)), 4L)    // key only present with NULLs on right
+    ).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      (Some("A"), Some(ts(100)), 10.0),
+      (None: Option[String], Some(ts(50)), 66.0),  // NULL key: unmatchable
+      (Some("N"), None: Option[Timestamp], 77.0)   // NULL ts: unmatchable
+    ).toDF("sym", "t", "px")
+    val expected = Map(1L -> Some(10.0), 2L -> None, 3L -> None, 4L -> None)
+    val composed = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t",
+        Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(composed == expected)
+    val native = AsOfJoin.asOfNative(trades, quotes, Seq("sym"), "t", "t",
+        Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(native == expected)
+  }
+
   test("rangeJoin equals the naive theta join") {
     val rnd = new scala.util.Random(5)
     val base = 1735732800000L
