@@ -475,21 +475,39 @@ object Queries {
     * per-user intervals (every 10th event opens one). The oracle is the
     * plain BETWEEN theta join; the engine runs the equi-join-on-bucket
     * plan (see Relational.rangeJoin). */
-  val q38 = q("q38_range_join",
+  // shared by q38 (bucketed plan) and q54 (native exec) — both paths
+  // must hash-match the same BETWEEN theta-join oracle
+  private val rangeJoinSql =
     """SELECT e.event_id, e.user_id, i.event_id AS interval_id
       |FROM events e JOIN
       | (SELECT event_id, user_id, ts AS start_ts,
       |   ts + INTERVAL 5 MINUTE AS end_ts
       |  FROM events WHERE event_id % 10 = 0) i
       | ON e.user_id = i.user_id
-      |  AND e.ts >= i.start_ts AND e.ts < i.end_ts""".stripMargin) { (s, dir) =>
+      |  AND e.ts >= i.start_ts AND e.ts < i.end_ts""".stripMargin
+  private def rangeJoinInputs(s: SparkSession, dir: String) = {
     val ev = Tables.events(s, dir)
     val intervals = ev.filter(col("event_id") % 10 === 0)
       .select(col("event_id").as("interval_id"), col("user_id"),
         col("ts").as("start_ts"),
         (col("ts") + expr("INTERVAL 5 MINUTE")).as("end_ts"))
-    Relational.rangeJoin(ev.select("event_id", "user_id", "ts"), intervals,
+    (ev.select("event_id", "user_id", "ts"), intervals)
+  }
+  val q38 = q("q38_range_join", rangeJoinSql) { (s, dir) =>
+    val (ev, intervals) = rangeJoinInputs(s, dir)
+    Relational.rangeJoin(ev, intervals,
         Seq("user_id"), "ts", "start_ts", "end_ts")
+      .select("event_id", "user_id", "interval_id")
+  }
+
+  /** Same range join through the native IntervalJoinExec (streamed
+    * active-interval merge, no bucket explode) — hash-matched to the
+    * identical oracle as q38, the q30/q36 pattern. */
+  val q54 = q("q54_range_join_native", rangeJoinSql) { (s, dir) =>
+    val (ev, intervals) = rangeJoinInputs(s, dir)
+    Relational.rangeJoinNative(ev, intervals,
+        Seq("user_id"), "ts", "start_ts", "end_ts",
+        Map("interval_id" -> "interval_id"))
       .select("event_id", "user_id", "interval_id")
   }
 
@@ -1390,7 +1408,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     s01, s02, s03, s04,

@@ -59,6 +59,42 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Native whole-operator form of [[rangeJoin]]
+    * (graft.plans.IntervalJoinExec): co-partition on the key, sort left
+    * by (key, ts) and right by (key, start), stream-merge with an
+    * active-interval buffer. No bucket explode — state and cost are
+    * independent of interval length, so long or skew-length intervals
+    * don't multiply the shuffled right side the way the bucketed form
+    * does. Inner join, `start <= ts < end`, same as [[rangeJoin]].
+    * Ordering columns must be timestamp/long. The right side is
+    * re-aliased, so self-joins (same source both sides) are safe. */
+  def rangeJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, startCol: String, endCol: String,
+                      rightCols: Map[String, String]): DataFrame = {
+    import graft.plans.{IntervalJoinNode, IntervalJoinStrategy}
+    import org.apache.spark.sql.GraftShim
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    // fresh exprIds on the right via aliases → self-interval-join safe
+    val rAliased = right.select(
+      keys.map(c => col(c).as(s"__rk_$c")) ++
+        Seq(col(startCol).as("__rs"), col(endCol).as("__re")) ++
+        rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rAliased.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = IntervalJoinNode(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(c => attr(rPlan, s"__rk_$c")),
+      attr(lPlan, tsCol), attr(rPlan, "__rs"), attr(rPlan, "__re"),
+      rightCols.values.toSeq.map(attr(rPlan, _)))
+    GraftShim.ofRows(spark, node)
+  }
+
   /** Latest row per key: aggregate max(ts) then equi-join back — the
     * reference's A3+J1 shape. The aggregated side is small (≤ one row per
     * key) so Catalyst broadcast-joins it under AQE; at 100 TB with high

@@ -99,6 +99,51 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(fast == naive && naive.nonEmpty)
   }
 
+  test("rangeJoinNative equals the naive theta join and plans the custom exec") {
+    val rnd = new scala.util.Random(11)
+    val base = 1735732800000L
+    val events = Seq.tabulate(400)(i =>
+      (i.toLong, s"u${rnd.nextInt(4)}", ts(base + rnd.nextInt(3600) * 1000L)))
+      .toDF("event_id", "user", "t")
+    // overlapping, variable-length intervals (some nested inside others)
+    // — exercises the active-buffer eviction that the sorted start
+    // order alone would get wrong
+    val intervals = Seq.tabulate(60)(i =>
+      { val s0 = base + rnd.nextInt(3600) * 1000L
+        (i.toLong + 1000, s"u${rnd.nextInt(4)}", ts(s0),
+          ts(s0 + (30 + rnd.nextInt(1200)) * 1000L)) })
+      .toDF("interval_id", "user", "start_ts", "end_ts")
+    val native = Relational.rangeJoinNative(events, intervals, Seq("user"),
+        "t", "start_ts", "end_ts", Map("interval_id" -> "interval_id"))
+    val got = native.select("event_id", "interval_id")
+      .as[(Long, Long)].collect().toList
+    val naive = events.join(intervals, Seq("user"))
+      .filter(col("t") >= col("start_ts") && col("t") < col("end_ts"))
+      .select("event_id", "interval_id").as[(Long, Long)].collect().toList
+    // multiset compare: an event inside two intervals must appear twice
+    assert(got.sorted == naive.sorted && naive.nonEmpty)
+    assert(native.queryExecution.executedPlan.treeString.contains("IntervalJoin"),
+      "expected IntervalJoinExec in the physical plan")
+  }
+
+  test("rangeJoinNative excludes NULL keys and NULL bounds") {
+    val events = Seq(
+      (1L, Some("A"), Some(ts(100))),
+      (2L, None: Option[String], Some(ts(100))),  // NULL key → no match
+      (3L, Some("A"), None: Option[Timestamp])    // NULL ts → no match
+    ).toDF("event_id", "user", "t")
+    val intervals = Seq(
+      (10L, Some("A"), Some(ts(50)), Some(ts(150))),
+      (11L, None: Option[String], Some(ts(0)), Some(ts(1000))), // NULL key
+      (12L, Some("A"), None: Option[Timestamp], Some(ts(1000))), // NULL start
+      (13L, Some("A"), Some(ts(0)), None: Option[Timestamp])     // NULL end
+    ).toDF("interval_id", "user", "start_ts", "end_ts")
+    val got = Relational.rangeJoinNative(events, intervals, Seq("user"),
+        "t", "start_ts", "end_ts", Map("interval_id" -> "interval_id"))
+      .select("event_id", "interval_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("saltedAgg equals plain aggregation") {
     val df = Seq.tabulate(1000)(i => ("hot", i.toDouble)) ++
       Seq.tabulate(10)(i => (s"k$i", i.toDouble))
