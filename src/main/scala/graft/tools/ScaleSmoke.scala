@@ -97,6 +97,16 @@ object ScaleSmoke {
         AsOfJoin.asOfNative(trades, quotes, Seq("user_id"), "ts", "ts",
           Map("qid" -> "quote_id", "value" -> "qv"))
       },
+      time(s"range_native_$ne") {
+        val intervals = events.filter(col("event_id") % 10 === 0)
+          .select(col("event_id").as("interval_id"), col("user_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 5 MINUTE")).as("end_ts"))
+        Relational.rangeJoinNative(
+          events.select("event_id", "user_id", "ts"), intervals,
+          Seq("user_id"), "ts", "start_ts", "end_ts",
+          Map("interval_id" -> "interval_id"))
+      },
       time(s"minhash_pairs_${nd}_docs") {
         Dedup.minhashCandidatePairs(docs, "doc_id", "text")
       },

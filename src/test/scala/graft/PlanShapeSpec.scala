@@ -44,6 +44,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q54 runs the native interval-join exec, no explode or cartesian") {
+    val p = plan("q54_range_join_native")
+    assert(p.contains("IntervalJoin"), s"native interval exec missing:\n$p")
+    assert(!p.contains("Generate") && !p.contains("CartesianProduct"),
+      "q54 must not explode buckets or cross-join")
+  }
+
   test("s01 brute-force top-k broadcasts the query side only") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("BroadcastExchange"), "query side must broadcast")
