@@ -511,6 +511,60 @@ object Queries {
       .select("event_id", "user_id", "interval_id")
   }
 
+  /** Unpivot / melt (wide → long reshape): three lineitem measures to
+    * (metric, val) rows — Spark's `unpivot` operator; the oracle is
+    * the equivalent UNION ALL (the semantic definition, engine-neutral).
+    * Values are raw parquet doubles on both sides, no arithmetic. */
+  val q55 = q("q55_unpivot",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      | 'qty' AS metric, l_quantity AS val
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+      | 'price', l_extendedprice FROM lineitem WHERE l_orderkey % 50 = 0
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+      | 'discount', l_discount FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_discount").as("discount"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty"), col("price"), col("discount")), "metric", "val")
+  }
+
+  /** Batch sessionization: per-user sessions split on >10-minute gaps,
+    * reduced to per-session stats. lag() marks session starts, a
+    * running sum numbers them — one shuffle on the key (see
+    * Relational.sessionize); the aggregation reuses the same hash
+    * partitioning. Ordering tiebreak (ts, event_id) is unique, so the
+    * session assignment is deterministic in both engines. */
+  val q56 = q("q56_sessionize",
+    """WITH marked AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 600
+      |  THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      | SELECT user_id, ts,
+      |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      | FROM marked
+      |)
+      |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val sess = Relational.sessionize(
+      Tables.events(s, dir).select("user_id", "ts", "event_id"),
+      Seq("user_id"), "ts", Seq(col("event_id")), 600L)
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .as("duration_s"))
+  }
+
   /** RANGE frame (time-based sliding aggregate: trailing 5 minutes per
     * key, by value range on epoch seconds — not a row count). */
   val q39 = q("q39_range_frame",
@@ -1408,7 +1462,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     s01, s02, s03, s04,

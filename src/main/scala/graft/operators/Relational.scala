@@ -95,6 +95,27 @@ object Relational {
     GraftShim.ofRows(spark, node)
   }
 
+  /** Sessionization: assign a session id per key, where a new session
+    * starts whenever the gap to the previous event exceeds
+    * `gapSeconds`. One window (single hash shuffle on the key +
+    * in-partition sort): lag() marks session starts, a running sum
+    * turns the marks into ids. `tieBreak` must make the ordering
+    * unique (the default RANGE frame treats order-by ties as one
+    * frame; a unique ordering makes RANGE ≡ ROWS and the result
+    * deterministic). Epoch seconds via unix_timestamp (floors —
+    * mirror with floor(epoch(ts)) in SQL oracles). */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tieBreak: Seq[Column], gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol) +: tieBreak: _*)
+    val sec = unix_timestamp(col(tsCol))
+    df.withColumn("__new_session",
+        when(lag(sec, 1).over(w).isNull ||
+          (sec - lag(sec, 1).over(w)) > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new_session")).over(w))
+      .drop("__new_session")
+  }
+
   /** Latest row per key: aggregate max(ts) then equi-join back — the
     * reference's A3+J1 shape. The aggregated side is small (≤ one row per
     * key) so Catalyst broadcast-joins it under AQE; at 100 TB with high
