@@ -27,7 +27,11 @@ object Bench {
     // build-once artifacts (IVF index): outside the timed loop, so the
     // timed s04 is the production probe rather than index construction
     try Queries.prepare(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // non-fatal (s04 rebuilds its index inline), but say so — a
+      // silent prepare failure would shift build cost into s04's timing
+      System.err.println(s"[bench] prepare failed: ${e.getMessage}")
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -101,7 +101,29 @@ object ScaleSmoke {
         val intervals = events.filter(col("event_id") % 10 === 0)
           .select(col("event_id").as("interval_id"), col("user_id"),
             col("ts").as("start_ts"),
-            (col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 5 MINUTE")).as("end_ts"))
+            (col("ts") + expr("INTERVAL 5 MINUTE")).as("end_ts"))
+        Relational.rangeJoinNative(
+          events.select("event_id", "user_id", "ts"), intervals,
+          Seq("user_id"), "ts", "start_ts", "end_ts",
+          Map("interval_id" -> "interval_id"))
+      },
+      // LONG intervals (2 h): the bucketed form explodes each interval
+      // into ~120 one-minute buckets; the native exec's cost doesn't
+      // depend on interval length. Timed side by side as the evidence.
+      time(s"range_long_bucketed_$ne") {
+        val intervals = events.filter(col("event_id") % 100 === 0)
+          .select(col("event_id").as("interval_id"), col("user_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+        Relational.rangeJoin(
+          events.select("event_id", "user_id", "ts"), intervals,
+          Seq("user_id"), "ts", "start_ts", "end_ts")
+      },
+      time(s"range_long_native_$ne") {
+        val intervals = events.filter(col("event_id") % 100 === 0)
+          .select(col("event_id").as("interval_id"), col("user_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
         Relational.rangeJoinNative(
           events.select("event_id", "user_id", "ts"), intervals,
           Seq("user_id"), "ts", "start_ts", "end_ts",
