@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{Exact, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Relational, TextAnalysis}
 
 /** Property-based checks (plain scalacheck) of the determinism and
   * algebra the engine's oracle parity depends on: randomized inputs,
@@ -85,6 +85,62 @@ class PropertySpec extends AnyFunSuite {
         i.toLong -> (if (c.isEmpty) None
           else Some(c.maxBy { case ((_, qts), _) => qts }._2.toLong * 7))
       }.toMap
+      got == naive
+    }, n = 10)
+  }
+
+  test("native interval join equals a naive per-row scan on random data") {
+    val gen = for {
+      events <- Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(0L, 60L)))
+      ivals <- Gen.listOfN(15, for {
+        k <- Gen.chooseNum(1, 3)
+        s <- Gen.chooseNum(0L, 60L)
+        len <- Gen.chooseNum(0L, 30L)  // zero-length and nested intervals
+      } yield (k, s, s + len))
+    } yield (events, ivals)
+    check("interval", Prop.forAll(gen) { case (events, ivals) =>
+      val e = events.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("event_id", "k", "ts")
+      val iv = ivals.zipWithIndex.map { case ((k, s, en), i) => (i.toLong, k, s, en) }
+        .toDF("iid", "k", "s", "e")
+      val got = Relational.rangeJoinNative(e, iv, Seq("k"), "ts", "s", "e",
+          Map("iid" -> "iid"))
+        .select("event_id", "iid").as[(Long, Long)].collect().toList.sorted
+      val naive = (for {
+        ((k, ts), i) <- events.zipWithIndex
+        ((ik, s, en), j) <- ivals.zipWithIndex
+        if ik == k && s <= ts && ts < en
+      } yield (i.toLong, j.toLong)).sorted
+      got == naive
+    }, n = 10)
+  }
+
+  test("sessionize assigns gap-split ids that match a sequential scan") {
+    val gen = for {
+      events <- Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(0L, 4000L)))
+      gap <- Gen.chooseNum(1L, 900L)
+    } yield (events.take(40).distinctBy(identity), gap)
+    check("sessionize", Prop.forAll(gen) { case (events, gap) =>
+      val df = events.zipWithIndex.map { case ((k, sec), i) =>
+        (i.toLong, k, new java.sql.Timestamp(sec * 1000L)) }
+        .toDF("event_id", "k", "ts")
+      val got = Relational.sessionize(df, Seq("k"), "ts",
+          Seq(col("event_id")), gap)
+        .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+      // sequential reference: per key, sorted by (sec, event_id),
+      // increment on first row or gap > threshold
+      val naive = events.zipWithIndex
+        .map { case ((k, sec), i) => (k, sec, i.toLong) }
+        .groupBy(_._1).values.flatMap { grp =>
+          val sorted = grp.sortBy(r => (r._2, r._3))
+          var sid = 0L
+          var prev = Option.empty[Long]
+          sorted.map { case (_, sec, id) =>
+            if (prev.isEmpty || sec - prev.get > gap) sid += 1
+            prev = Some(sec)
+            id -> sid
+          }
+        }.toMap
       got == naive
     }, n = 10)
   }
