@@ -29,8 +29,9 @@ object Bench {
     try Queries.prepare(spark, sfDir)
     catch { case e: Throwable =>
       // non-fatal (s04 rebuilds its index inline), but say so — a
-      // silent prepare failure would shift build cost into s04's timing
-      System.err.println(s"[bench] prepare failed: ${e.getMessage}")
+      // silent prepare failure would shift build cost into s04's timing.
+      // e.toString, not getMessage: an NPE would print "null"
+      System.err.println(s"[bench] prepare failed: $e")
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -41,7 +42,7 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] $name FAILED: $e")
           failed += name
           false
         }

@@ -21,7 +21,7 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: $e")
       }
       // free the finished query's localCheckpoint blocks (see Bench)
       spark.sparkContext.getPersistentRDDs.values

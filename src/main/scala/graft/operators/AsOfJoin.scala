@@ -78,11 +78,10 @@ object AsOfJoin {
                  leftTs: String, rightTs: String,
                  rightCols: Map[String, String]): DataFrame = {
     import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    import graft.plans.NativeJoinSupport.{attr, ensureStrategy}
     import org.apache.spark.sql.GraftShim
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    ensureStrategy(spark, AsOfJoinStrategy)
     // fresh exprIds on the right via aliases → self-as-of safe
     val rAliased = right.select(
       keyCols.map(c => col(c).as(s"__rk_$c")) ++
@@ -90,10 +89,6 @@ object AsOfJoin {
         rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rAliased.queryExecution.analyzed
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             name: String) =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column $name not found"))
     val node = AsOfJoinNode(lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), keyCols.map(c => attr(rPlan, s"__rk_$c")),
       attr(lPlan, leftTs), attr(rPlan, "__rts"),

@@ -72,11 +72,10 @@ object Relational {
                       tsCol: String, startCol: String, endCol: String,
                       rightCols: Map[String, String]): DataFrame = {
     import graft.plans.{IntervalJoinNode, IntervalJoinStrategy}
+    import graft.plans.NativeJoinSupport.{attr, ensureStrategy}
     import org.apache.spark.sql.GraftShim
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    ensureStrategy(spark, IntervalJoinStrategy)
     // fresh exprIds on the right via aliases → self-interval-join safe
     val rAliased = right.select(
       keys.map(c => col(c).as(s"__rk_$c")) ++
@@ -84,10 +83,6 @@ object Relational {
         rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rAliased.queryExecution.analyzed
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             name: String) =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column $name not found"))
     val node = IntervalJoinNode(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(c => attr(rPlan, s"__rk_$c")),
       attr(lPlan, tsCol), attr(rPlan, "__rs"), attr(rPlan, "__re"),

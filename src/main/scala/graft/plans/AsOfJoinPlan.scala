@@ -24,6 +24,7 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                         leftTs: Attribute, rightTs: Attribute,
                         carried: Seq[Attribute]) extends BinaryNode {
+  NativeJoinSupport.requireMatchingKeyTypes("as-of join", leftKeys, rightKeys)
   // The exec reads ordering values with getLong, which is only correct
   // for 8-byte-backed types; an int/date column would silently read an
   // unsigned-extended slot and mis-join. Fail at plan construction.

@@ -31,6 +31,7 @@ case class IntervalJoinNode(left: LogicalPlan, right: LogicalPlan,
                             leftTs: Attribute,
                             rightStart: Attribute, rightEnd: Attribute,
                             carried: Seq[Attribute]) extends BinaryNode {
+  NativeJoinSupport.requireMatchingKeyTypes("interval join", leftKeys, rightKeys)
   // same getLong-backed restriction as AsOfJoinNode: int/date ordering
   // columns would silently read the wrong slot width — fail at build
   for (a <- Seq(leftTs, rightStart, rightEnd))

@@ -62,6 +62,14 @@ object ScaleSmoke {
       (name, dt)
     }
 
+    // every Nth event opens an interval of the given length — the same
+    // input for the bucketed and native range-join timings
+    def intervalsOf(ev: DataFrame, mod: Int, len: String): DataFrame =
+      ev.filter(col("event_id") % mod === 0)
+        .select(col("event_id").as("interval_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr(s"INTERVAL $len")).as("end_ts"))
+
     // warmup
     events.limit(1).count(); docs.limit(1).count()
 
@@ -98,12 +106,9 @@ object ScaleSmoke {
           Map("qid" -> "quote_id", "value" -> "qv"))
       },
       time(s"range_native_$ne") {
-        val intervals = events.filter(col("event_id") % 10 === 0)
-          .select(col("event_id").as("interval_id"), col("user_id"),
-            col("ts").as("start_ts"),
-            (col("ts") + expr("INTERVAL 5 MINUTE")).as("end_ts"))
         Relational.rangeJoinNative(
-          events.select("event_id", "user_id", "ts"), intervals,
+          events.select("event_id", "user_id", "ts"),
+          intervalsOf(events, 10, "5 MINUTE"),
           Seq("user_id"), "ts", "start_ts", "end_ts",
           Map("interval_id" -> "interval_id"))
       },
@@ -111,21 +116,15 @@ object ScaleSmoke {
       // into ~120 one-minute buckets; the native exec's cost doesn't
       // depend on interval length. Timed side by side as the evidence.
       time(s"range_long_bucketed_$ne") {
-        val intervals = events.filter(col("event_id") % 100 === 0)
-          .select(col("event_id").as("interval_id"), col("user_id"),
-            col("ts").as("start_ts"),
-            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
         Relational.rangeJoin(
-          events.select("event_id", "user_id", "ts"), intervals,
+          events.select("event_id", "user_id", "ts"),
+          intervalsOf(events, 100, "2 HOURS"),
           Seq("user_id"), "ts", "start_ts", "end_ts")
       },
       time(s"range_long_native_$ne") {
-        val intervals = events.filter(col("event_id") % 100 === 0)
-          .select(col("event_id").as("interval_id"), col("user_id"),
-            col("ts").as("start_ts"),
-            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
         Relational.rangeJoinNative(
-          events.select("event_id", "user_id", "ts"), intervals,
+          events.select("event_id", "user_id", "ts"),
+          intervalsOf(events, 100, "2 HOURS"),
           Seq("user_id"), "ts", "start_ts", "end_ts",
           Map("interval_id" -> "interval_id"))
       },

@@ -126,6 +126,24 @@ class AsOfSkewSpec extends AnyFunSuite {
       "expected IntervalJoinExec in the physical plan")
   }
 
+  test("native joins reject mismatched key types at plan build") {
+    // INT vs BIGINT keys would hash-partition the two sides differently
+    // and compare through the wrong slot width — must fail loudly, not
+    // silently join nothing
+    val l = Seq((1, ts(100), 1L)).toDF("k", "t", "id")       // k: INT
+    val r = Seq((1L, ts(50), 9.0)).toDF("k", "t", "px")      // k: BIGINT
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, r, Seq("k"), "t", "t", Map("px" -> "px"))
+    }
+    assert(e1.getMessage.contains("key types must match"))
+    val r2 = Seq((1L, ts(50), ts(150), 9L)).toDF("k", "s", "e", "iid")
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.rangeJoinNative(l, r2, Seq("k"), "t", "s", "e",
+        Map("iid" -> "iid"))
+    }
+    assert(e2.getMessage.contains("key types must match"))
+  }
+
   test("rangeJoinNative excludes NULL keys and NULL bounds") {
     val events = Seq(
       (1L, Some("A"), Some(ts(100))),
