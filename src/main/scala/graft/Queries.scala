@@ -397,20 +397,27 @@ object Queries {
         count(lit(1)).as("n_rows"))
   }
 
-  /** Same as-of semantics through the NATIVE whole-operator path
-    * (graft.plans.AsOfJoinExec — custom LogicalPlan + Strategy +
-    * SparkPlan), checked against the identical oracle as q30. */
-  val q36 = q("q36_asof_native",
+  // shared by q30 (composed), q36 (native exec), and q57 (broadcast) —
+  // three physical strategies, one oracle. (key, ts) is unique on the
+  // quote side here, so the forms' tie-break differences cannot show.
+  private val asofSql =
     """SELECT t.event_id, t.user_id,
       | q.event_id AS quote_event_id, q.value AS quote_value
       |FROM (SELECT * FROM events WHERE event_id % 2 = 1) t
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 0) q
-      | ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin) { (s, dir) =>
+      | ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin
+  private def asofInputs(s: SparkSession, dir: String) = {
     val ev = Tables.events(s, dir)
-    val trades = ev.filter(col("event_id") % 2 === 1)
-      .select("event_id", "user_id", "ts")
-    val quotes = ev.filter(col("event_id") % 2 === 0)
-      .select(col("event_id").as("q_event_id"), col("user_id"), col("ts"), col("value"))
+    (ev.filter(col("event_id") % 2 === 1).select("event_id", "user_id", "ts"),
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("q_event_id"), col("user_id"), col("ts"), col("value")))
+  }
+
+  /** Same as-of semantics through the NATIVE whole-operator path
+    * (graft.plans.AsOfJoinExec — custom LogicalPlan + Strategy +
+    * SparkPlan), checked against the identical oracle as q30. */
+  val q36 = q("q36_asof_native", asofSql) { (s, dir) =>
+    val (trades, quotes) = asofInputs(s, dir)
     AsOfJoin.asOfNative(trades, quotes, Seq("user_id"), "ts", "ts",
         Map("q_event_id" -> "quote_event_id", "value" -> "quote_value"))
       .select("event_id", "user_id", "quote_event_id", "quote_value")
@@ -1365,18 +1372,20 @@ object Queries {
   /** As-of join (trade→latest quote at or before the trade time),
     * via the single-shuffle union+carry-forward operator. Oracle uses
     * the SQL engine's native ASOF JOIN — same inclusive semantics. */
-  val q30 = q("q30_asof_join",
-    """SELECT t.event_id, t.user_id,
-      | q.event_id AS quote_event_id, q.value AS quote_value
-      |FROM (SELECT * FROM events WHERE event_id % 2 = 1) t
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 0) q
-      | ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin) { (s, dir) =>
-    val ev = Tables.events(s, dir)
-    val trades = ev.filter(col("event_id") % 2 === 1)
-      .select("event_id", "user_id", "ts")
-    val quotes = ev.filter(col("event_id") % 2 === 0)
-      .select(col("event_id").as("q_event_id"), col("user_id"), col("ts"), col("value"))
+  val q30 = q("q30_asof_join", asofSql) { (s, dir) =>
+    val (trades, quotes) = asofInputs(s, dir)
     AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", "ts",
+        Map("q_event_id" -> "quote_event_id", "value" -> "quote_value"))
+      .select("event_id", "user_id", "quote_event_id", "quote_value")
+  }
+
+  /** Broadcast as-of join: the quote side packs into per-key sorted
+    * arrays and broadcasts; trades are probed with a codegen'd binary
+    * search — the facts never shuffle (the 100 TB plan when the
+    * reference side is bounded). Same oracle as q30/q36. */
+  val q57 = q("q57_asof_broadcast", asofSql) { (s, dir) =>
+    val (trades, quotes) = asofInputs(s, dir)
+    AsOfJoin.asOfBroadcast(trades, quotes, Seq("user_id"), "ts", "ts",
         Map("q_event_id" -> "quote_event_id", "value" -> "quote_value"))
       .select("event_id", "user_id", "quote_event_id", "quote_value")
   }
@@ -1462,7 +1471,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     s01, s02, s03, s04,

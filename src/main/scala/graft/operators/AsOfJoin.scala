@@ -68,6 +68,43 @@ object AsOfJoin {
     }.drop("__ts", "__side", "__r")
   }
 
+  /** Broadcast form: for a BOUNDED right side (a dimension-sized quote
+    * or state table), pack each key's right rows into one
+    * time-sorted array, broadcast the packed frame, and probe with an
+    * O(log n) binary-search expression (graft.plans.AsOfPick, full
+    * codegen). The left side is NEVER shuffled or sorted — at 100 TB
+    * of facts against KB-MB of reference rows this is the plan you
+    * want; [[asOf]]/[[asOfNative]] shuffle both sides and remain the
+    * general path when the right side is unbounded.
+    *
+    * Same semantics as the other forms (left-outer, inclusive
+    * `right.ts <= left.ts`, NULL keys/ts match nothing), except ties:
+    * among right rows sharing (key, ts), this form picks the largest
+    * carried tuple (sort_array order) — the other forms pick an
+    * arbitrary one, so all forms agree wherever (key, ts) is unique. */
+  def asOfBroadcast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                    leftTs: String, rightTs: String,
+                    rightCols: Map[String, String]): DataFrame = {
+    val lt = left.schema(leftTs).dataType
+    val rt = right.schema(rightTs).dataType
+    require(graft.plans.AsOfJoinNode.longBacked(lt) && lt == rt,
+      s"as-of ordering columns must be matching TIMESTAMP or BIGINT, " +
+        s"got ${lt.simpleString} vs ${rt.simpleString}")
+    val packed = right
+      .filter((keyCols.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("__ts") +:
+          rightCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)))
+        .as("__arr"))
+    val joined = left.join(broadcast(packed), keyCols, "left")
+      .withColumn("__m",
+        graft.plans.LookupExprs.asOfPick(col("__arr"), col(leftTs)))
+    rightCols.values.foldLeft(joined) { (d, dst) =>
+      d.withColumn(dst, col("__m").getField(dst))
+    }.drop("__arr", "__m")
+  }
+
   /** Native whole-operator form (graft.plans.AsOfJoinExec): sort-merge
     * scan with one carried right row per key — zero padding columns, no
     * window frames, one pass. Same semantics (left-outer, inclusive

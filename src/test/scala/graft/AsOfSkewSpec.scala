@@ -52,6 +52,47 @@ class AsOfSkewSpec extends AnyFunSuite {
       "expected AsOfJoinExec in the physical plan")
   }
 
+  test("asOfBroadcast matches the composed form and never shuffles the left side") {
+    val rnd = new scala.util.Random(23)
+    val base = 1735732800000L
+    // unique (key, ts) on the quote side: all as-of forms agree
+    val trades = Seq.tabulate(300)(i =>
+      (i.toLong, s"u${rnd.nextInt(6)}", ts(base + rnd.nextInt(7200) * 1000L)))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq.tabulate(80)(i =>
+      (i.toLong * 7, s"u${rnd.nextInt(8)}", ts(base + i * 90 * 1000L), rnd.nextDouble()))
+      .toDF("qid", "sym", "t", "px")
+    val bcast = AsOfJoin.asOfBroadcast(trades, quotes, Seq("sym"), "t", "t",
+        Map("qid" -> "qid", "px" -> "px"))
+      .select("trade_id", "qid", "px")
+    val composed = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t",
+        Map("qid" -> "qid", "px" -> "px"))
+      .select("trade_id", "qid", "px")
+    assert(bcast.as[(Long, Option[Long], Option[Double])].collect().toSet ==
+      composed.as[(Long, Option[Long], Option[Double])].collect().toSet)
+    val p = bcast.queryExecution.executedPlan.treeString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "left side must not be shuffle-joined")
+  }
+
+  test("asOfBroadcast excludes NULL keys and NULL timestamps") {
+    val trades = Seq(
+      (Some("A"), Some(ts(150)), 1L),
+      (None: Option[String], Some(ts(150)), 2L),
+      (Some("A"), None: Option[Timestamp], 3L)
+    ).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      (Some("A"), Some(ts(100)), 10.0),
+      (None: Option[String], Some(ts(50)), 66.0),
+      (Some("A"), None: Option[Timestamp], 77.0)
+    ).toDF("sym", "t", "px")
+    val got = AsOfJoin.asOfBroadcast(trades, quotes, Seq("sym"), "t", "t",
+        Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(10.0), 2L -> None, 3L -> None))
+  }
+
   test("asOf and asOfNative exclude NULL keys and NULL timestamps") {
     // SQL semantics: `r.key = l.key AND r.ts <= l.ts` is never TRUE when
     // any operand is NULL — NULL-key/NULL-ts right rows match nothing,
