@@ -75,7 +75,11 @@ object AsOfJoin {
     * codegen). The left side is NEVER shuffled or sorted — at 100 TB
     * of facts against KB-MB of reference rows this is the plan you
     * want; [[asOf]]/[[asOfNative]] shuffle both sides and remain the
-    * general path when the right side is unbounded.
+    * general path when the right side is unbounded. (On local[32] the
+    * two are at parity — ScaleSmoke `asof_bounded_*` — because an
+    * in-process shuffle costs almost nothing; the broadcast form's
+    * advantage is on real clusters, where a fact-side shuffle is
+    * network + disk.)
     *
     * Same semantics as the other forms (left-outer, inclusive
     * `right.ts <= left.ts`, NULL keys/ts match nothing), except ties:

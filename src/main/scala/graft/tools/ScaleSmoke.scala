@@ -105,6 +105,21 @@ object ScaleSmoke {
         AsOfJoin.asOfNative(trades, quotes, Seq("user_id"), "ts", "ts",
           Map("qid" -> "quote_id", "value" -> "qv"))
       },
+      // bounded reference side (every 100th event, ~1% of facts): the
+      // shuffle-both-sides exec vs the broadcast + binary-search probe
+      // that never shuffles the facts — timed on the same input
+      time(s"asof_bounded_native_$ne") {
+        val quotes = events.filter(col("event_id") % 100 === 0)
+          .select(col("event_id").as("qid"), col("user_id"), col("ts"), col("value"))
+        AsOfJoin.asOfNative(events.select("event_id", "user_id", "ts"), quotes,
+          Seq("user_id"), "ts", "ts", Map("qid" -> "quote_id", "value" -> "qv"))
+      },
+      time(s"asof_bounded_bcast_$ne") {
+        val quotes = events.filter(col("event_id") % 100 === 0)
+          .select(col("event_id").as("qid"), col("user_id"), col("ts"), col("value"))
+        AsOfJoin.asOfBroadcast(events.select("event_id", "user_id", "ts"), quotes,
+          Seq("user_id"), "ts", "ts", Map("qid" -> "quote_id", "value" -> "qv"))
+      },
       time(s"range_native_$ne") {
         Relational.rangeJoinNative(
           events.select("event_id", "user_id", "ts"),
