@@ -1167,6 +1167,33 @@ object Queries {
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** PII-style scrubbing over text with REAL matches. The slimmed test
+    * schema carries no phone column (and the documents corpus is
+    * digit-free, which would make redaction vacuous), so a phone is
+    * synthesized deterministically from c_custkey with integer printf —
+    * identical in both engines — next to c_name's 9-digit run. Counts
+    * are taken on the original text, masks applied in sequence; the
+    * patterns live in the Java/RE2 dialect intersection so the engines
+    * agree match-for-match. */
+  val t11 = q("t11_redact",
+    """SELECT c_custkey AS doc_id,
+      | CAST(len(regexp_extract_all(s, '[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+      | CAST(len(regexp_extract_all(s, '[0-9]{3,}')) AS BIGINT) AS n_digits,
+      | regexp_replace(regexp_replace(s, '[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |  '[0-9]{3,}', '<NUM>', 'g') AS redacted
+      |FROM (SELECT c_custkey, c_name || ' ' || printf('%02d-%03d-%04d',
+      |  c_custkey % 90 + 10, (c_custkey * 7) % 900 + 100,
+      |  (c_custkey * 13) % 9000 + 1000) AS s
+      | FROM customer)""".stripMargin) { (s, dir) =>
+    val key = col("c_custkey")
+    val src = Tables.customer(s, dir).select(key,
+      concat_ws(" ", col("c_name"), format_string("%02d-%03d-%04d",
+        key % 90 + 10, (key * 7) % 900 + 100, (key * 13) % 9000 + 1000)).as("s"))
+    TextAnalysis.redact(src, "c_custkey", "s", Seq(
+      ("phone", "[0-9]{2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+      ("digits", "[0-9]{3,}", "<NUM>")))
+  }
+
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
     * sum over a bounded window partition), then per-pack occupancy —
     * exercises the full window + re-aggregation pipeline. */
@@ -1473,7 +1500,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11,
     s01, s02, s03, s04,
     m01, m02, m03, p01)
 }

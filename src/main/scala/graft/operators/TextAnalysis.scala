@@ -209,6 +209,28 @@ object TextAnalysis {
     * in every re-run — the property that makes incremental re-builds of
     * a 100 TB mix cheap. Strata missing from `rates` use `defaultRate`.
     */
+  /** PII-style redaction: count and mask pattern matches (phone
+    * numbers, long digit runs, emails, ...) in one projection — the
+    * scrubbing pass of a training-data pipeline. `patterns` is
+    * (name, regex, tag): counts are taken against the ORIGINAL text,
+    * masks are applied in sequence. Patterns must stay in the
+    * regex-dialect intersection (character classes and explicit
+    * quantifiers; no lookaround, no backrefs, no \\b) so Java and
+    * RE2-family engines agree match-for-match — the t11 oracle
+    * hash-checks that agreement. Codegen'd regexp functions, one scan,
+    * no shuffle. */
+  def redact(docs: DataFrame, idCol: String, textCol: String,
+             patterns: Seq[(String, String, String)]): DataFrame = {
+    val masked = patterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    docs.select(
+      col(idCol).as("doc_id") +:
+        patterns.map { case (name, pat, _) =>
+          regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+        } :+ masked.as("redacted"): _*)
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
