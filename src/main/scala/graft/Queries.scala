@@ -1194,6 +1194,25 @@ object Queries {
       ("digits", "[0-9]{3,}", "<NUM>")))
   }
 
+  /** Corpus n-gram frequency profile: top-5 trigrams per language
+    * (vocabulary/boilerplate stats). Explode → two-level hash agg →
+    * top-k window, rank ties broken by the n-gram string. */
+  val t12 = q("t12_ngram_topk",
+    """SELECT lang, ngram, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
+      |FROM (
+      | SELECT lang, ngram, n,
+      |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
+      | FROM (
+      |  SELECT lang, sh AS ngram, COUNT(*) AS n FROM (
+      |   SELECT lang, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |    ELSE [array_to_string(t, ' ')] END) AS sh
+      |   FROM (SELECT lang, string_split(text, ' ') AS t FROM documents))
+      |  GROUP BY lang, sh))
+      |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    TextAnalysis.ngramTopK(Tables.documents(s, dir), "text", "lang", 5)
+  }
+
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
     * sum over a bounded window partition), then per-pack occupancy —
     * exercises the full window + re-aggregation pipeline. */
@@ -1500,7 +1519,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
     s01, s02, s03, s04,
     m01, m02, m03, p01)
 }

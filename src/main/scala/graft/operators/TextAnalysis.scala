@@ -209,6 +209,20 @@ object TextAnalysis {
     * in every re-run — the property that makes incremental re-builds of
     * a 100 TB mix cheap. Strata missing from `rates` use `defaultRate`.
     */
+  /** Corpus n-gram frequency profile: the k most frequent shingles per
+    * language — vocabulary/boilerplate statistics over a corpus. One
+    * explode + two-level hash aggregation (map-side combined) + the
+    * top-k window; ties broken by the n-gram itself so ranks are
+    * deterministic. */
+  def ngramTopK(docs: DataFrame, textCol: String, langCol: String,
+                k: Int, n: Int = 3): DataFrame = {
+    val counts = docs.select(col(langCol).as("lang"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+    Relational.topKPerGroup(counts, Seq(col("lang")),
+      Seq(col("n").desc, col("ngram")), k)
+  }
+
   /** PII-style redaction: count and mask pattern matches (phone
     * numbers, long digit runs, emails, ...) in one projection — the
     * scrubbing pass of a training-data pipeline. `patterns` is
