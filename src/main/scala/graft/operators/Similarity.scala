@@ -44,12 +44,14 @@ object Similarity {
     Array.fill(nPlanes, dim)(next())
   }
 
-  /** Sign-pattern signature for one hash table: a bit per hyperplane. */
-  private def signature(vec: Column, table: Array[Array[Double]]): Column =
-    table.zipWithIndex.map { case (plane, i) =>
-      when(VectorOps.dot(vec, typedlit(plane.toSeq)) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** All per-table sign-pattern signatures in one native expression
+    * (graft.plans.HyperplaneSigs): one fused loop over tables × bits
+    * planes — composing per-table signatures from separate dot
+    * expressions exceeded Janino's method limit at 48 × 4 planes and
+    * silently fell back to interpreted eval. */
+  private def signatures(vec: Column, all: Array[Array[Double]],
+                         tables: Int, bitsPerTable: Int): Column =
+    graft.plans.VectorExprs.hyperplaneSigs(vec, all, tables, bitsPerTable)
 
   /** (id, bucket) per (row, table): bucket = struct(table idx, sign
     * signature). Arrays never ride the bucket join or the pair dedup;
@@ -58,13 +60,11 @@ object Similarity {
     * rows that carry the arrays). */
   private def hyperplaneBuckets(df: DataFrame, idName: String,
                                 all: Array[Array[Double]],
-                                tables: Int, bitsPerTable: Int): DataFrame = {
-    val sigs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        signature(col("vec"), all.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("sig"))
-    }
-    df.select(col("id").as(idName), explode(array(sigs: _*)).as("bucket"))
-  }
+                                tables: Int, bitsPerTable: Int): DataFrame =
+    df.select(col("id").as(idName),
+        posexplode(signatures(col("vec"), all, tables, bitsPerTable))
+          .as(Seq("tbl", "sig")))
+      .select(col(idName), struct(col("tbl"), col("sig")).as("bucket"))
 
   /** ANN via L random-hyperplane hash tables of `bitsPerTable` bits.
     * Vectors sharing a (table, signature) bucket with a query are scored
@@ -261,21 +261,39 @@ object Similarity {
     // minhash-pairs layout — because a low threshold puts most pairs in
     // some shared bucket: ids-only candidates would need a huge pair
     // distinct() plus two candidate-sized vector join-backs, while
-    // scoring in-bucket costs only the (codegen'd) dot per collision
-    // and dedups the few pairs that clear the threshold. Measured 3×
-    // faster at sf0.1 (7.0 s → 2.3 s) with identical output.
-    val bucketed = hyperplaneBuckets(e, "id", all, tables, bitsPerTable)
-      .join(e.select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("nrm")), "id")
+    // scoring in-bucket costs only the (codegen'd) dot per collision.
+    // Measured 3× faster at sf0.1 (7.0 s → 2.3 s) with identical output.
+    // Each row also carries its full per-table signature array: a pair
+    // colliding in several tables is kept only in the FIRST agreeing
+    // table (firstAgreeIndex — a few long compares), so every candidate
+    // is dotted exactly once and no output-side distinct() shuffle is
+    // needed. At low thresholds an average random pair shares ~3 of the
+    // 48 tables and a true near-dup ~26, so this cuts the dot count
+    // ~3–26× (measured 5.4 s → 2.0 s at sf0.1).
+    // checkpoint AFTER the explode so the materialized size reflects
+    // the 48n-row fan-out (checkpointing pre-explode hid it and the
+    // planner tried to broadcast a multi-hundred-MB build side); the
+    // shuffle_hash hint pins the strategy outright — an equi-join on a
+    // high-cardinality bucket key wants a shuffled hash join at any
+    // scale, never a broadcast and never a sort.
+    val bucketed = e.select(col("id"), col("vec"),
+        VectorOps.norm(col("vec")).as("nrm"),
+        signatures(col("vec"), all, tables, bitsPerTable).as("sigs"))
+      .select(col("id"), col("vec"), col("nrm"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("tbl", "sig")))
       .localCheckpoint(false)
-    bucketed.select(col("bucket"), col("id").as("vec_a"),
-        col("vec").as("va"), col("nrm").as("na"))
-      .join(bucketed.select(col("bucket"), col("id").as("vec_b"),
-        col("vec").as("vb"), col("nrm").as("nb")), "bucket")
+    bucketed.select(col("tbl"), col("sig"), col("id").as("vec_a"),
+        col("vec").as("va"), col("nrm").as("na"), col("sigs").as("sa"))
+      .join(bucketed.select(col("tbl"), col("sig"), col("id").as("vec_b"),
+        col("vec").as("vb"), col("nrm").as("nb"), col("sigs").as("sb"))
+        .hint("shuffle_hash"),
+        Seq("tbl", "sig"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(graft.plans.VectorExprs.firstAgreeIndex(col("sa"), col("sb")) === col("tbl"))
       .withColumn("cos", round(VectorOps.dot(col("va"), col("vb")) /
         (col("na") * col("nb")), 6))
       .filter(col("cos") > threshold)
-      .select("vec_a", "vec_b", "cos").distinct()
+      .select("vec_a", "vec_b", "cos")
   }
 
   /** Per-label centroid, one row per (label, dimension). Exact decimal

@@ -19,6 +19,127 @@ object VectorExprs {
     GraftShim.column(VecNormSq(GraftShim.expression(a)))
   def l2normalize(a: Column): Column =
     GraftShim.column(VecL2Normalize(GraftShim.expression(a)))
+  def firstAgreeIndex(a: Column, b: Column): Column =
+    GraftShim.column(FirstAgreeIndex(GraftShim.expression(a), GraftShim.expression(b)))
+  def hyperplaneSigs(vec: Column, planes: Array[Array[Double]],
+                     tables: Int, bitsPerTable: Int): Column =
+    GraftShim.column(HyperplaneSigs(GraftShim.expression(vec), planes, tables, bitsPerTable))
+}
+
+/** All `tables` random-hyperplane signatures of a vector in ONE pass:
+  * out[t] = Σ_b (dot(vec, planes[t·bits+b]) ≥ 0) · 2^b. Bit-identical
+  * to the per-table `signature()` composition it replaces (same plane
+  * order, same bit positions) but a single expression: composing it
+  * from tables × bits separate VecDot trees generated a method too
+  * large for Janino (observed InternalCompilerException → interpreted
+  * fallback at 48 × 4 planes). The plane matrix lives in the codegen
+  * references array, not in the generated source. */
+case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
+                          tables: Int, bitsPerTable: Int) extends UnaryExpression {
+  require(planes.length >= tables * bitsPerTable,
+    s"need ${tables * bitsPerTable} planes, got ${planes.length}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def eval(a: ArrayData): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val plane = planes(t * bitsPerTable + b)
+        val n = math.min(a.numElements(), plane.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += a.getDouble(i) * plane(i); i += 1 }
+        if (acc >= 0) sig |= 1L << b
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(eval(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val plane = ctx.freshName("plane")
+      s"""
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |    double[] $plane = $mat[$t * $bitsPerTable + $b];
+         |    int $n = java.lang.Math.min($a.numElements(), $plane.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $plane[$i]; }
+         |    if ($acc >= 0) $sig |= 1L << $b;
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigs =
+    copy(child = c)
+}
+
+/** First index i where a[i] == b[i] (−1 if none): the dedup test for
+  * multi-table LSH — a colliding pair is kept only in the FIRST table
+  * whose signatures agree, so each candidate is scored exactly once and
+  * no output-side distinct() is needed. Inputs are equal-length
+  * array<long> signature arrays; mismatched lengths compare the common
+  * prefix. A handful of long compares replaces a re-ranked dot product
+  * per redundant collision. */
+case class FirstAgreeIndex(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return java.lang.Integer.valueOf(i)
+      i += 1
+    }
+    java.lang.Integer.valueOf(-1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstAgreeIndex =
+    copy(left = l, right = r)
 }
 
 /** Σ aᵢ·bᵢ, accumulated left-to-right (bit-identical to the
