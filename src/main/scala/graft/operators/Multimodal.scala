@@ -7,9 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus a partition-wise decode /
   * feature-extract stage.
   *
-  * The decode itself is STUBBED (this container has no image/audio
-  * codecs): `FakeCodec` derives deterministic pseudo-metadata from the
-  * bytes. Everything around it — the schema, the `Dataset[MediaFile]`
+  * Decode has two backends sharing one signature and batch shape:
+  *  - [[JvmCodec]] — REAL decoders from the JDK: `javax.imageio`
+  *    (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV PCM). No
+  *    external libraries. Video stays stubbed (the JDK has no video
+  *    codec); payloads neither backend can parse fall back to
+  *    [[FakeCodec]] so a mixed/corrupt corpus never kills a 100 TB job
+  *    mid-stage.
+  *  - [[FakeCodec]] — deterministic pseudo-metadata from the raw bytes,
+  *    used by the oracle-checked queries over the synthetic text-byte
+  *    corpus (whose payloads are not real media).
+  * Everything around the codec — the schema, the `Dataset[MediaFile]`
   * typed API, the mapPartitions batch shape (one codec instance per
   * partition, streamed iterator, no per-row setup), and the column
   * plumbing — is the real 100 TB design: binary payloads never hit the
@@ -40,6 +48,114 @@ object Multimodal {
     }
   }
 
+  /** Real JDK-backed decoders. Feature mapping per modality:
+    * images — width/height are the pixel dimensions, brightness is the
+    * mean ITU-R BT.601 luma over all pixels in [0,1]; audio (WAV PCM) —
+    * width = channels, height = bits per sample, n_frames = PCM frame
+    * count, brightness = normalized RMS amplitude of the first channel.
+    * All values are pure functions of the payload bytes (area-average
+    * resampling, integer-weighted luma) — no Graphics2D filtering whose
+    * output could differ across JVM versions — so re-runs and retries
+    * produce byte-identical feature rows. */
+  object JvmCodec {
+    import java.io.ByteArrayInputStream
+
+    private def sha256(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+
+    /** 0..255 integer luma (BT.601 weights, integer arithmetic). */
+    @inline private def luma(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    def decodeImage(f: MediaFile): Option[MediaFeatures] = {
+      val img = try javax.imageio.ImageIO.read(new ByteArrayInputStream(f.payload))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += luma(img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        val brightness = if (w * h == 0) 0.0 else sum.toDouble / (w.toLong * h) / 255.0
+        Some(MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
+          sha256(f.payload), w, h, 1, math.rint(brightness * 1e6) / 1e6))
+      }
+    }
+
+    def decodeAudio(f: MediaFile): Option[MediaFeatures] = {
+      import javax.sound.sampled.AudioSystem
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(f.payload))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          // RMS over the first channel of 16-bit little-endian PCM; other
+          // encodings report amplitude 0 (metadata still real).
+          val rms = if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && frames > 0) {
+            val buf = in.readAllBytes()
+            val stride = fmt.getFrameSize
+            var acc = 0.0; var n = 0L; var i = 0
+            while (i + 1 < buf.length) {
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+              acc += s.toDouble * s; n += 1; i += stride
+            }
+            if (n == 0) 0.0 else math.sqrt(acc / n) / 32768.0
+          } else 0.0
+          Some(MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
+            sha256(f.payload), fmt.getChannels, fmt.getSampleSizeInBits,
+            if (frames < 0) 0 else frames.toInt, math.rint(rms * 1e6) / 1e6))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Real decode where the payload allows it, FakeCodec otherwise —
+      * one total function per partition, robust to mixed corpora. */
+    def decode(f: MediaFile): MediaFeatures = (f.kind match {
+      case "image" => decodeImage(f)
+      case "audio" => decodeAudio(f)
+      case _       => None // no JDK video codec — stub path
+    }).getOrElse(FakeCodec.decode(f))
+
+    /** Decode + deterministic area-average downsample to a w×h LUMA
+      * grid (the same byte-grid contract as [[resizeStub]]): target
+      * cell = integer mean of its source-pixel box. */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      val img = try javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val sw = img.getWidth; val sh = img.getHeight
+        val out = new Array[Byte](w * h)
+        var ty = 0
+        while (ty < h) {
+          val y0 = ty.toLong * sh / h; val y1 = math.max(y0 + 1, (ty + 1).toLong * sh / h)
+          var tx = 0
+          while (tx < w) {
+            val x0 = tx.toLong * sw / w; val x1 = math.max(x0 + 1, (tx + 1).toLong * sw / w)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += luma(img.getRGB(x.toInt, y.toInt)); x += 1 }
+              y += 1
+            }
+            out(ty * w + tx) = (sum / ((y1 - y0) * (x1 - x0))).toByte
+            tx += 1
+          }
+          ty += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
   /** Documents table → fake media files (text bytes as payload), the
     * container-friendly stand-in for a real binary source. */
   def asMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFile] = {
@@ -53,12 +169,16 @@ object Multimodal {
 
   /** Partition-wise decode: one codec per partition, iterator-streamed —
     * the mapPartitions shape a real decoder needs (expensive init
-    * amortized, constant memory). */
-  def decodeFeatures(files: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    * amortized, constant memory). `codec` defaults to the deterministic
+    * stub (the synthetic corpus is not real media); pass
+    * `JvmCodec.decode` for real payloads. */
+  def decodeFeatures(files: Dataset[MediaFile],
+                     codec: MediaFile => MediaFeatures = FakeCodec.decode)
+      : Dataset[MediaFeatures] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
       // per-partition setup would go here (load codec, alloc buffers)
-      it.map(FakeCodec.decode)
+      it.map(codec)
     }
   }
 
@@ -98,11 +218,21 @@ object Multimodal {
 
   /** Decode+resize in one partition pass (what the real pipeline runs:
     * decode → thumbnail → feature row, never materializing full-size
-    * frames outside the partition). */
-  def thumbnails(files: Dataset[MediaFile], w: Int, h: Int): DataFrame = {
+    * frames outside the partition). Real image payloads go through
+    * [[JvmCodec.resizeImage]] when `real` is set; anything undecodable
+    * (and the stub mode) uses [[resizeStub]] — same w×h byte grid
+    * either way. */
+  def thumbnails(files: Dataset[MediaFile], w: Int, h: Int,
+                 real: Boolean = false): DataFrame = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
-      it.map(f => (f.media_id, f.kind, resizeStub(f.payload, w, h)))
+      it.map { f =>
+        val thumb =
+          if (real) JvmCodec.resizeImage(f.payload, w, h)
+            .getOrElse(resizeStub(f.payload, w, h))
+          else resizeStub(f.payload, w, h)
+        (f.media_id, f.kind, thumb)
+      }
     }.toDF("media_id", "kind", "thumb")
   }
 

@@ -87,6 +87,79 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(meta._2 == feat.n_bytes && meta._3 == feat.sha)
   }
 
+  // --- real JDK codecs ---
+
+  /** PNG bytes of a w×h image whose pixel (x,y) = rgb(x,y). */
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** WAV bytes of 16-bit little-endian mono PCM samples. */
+  private def wav(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("JvmCodec decodes real PNG dimensions and exact mean luma") {
+    implicit val s = spark
+    // left half white, right half black → brightness exactly 0.5
+    val bytes = png(4, 2)((x, _) => if (x < 2) 0xffffff else 0x000000)
+    val files = Seq(Multimodal.MediaFile(7L, "image", bytes)).toDS()
+    val f = Multimodal.decodeFeatures(files, Multimodal.JvmCodec.decode).head()
+    assert(f.width == 4 && f.height == 2 && f.n_frames == 1)
+    assert(f.brightness == 0.5)
+    assert(f.sha.length == 64)
+  }
+
+  test("JvmCodec decodes real WAV format, frame count, and RMS") {
+    implicit val s = spark
+    val bytes = wav(Array[Short](16384, -16384, 16384, -16384))
+    val files = Seq(Multimodal.MediaFile(8L, "audio", bytes)).toDS()
+    val f = Multimodal.decodeFeatures(files, Multimodal.JvmCodec.decode).head()
+    assert(f.width == 1)      // channels
+    assert(f.height == 16)    // bits per sample
+    assert(f.n_frames == 4)   // PCM frames
+    assert(f.brightness == 0.5) // RMS 16384/32768
+  }
+
+  test("JvmCodec area-average resize emits the exact luma grid") {
+    // 4×2, left white right black → 2×1 thumb = [avg(white box), avg(black box)]
+    val bytes = png(4, 2)((x, _) => if (x < 2) 0xffffff else 0x000000)
+    val thumb = Multimodal.JvmCodec.resizeImage(bytes, 2, 1).get
+    assert(thumb.toSeq == Seq((-1).toByte /* 255 */, 0.toByte))
+    // thumbnails(real=true) routes image payloads through the same path
+    implicit val s = spark
+    val files = Seq(Multimodal.MediaFile(9L, "image", bytes)).toDS()
+    val viaDs = Multimodal.thumbnails(files, 2, 1, real = true)
+      .select("thumb").as[Array[Byte]].head()
+    assert(viaDs.toSeq == thumb.toSeq)
+  }
+
+  test("JvmCodec falls back to FakeCodec on undecodable payloads") {
+    implicit val s = spark
+    val junk = Multimodal.MediaFile(10L, "image", "not an image".getBytes)
+    val vid = Multimodal.MediaFile(11L, "video", "clip-bytes".getBytes)
+    val files = Seq(junk, vid).toDS()
+    val got = Multimodal.decodeFeatures(files, Multimodal.JvmCodec.decode)
+      .collect().sortBy(_.media_id)
+    assert(got(0) == Multimodal.FakeCodec.decode(junk))
+    assert(got(1) == Multimodal.FakeCodec.decode(vid))
+  }
+
   test("packSequences fills packs greedily in id order within shards") {
     // all docs land in shard 0 (even ids, shards=2); token counts
     // 3,2,4,1 → first-token offsets 0,3,5,9 → packs 0,0,1,2 at cap 4
