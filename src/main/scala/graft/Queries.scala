@@ -1213,6 +1213,21 @@ object Queries {
     TextAnalysis.ngramTopK(Tables.documents(s, dir), "text", "lang", 5)
   }
 
+  /** Sliding-window chunking: 64-token windows every 48 tokens (16-token
+    * overlap) — the sequence-prep step before packing. One explode per
+    * document; chunk ids positional, so output is partition-invariant. */
+  val t13 = q("t13_chunking",
+    """SELECT doc_id, s // 48 AS chunk_idx,
+      | array_to_string(t[s+1:s+64], ' ') AS chunk,
+      | CAST(least(64, len(t) - s) AS BIGINT) AS n_tok
+      |FROM (
+      | SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS s
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin) {
+    (s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+  }
+
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
     * sum over a bounded window partition), then per-pack occupancy —
     * exercises the full window + re-aggregation pipeline. */
@@ -1302,6 +1317,20 @@ object Queries {
       |       unnest(CAST(embedding AS DOUBLE[])) AS e FROM embeddings)
       |GROUP BY label, pos""".stripMargin) { (s, dir) =>
     Similarity.labelCentroids(Tables.embeddings(s, dir))
+  }
+
+  /** Int8 scalar quantization of every embedding (floor, never round —
+    * round() double-rounds cross-engine; straight-line IEEE arithmetic
+    * in identical op order on both engines). */
+  val s05 = q("s05_quantize_int8",
+    """SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+      | CAST(CASE WHEN mx = mn THEN 0
+      |  ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END AS BIGINT) AS q,
+      | mn, mx
+      |FROM (SELECT vec_id, list_min(v) AS mn, list_max(v) AS mx,
+      |       unnest(range(len(v))) AS pos, unnest(v) AS x
+      |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin) {
+    (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
   }
 
   /** LSH-bucketed ANN (no oracle — approximate by design; recall is
@@ -1519,7 +1548,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
-    s01, s02, s03, s04,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+    s01, s02, s03, s04, s05,
     m01, m02, m03, p01)
 }

@@ -296,6 +296,25 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Per-vector int8 scalar quantization — the storage-compression step
+    * of a billion-vector ANN index: q = ⌊(x − min)·255/(max − min)⌋
+    * clamped to [0,255], plus the per-vector (min, max) dequant params.
+    * All arithmetic is straight-line IEEE double in the same operation
+    * order on both engines (floor, never round — round() double-rounds
+    * cross-engine), so the output hash-matches the oracle. posexplode +
+    * projection only: no shuffle, no UDF, whole-stage codegen. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), array_min(col("v")).as("mn"),
+        array_max(col("v")).as("mx"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) * 255.0 /
+            (col("mx") - col("mn"))), lit(255.0)).cast("long")).as("q"),
+        col("mn"), col("mx"))
+  }
+
   /** Per-label centroid, one row per (label, dimension). Exact decimal
     * mean → identical across engines. posexplode keeps the dimension
     * index; the aggregation is a plain hash groupBy (map-side combined).

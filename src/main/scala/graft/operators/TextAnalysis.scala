@@ -199,16 +199,6 @@ object TextAnalysis {
           lit(capacity.toDouble)).cast("long"))
   }
 
-  /** Deterministic per-stratum downsampling — the corpus re-mixing step
-    * of a training-data pipeline (e.g. keep 25% of English, all of a
-    * low-resource language). [[hashSplit]]'s engine-portable md5 trick
-    * generalized to rates: a row survives iff its first two id-hash
-    * nibbles sort below the stratum's threshold (granularity 1/256).
-    * Content-independent and RNG-free, so the sample is reproducible
-    * across runs, engines, and partitionings, and the same row is kept
-    * in every re-run — the property that makes incremental re-builds of
-    * a 100 TB mix cheap. Strata missing from `rates` use `defaultRate`.
-    */
   /** Corpus n-gram frequency profile: the k most frequent shingles per
     * language — vocabulary/boilerplate statistics over a corpus. One
     * explode + two-level hash aggregation (map-side combined) + the
@@ -221,6 +211,28 @@ object TextAnalysis {
       .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
     Relational.topKPerGroup(counts, Seq(col("lang")),
       Seq(col("n").desc, col("ngram")), k)
+  }
+
+  /** Sliding-window document chunking — the sequence-prep step that
+    * turns variable-length documents into bounded training windows
+    * BEFORE packing. A chunk starts at every `stride`-th token below
+    * the document length and spans up to `chunkTokens` tokens, so
+    * consecutive chunks overlap by `chunkTokens − stride`. One explode
+    * per document (no shuffle, no driver round-trip); chunk ids are
+    * positional, so re-runs over re-partitioned data emit identical
+    * rows. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+          lit(stride))).as("s"))
+      .select(col(idCol),
+        (col("s") / stride).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("t"), col("s") + 1, lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), size(col("t")) - col("s")).cast("long").as("n_tok"))
   }
 
   /** PII-style redaction: count and mask pattern matches (phone
@@ -245,6 +257,16 @@ object TextAnalysis {
         } :+ masked.as("redacted"): _*)
   }
 
+  /** Deterministic per-stratum downsampling — the corpus re-mixing step
+    * of a training-data pipeline (e.g. keep 25% of English, all of a
+    * low-resource language). [[hashSplit]]'s engine-portable md5 trick
+    * generalized to rates: a row survives iff its first two id-hash
+    * nibbles sort below the stratum's threshold (granularity 1/256).
+    * Content-independent and RNG-free, so the sample is reproducible
+    * across runs, engines, and partitionings, and the same row is kept
+    * in every re-run — the property that makes incremental re-builds of
+    * a 100 TB mix cheap. Strata missing from `rates` use `defaultRate`.
+    */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
