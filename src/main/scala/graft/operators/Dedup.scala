@@ -26,40 +26,43 @@ object Dedup {
       graft.plans.TextHash.minhashSig(
         TextOps.tokens(lower(col(textCol))), shingleN, numHashes).as("sig"))
 
-  /** Banded LSH pair generation over a (doc_id, sig array) frame: docs
-    * sharing any band key become candidates; est_jaccard = fraction of
-    * matching signature components. Works for any element type whose
-    * string form is equality-faithful (long, hex string).
+  /** Banded LSH pair generation over a (doc_id, sig array<long>) frame:
+    * docs sharing any band key become candidates; est_jaccard = fraction
+    * of matching signature components.
     *
-    * One scan, one self-equi-join on (band_idx, band_key), one dedup
-    * shuffle on the pair key. The caller materializes `sigs` once
-    * (localCheckpoint): the frame feeds four subplans (two band-join
-    * sides, two sig join-backs) and broadcast joins would otherwise
-    * recompute the signature pipeline per subplan. Pair dedup keys on
-    * int ids only; sig arrays never ride the band shuffle (measured
-    * ~4× faster than carrying them through the explode + dedup). */
+    * ONE shuffle total: the band self-equi-join on (band_idx, band_key =
+    * the raw signature slice — array keys hash/compare natively).
+    * Signatures ride the join, and a colliding pair is kept only in its
+    * FIRST agreeing band (native FirstAgreeIndex over the sig arrays,
+    * groupSize = rows-per-band), so each candidate surfaces exactly once
+    * with sig_a/sig_b already in hand — the previous pair-distinct()
+    * shuffle and both signature join-backs disappear. est_jaccard is a
+    * fused native loop (AgreeCount), not an interpreted zip_with +
+    * aggregate lambda pair. shuffle_hash pins the strategy: a
+    * high-cardinality bucket key wants a shuffled hash join at any
+    * scale, never a broadcast and never a sort. The caller materializes
+    * `sigs` once (localCheckpoint): the frame feeds both join sides and
+    * the signature pipeline must not recompute per side. */
   private def bandedPairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
         "would silently drop signature components from banding")
     val rows = numHashes / bands
-    val banded = sigs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            x => x.cast("string"))))))
-      .toDF("doc_id", "band_idx", "band_key")
-    val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band_idx", "band_key"))
+          b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .toDF("doc_id", "sig", "band_idx", "band_key")
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(graft.plans.VectorExprs.firstAgreeIndex(
+        col("sig_a"), col("sig_b"), rows) === col("band_idx"))
       .withColumn("est_jaccard",
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6))
+        round(graft.plans.VectorExprs.agreeCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes, 6))
       .select("doc_a", "doc_b", "est_jaccard")
   }
 

@@ -19,8 +19,10 @@ object VectorExprs {
     GraftShim.column(VecNormSq(GraftShim.expression(a)))
   def l2normalize(a: Column): Column =
     GraftShim.column(VecL2Normalize(GraftShim.expression(a)))
-  def firstAgreeIndex(a: Column, b: Column): Column =
-    GraftShim.column(FirstAgreeIndex(GraftShim.expression(a), GraftShim.expression(b)))
+  def firstAgreeIndex(a: Column, b: Column, groupSize: Int = 1): Column =
+    GraftShim.column(FirstAgreeIndex(GraftShim.expression(a), GraftShim.expression(b), groupSize))
+  def agreeCount(a: Column, b: Column): Column =
+    GraftShim.column(AgreeCount(GraftShim.expression(a), GraftShim.expression(b)))
   def hyperplaneSigs(vec: Column, planes: Array[Array[Double]],
                      tables: Int, bitsPerTable: Int): Column =
     GraftShim.column(HyperplaneSigs(GraftShim.expression(vec), planes, tables, bitsPerTable))
@@ -100,14 +102,68 @@ case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
     copy(child = c)
 }
 
-/** First index i where a[i] == b[i] (−1 if none): the dedup test for
-  * multi-table LSH — a colliding pair is kept only in the FIRST table
-  * whose signatures agree, so each candidate is scored exactly once and
-  * no output-side distinct() is needed. Inputs are equal-length
-  * array<long> signature arrays; mismatched lengths compare the common
-  * prefix. A handful of long compares replaces a re-ranked dot product
-  * per redundant collision. */
-case class FirstAgreeIndex(left: Expression, right: Expression) extends BinaryExpression {
+/** First group index g where a and b agree on EVERY element of
+  * [g·groupSize, (g+1)·groupSize) — −1 if no group agrees. The dedup
+  * test for multi-table/banded LSH: a colliding pair is kept only in
+  * the FIRST table (groupSize=1, one signature per table) or FIRST band
+  * (groupSize=rows-per-band) whose signatures agree, so each candidate
+  * surfaces exactly once and no pair-distinct() shuffle is needed.
+  * Inputs are equal-length array<long> signature arrays; mismatched
+  * lengths compare the common whole groups. A handful of long compares
+  * replaces a re-ranked similarity computation per redundant collision. */
+case class FirstAgreeIndex(left: Expression, right: Expression,
+                           groupSize: Int = 1) extends BinaryExpression {
+  require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val groups = math.min(a.numElements(), b.numElements()) / groupSize
+    var g = 0
+    while (g < groups) {
+      var ok = true
+      var i = g * groupSize
+      val end = i + groupSize
+      while (ok && i < end) { ok = a.getLong(i) == b.getLong(i); i += 1 }
+      if (ok) return java.lang.Integer.valueOf(g)
+      g += 1
+    }
+    java.lang.Integer.valueOf(-1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val groups = ctx.freshName("groups")
+      val g = ctx.freshName("g")
+      val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      val ok = ctx.freshName("ok")
+      val res = ctx.freshName("res")
+      s"""
+         |int $groups = java.lang.Math.min($a.numElements(), $b.numElements()) / $groupSize;
+         |int $res = -1;
+         |for (int $g = 0; $g < $groups; $g++) {
+         |  boolean $ok = true;
+         |  int $end = ($g + 1) * $groupSize;
+         |  for (int $i = $g * $groupSize; $ok && $i < $end; $i++) {
+         |    $ok = $a.getLong($i) == $b.getLong($i);
+         |  }
+         |  if ($ok) { $res = $g; break; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstAgreeIndex =
+    copy(left = l, right = r)
+}
+
+/** Count of positions where a[i] == b[i] (over the common prefix) — the
+  * MinHash similarity estimate numerator, one fused loop instead of an
+  * interpreted zip_with + aggregate lambda pair. */
+case class AgreeCount(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
@@ -115,30 +171,28 @@ case class FirstAgreeIndex(left: Expression, right: Expression) extends BinaryEx
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
+    var c = 0
     var i = 0
-    while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) return java.lang.Integer.valueOf(i)
-      i += 1
-    }
-    java.lang.Integer.valueOf(-1)
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    java.lang.Integer.valueOf(c)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      val res = ctx.freshName("res")
+      val c = ctx.freshName("c")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int $res = -1;
+         |int $c = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
          |}
-         |${ev.value} = $res;
+         |${ev.value} = $c;
        """.stripMargin
     })
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstAgreeIndex =
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AgreeCount =
     copy(left = l, right = r)
 }
 
