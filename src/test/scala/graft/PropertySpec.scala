@@ -158,4 +158,51 @@ class PropertySpec extends AnyFunSuite {
         row._2 == math.sqrt(a.map(x => x * x).sum)
     })
   }
+
+  test("firstAgreeIndex and agreeCount match naive references for any group size") {
+    // small value domain so agreements actually occur
+    val gen = for {
+      groups <- Gen.chooseNum(1, 6)
+      k <- Gen.chooseNum(1, 4)
+      a <- Gen.listOfN(groups * k, Gen.chooseNum(0L, 3L))
+      b <- Gen.listOfN(groups * k, Gen.chooseNum(0L, 3L))
+    } yield (a, b, k)
+    check("firstAgree/agreeCount", Prop.forAll(gen) { case (a, b, k) =>
+      val expectFirst = (0 until a.size / k)
+        .find(g => (g * k until (g + 1) * k).forall(i => a(i) == b(i)))
+        .getOrElse(-1)
+      val expectCount = a.zip(b).count { case (x, y) => x == y }
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(graft.plans.VectorExprs.firstAgreeIndex(col("a"), col("b"), k).as("f"),
+          graft.plans.VectorExprs.agreeCount(col("a"), col("b")).as("c"))
+        .as[(Int, Int)].head()
+      row == ((expectFirst, expectCount))
+    })
+  }
+
+  test("banded pair generation emits each colliding pair exactly once") {
+    // random near-dup corpus: pairs from the one-shuffle first-agree path
+    // must equal the set of pairs sharing >= 1 band in the signatures
+    val docGen = Gen.listOfN(14, Gen.chooseNum(0, 2).map {
+      case 0 => "alpha beta gamma delta epsilon zeta eta theta"
+      case 1 => "alpha beta gamma delta epsilon zeta eta iota"
+      case _ => "one two three four five six seven eight"
+    })
+    check("bandedPairs", Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup
+        .minhashCandidatePairs(docs, "doc_id", "text", numHashes = 8, bands = 4)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+      val sigs = graft.operators.Dedup
+        .signatures(docs, "doc_id", "text", numHashes = 8)
+        .as[(Long, Seq[Long])].collect().toMap
+      val expect = (for {
+        x <- sigs.keys; y <- sigs.keys if x < y
+        if (0 until 4).exists(bnd =>
+          sigs(x).slice(bnd * 2, bnd * 2 + 2) == sigs(y).slice(bnd * 2, bnd * 2 + 2))
+      } yield (x, y)).toSet
+      pairs.size == pairs.toSet.size && pairs.toSet == expect
+    }, n = 8)
+  }
 }
