@@ -1228,6 +1228,26 @@ object Queries {
         chunkTokens = 64, stride = 48)
   }
 
+  /** Weighted domain mixing: per-language epoch factors (de ×2.25,
+    * en ×0.5, others ×1) with the deterministic md5-nibble rule for the
+    * fractional copy — the corpus up/down-mixing step of a training
+    * run. */
+  val t14 = q("t14_weighted_mix",
+    """WITH w AS (SELECT doc_id, lang,
+      |  CASE lang WHEN 'de' THEN 2.25 WHEN 'en' THEN 0.5 ELSE 1.0 END AS wt
+      | FROM documents),
+      |c AS (SELECT doc_id, lang,
+      |  CAST(floor(wt) AS BIGINT) +
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |   printf('%02x', CAST(least(255, round((wt - floor(wt)) * 256)) AS INT))
+      |  THEN 1 ELSE 0 END AS n FROM w)
+      |SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS copy FROM c""".stripMargin) {
+    (s, dir) =>
+      TextAnalysis.weightedMix(Tables.documents(s, dir), "doc_id", "lang",
+          Map("de" -> 2.25, "en" -> 0.5), defaultWeight = 1.0)
+        .select("doc_id", "lang", "copy")
+  }
+
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
     * sum over a bounded window partition), then per-pack occupancy —
     * exercises the full window + re-aggregation pipeline. */
@@ -1548,7 +1568,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     s01, s02, s03, s04, s05,
     m01, m02, m03, p01)
 }

@@ -280,4 +280,32 @@ object TextAnalysis {
     }
     df.filter(substring(md5(col(idCol).cast("string")), 1, 2) < thrCol)
   }
+
+  /** Weighted corpus mixing with per-stratum epoch factors — the
+    * upsampling twin of [[stratifiedSample]] (which only discards). A
+    * stratum with weight w contributes ⌊w⌋ full copies of every row
+    * plus one more iff the row's first two id-hash nibbles sort below
+    * the fractional threshold (granularity 1/256) — so "books ×2.25,
+    * web ×0.5" yields deterministic, content-independent, RNG-free
+    * replication that every engine and every re-run reproduces exactly.
+    * Output adds a positional `copy` index (0-based) so downstream
+    * shuffles keep replicas distinguishable. One projection + one
+    * explode; no shuffle. */
+  def weightedMix(df: DataFrame, idCol: String, stratumCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "mix weights must be >= 0")
+    val wt = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (els, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(els)
+    }
+    val thr = format_string("%02x",
+      least(lit(255), round((wt - floor(wt)) * 256).cast("int")))
+    df.withColumn("__n", floor(wt).cast("long") +
+        when(substring(md5(col(idCol).cast("string")), 1, 2) < thr, 1L)
+          .otherwise(0L))
+      .filter(col("__n") >= 1)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1, lit(1L))))
+      .drop("__n")
+  }
 }

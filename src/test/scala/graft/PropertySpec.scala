@@ -180,6 +180,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("weightedMix replicates floor-or-ceil per row, densely indexed, repartition-stable") {
+    val gen = for {
+      wTenths <- Gen.chooseNum(0, 35)
+      parts <- Gen.chooseNum(1, 8)
+    } yield (wTenths / 10.0, parts)
+    val df = spark.range(0, 300).select(col("id").as("doc_id"), lit("a").as("s"))
+    check("weightedMix", Prop.forAll(gen) { case (w, parts) =>
+      val out = TextAnalysis.weightedMix(df.repartition(parts), "doc_id", "s",
+          Map("a" -> w), defaultWeight = 1.0)
+        .select("doc_id", "copy").as[(Long, Long)].collect()
+      val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val copiesOk = perDoc.values.forall(cs =>
+        cs == (0L until cs.size).toSeq &&
+          (cs.size == math.floor(w).toLong || cs.size == math.ceil(w).toLong))
+      // fraction of docs getting the extra copy tracks frac(w) (1/256 grid ± slack)
+      val extra = perDoc.values.count(_.size == math.floor(w).toLong + 1)
+      val fracOk = w == math.floor(w) ||
+        math.abs(extra.toDouble / 300 - (w - math.floor(w))) < 0.15
+      val again = TextAnalysis.weightedMix(df.repartition(3), "doc_id", "s",
+          Map("a" -> w), defaultWeight = 1.0)
+        .select("doc_id", "copy").as[(Long, Long)].collect()
+      copiesOk && fracOk && out.sorted.toSeq == again.sorted.toSeq
+    }, n = 8)
+  }
+
   test("banded pair generation emits each colliding pair exactly once") {
     // random near-dup corpus: pairs from the one-shuffle first-agree path
     // must equal the set of pairs sharing >= 1 band in the signatures
