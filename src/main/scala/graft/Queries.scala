@@ -1345,7 +1345,7 @@ object Queries {
   val s05 = q("s05_quantize_int8",
     """SELECT vec_id, CAST(pos AS BIGINT) AS pos,
       | CAST(CASE WHEN mx = mn THEN 0
-      |  ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END AS BIGINT) AS q,
+      |  ELSE least(floor((x - mn) / (mx - mn) * 255.0), 255.0) END AS BIGINT) AS q,
       | mn, mx
       |FROM (SELECT vec_id, list_min(v) AS mn, list_max(v) AS mx,
       |       unnest(range(len(v))) AS pos, unnest(v) AS x

@@ -30,13 +30,19 @@ object Multimodal {
                            sha: String, width: Int, height: Int,
                            n_frames: Int, brightness: Double)
 
+  /** Hex SHA-256 of the payload — ONE definition shared by both codecs:
+    * the fallback contract requires the real and stub paths to emit the
+    * same `sha` for the same bytes. */
+  private def sha256(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   /** Deterministic stand-in for a real image/audio decoder. Replace with
     * a JNI/codec call in production; signature and batch shape stay. */
   object FakeCodec {
     def decode(f: MediaFile): MediaFeatures = {
       val n = f.payload.length
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(f.payload).map("%02x".format(_)).mkString
+      val digest = sha256(f.payload)
       // Pseudo-dimensions derived from content length — deterministic.
       val w = n % 512 + 16
       val h = n % 384 + 16
@@ -60,10 +66,6 @@ object Multimodal {
   object JvmCodec {
     import java.io.ByteArrayInputStream
 
-    private def sha256(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(bytes).map("%02x".format(_)).mkString
-
     /** 0..255 integer luma (BT.601 weights, integer arithmetic). */
     @inline private def luma(rgb: Int): Int = {
       val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
@@ -76,11 +78,16 @@ object Multimodal {
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
+        // bulk row fetch: per-pixel getRGB does a ColorModel conversion
+        // per call — one reusable row buffer is several times faster and
+        // byte-identical
+        val row = new Array[Int](w)
         var sum = 0L
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
-          while (x < w) { sum += luma(img.getRGB(x, y)); x += 1 }
+          while (x < w) { sum += luma(row(x)); x += 1 }
           y += 1
         }
         val brightness = if (w * h == 0) 0.0 else sum.toDouble / (w.toLong * h) / 255.0
@@ -133,20 +140,31 @@ object Multimodal {
       else {
         val sw = img.getWidth; val sh = img.getHeight
         val out = new Array[Byte](w * h)
+        // one bulk row fetch per source row visit (per-pixel getRGB pays
+        // a ColorModel conversion per call); accumulation order per cell
+        // is unchanged, so output bytes are identical
+        val rowBuf = new Array[Int](sw)
+        val sums = new Array[Long](w)
         var ty = 0
         while (ty < h) {
           val y0 = ty.toLong * sh / h; val y1 = math.max(y0 + 1, (ty + 1).toLong * sh / h)
+          java.util.Arrays.fill(sums, 0L)
+          var y = y0
+          while (y < y1) {
+            img.getRGB(0, y.toInt, sw, 1, rowBuf, 0, sw)
+            var tx = 0
+            while (tx < w) {
+              val x0 = tx.toLong * sw / w; val x1 = math.max(x0 + 1, (tx + 1).toLong * sw / w)
+              var x = x0
+              while (x < x1) { sums(tx) += luma(rowBuf(x.toInt)); x += 1 }
+              tx += 1
+            }
+            y += 1
+          }
           var tx = 0
           while (tx < w) {
             val x0 = tx.toLong * sw / w; val x1 = math.max(x0 + 1, (tx + 1).toLong * sw / w)
-            var sum = 0L
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) { sum += luma(img.getRGB(x.toInt, y.toInt)); x += 1 }
-              y += 1
-            }
-            out(ty * w + tx) = (sum / ((y1 - y0) * (x1 - x0))).toByte
+            out(ty * w + tx) = (sums(tx) / ((y1 - y0) * (x1 - x0))).toByte
             tx += 1
           }
           ty += 1
@@ -227,8 +245,11 @@ object Multimodal {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
       it.map { f =>
+        // dispatch on kind like JvmCodec.decode: only image payloads may
+        // take the ImageIO path — anything else would pay a reader probe
+        // per row and could silently decode a mislabeled payload
         val thumb =
-          if (real) JvmCodec.resizeImage(f.payload, w, h)
+          if (real && f.kind == "image") JvmCodec.resizeImage(f.payload, w, h)
             .getOrElse(resizeStub(f.payload, w, h))
           else resizeStub(f.payload, w, h)
         (f.media_id, f.kind, thumb)

@@ -54,10 +54,11 @@ object Similarity {
     graft.plans.VectorExprs.hyperplaneSigs(vec, all, tables, bitsPerTable)
 
   /** (id, bucket) per (row, table): bucket = struct(table idx, sign
-    * signature). Arrays never ride the bucket join or the pair dedup;
-    * vectors+norms join back afterwards on int ids (same pattern as
-    * Dedup.minhashCandidatePairs, measured ~4× faster than deduping
-    * rows that carry the arrays). */
+    * signature). Used by the top-k probe path (lshTopK), where the
+    * query side is small and candidates dedup on int ids; the pairwise
+    * near-dup path ([[embeddingNearDupPairsLsh]]) instead rides the
+    * signature arrays through its self-join and dedups at the first
+    * agreeing table. */
   private def hyperplaneBuckets(df: DataFrame, idName: String,
                                 all: Array[Array[Double]],
                                 tables: Int, bitsPerTable: Int): DataFrame =
@@ -297,12 +298,15 @@ object Similarity {
   }
 
   /** Per-vector int8 scalar quantization — the storage-compression step
-    * of a billion-vector ANN index: q = ⌊(x − min)·255/(max − min)⌋
+    * of a billion-vector ANN index: q = ⌊(x − min)/(max − min)·255⌋
     * clamped to [0,255], plus the per-vector (min, max) dequant params.
-    * All arithmetic is straight-line IEEE double in the same operation
-    * order on both engines (floor, never round — round() double-rounds
-    * cross-engine), so the output hash-matches the oracle. posexplode +
-    * projection only: no shuffle, no UDF, whole-stage codegen. */
+    * The divide comes FIRST so x = max hits (mx−mn)/(mx−mn) = 1.0
+    * exactly and always quantizes to 255 (the multiply-first order can
+    * land at 254 on a double-rounding boundary). All arithmetic is
+    * straight-line IEEE double in the same operation order on both
+    * engines (floor, never round — round() double-rounds cross-engine),
+    * so the output hash-matches the oracle. posexplode + projection
+    * only: no shuffle, no UDF, whole-stage codegen. */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -310,8 +314,8 @@ object Similarity {
         array_max(col("v")).as("mx"), posexplode(col("v")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         when(col("mx") === col("mn"), lit(0L))
-          .otherwise(least(floor((col("x") - col("mn")) * 255.0 /
-            (col("mx") - col("mn"))), lit(255.0)).cast("long")).as("q"),
+          .otherwise(least(floor((col("x") - col("mn")) /
+            (col("mx") - col("mn")) * 255.0), lit(255.0)).cast("long")).as("q"),
         col("mn"), col("mx"))
   }
 

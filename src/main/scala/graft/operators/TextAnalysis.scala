@@ -225,7 +225,10 @@ object TextAnalysis {
             chunkTokens: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkTokens >= stride,
       s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
-    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+    // null text would otherwise surface as a nonsense chunk row with
+    // n_tok = -1 (Spark's size(null) legacy -1 riding through greatest)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
       .select(col(idCol), col("t"),
         explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
           lit(stride))).as("s"))
@@ -296,6 +299,9 @@ object TextAnalysis {
                   defaultWeight: Double): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
       "mix weights must be >= 0")
+    require(!df.columns.contains("copy") && !df.columns.contains("__n"),
+      "weightedMix adds a 'copy' column (via a '__n' temp) — rename the " +
+        "input's column first; silently overwriting it would lose data")
     val wt = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (els, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(els)
     }
