@@ -53,37 +53,33 @@ object Similarity {
                          tables: Int, bitsPerTable: Int): Column =
     graft.plans.VectorExprs.hyperplaneSigs(vec, all, tables, bitsPerTable)
 
-  /** (id, bucket) per (row, table): bucket = struct(table idx, sign
-    * signature). Used by the top-k probe path (lshTopK), where the
-    * query side is small and candidates dedup on int ids; the pairwise
-    * near-dup path ([[embeddingNearDupPairsLsh]]) instead rides the
-    * signature arrays through its self-join and dedups at the first
-    * agreeing table. */
-  private def hyperplaneBuckets(df: DataFrame, idName: String,
-                                all: Array[Array[Double]],
-                                tables: Int, bitsPerTable: Int): DataFrame =
-    df.select(col("id").as(idName),
-        posexplode(signatures(col("vec"), all, tables, bitsPerTable))
-          .as(Seq("tbl", "sig")))
-      .select(col(idName), struct(col("tbl"), col("sig")).as("bucket"))
-
   /** ANN via L random-hyperplane hash tables of `bitsPerTable` bits.
     * Vectors sharing a (table, signature) bucket with a query are scored
     * exactly; top-k per query returned. Recall grows with L; cost is
-    * bounded by bucket sizes (no quadratic blowup on the full corpus). */
+    * bounded by bucket sizes (no quadratic blowup on the full corpus).
+    *
+    * 100 TB shape: the query side (small) is BROADCAST as exploded
+    * buckets, the corpus side streams through one narrow map-side
+    * join — the corpus is never shuffled for candidate generation. A
+    * (query, neighbor) pair colliding in several tables is scored only
+    * in the FIRST agreeing one (native FirstAgreeIndex over the sig
+    * arrays both rows carry), so no pair-distinct() shuffle and no
+    * vector join-backs exist; the only shuffle in the whole probe is
+    * the final per-query top-k window. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int, tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
     val all = planes(tables * bitsPerTable, dim)
-    def bucketed(df: DataFrame, idName: String): DataFrame =
-      hyperplaneBuckets(df, idName, all, tables, bitsPerTable)
-    val pairs = bucketed(queries, "query_id")
-      .join(bucketed(candidates, "neighbor_id"), "bucket")
-      .select("query_id", "neighbor_id").distinct()
-    val qBase = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      VectorOps.norm(col("vec")).as("qn"))
-    val cBase = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      VectorOps.norm(col("vec")).as("cn"))
-    val scored = pairs.join(cBase, "neighbor_id").join(broadcast(qBase), "query_id")
+    def bucketed(df: DataFrame, idName: String, vecName: String,
+                 normName: String, sigName: String): DataFrame =
+      df.select(col("id").as(idName), col("vec").as(vecName),
+          VectorOps.norm(col("vec")).as(normName),
+          signatures(col("vec"), all, tables, bitsPerTable).as(sigName))
+        .select(col(idName), col(vecName), col(normName), col(sigName),
+          posexplode(col(sigName)).as(Seq("tbl", "sig")))
+    val scored = bucketed(candidates, "neighbor_id", "cv", "cn", "sc")
+      .join(broadcast(bucketed(queries, "query_id", "qv", "qn", "sq")),
+        Seq("tbl", "sig"))
+      .filter(graft.plans.VectorExprs.firstAgreeIndex(col("sq"), col("sc")) === col("tbl"))
       .withColumn("cos",
         round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
