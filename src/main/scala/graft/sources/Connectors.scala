@@ -67,4 +67,17 @@ object Connectors {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** JSON-lines source with an EXPLICIT schema: at corpus scale an
+    * inference pass is a full extra read of every byte, and a malformed
+    * line must surface as a row in `_corrupt_record`'s column-pruned
+    * PERMISSIVE mode rather than abort the job. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink (one object per line — the interchange format of
+    * most public text-corpus releases). */
+  def writeJsonLines(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).json(path)
 }

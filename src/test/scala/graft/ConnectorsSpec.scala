@@ -63,4 +63,26 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(all.count() == 4)
     assert(Connectors.jdbcTableExpr("SELECT 1") == "(SELECT 1) AS t")
   }
+
+  test("json-lines sink + schema'd source round-trip, corrupt lines survive") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val docs = Seq((1L, "alpha", "en"), (2L, "beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    Connectors.writeJsonLines(docs, dir, SaveMode.Overwrite)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val back = Connectors.jsonLines(spark, dir, schema)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "alpha", "en"), (2L, "beta", "de")))
+
+    // a malformed line yields a null-columned row (PERMISSIVE), not a crash
+    val corrupt = java.nio.file.Files.createTempDirectory("graft_jsonl2")
+      .resolve("bad.json")
+    java.nio.file.Files.write(corrupt,
+      "{\"doc_id\": 3, \"text\": \"ok\", \"lang\": \"en\"}\nnot json at all\n".getBytes)
+    val mixed = Connectors.jsonLines(spark, corrupt.toString, schema)
+    assert(mixed.count() == 2)
+    assert(mixed.filter($"doc_id".isNull).count() == 1)
+  }
 }
