@@ -1353,6 +1353,37 @@ object Queries {
     (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
   }
 
+  /** Two-stage SQ8 retrieval: int8-dequantized approximate dot keeps a
+    * 40-candidate shortlist per query, exact cosine re-ranks to top-5 —
+    * the memory-bandwidth pattern of a production vector store, with
+    * every arithmetic step engine-identical (floor/least dequant, one
+    * op order, rounded scores, id tiebreaks). */
+  val s06 = q("s06_quantized_rerank",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+      |d AS (SELECT vec_id, v, CASE WHEN mx = mn THEN v ELSE
+      |  list_transform(v, x -> mn + least(floor((x - mn)/(mx - mn)*255.0), 255.0)
+      |    *(mx - mn)/255.0) END AS dv FROM m),
+      |approx AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(list_dot_product(q.dv, c.dv), 6) AS approx, q.v AS qv, c.v AS cv
+      | FROM d q JOIN d c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |short AS (SELECT query_id, neighbor_id, qv, cv FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY approx DESC, neighbor_id) AS arn FROM approx) WHERE arn <= 40),
+      |rr AS (SELECT query_id, neighbor_id,
+      |  round(list_cosine_similarity(qv, cv), 6) AS cos FROM short)
+      |SELECT query_id, neighbor_id, cos,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      |FROM rr QUALIFY rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    Similarity.quantizedRerankTopK(
+      emb.filter(col("id") < 10), emb.filter(col("id") >= 10),
+      k = 5, shortlist = 40)
+  }
+
   /** LSH-bucketed ANN (no oracle — approximate by design; recall is
     * asserted against the brute-force baseline in ScalaTest). */
   val s03 = qNoOracle("s03_ann_lsh") { (s, dir) =>
@@ -1569,6 +1600,6 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    s01, s02, s03, s04, s05,
+    s01, s02, s03, s04, s05, s06,
     m01, m02, m03, p01)
 }

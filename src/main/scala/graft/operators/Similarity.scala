@@ -315,6 +315,49 @@ object Similarity {
         col("mn"), col("mx"))
   }
 
+  /** Two-stage SQ8 retrieval — the memory-bandwidth trick of a
+    * production vector store: stage 1 scans int8-DEQUANTIZED vectors
+    * (4× smaller at rest than float32; here reconstructed as doubles so
+    * both engines share one arithmetic) and keeps a `shortlist` per
+    * query by approximate dot product; stage 2 re-ranks only the
+    * shortlist with the exact cosine. Queries broadcast, corpus streams
+    * — stage 1 is one narrow scan, and WindowGroupLimit trims each
+    * partition to `shortlist` rows per query before the only shuffle.
+    * Dequantization arithmetic is straight-line IEEE double in one op
+    * order (floor + least, never round), so shortlist membership and
+    * final ranks hash-match the oracle. Exact-rerank columns ride
+    * stage 1 (the broadcast is tiny; the join-back alternative costs
+    * two extra shuffles of the shortlist). */
+  def quantizedRerankTopK(queries: DataFrame, candidates: DataFrame,
+                          k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    // mn/mx live in their own projection: referencing them from the
+    // transform lambda directly would re-evaluate array_min/array_max
+    // per ELEMENT (interpreted HOFs get no CSE)
+    def dequant(df: DataFrame) =
+      df.select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("nrm"),
+          array_min(col("vec")).as("mn"), array_max(col("vec")).as("mx"))
+        .select(col("id"), col("vec"), col("nrm"),
+          when(col("mx") === col("mn"), col("vec"))
+            .otherwise(transform(col("vec"), x =>
+              col("mn") + least(floor((x - col("mn")) / (col("mx") - col("mn"))
+                * 255.0), lit(255.0)) * (col("mx") - col("mn")) / 255.0))
+            .as("dv"))
+    val qd = dequant(queries).select(col("id").as("query_id"),
+      col("vec").as("qv"), col("nrm").as("qn"), col("dv").as("qdv"))
+    val cd = dequant(candidates).select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), col("nrm").as("cn"), col("dv").as("cdv"))
+    val approx = cd.crossJoin(broadcast(qd))
+      .withColumn("approx", round(VectorOps.dot(col("qdv"), col("cdv")), 6))
+    val short = Relational.topKPerGroup(approx, Seq(col("query_id")),
+      Seq(col("approx").desc, col("neighbor_id")), shortlist, rankCol = "arn")
+    val reranked = short.withColumn("cos",
+      round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    Relational.topKPerGroup(reranked, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
   /** Per-label centroid, one row per (label, dimension). Exact decimal
     * mean → identical across engines. posexplode keeps the dimension
     * index; the aggregation is a plain hash groupBy (map-side combined).

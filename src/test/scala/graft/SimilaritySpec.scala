@@ -64,6 +64,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == brute, s"LSH missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
   }
 
+  test("quantizedRerankTopK matches brute force when the shortlist is wide enough") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val qs = emb.filter(col("id") < 5)
+    val cands = emb.filter(col("id") >= 5)
+    val brute = Similarity.bruteForceTopK(qs, cands, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // shortlist = full corpus → stage 1 cannot drop a true top-5 row, so
+    // the exact rerank must reproduce brute force rank-for-rank
+    val n = cands.count().toInt
+    val full = Similarity.quantizedRerankTopK(qs, cands, 5, shortlist = n)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full == brute)
+    // a 40-wide shortlist keeps recall high on real data (int8 error is
+    // small relative to the cosine gaps at the top)
+    val short = Similarity.quantizedRerankTopK(qs, cands, 5, shortlist = 40)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (brute.map(r => (r._1, r._2)) intersect short).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
   test("l2normalize: unit norm in one pass, zero vector unchanged") {
     val df = Seq((1, Seq(3.0, 4.0)), (2, Seq(0.0, 0.0))).toDF("id", "v")
     val got = df.select(col("id"), VectorOps.l2normalize(col("v")).as("n"))
