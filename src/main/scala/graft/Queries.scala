@@ -906,6 +906,42 @@ object Queries {
     Dedup.minhashCandidatePairsPortable(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** Incremental dedup: docs with doc_id % 5 = 0 are the incoming
+    * batch, the rest the already-ingested corpus; a batch doc survives
+    * iff it has no exact normalized duplicate and no portable-MinHash
+    * band collision in the corpus — the daily-ingest path where
+    * re-deduplicating the full corpus per batch is not an option. */
+  val d10 = q("d10_dedup_incremental",
+    s"""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |ab AS (SELECT doc_id, list_transform(sh, s ->
+      |   [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 1000000007,
+      |    CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % 1000000007]) AS ab
+      | FROM d),
+      |sigs AS (SELECT doc_id,
+      |  list_transform(range(32), i ->
+      |    list_min(list_transform(ab, p -> (p[1] + i * p[2]) % 1000000007))) AS sig
+      | FROM ab),
+      |exact_ok AS (SELECT i.doc_id FROM documents i
+      | WHERE i.doc_id % 5 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents k WHERE k.doc_id % 5 <> 0
+      |   AND md5(regexp_replace(lower(trim(k.text)), '\\s+', ' ', 'g'))
+      |     = md5(regexp_replace(lower(trim(i.text)), '\\s+', ' ', 'g')))),
+      |collided AS (SELECT DISTINCT a.doc_id FROM sigs a JOIN sigs b
+      | ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      | AND list_max(list_transform(range(16), bb ->
+      |   CAST((a.sig[bb*2+1] = b.sig[bb*2+1] AND a.sig[bb*2+2] = b.sig[bb*2+2]) AS INT))) = 1)
+      |SELECT doc_id FROM exact_ok
+      |WHERE doc_id NOT IN (SELECT doc_id FROM collided)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalKeep(
+        docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", portable = true)
+      .select("doc_id")
+  }
+
   /** SimHash fingerprints, fully oracle-checked: the registered plan
     * uses the engine-portable 60-bit md5 variant, which the oracle
     * rebuilds with the same hex-derived token hashes and per-bit votes.
@@ -1598,7 +1634,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     s01, s02, s03, s04, s05, s06,
     m01, m02, m03, p01)

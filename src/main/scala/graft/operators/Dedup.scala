@@ -66,6 +66,49 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** (doc_id, band_idx, band_key) per (doc, band): the LSH bucket keys
+    * of a signature frame — band_key is the raw signature slice (array
+    * keys hash/compare natively). */
+  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .toDF("doc_id", "band_idx", "band_key")
+  }
+
+  /** Incremental (batch-vs-corpus) dedup — the daily-ingest path of a
+    * training pipeline, where re-deduplicating 100 TB from scratch per
+    * ingest is not an option: keep an incoming doc iff it has (a) no
+    * exact normalized-content duplicate and (b) no MinHash band
+    * collision against the already-ingested corpus. Both tests are
+    * LEFT ANTI / LEFT SEMI equi-joins (content-hash key; (band_idx,
+    * band_key) keys) — the known corpus contributes only its distinct
+    * keys, never full rows, and at production scale those key sets are
+    * persisted bucketed tables maintained incrementally per ingest, so
+    * each batch costs one narrow scan of the batch plus key-bucket
+    * joins. Within-batch dedup stays the job of d02/d03's operators —
+    * compose them before calling. `portable` selects the md5-seeded
+    * signature family (oracle-checkable) over production xxhash64. */
+  def incrementalKeep(incoming: DataFrame, known: DataFrame, idCol: String,
+                      textCol: String, numHashes: Int = 32, bands: Int = 16,
+                      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    val sigOf: DataFrame => DataFrame =
+      df => if (portable) portableSignatures(df, idCol, textCol, numHashes, shingleN)
+            else signatures(df, idCol, textCol, numHashes, shingleN)
+    val normKey = md5(TextOps.normText(col(textCol)))
+    val exactOk = incoming.withColumn("__norm_key", normKey)
+      .join(known.select(normKey.as("__norm_key")).distinct(),
+        Seq("__norm_key"), "left_anti")
+      .drop("__norm_key")
+    val knownBands = bandKeys(sigOf(known), numHashes, bands)
+      .select("band_idx", "band_key").distinct()
+    val collided = bandKeys(sigOf(exactOk), numHashes, bands)
+      .join(knownBands, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id").as(idCol)).distinct()
+    exactOk.join(collided, Seq(idCol), "left_anti")
+  }
+
   /** MinHash+LSH candidate pairs over the native xxhash64 signatures —
     * the production path (fast, engine-specific hashes). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,

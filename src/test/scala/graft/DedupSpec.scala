@@ -155,4 +155,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kept(0L) == 2L) // docs 0 and 3 collapse, keeper is 0
     assert(kept(1L) == 1L && kept(2L) == 1L)
   }
+
+  test("incrementalKeep drops exact and near dups vs the corpus, keeps fresh docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val known = Seq(
+      (0L, base),
+      (1L, "completely different corpus content about ships and harbors at dawn")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog again and again today"), // exact after norm
+      (11L, base + " tonight"),                                                    // near-dup
+      (12L, "statistics on rainfall patterns across four decades of measurements")  // fresh
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .incrementalKeep(incoming, known, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+    // portable family agrees on the same corpus
+    val keptP = graft.operators.Dedup
+      .incrementalKeep(incoming, known, "doc_id", "text", portable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptP == Set(12L))
+    // an empty known corpus keeps everything
+    val all = graft.operators.Dedup
+      .incrementalKeep(incoming, known.limit(0), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(10L, 11L, 12L))
+  }
 }
