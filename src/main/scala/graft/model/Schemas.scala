@@ -43,6 +43,14 @@ object Schemas {
     StructField("vwap_5", DoubleType), StructField("vol_5", DoubleType),
     StructField("is_anomaly", BooleanType)))
 
+  /** Corpus document row (mirrors the testdata `documents` table; the
+    * interchange shape of the dedup/ingest modes). */
+  val document: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
   case class Trade(symbol: String, price: Double, volume: Double,
                    timestamp: java.sql.Timestamp)
   case class Bar(symbol: String, open: Double, high: Double, low: Double,

@@ -41,7 +41,8 @@ object EdgeRunner {
     dbMode: String = "append",        // reference --dbmode, applies to bars
     threshold: Double = graft.operators.Metrics.AnomalyThreshold,
     webhook: Option[String] = None,
-    timeoutSec: Option[Long] = None)  // stream mode: stop after N seconds
+    timeoutSec: Option[Long] = None,  // stream mode: stop after N seconds
+    known: String = "")               // dedup mode: known-corpus parquet dir
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -53,8 +54,9 @@ object EdgeRunner {
       k -> v
     }.toMap
     val mode = kv.getOrElse("--mode",
-      sys.error("--mode batch|stream|meta|corpus is required"))
-    require(Set("batch", "stream", "meta", "corpus")(mode), s"unknown mode $mode")
+      sys.error("--mode batch|stream|meta|corpus|dedup is required"))
+    require(Set("batch", "stream", "meta", "corpus", "dedup")(mode),
+      s"unknown mode $mode")
     Config(
       mode = mode,
       in = kv.getOrElse("--in", sys.error("--in kafka://host:port/topic | file:/dir")),
@@ -65,7 +67,8 @@ object EdgeRunner {
       threshold = kv.get("--threshold").map(_.toDouble)
         .getOrElse(graft.operators.Metrics.AnomalyThreshold),
       webhook = kv.get("--webhook"),
-      timeoutSec = kv.get("--timeout-sec").map(_.toLong))
+      timeoutSec = kv.get("--timeout-sec").map(_.toLong),
+      known = kv.getOrElse("--known", ""))
   }
 
   /** One raw-JSON column `json`, batch flavor, from either source kind. */
@@ -150,6 +153,22 @@ object EdgeRunner {
       cfg.out, trigger, cfg.threshold, sink.onAlert)
   }
 
+  /** `--mode dedup`: incremental batch-vs-corpus dedup — incoming docs
+    * (JSON lines or a topic, `Schemas.document`) are anti-joined
+    * against the known corpus's content hashes and MinHash band keys
+    * ([[graft.operators.Dedup.incrementalKeep]]); survivors append to
+    * `corpus_docs`, lang-partitioned. Beyond the reference's surface —
+    * the batch front door of the LLM ingest pipeline. */
+  def runDedup(spark: SparkSession, cfg: Config): Long = {
+    require(cfg.known.nonEmpty,
+      "--known (known-corpus parquet path) is required in dedup mode")
+    val incoming = parseJson(readBatchJson(spark, cfg.in), Schemas.document)
+    val known = spark.read.parquet(cfg.known)
+    writeAndCount(cfg,
+      graft.operators.Dedup.incrementalKeep(incoming, known, "doc_id", "text"),
+      "corpus_docs", saveMode(cfg.dbMode), Seq("lang"))
+  }
+
   /** `--mode corpus`: streaming corpus ingestion (quality gate +
     * watermarked content dedup → lang-partitioned parquet). Beyond the
     * reference's surface — the LLM-pipeline counterpart of `stream`. */
@@ -170,6 +189,7 @@ object EdgeRunner {
   def run(spark: SparkSession, cfg: Config): Unit = cfg.mode match {
     case "batch"  => println(s"[edge] stock_bars rows: ${runBatch(spark, cfg)}")
     case "meta"   => println(s"[edge] company_data rows: ${runMeta(spark, cfg)}")
+    case "dedup"  => println(s"[edge] corpus_docs rows kept: ${runDedup(spark, cfg)}")
     case "stream" => await(startStream(spark, cfg), cfg.timeoutSec)
     case "corpus" => await(startCorpus(spark, cfg), cfg.timeoutSec)
   }

@@ -80,6 +80,28 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(landed.count() == 1, "only the first quality doc survives")
   }
 
+  test("--mode dedup keeps only docs that are new vs the known corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val knownDir = Files.createTempDirectory("edge_known").toString + "/corpus"
+    Seq((0L, base, "en", "web"),
+        (1L, "ships and harbors at dawn in heavy fog for hours", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source").write.parquet(knownDir)
+    val in = Files.createTempDirectory("edge_dedup_in").toString
+    val out = Files.createTempDirectory("edge_dedup_out").toString
+    writeLines(in, "batch.json", Seq(
+      s"""{"doc_id":10,"text":"The  quick brown fox jumps over the lazy dog again and again today","lang":"en","source":"web"}""",
+      s"""{"doc_id":11,"text":"$base tonight","lang":"en","source":"web"}""",
+      """{"doc_id":12,"text":"rainfall statistics across four decades of measurements","lang":"de","source":"news"}"""))
+    val cfg = EdgeRunner.parse(Array("--mode", "dedup", "--in", s"file:$in",
+      "--out", out, "--known", knownDir))
+    assert(EdgeRunner.runDedup(spark, cfg) == 1L)
+    val kept = spark.read.parquet(s"$out/corpus_docs")
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(12L))
+    // lang-partitioned for pruning on later reads
+    assert(new java.io.File(s"$out/corpus_docs/lang=de").exists())
+  }
+
   test("stream mode resumes from its checkpoint without duplicating bars") {
     val in = Files.createTempDirectory("edge_resume").toString
     val out = Files.createTempDirectory("edge_resume_out").toString
