@@ -168,6 +168,18 @@ object ScaleSmoke {
       time(s"contamination_${nd}_docs") {
         Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+      },
+      time(s"incremental_dedup_${nd}_docs") {
+        // batch-vs-corpus anti-joins (the daily-ingest path): 20% batch
+        // against an 80% known corpus
+        Dedup.incrementalKeep(docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      },
+      time(s"sq8_rerank_${nd}_vecs") {
+        // two-stage quantized retrieval: approx scan + exact rerank
+        Similarity.quantizedRerankTopK(
+          embeddings.filter(col("id") < 16),
+          embeddings.filter(col("id") >= 16), k = 5, shortlist = 40)
       })
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
