@@ -44,10 +44,13 @@ object Schemas {
     StructField("is_anomaly", BooleanType)))
 
   /** Corpus document row (mirrors the testdata `documents` table; the
-    * interchange shape of the dedup/ingest modes). */
+    * interchange shape of the dedup/ingest modes). All fields nullable:
+    * from_json forces its output nullable regardless of declarations,
+    * and PERMISSIVE corrupt lines DO produce null doc_id/text — callers
+    * must gate on non-null themselves (EdgeRunner's dedup mode does). */
   val document: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("text", StringType, nullable = false),
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType)))
 

@@ -16,6 +16,20 @@ import graft.functions.TextOps
   * signature pass is a single narrow scan.
   */
 object Dedup {
+  /** The per-row MinHash signature expression — ONE definition for both
+    * hash families so every consumer (pairwise, incremental, cluster)
+    * derives identical signatures from identical text. The native
+    * family lowercases; the portable family matches the oracle's raw
+    * tokens. */
+  private def sigExpr(textCol: String, numHashes: Int, shingleN: Int,
+                      portable: Boolean): Column =
+    if (portable)
+      graft.plans.TextHash.minhashSigPortable(
+        TextOps.tokens(col(textCol)), shingleN, numHashes)
+    else
+      graft.plans.TextHash.minhashSig(
+        TextOps.tokens(lower(col(textCol))), shingleN, numHashes)
+
   /** (doc_id, sig) per document: tokenize → n-gram shingle → MinHash,
     * via the native [[graft.plans.MinHashShingleSig]] expression (one
     * tight per-row loop; the composed higher-order-function form is
@@ -23,8 +37,7 @@ object Dedup {
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int, shingleN: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      graft.plans.TextHash.minhashSig(
-        TextOps.tokens(lower(col(textCol))), shingleN, numHashes).as("sig"))
+      sigExpr(textCol, numHashes, shingleN, portable = false).as("sig"))
 
   /** Banded LSH pair generation over a (doc_id, sig array<long>) frame:
     * docs sharing any band key become candidates; est_jaccard = fraction
@@ -44,14 +57,8 @@ object Dedup {
     * `sigs` once (localCheckpoint): the frame feeds both join sides and
     * the signature pipeline must not recompute per side. */
   private def bandedPairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(bands >= 1 && numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
-        "would silently drop signature components from banding")
+    val banded = bandKeys(sigs, numHashes, bands)
     val rows = numHashes / bands
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))))
-      .toDF("doc_id", "sig", "band_idx", "band_key")
     val a = banded.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
@@ -66,15 +73,21 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** (doc_id, band_idx, band_key) per (doc, band): the LSH bucket keys
-    * of a signature frame — band_key is the raw signature slice (array
-    * keys hash/compare natively). */
+  /** Explode a signature frame into its LSH band keys: every input
+    * column rides, plus (band_idx, band_key = the raw signature slice —
+    * array keys hash/compare natively). The ONE banding definition:
+    * pairwise and incremental candidate generation must never
+    * desynchronize on band layout. */
   private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently drop signature components from banding, and " +
+        "zero-width bands would collide everything with everything")
     val rows = numHashes / bands
-    sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))))
-      .toDF("doc_id", "band_idx", "band_key")
+    sigs.select(col("*"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows))))
+        .as(Seq("band_idx", "band_key")))
   }
 
   /** Incremental (batch-vs-corpus) dedup — the daily-ingest path of a
@@ -93,17 +106,26 @@ object Dedup {
   def incrementalKeep(incoming: DataFrame, known: DataFrame, idCol: String,
                       textCol: String, numHashes: Int = 32, bands: Int = 16,
                       shingleN: Int = 3, portable: Boolean = false): DataFrame = {
-    val sigOf: DataFrame => DataFrame =
-      df => if (portable) portableSignatures(df, idCol, textCol, numHashes, shingleN)
-            else signatures(df, idCol, textCol, numHashes, shingleN)
     val normKey = md5(TextOps.normText(col(textCol)))
+    // ONE scan of the known corpus computes both key sets (norm hash +
+    // signature in a single projection), checkpointed because it feeds
+    // two join subtrees; keys only — never full known rows
+    val knownKeys = known.select(normKey.as("__norm_key"),
+        sigExpr(textCol, numHashes, shingleN, portable).as("sig"))
+      .localCheckpoint(false)
+    // checkpointed: feeds the signature/banding branch AND the final
+    // anti-join — without it the batch scan + anti-join plan twice
     val exactOk = incoming.withColumn("__norm_key", normKey)
-      .join(known.select(normKey.as("__norm_key")).distinct(),
+      .join(knownKeys.select("__norm_key").distinct(),
         Seq("__norm_key"), "left_anti")
       .drop("__norm_key")
-    val knownBands = bandKeys(sigOf(known), numHashes, bands)
+      .localCheckpoint(false)
+    val knownBands = bandKeys(knownKeys.select("sig"), numHashes, bands)
       .select("band_idx", "band_key").distinct()
-    val collided = bandKeys(sigOf(exactOk), numHashes, bands)
+    val incSigs =
+      if (portable) portableSignatures(exactOk, idCol, textCol, numHashes, shingleN)
+      else signatures(exactOk, idCol, textCol, numHashes, shingleN)
+    val collided = bandKeys(incSigs, numHashes, bands)
       .join(knownBands, Seq("band_idx", "band_key"), "left_semi")
       .select(col("doc_id").as(idCol)).distinct()
     exactOk.join(collided, Seq(idCol), "left_anti")
@@ -128,8 +150,7 @@ object Dedup {
   def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
                          numHashes: Int, shingleN: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      graft.plans.TextHash.minhashSigPortable(
-        TextOps.tokens(col(textCol)), shingleN, numHashes).as("sig"))
+      sigExpr(textCol, numHashes, shingleN, portable = true).as("sig"))
 
   /** [[minhashCandidatePairs]] over the portable md5 signatures. */
   def minhashCandidatePairsPortable(docs: DataFrame, idCol: String,

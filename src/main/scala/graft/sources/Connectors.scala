@@ -69,9 +69,11 @@ object Connectors {
   }
 
   /** JSON-lines source with an EXPLICIT schema: at corpus scale an
-    * inference pass is a full extra read of every byte, and a malformed
-    * line must surface as a row in `_corrupt_record`'s column-pruned
-    * PERMISSIVE mode rather than abort the job. */
+    * inference pass is a full extra read of every byte. Malformed lines
+    * follow PERMISSIVE semantics — they become all-null rows rather
+    * than aborting the job — so consumers must gate on the non-null
+    * key columns they require (add a `_corrupt_record` StringType field
+    * to the schema to capture the raw line instead). */
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 

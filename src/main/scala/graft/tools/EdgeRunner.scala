@@ -162,7 +162,13 @@ object EdgeRunner {
   def runDedup(spark: SparkSession, cfg: Config): Long = {
     require(cfg.known.nonEmpty,
       "--known (known-corpus parquet path) is required in dedup mode")
+    // corrupt JSON lines surface as all-null PERMISSIVE rows; a null
+    // norm key matches nothing in the anti-joins, so ungated they would
+    // flow into corpus_docs as null rows under the default partition.
+    // (Content-quality gating beyond this composes upstream — the
+    // streaming twin's CorpusStream gate.)
     val incoming = parseJson(readBatchJson(spark, cfg.in), Schemas.document)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
     val known = spark.read.parquet(cfg.known)
     writeAndCount(cfg,
       graft.operators.Dedup.incrementalKeep(incoming, known, "doc_id", "text"),

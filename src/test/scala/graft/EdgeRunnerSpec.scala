@@ -92,7 +92,8 @@ class EdgeRunnerSpec extends AnyFunSuite {
     writeLines(in, "batch.json", Seq(
       s"""{"doc_id":10,"text":"The  quick brown fox jumps over the lazy dog again and again today","lang":"en","source":"web"}""",
       s"""{"doc_id":11,"text":"$base tonight","lang":"en","source":"web"}""",
-      """{"doc_id":12,"text":"rainfall statistics across four decades of measurements","lang":"de","source":"news"}"""))
+      """{"doc_id":12,"text":"rainfall statistics across four decades of measurements","lang":"de","source":"news"}""",
+      """this line is not json and must not pollute the corpus"""))
     val cfg = EdgeRunner.parse(Array("--mode", "dedup", "--in", s"file:$in",
       "--out", out, "--known", knownDir))
     assert(EdgeRunner.runDedup(spark, cfg) == 1L)
