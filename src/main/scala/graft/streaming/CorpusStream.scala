@@ -35,27 +35,43 @@ object CorpusStream {
       .select(from_json(col("json"), doc).as("d"))
       .select("d.*")
 
+  /** The distinct content fingerprints of an already-landed corpus —
+    * the static side of [[prepare]]'s known-corpus anti-join. At scale
+    * this is a persisted key table maintained per ingest (the batch
+    * twin: [[graft.operators.Dedup.incrementalKeep]]'s key discipline),
+    * not a recomputation over the corpus per stream start. */
+  def knownFingerprints(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.select(md5(TextOps.normText(col(textCol))).as("fp")).distinct()
+
   /** Quality gate + watermarked content dedup. Works on static and
-    * streaming frames alike. */
-  def prepare(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    * streaming frames alike. `knownKeys` (a STATIC frame of `fp`
+    * fingerprints, see [[knownFingerprints]]) additionally drops docs
+    * already present in the landed corpus — a stream-static LEFT ANTI
+    * join, stateless on the stream side, so the only streaming state
+    * remains the watermarked within-stream dedup map. */
+  def prepare(docs: DataFrame, watermark: String = "10 minutes",
+              knownKeys: Option[DataFrame] = None): DataFrame = {
     val gated = docs
       .filter(TextAnalysis.qualityPredicate(col("text")))
       .withColumn("fp", md5(TextOps.normText(col("text"))))
+    val fresh = knownKeys.fold(gated)(k =>
+      gated.join(k.select("fp"), Seq("fp"), "left_anti"))
     if (docs.isStreaming)
-      gated.withWatermark("ts", watermark)
+      fresh.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(Seq("fp"))   // keeps first ARRIVAL
     else
       // batch twin keeps min doc_id per content (the d02 rule) — a bare
       // dropDuplicates would keep whichever row a partition saw first
-      graft.operators.Dedup.keepOneByContent(gated, "doc_id", col("fp"))
+      graft.operators.Dedup.keepOneByContent(fresh, "doc_id", col("fp"))
   }
 
   /** Run the ingestion end-to-end: lines → prepare → partitioned
     * parquet append (by lang, the downstream mix/filter key). */
   def start(lines: DataFrame, outDir: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("1 minute"),
-            watermark: String = "10 minutes"): StreamingQuery =
-    prepare(parseDocs(lines), watermark)
+            watermark: String = "10 minutes",
+            knownKeys: Option[DataFrame] = None): StreamingQuery =
+    prepare(parseDocs(lines), watermark, knownKeys)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

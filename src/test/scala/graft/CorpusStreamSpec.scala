@@ -43,6 +43,29 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/lang=en").exists())
   }
 
+  test("stream anti-joins the known corpus: already-landed content never re-lands") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("corpus_out2").toString
+    val ckpt = Files.createTempDirectory("corpus_ckpt2").toString
+    // doc 1's content is already in the landed corpus (differing case —
+    // the fingerprint normalizes); doc 5's is fresh
+    val known = Seq((100L, longText.toUpperCase)).toDF("doc_id", "text")
+    val input = MemoryStream[String]
+    val q = CorpusStream.start(input.toDF(), out, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"), watermark = "10 minutes",
+      knownKeys = Some(CorpusStream.knownFingerprints(known)))
+    input.addData(doc(1, longText, "en", 0))
+    input.addData(doc(5, longText + " extra tail tokens here", "fr", 10))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.schema(
+      org.apache.spark.sql.types.StructType(CorpusStream.doc.fields :+
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType))
+      ).parquet(out)
+    assert(landed.select("doc_id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("prepare on a static frame applies the same gate and dedup") {
     val docs = Seq(
       (1L, longText, "en"),
