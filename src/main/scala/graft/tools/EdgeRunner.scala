@@ -176,14 +176,18 @@ object EdgeRunner {
   }
 
   /** `--mode corpus`: streaming corpus ingestion (quality gate +
-    * watermarked content dedup → lang-partitioned parquet). Beyond the
-    * reference's surface — the LLM-pipeline counterpart of `stream`. */
+    * watermarked content dedup → lang-partitioned parquet). With
+    * `--known`, already-landed content is dropped too (stream-static
+    * anti-join on the corpus's fingerprints). Beyond the reference's
+    * surface — the LLM-pipeline counterpart of `stream`. */
   def startCorpus(spark: SparkSession, cfg: Config,
                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
     require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
       "--out and --checkpoint are required in corpus mode")
+    val knownKeys = Option(cfg.known).filter(_.nonEmpty)
+      .map(p => CorpusStream.knownFingerprints(spark.read.parquet(p)))
     CorpusStream.start(readStreamEnvelopes(spark, cfg.in), cfg.out,
-      cfg.checkpoint, trigger)
+      cfg.checkpoint, trigger, knownKeys = knownKeys)
   }
 
   private def await(q: StreamingQuery, timeoutSec: Option[Long]): Unit =
