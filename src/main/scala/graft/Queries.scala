@@ -1501,6 +1501,20 @@ object Queries {
       count(lit(1)).over(w).cast("long").as("running_n"))
   }
 
+  /** Changelog compaction: drop rows whose value repeats the key's
+    * previous row — an event stream reduced to its minimal change log
+    * (CDC/feature-store upsert compaction). */
+  val q58 = q("q58_compaction",
+    """SELECT user_id, event_id, value FROM (
+      | SELECT user_id, event_id, value,
+      |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      | FROM events)
+      |WHERE prev IS NULL OR prev <> value""".stripMargin) { (s, dir) =>
+    Relational.compact(Tables.events(s, dir),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("value"))
+      .select("user_id", "event_id", "value")
+  }
+
   /** Offset window functions: lag/lead deltas per key. */
   val q27 = q("q27_lag_lead",
     """SELECT user_id, event_id,
@@ -1633,7 +1647,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     s01, s02, s03, s04, s05, s06,

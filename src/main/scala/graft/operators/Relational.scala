@@ -28,6 +28,20 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Changelog compaction: keep only rows whose value differs from the
+    * key's previous row under `order` (each key's first row is always
+    * kept) — an event stream reduced to its minimal change log, the
+    * upsert-compaction of a CDC/feature-store pipeline. One window over
+    * the key partition, raw-value equality (no arithmetic), streamed
+    * filter — no second scan, no state beyond the window sort. */
+  def compact(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+              value: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__prev", lag(value, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= value)
+      .drop("__prev")
+  }
+
   /** Range (interval) join: left rows matched to right intervals
     * containing their timestamp, same equi-key. A naive theta join is
     * a per-key cross product; instead each interval is exploded into

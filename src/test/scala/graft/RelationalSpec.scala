@@ -32,4 +32,15 @@ class RelationalSpec extends AnyFunSuite {
     val df = Seq(("a", 5L, 1), ("a", 5L, 2), ("a", 1L, 3)).toDF("k", "ts", "n")
     assert(Relational.latestPerKey(df, Seq("k"), "ts").count() == 2)
   }
+
+  test("compact keeps first rows and value changes, drops repeats per key") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 11.0), ("a", 4L, 11.0),
+      ("a", 5L, 10.0), // back to an OLD value: still a change, kept
+      ("b", 1L, 10.0)  // other key: own first row
+    ).toDF("k", "ts", "v")
+    val got = Relational.compact(df, Seq(col("k")), Seq(col("ts")), col("v"))
+      .select("k", "ts").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("a", 3L), ("a", 5L), ("b", 1L)))
+  }
 }
