@@ -100,22 +100,28 @@ object Dedup {
     * keys, never full rows, and at production scale those key sets are
     * persisted bucketed tables maintained incrementally per ingest, so
     * each batch costs one narrow scan of the batch plus key-bucket
-    * joins. Within-batch dedup stays the job of d02/d03's operators —
-    * compose them before calling. `portable` selects the md5-seeded
-    * signature family (oracle-checkable) over production xxhash64. */
+    * joins. Rows with null id/text are dropped (a null key would match
+    * nothing and bypass dedup). Within-batch dedup stays the job of
+    * d02/d03's operators — compose them before calling. `portable`
+    * selects the md5-seeded signature family (oracle-checkable) over
+    * production xxhash64. */
   def incrementalKeep(incoming: DataFrame, known: DataFrame, idCol: String,
                       textCol: String, numHashes: Int = 32, bands: Int = 16,
                       shingleN: Int = 3, portable: Boolean = false): DataFrame = {
-    val normKey = md5(TextOps.normText(col(textCol)))
+    val normKey = TextOps.fingerprint(col(textCol))
     // ONE scan of the known corpus computes both key sets (norm hash +
     // signature in a single projection), checkpointed because it feeds
     // two join subtrees; keys only — never full known rows
     val knownKeys = known.select(normKey.as("__norm_key"),
         sigExpr(textCol, numHashes, shingleN, portable).as("sig"))
       .localCheckpoint(false)
+    // null id/text rows are DROPPED here, inside the operator: a null
+    // key matches nothing in either anti-join, so ungated they would
+    // bypass deduplication entirely at every call site
+    val gated = incoming.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     // checkpointed: feeds the signature/banding branch AND the final
     // anti-join — without it the batch scan + anti-join plan twice
-    val exactOk = incoming.withColumn("__norm_key", normKey)
+    val exactOk = gated.withColumn("__norm_key", normKey)
       .join(knownKeys.select("__norm_key").distinct(),
         Seq("__norm_key"), "left_anti")
       .drop("__norm_key")

@@ -33,12 +33,18 @@ object Relational {
     * kept) — an event stream reduced to its minimal change log, the
     * upsert-compaction of a CDC/feature-store pipeline. One window over
     * the key partition, raw-value equality (no arithmetic), streamed
-    * filter — no second scan, no state beyond the window sort. */
+    * filter — no second scan, no state beyond the window sort.
+    *
+    * NULL-correct: the lagged value rides inside a struct, which is
+    * null only on each key's FIRST row — so a change TO null is kept
+    * and a null-to-null repeat is dropped (a bare lag cannot tell
+    * "first row" from "previous value was null", and a null-unsafe
+    * `<>` would silently drop real changes to null). */
   def compact(df: DataFrame, keys: Seq[Column], order: Seq[Column],
               value: Column): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-    df.withColumn("__prev", lag(value, 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= value)
+    df.withColumn("__prev", lag(struct(value.as("v")), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev.v") <=> value))
       .drop("__prev")
   }
 

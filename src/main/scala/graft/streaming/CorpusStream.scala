@@ -41,7 +41,7 @@ object CorpusStream {
     * twin: [[graft.operators.Dedup.incrementalKeep]]'s key discipline),
     * not a recomputation over the corpus per stream start. */
   def knownFingerprints(corpus: DataFrame, textCol: String = "text"): DataFrame =
-    corpus.select(md5(TextOps.normText(col(textCol))).as("fp")).distinct()
+    corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
 
   /** Quality gate + watermarked content dedup. Works on static and
     * streaming frames alike. `knownKeys` (a STATIC frame of `fp`
@@ -53,7 +53,7 @@ object CorpusStream {
               knownKeys: Option[DataFrame] = None): DataFrame = {
     val gated = docs
       .filter(TextAnalysis.qualityPredicate(col("text")))
-      .withColumn("fp", md5(TextOps.normText(col("text"))))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
     val fresh = knownKeys.fold(gated)(k =>
       gated.join(k.select("fp"), Seq("fp"), "left_anti"))
     if (docs.isStreaming)

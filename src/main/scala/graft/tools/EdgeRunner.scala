@@ -162,13 +162,11 @@ object EdgeRunner {
   def runDedup(spark: SparkSession, cfg: Config): Long = {
     require(cfg.known.nonEmpty,
       "--known (known-corpus parquet path) is required in dedup mode")
-    // corrupt JSON lines surface as all-null PERMISSIVE rows; a null
-    // norm key matches nothing in the anti-joins, so ungated they would
-    // flow into corpus_docs as null rows under the default partition.
-    // (Content-quality gating beyond this composes upstream — the
-    // streaming twin's CorpusStream gate.)
+    // corrupt JSON lines surface as all-null PERMISSIVE rows;
+    // incrementalKeep drops null id/text itself. (Content-quality
+    // gating beyond that composes upstream — the streaming twin's
+    // CorpusStream gate.)
     val incoming = parseJson(readBatchJson(spark, cfg.in), Schemas.document)
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
     val known = spark.read.parquet(cfg.known)
     writeAndCount(cfg,
       graft.operators.Dedup.incrementalKeep(incoming, known, "doc_id", "text"),
@@ -184,8 +182,11 @@ object EdgeRunner {
                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
     require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
       "--out and --checkpoint are required in corpus mode")
+    // persisted: the static side of a stream-static join re-executes
+    // every micro-batch — unpersisted, each trigger would rescan the
+    // whole corpus and recompute fingerprints
     val knownKeys = Option(cfg.known).filter(_.nonEmpty)
-      .map(p => CorpusStream.knownFingerprints(spark.read.parquet(p)))
+      .map(p => CorpusStream.knownFingerprints(spark.read.parquet(p)).persist())
     CorpusStream.start(readStreamEnvelopes(spark, cfg.in), cfg.out,
       cfg.checkpoint, trigger, knownKeys = knownKeys)
   }

@@ -43,4 +43,15 @@ class RelationalSpec extends AnyFunSuite {
       .select("k", "ts").as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("a", 3L), ("a", 5L), ("b", 1L)))
   }
+
+  test("compact is null-correct: change to null kept, null repeat dropped") {
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(10.0)),
+      ("c", 1L, Option.empty[Double]) // first row with null value: kept
+    ).toDF("k", "ts", "v")
+    val got = Relational.compact(df, Seq(col("k")), Seq(col("ts")), col("v"))
+      .select("k", "ts").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("a", 4L), ("c", 1L)))
+  }
 }
