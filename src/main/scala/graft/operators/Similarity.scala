@@ -44,6 +44,22 @@ object Similarity {
     Array.fill(nPlanes, dim)(next())
   }
 
+  /** Engine-PORTABLE hyperplanes — the ANN twin of
+    * Dedup.portableSignatures: plane(p)(d) is derived from the md5 hex
+    * digest of "p:d" (60 bits → [-1,1)), so any engine with md5
+    * rebuilds the matrix bit-for-bit and the whole LSH bucket pipeline
+    * becomes oracle-checkable (s03). Identical statistical quality to
+    * the LCG family; one digest per matrix cell, computed once on the
+    * driver — the per-row cost is unchanged. */
+  private[graft] def portablePlanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val x = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      x.toDouble / (1L << 60).toDouble * 2.0 - 1.0
+    }
+  }
+
   /** All per-table sign-pattern signatures in one native expression
     * (graft.plans.HyperplaneSigs): one fused loop over tables × bits
     * planes — composing per-table signatures from separate dot
@@ -67,8 +83,21 @@ object Similarity {
     * vector join-backs exist; the only shuffle in the whole probe is
     * the final per-query top-k window. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              dim: Int, tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
-    val all = planes(tables * bitsPerTable, dim)
+              dim: Int, tables: Int = 4, bitsPerTable: Int = 8): DataFrame =
+    lshTopKWith(planes(tables * bitsPerTable, dim),
+      queries, candidates, k, tables, bitsPerTable)
+
+  /** [[lshTopK]] over the portable md5-derived plane family — the
+    * oracle-checkable twin (same probe plan; only the plane constants
+    * differ). */
+  def lshTopKPortable(queries: DataFrame, candidates: DataFrame, k: Int,
+                      dim: Int, tables: Int = 4, bitsPerTable: Int = 8): DataFrame =
+    lshTopKWith(portablePlanes(tables * bitsPerTable, dim),
+      queries, candidates, k, tables, bitsPerTable)
+
+  private def lshTopKWith(all: Array[Array[Double]], queries: DataFrame,
+                          candidates: DataFrame, k: Int,
+                          tables: Int, bitsPerTable: Int): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vecName: String,
                  normName: String, sigName: String): DataFrame =
       df.select(col("id").as(idName), col("vec").as(vecName),
@@ -113,11 +142,19 @@ object Similarity {
     * `iters` Lloyd rounds. Each round is one broadcast-assign pass +
     * one hash aggregation; centroid updates collect only
     * nCentroids × dim doubles to the driver. */
-  def ivfIndex(candidates: DataFrame, nCentroids: Int, iters: Int = 3): IVFModel = {
+  def ivfIndex(candidates: DataFrame, nCentroids: Int, iters: Int = 3,
+               portableInit: Boolean = false): IVFModel = {
     // each Lloyd round re-reads the corpus; materialize it once
     val base = candidates.select(col("id"), col("vec")).localCheckpoint(false)
+    // init: first nCentroids vectors under a deterministic pseudo-random
+    // id order. portableInit orders by the md5 hex of the id string —
+    // reproducible on any engine with md5 (the s04 oracle re-derives the
+    // same seeds); default keeps the cheaper native xxhash64 spread.
+    val seedOrder =
+      if (portableInit) md5(col("id").cast("string").cast("binary"))
+      else xxhash64(col("id"))
     var cents: Array[Array[Double]] = base
-      .orderBy(xxhash64(col("id"))).limit(nCentroids)
+      .orderBy(seedOrder).limit(nCentroids)
       .select(col("vec")).collect()
       .map(_.getSeq[Double](0).toArray)
     var it = 0
@@ -164,18 +201,22 @@ object Similarity {
     * silently returned — the cheap param drift the catalog can detect. */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                      corpus: => DataFrame, nCentroids: Int, iters: Int = 3,
-                     buckets: Int = 8): IVFModel = synchronized {
-    val existing =
-      if (spark.catalog.tableExists(s"${name}_centroids") &&
-          spark.catalog.tableExists(s"${name}_assignments"))
-        Some(loadIvfIndex(spark, name))
-      else None
-    // single load on the hot path; rebuild only on absence/param drift
-    existing.filter(_.centroids.length == nCentroids).getOrElse {
-      saveIvfIndex(spark, ivfIndex(corpus, nCentroids, iters), name, buckets)
-      loadIvfIndex(spark, name)
+                     buckets: Int = 8, portableInit: Boolean = false): IVFModel =
+    synchronized {
+      val existing =
+        if (spark.catalog.tableExists(s"${name}_centroids") &&
+            spark.catalog.tableExists(s"${name}_assignments"))
+          Some(loadIvfIndex(spark, name))
+        else None
+      // single load on the hot path; rebuild only on absence/param
+      // drift. The init family is part of the NAME contract: callers
+      // must use distinct names for portable vs native indices.
+      existing.filter(_.centroids.length == nCentroids).getOrElse {
+        saveIvfIndex(spark, ivfIndex(corpus, nCentroids, iters, portableInit),
+          name, buckets)
+        loadIvfIndex(spark, name)
+      }
     }
-  }
 
   /** Reload a persisted IVF index. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): IVFModel = {
