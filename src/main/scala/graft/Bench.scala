@@ -33,34 +33,44 @@ object Bench {
       // e.toString, not getMessage: an NPE would print "null"
       System.err.println(s"[bench] prepare failed: $e")
     }
+    // median-of-N per query: single-run numbers on this box swing by
+    // seconds run-to-run (GC, page cache, task-schedule jitter), which
+    // made real 2x regressions indistinguishable from noise in r1/r2.
+    // The median of 3 independent runs is stable enough to defend a
+    // regression bar while only tripling the bench wall-clock.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY output column. A bare count()
-      // would let Catalyst prune unused projections (e.g. window
-      // columns), timing a plan that never computes the metric.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          failed += name
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop the finished query's localCheckpoint blocks: queries are
-      // independent, and letting ~dozens of materialized RDDs accumulate
-      // makes later queries pay the earlier ones' memory pressure
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // a failed query's time-to-crash is not a benchmark number: keep
-      // it out of the timings so a regression can't read as a speedup
-      if (ok) Some(name -> dt) else None
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes EVERY output column. A bare count()
+        // would let Catalyst prune unused projections (e.g. window
+        // columns), timing a plan that never computes the metric.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop the finished run's localCheckpoint blocks: runs and
+        // queries are independent, and letting ~dozens of materialized
+        // RDDs accumulate makes later work pay earlier memory pressure
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (ok) Some(dt) else None
+      }
+      // a failed query's time-to-crash is not a benchmark number: any
+      // failed rep marks the query failed and keeps it out of timings,
+      // so a regression can't read as a speedup
+      if (times.size == reps) Some(name -> times.sorted.apply(reps / 2))
+      else { failed += name; None }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1792,13 +1792,21 @@ object Queries {
       | COUNT(DISTINCT l_orderkey) AS exact_orders,
       | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+    val li = Tables.lineitem(s, dir)
+    // The HLLs aggregate SEPARATELY from the exact counts: two DISTINCT
+    // aggregates plan a 3-way expand, and dragging the multi-KB HLL
+    // buffers (rsd 0.0125 → 2^13 registers) through that expanded
+    // aggregation was ~15x slower than this split + 3-row join.
+    // rsd 0.0125 makes the 5% invariant a 4σ bound (P(miss) ~ 1e-4
+    // across all six cells; the default 0.05 leaves 5% at 1σ — a ~1/3
+    // flake rate per cell).
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.0125).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.0125).as("ao"))
+    val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        // rsd 0.01 makes the 5% invariant a 5σ bound (P(miss) ~ 1e-7);
-        // the default 0.05 leaves 5% at 1σ — a ~1/3 flake rate per cell
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    exact.join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("ap") - col("exact_parts"))
           <= col("exact_parts") * lit(0.05)).as("parts_within_5pct"),

@@ -52,11 +52,15 @@ object Scratch {
     // clustering, index builds) — surface it separately
     println(s"build=${(System.nanoTime() - tb) / 1e9}s")
     if (sys.env.contains("SCRATCH_EXPLAIN")) { df.explain("formatted"); df.show(10, false) }
-    val t0 = System.nanoTime()
+    // rows via count (prunes agg expressions), but TIME via the noop
+    // sink, which materializes every output column — the same
+    // materialization Bench uses, so Scratch timings are comparable
     val n = df.count()
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
     println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
     val t1 = System.nanoTime()
-    df.count()
+    df.write.format("noop").mode("overwrite").save()
     println(s"second_run=${(System.nanoTime() - t1) / 1e9}s")
     spark.stop()
   }
