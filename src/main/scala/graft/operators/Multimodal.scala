@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Decode has two backends sharing one signature and batch shape:
   *  - [[JvmCodec]] — REAL decoders from the JDK: `javax.imageio`
-  *    (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV PCM). No
-  *    external libraries. Video stays stubbed (the JDK has no video
-  *    codec); payloads neither backend can parse fall back to
-  *    [[FakeCodec]] so a mixed/corrupt corpus never kills a 100 TB job
-  *    mid-stage.
+  *    (PNG/JPEG/BMP/GIF), `javax.sound.sampled` (WAV PCM), and a
+  *    pure-JDK [[Y4M]] parser for uncompressed YUV4MPEG2 video (the
+  *    one video container parseable without a codec library — the JDK
+  *    has no compressed-video codec). Payloads no backend can parse
+  *    fall back to [[FakeCodec]] so a mixed/corrupt corpus never kills
+  *    a 100 TB job mid-stage.
   *  - [[FakeCodec]] — deterministic pseudo-metadata from the raw bytes,
   *    used by the oracle-checked queries over the synthetic text-byte
   *    corpus (whose payloads are not real media).
@@ -122,12 +123,33 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** Real Y4M video decode: width/height from the stream header,
+      * n_frames = parsed FRAME count, brightness = mean luma over every
+      * frame's Y plane in [0,1] — the video analogue of the image path,
+      * byte-deterministic by construction. */
+    def decodeVideo(f: MediaFile): Option[MediaFeatures] =
+      Y4M.frameOffsets(f.payload).map { case (info, offs) =>
+        val y = info.width * info.height
+        var sum = 0L
+        offs.foreach { o =>
+          var i = o; val end = o + y
+          while (i < end) { sum += f.payload(i) & 0xff; i += 1 }
+        }
+        val brightness =
+          if (offs.isEmpty || y == 0) 0.0
+          else sum.toDouble / (offs.size.toLong * y) / 255.0
+        MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
+          sha256(f.payload), info.width, info.height, offs.size,
+          math.rint(brightness * 1e6) / 1e6)
+      }
+
     /** Real decode where the payload allows it, FakeCodec otherwise —
       * one total function per partition, robust to mixed corpora. */
     def decode(f: MediaFile): MediaFeatures = (f.kind match {
       case "image" => decodeImage(f)
       case "audio" => decodeAudio(f)
-      case _       => None // no JDK video codec — stub path
+      case "video" => decodeVideo(f) // Y4M only; compressed video has no JDK codec
+      case _       => None
     }).getOrElse(FakeCodec.decode(f))
 
     /** Decode + deterministic area-average downsample to a w×h LUMA
@@ -202,19 +224,33 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_idx: Int, data: Array[Byte])
 
-  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
-    * stands in for a decoded video frame. The plumbing is the real
-    * shape — one flatMap per file, frames inherit the file's
-    * partitioning, no driver round-trip — only the chunk-decode is
-    * fake. */
+  /** Frame sampling: every `stride`-th frame. A video payload that
+    * parses as YUV4MPEG2 (when `decodeY4M` is set) emits its REAL
+    * decoded frames — the w×h luma plane per sampled frame; anything
+    * else falls back to the fixed-size byte-chunk stub, so a mixed
+    * corpus streams through one total function (the JvmCodec fallback
+    * contract). The plumbing is the 100 TB shape either way — one
+    * flatMap per file, frames inherit the file's partitioning, no
+    * driver round-trip. */
   def sampleFrames(files: Dataset[MediaFile], frameBytes: Int = 16,
-                   stride: Int = 2): Dataset[Frame] = {
+                   stride: Int = 2, decodeY4M: Boolean = false): Dataset[Frame] = {
     import files.sparkSession.implicits._
     files.flatMap { f =>
-      val nFrames = math.max(1, f.payload.length / frameBytes)
-      (0 until nFrames by stride).map { i =>
-        Frame(f.media_id, i,
-          f.payload.slice(i * frameBytes, (i + 1) * frameBytes))
+      val real =
+        if (decodeY4M && f.kind == "video") Y4M.frameOffsets(f.payload) else None
+      real match {
+        case Some((info, offs)) =>
+          val y = info.width * info.height
+          (0 until offs.size by stride).map { i =>
+            Frame(f.media_id, i,
+              java.util.Arrays.copyOfRange(f.payload, offs(i), offs(i) + y))
+          }
+        case None =>
+          val nFrames = math.max(1, f.payload.length / frameBytes)
+          (0 until nFrames by stride).map { i =>
+            Frame(f.media_id, i,
+              f.payload.slice(i * frameBytes, (i + 1) * frameBytes))
+          }
       }
     }
   }
@@ -255,6 +291,86 @@ object Multimodal {
         (f.media_id, f.kind, thumb)
       }
     }.toDF("media_id", "kind", "thumb")
+  }
+
+  /** Pure-JDK YUV4MPEG2 (Y4M) container parsing — uncompressed planar
+    * YUV, the standard interchange format of the reference encoders
+    * (ffmpeg/x264 pipelines): an ASCII header line
+    * `YUV4MPEG2 W<w> H<h> ...\n`, then per frame an ASCII `FRAME...\n`
+    * marker followed by raw planes (Y then Cb then Cr at the header's
+    * chroma subsampling). Strict: a malformed marker or truncated
+    * frame fails the WHOLE parse (None) rather than half-decoding —
+    * the caller's FakeCodec fallback keeps mixed corpora streaming. */
+  object Y4M {
+    private val Magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+
+    /** Stream parameters + offset of the first byte after the header. */
+    final case class Info(width: Int, height: Int, colorspace: String,
+                          dataStart: Int)
+
+    /** Parse the stream header; None unless the magic matches and
+      * positive W/H tags are present within the first 512 bytes. */
+    def info(b: Array[Byte]): Option[Info] = {
+      if (b.length < Magic.length) return None
+      var i = 0
+      while (i < Magic.length) { if (b(i) != Magic(i)) return None; i += 1 }
+      val nl = b.indexOf('\n'.toByte)
+      if (nl < 0 || nl > 512) return None
+      val tags = new String(b, Magic.length, nl - Magic.length, "US-ASCII")
+        .split(' ')
+      var w = -1; var h = -1; var cs = "C420" // Y4M default when untagged
+      tags.foreach { t =>
+        if (t.nonEmpty) t.head match {
+          case 'W' => w = t.tail.toIntOption.getOrElse(-1)
+          case 'H' => h = t.tail.toIntOption.getOrElse(-1)
+          case 'C' => cs = t
+          case _   => () // F/I/A/X tags don't affect frame geometry
+        }
+      }
+      if (w <= 0 || h <= 0) None else Some(Info(w, h, cs, nl + 1))
+    }
+
+    /** Bytes per frame for the supported colorspaces (chroma planes
+      * ceil-divided for odd dimensions, per the spec). */
+    def frameSize(i: Info): Option[Int] = {
+      val y = i.width * i.height
+      val cw = (i.width + 1) / 2; val ch = (i.height + 1) / 2
+      i.colorspace match {
+        case s if s.startsWith("C420") => Some(y + 2 * cw * ch)
+        case "C422"                    => Some(y + 2 * cw * i.height)
+        case "C444"                    => Some(3 * y)
+        case "Cmono"                   => Some(y)
+        case _                         => None
+      }
+    }
+
+    /** Header info + the offset of every frame's data section (the
+      * first Y-plane byte). None on any malformed/truncated frame. */
+    def frameOffsets(b: Array[Byte]): Option[(Info, IndexedSeq[Int])] =
+      info(b).flatMap { inf =>
+        frameSize(inf).flatMap { fs =>
+          val offs = IndexedSeq.newBuilder[Int]
+          var pos = inf.dataStart
+          var bad = false
+          val marker = "FRAME".getBytes("US-ASCII")
+          while (pos < b.length && !bad) {
+            var i = 0
+            while (i < marker.length && !bad) {
+              if (pos + i >= b.length || b(pos + i) != marker(i)) bad = true
+              i += 1
+            }
+            if (!bad) {
+              // frame-level params (interlacing etc.) run to the newline
+              var nl = pos + marker.length
+              while (nl < b.length && b(nl) != '\n'.toByte) nl += 1
+              val dataStart = nl + 1
+              if (nl >= b.length || dataStart + fs > b.length) bad = true
+              else { offs += dataStart; pos = dataStart + fs }
+            }
+          }
+          if (bad) None else Some((inf, offs.result()))
+        }
+      }
   }
 
   /** Pure-column metadata path (no decode): cheap filters that should

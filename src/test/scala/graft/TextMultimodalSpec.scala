@@ -160,6 +160,76 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(1) == Multimodal.FakeCodec.decode(vid))
   }
 
+  // --- Y4M (real video container) -----------------------------------
+
+  /** Build a YUV4MPEG2 clip: `nFrames` frames of `w`x`h` C420, frame i's
+    * Y plane filled with `yFill(i)`, chroma planes 0x80. */
+  private def y4mClip(w: Int, h: Int, nFrames: Int, yFill: Int => Byte,
+                      frameParams: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F30:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    (0 until nFrames).foreach { i =>
+      out.write(s"FRAME$frameParams\n".getBytes("US-ASCII"))
+      val y = Array.fill[Byte](w * h)(yFill(i))
+      val c = Array.fill[Byte](2 * cw * ch)(0x80.toByte)
+      out.write(y); out.write(c)
+    }
+    out.toByteArray
+  }
+
+  test("JvmCodec decodes Y4M video dimensions, frame count, exact mean luma") {
+    val clip = y4mClip(8, 4, 3, i => (10 * i + 5).toByte)
+    val f = Multimodal.MediaFile(7L, "video", clip)
+    val feats = Multimodal.JvmCodec.decode(f)
+    assert(feats.width == 8 && feats.height == 4 && feats.n_frames == 3)
+    // mean Y over frames = (5 + 15 + 25) / 3 = 15
+    assert(feats.brightness == math.rint(15.0 / 255.0 * 1e6) / 1e6)
+    // frame-level params after the FRAME marker must parse too
+    val withParams = Multimodal.MediaFile(8L, "video",
+      y4mClip(8, 4, 2, _ => 20, frameParams = " Xtag"))
+    assert(Multimodal.JvmCodec.decode(withParams).n_frames == 2)
+  }
+
+  test("Y4M chroma planes ceil-divide on odd dimensions") {
+    val clip = y4mClip(5, 3, 2, _ => 1)
+    val Some((info, offs)) = Multimodal.Y4M.frameOffsets(clip)
+    assert(info.width == 5 && info.height == 3)
+    // frame = 15 luma + 2 * (3 * 2) chroma = 27 bytes
+    assert(Multimodal.Y4M.frameSize(info).contains(27))
+    assert(offs.size == 2)
+  }
+
+  test("truncated or corrupt Y4M falls back to FakeCodec, never half-parses") {
+    val clip = y4mClip(8, 4, 3, _ => 50)
+    val truncated = clip.take(clip.length - 5)
+    val f = Multimodal.MediaFile(9L, "video", truncated)
+    assert(Multimodal.Y4M.frameOffsets(truncated).isEmpty)
+    // JvmCodec.decode still returns a row (FakeCodec path), same sha rule
+    val feats = Multimodal.JvmCodec.decode(f)
+    assert(feats.n_bytes == truncated.length.toLong)
+    assert(feats == Multimodal.FakeCodec.decode(f))
+    assert(Multimodal.Y4M.frameOffsets("not a video".getBytes).isEmpty)
+  }
+
+  test("sampleFrames decodes real Y4M luma planes under stride") {
+    val clip = y4mClip(4, 2, 5, i => (7 * i).toByte)
+    val files = Seq(
+      Multimodal.MediaFile(1L, "video", clip),
+      Multimodal.MediaFile(2L, "audio", Array[Byte](1, 2, 3, 4))).toDS()
+    val frames = Multimodal.sampleFrames(files, frameBytes = 2, stride = 2,
+        decodeY4M = true)
+      .collect().groupBy(_.media_id)
+    // video: frames 0, 2, 4 — each the full 4x2=8-byte Y plane
+    val v = frames(1L).sortBy(_.frame_idx)
+    assert(v.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(v.forall(_.data.length == 8))
+    assert(v(1).data.forall(_ == (14).toByte))
+    // non-video keeps the stub chunk path: 2 chunks at stride 2 -> idx 0
+    val a = frames(2L)
+    assert(a.map(_.frame_idx).toSeq == Seq(0) && a.head.data.toSeq == Seq[Byte](1, 2))
+  }
+
   test("packSequences fills packs greedily in id order within shards") {
     // all docs land in shard 0 (even ids, shards=2); token counts
     // 3,2,4,1 → first-token offsets 0,3,5,9 → packs 0,0,1,2 at cap 4
