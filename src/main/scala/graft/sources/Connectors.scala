@@ -36,6 +36,20 @@ object Connectors {
   def kafkaStream(spark: SparkSession, servers: String, topic: String): DataFrame =
     spark.readStream.format("kafka").options(kafkaStreamOptions(servers, topic)).load()
 
+  /** S1/S2 runtime twin without a broker: the `graftlog` DataSource V2
+    * source ([[LineLogSource]]) — append-only line files with per-file
+    * offsets, batch-read earliest→latest like [[kafkaBatch]]. */
+  def logBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftlog").option("path", dir).load()
+
+  /** Streaming twin of [[kafkaStream]]: micro-batches advance per-file
+    * offsets recorded in the checkpoint; `startingOffsets` follows the
+    * Kafka source's earliest/latest contract. */
+  def logStream(spark: SparkSession, dir: String,
+                startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("graftlog").option("path", dir)
+      .option("startingOffsets", startingOffsets).load()
+
   /** The pushdown form S3 ships to the database: subquery as a derived
     * table (reference stock_stream.py:39-58 sends "(SELECT …) as t"). */
   def jdbcTableExpr(query: String): String = s"($query) AS t"

@@ -16,9 +16,11 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   * Differences by design: the producer side (REST/WebSocket harvesting,
   * Kafka topic creation) is pre-Spark and out of engine scope (SURVEY
   * §2.1 S8), so `--in` names an existing source — a Kafka topic
-  * (`kafka://host:port/topic`) or a directory of JSON lines
-  * (`file:/dir`, the sandbox-runnable path; Structured Streaming's file
-  * source gives the same unbounded-table semantics as a topic). Sinks
+  * (`kafka://host:port/topic`), a graftlog directory (`log:/dir` —
+  * the DSv2 source with Kafka-shaped per-partition offsets, the
+  * sandbox-runnable topic twin), or a directory of JSON lines
+  * (`file:/dir`; Structured Streaming's file source gives the same
+  * unbounded-table semantics as a topic). Sinks
   * are partitioned parquet under `--out`, or JDBC when `--jdbc-url` is
   * given (the reference's Postgres tables: `stock_bars` append,
   * `company_data` overwrite — spark/utilities.py:50-60).
@@ -71,12 +73,17 @@ object EdgeRunner {
       known = kv.getOrElse("--known", ""))
   }
 
-  /** One raw-JSON column `json`, batch flavor, from either source kind. */
+  /** One raw-JSON column `json`, batch flavor, from any source kind.
+    * `log:/dir` is the graftlog DSv2 source — Kafka-shaped offsets
+    * without a broker (the sandbox-runnable topic twin). */
   private def readBatchJson(spark: SparkSession, in: String): DataFrame = in match {
     case s if s.startsWith("kafka://") =>
       val (servers, topic) = splitKafka(s)
       Connectors.kafkaBatch(spark, servers, topic)
         .selectExpr("CAST(value AS STRING) AS json")
+    case s if s.startsWith("log:") =>
+      Connectors.logBatch(spark, s.stripPrefix("log:"))
+        .selectExpr("value AS json")
     case s if s.startsWith("file:") =>
       spark.read.textFile(s.stripPrefix("file:")).toDF("json")
     case other => sys.error(s"unsupported --in $other")
@@ -87,6 +94,8 @@ object EdgeRunner {
     case s if s.startsWith("kafka://") =>
       val (servers, topic) = splitKafka(s)
       Connectors.kafkaStream(spark, servers, topic)
+    case s if s.startsWith("log:") =>
+      Connectors.logStream(spark, s.stripPrefix("log:"))
     case s if s.startsWith("file:") =>
       spark.readStream.text(s.stripPrefix("file:"))
     case other => sys.error(s"unsupported --in $other")

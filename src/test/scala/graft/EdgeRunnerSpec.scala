@@ -103,6 +103,30 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/corpus_docs/lang=de").exists())
   }
 
+  test("--mode batch and stream run off the graftlog (log:) DSv2 source") {
+    val in = Files.createTempDirectory("edge_log").toString
+    val out = Files.createTempDirectory("edge_log_out").toString
+    val ckpt = Files.createTempDirectory("edge_log_ckpt").toString
+    writeLines(in, "bars.log", Seq(
+      """{"symbol":"AAPL","open":1.0,"high":2.0,"low":0.5,"close":1.5,"volume":100.0,"timestamp":"2025-01-01 10:00:00"}"""))
+    val bCfg = EdgeRunner.parse(Array("--mode", "batch", "--in", s"log:$in", "--out", out))
+    assert(EdgeRunner.runBatch(spark, bCfg) == 1L)
+    // the stream dispatcher reads the same directory as an unbounded
+    // topic twin: per-file offsets, not a file-source re-listing
+    val m0 = 1735732800000L
+    val sIn = Files.createTempDirectory("edge_log_s").toString
+    writeLines(sIn, "trades.log", Seq(
+      s"""{"data": [{"p": 100.0, "s": "AAPL", "t": ${m0 + 1000}, "v": 10.0}]}""",
+      s"""{"data": [{"p": 102.0, "s": "AAPL", "t": ${m0 + 600000}, "v": 10.0}]}"""))
+    val sOut = Files.createTempDirectory("edge_log_s_out").toString
+    val sCfg = EdgeRunner.parse(Array("--mode", "stream", "--in", s"log:$sIn",
+      "--out", sOut, "--checkpoint", ckpt))
+    val q = EdgeRunner.startStream(spark, sCfg, Trigger.ProcessingTime("0 seconds"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$sOut/bars").count() >= 1)
+  }
+
   test("stream mode resumes from its checkpoint without duplicating bars") {
     val in = Files.createTempDirectory("edge_resume").toString
     val out = Files.createTempDirectory("edge_resume_out").toString
