@@ -1326,6 +1326,30 @@ object Queries {
         .select("doc_id", "lang", "copy")
   }
 
+  /** CCNet/RefinedWeb-style line-level boilerplate dedup: lines
+    * recurring in more than 2 docs are dropped from every doc, docs
+    * reassembled from the survivors. The corpus has no newlines, so
+    * the line unit is position-aligned 8-token chunks
+    * (TextAnalysis.tokenChunkLines); production corpora pass
+    * newlineLines. */
+  val t15 = q("t15_boilerplate_lines",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |lines AS (SELECT doc_id,
+      |  unnest(range(CAST(ceil(len(t)/8.0) AS BIGINT))) AS pos,
+      |  unnest(list_transform(range(CAST(ceil(len(t)/8.0) AS BIGINT)),
+      |    i -> array_to_string(list_slice(t, CAST(i*8+1 AS BIGINT), CAST(i*8+8 AS BIGINT)), ' '))) AS line
+      | FROM toks),
+      |df AS (SELECT line, COUNT(DISTINCT doc_id) AS n FROM lines GROUP BY line),
+      |fl AS (SELECT l.doc_id, l.pos, l.line, df.n FROM lines l JOIN df ON df.line = l.line)
+      |SELECT doc_id,
+      | CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(SUM(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      | coalesce(string_agg(CASE WHEN n <= 2 THEN line END, ' ' ORDER BY pos), '') AS clean_text
+      |FROM fl GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.dropBoilerplateLines(Tables.documents(s, dir), "doc_id",
+      TextAnalysis.tokenChunkLines(col("text"), 8), maxDocs = 2, joinSep = " ")
+  }
+
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
     * sum over a bounded window partition), then per-pack occupancy —
     * exercises the full window + re-aggregation pipeline. */
@@ -1821,7 +1845,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     s01, s02, s03, s04, s05, s06,
     m01, m02, m03, p01)
 }

@@ -314,4 +314,60 @@ object TextAnalysis {
       .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1, lit(1L))))
       .drop("__n")
   }
+
+  /** Line unit for [[dropBoilerplateLines]] on real corpora: literal
+    * text lines. */
+  def newlineLines(text: Column): Column = split(text, "\n")
+
+  /** Line unit for newline-free corpora: position-aligned `n`-token
+    * chunks (the t13 chunk rule as an in-row array). */
+  def tokenChunkLines(text: Column, n: Int): Column = {
+    require(n >= 1, s"chunk size must be >= 1, got $n")
+    val t = TextOps.tokens(text)
+    // greatest(..., 1): sequence(0, -1) would generate a DESCENDING
+    // range, not an empty one, if a tokenizer ever emitted zero tokens
+    val m = greatest(ceil(size(t).cast("double") / n).cast("int"), lit(1))
+    transform(sequence(lit(0), m - 1),
+      i => array_join(slice(t, i * n + 1, lit(n)), " "))
+  }
+
+  /** CCNet/RefinedWeb-style line-level boilerplate removal: split every
+    * doc into lines (`lineCol` — an array<string> expression over the
+    * doc row, e.g. [[newlineLines]] or [[tokenChunkLines]]), count the
+    * DISTINCT docs each line value occurs in, drop lines recurring in
+    * more than `maxDocs` docs (navigation chrome, cookie banners,
+    * licence footers), and reassemble each doc from its surviving lines
+    * in order. Output: doc_id, n_kept, n_dropped, clean_text (empty
+    * string when every line was boilerplate; docs whose `lineCol` is
+    * empty vanish — there is nothing to reassemble).
+    *
+    * Scale shape: one explode (narrow), one hash aggregation on the
+    * line value for doc-frequencies, one equi-join of the lines frame
+    * against the (tiny: df > maxDocs) boilerplate key set on the same
+    * key — at corpus scale that key set is broadcastable, and the
+    * aggregation is map-side combined — then one per-doc reassembly
+    * aggregation. No window, no driver action. */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, lineCol: Column,
+                           maxDocs: Int, joinSep: String = "\n"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(lineCol).as(Seq("pos", "line")))
+    // only the boilerplate keys survive the aggregation — the join's
+    // build side is the df > maxDocs tail, not the whole line table
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("line"), lit(true).as("__bp"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls, so dropped lines vanish before the
+        // sort; pos ordering makes the reassembly deterministic
+        array_join(transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), joinSep).as("clean_text"))
+  }
 }

@@ -160,6 +160,30 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(1) == Multimodal.FakeCodec.decode(vid))
   }
 
+  test("dropBoilerplateLines drops cross-doc boilerplate, keeps order, empties all-boiler docs") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha\nbeta"),
+      (2L, "COOKIE BANNER\ngamma"),
+      (3L, "COOKIE BANNER\ndelta\nCOOKIE BANNER"),
+      (4L, "COOKIE BANNER")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.dropBoilerplateLines(
+        docs, "doc_id", graft.operators.TextAnalysis.newlineLines(col("text")),
+        maxDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // the banner occurs in 4 distinct docs (twice in doc 3 counts once)
+    assert(got == Seq(
+      (1L, 2L, 1L, "alpha\nbeta"),
+      (2L, 1L, 1L, "gamma"),
+      (3L, 1L, 2L, "delta"),
+      (4L, 0L, 1L, "")))
+    // below the doc-frequency threshold nothing is dropped
+    val loose = graft.operators.TextAnalysis.dropBoilerplateLines(
+        docs, "doc_id", graft.operators.TextAnalysis.newlineLines(col("text")),
+        maxDocs = 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(loose.forall(_._3 == 0L))
+  }
+
   // --- Y4M (real video container) -----------------------------------
 
   /** Build a YUV4MPEG2 clip: `nFrames` frames of `w`x`h` C420, frame i's
