@@ -107,27 +107,92 @@ object Dedup {
     * production xxhash64. */
   def incrementalKeep(incoming: DataFrame, known: DataFrame, idCol: String,
                       textCol: String, numHashes: Int = 32, bands: Int = 16,
-                      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
-    val normKey = TextOps.fingerprint(col(textCol))
+                      shingleN: Int = 3, portable: Boolean = false): DataFrame =
     // ONE scan of the known corpus computes both key sets (norm hash +
     // signature in a single projection), checkpointed because it feeds
     // two join subtrees; keys only — never full known rows
-    val knownKeys = known.select(normKey.as("__norm_key"),
-        sigExpr(textCol, numHashes, shingleN, portable).as("sig"))
+    incrementalKeepWithKeys(incoming,
+      knownKeys(known, textCol, numHashes, shingleN, portable)
+        .localCheckpoint(false),
+      idCol, textCol, numHashes, bands, shingleN, portable)
+
+  /** The known-corpus key table `(__norm_key, sig)` that
+    * [[incrementalKeepWithKeys]] consumes: at production scale this is
+    * a PERSISTED artifact maintained incrementally per ingest (append
+    * the surviving batch's keys), so each daily batch pays a key-table
+    * scan instead of re-fingerprinting 100 TB of corpus text. */
+  def knownKeys(known: DataFrame, textCol: String, numHashes: Int = 32,
+                shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    known.select(TextOps.fingerprint(col(textCol)).as("__norm_key"),
+      sigExpr(textCol, numHashes, shingleN, portable).as("sig"))
+
+  /** [[incrementalKeep]] against a precomputed (usually persisted)
+    * [[knownKeys]] table — the corpus contributes only this key table,
+    * never text. The per-ingest cost still includes DISTINCTing and
+    * band-exploding the key table; for the fully batch-bound form use
+    * [[saveIncrementalKeys]] + [[incrementalKeepFromTables]]. */
+  def incrementalKeepWithKeys(incoming: DataFrame, knownKeys: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 32, bands: Int = 16,
+                              shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    incrementalKeepJoinReady(incoming,
+      knownKeys.select("__norm_key").distinct(),
+      bandKeys(knownKeys.select("sig"), numHashes, bands)
+        .select("band_idx", "band_key").distinct(),
+      idCol, textCol, numHashes, bands, shingleN, portable)
+
+  /** Persist the known-corpus key sets in JOIN-READY form — the
+    * production artifact a daily-ingest pipeline maintains: the
+    * DISTINCT normalized-content hashes and the DISTINCT exploded LSH
+    * band keys, each a managed table bucketed (and sorted) on its join
+    * key. A later ingest then pays one scan of each table with NO
+    * corpus-side exchange, explode, or distinct — the joins read the
+    * bucketed layout directly, so per-batch work scales with the BATCH
+    * (plus a columnar key scan), not the corpus. */
+  def saveIncrementalKeys(spark: org.apache.spark.sql.SparkSession, name: String,
+                          known: DataFrame, textCol: String,
+                          numHashes: Int = 32, bands: Int = 16,
+                          shingleN: Int = 3, portable: Boolean = false,
+                          buckets: Int = 8): Unit = {
+    // one corpus scan feeds both key sets
+    val keys = knownKeys(known, textCol, numHashes, shingleN, portable)
       .localCheckpoint(false)
+    graft.sources.Bucketing.writeBucketed(
+      keys.select("__norm_key").distinct(), s"${name}_norm", "__norm_key", buckets)
+    graft.sources.Bucketing.writeBucketedMulti(
+      bandKeys(keys.select("sig"), numHashes, bands)
+        .select("band_idx", "band_key").distinct(),
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
+  }
+
+  /** The batch-bound ingest path: [[incrementalKeep]] joining directly
+    * against the bucketed tables written by [[saveIncrementalKeys]].
+    * Band/hash parameters must match those the tables were built with
+    * (the name is the contract, as with the IVF index). */
+  def incrementalKeepFromTables(spark: org.apache.spark.sql.SparkSession,
+                                incoming: DataFrame, name: String,
+                                idCol: String, textCol: String,
+                                numHashes: Int = 32, bands: Int = 16,
+                                shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    incrementalKeepJoinReady(incoming,
+      spark.table(s"${name}_norm"), spark.table(s"${name}_bands"),
+      idCol, textCol, numHashes, bands, shingleN, portable)
+
+  private def incrementalKeepJoinReady(incoming: DataFrame, normKeys: DataFrame,
+                                       knownBands: DataFrame, idCol: String,
+                                       textCol: String, numHashes: Int,
+                                       bands: Int, shingleN: Int,
+                                       portable: Boolean): DataFrame = {
     // null id/text rows are DROPPED here, inside the operator: a null
     // key matches nothing in either anti-join, so ungated they would
     // bypass deduplication entirely at every call site
     val gated = incoming.filter(col(idCol).isNotNull && col(textCol).isNotNull)
     // checkpointed: feeds the signature/banding branch AND the final
     // anti-join — without it the batch scan + anti-join plan twice
-    val exactOk = gated.withColumn("__norm_key", normKey)
-      .join(knownKeys.select("__norm_key").distinct(),
-        Seq("__norm_key"), "left_anti")
+    val exactOk = gated.withColumn("__norm_key", TextOps.fingerprint(col(textCol)))
+      .join(normKeys, Seq("__norm_key"), "left_anti")
       .drop("__norm_key")
       .localCheckpoint(false)
-    val knownBands = bandKeys(knownKeys.select("sig"), numHashes, bands)
-      .select("band_idx", "band_key").distinct()
     val incSigs =
       if (portable) portableSignatures(exactOk, idCol, textCol, numHashes, shingleN)
       else signatures(exactOk, idCol, textCol, numHashes, shingleN)

@@ -15,9 +15,16 @@ object Bucketing {
   /** Write `df` as a managed table bucketed (and sorted) by `key`. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets, mode)
+
+  /** Multi-key form: bucket (and sort) on a composite join key — for
+    * joins whose equi-keys are a column PAIR (e.g. LSH (band_idx,
+    * band_key)), where bucketing on a prefix would still exchange. */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

@@ -44,7 +44,8 @@ object EdgeRunner {
     threshold: Double = graft.operators.Metrics.AnomalyThreshold,
     webhook: Option[String] = None,
     timeoutSec: Option[Long] = None,  // stream mode: stop after N seconds
-    known: String = "")               // dedup mode: known-corpus parquet dir
+    known: String = "",               // dedup mode: known-corpus parquet dir
+    knownKeys: String = "")           // dedup mode: persisted key-table dir
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -70,7 +71,8 @@ object EdgeRunner {
         .getOrElse(graft.operators.Metrics.AnomalyThreshold),
       webhook = kv.get("--webhook"),
       timeoutSec = kv.get("--timeout-sec").map(_.toLong),
-      known = kv.getOrElse("--known", ""))
+      known = kv.getOrElse("--known", ""),
+      knownKeys = kv.getOrElse("--known-keys", ""))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -169,17 +171,25 @@ object EdgeRunner {
     * `corpus_docs`, lang-partitioned. Beyond the reference's surface —
     * the batch front door of the LLM ingest pipeline. */
   def runDedup(spark: SparkSession, cfg: Config): Long = {
-    require(cfg.known.nonEmpty,
-      "--known (known-corpus parquet path) is required in dedup mode")
+    require(cfg.known.nonEmpty || cfg.knownKeys.nonEmpty,
+      "dedup mode requires --known (corpus parquet) or --known-keys " +
+        "(persisted Dedup.knownKeys table)")
     // corrupt JSON lines surface as all-null PERMISSIVE rows;
     // incrementalKeep drops null id/text itself. (Content-quality
     // gating beyond that composes upstream — the streaming twin's
     // CorpusStream gate.)
     val incoming = parseJson(readBatchJson(spark, cfg.in), Schemas.document)
-    val known = spark.read.parquet(cfg.known)
-    writeAndCount(cfg,
-      graft.operators.Dedup.incrementalKeep(incoming, known, "doc_id", "text"),
-      "corpus_docs", saveMode(cfg.dbMode), Seq("lang"))
+    // --known-keys wins: the persisted key table is the production path
+    // (each ingest appends its survivors' keys; the corpus text is
+    // never re-fingerprinted)
+    val kept =
+      if (cfg.knownKeys.nonEmpty)
+        graft.operators.Dedup.incrementalKeepWithKeys(incoming,
+          spark.read.parquet(cfg.knownKeys), "doc_id", "text")
+      else
+        graft.operators.Dedup.incrementalKeep(incoming,
+          spark.read.parquet(cfg.known), "doc_id", "text")
+    writeAndCount(cfg, kept, "corpus_docs", saveMode(cfg.dbMode), Seq("lang"))
   }
 
   /** `--mode corpus`: streaming corpus ingestion (quality gate +

@@ -23,6 +23,8 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_smoke_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -171,7 +173,7 @@ object ScaleSmoke {
       },
       time(s"incremental_dedup_${nd}_docs") {
         // batch-vs-corpus anti-joins (the daily-ingest path): 20% batch
-        // against an 80% known corpus
+        // against an 80% known corpus, keys computed inline
         Dedup.incrementalKeep(docs.filter(col("doc_id") % 5 === 0),
           docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       },
@@ -180,7 +182,48 @@ object ScaleSmoke {
         Similarity.quantizedRerankTopK(
           embeddings.filter(col("id") < 16),
           embeddings.filter(col("id") >= 16), k = 5, shortlist = 40)
-      })
+      }) ++ {
+      // --- incremental ingest vs full re-dedup -------------------------
+      // The daily-ingest claim (Dedup.scala): with a PERSISTED known-
+      // corpus key table, each batch costs anti-joins near-linear in
+      // the BATCH size — not a corpus-sized recompute. Measured at 4×
+      // the doc scale (per-job overhead ~1 s swamps the signal at 50k):
+      // persist the 80%-corpus key table once, one untimed warmup (JIT
+      // + codegen), then 2% / 10% / 20% batches against the keys and
+      // the full from-scratch dedup of everything next to them. Expect
+      // batch timings ≪ full, ordered by batch size above the
+      // fixed-overhead floor.
+      val nBig = nDocs * 4
+      val docsL = spark.range(nBig).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(60) + pmod(xxhash64(col("id")), lit(60)).cast("int")),
+          i => element_at(vocabCol, (pmod(xxhash64(col("id"), i), lit(vocab.size.toLong)) + 1).cast("int")))).as("text"))
+      Dedup.saveIncrementalKeys(spark, "graft_smoke_keys",
+        docsL.filter(col("doc_id") % 5 =!= 0), "text")
+      def batchOf(pct: Int): DataFrame =
+        docsL.filter(col("doc_id") % 5 === 0)
+          .filter(pmod(xxhash64(col("doc_id"), lit(11)), lit(100L)) < pct * 5)
+      // warmup: compile/JIT the whole incremental plan shape off-clock
+      Dedup.incrementalKeepFromTables(spark, batchOf(2), "graft_smoke_keys",
+          "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      val ndL = fmt(nBig)
+      Seq(2, 10, 20).map { pct =>
+        time(s"incr_keys_batch${pct}pct_$ndL") {
+          Dedup.incrementalKeepFromTables(spark, batchOf(pct), "graft_smoke_keys",
+            "doc_id", "text")
+        }
+      } :+
+        time(s"full_rededup_$ndL") {
+          // what the incremental path avoids: exact keep-one + LSH
+          // candidate pairs recomputed over the ENTIRE corpus + batch
+          Dedup.keepOneByContent(docsL, "doc_id",
+              graft.functions.TextOps.fingerprint(col("text")))
+            .join(Dedup.minhashCandidatePairs(docsL, "doc_id", "text")
+              .select(col("doc_a").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+        }
+    }
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")

@@ -182,4 +182,29 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(all == Set(10L, 11L, 12L))
   }
+
+  test("bucketed key tables give the same keeps as the inline path, exchange-free") {
+    val known = docs.filter(col("doc_id") =!= 3L)
+    val incoming = docs.select(col("doc_id") + 100L as "doc_id", col("text"))
+    graft.operators.Dedup.saveIncrementalKeys(spark, "dedup_spec_keys",
+      known, "text")
+    val fromTables = graft.operators.Dedup
+      .incrementalKeepFromTables(spark, incoming, "dedup_spec_keys", "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val inline = graft.operators.Dedup
+      .incrementalKeep(incoming, known, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromTables == inline)
+    // the point of the bucketed layout: the known side joins with no
+    // Exchange — only the batch side shuffles
+    val plan = graft.operators.Dedup
+      .incrementalKeepFromTables(spark, incoming, "dedup_spec_keys", "doc_id", "text")
+      .queryExecution.executedPlan
+    val exchangesOverBands = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collectLeaves().exists(_.toString.contains("dedup_spec_keys")) => e
+    }
+    assert(exchangesOverBands.isEmpty,
+      s"known-key scans must not re-shuffle:\n$plan")
+  }
 }

@@ -101,6 +101,17 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(12L))
     // lang-partitioned for pruning on later reads
     assert(new java.io.File(s"$out/corpus_docs/lang=de").exists())
+    // --known-keys: the persisted key-table path gives the same keeps
+    // without re-reading corpus text
+    val keysDir = Files.createTempDirectory("edge_keys").toString + "/keys"
+    graft.operators.Dedup.knownKeys(spark.read.parquet(knownDir), "text")
+      .write.parquet(keysDir)
+    val out2 = Files.createTempDirectory("edge_dedup_out2").toString
+    val cfg2 = EdgeRunner.parse(Array("--mode", "dedup", "--in", s"file:$in",
+      "--out", out2, "--known-keys", keysDir))
+    assert(EdgeRunner.runDedup(spark, cfg2) == 1L)
+    assert(spark.read.parquet(s"$out2/corpus_docs")
+      .select("doc_id").as[Long].collect().toSeq == Seq(12L))
   }
 
   test("--mode batch and stream run off the graftlog (log:) DSv2 source") {

@@ -145,6 +145,42 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("compact keeps exactly the change-log rows of a sequential scan, nulls included") {
+    // random per-key event streams with timestamp TIES (broken by
+    // event_id) and NULL values: prev-null vs null must compact away
+    // (null-safe equality), a first row must always survive
+    val gen = for {
+      events <- Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(1, 3),                        // key
+        Gen.chooseNum(0L, 5L),                      // ts second (ties!)
+        Gen.option(Gen.chooseNum(0, 2))))           // value incl. None
+      parts <- Gen.chooseNum(1, 6)
+    } yield (events.take(40), parts)
+    check("compact", Prop.forAll(gen) { case (events, parts) =>
+      val rows = events.zipWithIndex.map { case ((k, sec, v), i) =>
+        (i.toLong, k, new java.sql.Timestamp(sec * 1000L),
+          v.map(x => Double.box(x.toDouble)).orNull: java.lang.Double)
+      }
+      val df = rows.toDF("event_id", "k", "ts", "value").repartition(parts)
+      val got = Relational.compact(df, Seq(col("k")),
+          Seq(col("ts"), col("event_id")), col("value"))
+        .select("event_id").as[Long].collect().toSet
+      // sequential reference: per key sorted by (ts, event_id), keep a
+      // row iff it's first or its value differs under null-safe equality
+      val naive = rows.groupBy(_._2).values.flatMap { grp =>
+        val sorted = grp.sortBy(r => (r._3.getTime, r._1))
+        var prev = Option.empty[Option[Double]]
+        sorted.flatMap { case (id, _, _, v) =>
+          val cur = Option(v).map(_.doubleValue)
+          val keep = !prev.contains(cur)
+          prev = Some(cur)
+          if (keep) Some(id) else None
+        }
+      }.toSet
+      got == naive
+    }, n = 12)
+  }
+
   test("dot and norm match plain scala arithmetic") {
     // 1/16-granular components: products and sums are exact in binary,
     // so argument order cannot matter and equality is legitimate
