@@ -255,6 +255,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** SemDeDup-style semantic dedup over an IVF clustering: within each
+    * centroid cluster the min-id vector is the KEEPER; every other
+    * member is dropped iff its rounded cosine to the keeper exceeds
+    * `threshold` (semantically redundant with the representative).
+    * Output: one row per corpus vector — (vec_id, cid, cos_keeper,
+    * keep) — so the caller can either filter `keep` or audit the drops.
+    *
+    * Scale shape: keepers are one row per centroid (tiny — broadcast);
+    * the corpus joins them on the cid it already carries in the
+    * bucketed assignments table, so the only corpus-wide work is one
+    * narrow scan + broadcast join. Deterministic: min-id keeper,
+    * rounded-cosine threshold. */
+  def semanticDedup(model: IVFModel, threshold: Double): DataFrame = {
+    val a = model.assignments.select(col("cid"), col("id"), col("vec"),
+      VectorOps.norm(col("vec")).as("n"))
+    val keepers = a.groupBy("cid")
+      .agg(min_by(struct(col("id"), col("vec"), col("n")), col("id")).as("k"))
+      .select(col("cid"), col("k.id").as("keeper_id"),
+        col("k.vec").as("kv"), col("k.n").as("kn"))
+    a.join(broadcast(keepers), "cid")
+      .select(col("id").as("vec_id"), col("cid"),
+        round(VectorOps.dot(col("vec"), col("kv")) / (col("n") * col("kn")), 6)
+          .as("cos_keeper"),
+        (col("id") === col("keeper_id") ||
+          round(VectorOps.dot(col("vec"), col("kv")) / (col("n") * col("kn")), 6)
+            <= threshold).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute force: all (a<b)
     * pairs whose rounded cosine clears `threshold`. Exact by
     * construction — kept as the oracle twin / recall baseline for

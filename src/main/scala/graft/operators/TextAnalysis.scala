@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextOps
+import graft.functions.{Exact, TextOps}
 
 /** Text analysis for training-data pipelines: marker-token language ID,
   * quality scoring, token statistics, and content fingerprinting — all
@@ -313,6 +313,64 @@ object TextAnalysis {
       .filter(col("__n") >= 1)
       .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1, lit(1L))))
       .drop("__n")
+  }
+
+  /** CCNet-style n-gram language-model quality scoring: train bigram
+    * counts on the corpus itself, then score every doc by its mean
+    * add-one-smoothed bigram log-probability — low scores flag
+    * gibberish/boilerplate relative to the corpus distribution.
+    * P(w2|w1) = (c(w1w2) + 1) / (c(w1) + V); per-bigram log-probs are
+    * rounded 6dp before the exact-decimal mean so both engines make
+    * identical decisions. Docs shorter than 2 tokens score their
+    * whole-text pseudo-bigram (the shingle padding rule).
+    *
+    * Scale shape: two corpus-wide count aggregations (map-side
+    * combined), two equi-joins of the doc-bigram table against them
+    * (the count tables are Zipf-shaped — far smaller than the corpus),
+    * the 1-row vocabulary size rides a broadcast cross join (never a
+    * driver action), and one final per-doc aggregation. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val bg = toks.select(col("doc_id"),
+      explode(TextOps.shingles(col("t"), 2)).as("bigram"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    bg.join(cb, "bigram")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(Exact.davg(col("lp")), 6).as("avg_logprob"))
+  }
+
+  /** Tf-idf top-`k` terms per doc (deterministic tiebreak on the term):
+    * tf = in-doc occurrences, idf = ln((N+1)/(df+1)) with N the corpus
+    * size and df the containing-doc count — the classic keyword
+    * extraction / near-topic signal. One token explode, one (doc, term)
+    * aggregation that feeds BOTH tf and (via a distinct-doc reduction)
+    * df, a join back on the term, and the per-doc top-k window
+    * (WindowGroupLimit prunes to k before the shuffle). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df derives from the (doc, term) pairs already aggregated — no
+    // second pass over the raw tokens
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1L))), 6)
+          .as("tfidf"))
+    Relational.topKPerGroup(scored, Seq(col("doc_id")),
+        Seq(col("tfidf").desc, col("term")), k)
+      .select("doc_id", "term", "tfidf", "rn")
   }
 
   /** Line unit for [[dropBoilerplateLines]] on real corpora: literal
