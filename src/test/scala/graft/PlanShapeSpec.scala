@@ -55,4 +55,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("s01_cosine_topk")
     assert(p.contains("BroadcastExchange"), "query side must broadcast")
   }
+
+  test("t15 boilerplate dedup never cross-joins and scans documents once per branch") {
+    val p = plan("t15_boilerplate_lines")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate key join must stay an equi-join:\n$p")
+  }
+
+  test("t16 LM scoring's only nested-loop is the broadcast 1-row vocab") {
+    val p = plan("t16_lm_score")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t16:\n$p")
+    // the vocab scalar rides a broadcast nested loop by construction —
+    // every OTHER join must be a hash/merge equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected extra nested-loop joins:\n$p")
+  }
+
+  test("s07 semantic dedup broadcasts the keepers, never shuffles the corpus twice") {
+    val p = plan("s07_semantic_dedup")
+    assert(p.contains("BroadcastExchange"), "keepers must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
