@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -42,7 +42,8 @@ class LineLogSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new LineLogTable(properties.get("path"),
-      Option(properties.get("startingOffsets")).getOrElse("earliest"))
+      Option(properties.get("startingOffsets")).getOrElse("earliest"),
+      Option(properties.get("maxLinesPerTrigger")).map(_.toLong))
 }
 
 object LineLogSource {
@@ -108,7 +109,8 @@ object LineLogOffset {
     }.toMap)
 }
 
-class LineLogTable(path: String, startingOffsets: String)
+class LineLogTable(path: String, startingOffsets: String,
+                   maxLinesPerTrigger: Option[Long])
     extends Table with SupportsRead {
   require(path != null, "graftlog requires a 'path' option")
   override def name(): String = s"graftlog:$path"
@@ -116,14 +118,15 @@ class LineLogTable(path: String, startingOffsets: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LineLogScan(path, startingOffsets)
+    () => new LineLogScan(path, startingOffsets, maxLinesPerTrigger)
 }
 
 /** One (file, line-range) slice — the unit of parallelism. */
 case class LineLogInputPartition(dir: String, log: String,
                                  start: Long, end: Long) extends InputPartition
 
-class LineLogScan(path: String, startingOffsets: String) extends Scan {
+class LineLogScan(path: String, startingOffsets: String,
+                  maxLinesPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = LineLogSource.Schema
 
   override def toBatch: Batch = new Batch {
@@ -136,12 +139,36 @@ class LineLogScan(path: String, startingOffsets: String) extends Scan {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream with SupportsAdmissionControl {
       override def initialOffset(): Offset =
         if (startingOffsets == "latest")
           LineLogOffset(LineLogSource.latestCounts(path).toMap)
         else LineLogOffset(Map.empty)
+      // Kafka's maxOffsetsPerTrigger analogue: with maxLinesPerTrigger
+      // set, each micro-batch admits at most that many NEW lines total,
+      // budgeted across logs in name order — backfill over a large
+      // directory proceeds in bounded batches instead of one giant one.
+      override def getDefaultReadLimit: ReadLimit =
+        maxLinesPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
       override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val cur = LineLogSource.latestCounts(path)
+        limit match {
+          case r: ReadMaxRows =>
+            val s = start.asInstanceOf[LineLogOffset].counts
+            var budget = r.maxRows()
+            LineLogOffset(cur.map { case (log, hi) =>
+              val lo = s.getOrElse(log, 0L)
+              val take = math.min(hi - lo, math.max(budget, 0L))
+              budget -= take
+              log -> (lo + take)
+            }.toMap)
+          case _ => LineLogOffset(cur.toMap)
+        }
+      }
+      override def reportLatestOffset(): Offset =
         LineLogOffset(LineLogSource.latestCounts(path).toMap)
       override def deserializeOffset(json: String): Offset =
         LineLogOffset.parse(json)

@@ -69,6 +69,33 @@ class LineLogSourceSpec extends AnyFunSuite {
     assert(seen.synchronized(seen.sorted.toSeq) == Seq(("a.log", 3L, "x3")))
   }
 
+  test("maxLinesPerTrigger bounds each micro-batch like Kafka's maxOffsetsPerTrigger") {
+    val dir = Files.createTempDirectory("graftlog_limit")
+    val ckpt = Files.createTempDirectory("graftlog_limit_ckpt").toString
+    append(dir, "a.log", (0 until 5).map(i => s"a$i"): _*)
+    append(dir, "b.log", "b0", "b1")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = spark.readStream.format("graftlog")
+      .option("path", dir.toString).option("maxLinesPerTrigger", "3")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vals = df.select("value").as[String].collect().toSeq
+        batches.synchronized { if (vals.nonEmpty) batches += vals }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val got = batches.synchronized(batches.toList)
+    // 7 lines at <=3 per trigger: at least 3 batches, none above the cap,
+    // and the union is every line exactly once
+    assert(got.forall(_.size <= 3), s"batch over cap: $got")
+    assert(got.size >= 3, s"expected bounded batches, got $got")
+    assert(got.flatten.sorted ==
+      ((0 until 5).map(i => s"a$i") ++ Seq("b0", "b1")).sorted)
+  }
+
   test("startingOffsets=latest skips existing lines like the Kafka source") {
     val dir = Files.createTempDirectory("graftlog_latest")
     val ckpt = Files.createTempDirectory("graftlog_latest_ckpt").toString
