@@ -92,11 +92,21 @@ object Queries {
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
     val l = Tables.lineitem(s, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // Pre-aggregate revenue per order BEFORE the joins: the raw form's
+    // two DISTINCT aggregates expanded the full 4x-larger joined
+    // lineitem frame 3 ways; here the order-grain rows make n_orders a
+    // plain count, leaving ONE distinct column over the smaller frame
+    // (~4x faster at sf0.1). Decimal sums re-aggregate exactly —
+    // decimal addition is associative, so two-level summation is
+    // bit-identical to the oracle's single-level sum.
+    val perOrder = l.select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Exact.M).as("r"))
+      .groupBy("l_orderkey").agg(sum(col("r")).as("rdec"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
+      .agg(sum(col("rdec")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"))
   }
 
