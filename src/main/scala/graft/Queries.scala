@@ -469,6 +469,36 @@ object Queries {
         round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))
   }
 
+  /** Approximate percentiles (GK sketch), oracle-checked the q29 way:
+    * the dumped row carries the EXACT quantiles (oracle-computable,
+    * q34's shape) plus booleans asserting each sketch estimate lies
+    * inside the exact quantile band at p±0.001 — 10x the sketch's
+    * guaranteed 1e-4 rank error at accuracy 10000, so a drifting
+    * sketch hash-mismatches while a healthy one never flakes. */
+  val q59 = q("q59_approx_percentile",
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      | TRUE AS ap25_ok, TRUE AS ap50_ok, TRUE AS ap75_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"),
+        percentile_approx(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ap"),
+        percentile(col("l_quantity"),
+          array(lit(0.249), lit(0.499), lit(0.749))).as("lo"),
+        percentile(col("l_quantity"),
+          array(lit(0.251), lit(0.501), lit(0.751))).as("hi"))
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+        (col("ap")(0) >= col("lo")(0) && col("ap")(0) <= col("hi")(0)).as("ap25_ok"),
+        (col("ap")(1) >= col("lo")(1) && col("ap")(1) <= col("hi")(1)).as("ap50_ok"),
+        (col("ap")(2) >= col("lo")(2) && col("ap")(2) <= col("hi")(2)).as("ap75_ok"))
+  }
+
   /** Pivot (wide aggregation) with a fixed value set. */
   val q35 = q("q35_pivot",
     """SELECT l_returnflag,
@@ -1929,7 +1959,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17,
     s01, s02, s03, s04, s05, s06, s07,

@@ -144,11 +144,19 @@ object Multimodal {
       }
 
     /** Real decode where the payload allows it, FakeCodec otherwise —
-      * one total function per partition, robust to mixed corpora. */
+      * one total function per partition, robust to mixed corpora.
+      * Video: full Y4M decode (frames + luma), else real AVI header
+      * METADATA (width/height/frame count from the RIFF avih chunk —
+      * frame pixels stay compressed, so brightness reports 0.0), else
+      * the stub. */
     def decode(f: MediaFile): MediaFeatures = (f.kind match {
       case "image" => decodeImage(f)
       case "audio" => decodeAudio(f)
-      case "video" => decodeVideo(f) // Y4M only; compressed video has no JDK codec
+      case "video" => decodeVideo(f).orElse(
+        Avi.info(f.payload).map { a =>
+          MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
+            sha256(f.payload), a.width, a.height, a.totalFrames, 0.0)
+        })
       case _       => None
     }).getOrElse(FakeCodec.decode(f))
 
@@ -371,6 +379,42 @@ object Multimodal {
           if (bad) None else Some((inf, offs.result()))
         }
       }
+  }
+
+  /** Pure-JDK RIFF/AVI header METADATA parsing: 'RIFF'<size>'AVI ',
+    * then the LIST/hdrl's `avih` MainAVIHeader chunk carrying
+    * dwTotalFrames (+16), dwWidth (+32), dwHeight (+36), all
+    * little-endian u32. The frame DATA stays compressed (no JDK
+    * codec) — this gives real container metadata for the
+    * filter-before-decode stage; full pixel decode needs [[Y4M]]. */
+  object Avi {
+    final case class Info(width: Int, height: Int, totalFrames: Int)
+
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], o: Int, s: String): Boolean =
+      o + 4 <= b.length && (0 until 4).forall(i => b(o + i) == s.charAt(i).toByte)
+
+    def info(b: Array[Byte]): Option[Info] = {
+      if (b.length < 64 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI "))
+        return None
+      // the avih chunk sits inside the first LIST/hdrl; scan the header
+      // region for its fourcc rather than hard-coding fixed offsets
+      // (writers pad differently), bounded to the first KB
+      var o = 12
+      val limit = math.min(b.length - 4, 1024)
+      while (o < limit && !fourcc(b, o, "avih")) o += 1
+      if (o >= limit) return None
+      val data = o + 8 // fourcc + chunk size
+      if (data + 40 > b.length) return None
+      val frames = le32(b, data + 16)
+      val w = le32(b, data + 32)
+      val h = le32(b, data + 36)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some(Info(w.toInt, h.toInt, frames.toInt))
+    }
   }
 
   /** Pure-column metadata path (no decode): cheap filters that should

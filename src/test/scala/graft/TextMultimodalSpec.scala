@@ -236,6 +236,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.Y4M.frameOffsets("not a video".getBytes).isEmpty)
   }
 
+  test("AVI RIFF headers yield real width/height/frame metadata, corrupt ones fall back") {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(le32(200)); out.write("AVI ".getBytes)
+    out.write("LIST".getBytes); out.write(le32(160)); out.write("hdrl".getBytes)
+    out.write("avih".getBytes); out.write(le32(56))
+    out.write(le32(33367))             // dwMicroSecPerFrame
+    out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+    out.write(le32(240))               // dwTotalFrames
+    out.write(le32(0)); out.write(le32(1)); out.write(le32(0))
+    out.write(le32(640)); out.write(le32(360))  // dwWidth, dwHeight
+    out.write(new Array[Byte](16))
+    val avi = out.toByteArray
+    val f = Multimodal.MediaFile(20L, "video", avi)
+    val feats = Multimodal.JvmCodec.decode(f)
+    assert(feats.width == 640 && feats.height == 360 && feats.n_frames == 240)
+    assert(feats.brightness == 0.0) // compressed frames: metadata only
+    // corrupt magic falls back to the stub, whole-parse-or-nothing
+    val bad = avi.clone(); bad(9) = 'X'.toByte
+    assert(Multimodal.Avi.info(bad).isEmpty)
+    assert(Multimodal.JvmCodec.decode(Multimodal.MediaFile(21L, "video", bad))
+      == Multimodal.FakeCodec.decode(Multimodal.MediaFile(21L, "video", bad)))
+  }
+
   test("sampleFrames decodes real Y4M luma planes under stride") {
     val clip = y4mClip(4, 2, 5, i => (7 * i).toByte)
     val files = Seq(
