@@ -1410,9 +1410,12 @@ object Queries {
       | JOIN cu ON cu.w = string_split(bg.bigram, ' ')[1]
       | CROSS JOIN vocab)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      | round(CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(lp), 6) AS avg_logprob
+      | CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) AS sum_logprob
       |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    // dump the exact sum + count; the (derived, unrounded) mean stays
+    // an operator output for users but is not hashable cross-engine
     TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+      .select("doc_id", "n_bigrams", "sum_logprob")
   }
 
   /** Tf-idf top-3 terms per doc (keyword extraction), deterministic

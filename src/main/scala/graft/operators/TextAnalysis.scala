@@ -346,7 +346,13 @@ object TextAnalysis {
         round(log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 6).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(Exact.davg(col("lp")), 6).as("avg_logprob"))
+        // the SUM of rounded terms is exactly representable (decimal
+        // path), so it's the cross-engine-stable dump; the mean is
+        // derived and UNROUNDED — re-rounding sum/n can land exactly on
+        // a 6dp half where engines' double division disagrees (hit at
+        // sf0.1)
+        Exact.dsum(col("lp")).as("sum_logprob"))
+      .withColumn("avg_logprob", col("sum_logprob") / col("n_bigrams"))
   }
 
   /** Tf-idf top-`k` terms per doc (deterministic tiebreak on the term):
