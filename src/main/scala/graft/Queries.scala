@@ -794,14 +794,19 @@ object Queries {
   val q48 = q("q48_cheapest_supplier",
     """SELECT p_partkey, l_suppkey, unit_price FROM (
       | SELECT l_partkey AS p_partkey, l_suppkey,
-      |  round(l_extendedprice / l_quantity, 6) AS unit_price,
+      |  l_extendedprice / l_quantity AS unit_price,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
-      |   ORDER BY round(l_extendedprice / l_quantity, 6), l_suppkey) AS BIGINT) AS rn
+      |   ORDER BY l_extendedprice / l_quantity, l_suppkey) AS BIGINT) AS rn
       | FROM lineitem) WHERE rn = 1""".stripMargin) { (s, dir) =>
+    // RAW quotient, deliberately unrounded: the same IEEE division of
+    // the same parquet doubles is bit-identical on both engines, while
+    // round() is NOT — 2dp prices over power-of-two quantities produce
+    // exact decimal halves (4279.73/32 = 133.7415625) where Spark
+    // rounds half-up and DuckDB half-to-even (hit at sf0.1)
     Relational.topKPerGroup(
         Tables.lineitem(s, dir).select(
           col("l_partkey").as("p_partkey"), col("l_suppkey"),
-          round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price")),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price")),
         Seq(col("p_partkey")), Seq(col("unit_price"), col("l_suppkey")), 1)
       .select("p_partkey", "l_suppkey", "unit_price")
   }
@@ -1016,8 +1021,8 @@ object Queries {
       |pairs AS (
       | SELECT doc_a, doc_b FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / len(list_distinct(a.sh || b.sh)) AS jaccard
       |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
       | WHERE jaccard >= 0.5),
       |edges AS (
@@ -1054,8 +1059,8 @@ object Queries {
       |pairs AS (
       | SELECT doc_a, doc_b FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / len(list_distinct(a.sh || b.sh)) AS jaccard
       |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
       | WHERE jaccard >= 0.5),
       |edges AS (
@@ -1116,8 +1121,8 @@ object Queries {
       | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
       |SELECT doc_a, doc_b, jaccard FROM (
       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) AS jaccard
       | FROM d a JOIN d b ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin) { (s, dir) =>
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
@@ -1152,10 +1157,10 @@ object Queries {
     """SELECT doc_id,
       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
       | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-      | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |   / len(string_split(text, ' ')), 6) AS uniq_ratio,
-      | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |   / len(string_split(text, ' ')), 6) AS avg_tok_len,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS uniq_ratio,
+      | CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS avg_tok_len,
       | (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
       |  AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |   / len(string_split(text, ' ')) > 0.2) AS is_quality
@@ -1245,7 +1250,7 @@ object Queries {
       |tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 50 <> 0)
       |SELECT train_id, eval_id, containment FROM (
       | SELECT train_id, eval_id,
-      |  round(CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE) / len(ev.sh), 6) AS containment
+      |  CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE) / len(ev.sh) AS containment
       | FROM tr, ev)
       |WHERE containment >= 0.05""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
@@ -1269,11 +1274,11 @@ object Queries {
 
   /** Repetition profile (Gopher-style repetitive-text gate): per doc,
     * total 3-gram shingles, the most-repeated shingle's count, and the
-    * ratio — integer-exact until the final rounded division. */
+    * ratio — integer-exact counts, raw (bit-identical) quotient. */
   val t10 = q("t10_repetition",
     """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
       | CAST(MAX(c) AS BIGINT) AS max_repeat,
-      | round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repeat_ratio
+      | CAST(MAX(c) AS DOUBLE) / SUM(c) AS repeat_ratio
       |FROM (
       | SELECT doc_id, sh, COUNT(*) AS c FROM (
       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3

@@ -306,8 +306,8 @@ object Dedup {
     * join — the 100 TB side is never shuffled, and the post-join
     * aggregate is partial (map-side combined) on matched pairs only.
     * Both frames: (`idCol`, `textCol`). Output: train_id, eval_id,
-    * containment (rounded 6dp; filter on the rounded value so both
-    * engines make identical inclusion decisions). */
+    * containment (the raw integer-count quotient — bit-identical on
+    * both engines, so inclusion decisions match without rounding). */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3,
                     minContainment: Double = 0.05): DataFrame = {
@@ -327,8 +327,10 @@ object Dedup {
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(evSizes), "eval_id")
+      // raw quotient (not rounded): integer-count division is
+      // bit-identical cross-engine; round() diverges on exact halves
       .withColumn("containment",
-        round(col("n_shared").cast("double") / col("n_eval"), 6))
+        col("n_shared").cast("double") / col("n_eval"))
       .filter(col("containment") >= minContainment)
       .select("train_id", "eval_id", "containment")
   }

@@ -50,9 +50,13 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
       .withColumn("n_tok", size(TextOps.tokens(col("t"))).cast("long"))
       .withColumn("n_uniq", size(array_distinct(TextOps.tokens(col("t")))).cast("long"))
-      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tok"), 6))
+      // RAW quotients, deliberately unrounded: integer counts divide to
+      // bit-identical doubles on every engine, while round() diverges on
+      // exact 7-digit halves (n_tok = 128: Spark half-up vs DuckDB
+      // half-to-even — the q48 class)
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tok"))
       .withColumn("avg_tok_len",
-        round(length(replace(col("t"), lit(" "), lit(""))).cast("double") / col("n_tok"), 6))
+        length(replace(col("t"), lit(" "), lit(""))).cast("double") / col("n_tok"))
       // gate on the UNROUNDED ratio (same as qualityPredicate and the
       // t02 oracle) — the rounded uniq_ratio display column could round
       // a ratio in (0.2, 0.2 + 5e-7) down onto the threshold
@@ -175,7 +179,7 @@ object TextAnalysis {
       .agg(sum("c").cast("long").as("n_shingles"),
         max("c").cast("long").as("max_repeat"))
       .withColumn("repeat_ratio",
-        round(col("max_repeat").cast("double") / col("n_shingles"), 6))
+        col("max_repeat").cast("double") / col("n_shingles"))
 
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (the "pack short docs into 4k-token training sequences" step).

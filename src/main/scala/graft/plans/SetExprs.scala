@@ -176,14 +176,16 @@ case class MarkerCount(child: Expression, markers: Seq[String])
 }
 
 /** Jaccard similarity |A∩B| / |A∪B| of two string arrays (duplicates
-  * ignored — set semantics), rounded to 6dp. One hash-set pass per
-  * pair instead of the composed array_intersect + array_union (two
-  * full set builds plus two materialized intermediate arrays) — this
-  * sits in the inner loop of pairwise similarity joins. Matches
-  * `round(size(array_intersect)/size(array_union), 6)` exactly:
-  * integer set sizes, HALF_UP rounding. Two empty arrays (a 0/0
-  * union) yield NULL — the oracle engine's division-by-zero result —
-  * rather than ANSI Spark's DIVIDE_BY_ZERO error or a fabricated 0. */
+  * ignored — set semantics), as the RAW IEEE quotient: integer set
+  * sizes divide to the same double on every engine, whereas a 6dp
+  * rounding diverges on exact 7-digit halves (|∪| = 128 with odd
+  * |∩| — Spark rounds half-up, DuckDB half-to-even). One hash-set
+  * pass per pair instead of the composed array_intersect +
+  * array_union (two full set builds plus two materialized
+  * intermediate arrays) — this sits in the inner loop of pairwise
+  * similarity joins. Two empty arrays (a 0/0 union) yield NULL — the
+  * oracle engine's division-by-zero result — rather than ANSI
+  * Spark's DIVIDE_BY_ZERO error or a fabricated 0. */
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -211,8 +213,7 @@ case class ArrayJaccard(left: Expression, right: Expression)
     }
     val union = setA.size + bOnly
     if (union == 0) null
-    else java.math.BigDecimal.valueOf(inter.toDouble / union)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    else java.lang.Double.valueOf(inter.toDouble / union)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

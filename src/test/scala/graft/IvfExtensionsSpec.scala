@@ -87,7 +87,7 @@ class IvfExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Double]("n2") == 25.0)
     assert(r.getAs[scala.collection.Seq[String]]("sg") == Seq("a b c", "b c d"))
-    assert(r.getAs[Double]("j") == 0.333333) // jaccard rounds to 6dp
+    assert(r.getAs[Double]("j") == 1.0 / 3.0) // raw quotient, unrounded
     assert(r.getAs[scala.collection.Seq[Long]]("mhp").length == 8)
     assert(r.getAs[Long]("shp") != 0L)
     // SQL function values match the Column-API expressions
