@@ -138,6 +138,26 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sOut/bars").count() >= 1)
   }
 
+  test("--mode corpus ingests from the graftlog source with offsets") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("edge_corpus_log").toString
+    val out = Files.createTempDirectory("edge_corpus_log_out").toString
+    val ckpt = Files.createTempDirectory("edge_corpus_log_ckpt").toString
+    val doc = (i: Int) =>
+      s"""{"doc_id":$i,"text":"${(0 until 12).map(w => s"tok$i$w").mkString(" ")}","lang":"en","ts":"2025-01-01 10:0$i:00"}"""
+    writeLines(in, "docs.log", (0 until 5).map(doc))
+    val cfg = EdgeRunner.parse(Array("--mode", "corpus", "--in", s"log:$in",
+      "--out", out, "--checkpoint", ckpt))
+    val q = EdgeRunner.startCorpus(spark, cfg, Trigger.ProcessingTime("0 seconds"))
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.types._
+    val landed = spark.read.schema(StructType(
+      graft.streaming.CorpusStream.doc.fields :+ StructField("fp", StringType)))
+      .parquet(out)
+    assert(landed.count() == 5, "all five distinct quality docs land")
+  }
+
   test("stream mode resumes from its checkpoint without duplicating bars") {
     val in = Files.createTempDirectory("edge_resume").toString
     val out = Files.createTempDirectory("edge_resume_out").toString

@@ -102,4 +102,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got((1, 0L)) == 2.0 && got((1, 1L)) == 3.0)
     assert(got((2, 0L)) == 10.0 && got((2, 1L)) == 20.0)
   }
+
+  test("semanticDedup keeps the min-id keeper and drops only above-threshold members") {
+    import spark.implicits._
+    // two tight clusters: ids 0-2 near (1,0,...), ids 10-11 near (0,1,...)
+    def v(base: Array[Double], eps: Double) = base.map(_ + eps)
+    val a = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val b = Array.tabulate(8)(i => if (i == 1) 1.0 else 0.0)
+    val vecs = Seq(
+      (0L, v(a, 0.0)), (1L, v(a, 0.001)), (2L, v(a, 0.002)),
+      (10L, v(b, 0.0)), (11L, v(b, 0.001)))
+      .toDF("id", "vec")
+    val model = graft.operators.Similarity.ivfIndex(vecs, nCentroids = 2, iters = 2)
+    val out = graft.operators.Similarity.semanticDedup(model, threshold = 0.9)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    // keepers (min id per cluster) always survive; their near-identical
+    // cluster-mates exceed cos 0.9 and are marked redundant
+    assert(out(0L) && out(10L))
+    assert(!out(1L) && !out(2L) && !out(11L))
+  }
 }
