@@ -1863,6 +1863,29 @@ object Queries {
     Similarity.ivfTopK(emb.filter(col("id") < 10), model, k = 5, nProbe = 4)
   }
 
+  /** Contrastive-pair mining (embedding-training prep): per query the
+    * exact top-1 positive plus up to 4 hard negatives from the
+    * [0.1, 0.35) cosine band — deterministic, fully oracle-checked. */
+  val s08 = q("s08_contrastive_pairs",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+      | FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |pos AS (SELECT query_id, neighbor_id, cos, 'pos' AS role,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      | FROM sc QUALIFY rn = 1),
+      |neg AS (SELECT query_id, neighbor_id, cos, 'neg' AS role,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      | FROM sc WHERE cos >= 0.1 AND cos < 0.35 QUALIFY rn <= 4)
+      |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    Similarity.contrastivePairs(emb.filter(col("id") < 10),
+      emb.filter(col("id") >= 10), k = 4, negLo = 0.1, negHi = 0.35)
+  }
+
   /** SemDeDup-style semantic dedup over the SAME persisted portable
     * IVF index s04 probes: within each centroid cluster the min-id
     * vector is the keeper, and members whose rounded cosine to it
@@ -1970,6 +1993,6 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17,
-    s01, s02, s03, s04, s05, s06, s07,
+    s01, s02, s03, s04, s05, s06, s07, s08,
     m01, m02, m03, p01)
 }

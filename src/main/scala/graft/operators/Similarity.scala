@@ -283,6 +283,42 @@ object Similarity {
             <= threshold).as("keep"))
   }
 
+  /** Contrastive-pair mining for embedding-model training data: for
+    * each query vector, its POSITIVE (the exact top-1 neighbor) plus
+    * `k` HARD NEGATIVES — the highest-cosine candidates inside the
+    * [negLo, negHi) band (similar enough to be informative, below the
+    * positive range by construction). Deterministic: exact cosines,
+    * rounded 6dp, id tiebreaks. Output: query_id, neighbor_id, cos,
+    * role ('pos'|'neg'), rn (1 for pos; 1..k within negs).
+    *
+    * Scale shape: one broadcast of the query side over a streamed
+    * corpus scan (the s01 pattern) feeding BOTH selections — the band
+    * filter prunes before the per-query top-k windows, and
+    * WindowGroupLimit trims each partition to k before the final
+    * shuffle. */
+  def contrastivePairs(queries: DataFrame, candidates: DataFrame, k: Int,
+                       negLo: Double, negHi: Double): DataFrame = {
+    require(negLo < negHi, s"empty negative band [$negLo, $negHi)")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      VectorOps.norm(col("vec")).as("qn"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      VectorOps.norm(col("vec")).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .select("query_id", "neighbor_id", "cos")
+      // feeds the positive and the negative selections — one corpus pass
+      .localCheckpoint(false)
+    val pos = Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), 1)
+      .withColumn("role", lit("pos"))
+    val neg = Relational.topKPerGroup(
+        scored.filter(col("cos") >= negLo && col("cos") < negHi),
+        Seq(col("query_id")), Seq(col("cos").desc, col("neighbor_id")), k)
+      .withColumn("role", lit("neg"))
+    pos.unionByName(neg).select("query_id", "neighbor_id", "cos", "role", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute force: all (a<b)
     * pairs whose rounded cosine clears `threshold`. Exact by
     * construction — kept as the oracle twin / recall baseline for
