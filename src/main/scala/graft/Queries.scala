@@ -1441,6 +1441,25 @@ object Queries {
     TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
   }
 
+  /** Weighted sampling without replacement, 20 docs per language,
+    * weight = token count (longer docs proportionally likelier) — the
+    * A-ES reservoir rule with engine-portable md5 uniforms. */
+  val t18 = q("t18_weighted_sample",
+    """WITH w AS (SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS wt,
+      |  (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+      |    / 4503599627370496.0 AS u
+      | FROM documents)
+      |SELECT doc_id, lang, samp_key, rn FROM (
+      | SELECT doc_id, lang, round(-ln(u) / wt, 6) AS samp_key,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY round(-ln(u) / wt, 6), doc_id) AS BIGINT) AS rn
+      | FROM w) WHERE rn <= 20""".stripMargin) { (s, dir) =>
+    TextAnalysis.weightedSample(Tables.documents(s, dir), "doc_id", "lang",
+        size(TextOps.tokens(col("text"))).cast("double"), k = 20)
+      .select("doc_id", "lang", "samp_key", "rn")
+  }
+
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
     * sum over a bounded window partition), then per-pack occupancy —
     * exercises the full window + re-aggregation pipeline. */
@@ -1992,7 +2011,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
     s01, s02, s03, s04, s05, s06, s07, s08,
     m01, m02, m03, p01)
 }

@@ -383,6 +383,25 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf", "rn")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement per stratum
+    * (Efraimidis–Spirakis A-ES): rank rows by key = −ln(u)/w, keep the
+    * k smallest — equivalent to ranking by u^(1/w) but with one
+    * transcendental instead of pow. u derives from the first 13 md5
+    * hex chars of the id (52 bits — exactly representable in a double,
+    * so the uniform is bit-identical on every engine with md5, like
+    * [[hashSplit]]); keys round 6dp so a last-ulp ln() difference
+    * can't flip a rank. No RNG state, reproducible across runs,
+    * engines, and partitionings; one window per stratum, pruned to k
+    * per partition by WindowGroupLimit before the shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 1.0) / 4503599627370496.0 // 2^52
+    val key = round(-log(u) / weight, 6)
+    Relational.topKPerGroup(df.withColumn("samp_key", key),
+      Seq(col(stratumCol)), Seq(col("samp_key"), col(idCol)), k)
+  }
+
   /** Line unit for [[dropBoilerplateLines]] on real corpora: literal
     * text lines. */
   def newlineLines(text: Column): Column = split(text, "\n")
