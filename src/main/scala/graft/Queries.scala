@@ -469,6 +469,43 @@ object Queries {
         round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))
   }
 
+  /** TPC-H Q21 shape (sole-blame suppliers): EXISTS + NOT EXISTS
+    * against the same fact table, adapted to this schema — suppliers
+    * with a returned line in a finished MULTI-supplier order where no
+    * OTHER supplier had a return. Exercises the semi-join + anti-join
+    * combo with an extra non-equi conjunct (l2.suppkey <> l1.suppkey):
+    * both rewrite to equi-joins on the order key with the inequality
+    * as a post-join residual — one shuffle each, no cartesian. Counts
+    * only: no float determinism surface. */
+  val q60 = q("q60_sole_blame",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |AND EXISTS (SELECT 1 FROM lineitem l2
+      | WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      | WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |  AND l3.l_returnflag = 'R')
+      |GROUP BY s_name""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val l1 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val finished = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    l1.join(finished, l1("l_orderkey") === finished("o_orderkey"))
+      .join(l2, l1("l_orderkey") === l2("o2") && l1("l_suppkey") =!= l2("s2"),
+        "left_semi")
+      .join(l3, l1("l_orderkey") === l3("o3") && l1("l_suppkey") =!= l3("s3"),
+        "left_anti")
+      .join(Tables.supplier(s, dir), l1("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** Approximate percentiles (GK sketch), oracle-checked the q29 way:
     * the dumped row carries the EXACT quantiles (oracle-computable,
     * q34's shape) plus booleans asserting each sketch estimate lies
@@ -2009,7 +2046,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
     s01, s02, s03, s04, s05, s06, s07, s08,
