@@ -143,17 +143,88 @@ object Multimodal {
           math.rint(brightness * 1e6) / 1e6)
       }
 
+    /** Decode a single image payload slice (JPEG/PNG/BMP/GIF) to its
+      * native-size 0..255 luma grid. The unit of MJPEG frame decode:
+      * each AVI '##dc' chunk of an MJPEG stream is a standalone JPEG. */
+    def imageLuma(b: Array[Byte], off: Int,
+                  len: Int): Option[(Int, Int, Array[Byte])] = {
+      val img = try javax.imageio.ImageIO.read(new ByteArrayInputStream(b, off, len))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) { out(y * w + x) = luma(row(x)).toByte; x += 1 }
+          y += 1
+        }
+        Some((w, h, out))
+      }
+    }
+
+    /** Real MJPEG-in-AVI pixel decode: every movi video chunk is fed to
+      * ImageIO (MJPEG frames are standalone JPEGs); n_frames = actual
+      * chunk count, brightness = mean luma over ALL decoded frames.
+      * All-or-nothing: a stream in a codec the JDK lacks (H.264 etc.)
+      * fails on its first chunk and None routes the caller to the
+      * header-metadata path instead. */
+    def decodeAviVideo(f: MediaFile): Option[MediaFeatures] =
+      Avi.info(f.payload).flatMap { a =>
+        val chunks = Avi.videoChunks(f.payload)
+        if (chunks.isEmpty) None
+        else {
+          var lumaSum = 0L; var pixels = 0L; var ok = true
+          val it = chunks.iterator
+          while (ok && it.hasNext) {
+            val (off, len) = it.next()
+            imageLuma(f.payload, off, len) match {
+              case Some((w, h, g)) =>
+                var i = 0
+                while (i < g.length) { lumaSum += g(i) & 0xff; i += 1 }
+                pixels += w.toLong * h
+              case None => ok = false
+            }
+          }
+          if (!ok || pixels == 0L) None
+          else Some(MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
+            sha256(f.payload), a.width, a.height, chunks.size,
+            math.rint(lumaSum.toDouble / pixels / 255.0 * 1e6) / 1e6))
+        }
+      }
+
+    /** Sampled MJPEG-in-AVI frames decoded to native-size luma grids —
+      * the frame-sampling analogue of [[decodeAviVideo]], same
+      * all-or-nothing rule over the SAMPLED chunks. */
+    def aviLumaFrames(f: MediaFile, stride: Int): Option[IndexedSeq[Frame]] =
+      Avi.info(f.payload).flatMap { _ =>
+        val chunks = Avi.videoChunks(f.payload)
+        if (chunks.isEmpty) None
+        else {
+          val sampled = (0 until chunks.size by stride).map { i =>
+            val (off, len) = chunks(i)
+            imageLuma(f.payload, off, len).map(t => Frame(f.media_id, i, t._3))
+          }
+          if (sampled.forall(_.isDefined)) Some(sampled.map(_.get)) else None
+        }
+      }
+
     /** Real decode where the payload allows it, FakeCodec otherwise —
       * one total function per partition, robust to mixed corpora.
-      * Video: full Y4M decode (frames + luma), else real AVI header
-      * METADATA (width/height/frame count from the RIFF avih chunk —
-      * frame pixels stay compressed, so brightness reports 0.0), else
-      * the stub. */
+      * Video, in decreasing fidelity: full Y4M decode (frames + luma),
+      * else MJPEG-in-AVI pixel decode (frames + luma via per-chunk
+      * JPEG), else real AVI header METADATA (width/height/frame count
+      * from the RIFF avih chunk — frame pixels stay compressed in a
+      * codec the JDK lacks, so brightness reports 0.0), else the stub. */
     def decode(f: MediaFile): MediaFeatures = (f.kind match {
       case "image" => decodeImage(f)
       case "audio" => decodeAudio(f)
-      case "video" => decodeVideo(f).orElse(
-        Avi.info(f.payload).map { a =>
+      case "video" => decodeVideo(f)
+        .orElse(decodeAviVideo(f))
+        .orElse(Avi.info(f.payload).map { a =>
           MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
             sha256(f.payload), a.width, a.height, a.totalFrames, 0.0)
         })
@@ -234,31 +305,33 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th frame. A video payload that
     * parses as YUV4MPEG2 (when `decodeY4M` is set) emits its REAL
-    * decoded frames — the w×h luma plane per sampled frame; anything
-    * else falls back to the fixed-size byte-chunk stub, so a mixed
-    * corpus streams through one total function (the JvmCodec fallback
-    * contract). The plumbing is the 100 TB shape either way — one
-    * flatMap per file, frames inherit the file's partitioning, no
-    * driver round-trip. */
+    * decoded frames — the w×h luma plane per sampled frame — and an
+    * MJPEG-in-AVI payload emits its sampled chunks' JPEG-decoded luma
+    * grids; anything else falls back to the fixed-size byte-chunk
+    * stub, so a mixed corpus streams through one total function (the
+    * JvmCodec fallback contract). The plumbing is the 100 TB shape
+    * either way — one flatMap per file, frames inherit the file's
+    * partitioning, no driver round-trip. */
   def sampleFrames(files: Dataset[MediaFile], frameBytes: Int = 16,
                    stride: Int = 2, decodeY4M: Boolean = false): Dataset[Frame] = {
     import files.sparkSession.implicits._
     files.flatMap { f =>
-      val real =
-        if (decodeY4M && f.kind == "video") Y4M.frameOffsets(f.payload) else None
-      real match {
-        case Some((info, offs)) =>
-          val y = info.width * info.height
-          (0 until offs.size by stride).map { i =>
-            Frame(f.media_id, i,
-              java.util.Arrays.copyOfRange(f.payload, offs(i), offs(i) + y))
-          }
-        case None =>
-          val nFrames = math.max(1, f.payload.length / frameBytes)
-          (0 until nFrames by stride).map { i =>
-            Frame(f.media_id, i,
-              f.payload.slice(i * frameBytes, (i + 1) * frameBytes))
-          }
+      val real: Option[Seq[Frame]] =
+        if (decodeY4M && f.kind == "video")
+          Y4M.frameOffsets(f.payload).map { case (info, offs) =>
+            val y = info.width * info.height
+            (0 until offs.size by stride).map { i =>
+              Frame(f.media_id, i,
+                java.util.Arrays.copyOfRange(f.payload, offs(i), offs(i) + y))
+            }
+          }.orElse(JvmCodec.aviLumaFrames(f, stride))
+        else None
+      real.getOrElse {
+        val nFrames = math.max(1, f.payload.length / frameBytes)
+        (0 until nFrames by stride).map { i =>
+          Frame(f.media_id, i,
+            f.payload.slice(i * frameBytes, (i + 1) * frameBytes))
+        }
       }
     }
   }
@@ -381,12 +454,14 @@ object Multimodal {
       }
   }
 
-  /** Pure-JDK RIFF/AVI header METADATA parsing: 'RIFF'<size>'AVI ',
-    * then the LIST/hdrl's `avih` MainAVIHeader chunk carrying
-    * dwTotalFrames (+16), dwWidth (+32), dwHeight (+36), all
-    * little-endian u32. The frame DATA stays compressed (no JDK
-    * codec) — this gives real container metadata for the
-    * filter-before-decode stage; full pixel decode needs [[Y4M]]. */
+  /** Pure-JDK RIFF/AVI container parsing: 'RIFF'<size>'AVI ', a
+    * LIST/hdrl whose `avih` MainAVIHeader chunk carries dwTotalFrames
+    * (+16), dwWidth (+32), dwHeight (+36) — all little-endian u32 —
+    * and a LIST/movi holding the per-frame data chunks ('##dc'/'##db').
+    * [[info]] reads header metadata only; [[videoChunks]] walks movi so
+    * MJPEG streams (each chunk a standalone JPEG) can be pixel-decoded
+    * by [[JvmCodec]]. Other codecs' chunks won't decode and fall back
+    * to metadata-only. */
   object Avi {
     final case class Info(width: Int, height: Int, totalFrames: Int)
 
@@ -400,21 +475,63 @@ object Multimodal {
     def info(b: Array[Byte]): Option[Info] = {
       if (b.length < 64 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI "))
         return None
-      // the avih chunk sits inside the first LIST/hdrl; scan the header
-      // region for its fourcc rather than hard-coding fixed offsets
-      // (writers pad differently), bounded to the first KB
-      var o = 12
-      val limit = math.min(b.length - 4, 1024)
-      while (o < limit && !fourcc(b, o, "avih")) o += 1
-      if (o >= limit) return None
+      // require the LIST/'hdrl' wrapper before trusting an 'avih'
+      // fourcc — a bare pattern scan can false-positive on arbitrary
+      // bytes. Then walk hdrl's child chunks (writers pad differently,
+      // but children are well-formed fourcc+size records).
+      if (!fourcc(b, 12, "LIST") || !fourcc(b, 20, "hdrl")) return None
+      val hdrlEnd = math.min(b.length.toLong - 8, 20L + le32(b, 16)).toInt
+      var o = 24
+      while (o + 8 <= hdrlEnd && !fourcc(b, o, "avih")) {
+        val sz = le32(b, o + 4)
+        if (sz < 0 || sz > hdrlEnd) return None
+        o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (o + 8 > hdrlEnd || !fourcc(b, o, "avih")) return None
       val data = o + 8 // fourcc + chunk size
       if (data + 40 > b.length) return None
       val frames = le32(b, data + 16)
       val w = le32(b, data + 32)
       val h = le32(b, data + 36)
-      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      // u32 fields above Int.MaxValue (or zero dims) are corrupt, not
+      // clampable — reject like the audio path does for frame counts
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+          frames < 0 || frames > Int.MaxValue) None
       else Some(Info(w.toInt, h.toInt, frames.toInt))
     }
+
+    /** (offset, length) of every video data chunk ('##dc' compressed /
+      * '##db' bitmap) inside the first LIST/movi, in stream order.
+      * Empty on truncation or malformed sizes — all-or-nothing like
+      * [[Y4M]], so a half-parsed file never yields partial frames. */
+    def videoChunks(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      val none = IndexedSeq.empty[(Int, Int)]
+      if (!fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI ")) return none
+      var o = 12
+      while (o + 12 <= b.length) {
+        val size = le32(b, o + 4)
+        if (size < 0 || size > Int.MaxValue - 8) return none
+        if (fourcc(b, o, "LIST") && fourcc(b, o + 8, "movi")) {
+          val end = math.min(b.length.toLong, o + 8 + size).toInt
+          val out = IndexedSeq.newBuilder[(Int, Int)]
+          var p = o + 12
+          while (p + 8 <= end) {
+            val csize = le32(b, p + 4)
+            if (csize < 0 || p + 8 + csize > end) return none // truncated
+            if (isVideoChunk(b, p)) out += ((p + 8, csize.toInt))
+            p += 8 + csize.toInt + (csize.toInt & 1)
+          }
+          return out.result()
+        }
+        o += 8 + size.toInt + (size.toInt & 1)
+      }
+      none
+    }
+
+    /** '##dc' / '##db' — two stream-number digits + data-chunk type. */
+    private def isVideoChunk(b: Array[Byte], o: Int): Boolean =
+      b(o) >= '0' && b(o) <= '9' && b(o + 1) >= '0' && b(o + 1) <= '9' &&
+        b(o + 2) == 'd' && (b(o + 3) == 'c' || b(o + 3) == 'b')
   }
 
   /** Pure-column metadata path (no decode): cheap filters that should

@@ -53,59 +53,157 @@ object LineLogSource {
     .add("log", StringType).add("offset", LongType).add("value", StringType)
 
   /** Current per-log line counts — the "latest offsets" of the dir.
-    * Sorted by name so offset JSON is deterministic. */
+    * Sorted by name so offset JSON is deterministic. Only COMPLETE
+    * ('\n'-terminated) lines count: a writer appending mid-line never
+    * advances the offset past its partial tail, so replaying an old
+    * (start, end] range always re-reads identical rows. */
   def latestCounts(dir: String): Seq[(String, Long)] = {
     val d = new java.io.File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .sortBy(_.getName)
-    files.toSeq.map { f =>
-      val in = new java.io.BufferedReader(new java.io.FileReader(f))
-      try {
-        var n = 0L
-        while (in.readLine() != null) n += 1
-        f.getName -> n
-      } finally in.close()
-    }
+    files.toSeq.map(f => f.getName -> completeLines(f))
   }
 
-  /** Read lines [start, end) of one log — the replay primitive. */
-  def readRange(dir: String, log: String, start: Long, end: Long): Iterator[(Long, String)] = {
-    val in = new java.io.BufferedReader(
-      new java.io.FileReader(new java.io.File(dir, log)))
-    var i = 0L
-    while (i < start && in.readLine() != null) i += 1
-    new Iterator[(Long, String)] {
-      private var nextLine: String = if (start < end) in.readLine() else null
-      override def hasNext: Boolean = {
-        val h = nextLine != null && i < end
-        if (!h) in.close()
-        h
+  /** Driver-side watermark cache: file canonical path -> (byte position
+    * just past the last '\n' seen, complete-line count at that point).
+    * Append-only files resume counting from the watermark, so a
+    * long-running stream does O(appended bytes) per trigger instead of
+    * re-scanning every file — the O(n^2)-lifetime-I/O tail Kafka avoids
+    * with broker offsets. A shrunken file (append-only contract broken)
+    * is recounted from zero. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def completeLines(f: java.io.File): Long = {
+    val key = f.getCanonicalPath
+    val (cachedPos, cachedLines) = Option(countCache.get(key)).getOrElse((0L, 0L))
+    val len = f.length()
+    val (startPos, startLines) = if (len >= cachedPos) (cachedPos, cachedLines) else (0L, 0L)
+    if (len == startPos) return startLines
+    val in = new java.io.FileInputStream(f)
+    try {
+      var skipped = 0L
+      while (skipped < startPos) {
+        val s = in.skip(startPos - skipped)
+        if (s <= 0) throw new java.io.IOException(s"short skip in $key")
+        skipped += s
       }
-      override def next(): (Long, String) = {
-        val out = (i, nextLine)
-        i += 1
-        nextLine = if (i < end) in.readLine() else null
-        out
+      // count '\n' bytes — safe for UTF-8 (0x0A never occurs inside a
+      // multi-byte sequence); the watermark lands just past the last one
+      val buf = new Array[Byte](64 * 1024)
+      var pos = startPos
+      var lines = startLines
+      var lastNl = startPos
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') { lines += 1; lastNl = pos + i + 1 }
+          i += 1
+        }
+        pos += n
+        n = in.read(buf)
+      }
+      countCache.put(key, (lastNl, lines))
+      lines
+    } finally in.close()
+  }
+
+  /** Iterator over lines [start, end) of one log — the replay
+    * primitive. Yields only '\n'-terminated lines (an optional trailing
+    * '\r' is stripped), matching [[latestCounts]]'s line definition.
+    * `close()` is idempotent and safe mid-iteration — a task that stops
+    * early (limit, failure, cancellation) must call it to release the
+    * file handle; exhaustion self-closes as a fast path. Skipping to
+    * `start` re-reads the file prefix — O(end) per planned range, like
+    * a log seek without an index; fine because each range is planned
+    * and read once per micro-batch. */
+  final class LineRangeIterator(dir: String, log: String, start: Long, end: Long)
+      extends Iterator[(Long, String)] with AutoCloseable {
+    private val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(
+        new java.io.FileInputStream(new java.io.File(dir, log)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    private var i = 0L
+    private var closed = false
+    private var nextLine: String = null
+    locally {
+      while (i < start && readTerminated() != null) i += 1
+      advance()
+    }
+    /** Next '\n'-terminated line, or null at EOF — including the case
+      * of a final line a writer is still appending. */
+    private def readTerminated(): String = {
+      val sb = new java.lang.StringBuilder
+      var c = in.read()
+      while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      if (c == -1) null
+      else {
+        val n = sb.length()
+        if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+        sb.toString
       }
     }
+    private def advance(): Unit = {
+      nextLine = if (!closed && i < end) readTerminated() else null
+      if (nextLine == null) close()
+    }
+    override def hasNext: Boolean = nextLine != null
+    override def next(): (Long, String) = {
+      val out = (i, nextLine)
+      i += 1
+      advance()
+      out
+    }
+    override def close(): Unit =
+      if (!closed) { closed = true; nextLine = null; in.close() }
   }
+
+  def readRange(dir: String, log: String, start: Long, end: Long): LineRangeIterator =
+    new LineRangeIterator(dir, log, start, end)
 }
 
 /** Per-log line counts as a streaming Offset. The JSON is a sorted
   * `name:count` list — both ends of the serialization live here, so no
-  * JSON library dependency. */
+  * JSON library dependency. Separator characters in file names are
+  * percent-escaped so any name round-trips through the checkpoint. */
 case class LineLogOffset(counts: Map[String, Long]) extends Offset {
   override def json(): String =
-    counts.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")
+    counts.toSeq.sorted.map { case (k, v) => s"${LineLogOffset.esc(k)}:$v" }.mkString(",")
 }
 
 object LineLogOffset {
+  /** Escape '%' plus the offset-format separators (',', ':') and line
+    * breaks, so a hostile filename can't corrupt the checkpoint. */
+  private[sources] def esc(s: String): String = s.flatMap {
+    case '%'  => "%25"
+    case ','  => "%2C"
+    case ':'  => "%3A"
+    case '\n' => "%0A"
+    case '\r' => "%0D"
+    case c    => c.toString
+  }
+
+  private[sources] def unesc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def parse(s: String): LineLogOffset =
     if (s.isEmpty) LineLogOffset(Map.empty)
     else LineLogOffset(s.split(',').map { kv =>
+      // lastIndexOf keeps pre-escaping checkpoints (unescaped ':' in
+      // names) parseable; the count digits never contain ':'
       val i = kv.lastIndexOf(':')
-      kv.substring(0, i) -> kv.substring(i + 1).toLong
+      unesc(kv.substring(0, i)) -> kv.substring(i + 1).toLong
     }.toMap)
 }
 
@@ -201,7 +299,9 @@ object LineLogReaderFactory extends PartitionReaderFactory {
       }
       override def get(): InternalRow =
         InternalRow(logName, cur._1, UTF8String.fromString(cur._2))
-      override def close(): Unit = ()
+      // release the file handle even when the task stops early
+      // (limit, failure, cancellation); exhaustion already self-closed
+      override def close(): Unit = it.close()
     }
   }
 }

@@ -34,6 +34,46 @@ class LineLogSourceSpec extends AnyFunSuite {
     assert(LineLogOffset.parse("") == LineLogOffset(Map.empty))
   }
 
+  test("offset json round-trips names containing separators (comma, percent, newline)") {
+    val o = LineLogOffset(Map("weird,name.log" -> 2L, "per%cent.log" -> 1L,
+      "nl\nname.log" -> 4L, "plain.log" -> 9L))
+    assert(LineLogOffset.parse(o.json()) == o)
+    assert(!o.json().contains("\n"))
+  }
+
+  test("an unterminated trailing line is invisible until its newline lands") {
+    val dir = Files.createTempDirectory("graftlog_partial")
+    append(dir, "a.log", "a0", "a1")
+    // a writer mid-append: bytes present, no terminator yet
+    Files.write(dir.resolve("a.log"), "parti".getBytes("UTF-8"),
+      StandardOpenOption.APPEND)
+    assert(graft.sources.LineLogSource.latestCounts(dir.toString) ==
+      Seq("a.log" -> 2L))
+    val got = Connectors.logBatch(spark, dir.toString)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(got == Seq(("a.log", 0L, "a0"), ("a.log", 1L, "a1")))
+    // the writer finishes the line: it now counts, with identical
+    // content for the already-read range (the replay contract)
+    Files.write(dir.resolve("a.log"), "al\n".getBytes("UTF-8"),
+      StandardOpenOption.APPEND)
+    assert(graft.sources.LineLogSource.latestCounts(dir.toString) ==
+      Seq("a.log" -> 3L))
+    val again = Connectors.logBatch(spark, dir.toString)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(again == Seq(("a.log", 0L, "a0"), ("a.log", 1L, "a1"),
+      ("a.log", 2L, "partial")))
+  }
+
+  test("early close releases the reader without exhausting the range") {
+    val dir = Files.createTempDirectory("graftlog_close")
+    append(dir, "a.log", "a0", "a1", "a2")
+    val it = graft.sources.LineLogSource.readRange(dir.toString, "a.log", 0L, 3L)
+    assert(it.hasNext && it.next() == (0L, "a0"))
+    it.close()
+    it.close() // idempotent
+    assert(!it.hasNext)
+  }
+
   test("micro-batches advance per-file offsets and pick up new files") {
     val dir = Files.createTempDirectory("graftlog_stream")
     val ckpt = Files.createTempDirectory("graftlog_ckpt").toString

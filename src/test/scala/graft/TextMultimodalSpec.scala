@@ -262,6 +262,109 @@ class TextMultimodalSpec extends AnyFunSuite {
       == Multimodal.FakeCodec.decode(Multimodal.MediaFile(21L, "video", bad)))
   }
 
+  // --- MJPEG-in-AVI (real compressed-video frames) -------------------
+
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** One JPEG frame: w×h RGB filled with gray level `g`. */
+  private def jpegFrame(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF(AVI ) > LIST(hdrl){avih} + LIST(movi){00dc*}. */
+  private def mjpegAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val hdrl = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("hdrl".getBytes); o.write("avih".getBytes); o.write(le32b(56))
+      o.write(le32b(33367)) // dwMicroSecPerFrame
+      o.write(le32b(0)); o.write(le32b(0)); o.write(le32b(0))
+      o.write(le32b(frames.size)) // dwTotalFrames
+      o.write(le32b(0)); o.write(le32b(1)); o.write(le32b(0))
+      o.write(le32b(w)); o.write(le32b(h))
+      o.write(new Array[Byte](16))
+      o.toByteArray
+    }
+    val movi = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("movi".getBytes)
+      frames.foreach { jpg =>
+        o.write("00dc".getBytes); o.write(le32b(jpg.length)); o.write(jpg)
+        if ((jpg.length & 1) == 1) o.write(0) // word-align
+      }
+      o.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes)
+    out.write(le32b(4 + 8 + hdrl.length + 8 + movi.length))
+    out.write("AVI ".getBytes)
+    out.write("LIST".getBytes); out.write(le32b(hdrl.length)); out.write(hdrl)
+    out.write("LIST".getBytes); out.write(le32b(movi.length)); out.write(movi)
+    out.toByteArray
+  }
+
+  test("MJPEG-in-AVI frames decode for real: luma from actual JPEG decode") {
+    val jpegs = Seq(jpegFrame(8, 6, 40), jpegFrame(8, 6, 120), jpegFrame(8, 6, 200))
+    val avi = mjpegAvi(8, 6, jpegs)
+    val f = Multimodal.MediaFile(30L, "video", avi)
+    val feats = Multimodal.JvmCodec.decode(f)
+    assert(feats.width == 8 && feats.height == 6 && feats.n_frames == 3)
+    // expected brightness = mean luma of the SAME JPEGs decoded directly
+    // (JPEG is lossy: compare against a reference decode, not the fill)
+    val expected = {
+      val sums = jpegs.map { j =>
+        val Some((w, h, g)) = Multimodal.JvmCodec.imageLuma(j, 0, j.length)
+        (g.map(_ & 0xff).map(_.toLong).sum, w.toLong * h)
+      }
+      math.rint(sums.map(_._1).sum.toDouble / sums.map(_._2).sum / 255.0 * 1e6) / 1e6
+    }
+    assert(feats.brightness == expected && feats.brightness > 0.0)
+    // a non-JPEG payload in the video chunks (a codec the JDK lacks)
+    // degrades to header metadata, not FakeCodec
+    val opaque = mjpegAvi(8, 6, Seq(Array[Byte](1, 2, 3, 4, 5, 6)))
+    val metaOnly = Multimodal.JvmCodec.decode(Multimodal.MediaFile(31L, "video", opaque))
+    assert(metaOnly.width == 8 && metaOnly.height == 6 &&
+      metaOnly.n_frames == 1 && metaOnly.brightness == 0.0)
+  }
+
+  test("sampleFrames emits JPEG-decoded luma grids for MJPEG AVI under stride") {
+    val jpegs = (0 until 5).map(i => jpegFrame(4, 4, 30 + 40 * i))
+    val avi = mjpegAvi(4, 4, jpegs)
+    val files = Seq(Multimodal.MediaFile(40L, "video", avi)).toDS()
+    val frames = Multimodal.sampleFrames(files, stride = 2, decodeY4M = true)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    frames.foreach { fr =>
+      val Some((_, _, g)) = Multimodal.JvmCodec.imageLuma(
+        jpegs(fr.frame_idx), 0, jpegs(fr.frame_idx).length)
+      assert(fr.data.toSeq == g.toSeq, s"frame ${fr.frame_idx} luma mismatch")
+    }
+  }
+
+  test("Avi.info rejects u32 overflow frame counts and bare avih without hdrl") {
+    val good = mjpegAvi(8, 6, Seq(jpegFrame(8, 6, 99)))
+    assert(Multimodal.Avi.info(good).exists(_.totalFrames == 1))
+    // dwTotalFrames = 0xFFFFFFFF would wrap negative via .toInt
+    val overflow = good.clone()
+    val avihData = 32 // RIFF(12) + LIST hdr(8) + 'hdrl'(4) + 'avih'+size(8)
+    (0 until 4).foreach(i => overflow(avihData + 16 + i) = 0xff.toByte)
+    assert(Multimodal.Avi.info(overflow).isEmpty)
+    // an 'avih' fourcc in random bytes, with no LIST/hdrl, is not a header
+    val fake = new java.io.ByteArrayOutputStream()
+    fake.write("RIFF".getBytes); fake.write(le32b(200)); fake.write("AVI ".getBytes)
+    fake.write("junk".getBytes); fake.write(le32b(0))
+    fake.write("avih".getBytes); fake.write(le32b(56))
+    fake.write(new Array[Byte](100))
+    assert(Multimodal.Avi.info(fake.toByteArray).isEmpty)
+  }
+
   test("sampleFrames decodes real Y4M luma planes under stride") {
     val clip = y4mClip(4, 2, 5, i => (7 * i).toByte)
     val files = Seq(
