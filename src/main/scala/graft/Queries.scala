@@ -2041,12 +2041,78 @@ object Queries {
           <= col("exact_orders") * lit(0.05)).as("orders_within_5pct"))
   }
 
+  /** Sliding (hopping) time window — the batch twin of
+    * WindowVariantsSpec's streaming variant (SURVEY §2 T3): 10-minute
+    * windows every 5 minutes over events, so each event lands in
+    * exactly duration/slide = 2 windows. The oracle is the per-offset
+    * UNION ALL (the semantic definition: one tumbling assignment per
+    * hop offset). Window starts emitted as epoch seconds BIGINT —
+    * engine-neutral, no timestamp formatting surface. Plan shape: the
+    * window() generator explodes each row to its 2 assignments, then
+    * one hash agg — same scan/shuffle count as a tumbling window. */
+  val q61 = q("q61_sliding_window",
+    """SELECT user_id, CAST(ws AS BIGINT) AS win_start,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      | SELECT user_id, floor(floor(epoch(ts)) / 300) * 300 AS ws, value
+      | FROM events
+      | UNION ALL
+      | SELECT user_id, floor(floor(epoch(ts)) / 300) * 300 - 300 AS ws, value
+      | FROM events
+      |)
+      |GROUP BY user_id, ws""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Exact.M)).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Session window via the native session_window() operator — the
+    * batch twin of WindowVariantsSpec's streaming variant (SURVEY §2
+    * T3), against a gaps-and-islands oracle (the q56 precedent, but at
+    * session_window's exact semantics: a gap of >= the 600 s timeout
+    * splits, since touching-but-not-overlapping windows don't merge —
+    * q56's hand-rolled sessionize splits only on > 600). Timestamps are
+    * µs-aligned on both engines (Tables.events), so the >= boundary
+    * decisions agree exactly. */
+  val q62 = q("q62_session_window",
+    """WITH marked AS (
+      | SELECT user_id, ts, event_id, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |   OR ts >= lag(ts) OVER w + INTERVAL 600 SECOND
+      |  THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      | SELECT user_id, ts, value,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      | FROM marked
+      |)
+      |SELECT user_id,
+      | CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Exact.M)).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61, q62,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
     s01, s02, s03, s04, s05, s06, s07, s08,

@@ -62,7 +62,19 @@ class StatefulConnectorSpec extends AnyFunSuite {
     } catch {
       case e: Exception if e.getMessage != null &&
           e.getMessage.toLowerCase.contains("kafka") =>
-        cancel("spark-sql-kafka connector not on classpath: " + e.getMessage.take(80))
+        // self-documenting cancel: name the missing artifact and prove
+        // its absence from the vendored jar dir, so the gap is visibly
+        // environmental (no broker, no connector) rather than a defect
+        val sparkJars = Option(new java.io.File("/opt/spark/jars").list())
+          .getOrElse(Array.empty)
+        val kafkaJars = sparkJars.filter(_.toLowerCase.contains("kafka"))
+        cancel(s"spark-sql-kafka-0-10_2.13 (+ kafka-clients) absent: " +
+          s"${sparkJars.length} jars in /opt/spark/jars, " +
+          s"kafka-matching: ${if (kafkaJars.isEmpty) "none" else kafkaJars.mkString(",")}; " +
+          "zero-egress sandbox forbids resolving it. Offset/checkpoint/" +
+          "restart machinery is instead exercised end-to-end by the " +
+          "graftlog DSv2 source (LineLogSourceSpec). Original error: " +
+          e.getMessage.take(80))
     }
   }
 
