@@ -82,6 +82,19 @@ object Connectors {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Idempotent partitioned write for at-least-once replay (foreachBatch):
+    * dynamic partition overwrite replaces ONLY the partitions present in
+    * `df`, so re-writing the same batch (crash after write, before the
+    * checkpoint commit) overwrites its own partitions instead of
+    * appending duplicates. Callers must include a per-batch key (e.g.
+    * `batch_id`) in `partitionBy` — without one, a replayed batch would
+    * clobber other batches sharing its partition values. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionBy: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path)
+
   /** JSON-lines source with an EXPLICIT schema: at corpus scale an
     * inference pass is a full extra read of every byte. Malformed lines
     * follow PERMISSIVE semantics — they become all-null rows rather

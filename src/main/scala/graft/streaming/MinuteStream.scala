@@ -65,9 +65,33 @@ object MinuteStream {
           lit(threshold) * col("vol_5"), lit(false)))
   }
 
+  /** One micro-batch's sink work, EXACTLY-ONCE effective: bars and
+    * metrics land in `batch_id=<id>/symbol=<s>` partitions via dynamic
+    * partition overwrite, so the at-least-once replay foreachBatch
+    * permits (crash after the parquet write, before the checkpoint
+    * commit — the dup risk the reference acknowledges,
+    * stock_stream.py:118) overwrites the SAME partitions instead of
+    * appending duplicate rows. Readers still see `outDir/bars` as one
+    * table; batch_id is a physical layout column only. Public so the
+    * replay contract is directly testable (call twice with one id). */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String,
+                 threshold: Double = Metrics.AnomalyThreshold,
+                 onAlert: DataFrame => Unit = _ => ()): Unit = {
+    batch.persist()
+    try {
+      Connectors.overwritePartitions(batch.withColumn("batch_id", lit(batchId)),
+        s"$outDir/bars", Seq("batch_id", "symbol"))
+      val metrics = metricsOnBars(batch, threshold)
+      Connectors.overwritePartitions(metrics.withColumn("batch_id", lit(batchId)),
+        s"$outDir/metrics", Seq("batch_id", "symbol"))
+      onAlert(metrics.filter(col("is_anomaly")))
+    } finally { batch.unpersist(); () }
+  }
+
   /** T1/T2/T7 + S6: 1-minute micro-batches, checkpointed, foreachBatch
-    * sink writing bars + metrics parquet (append, partitioned by symbol
-    * for sink-side pruning). Alert rows = metrics filtered on the flag —
+    * sink writing bars + metrics parquet (idempotent batch_id-keyed
+    * partitions, symbol subpartition for sink-side pruning — see
+    * [[writeBatch]]). Alert rows = metrics filtered on the flag —
     * pass `onAlert = AlertSink.webhook(url).onAlert` for reference-S9
     * Slack delivery (formatting + bounded collect live in [[AlertSink]]).
     * NOTE: the parity default `threshold` = 3.0 is
@@ -85,14 +109,7 @@ object MinuteStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
-        try {
-          Connectors.writeParquet(batch, s"$outDir/bars", Seq("symbol"))
-          val metrics = metricsOnBars(batch, threshold)
-          Connectors.writeParquet(metrics, s"$outDir/metrics", Seq("symbol"))
-          onAlert(metrics.filter(col("is_anomaly")))
-        } finally batch.unpersist()
-        ()
+        writeBatch(batch, batchId, outDir, threshold, onAlert)
       }
       .start()
   }

@@ -10,9 +10,11 @@ import graft.tools.EdgeRunner
 class EdgeRunnerSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // every line '\n'-terminated: the graftlog source (correctly) treats
+  // an unterminated final line as still being written and excludes it
   private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
     Files.write(java.nio.file.Paths.get(dir, name),
-      lines.mkString("\n").getBytes("UTF-8"))
+      lines.map(_ + "\n").mkString.getBytes("UTF-8"))
 
   test("--mode batch loads OHLCV JSON into partitioned parquet") {
     val in = Files.createTempDirectory("edge_in").toString

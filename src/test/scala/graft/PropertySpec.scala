@@ -266,4 +266,67 @@ class PropertySpec extends AnyFunSuite {
       pairs.size == pairs.toSet.size && pairs.toSet == expect
     }, n = 8)
   }
+
+  test("graftlog delivers every line exactly once in order under random " +
+      "append/trigger/restart interleavings") {
+    // drives the REAL admission-control arithmetic (latestOffset under
+    // ReadMaxRows), range planning, offset serialization, and range
+    // reads — the parts LineLogSourceSpec pins only with examples
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl}
+    import graft.sources.{LineLogInputPartition, LineLogOffset, LineLogScan, LineLogSource}
+    sealed trait Op
+    case class Append(file: Int, lines: List[String]) extends Op
+    case class Fire(maxRows: Option[Int]) extends Op
+    case object Restart extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> (for {
+        f <- Gen.chooseNum(0, 2)
+        n <- Gen.chooseNum(1, 4)
+        ls <- Gen.listOfN(n, Gen.alphaNumStr.map(_.take(6)))
+      } yield Append(f, ls)),
+      4 -> Gen.option(Gen.chooseNum(1, 3)).map(Fire(_)),
+      1 -> Gen.const(Restart))
+    check("graftlog exactly-once", Prop.forAll(Gen.listOfN(14, genOp)) { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("graftlog_prop")
+      val appended = Array.fill(3)(scala.collection.mutable.ArrayBuffer.empty[String])
+      val delivered = Array.fill(3)(scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
+      def newStream() = new LineLogScan(dir.toString, "earliest", None)
+        .toMicroBatchStream("unused").asInstanceOf[SupportsAdmissionControl]
+      var stream = newStream()
+      var start = LineLogOffset(Map.empty)
+      def fire(maxRows: Option[Int]): Unit = {
+        val limit = maxRows.map(n => ReadLimit.maxRows(n.toLong))
+          .getOrElse(ReadLimit.allAvailable())
+        val end = stream.latestOffset(start, limit).asInstanceOf[LineLogOffset]
+        stream.asInstanceOf[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+          .planInputPartitions(start, end).foreach { p =>
+            val ip = p.asInstanceOf[LineLogInputPartition]
+            val it = LineLogSource.readRange(ip.dir, ip.log, ip.start, ip.end)
+            try it.foreach { case (off, v) =>
+              delivered(ip.log.charAt(1) - '0') += ((off, v))
+            } finally it.close()
+          }
+        start = end
+      }
+      ops.foreach {
+        case Append(f, lines) =>
+          java.nio.file.Files.write(dir.resolve(s"f$f.log"),
+            lines.map(_ + "\n").mkString.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          appended(f) ++= lines
+        case Fire(maxRows) => fire(maxRows)
+        case Restart =>
+          // new planner instance resuming from the serialized offset —
+          // the checkpoint restart path
+          stream = newStream()
+          start = LineLogOffset.parse(start.json())
+      }
+      fire(None) // drain
+      (0 until 3).forall { f =>
+        delivered(f).map(_._2).toSeq == appended(f).toSeq &&
+          delivered(f).map(_._1).toSeq == appended(f).indices.map(_.toLong)
+      }
+    }, n = 12)
+  }
 }

@@ -41,7 +41,7 @@ class StreamEndToEndSpec extends AnyFunSuite {
     assert(bars.count() >= 5, s"expected ≥5 closed bars, got ${bars.count()}")
     val metrics = spark.read.parquet(s"$out/metrics")
     assert(metrics.columns.toSet ==
-      Set("symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"))
+      Set("symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly", "batch_id"))
     assert(metrics.count() == bars.count())
     assert(alerts >= 1L, "the spike bar must surface through onAlert")
     // S9 parity: the delivered message matches the reference's format
@@ -51,6 +51,31 @@ class StreamEndToEndSpec extends AnyFunSuite {
     assert(delivered.startsWith("ANOMALY DETECTED\n"))
     assert(delivered.contains("Symbol: AAPL") && delivered.contains("Close: 500.00"),
       s"unexpected alert text: $delivered")
+  }
+
+  test("replaying a batch overwrites its own partitions: no duplicate bars") {
+    // the at-least-once failure mode: crash AFTER the parquet write,
+    // BEFORE the checkpoint commit → on restart foreachBatch re-runs
+    // the same batchId. Calling writeBatch twice with one id IS that
+    // replay; the sink must end up with each bar exactly once.
+    val out = Files.createTempDirectory("graft_replay").toString
+    def bar(sym: String, minute: Int, close: Double) =
+      (sym, new java.sql.Timestamp(1735732800000L + minute * 60000L),
+        close, close, close, close, 100.0)
+    val b0 = Seq(bar("AAPL", 0, 10.0), bar("MSFT", 0, 20.0))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close", "volume")
+    MinuteStream.writeBatch(b0, 0L, out)
+    MinuteStream.writeBatch(b0, 0L, out) // replay of batch 0
+    val b1 = Seq(bar("AAPL", 1, 11.0))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close", "volume")
+    MinuteStream.writeBatch(b1, 1L, out)
+    val bars = spark.read.parquet(s"$out/bars")
+    assert(bars.count() == 3, "replayed batch must not duplicate rows")
+    assert(bars.select("symbol", "timestamp").distinct().count() == 3)
+    val metrics = spark.read.parquet(s"$out/metrics")
+    assert(metrics.count() == 3)
+    // different batches coexist: the overwrite touches only its own id
+    assert(bars.select("batch_id").distinct().count() == 2)
   }
 
   test("AlertSink is silent on an empty frame and truncates floods") {
