@@ -17,7 +17,7 @@ import graft.sources.Tables
   * outputs are cast to BIGINT on both sides.
   */
 object Queries {
-  import Exact.{dsum, davg, dsumSql, dsumM, dsumMSql}
+  import Exact.{dsum, davg, dsumSql, dsumM, dsumMSql, dsumL, dsumLSql}
 
   case class Q(name: String, fn: (SparkSession, String) => DataFrame,
                oracle: Option[String])
@@ -29,16 +29,19 @@ object Queries {
 
   /** TPC-H Q1 shape: scan → filter → hash agg (SURVEY §2.2/§2.4).
     * Pushed filter on l_shipdate; map-side partial aggregation; 6 output
-    * groups → trivially broadcastable result. */
+    * groups → trivially broadcastable result. Sums use the long-scaled
+    * exact form (Exact.dsumL): same bit-exact cross-engine result as
+    * the DECIMAL(18,4) casts, but the hot loop is a codegen'd 64-bit
+    * add — ~2.5× faster on this aggregate (Scratch `_dsuml_exp`). */
   val q01 = q("q01_pricing_summary",
     s"""SELECT l_returnflag, l_linestatus,
-       | ${dsumMSql("l_quantity")} AS sum_qty,
-       | ${dsumMSql("l_extendedprice")} AS sum_base_price,
-       | ${dsumMSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-       | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       | ${dsumMSql("l_quantity")} / COUNT(*) AS avg_qty,
-       | ${dsumMSql("l_extendedprice")} / COUNT(*) AS avg_price,
-       | ${dsumMSql("l_discount")} / COUNT(*) AS avg_disc,
+       | ${dsumLSql("l_quantity")} AS sum_qty,
+       | ${dsumLSql("l_extendedprice")} AS sum_base_price,
+       | ${dsumLSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       | ${dsumLSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+       | ${dsumLSql("l_quantity")} / COUNT(*) AS avg_qty,
+       | ${dsumLSql("l_extendedprice")} / COUNT(*) AS avg_price,
+       | ${dsumLSql("l_discount")} / COUNT(*) AS avg_disc,
        | COUNT(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -47,16 +50,16 @@ object Queries {
       .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsumM(col("l_quantity")).as("sum_qty"),
-        dsumM(col("l_extendedprice")).as("sum_base_price"),
-        dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        // charge is a 6-decimal product: DECIMAL(18,6) rounds nothing,
-        // avoiding exactly-half cases that (18,4) would hit.
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("sum_charge"),
-        (dsumM(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (dsumM(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-        (dsumM(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        dsumL(col("l_quantity")).as("sum_qty"),
+        dsumL(col("l_extendedprice")).as("sum_base_price"),
+        dsumL(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        // charge is a 6-decimal product: scale 6 rounds nothing, so the
+        // scaled long is exactly the product's decimal value
+        dsumL(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")),
+          6).as("sum_charge"),
+        (dsumL(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsumL(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsumL(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -745,7 +748,7 @@ object Queries {
     * 6-table join (two nation roles). Both nation sides broadcast. */
   val q44 = q("q44_nation_trade",
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       | ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       | ${dsumLSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
        | COUNT(*) AS n
        |FROM lineitem l
        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -767,7 +770,7 @@ object Queries {
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"))
-      .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      .agg(dsumL(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
   }
 

@@ -39,11 +39,39 @@ object Exact {
   /** Deterministic mean: exact sum divided by non-null count (double). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Long-scaled exact sum: round each addend to `scale` decimal places
+    * as a scaled 64-bit integer, sum the integers, divide once. Same
+    * associativity/exactness as the decimal sums, but the hot loop is a
+    * codegen'd long add instead of a 128-bit decimal add — measured
+    * ~2.5× faster on the q01 aggregate (Scratch `_dsuml_exp`).
+    *
+    * Cross-engine equality: both engines compute the SAME IEEE product
+    * `x * 10^scale`, and scale-0 rounding of a given double agrees
+    * between Spark (HALF_UP over the shortest-decimal repr) and DuckDB
+    * (half-away-from-zero over the binary value) — a shortest repr
+    * cannot sit on the opposite side of an integer-half boundary from
+    * its double, because `k.5` (exact in binary for k < 2^52) uniquely
+    * identifies the double k.5. The final quotient is one correctly-
+    * rounded division of an exactly-representable long on both engines.
+    *
+    * Exactness bound: |sum × 10^scale| < 2^53 — the SAME envelope the
+    * decimal forms need for their final double cast, so this swap
+    * trades no headroom. Beyond it, prefer dsum/dsumM (decimal stays
+    * exact internally; only the double cast can drift). */
+  def dsumL(c: Column, scale: Int = 4): Column = {
+    val f = math.pow(10, scale) // exact: 10^scale < 2^53
+    sum(round(c * f).cast("long")) / f
+  }
+
   /** SQL fragment equivalents for the DuckDB oracle. */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(30,10))) AS DOUBLE)"
   def dsumMSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+  def dsumLSql(expr: String, scale: Int = 4): String = {
+    val f = "1" + ("0" * scale) + ".0"
+    s"(SUM(CAST(round(($expr) * $f) AS BIGINT)) / $f)"
+  }
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
 }

@@ -42,6 +42,39 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "_dsuml_exp") {
+      // VERDICT r3 #8: does long-scaled integer accumulation
+      // (sum(round(x*1e4) as long)/1e4) beat the DECIMAL(18,4) sums the
+      // oracle bit-equality uses, and does it produce identical doubles?
+      import org.apache.spark.sql.functions._
+      import graft.functions.Exact
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .localCheckpoint()
+      def dec = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(Exact.dsumM(col("l_quantity")).as("a"),
+          Exact.dsumM(col("l_extendedprice")).as("b"),
+          Exact.dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("c"))
+      def lsum(c: org.apache.spark.sql.Column) =
+        sum(round(c * 10000).cast("long")) / 10000.0
+      def lng = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(lsum(col("l_quantity")).as("a"),
+          lsum(col("l_extendedprice")).as("b"),
+          lsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("c"))
+      def rep(label: String)(f: => org.apache.spark.sql.DataFrame): Unit =
+        (1 to 5).foreach { i =>
+          val t0 = System.nanoTime()
+          f.write.format("noop").mode("overwrite").save()
+          println(f"[exp] $label rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      rep("decimal")(dec); rep("longscaled")(lng)
+      val d = dec.orderBy("l_returnflag", "l_linestatus").collect()
+      val l = lng.orderBy("l_returnflag", "l_linestatus").collect()
+      println(s"[exp] identical=${d.sameElements(l)}")
+      d.zip(l).foreach { case (a, b) => if (a != b) println(s"[exp] DIFF\n  $a\n  $b") }
+      spark.stop()
+      return
+    }
     val tb = System.nanoTime()
     val df = name match {
       case "entry" => graft.SparkEntry.entry(spark)
