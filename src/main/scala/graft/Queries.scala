@@ -86,7 +86,7 @@ object Queries {
     * test SF; at 100 TB customer shuffles too — the plan stays valid. */
   val q03 = q("q03_segment_revenue",
     s"""SELECT c.c_mktsegment,
-       | ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       | ${dsumLSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
        | COUNT(DISTINCT l.l_orderkey) AS n_orders,
        | COUNT(DISTINCT c.c_custkey) AS n_customers
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -99,16 +99,18 @@ object Queries {
     // two DISTINCT aggregates expanded the full 4x-larger joined
     // lineitem frame 3 ways; here the order-grain rows make n_orders a
     // plain count, leaving ONE distinct column over the smaller frame
-    // (~4x faster at sf0.1). Decimal sums re-aggregate exactly —
-    // decimal addition is associative, so two-level summation is
-    // bit-identical to the oracle's single-level sum.
+    // (~4x faster at sf0.1). Long-scaled sums (Exact.dsumL's form)
+    // re-aggregate exactly — integer addition is associative, so the
+    // two-level sum equals the oracle's single-level sum, and the one
+    // final division matches dsumLSql's.
     val perOrder = l.select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Exact.M).as("r"))
-      .groupBy("l_orderkey").agg(sum(col("r")).as("rdec"))
+        round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000.0)
+          .cast("long").as("rl"))
+      .groupBy("l_orderkey").agg(sum(col("rl")).as("rl"))
     perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(sum(col("rdec")).cast("double").as("revenue"),
+      .agg((sum(col("rl")) / 10000.0).as("revenue"),
         count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"))
   }
@@ -322,11 +324,11 @@ object Queries {
   /** CUBE grouping sets. */
   val q19 = q("q19_cube_lineitem",
     s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       | ${dsumMSql("l_quantity")} AS sum_qty
+       | ${dsumLSql("l_quantity")} AS sum_qty
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsumM(col("l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), dsumL(col("l_quantity")).as("sum_qty"))
   }
 
   /** String scalar functions (SURVEY §2.2 gap fillers). */
@@ -437,7 +439,7 @@ object Queries {
   /** Explicit GROUPING SETS (beyond rollup/cube). */
   private val q32Sql =
     s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       | ${dsumMSql("l_quantity")} AS sum_qty
+       | ${dsumLSql("l_quantity")} AS sum_qty
        |FROM lineitem
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
   val q32 = q("q32_grouping_sets", q32Sql) { (s, dir) =>
@@ -800,15 +802,15 @@ object Queries {
     * Ratio of two exact decimal sums → deterministic double. */
   val q46 = q("q46_promo_share",
     s"""SELECT
-       | ${dsumMSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
-       |  / ${dsumMSql("l_extendedprice * (1.0 - l_discount)")} AS promo_share,
+       | ${dsumLSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |  / ${dsumLSql("l_extendedprice * (1.0 - l_discount)")} AS promo_share,
        | COUNT(*) AS n
        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
-      .agg((dsumM(when(col("p_type") === "PROMO",
+      .agg((dsumL(when(col("p_type") === "PROMO",
           col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
-        dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_share"),
+        dsumL(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_share"),
         count(lit(1)).as("n"))
   }
 
@@ -875,7 +877,7 @@ object Queries {
   /** TPC-H Q9 shape: profit by supplier nation × order year. */
   val q50 = q("q50_nation_year_profit",
     s"""SELECT n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-       | ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS profit
+       | ${dsumLSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS profit
        |FROM lineitem l
        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -886,7 +888,7 @@ object Queries {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"))
+      .agg(dsumL(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"))
   }
 
   /** Distribution window functions: percent_rank / cume_dist. */
@@ -1818,7 +1820,7 @@ object Queries {
   // against the identical oracle text" guarantee
   private val q31Sql =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | (SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0) AS revenue,
       | COUNT(*) AS n
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
