@@ -62,6 +62,14 @@ object LineLogSource {
     val files = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .sortBy(_.getName)
+    // evict watermarks of files deleted from this dir, so a long-lived
+    // stream over a rotating log directory doesn't grow the cache
+    // unboundedly (entries are small, but "runs for months" is the bar)
+    val live = files.map(_.getCanonicalPath).toSet
+    val dirPrefix = d.getCanonicalPath + java.io.File.separator
+    countCache.keySet.removeIf(k =>
+      k.startsWith(dirPrefix) && !k.substring(dirPrefix.length).contains(
+        java.io.File.separator) && !live.contains(k))
     files.toSeq.map(f => f.getName -> completeLines(f))
   }
 
