@@ -76,4 +76,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "keepers must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q61 sliding window is one scan + one agg shuffle, like tumbling") {
+    val p = plan("q61_sliding_window")
+    // the hop generator explodes rows in-task; the only exchange is the
+    // hash agg's — a per-offset-union shape would scan events twice
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"expected a single events scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Union"),
+      s"sliding window must not union per-offset copies:\n$p")
+  }
+
+  test("q62 session window aggregates in one pass, no self-join") {
+    val p = plan("q62_session_window")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"expected a single events scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"session assignment must not self-join:\n$p")
+  }
 }
