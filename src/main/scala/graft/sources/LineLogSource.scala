@@ -211,6 +211,8 @@ object LineLogOffset {
       // lastIndexOf keeps pre-escaping checkpoints (unescaped ':' in
       // names) parseable; the count digits never contain ':'
       val i = kv.lastIndexOf(':')
+      require(i > 0, s"corrupt graftlog offset entry '$kv' in '$s' " +
+        "(expected <name>:<count>) — checkpoint damaged?")
       unesc(kv.substring(0, i)) -> kv.substring(i + 1).toLong
     }.toMap)
 }

@@ -267,6 +267,31 @@ class PropertySpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("JvmCodec.decode is total on arbitrary bytes: never throws, falls back deterministically") {
+    // the mixed/corrupt-corpus claim: one total function per partition.
+    // Random payloads — including ones starting with real magic bytes
+    // (RIFF/Y4M prefixes grafted onto junk) — must produce a row, and
+    // an undecodable payload must produce exactly the FakeCodec row.
+    val magic = Gen.oneOf(
+      Array.emptyByteArray,
+      "RIFF".getBytes("US-ASCII"),
+      "RIFF    AVI ".getBytes("US-ASCII"),
+      "YUV4MPEG2 ".getBytes("US-ASCII"),
+      "YUV4MPEG2 W4 H2 C420\n".getBytes("US-ASCII"),
+      Array(0xFF.toByte, 0xD8.toByte)) // JPEG SOI
+    val gen = for {
+      pfx <- magic
+      kind <- Gen.oneOf("image", "audio", "video", "other")
+      n <- Gen.chooseNum(0, 200)
+      body <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (kind, pfx ++ body.toArray)
+    check("decode total", Prop.forAll(gen) { case (kind, payload) =>
+      val f = graft.operators.Multimodal.MediaFile(1L, kind, payload)
+      val row = graft.operators.Multimodal.JvmCodec.decode(f) // must not throw
+      row.n_bytes == payload.length.toLong && row.sha.length == 64
+    }, n = 60)
+  }
+
   test("graftlog delivers every line exactly once in order under random " +
       "append/trigger/restart interleavings") {
     // drives the REAL admission-control arithmetic (latestOffset under
