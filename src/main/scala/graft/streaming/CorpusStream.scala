@@ -66,7 +66,12 @@ object CorpusStream {
   }
 
   /** Run the ingestion end-to-end: lines → prepare → partitioned
-    * parquet append (by lang, the downstream mix/filter key). */
+    * parquet append (by lang, the downstream mix/filter key). Uses the
+    * NATIVE parquet streaming sink, which is exactly-once by itself:
+    * its _spark_metadata commit log records the files of each batch, so
+    * a replayed batch's files are never double-counted by readers —
+    * unlike a foreachBatch append, which needs MinuteStream.writeBatch's
+    * batch_id-overwrite pattern to get the same guarantee. */
   def start(lines: DataFrame, outDir: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("1 minute"),
             watermark: String = "10 minutes",
