@@ -1819,8 +1819,8 @@ object Queries {
   // copies would drift independently and silently break the "verified
   // against the identical oracle text" guarantee
   private val q31Sql =
-    """SELECT n_name,
-      | (SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0) AS revenue,
+    s"""SELECT n_name,
+      | ${dsumLSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
       | COUNT(*) AS n
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey

@@ -70,7 +70,13 @@ object Exact {
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
   def dsumLSql(expr: String, scale: Int = 4): String = {
     val f = "1" + ("0" * scale) + ".0"
-    s"(SUM(CAST(round(($expr) * $f) AS BIGINT)) / $f)"
+    // CAST the BIGINT sum to DOUBLE before dividing: Spark parses the
+    // `$f` literal as DECIMAL(6,1), so BIGINT/DECIMAL would coerce to
+    // decimal(28,7) while DuckDB types the same division DOUBLE —
+    // equal numbers, different representation, hash mismatch. With the
+    // explicit cast both dialects compute double/decimal-literal →
+    // DOUBLE, one correctly-rounded division on each engine.
+    s"(CAST(SUM(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / $f)"
   }
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
