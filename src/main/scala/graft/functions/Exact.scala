@@ -60,7 +60,23 @@ object Exact {
     * exact internally; only the double cast can drift). */
   def dsumL(c: Column, scale: Int = 4): Column = {
     val f = math.pow(10, scale) // exact: 10^scale < 2^53
-    sum(round(c * f).cast("long")) / f
+    val s = sum(round(c * f).cast("long"))
+    // Envelope guard: past |sum × 10^scale| ≥ 2^53 the long→double
+    // quotient silently drifts from the true decimal value (and far
+    // past 2^63 Spark's long sum wraps while DuckDB's HUGEINT does
+    // not) — fail loudly instead of diverging at large SF. Cost: one
+    // comparison per GROUP after final aggregation; map-side combine
+    // and per-row codegen are untouched. Best-effort by design: a
+    // partial sum that wraps 2^63 through cancellation before the
+    // final check is not caught (impossible for same-sign data like
+    // money/quantity columns). Over-envelope aggregates belong on
+    // dsum/dsumM, whose decimal interior stays exact.
+    val guarded = when(s.isNull || abs(s) < lit(1L << 53), s).otherwise(
+      raise_error(concat(
+        lit(s"dsumL exactness envelope exceeded: |sum*1e$scale| >= 2^53 (scaled sum="),
+        s.cast("string"),
+        lit(s"); use dsum/dsumM for this aggregate"))))
+    guarded / f
   }
 
   /** SQL fragment equivalents for the DuckDB oracle. */
@@ -70,6 +86,10 @@ object Exact {
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
   def dsumLSql(expr: String, scale: Int = 4): String = {
     val f = "1" + ("0" * scale) + ".0"
+    // NOTE: unlike dsumL, this shared-dialect TEXT carries no 2^53
+    // envelope guard (DuckDB has no raise_error-compatible spelling);
+    // the two s.sql callers (q31/q32) sum 2dp money at scale 4, well
+    // inside the envelope below SF~10.
     // CAST the BIGINT sum to DOUBLE before dividing: Spark parses the
     // `$f` literal as DECIMAL(6,1), so BIGINT/DECIMAL would coerce to
     // decimal(28,7) while DuckDB types the same division DOUBLE —
