@@ -484,7 +484,9 @@ object Multimodal {
       var o = 24
       while (o + 8 <= hdrlEnd && !fourcc(b, o, "avih")) {
         val sz = le32(b, o + 4)
-        if (sz < 0 || sz > hdrlEnd) return None
+        // child must fit inside hdrl (also keeps the Int cursor from
+        // wrapping on a hostile u32 size — same guard as videoChunks)
+        if (sz > hdrlEnd - o - 8) return None
         o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
       }
       if (o + 8 > hdrlEnd || !fourcc(b, o, "avih")) return None
@@ -510,7 +512,6 @@ object Multimodal {
       var o = 12
       while (o + 12 <= b.length) {
         val size = le32(b, o + 4)
-        if (size < 0 || size > Int.MaxValue - 8) return none
         if (fourcc(b, o, "LIST") && fourcc(b, o + 8, "movi")) {
           val end = math.min(b.length.toLong, o + 8 + size).toInt
           val out = IndexedSeq.newBuilder[(Int, Int)]
@@ -523,6 +524,14 @@ object Multimodal {
           }
           return out.result()
         }
+        // Skipping a non-movi chunk: its declared size must fit in the
+        // remaining buffer, or the Int cursor below could wrap negative
+        // (a hostile u32 size near 2^31 made `o += 8 + size.toInt`
+        // overflow and the next le32 threw on a negative index). The
+        // Long comparison can't overflow, and a chunk that doesn't fit
+        // means the file is truncated/corrupt — all-or-nothing, like
+        // the movi walk's truncation check.
+        if (size > b.length - o - 8) return none
         o += 8 + size.toInt + (size.toInt & 1)
       }
       none

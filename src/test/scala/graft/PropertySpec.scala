@@ -267,6 +267,31 @@ class PropertySpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  /** A structurally valid RIFF/AVI + LIST/hdrl/avih header followed by
+    * a top-level chunk whose declared u32 size is Int.MaxValue-8: the
+    * shape that made videoChunks' Int cursor wrap negative and throw
+    * (see Avi.videoChunks' remaining-buffer guard). */
+  private lazy val hostileAvi: Array[Byte] = {
+    def le(n: Long) = Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    def s(x: String) = x.getBytes("US-ASCII")
+    val avih = new Array[Byte](56)
+    Array(le(2L), le(4L), le(2L)).zip(Seq(16, 32, 36)).foreach {
+      case (v, off) => System.arraycopy(v, 0, avih, off, 4) // frames/w/h
+    }
+    s("RIFF") ++ le(0xffffL) ++ s("AVI ") ++
+      s("LIST") ++ le(4L + 8L + 56L) ++ s("hdrl") ++
+      s("avih") ++ le(56L) ++ avih ++
+      s("JUNK") ++ le(Int.MaxValue.toLong - 8) // no body: lies about size
+  }
+
+  test("Avi.videoChunks rejects a top-level chunk size that overflows the cursor") {
+    assert(graft.operators.Multimodal.Avi.videoChunks(hostileAvi).isEmpty)
+    // header metadata is still honestly parseable
+    assert(graft.operators.Multimodal.Avi.info(hostileAvi)
+      .contains(graft.operators.Multimodal.Avi.Info(4, 2, 2)))
+  }
+
   test("JvmCodec.decode is total on arbitrary bytes: never throws, falls back deterministically") {
     // the mixed/corrupt-corpus claim: one total function per partition.
     // Random payloads — including ones starting with real magic bytes
@@ -278,6 +303,7 @@ class PropertySpec extends AnyFunSuite {
       "RIFF    AVI ".getBytes("US-ASCII"),
       "YUV4MPEG2 ".getBytes("US-ASCII"),
       "YUV4MPEG2 W4 H2 C420\n".getBytes("US-ASCII"),
+      hostileAvi, // valid hdrl + u32-overflow top-level chunk size
       Array(0xFF.toByte, 0xD8.toByte)) // JPEG SOI
     val gen = for {
       pfx <- magic
