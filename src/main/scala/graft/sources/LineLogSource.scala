@@ -197,10 +197,25 @@ object LineLogOffset {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
+      // Decode ONLY the codes esc() emits. Checkpoints written before
+      // escaping existed can carry a literal '%' in a name: a generic
+      // hex decode would mis-read 'a%25.log' or throw
+      // NumberFormatException on '100%.log' and fail the stream on
+      // restart. Unknown/short sequences pass through unchanged, so
+      // unesc never throws and legacy checkpoints stay parseable.
+      val decoded: Option[Char] =
+        if (c == '%' && i + 2 < s.length) s.substring(i + 1, i + 3) match {
+          case "25" => Some('%')
+          case "2C" => Some(',')
+          case "3A" => Some(':')
+          case "0A" => Some('\n')
+          case "0D" => Some('\r')
+          case _    => None
+        } else None
+      decoded match {
+        case Some(d) => sb.append(d); i += 3
+        case None    => sb.append(c); i += 1
+      }
     }
     sb.toString
   }

@@ -41,6 +41,19 @@ class LineLogSourceSpec extends AnyFunSuite {
     assert(!o.json().contains("\n"))
   }
 
+  test("legacy pre-escaping checkpoints with literal '%' parse without decoding or throwing") {
+    // entries written before esc() existed: '%' appears raw. A generic
+    // hex decode threw NumberFormatException on '100%.log' ('%.l' is
+    // not hex) and silently rewrote unknown-but-hex pairs; only the
+    // five known escape codes may decode.
+    assert(LineLogOffset.parse("100%.log:5") ==
+      LineLogOffset(Map("100%.log" -> 5L)))
+    assert(LineLogOffset.parse("pct%7Ename.log:2") ==
+      LineLogOffset(Map("pct%7Ename.log" -> 2L))) // hex but not a known code
+    assert(LineLogOffset.parse("tail%:1") ==
+      LineLogOffset(Map("tail%" -> 1L))) // '%' at end, no two chars after
+  }
+
   test("an unterminated trailing line is invisible until its newline lands") {
     val dir = Files.createTempDirectory("graftlog_partial")
     append(dir, "a.log", "a0", "a1")
