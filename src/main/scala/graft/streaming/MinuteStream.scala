@@ -73,7 +73,10 @@ object MinuteStream {
     * stock_stream.py:118) overwrites the SAME partitions instead of
     * appending duplicate rows. Readers still see `outDir/bars` as one
     * table; batch_id is a physical layout column only. Public so the
-    * replay contract is directly testable (call twice with one id). */
+    * replay contract is directly testable (call twice with one id).
+    * Long-running streams: pair with [[SinkMaintenance.compact]] (wired
+    * into [[start]] via `compactEvery`) so partition count stays
+    * bounded; [[SinkMaintenance.read]] is the crash-consistent view. */
   def writeBatch(batch: DataFrame, batchId: Long, outDir: String,
                  threshold: Double = Metrics.AnomalyThreshold,
                  onAlert: DataFrame => Unit = _ => ()): Unit = {
@@ -102,7 +105,8 @@ object MinuteStream {
             outDir: String,
             trigger: Trigger = Trigger.ProcessingTime("1 minute"),
             threshold: Double = Metrics.AnomalyThreshold,
-            onAlert: DataFrame => Unit = _ => ()): StreamingQuery = {
+            onAlert: DataFrame => Unit = _ => (),
+            compactEvery: Int = 60): StreamingQuery = {
     val bars = minuteBars(parseTrades(envelopes))
     bars.writeStream
       .outputMode("append")
@@ -110,6 +114,15 @@ object MinuteStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatch(batch, batchId, outDir, threshold, onAlert)
+        // bound partition growth: fold finalized batch_id partitions
+        // into one cumulative partition every `compactEvery` triggers
+        // (hourly at the 1-minute default) — without it a months-long
+        // run accumulates O(triggers) directories and every downstream
+        // read pays the listing. 0 disables. See [[SinkMaintenance]].
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          SinkMaintenance.compact(batch.sparkSession, s"$outDir/bars")
+          SinkMaintenance.compact(batch.sparkSession, s"$outDir/metrics")
+        }
       }
       .start()
   }

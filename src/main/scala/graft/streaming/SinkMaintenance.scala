@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Connectors
+
+/** Retention for the `batch_id=<id>/symbol=<s>` streaming sink layout.
+  *
+  * [[MinuteStream.writeBatch]] keys each micro-batch's dynamic-partition
+  * overwrite on `batch_id` — that is what makes at-least-once replay
+  * idempotent — but a 1-minute trigger mints ~1440 new partition
+  * directories per day, so a months-running stream accumulates unbounded
+  * small files and partition-listing metadata. A coarser overwrite key
+  * cannot fix this: replaying batch N would then clobber OTHER batches
+  * sharing the bucket. Instead, [[compact]] periodically folds finalized
+  * batch partitions into one cumulative partition, and [[read]] gives a
+  * crash-consistent view at every point in between.
+  *
+  * Safety argument: Structured Streaming starts batch N+1 only after
+  * batch N's checkpoint committed, so once a partition for id N exists,
+  * every id < N is final — foreachBatch replay can only ever rewrite the
+  * CURRENT maximum id. Compaction therefore touches only ids strictly
+  * below the maximum present and never contends with the live stream.
+  *
+  * Encoding: the cumulative partition has `batch_id = -(hi + 1)` and
+  * holds every original row with id ≤ hi (negated so it can never
+  * collide with a real id; +1 so covering id 0 doesn't need "-0"). A
+  * crash between writing a new cumulative partition and deleting its
+  * sources leaves duplicate rows on disk; [[read]] masks them by keeping
+  * only the widest cumulative partition plus ids beyond its coverage,
+  * and the next [[compact]] call deletes the leftovers — re-running
+  * after any crash converges to the same state.
+  */
+object SinkMaintenance {
+  private def idOf(name: String): Option[Long] =
+    if (name.startsWith("batch_id=")) name.substring(9).toLongOption else None
+
+  private def partitionIds(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq.flatMap(f => idOf(f.getName))
+
+  /** Highest id covered by a cumulative partition, or -1 if none. */
+  private def coveredHi(ids: Seq[Long]): Long =
+    ids.filter(_ < 0).map(c => -c - 1).maxOption.getOrElse(-1L)
+
+  /** Fold finalized batch partitions (id < the maximum id present) plus
+    * the previous cumulative partition into one new cumulative
+    * partition, then delete the sources. Skips the rewrite while fewer
+    * than `minBatches` finalized partitions are pending, so the (large)
+    * cumulative partition is rewritten every ~minBatches triggers, not
+    * every call; stale directories from an earlier crash are always
+    * cleaned. Call it every K batches or from a scheduler — partition
+    * count then stays O(minBatches) over the stream's lifetime instead
+    * of O(triggers). */
+  def compact(spark: SparkSession, dir: String, minBatches: Int = 8): Unit = {
+    val ids = partitionIds(dir)
+    val hi = coveredHi(ids)
+    // Always safe: anything the widest cumulative partition already
+    // covers is a duplicate (crash leftovers from a previous call).
+    ids.filter(id => (id >= 0 && id <= hi) || (id < 0 && -id - 1 < hi))
+      .foreach(id => deleteRecursively(new java.io.File(s"$dir/batch_id=$id")))
+    val maxId = ids.filter(_ >= 0).maxOption.getOrElse(-1L)
+    val newHi = maxId - 1 // every id <= newHi is checkpoint-final
+    val posSrc = ids.filter(id => id > hi && id <= newHi)
+    if (posSrc.size < minBatches) return
+    val target = -(newHi + 1)
+    if (!ids.contains(target)) {
+      val srcPaths = (posSrc ++ (if (hi >= 0) Seq(-(hi + 1)) else Nil))
+        .map(id => s"$dir/batch_id=$id")
+      val merged = spark.read.option("basePath", dir).parquet(srcPaths: _*)
+        .withColumn("batch_id", lit(target))
+      Connectors.overwritePartitions(merged, dir, Seq("batch_id", "symbol"))
+    }
+    // the new cumulative partition is durable: drop what it subsumes
+    (posSrc ++ (if (hi >= 0) Seq(-(hi + 1)) else Nil))
+      .foreach(id => deleteRecursively(new java.io.File(s"$dir/batch_id=$id")))
+  }
+
+  /** Crash-consistent view of the sink: the widest cumulative partition
+    * plus every live batch beyond its coverage. Duplicates from a
+    * compaction that crashed before cleanup are filtered out here; the
+    * predicate prunes on the batch_id partition column, so masked
+    * directories never reach the scan. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val hi = coveredHi(partitionIds(dir))
+    spark.read.parquet(dir)
+      .where(col("batch_id") > hi || col("batch_id") === lit(-(hi + 1)))
+      .drop("batch_id")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+}

@@ -78,6 +78,52 @@ class StreamEndToEndSpec extends AnyFunSuite {
     assert(bars.select("batch_id").distinct().count() == 2)
   }
 
+  test("compaction folds finalized batch partitions, preserves rows, and masks crash leftovers") {
+    import graft.streaming.SinkMaintenance
+    val out = Files.createTempDirectory("graft_compact").toString
+    def bar(sym: String, minute: Int, close: Double) =
+      (sym, new java.sql.Timestamp(1735732800000L + minute * 60000L),
+        close, close, close, close, 100.0)
+    (0 to 5).foreach { i =>
+      val b = Seq(bar("AAPL", i, 10.0 + i), bar("MSFT", i, 20.0 + i))
+        .toDF("symbol", "timestamp", "open", "high", "low", "close", "volume")
+      MinuteStream.writeBatch(b, i.toLong, out)
+    }
+    val before = spark.read.parquet(s"$out/bars")
+      .drop("batch_id").collect().toSet
+    def dirs() = new java.io.File(s"$out/bars").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs().size == 6)
+    // ids 0..4 are final (5 is the live maximum): fold them into one
+    SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
+    assert(dirs() == Set("batch_id=-5", "batch_id=5"),
+      s"expected cumulative(<=4) + live 5, got ${dirs()}")
+    assert(SinkMaintenance.read(spark, s"$out/bars").collect().toSet == before)
+    // idempotent: nothing pending, nothing changes
+    SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
+    assert(dirs() == Set("batch_id=-5", "batch_id=5"))
+    // crash-before-cleanup leftovers: a stale source dir reappears —
+    // read() must mask it, the next compact() must delete it
+    val stale = new java.io.File(s"$out/bars/batch_id=2/symbol=AAPL")
+    stale.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(s"$out/bars/batch_id=5/symbol=AAPL").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath,
+      new java.io.File(stale, "leftover.parquet").toPath)
+    assert(SinkMaintenance.read(spark, s"$out/bars").collect().toSet == before)
+    SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
+    assert(dirs() == Set("batch_id=-5", "batch_id=5"))
+    // second generation: more batches arrive, the cumulative widens
+    (6 to 9).foreach { i =>
+      val b = Seq(bar("AAPL", i, 10.0 + i)).toDF(
+        "symbol", "timestamp", "open", "high", "low", "close", "volume")
+      MinuteStream.writeBatch(b, i.toLong, out)
+    }
+    SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
+    assert(dirs() == Set("batch_id=-9", "batch_id=9"))
+    assert(SinkMaintenance.read(spark, s"$out/bars").count() == 16)
+  }
+
   test("AlertSink is silent on an empty frame and truncates floods") {
     val flagged = Seq(
       ("A", java.sql.Timestamp.valueOf("2025-01-01 10:01:00"), 10.0, 9.0, 0.1),
