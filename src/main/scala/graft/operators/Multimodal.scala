@@ -218,7 +218,9 @@ object Multimodal {
       * else MJPEG-in-AVI pixel decode (frames + luma via per-chunk
       * JPEG), else real AVI header METADATA (width/height/frame count
       * from the RIFF avih chunk — frame pixels stay compressed in a
-      * codec the JDK lacks, so brightness reports 0.0), else the stub. */
+      * codec the JDK lacks, so brightness reports 0.0), else real MP4
+      * box-parse METADATA ([[Mp4]]: tkhd dims + stts frame count, same
+      * brightness-0.0 rule), else the stub. */
     def decode(f: MediaFile): MediaFeatures = (f.kind match {
       case "image" => decodeImage(f)
       case "audio" => decodeAudio(f)
@@ -227,6 +229,12 @@ object Multimodal {
         .orElse(Avi.info(f.payload).map { a =>
           MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
             sha256(f.payload), a.width, a.height, a.totalFrames, 0.0)
+        })
+        .orElse(Mp4.info(f.payload).map { m =>
+          // real ISO-BMFF metadata (dims, stts frame count); pixels
+          // need an inter-frame codec the JDK lacks → brightness 0.0
+          MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
+            sha256(f.payload), m.width, m.height, m.frames, 0.0)
         })
       case _       => None
     }).getOrElse(FakeCodec.decode(f))
@@ -541,6 +549,102 @@ object Multimodal {
     private def isVideoChunk(b: Array[Byte], o: Int): Boolean =
       b(o) >= '0' && b(o) <= '9' && b(o + 1) >= '0' && b(o + 1) <= '9' &&
         b(o + 2) == 'd' && (b(o + 3) == 'c' || b(o + 3) == 'b')
+  }
+
+  /** Pure-JDK ISO-BMFF (MP4/MOV) box-structure metadata: mvhd movie
+    * duration, the first visual track's tkhd dims (16.16 fixed point),
+    * and that track's stts sample count — the MP4 analogue of the AVI
+    * header path. Frame PIXELS stay undecodable without an inter-frame
+    * codec (H.264/H.265/AV1, which the JDK lacks), so decode() reports
+    * brightness 0.0 from this path, like the non-MJPEG AVI fallback.
+    * All-or-nothing on malformed structure: any size that lies about
+    * its enclosure yields None, never a throw (same totality contract
+    * as [[Avi]]/[[Y4M]], fuzz-asserted in PropertySpec). Box offsets
+    * are walked as Longs so hostile u32/u64 sizes cannot wrap. */
+  object Mp4 {
+    final case class Info(width: Int, height: Int, durationMs: Long, frames: Int)
+
+    private final class Corrupt extends RuntimeException
+
+    private def be32(b: Array[Byte], o: Long): Long = {
+      val i = o.toInt
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    }
+    private def be64(b: Array[Byte], o: Long): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def typOf(b: Array[Byte], o: Long): String =
+      new String(b, o.toInt + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    /** Visit each child box of [start, end): f(type, payloadStart,
+      * payloadEnd). size==1 → 64-bit largesize; size==0 → to enclosure
+      * end; anything not fitting its enclosure aborts the whole parse. */
+    private def children(b: Array[Byte], start: Long, end: Long)(
+        f: (String, Long, Long) => Unit): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        var size = be32(b, o)
+        var hdr = 8L
+        if (size == 1L) {
+          if (o + 16 > end) throw new Corrupt
+          size = be64(b, o + 8); hdr = 16L
+        } else if (size == 0L) size = end - o
+        if (size < hdr || size > end - o) throw new Corrupt
+        f(typOf(b, o), o + hdr, o + size)
+        o += size
+      }
+      if (o != end) throw new Corrupt // trailing partial header
+    }
+
+    def info(b: Array[Byte]): Option[Info] = {
+      if (b.length < 16 || be32(b, 0) < 8 || typOf(b, 0) != "ftyp") return None
+      try {
+        var timescale = 0L; var duration = 0L
+        var w = 0; var h = 0; var frames = 0L
+        children(b, 0, b.length) { (t, s, e) =>
+          if (t == "moov") children(b, s, e) { (t2, s2, e2) =>
+            if (t2 == "mvhd" && e2 - s2 >= 20) {
+              val v = b(s2.toInt) & 0xff
+              if (v == 1 && e2 - s2 >= 32) {
+                timescale = be32(b, s2 + 20); duration = be64(b, s2 + 24)
+              } else if (v == 0) {
+                timescale = be32(b, s2 + 12); duration = be32(b, s2 + 16)
+              }
+            } else if (t2 == "trak") {
+              var tw = 0; var th = 0; var tf = 0L
+              def scan(ss: Long, ee: Long): Unit = children(b, ss, ee) { (t3, s3, e3) =>
+                t3 match {
+                  case "tkhd" =>
+                    val v = b(s3.toInt) & 0xff
+                    val wOff = if (v == 1) s3 + 88 else s3 + 76
+                    if (e3 - s3 >= (if (v == 1) 96L else 84L)) {
+                      tw = (be32(b, wOff) >> 16).toInt // 16.16 fixed
+                      th = (be32(b, wOff + 4) >> 16).toInt
+                    }
+                  case "stts" if e3 - s3 >= 8 =>
+                    val n = be32(b, s3 + 4)
+                    var i = 0L
+                    while (i < n && s3 + 16 + i * 8 <= e3) {
+                      tf += be32(b, s3 + 8 + i * 8); i += 1
+                    }
+                  case "mdia" | "minf" | "stbl" => scan(s3, e3)
+                  case _                        =>
+                }
+              }
+              scan(s2, e2)
+              if (tw > 0 && th > 0 && w == 0) { w = tw; h = th; frames = tf }
+            }
+          }
+        }
+        if (w <= 0 || h <= 0 || timescale <= 0) None
+        else Some(Info(w, h, duration * 1000 / timescale,
+          math.min(frames, Int.MaxValue.toLong).toInt))
+      } catch {
+        // Corrupt is the structured abort; AIOOBE is belt-and-braces
+        // for any fixed-layout read a size check above didn't cover
+        case _: Corrupt | _: ArrayIndexOutOfBoundsException => None
+      }
+    }
   }
 
   /** Pure-column metadata path (no decode): cheap filters that should

@@ -304,6 +304,7 @@ class PropertySpec extends AnyFunSuite {
       "YUV4MPEG2 ".getBytes("US-ASCII"),
       "YUV4MPEG2 W4 H2 C420\n".getBytes("US-ASCII"),
       hostileAvi, // valid hdrl + u32-overflow top-level chunk size
+      Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII"), // MP4
       Array(0xFF.toByte, 0xD8.toByte)) // JPEG SOI
     val gen = for {
       pfx <- magic

@@ -262,6 +262,54 @@ class TextMultimodalSpec extends AnyFunSuite {
       == Multimodal.FakeCodec.decode(Multimodal.MediaFile(21L, "video", bad)))
   }
 
+  // --- MP4 (ISO-BMFF) box-parse metadata ------------------------------
+
+  private def be32b(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32b(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov{mvhd + trak{tkhd + mdia{minf{stbl{stts}}}}}
+    * — v0 boxes, 16.16 fixed-point tkhd dims, one stts run. */
+  private def mp4Fixture(w: Int, h: Int, timescale: Int, duration: Int,
+                         frames: Int): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes, be32b(512), "isomiso2".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](4), be32b(0), be32b(0),
+      be32b(timescale.toLong), be32b(duration.toLong))
+    val tkhd = box("tkhd", new Array[Byte](4), be32b(0), be32b(0), be32b(1),
+      be32b(0), be32b(duration.toLong), new Array[Byte](8 + 2 + 2 + 2 + 2 + 36),
+      be32b(w.toLong << 16), be32b(h.toLong << 16))
+    val stts = box("stts", new Array[Byte](4), be32b(1),
+      be32b(frames.toLong), be32b(512))
+    val trak = box("trak", tkhd, box("mdia", box("minf", box("stbl", stts))))
+    ftyp ++ box("moov", mvhd, trak)
+  }
+
+  test("MP4 boxes yield real dims, duration, and stts frame count; pixels stay stubbed") {
+    val mp4 = mp4Fixture(320, 240, timescale = 600, duration = 1200, frames = 48)
+    assert(Multimodal.Mp4.info(mp4)
+      .contains(Multimodal.Mp4.Info(320, 240, 2000L, 48)))
+    val feats = Multimodal.JvmCodec.decode(Multimodal.MediaFile(50L, "video", mp4))
+    assert(feats.width == 320 && feats.height == 240 && feats.n_frames == 48)
+    assert(feats.brightness == 0.0) // no JDK inter-frame codec: metadata only
+    // truncation → whole-parse-or-nothing → FakeCodec fallback
+    val trunc = mp4.take(mp4.length - 6)
+    assert(Multimodal.Mp4.info(trunc).isEmpty)
+    assert(Multimodal.JvmCodec.decode(Multimodal.MediaFile(51L, "video", trunc))
+      == Multimodal.FakeCodec.decode(Multimodal.MediaFile(51L, "video", trunc)))
+    // a child size lying about its enclosure aborts the parse (mvhd is
+    // the first box inside moov; moov starts right after the 24B ftyp)
+    val lying = mp4.clone()
+    System.arraycopy(be32b(0xfffffff0L), 0, lying, 32, 4)
+    assert(Multimodal.Mp4.info(lying).isEmpty)
+    // non-MP4 leading box type is rejected before any walk
+    assert(Multimodal.Mp4.info(box("junk", be32b(0))).isEmpty)
+  }
+
   // --- MJPEG-in-AVI (real compressed-video frames) -------------------
 
   private def le32b(v: Int): Array[Byte] =
