@@ -39,4 +39,56 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       .select("t_sym", "price", "bid").as[(String, Double, Double)].collect()
     assert(rows.toSeq == Seq(("A", 100.0, 99.0)))
   }
+
+  test("streaming latest-per-key join emits ONE row per trade and evicts state") {
+    // The reference's J1 (latest quote per trade) as a STREAM-STREAM
+    // shape: interval join for candidates, then a second stateful
+    // operator — max_by over the joined rows, grouped on the
+    // watermarked trade event time so append mode can finalize each
+    // trade's group and evict its state once the watermark passes.
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[Trade]
+    val quotes = MemoryStream[Quote]
+    val t = trades.toDF().withColumnRenamed("symbol", "t_sym")
+      .withWatermark("t", "1 minute")
+    val q = quotes.toDF().withColumnRenamed("symbol", "q_sym")
+      .withWatermark("qt", "1 minute")
+    val joined = t.join(q,
+      expr("t_sym = q_sym AND qt BETWEEN t - INTERVAL 1 MINUTE AND t"), "inner")
+    val latest = joined.groupBy(col("t_sym"), col("t"), col("price"))
+      .agg(max_by(col("bid"), col("qt")).as("bid"))
+    val query = latest.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_asof").start()
+    val m0 = 1735732800000L
+    quotes.addData(
+      Quote("A", new Timestamp(m0), 99.0),           // in window
+      Quote("A", new Timestamp(m0 + 10000), 99.5),   // in window, LATEST
+      Quote("A", new Timestamp(m0 - 120000), 98.0),  // too old
+      Quote("B", new Timestamp(m0), 50.0))           // other symbol
+    trades.addData(Trade("A", new Timestamp(m0 + 30000), 100.0))
+    query.processAllAvailable()
+    // advance both watermarks past the first horizon (finalizes A's
+    // group), then far again so state REMOVAL is observable in metrics
+    quotes.addData(Quote("C", new Timestamp(m0 + 600000), 1.0))
+    trades.addData(Trade("C", new Timestamp(m0 + 600000), 1.0))
+    query.processAllAvailable()
+    quotes.addData(Quote("C", new Timestamp(m0 + 1800000), 2.0))
+    trades.addData(Trade("C", new Timestamp(m0 + 1800000), 2.0))
+    query.processAllAvailable()
+    val rows = spark.table("ssj_asof")
+      .select("t_sym", "price", "bid").as[(String, Double, Double)].collect()
+    // exactly one output row for the A trade, carrying the LATEST
+    // in-window quote — not 99.0, not the stale 98.0, never two rows
+    assert(rows.count(_._1 == "A") == 1, s"got: ${rows.toSeq}")
+    assert(rows.find(_._1 == "A").contains(("A", 100.0, 99.5)))
+    // no unbounded state growth: the watermark evicted join/agg rows
+    val ops = query.recentProgress.flatMap(_.stateOperators)
+    assert(ops.map(_.numRowsRemoved).sum > 0,
+      "watermark advance must remove stream-stream join / agg state")
+    val finalTotal = query.recentProgress.last.stateOperators
+      .map(_.numRowsTotal).sum
+    assert(finalTotal <= 6,
+      s"state must stay bounded by the watermark horizon, got $finalTotal")
+    query.stop()
+  }
 }
