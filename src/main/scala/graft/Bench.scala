@@ -39,6 +39,28 @@ object Bench {
     // The median of 3 independent runs is stable enough to defend a
     // regression bar while only tripling the bench wall-clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Fixed-cost calibration probe: pure-CPU hash aggregate over an
+    // in-memory range — no I/O, no SF dependence, same noop-sink
+    // methodology as the queries. Timed once BEFORE and once AFTER the
+    // query loop; on an idle box the two land within noise of each
+    // other and of every other round's values, so a co-loaded machine
+    // (the r4 false-regression mode: q18 "6x slower", vanishing on an
+    // idle re-run) is detectable from the JSON alone — inflated or
+    // asymmetric calibration numbers mean the query timings carry
+    // machine noise, not code regressions.
+    def calibration(): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, cpus.toInt)
+          .selectExpr("id % 997 AS k", "id")
+          .groupBy("k").sum("id")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(1) // median of 3: same jitter defense as queries
+    }
+    calibration() // untimed: first use pays codegen compile, not CPU
+    val calPre = calibration()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -66,11 +88,13 @@ object Bench {
       if (times.size == reps) Some(name -> times.sorted.apply(reps / 2))
       else { failed += name; None }
     }
+    val calPost = calibration()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val cal = s"""{"pre":$calPre,"post":$calPost}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"calibration":$cal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
