@@ -51,31 +51,40 @@ object Exact {
     * (half-away-from-zero over the binary value) — a shortest repr
     * cannot sit on the opposite side of an integer-half boundary from
     * its double, because `k.5` (exact in binary for k < 2^52) uniquely
-    * identifies the double k.5. The final quotient is one correctly-
-    * rounded division of an exactly-representable long on both engines.
+    * identifies the double k.5.
     *
-    * Exactness bound: |sum × 10^scale| < 2^53 — the SAME envelope the
-    * decimal forms need for their final double cast, so this swap
-    * trades no headroom. Beyond it, prefer dsum/dsumM (decimal stays
-    * exact internally; only the double cast can drift). */
+    * Two envelopes, per-GROUP on the scaled sum S = sum × 10^scale:
+    *  - |S| < 2^53 — EXACTNESS: the quotient is the correctly rounded
+    *    true decimal sum (same bound the decimal forms need for their
+    *    final double cast).
+    *  - 2^53 ≤ |S| < 2^62 — PARITY: the quotient can drift from the
+    *    true decimal sum by ≤ 1 ulp (relative 2^-53), but stays
+    *    BIT-IDENTICAL across engines: both hold the exact integer S
+    *    (Spark long, DuckDB HUGEINT) and apply the same two correctly
+    *    rounded steps, int→double then ÷10^scale (DuckDB's
+    *    HUGEINT→DOUBLE verified correctly rounded across [2^53, 2^62]).
+    *    Note dsum/dsumM do NOT share this tier: DuckDB casts decimal
+    *    sums via scaled-int128 → double → ÷10^s, whose double rounding
+    *    diverges from Spark's single BigDecimal.toDouble above 2^53 —
+    *    so dsumL is the MOST scale-robust form, not the least.
+    *  - |S| ≥ 2^62 — GUARDED: one more binary order of magnitude and
+    *    Spark's long sum wraps at 2^63 while DuckDB's HUGEINT does not
+    *    (silent, catastrophic divergence). raise_error instead. */
   def dsumL(c: Column, scale: Int = 4): Column = {
     val f = math.pow(10, scale) // exact: 10^scale < 2^53
     val s = sum(round(c * f).cast("long"))
-    // Envelope guard: past |sum × 10^scale| ≥ 2^53 the long→double
-    // quotient silently drifts from the true decimal value (and far
-    // past 2^63 Spark's long sum wraps while DuckDB's HUGEINT does
-    // not) — fail loudly instead of diverging at large SF. Cost: one
-    // comparison per GROUP after final aggregation; map-side combine
-    // and per-row codegen are untouched. Best-effort by design: a
-    // partial sum that wraps 2^63 through cancellation before the
-    // final check is not caught (impossible for same-sign data like
-    // money/quantity columns). Over-envelope aggregates belong on
-    // dsum/dsumM, whose decimal interior stays exact.
-    val guarded = when(s.isNull || abs(s) < lit(1L << 53), s).otherwise(
+    // One comparison per GROUP after final aggregation; map-side
+    // combine and per-row codegen are untouched. Best-effort by
+    // design: a partial sum that wraps 2^63 through cancellation
+    // before the final check is not caught (impossible for same-sign
+    // data like money/quantity columns). Remedy at 100 TB: lower
+    // `scale`, or pre-aggregate into sub-groups before the final sum.
+    val guarded = when(s.isNull || abs(s) < lit(1L << 62), s).otherwise(
       raise_error(concat(
-        lit(s"dsumL exactness envelope exceeded: |sum*1e$scale| >= 2^53 (scaled sum="),
+        lit(s"dsumL parity envelope exceeded: |sum*1e$scale| >= 2^62, " +
+          "within 2x of 64-bit wrap (scaled sum="),
         s.cast("string"),
-        lit(s"); use dsum/dsumM for this aggregate"))))
+        lit(s"); lower the scale or pre-aggregate"))))
     guarded / f
   }
 

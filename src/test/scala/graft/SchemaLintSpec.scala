@@ -51,7 +51,10 @@ class SchemaLintSpec extends AnyFunSuite {
         s"instead, or whitelist deliberately:\n  ${offenders.mkString("\n  ")}")
   }
 
-  // ---- dsumL 2^53 exactness-envelope guard (same contract, data side) ----
+  // ---- dsumL envelope guard (same contract, data side) ----
+  // Tiers (see Exact.dsumL scaladoc): |S|<2^53 exact, [2^53,2^62) engine
+  // parity (≤1 ulp from true value but bit-identical to DuckDB), ≥2^62
+  // guarded (within 2x of long wrap).
 
   test("dsumL inside the envelope matches the exact sum and stays double") {
     import spark.implicits._
@@ -68,16 +71,30 @@ class SchemaLintSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
-  test("dsumL past the envelope fails loudly instead of drifting") {
+  test("dsumL parity tier (2^53..2^62) computes, no guard trip") {
     import spark.implicits._
-    // 2 rows × 2^52.2-ish scaled values: |sum × 1e4| crosses 2^53.
-    val big = (1L << 52).toDouble / 1e4
+    // 4 rows × 9e11: per-row scaled value 9e15 is an exact double below
+    // 2^53, so round(v*1e4) is exactly 9e15; S = 3.6e16 ≈ 2^55 — past
+    // exactness, well inside the parity tier. Both engines hold the
+    // exact integer S and round it identically, so the expected value
+    // is the same two-step long→double→÷1e4 computation done here.
+    val big = 9e11
+    val df = Seq(big, big, big, big).toDF("v")
+    val out = df.agg(graft.functions.Exact.dsumL($"v").as("s")).head
+    assert(out.getDouble(0) == (4L * 9000000000000000L).toDouble / 1e4)
+  }
+
+  test("dsumL past the parity envelope fails loudly instead of wrapping") {
+    import spark.implicits._
+    // 3 rows × 2^61 scaled: S = 3×2^61 ≈ 2^62.58 ≥ 2^62 — within 2x of
+    // 64-bit wrap, where Spark's long sum and DuckDB's HUGEINT diverge.
+    val big = (1L << 61).toDouble / 1e4
     val df = Seq(big, big, big).toDF("v")
     val e = intercept[Exception] {
       df.agg(graft.functions.Exact.dsumL($"v").as("s")).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("dsumL exactness envelope exceeded")))
+    assert(msgs(e).exists(_.contains("dsumL parity envelope exceeded")))
   }
 }
