@@ -2111,13 +2111,71 @@ object Queries {
         col("n_events"), col("sum_value"))
   }
 
+  /** Sketch-based heavy hitters, fully oracle-checked via the two-pass
+    * candidate-generation + exact-verification pattern — the shape that
+    * makes frequent-item mining feasible at 100 TB. Pass 1 is one scan:
+    * Spark's `stat.freqItems` (Karp-Shenker-Papadimitriou summaries
+    * merged across partitions; ≤ 1/θ candidates, false positives
+    * possible, false NEGATIVES impossible at support ≥ θ), collected to
+    * the driver — a bounded ≤ 1/θ-element set, not data-sized. Pass 2
+    * is one more scan doing EXACT counts, with non-candidate words
+    * collapsed into a single NULL group so the same aggregate also
+    * yields the grand total (no third scan); the final θ·N filter makes
+    * the output independent of whatever extra candidates pass 1's
+    * partition order produced. At larger candidate sets swap the `isin`
+    * for a broadcast semi-join — same plan shape. */
+  val q63 = q("q63_heavy_hitters",
+    """WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      | tot AS (SELECT COUNT(*) AS total FROM words)
+      |SELECT word, COUNT(*) AS n_occurrences
+      |FROM words, tot
+      |GROUP BY word, tot.total
+      |HAVING COUNT(*) > 0.02 * tot.total""".stripMargin) { (s, dir) =>
+    val theta = 0.02 // sits in the corpus gap: common words ~3.2%, rare ~0.1%
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val cands = words.stat.freqItems(Array("word"), theta)
+      .collect()(0).getSeq[String](0)
+    val agg = words
+      .groupBy(when(col("word").isin(cands: _*), col("word")).as("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    // grand total from the tiny aggregate itself (≤ 1/θ + 1 rows);
+    // Catalyst reuses the aggregation exchange between the two branches
+    val total = agg.agg(sum("n_occurrences").as("total"))
+    agg.crossJoin(broadcast(total))
+      .filter(col("word").isNotNull &&
+        col("n_occurrences") > col("total") * theta)
+      .select(col("word"), col("n_occurrences"))
+  }
+
+  /** HLL++ approximate distinct count, oracle-checked the q59 way: the
+    * dumped row carries the EXACT distinct count (oracle-computable,
+    * q25's shape) plus a boolean asserting the sketch estimate lies
+    * within ±5% of it — 5× the rsd=0.01 standard error, so a healthy
+    * sketch never flakes while a broken one hash-mismatches. The HLL
+    * estimate itself is deterministic: register maxima are
+    * order-insensitive under merge. At 100 TB this is the cheap first
+    * pass before an exact distinct (partial HLL buffers merge map-side;
+    * exact COUNT(DISTINCT) expands every key through the shuffle). */
+  val q64 = q("q64_approx_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      | TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ad"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("ad") - col("n_parts")) <= col("n_parts") * lit(0.05))
+          .as("approx_ok"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62,
+    q61, q62, q63, q64,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
     s01, s02, s03, s04, s05, s06, s07, s08,
