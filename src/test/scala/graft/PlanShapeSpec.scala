@@ -94,4 +94,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"session assignment must not self-join:\n$p")
   }
+
+  test("q63 heavy-hitter verify pass: only nested-loop is the 1-row total") {
+    val p = plan("q63_heavy_hitters")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q63:\n$p")
+    // the grand-total scalar rides a broadcast nested loop by
+    // construction (t16's pattern); everything else must be hash agg
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected extra nested-loop joins:\n$p")
+    // two branches over the same word aggregate — at most two scans in
+    // the initial plan (AQE's exchange reuse collapses them at runtime)
+    assert("Scan parquet".r.findAllMatchIn(p).size <= 2,
+      s"verify pass must not re-scan per branch:\n$p")
+  }
+
+  test("q64 exact + HLL distinct share one scan") {
+    val p = plan("q64_approx_distinct")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"expected a single lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
