@@ -213,14 +213,29 @@ object Queries {
   /** Reference A1+A2: tumbling 1-minute OHLCV bars with deterministic
     * open/close (min_by/max_by on the (event time, price) tuple —
     * SURVEY §7 risk 1 — so same-timestamp ties break identically on
-    * both engines and match the streaming path). */
+    * both engines and match the streaming path).
+    *
+    * Oracle spells the tuple min/max as a join-back — open = min value
+    * at the bar's earliest ts, close = max value at its latest
+    * (identical lexicographic-(t,v) semantics; equivalence checked
+    * both directions in DuckDB at sf0.01/sf0.1) — because DuckDB's
+    * min(struct_pack(..)) aggregate degenerates superlinearly in group
+    * count (~30 s at 100k groups, >17 min at 1M in the sfx1 sweep)
+    * while the join form stays hash-agg-shaped at any scale. */
   val q09 = q("q09_ohlcv_bars",
-    s"""SELECT user_id, date_trunc('minute', ts) AS minute,
-       | min(struct_pack(t := ts, v := value)).v AS open,
-       | max(value) AS high, min(value) AS low,
-       | max(struct_pack(t := ts, v := value)).v AS close,
-       | ${dsumSql("value")} AS volume, COUNT(*) AS n_trades
-       |FROM events GROUP BY user_id, date_trunc('minute', ts)""".stripMargin) { (s, dir) =>
+    s"""WITH e AS (SELECT user_id, date_trunc('minute', ts) AS minute, ts, value
+       |  FROM events),
+       |b AS (SELECT user_id, minute, min(ts) AS tmin, max(ts) AS tmax,
+       |  max(value) AS high, min(value) AS low,
+       |  ${dsumSql("value")} AS volume, COUNT(*) AS n_trades
+       | FROM e GROUP BY user_id, minute)
+       |SELECT b.user_id, b.minute,
+       | min(CASE WHEN e.ts = b.tmin THEN e.value END) AS open,
+       | b.high, b.low,
+       | max(CASE WHEN e.ts = b.tmax THEN e.value END) AS close,
+       | b.volume, b.n_trades
+       |FROM b JOIN e USING (user_id, minute)
+       |GROUP BY b.user_id, b.minute, b.high, b.low, b.volume, b.n_trades""".stripMargin) { (s, dir) =>
     Bars.ohlcv(Tables.events(s, dir), col("user_id"), col("ts"),
         col("value"), col("value"))
       .select(col("key").as("user_id"), col("bucket_start").as("minute"),
