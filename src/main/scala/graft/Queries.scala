@@ -1297,18 +1297,28 @@ object Queries {
   /** Benchmark decontamination: shingle containment of every train doc
     * against a small eval split (doc_id % 50 = 0), eval side broadcast,
     * train corpus never shuffled. Flags the planted duplicate at
-    * containment 1.0 plus high-overlap near-misses. */
+    * containment 1.0 plus high-overlap near-misses.
+    *
+    * Oracle is an inverted-index join (explode shingles, equi-join on
+    * the shingle, group-count per pair — both lists are distinct so
+    * the collision count IS the intersection size, and zero-overlap
+    * pairs can't clear the threshold anyway), not the naive cartesian
+    * `FROM tr, ev` + list_intersect: equivalence checked both
+    * directions in DuckDB at sf0.001/sf0.01, and the index form runs
+    * ~sf1 in seconds where the cartesian is ~4.9B list intersections. */
   val d09 = q("d09_contamination",
     """WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
       |  THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       |  ELSE [array_to_string(t, ' ')] END) AS sh
       | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-      |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
-      |tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 50 <> 0)
+      |ev AS (SELECT doc_id AS eval_id, len(sh) AS n_ev, unnest(sh) AS s
+      | FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id AS train_id, unnest(sh) AS s
+      | FROM sh WHERE doc_id % 50 <> 0)
       |SELECT train_id, eval_id, containment FROM (
-      | SELECT train_id, eval_id,
-      |  CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE) / len(ev.sh) AS containment
-      | FROM tr, ev)
+      | SELECT train_id, eval_id, CAST(COUNT(*) AS DOUBLE) / min(n_ev) AS containment
+      | FROM tr JOIN ev USING (s)
+      | GROUP BY train_id, eval_id)
       |WHERE containment >= 0.05""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     Dedup.contamination(
