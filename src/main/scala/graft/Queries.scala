@@ -995,14 +995,22 @@ object Queries {
       |sigs AS (SELECT doc_id,
       |  list_transform(range(32), i ->
       |    list_min(list_transform(ab, p -> (p[1] + i * p[2]) % 1000000007))) AS sig
-      | FROM ab)
-      |SELECT doc_a, doc_b, est_jaccard FROM (
-      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32, 6) AS est_jaccard,
-      |  list_max(list_transform(range(16), bb ->
-      |    CAST((a.sig[bb*2+1] = b.sig[bb*2+1] AND a.sig[bb*2+2] = b.sig[bb*2+2]) AS INT))) AS hit
-      | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
-      |WHERE hit = 1""".stripMargin) { (s, dir) =>
+      | FROM ab),
+      |bands AS (SELECT doc_id, bb, sig[bb*2+1] AS h1, sig[bb*2+2] AS h2
+      | FROM sigs, unnest(range(16)) AS t(bb)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bands a JOIN bands b
+      |  ON a.bb = b.bb AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      | round(CAST(len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 32, 6) AS est_jaccard
+      |FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+      | JOIN sigs sb ON sb.doc_id = c.doc_b""".stripMargin) { (s, dir) =>
+    // The oracle generates candidates with the SAME band equi-join
+    // shape the plan uses (not the O(n²) `ON a.doc_id < b.doc_id`
+    // pairwise filter): "some band agrees" ⟺ the pair collides in a
+    // band bucket, so the forms are equivalent — checked both
+    // directions in DuckDB at sf0.001/sf0.01 — while staying
+    // hash-join-shaped at sweep scale.
     Dedup.minhashCandidatePairsPortable(Tables.documents(s, dir), "doc_id", "text")
   }
 
@@ -1166,22 +1174,31 @@ object Queries {
     * band buckets generate candidates (hash shuffle on the band key —
     * no blocking-key self-join whose hot block is O(n²) at corpus
     * scale), then the exact integer-arithmetic Jaccard re-ranks and
-    * thresholds. The oracle is the full pairwise join with the same
-    * threshold — equality holds because LSH recall at j ≥ 0.5 is ~1
-    * (16 bands × 2 rows; the corpus is bimodal, dups ≥ 0.75 vs noise
-    * ≤ 0.15; asserted against the full join in DedupSpec). */
+    * thresholds. The oracle computes pairwise Jaccard with the same
+    * threshold (inverted-index spelling, see below) — equality holds
+    * because LSH recall at j ≥ 0.5 is ~1 (16 bands × 2 rows; the
+    * corpus is bimodal, dups ≥ 0.75 vs noise ≤ 0.15; asserted against
+    * the full join in DedupSpec and `Scratch _neardup_parity`). */
   val d05 = q("d05_ngram_jaccard_pairs",
     """WITH d AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(t) >= 3
       |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       |   ELSE [array_to_string(t, ' ')] END) AS sh
-      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d)
       |SELECT doc_a, doc_b, jaccard FROM (
       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(a.sh || b.sh)) AS jaccard
-      | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |  CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY a.doc_id, b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin) { (s, dir) =>
+    // Oracle is the inverted-index spelling of pairwise Jaccard: the
+    // shingle lists are distinct, so the per-pair collision count is
+    // the intersection size and |A∪B| = nA + nB − |A∩B|; a pair with
+    // no shared shingle has jaccard 0 and can't clear the threshold.
+    // Equivalence to the naive `ON a.doc_id < b.doc_id` cartesian
+    // checked both directions in DuckDB at sf0.001/sf0.01; ~sf1 runs
+    // in ~90 s where the cartesian is 125B list intersections.
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
   }
 
