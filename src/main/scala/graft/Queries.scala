@@ -1076,19 +1076,23 @@ object Queries {
     * are fully oracle-checkable: DuckDB rebuilds the same graph and
     * takes min-reachable-id per node via a recursive CTE. (r01 scored
     * this query no-oracle; the est_jaccard edge filter was the only
-    * hash-specific part.) */
+    * hash-specific part.) Pair generation uses d05's inverted-index
+    * spelling (equivalence proven there); the recursion is the
+    * remaining super-linear piece, so d07/d08 stay out of the ~sf1
+    * sweep even with index-join edges. */
   val d07 = q("d07_dedup_clusters",
     """WITH RECURSIVE d AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(t) >= 3
       |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       |   ELSE [array_to_string(t, ' ')] END) AS sh
       | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
       |pairs AS (
       | SELECT doc_a, doc_b FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |     / len(list_distinct(a.sh || b.sh)) AS jaccard
-      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |   CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
       | WHERE jaccard >= 0.5),
       |edges AS (
       | SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1121,12 +1125,13 @@ object Queries {
       |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       |   ELSE [array_to_string(t, ' ')] END) AS sh
       | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
       |pairs AS (
       | SELECT doc_a, doc_b FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |     / len(list_distinct(a.sh || b.sh)) AS jaccard
-      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |   CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
       | WHERE jaccard >= 0.5),
       |edges AS (
       | SELECT doc_a AS src, doc_b AS dst FROM pairs
