@@ -1077,9 +1077,10 @@ object Queries {
     * takes min-reachable-id per node via a recursive CTE. (r01 scored
     * this query no-oracle; the est_jaccard edge filter was the only
     * hash-specific part.) Pair generation uses d05's inverted-index
-    * spelling (equivalence proven there); the recursion is the
-    * remaining super-linear piece, so d07/d08 stay out of the ~sf1
-    * sweep even with index-join edges. */
+    * spelling (equivalence proven there); the reachability recursion
+    * is the remaining super-linear piece but completes at ~sf1 in
+    * ~11 min, so d07/d08 are in the sweep (both multiset-exact at
+    * 500k docs: 50,000 assignments / 4,756 sketches). */
   val d07 = q("d07_dedup_clusters",
     """WITH RECURSIVE d AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(t) >= 3
