@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Exact, TextOps, VectorOps}
 import graft.operators._
@@ -2170,8 +2170,11 @@ object Queries {
     * collapsed into a single NULL group so the same aggregate also
     * yields the grand total (no third scan); the final θ·N filter makes
     * the output independent of whatever extra candidates pass 1's
-    * partition order produced. At larger candidate sets swap the `isin`
-    * for a broadcast semi-join — same plan shape. */
+    * partition order produced. Candidate membership runs as a broadcast
+    * hash join against the tiny candidate set rather than an `isin`
+    * literal list: same plan at 50 candidates, but at θ→0.001 (1000
+    * candidates) the join probes one broadcast hash table instead of
+    * codegening a 1000-branch predicate per row. */
   val q63 = q("q63_heavy_hitters",
     """WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
       | tot AS (SELECT COUNT(*) AS total FROM words)
@@ -2184,8 +2187,16 @@ object Queries {
       .select(explode(split(col("text"), " ")).as("word"))
     val cands = words.stat.freqItems(Array("word"), theta)
       .collect()(0).getSeq[String](0)
+    // ≤ 1/θ candidate rows; distinct guards against a summary ever
+    // emitting a duplicate (a dup would double-count joined rows)
+    val candDf = s.createDataset(cands)(Encoders.STRING)
+      .toDF("cand").distinct()
+    // broadcast left join: matched words keep their candidate value,
+    // everything else lands in the single NULL group (same semantics
+    // as when(isin) but one hash probe instead of an N-branch predicate)
     val agg = words
-      .groupBy(when(col("word").isin(cands: _*), col("word")).as("word"))
+      .join(broadcast(candDf), col("word") === col("cand"), "left")
+      .groupBy(col("cand").as("word"))
       .agg(count(lit(1)).as("n_occurrences"))
     // grand total from the tiny aggregate itself (≤ 1/θ + 1 rows);
     // Catalyst reuses the aggregation exchange between the two branches
@@ -2204,14 +2215,25 @@ object Queries {
     * estimate itself is deterministic: register maxima are
     * order-insensitive under merge. At 100 TB this is the cheap first
     * pass before an exact distinct (partial HLL buffers merge map-side;
-    * exact COUNT(DISTINCT) expands every key through the shuffle). */
+    * exact COUNT(DISTINCT) expands every key through the shuffle).
+    *
+    * The HLL aggregates SEPARATELY from the exact count (q29's split
+    * shape, for q29's measured reason): co-planning them makes Spark's
+    * single-distinct rewrite carry a partial HLL buffer (rsd 0.01 →
+    * 2^14 registers, ~12 KB) per distinct (l_returnflag, l_partkey)
+    * group through the expand-aggregate shuffle — ~15x slower at sf0.1
+    * and memory-unbounded at 100 TB. Split, the HLL buffers merge
+    * map-side (3 per partition) and the join is 3 rows × 3 rows. */
   val q64 = q("q64_approx_distinct",
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
       | TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ad"))
+    val li = Tables.lineitem(s, dir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ad"))
+    exact.join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("n_parts"),
         (abs(col("ad") - col("n_parts")) <= col("n_parts") * lit(0.05))
           .as("approx_ok"))

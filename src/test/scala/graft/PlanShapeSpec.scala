@@ -102,16 +102,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // construction (t16's pattern); everything else must be hash agg
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
       s"unexpected extra nested-loop joins:\n$p")
+    // candidate membership is a broadcast hash join against the ≤ 1/θ
+    // candidate set, not an N-branch isin predicate
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate filter must be a broadcast hash join:\n$p")
     // two branches over the same word aggregate — at most two scans in
     // the initial plan (AQE's exchange reuse collapses them at runtime)
     assert("Scan parquet".r.findAllMatchIn(p).size <= 2,
       s"verify pass must not re-scan per branch:\n$p")
   }
 
-  test("q64 exact + HLL distinct share one scan") {
+  test("q64 HLL aggregates split from the exact distinct (q29 shape)") {
     val p = plan("q64_approx_distinct")
-    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
-      s"expected a single lineitem scan:\n$p")
+    // co-planning countDistinct + approx_count_distinct would carry a
+    // ~12 KB HLL partial per distinct (flag, partkey) group through an
+    // Expand; the split shape pays one extra scan and a 3-row join but
+    // merges HLL buffers map-side — the shape that survives 100 TB
+    assert(!p.contains("Expand"),
+      s"q64 must not co-plan the HLL with the exact distinct:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 2,
+      s"expected the two split-aggregate scans:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 }
