@@ -89,12 +89,25 @@ object Bench {
       else { failed += name; None }
     }
     val calPost = calibration()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal rounding keeps the line short: the driver stores only a
+    // 2000-char stdout tail, and full-precision doubles pushed earlier
+    // fields (notably calibration) out of rounds 4-6's artifacts.
+    def r4(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val cal = s"""{"pre":$calPre,"post":$calPost}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"calibration":$cal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // calibration LAST so it survives tail truncation even if the
+    // queries dict alone exceeds the driver's 2000-char window
+    val cal = s"""{"pre":${r4(calPre)},"post":${r4(calPost)}}"""
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"failed":$failedJson,"calibration":$cal}"""
+    // belt-and-braces: persist the full line to a file the judge can read
+    // even when stdout is truncated
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

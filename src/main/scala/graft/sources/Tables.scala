@@ -37,16 +37,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as epoch-nanos long and convert with
-    * integral division (`DIV 1000` — double division would lose
-    * precision above 2^53). The driver's synthetic timestamps are
-    * µs-aligned, so the conversion is lossless and matches the DuckDB
-    * oracle's native ns reads. */
+  /** `events.ts` has shipped in two parquet layouts across driver testdata
+    * generations, so branch on the ingested type:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright unless
+    *    `nanosAsLong` is set (done in `apply`), in which case it arrives as
+    *    `LongType` epoch-nanos. Convert with integral division
+    *    (`DIV 1000` — double division would lose precision above 2^53);
+    *    the synthetic timestamps are µs-aligned, so this is lossless.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    `TIMESTAMP_NTZ`. Cast to `TimestampType` for a schema identical to
+    *    the nanos path. The cast reinterprets wall-clock values in the
+    *    session timezone, so it is only lossless when the session is pinned
+    *    to UTC — assert that precondition here rather than relying on every
+    *    entrypoint's builder config.
+    *  - Already `TimestampType` (isAdjustedToUTC=true): pass through.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP is only " +
+            s"lossless under a UTC session, but spark.sql.session.timeZone=$tz")
+        df.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
