@@ -106,7 +106,8 @@ object MinuteStream {
             trigger: Trigger = Trigger.ProcessingTime("1 minute"),
             threshold: Double = Metrics.AnomalyThreshold,
             onAlert: DataFrame => Unit = _ => (),
-            compactEvery: Int = 60): StreamingQuery = {
+            compactEvery: Int = 60,
+            compactMinBatches: Int = 8): StreamingQuery = {
     val bars = minuteBars(parseTrades(envelopes))
     bars.writeStream
       .outputMode("append")
@@ -120,8 +121,10 @@ object MinuteStream {
         // run accumulates O(triggers) directories and every downstream
         // read pays the listing. 0 disables. See [[SinkMaintenance]].
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          SinkMaintenance.compact(batch.sparkSession, s"$outDir/bars")
-          SinkMaintenance.compact(batch.sparkSession, s"$outDir/metrics")
+          SinkMaintenance.compact(batch.sparkSession, s"$outDir/bars",
+            compactMinBatches)
+          SinkMaintenance.compact(batch.sparkSession, s"$outDir/metrics",
+            compactMinBatches)
         }
       }
       .start()

@@ -32,12 +32,25 @@ import graft.sources.Connectors
   * after any crash converges to the same state.
   */
 object SinkMaintenance {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
   private def idOf(name: String): Option[Long] =
     if (name.startsWith("batch_id=")) name.substring(9).toLongOption else None
 
-  private def partitionIds(dir: String): Seq[Long] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).toSeq.flatMap(f => idOf(f.getName))
+  /** All filesystem access goes through the Hadoop `FileSystem` API
+    * resolved from the sink URI itself, so the same maintenance code
+    * runs against `file:`, `hdfs:`, or any object-store connector
+    * (`s3a:`, `gs:`, `abfs:`) on the cluster — a 100 TB deployment
+    * does not write its sink to executor-local disk. */
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def partitionIds(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory).flatMap(s => idOf(s.getPath.getName))
 
   /** Highest id covered by a cumulative partition, or -1 if none. */
   private def coveredHi(ids: Seq[Long]): Long =
@@ -53,12 +66,14 @@ object SinkMaintenance {
     * count then stays O(minBatches) over the stream's lifetime instead
     * of O(triggers). */
   def compact(spark: SparkSession, dir: String, minBatches: Int = 8): Unit = {
-    val ids = partitionIds(dir)
+    val (fs, root) = fsFor(spark, dir)
+    def drop(id: Long): Unit = { fs.delete(new Path(root, s"batch_id=$id"), true); () }
+    val ids = partitionIds(fs, root)
     val hi = coveredHi(ids)
     // Always safe: anything the widest cumulative partition already
     // covers is a duplicate (crash leftovers from a previous call).
     ids.filter(id => (id >= 0 && id <= hi) || (id < 0 && -id - 1 < hi))
-      .foreach(id => deleteRecursively(new java.io.File(s"$dir/batch_id=$id")))
+      .foreach(drop)
     val maxId = ids.filter(_ >= 0).maxOption.getOrElse(-1L)
     val newHi = maxId - 1 // every id <= newHi is checkpoint-final
     val posSrc = ids.filter(id => id > hi && id <= newHi)
@@ -72,8 +87,7 @@ object SinkMaintenance {
       Connectors.overwritePartitions(merged, dir, Seq("batch_id", "symbol"))
     }
     // the new cumulative partition is durable: drop what it subsumes
-    (posSrc ++ (if (hi >= 0) Seq(-(hi + 1)) else Nil))
-      .foreach(id => deleteRecursively(new java.io.File(s"$dir/batch_id=$id")))
+    (posSrc ++ (if (hi >= 0) Seq(-(hi + 1)) else Nil)).foreach(drop)
   }
 
   /** Crash-consistent view of the sink: the widest cumulative partition
@@ -82,14 +96,10 @@ object SinkMaintenance {
     * predicate prunes on the batch_id partition column, so masked
     * directories never reach the scan. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val hi = coveredHi(partitionIds(dir))
+    val (fs, root) = fsFor(spark, dir)
+    val hi = coveredHi(partitionIds(fs, root))
     spark.read.parquet(dir)
       .where(col("batch_id") > hi || col("batch_id") === lit(-(hi + 1)))
       .drop("batch_id")
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
   }
 }

@@ -124,6 +124,63 @@ class StreamEndToEndSpec extends AnyFunSuite {
     assert(SinkMaintenance.read(spark, s"$out/bars").count() == 16)
   }
 
+  test("compaction under live fire: read stays row-complete after every batch") {
+    // compaction racing the live stream — compactEvery=2 over ~12
+    // micro-batches, folding aggressively (minBatches=1). The invariant
+    // under test: SinkMaintenance.read never loses a row, no matter
+    // where in the fold/delete cycle a batch lands.
+    import graft.streaming.SinkMaintenance
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_livefire").toString
+    val checkpoint = Files.createTempDirectory("graft_livefire_ckpt").toString
+    val input = MemoryStream[String]
+    val q = MinuteStream.start(input.toDF(), checkpoint, out,
+      trigger = Trigger.ProcessingTime("0 seconds"),
+      compactEvery = 2, compactMinBatches = 1)
+    val m0 = 1735732800000L
+    def env(p: Double, t: Long) =
+      s"""{"data": [{"p": $p, "s": "AAPL", "t": $t, "v": 10.0}]}"""
+    var prev = Set.empty[org.apache.spark.sql.Row]
+    val minutes = 10
+    (0 until minutes).foreach { i =>
+      input.addData(env(100.0 + i, m0 + i * 60000L + 1000))
+      q.processAllAvailable()
+      // until the watermark closes the first window the sink has no
+      // partitions yet (an empty overwrite leaves only _SUCCESS) —
+      // nothing to check
+      val hasParts = Option(new java.io.File(s"$out/bars").listFiles())
+        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+      if (hasParts) {
+        val cur = SinkMaintenance.read(spark, s"$out/bars").collect().toSet
+        assert(prev.subsetOf(cur),
+          s"batch $i lost rows: ${prev.diff(cur)}")
+        val keys = cur.map(r => (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("timestamp")))
+        assert(keys.size == cur.size, s"batch $i surfaced duplicate bars")
+        prev = cur
+      }
+    }
+    // push the watermark past every window, then drain
+    input.addData(env(1.0, m0 + (minutes + 10) * 60000L))
+    q.processAllAvailable()
+    q.stop()
+    val finalBars = SinkMaintenance.read(spark, s"$out/bars")
+    assert(finalBars.where(s"timestamp < timestamp_millis(${m0 + minutes * 60000L})")
+      .count() == minutes, "every closed minute must surface exactly once")
+    assert(finalBars.select("symbol", "timestamp").distinct().count() ==
+      finalBars.count())
+    // metrics sink obeys the same contract
+    val finalMetrics = SinkMaintenance.read(spark, s"$out/metrics")
+    assert(finalMetrics.count() == finalBars.count())
+    // compaction actually folded: far fewer partition dirs than batches,
+    // and a cumulative (negative-id) partition exists
+    val dirs = new java.io.File(s"$out/bars").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id="))
+    assert(dirs.exists(_.startsWith("batch_id=-")),
+      s"expected a cumulative partition, got ${dirs.toSeq}")
+    assert(dirs.length <= 4,
+      s"partition count must stay bounded, got ${dirs.toSeq}")
+  }
+
   test("AlertSink is silent on an empty frame and truncates floods") {
     val flagged = Seq(
       ("A", java.sql.Timestamp.valueOf("2025-01-01 10:01:00"), 10.0, 9.0, 0.1),
