@@ -12,8 +12,10 @@ keys never shift, so star joins fan out N-x — which is the point: group
 sums grow N-x, exercising the cross-engine float/envelope contracts
 (graft.functions.Exact) at magnitudes the shipped SFs never reach.
 
-Timestamp physical types are preserved (events.ts stays TIMESTAMP(NANOS)
-— Tables.events reads it via nanosAsLong and would misparse micros).
+Timestamp physical types are preserved (coerce_timestamps=None), so the
+replica carries whatever layout the source generation shipped —
+TIMESTAMP(NANOS) in rounds 1-5, TIMESTAMP(MICROS) since round 6.
+Tables.events branches on the ingested type and reads both.
 
 Usage: python3 tools/make_sfx.py SRC_DIR DST_DIR N
 """
