@@ -61,6 +61,45 @@ class TablesDriftSpec extends AnyFunSuite {
     assert(ts0.toInstant.toEpochMilli === 1700000000000L)
   }
 
+  test("live testdata schemas match the pinned engine surface, all 10 tables") {
+    // The full-surface twin of the events guard: the r6 regeneration also
+    // flipped orders/lineitem date columns to TIMESTAMP_NTZ, silently.
+    // Queries tolerate today's exact layout (104/104 vs DuckDB); any
+    // future type change must announce itself here, not in a query diff.
+    val live = "/root/testdata/sf0.001"
+    assume(Files.exists(Paths.get(s"$live/region.parquet")),
+      "live testdata not present")
+    val pinned = Map(
+      "region" -> "r_regionkey:int, r_name:string",
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, " +
+        "p_type:string, p_size:int, p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+        "l_linenumber:int, l_quantity:double, l_extendedprice:double, " +
+        "l_discount:double, l_tax:double, l_returnflag:string, " +
+        "l_linestatus:string, l_shipdate:timestamp_ntz"),
+      // events via Tables.events: ts normalized to TIMESTAMP regardless of
+      // the on-disk layout generation
+      "events" -> ("event_id:bigint, ts:timestamp, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+    Tables.all.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, live)
+               else Tables(spark, live, t)
+      val got = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      assert(got === pinned(t),
+        s"DRIVER TESTDATA DRIFT on `$t`: schema changed — re-audit every " +
+          s"query reading it, then re-pin here")
+    }
+  }
+
   test("live testdata events.parquet reads through Tables.events") {
     val live = "/root/testdata/sf0.001"
     assume(Files.exists(Paths.get(s"$live/events.parquet")),
