@@ -92,7 +92,8 @@ object Bench {
     // 4-decimal rounding keeps the line short: the driver stores only a
     // 2000-char stdout tail, and full-precision doubles pushed earlier
     // fields (notably calibration) out of rounds 4-6's artifacts.
-    def r4(v: Double): String = f"$v%.4f"
+    def r4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
