@@ -98,10 +98,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // calibration LAST so it survives tail truncation even if the
-    // queries dict alone exceeds the driver's 2000-char window
+    // calibration and a duplicate of the headline total LAST so they
+    // survive tail truncation even if the queries dict alone exceeds
+    // the driver's 2000-char window; wall_end_ms stamps the run so a
+    // stale artifact can't masquerade as fresh
     val cal = s"""{"pre":${r4(calPre)},"post":${r4(calPost)}}"""
-    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"failed":$failedJson,"calibration":$cal}"""
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"failed":$failedJson,"calibration":$cal,"total_sec":${r4(total)},"wall_end_ms":${System.currentTimeMillis()}}"""
     // belt-and-braces: persist the full line to a file the judge can read
     // even when stdout is truncated
     try java.nio.file.Files.write(

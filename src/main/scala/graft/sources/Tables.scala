@@ -55,19 +55,27 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
         val tz = s.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
+        // any UTC-equivalent zone id keeps the cast lossless — normalize
+        // rather than string-compare so "Etc/UTC"/"GMT"/"+00:00" pass
+        val utcEquivalent =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: java.time.DateTimeException => false }
+        require(utcEquivalent,
           s"events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP is only " +
             s"lossless under a UTC session, but spark.sql.session.timeZone=$tz")
-        df.withColumn("ts", col("ts").cast(
-          org.apache.spark.sql.types.TimestampType))
-      case _ => df
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unrecognized type $other — the driver " +
+          "testdata layout changed again; teach Tables.events the new " +
+          "layout (see TablesDriftSpec)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -24,12 +24,15 @@ import graft.sources.Connectors
   *
   * Encoding: the cumulative partition has `batch_id = -(hi + 1)` and
   * holds every original row with id ≤ hi (negated so it can never
-  * collide with a real id; +1 so covering id 0 doesn't need "-0"). A
-  * crash between writing a new cumulative partition and deleting its
-  * sources leaves duplicate rows on disk; [[read]] masks them by keeping
-  * only the widest cumulative partition plus ids beyond its coverage,
-  * and the next [[compact]] call deletes the leftovers — re-running
-  * after any crash converges to the same state.
+  * collide with a real id; +1 so covering id 0 doesn't need "-0").
+  * Folded source directories are deleted one cycle LATE (by the next
+  * [[compact]] call, not the one that folded them): the on-disk
+  * duplicates this leaves are masked by [[read]] — it keeps only the
+  * widest cumulative partition plus ids beyond its coverage — and the
+  * grace window means a reader that listed the sink just before a fold
+  * still finds every directory of its snapshot on disk. A crash at any
+  * point leaves a state the next call converges from, by the same
+  * masking argument.
   */
 object SinkMaintenance {
   import org.apache.hadoop.fs.{FileSystem, Path}
@@ -48,9 +51,12 @@ object SinkMaintenance {
   }
 
   private def partitionIds(fs: FileSystem, root: Path): Seq[Long] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+    // single listStatus; FNFE for a not-yet-created sink. On an object
+    // store every avoided exists() is one fewer metadata round-trip on
+    // the per-micro-batch path.
+    try fs.listStatus(root).toSeq
       .filter(_.isDirectory).flatMap(s => idOf(s.getPath.getName))
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
 
   /** Highest id covered by a cumulative partition, or -1 if none. */
   private def coveredHi(ids: Seq[Long]): Long =
@@ -86,8 +92,17 @@ object SinkMaintenance {
         .withColumn("batch_id", lit(target))
       Connectors.overwritePartitions(merged, dir, Seq("batch_id", "symbol"))
     }
-    // the new cumulative partition is durable: drop what it subsumes
-    (posSrc ++ (if (hi >= 0) Seq(-(hi + 1)) else Nil)).foreach(drop)
+    // Deferred deletion: the dirs the new cumulative partition subsumes
+    // are NOT removed here — the cleanup sweep at the top of the NEXT
+    // compact() call deletes them (they are "covered by the widest
+    // cumulative" by then). The one-cycle grace window is what makes
+    // concurrent readers safe: a reader that listed the sink just
+    // before this fold still finds every directory its snapshot
+    // references on disk, so its scan can neither crash on a deleted
+    // path nor miss rows — it only has to finish within one compaction
+    // interval (minutes to an hour at production cadence). [[read]]
+    // masks the temporary duplicates either way. Storage cost: one
+    // fold's worth of source partitions, held for one cycle.
   }
 
   /** Crash-consistent view of the sink: the widest cumulative partition
@@ -95,6 +110,15 @@ object SinkMaintenance {
     * compaction that crashed before cleanup are filtered out here; the
     * predicate prunes on the batch_id partition column, so masked
     * directories never reach the scan. */
+  /** Whether the sink holds any batch partition yet. The remote-FS-safe
+    * existence probe to call before [[read]] — a partition-less sink has
+    * no schema to infer, and `java.io.File` probing doesn't exist on
+    * `hdfs:`/`s3a:`. */
+  def hasData(spark: SparkSession, dir: String): Boolean = {
+    val (fs, root) = fsFor(spark, dir)
+    partitionIds(fs, root).nonEmpty
+  }
+
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (fs, root) = fsFor(spark, dir)
     val hi = coveredHi(partitionIds(fs, root))

@@ -94,10 +94,19 @@ class StreamEndToEndSpec extends AnyFunSuite {
     def dirs() = new java.io.File(s"$out/bars").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs().size == 6)
-    // ids 0..4 are final (5 is the live maximum): fold them into one
+    // ids 0..4 are final (5 is the live maximum): fold them into one.
+    // Sources are deferred-deleted (concurrent-reader grace window), so
+    // they survive THIS call and the cleanup sweep of the NEXT one
+    // removes them.
+    SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
+    assert(dirs() == Set("batch_id=-5", "batch_id=0", "batch_id=1",
+      "batch_id=2", "batch_id=3", "batch_id=4", "batch_id=5"),
+      s"fold must keep its sources for one grace cycle, got ${dirs()}")
+    assert(SinkMaintenance.read(spark, s"$out/bars").collect().toSet == before)
+    // next call's sweep clears the subsumed sources; nothing new to fold
     SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
     assert(dirs() == Set("batch_id=-5", "batch_id=5"),
-      s"expected cumulative(<=4) + live 5, got ${dirs()}")
+      s"expected cumulative(<=4) + live 5 after the grace cycle, got ${dirs()}")
     assert(SinkMaintenance.read(spark, s"$out/bars").collect().toSet == before)
     // idempotent: nothing pending, nothing changes
     SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
@@ -113,12 +122,16 @@ class StreamEndToEndSpec extends AnyFunSuite {
     assert(SinkMaintenance.read(spark, s"$out/bars").collect().toSet == before)
     SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
     assert(dirs() == Set("batch_id=-5", "batch_id=5"))
-    // second generation: more batches arrive, the cumulative widens
+    // second generation: more batches arrive, the cumulative widens —
+    // read() masks the grace-window leftovers immediately, and the
+    // next sweep physically removes them
     (6 to 9).foreach { i =>
       val b = Seq(bar("AAPL", i, 10.0 + i)).toDF(
         "symbol", "timestamp", "open", "high", "low", "close", "volume")
       MinuteStream.writeBatch(b, i.toLong, out)
     }
+    SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
+    assert(SinkMaintenance.read(spark, s"$out/bars").count() == 16)
     SinkMaintenance.compact(spark, s"$out/bars", minBatches = 3)
     assert(dirs() == Set("batch_id=-9", "batch_id=9"))
     assert(SinkMaintenance.read(spark, s"$out/bars").count() == 16)
@@ -148,9 +161,7 @@ class StreamEndToEndSpec extends AnyFunSuite {
       // until the watermark closes the first window the sink has no
       // partitions yet (an empty overwrite leaves only _SUCCESS) —
       // nothing to check
-      val hasParts = Option(new java.io.File(s"$out/bars").listFiles())
-        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
-      if (hasParts) {
+      if (SinkMaintenance.hasData(spark, s"$out/bars")) {
         val cur = SinkMaintenance.read(spark, s"$out/bars").collect().toSet
         assert(prev.subsetOf(cur),
           s"batch $i lost rows: ${prev.diff(cur)}")
@@ -177,7 +188,9 @@ class StreamEndToEndSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id="))
     assert(dirs.exists(_.startsWith("batch_id=-")),
       s"expected a cumulative partition, got ${dirs.toSeq}")
-    assert(dirs.length <= 4,
+    // steady-state bound with deferred deletion: cumulative + previous
+    // fold's grace-window sources + live batches since the last fold
+    assert(dirs.length <= 8,
       s"partition count must stay bounded, got ${dirs.toSeq}")
   }
 
@@ -237,7 +250,7 @@ class StreamEndToEndSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id="))
     assert(dirs.exists(_.startsWith("batch_id=-")),
       s"expected a cumulative partition after restart, got ${dirs.toSeq}")
-    assert(dirs.length <= 4,
+    assert(dirs.length <= 8,
       s"partition count must stay bounded across restart, got ${dirs.toSeq}")
   }
 

@@ -109,5 +109,18 @@ class TablesDriftSpec extends AnyFunSuite {
       s"DRIVER TESTDATA DRIFT: events.ts resolved to " +
         s"${df.schema("ts").dataType}; teach Tables.events the new layout")
     assert(df.limit(1).count() === 1)
+    // value-range guard: a future plain-int64 layout in a different unit
+    // would flow through the LongType branch type-correct but land
+    // decades off (epoch-micros DIV 1000 → 1970). Schema checks can't
+    // catch that; the decoded values must be in-era.
+    val range = df.agg(
+      org.apache.spark.sql.functions.min("ts"),
+      org.apache.spark.sql.functions.max("ts")).head()
+    val (lo, hi) = (range.getTimestamp(0).toInstant, range.getTimestamp(1).toInstant)
+    val era = java.time.Instant.parse("2000-01-01T00:00:00Z")
+    val cap = java.time.Instant.parse("2100-01-01T00:00:00Z")
+    assert(!lo.isBefore(era) && hi.isBefore(cap),
+      s"DRIVER TESTDATA DRIFT: decoded events.ts range [$lo, $hi] is " +
+        "out of era — the on-disk unit changed; fix Tables.events")
   }
 }
