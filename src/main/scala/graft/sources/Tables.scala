@@ -52,6 +52,13 @@ object Tables {
     *    to UTC — assert that precondition here rather than relying on every
     *    entrypoint's builder config.
     *  - Already `TimestampType` (isAdjustedToUTC=true): pass through.
+    *
+    * Scale note: time-range predicates written against the converted
+    * `ts` still reach the parquet scan on the NTZ path — Catalyst's
+    * UnwrapCastInBinaryComparison rewrites `cast(ts) >= lit` to an
+    * NTZ comparison (verified: `PushedFilters: [GreaterThanOrEqual(ts,
+    * …)]` in the formatted plan), so a 100 TB scan with a time filter
+    * prunes row groups rather than reading the table.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
