@@ -89,21 +89,8 @@ object Bench {
       else { failed += name; None }
     }
     val calPost = calibration()
-    // 4-decimal rounding keeps the line short: the driver stores only a
-    // 2000-char stdout tail, and full-precision doubles pushed earlier
-    // fields (notably calibration) out of rounds 4-6's artifacts.
-    def r4(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // calibration and a duplicate of the headline total LAST so they
-    // survive tail truncation even if the queries dict alone exceeds
-    // the driver's 2000-char window; wall_end_ms stamps the run so a
-    // stale artifact can't masquerade as fresh
-    val cal = s"""{"pre":${r4(calPre)},"post":${r4(calPost)}}"""
-    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"failed":$failedJson,"calibration":$cal,"total_sec":${r4(total)},"wall_end_ms":${System.currentTimeMillis()}}"""
+    val line = renderJson(results.toSeq, failed.toSeq, reps, sfDir,
+      calPre, calPost, System.currentTimeMillis())
     // belt-and-braces: persist the full line to a file the judge can read
     // even when stdout is truncated
     try java.nio.file.Files.write(
@@ -112,5 +99,26 @@ object Bench {
     catch { case _: Throwable => () }
     println(line)
     spark.stop()
+  }
+
+  /** The one JSON line the driver parses. Contract (spec-locked in
+    * BenchFormatSpec): 4-decimal Locale.ROOT numbers keep the line short
+    * (the driver stores only a 2000-char stdout TAIL, and full-precision
+    * doubles pushed earlier fields out of rounds 4-6's artifacts);
+    * `calibration`, a duplicate `total_sec`, and `wall_end_ms` come LAST
+    * so co-load evidence, the headline total, and run freshness survive
+    * the truncation even when the queries dict alone exceeds the
+    * window. */
+  def renderJson(results: Seq[(String, Double)], failed: Seq[String],
+                 reps: Int, sfDir: String,
+                 calPre: Double, calPost: Double, wallEndMs: Long): String = {
+    def r4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cal = s"""{"pre":${r4(calPre)},"post":${r4(calPost)}}"""
+    s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"failed":$failedJson,"calibration":$cal,"total_sec":${r4(total)},"wall_end_ms":$wallEndMs}"""
   }
 }

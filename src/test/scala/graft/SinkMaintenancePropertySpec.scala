@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{MinuteStream, SinkMaintenance}
+
+/** Randomized (seeded, deterministic) interleaving of the sink
+  * lifecycle: writeBatch / replay-last-batch / compact at varying
+  * minBatches / read. The invariant after EVERY step: [[SinkMaintenance
+  * .read]] returns exactly the set of bars ever written, each once —
+  * independent of where in the fold / deferred-delete cycle the step
+  * lands. This is the generalization of the hand-picked sequences in
+  * StreamEndToEndSpec's compaction tests.
+  */
+class SinkMaintenancePropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("read() is exact after any interleaving of write/replay/compact") {
+    val rnd = new scala.util.Random(4242L)
+    val out = Files.createTempDirectory("graft_sink_prop").toString
+    def bar(minute: Int, close: Double) =
+      ("AAPL", new java.sql.Timestamp(1735732800000L + minute * 60000L),
+        close, close, close, close, 100.0)
+    var nextMinute = 0
+    var lastBatch: Option[(Long, Seq[(String, java.sql.Timestamp, Double, Double, Double, Double, Double)])] = None
+    var nextId = 0L
+    val expected = scala.collection.mutable.Set
+      .empty[(String, java.sql.Timestamp, Double)]
+    (0 until 24).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // write a fresh batch of 1-3 new minutes
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val b = bar(nextMinute, 10.0 + nextMinute); nextMinute += 1; b
+          }
+          MinuteStream.writeBatch(
+            rows.toDF("symbol", "timestamp", "open", "high", "low", "close", "volume"),
+            nextId, out)
+          rows.foreach(r => expected += ((r._1, r._2, r._6)))
+          lastBatch = Some((nextId, rows)); nextId += 1
+        case 2 => // at-least-once replay of the most recent batch
+          lastBatch.foreach { case (id, rows) =>
+            MinuteStream.writeBatch(
+              rows.toDF("symbol", "timestamp", "open", "high", "low", "close", "volume"),
+              id, out)
+          }
+        case 3 =>
+          SinkMaintenance.compact(spark, s"$out/bars", 1 + rnd.nextInt(3))
+      }
+      if (SinkMaintenance.hasData(spark, s"$out/bars")) {
+        val got = SinkMaintenance.read(spark, s"$out/bars")
+          .select("symbol", "timestamp", "close").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+        assert(got.length == got.distinct.length,
+          s"step $step surfaced duplicates")
+        assert(got.toSet == expected.toSet,
+          s"step $step diverged: missing=${expected.toSet -- got.toSet} " +
+            s"extra=${got.toSet -- expected.toSet}")
+      }
+    }
+    assert(expected.nonEmpty && nextId >= 2, "the walk must exercise writes")
+  }
+}
