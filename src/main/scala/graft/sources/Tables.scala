@@ -21,11 +21,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark rejects at
-    // schema conversion unless this conf is set. Set it on every read
-    // (idempotent session conf) rather than inside the events reader
-    // only — otherwise whether a generic read of `events` works depends
-    // on whether Tables.events happened to run first in the session.
+    // Legacy testdata generations carried events.ts as TIMESTAMP(NANOS),
+    // which Spark rejects at schema conversion unless this conf is set
+    // (it reads as epoch-nanos LongType instead). Harmless on the
+    // current TIMESTAMP(MICROS) layout; kept so the nanos fixture and
+    // any old replica stay readable. Set on every read (idempotent
+    // session conf) rather than inside the events reader only —
+    // otherwise whether a generic read of `events` works depends on
+    // whether Tables.events happened to run first in the session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
