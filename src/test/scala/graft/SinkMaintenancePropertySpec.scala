@@ -61,5 +61,14 @@ class SinkMaintenancePropertySpec extends AnyFunSuite {
       }
     }
     assert(expected.nonEmpty && nextId >= 2, "the walk must exercise writes")
+
+    // Plan lock for the masking claim: the batch_id predicate must be a
+    // PARTITION filter (pruned at file listing), not a data filter — at
+    // 100 TB the masked directories must never reach the scan.
+    val plan = SinkMaintenance.read(spark, s"$out/bars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      """PartitionFilters: \[[^\]]*batch_id""".r.findFirstIn(plan).isDefined,
+      s"batch_id must prune partitions, plan was:\n$plan")
   }
 }
