@@ -1037,10 +1037,13 @@ object Queries {
       |  SELECT 1 FROM documents k WHERE k.doc_id % 5 <> 0
       |   AND md5(regexp_replace(lower(trim(k.text)), '\\s+', ' ', 'g'))
       |     = md5(regexp_replace(lower(trim(i.text)), '\\s+', ' ', 'g')))),
-      |collided AS (SELECT DISTINCT a.doc_id FROM sigs a JOIN sigs b
-      | ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-      | AND list_max(list_transform(range(16), bb ->
-      |   CAST((a.sig[bb*2+1] = b.sig[bb*2+1] AND a.sig[bb*2+2] = b.sig[bb*2+2]) AS INT))) = 1)
+      |bands AS (SELECT doc_id, bb.range AS bb,
+      |   sig[bb.range*2+1] AS k1, sig[bb.range*2+2] AS k2
+      | FROM sigs, range(16) bb),
+      |collided AS (SELECT DISTINCT a.doc_id
+      | FROM bands a JOIN bands b
+      |  ON a.bb = b.bb AND a.k1 = b.k1 AND a.k2 = b.k2
+      | WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
       |SELECT doc_id FROM exact_ok
       |WHERE doc_id NOT IN (SELECT doc_id FROM collided)""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
@@ -1055,17 +1058,29 @@ object Queries {
     * rebuilds with the same hex-derived token hashes and per-bit votes.
     * The xxhash64 [[Dedup.simhashes]] stays the production variant
     * (unit-tested for hamming behavior in DedupSpec). */
+  // Oracle spelled as unnest + 60 vectorized bit-count aggregates rather
+  // than nested list_transform lambdas: per-bit sign-sum > 0 ⟺
+  // 2·(count of set bits) > token count, so the hash assembles from
+  // plain SUM/COUNT columns. Same math, but DuckDB executes it as one
+  // parallel hash aggregation over the unnested tokens instead of an
+  // O(docs × 60 × tokens) scalar lambda loop — the nested form ran >70
+  // minutes at 500k docs (sfx10) where this finishes in seconds-to-
+  // minutes. Same oracle-scaling lesson as the round-5 d03/d05/d09
+  // index-join rewrites (TESTDATA.md).
+  private val d04BitSums = (0 until 60)
+    .map(b => s"SUM(CAST((x >> $b) & 1 AS BIGINT)) AS c$b").mkString(",\n ")
+  private val d04BitAssemble = (0 until 60)
+    .map(b => s"CASE WHEN 2*c$b > n THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
   val d04 = q("d04_dedup_simhash",
-    """WITH h AS (SELECT doc_id,
-      |  list_transform(string_split(lower(text), ' '), w ->
-      |    CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs
-      | FROM documents)
-      |SELECT doc_id,
-      | CAST(list_sum(list_transform(range(60), b ->
-      |  CASE WHEN list_sum(list_transform(hs, x ->
-      |    CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-      |   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-      |FROM h""".stripMargin) { (s, dir) =>
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(u.w), 1, 15)) AS BIGINT) AS x
+       | FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)),
+       |s AS (SELECT doc_id, COUNT(*) AS n,
+       | $d04BitSums
+       | FROM t GROUP BY doc_id)
+       |SELECT doc_id, CAST($d04BitAssemble AS BIGINT) AS simhash
+       |FROM s""".stripMargin) { (s, dir) =>
     Dedup.simhashesPortable(Tables.documents(s, dir), "doc_id", "text")
   }
 
