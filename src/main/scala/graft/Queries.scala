@@ -1364,6 +1364,54 @@ object Queries {
       "doc_id", "text", shingleN = 3, minContainment = 0.05)
   }
 
+  /** Exact duplicated-substring profile (Lee et al. 2021, substring-
+    * level dedup) as an inverted-index pipeline: a position is
+    * duplicated when its 8-token gram occurs >= 2 times corpus-wide;
+    * overlapping windows merge into maximal spans (gap > k splits —
+    * closer windows share covered tokens, so the interval sum is
+    * overlap-free and `dup_tokens` is the exact covered-token count).
+    * Oracle mirrors the same md5-prefix gram keys, dup filter, and
+    * gaps-and-islands span merge. */
+  val d11 = q("d11_substring_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (
+      | SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(CASE WHEN len(t) >= 8 THEN len(t) - 7 ELSE 0 END AS BIGINT) AS n_pos
+      | FROM toks),
+      |g AS (
+      | SELECT doc_id,
+      |  CAST(unnest(range(len(t) - 7)) AS BIGINT) AS pos,
+      |  unnest(list_transform(range(len(t) - 7),
+      |   i -> substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 16))) AS gkey
+      | FROM toks WHERE len(t) >= 8),
+      |dupkeys AS (SELECT gkey FROM g GROUP BY gkey HAVING COUNT(*) >= 2),
+      |dup AS (SELECT doc_id, pos FROM g WHERE gkey IN (SELECT gkey FROM dupkeys)),
+      |flagged AS (
+      | SELECT doc_id, pos,
+      |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+      |   THEN 1 ELSE 0 END AS brk
+      | FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |spans0 AS (
+      | SELECT doc_id, pos,
+      |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      | FROM flagged),
+      |spans AS (
+      | SELECT doc_id, span_id, COUNT(*) AS n_in_span,
+      |  MIN(pos) AS p0, MAX(pos) AS p1
+      | FROM spans0 GROUP BY doc_id, span_id),
+      |per_doc AS (
+      | SELECT doc_id, CAST(SUM(n_in_span) AS BIGINT) AS n_dup_pos,
+      |  COUNT(*) AS n_spans, CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens
+      | FROM spans GROUP BY doc_id)
+      |SELECT b.doc_id, n_tokens, n_pos,
+      | COALESCE(n_dup_pos, CAST(0 AS BIGINT)) AS n_dup_pos,
+      | COALESCE(n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      | COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+      | CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_tokens AS dup_frac
+      |FROM base b LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
+    Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text", k = 8)
+  }
+
   /** Stratified corpus re-mixing: deterministic per-language sampling
     * rates (25% en, keep-all zh, 50% elsewhere) via the md5-threshold
     * trick — full row output so the oracle hash-checks exactly which
@@ -2261,7 +2309,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
     s01, s02, s03, s04, s05, s06, s07, s08,
     m01, m02, m03, p01)

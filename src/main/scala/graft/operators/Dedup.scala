@@ -397,4 +397,72 @@ object Dedup {
         s"connected components did not converge in $maxIter rounds — raise maxIter")
     labels
   }
+
+  /** Exact duplicated-substring profiling — the substring-level dedup
+    * signal of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2021), re-expressed as a distributed
+    * inverted-index pipeline instead of a suffix array: a token
+    * position is DUPLICATED when its k-token gram occurs at least twice
+    * corpus-wide (repeats within one document count too, as in the
+    * paper); duplicated windows closer than k positions overlap in
+    * token coverage and merge into maximal spans. Per document:
+    * `n_tokens`, `n_pos` (gram positions), `n_dup_pos`, `n_spans`
+    * (maximal merged spans), `dup_tokens` (exact covered-token count —
+    * the span-merge rule `gap > k` makes the interval sum overlap-free),
+    * `dup_frac` (= dup_tokens / n_tokens). Docs shorter than k tokens
+    * report zeros.
+    *
+    * Scale shape: grams shuffle as 16-hex-char md5 prefixes (fixed
+    * 64-bit keys, never raw k-gram text); the corpus-wide occurrence
+    * count gets map-side partial aggregation, and the duplicate filter
+    * is a semi join against that count on the SAME child plan — both
+    * sides share one Exchange (ReusedExchange), so the gram stream is
+    * scanned and shuffled once. The span merge is a per-document
+    * window + aggregate over dup positions only (a sliver of the
+    * corpus). Nothing is quadratic in documents or corpus size. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      greatest(size(toks) - (k - 1), lit(0)).cast("long").as("n_pos"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(col("t"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("gram")), 1, 16).as("gkey"))
+    val dupKeys = grams.groupBy("gkey")
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+      .select("gkey")
+    val dup = grams.join(dupKeys, Seq("gkey"), "left_semi")
+      .select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      // new span when the previous dup position is > k back: windows
+      // [prev, prev+k-1] and [pos, pos+k-1] neither overlap nor touch
+      .withColumn("brk",
+        when(lag("pos", 1).over(w).isNull
+          || col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(count(lit(1)).as("n_in_span"),
+        min("pos").as("p0"), max("pos").as("p1"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum("n_in_span").as("n_dup_pos"),
+        count(lit(1)).as("n_spans"),
+        sum(col("p1") - col("p0") + k).as("dup_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_pos"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        // n_tokens >= 1 always (splitting "" yields [""]), no div-0
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+  }
 }

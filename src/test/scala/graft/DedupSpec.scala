@@ -207,4 +207,45 @@ class DedupSpec extends AnyFunSuite {
     assert(exchangesOverBands.isEmpty,
       s"known-key scans must not re-shuffle:\n$plan")
   }
+
+  test("substringDupStats: dup positions, span merge, split, short docs") {
+    // k=3 fixture, hand-computed:
+    //  0: "a b c" / "b c d" shared with doc 1 -> positions {0,1}, one span
+    //  1: same grams at positions {1,2}
+    //  2: within-doc repetition -> every position dup, one whole-doc span
+    //  3: shorter than k -> all zeros
+    //  4: "a b c" at positions 0 and 8 -> gap > k, TWO spans
+    val corpus = Seq(
+      (0L, "a b c d e f"),
+      (1L, "x a b c d y"),
+      (2L, "p q r p q r p q"),
+      (3L, "u v"),
+      (4L, "a b c z1 z2 z3 z4 z5 a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(corpus, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 6L, 4L, 2L, 1L, 4L, 4.0 / 6)))
+    assert(got(1L) == ((1L, 6L, 4L, 2L, 1L, 4L, 4.0 / 6)))
+    assert(got(2L) == ((2L, 8L, 6L, 6L, 1L, 8L, 1.0)))
+    assert(got(3L) == ((3L, 2L, 0L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 11L, 9L, 2L, 2L, 6L, 6.0 / 11)))
+  }
+
+  test("substringDupStats plan: gram stream scanned once (reused exchange), no cartesian") {
+    val df = Dedup.substringDupStats(docs, "doc_id", "text", k = 3)
+    df.count() // materialize so AQE resolves its final plan + stage reuse
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s"no cartesian allowed:\n$s")
+    // two acceptable scalable shapes for the dup filter: (a) the
+    // dup-key set is small -> broadcast LeftSemi, probe grams pipeline
+    // with NO shuffle at all; (b) both sides shuffle on gkey -> the
+    // identical child plans share one Exchange (ReusedExchange). A
+    // shuffled semi with two independent gram shuffles would scan and
+    // shuffle the corpus twice — reject that.
+    val broadcastSemi = s.contains("BroadcastHashJoin") && s.contains("LeftSemi")
+    val gramShuffles = "hashpartitioning\\(gkey".r.findAllIn(s).size
+    assert(broadcastSemi || s.contains("ReusedExchange") || gramShuffles <= 1,
+      s"dup filter must broadcast or reuse the gram exchange:\n$s")
+  }
 }
