@@ -1412,6 +1412,32 @@ object Queries {
     Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text", k = 8)
   }
 
+  /** Inter-source shingle-overlap matrix (cross-source duplication
+    * audit): distinct (source, 3-gram-key) universe, boilerplate cap at
+    * 16 sources per key, key-equi self-join → per-pair shared count +
+    * Jaccard. The join is on the shingle key with per-key fanout
+    * bounded by the cap — linear in distinct shingles, never
+    * source×source. */
+  val d12 = q("d12_source_overlap",
+    """WITH sh AS (SELECT source AS src, CASE WHEN len(t) >= 3
+      |  THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |  ELSE [array_to_string(t, ' ')] END AS sh
+      | FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+      |k AS (SELECT DISTINCT src, substr(md5(s), 1, 16) AS gkey
+      | FROM (SELECT src, unnest(sh) AS s FROM sh)),
+      |c AS (SELECT gkey FROM k GROUP BY gkey HAVING COUNT(*) <= 16),
+      |u AS (SELECT src, gkey FROM k WHERE gkey IN (SELECT gkey FROM c)),
+      |tot AS (SELECT src, COUNT(*) AS total FROM u GROUP BY src),
+      |p AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+      | FROM u a JOIN u b USING (gkey) WHERE a.src < b.src GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      | round(CAST(n_shared AS DOUBLE) / (ta.total + tb.total - n_shared), 6) AS jacc
+      |FROM p JOIN tot ta ON ta.src = p.src_a JOIN tot tb ON tb.src = p.src_b""".stripMargin) {
+    (s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir), "text", "source",
+        shingleN = 3, maxSources = 16)
+  }
+
   /** Stratified corpus re-mixing: deterministic per-language sampling
     * rates (25% en, keep-all zh, 50% elsewhere) via the md5-threshold
     * trick — full row output so the oracle hash-checks exactly which
@@ -1611,6 +1637,20 @@ object Queries {
     TextAnalysis.weightedSample(Tables.documents(s, dir), "doc_id", "lang",
         size(TextOps.tokens(col("text"))).cast("double"), k = 20)
       .select("doc_id", "lang", "samp_key", "rn")
+  }
+
+  /** Deterministic global shuffle + shard assignment for training-data
+    * export (md5-permutation, 8 shards, per-shard ordinal) — the
+    * reproducible-training-order layout. One shuffle on the shard key;
+    * `shards` is the 100 TB scale knob (see TextAnalysis.shardAssign). */
+  val t19 = q("t19_shard_export",
+    """SELECT doc_id, shard,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS seq
+      |FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 8 AS shard
+      | FROM documents)""".stripMargin) { (s, dir) =>
+    TextAnalysis.shardAssign(Tables.documents(s, dir), "doc_id", shards = 8)
+      .select("doc_id", "shard", "seq")
   }
 
   /** Sequence packing: docs → 512-token packs within 8 shards (prefix
@@ -2058,6 +2098,23 @@ object Queries {
       emb.filter(col("id") >= 10), k = 4, negLo = 0.1, negHi = 0.35)
   }
 
+  /** Johnson–Lindenstrauss random projection 64→16 dims over the
+    * md5-portable plane family (salt "rp:") — fully oracle-checked:
+    * DuckDB re-derives the identical plane matrix from md5 and folds
+    * the dot in the same index order. The Spark side is ONE fused
+    * native loop per row (plans.MatVecProject), no shuffle. */
+  val s09 = q("s09_random_projection",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pl AS (SELECT p, list_transform(range(64), d ->
+      |  CAST(concat('0x', substr(md5(concat('rp:', p, ':', d)), 1, 15)) AS BIGINT)
+      |    / 1152921504606846976.0 * 2.0 - 1.0) AS plane
+      | FROM range(16) t(p))
+      |SELECT vec_id, CAST(p AS BIGINT) AS pos,
+      | round(list_dot_product(v, plane) * sqrt(3.0 / 16.0), 6) AS proj
+      |FROM e, pl""".stripMargin) { (s, dir) =>
+    Similarity.randomProjection(Tables.embeddings(s, dir), outDim = 16, dim = 64)
+  }
+
   /** SemDeDup-style semantic dedup over the SAME persisted portable
     * IVF index s04 probes: within each centroid cluster the min-id
     * vector is the keeper, and members whose rounded cosine to it
@@ -2302,15 +2359,39 @@ object Queries {
           .as("approx_ok"))
   }
 
+  /** Z-order layout stats: Morton-interleave (l_partkey, l_suppkey) at
+    * 16 bits each, bucket on the key's top 10 bits, and report each
+    * z-tile's row count + per-dimension bbox. Verifies the interleave
+    * arithmetic bit-for-bit (any flipped bit reassigns buckets) and
+    * shows the locality the zorderWrite layout gives each output file —
+    * see operators.Layout and LayoutSpec for the write path itself. */
+  val q65 = q("q65_zorder_stats",
+    s"""SELECT zbucket, COUNT(*) AS n_rows,
+       | min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       | min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM (SELECT ${Layout.zkeySql(Seq("l_partkey", "l_suppkey"), 16)} >> 12 AS zbucket,
+       |  l_partkey, l_suppkey FROM lineitem)
+       |GROUP BY zbucket""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(shiftright(
+          Layout.zkey(Seq(col("l_partkey"), col("l_suppkey")), 16), 12)
+          .as("zbucket"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
-    s01, s02, s03, s04, s05, s06, s07, s08,
+    q61, q62, q63, q64, q65,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09,
     m01, m02, m03, p01)
 }

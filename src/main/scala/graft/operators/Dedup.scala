@@ -465,4 +465,47 @@ object Dedup {
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens")).as("dup_frac"))
   }
+
+  /** Inter-source n-gram overlap matrix — the cross-source duplication
+    * diagnostic of a corpus audit (how much of source A's shingle set
+    * recurs in source B: shared crawls, mirrored sites, licensing
+    * leaks). Universe = DISTINCT (source, shingle-key) pairs, with
+    * shingles present in more than `maxSources` sources excluded as
+    * boilerplate (navigation chrome / licence text carries no overlap
+    * signal). Output per unordered source pair: shared-key count and
+    * Jaccard over the capped universe.
+    *
+    * Scale shape: one explode + hash-distinct for the universe, a
+    * self-equi-join ON THE SHINGLE KEY (never source×source), and the
+    * `maxSources` cap bounds per-key fanout at C(maxSources, 2) pairs —
+    * so the join output is linear in distinct shingles even when the
+    * corpus has millions of sources. */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    shingleN: Int = 3, maxSources: Int = 16): DataFrame = {
+    require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
+    val keys = docs
+      .select(col(srcCol).as("src"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      .select(col("src"), substring(md5(col("sh")), 1, 16).as("gkey"))
+      .distinct()
+    // (src, gkey) is distinct, so a plain count per key IS the number
+    // of sources carrying the key
+    val capped = keys.groupBy("gkey")
+      .agg(count(lit(1)).as("nsrc"))
+      .where(col("nsrc") <= maxSources)
+      .select("gkey")
+    val u = keys.join(capped, Seq("gkey"), "left_semi")
+    val totals = u.groupBy("src").agg(count(lit(1)).as("total"))
+    val pairs = u.select(col("gkey"), col("src").as("src_a"))
+      .join(u.select(col("gkey"), col("src").as("src_b")), Seq("gkey"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(totals.select(col("src").as("src_a"), col("total").as("ta")), Seq("src_a"))
+      .join(totals.select(col("src").as("src_b"), col("total").as("tb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("ta") + col("tb") - col("n_shared")), 6).as("jacc"))
+  }
 }

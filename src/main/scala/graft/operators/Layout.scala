@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization: Z-order (Morton) clustering for
+  * multi-column file skipping — the OPTIMIZE-ZORDER primitive of a
+  * 100 TB lakehouse. Sorting a table by the interleaved key makes the
+  * per-file min/max statistics of EVERY interleaved dimension narrow,
+  * so predicates on any of those columns prune files at scan time; a
+  * plain sort only serves its leading column.
+  *
+  * The interleave is a static tree of built-in bit ops (mask, shift,
+  * OR) — whole-stage-codegen'd for free, no UDF, no custom expression —
+  * and [[zkeySql]] emits the identical arithmetic as ANSI SQL from the
+  * same (bit, dim) enumeration, so the key is oracle-checkable
+  * bit-for-bit on any engine with integer shifts.
+  */
+object Layout {
+  /** Morton key of 2-4 long-valued dimensions, `bits` low bits each
+    * (callers bucket real values into [0, 2^bits) first; higher bits
+    * are masked off). zkey = OR over (b, d) of
+    * ((col_d >> b) & 1) << (b·n + d). */
+  def zkey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zkey takes 2-4 dimensions, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits * dims must fit a positive long, got $bits * ${cols.size}")
+    val n = cols.size
+    val masked = cols.map(_.cast("long").bitwiseAND(lit((1L << bits) - 1)))
+    val terms = for (b <- 0 until bits; d <- 0 until n)
+      yield shiftleft(shiftright(masked(d), b).bitwiseAND(lit(1L)), b * n + d)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The identical Morton arithmetic as ANSI SQL over `exprs` — same
+    * (bit, dim) enumeration as [[zkey]], for DuckDB oracles. */
+  def zkeySql(exprs: Seq[String], bits: Int): String = {
+    val n = exprs.size
+    val mask = (1L << bits) - 1
+    // every term fully parenthesized INCLUDING its shift: Postgres-family
+    // engines give  |  and  <<  equal precedence (left-assoc), so
+    // `a | b << s` parses as `(a | b) << s`
+    val terms = for (b <- 0 until bits; d <- 0 until n)
+      yield s"(((((${exprs(d)}) & $mask) >> $b) & 1) << ${b * n + d})"
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** Cluster `df` on the Morton key of `dims` and write `files`
+    * parquet files: range-partition on zkey (sampled range exchange —
+    * the only shuffle), sort within each range, drop the key. Each
+    * output file then covers a compact z-range, i.e. a bounded bbox in
+    * every interleaved dimension — the file-skipping layout. At 100 TB
+    * `files` scales with the cluster (one task per output file). */
+  def zorderWrite(df: DataFrame, dims: Seq[String], bits: Int,
+                  files: Int, path: String): Unit =
+    df.withColumn("__zkey", zkey(dims.map(col), bits))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+}

@@ -51,10 +51,11 @@ object Similarity {
     * becomes oracle-checkable (s03). Identical statistical quality to
     * the LCG family; one digest per matrix cell, computed once on the
     * driver — the per-row cost is unchanged. */
-  private[graft] def portablePlanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def portablePlanes(nPlanes: Int, dim: Int,
+                                    salt: String = ""): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nPlanes, dim) { (p, d) =>
-      val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = md.digest(s"$salt$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val x = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       x.toDouble / (1L << 60).toDouble * 2.0 - 1.0
     }
@@ -473,5 +474,37 @@ object Similarity {
       .toDF("label", "pos", "e")
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(round(Exact.davg(col("e")), 6).as("c"))
+  }
+
+  /** Dense random projection (Johnson–Lindenstrauss) of the embedding
+    * column to `outDim` dimensions — the standard dimensionality-
+    * reduction front-end for clustering / dedup over very wide
+    * embeddings. The projection matrix is the engine-portable
+    * md5-derived plane family (salt "rp:" — disjoint from the s03 ANN
+    * planes), so an oracle re-derives it bit-for-bit; the whole
+    * outDim × dim product is ONE fused codegen'd loop per row
+    * (plans.MatVecProject). Values are scaled by √(3/outDim) (the
+    * norm-preserving factor for U[-1,1) planes) and rounded 6dp AFTER
+    * scaling; output is
+    * long-form (vec_id, pos, proj) like s02/s05.
+    *
+    * 100 TB shape: embarrassingly parallel — a narrow per-row map, no
+    * shuffle, no driver state beyond the outDim × dim constant matrix
+    * shipped in the codegen references array. */
+  def randomProjection(embeddings: DataFrame, outDim: Int = 16,
+                       dim: Int = 64): DataFrame = {
+    val mat = portablePlanes(outDim, dim, salt = "rp:")
+    // U[-1,1) entries have variance 1/3, so √(3/outDim) (not the
+    // Gaussian 1/√outDim) makes E‖Pv‖² = ‖v‖² — an isometry in
+    // expectation (measured: distance ratios center on 1.0, see spec)
+    val scale = math.sqrt(3.0 / outDim.toDouble)
+    embeddings
+      .select(col("vec_id"),
+        graft.plans.VectorExprs.matVecProject(
+          col("embedding").cast("array<double>"), mat).as("__p"))
+      .select(col("vec_id"), posexplode(col("__p")))
+      .toDF("vec_id", "pos", "p")
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        round(col("p") * scale, 6).as("proj"))
   }
 }

@@ -457,4 +457,46 @@ object TextAnalysis {
             struct(col("pos"), col("line"))))),
           s => s.getField("line")), joinSep).as("clean_text"))
   }
+
+  /** Deterministic global shuffle + shard assignment for training-data
+    * export: shard = md5(id) bucket, seq = the row's ordinal within its
+    * shard under md5-hex order (id tiebreak — md5 collisions on
+    * distinct ids are not a planning assumption). The composition IS a
+    * uniform random permutation of the corpus keyed only on content-
+    * independent ids — reproducible across runs, engines, and
+    * partitionings, with no RNG state (the [[hashSplit]] principle
+    * applied to the export shuffle).
+    *
+    * 100 TB shape: one hash-partition shuffle on the shard key, then a
+    * per-shard sort for the ordinal — each window partition is exactly
+    * one shard, so `shards` is the scale knob: pick it so corpus/shards
+    * fits a task's spill budget (e.g. 10k shards ≈ 10 GB sorted spans
+    * at 100 TB). Writing `.repartition(shards, $"shard")
+    * .sortWithinPartitions("shard","seq")` then gives one
+    * sequentially-ordered output file per shard with no further
+    * movement — see [[exportShards]]. */
+  def shardAssign(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      // first 13 hex chars = 52 bits → exact in a long, never negative
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 13), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Materialize [[shardAssign]] as one parquet file per shard, rows in
+    * seq order within each file (the reproducible-training-order export
+    * layout). Directory-partitioned by shard; the repartition targets
+    * the same key as the window above it, so AQE coalescing aside the
+    * ordinal computation and the write share one shuffle. */
+  def exportShards(df: DataFrame, idCol: String, shards: Int,
+                   path: String): Unit =
+    shardAssign(df, idCol, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "seq")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -26,6 +26,67 @@ object VectorExprs {
   def hyperplaneSigs(vec: Column, planes: Array[Array[Double]],
                      tables: Int, bitsPerTable: Int): Column =
     GraftShim.column(HyperplaneSigs(GraftShim.expression(vec), planes, tables, bitsPerTable))
+  def matVecProject(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftShim.column(MatVecProject(GraftShim.expression(vec), planes))
+}
+
+/** Dense matrix-vector product in ONE fused pass: out[p] = dot(vec,
+  * planes[p]) — the projection kernel of random-projection /
+  * Johnson–Lindenstrauss dimensionality reduction. Same rationale as
+  * [[HyperplaneSigs]]: one expression with the matrix in the codegen
+  * references array keeps the whole outDim × dim loop inside
+  * whole-stage codegen, where outDim separate VecDot trees against
+  * array literals would each re-materialize the plane operand and risk
+  * Janino method-size fallback. Accumulation is left-to-right per
+  * plane, so values are IEEE-deterministic and match any engine that
+  * folds the dot in index order. */
+case class MatVecProject(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(a.numElements(), plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * plane(i); i += 1 }
+      out(p) = acc
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val plane = ctx.freshName("plane")
+      s"""
+         |double[] $out = new double[${planes.length}];
+         |for (int $p = 0; $p < ${planes.length}; $p++) {
+         |  double[] $plane = $mat[$p];
+         |  int $n = java.lang.Math.min($a.numElements(), $plane.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $plane[$i]; }
+         |  $out[$p] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVecProject =
+    copy(child = c)
 }
 
 /** All `tables` random-hyperplane signatures of a vector in ONE pass:

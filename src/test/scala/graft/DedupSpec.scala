@@ -248,4 +248,47 @@ class DedupSpec extends AnyFunSuite {
     assert(broadcastSemi || s.contains("ReusedExchange") || gramShuffles <= 1,
       s"dup filter must broadcast or reuse the gram exchange:\n$s")
   }
+
+  test("sourceOverlap counts shared shingle keys and Jaccard per source pair") {
+    // a/b share the base shingles exactly; c is disjoint
+    val corpus = Seq(
+      (0L, base, "a"), (1L, base, "b"),
+      (2L, "completely different content about spark engines", "c")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(corpus, "text", "source")
+      .as[(String, String, Long, Double)].collect()
+    // only (a, b) overlaps; identical texts -> identical shingle sets
+    assert(got.length == 1)
+    val (sa, sb, n, j) = got.head
+    assert((sa, sb) == (("a", "b")))
+    val nShingles = base.split(" ").length - 2 // distinct 3-grams of base
+    assert(n == nShingles && j == 1.0)
+  }
+
+  test("sourceOverlap drops shingles present in more than maxSources sources") {
+    // one shingle in all 3 sources (boilerplate), plus a 2-source one
+    val corpus = Seq(
+      (0L, "x y z", "a"), (1L, "x y z p q r", "b"), (2L, "x y z", "c")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(corpus, "text", "source", maxSources = 2)
+      .as[(String, String, Long, Double)].collect()
+    // "x y z" is in 3 sources -> excluded; nothing else shared
+    assert(got.isEmpty)
+    val loose = Dedup.sourceOverlap(corpus, "text", "source", maxSources = 3)
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // with the cap at 3 the shared key counts in all three pairs
+    assert(loose.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+    // a={xyz}, b={xyz, yzp(...)}: jacc(a,c) over universes 1 and 1 = 1.0
+    assert(loose.find(r => (r._1, r._2) == (("a", "c"))).get._4 == 1.0)
+  }
+
+  test("sourceOverlap plan: pair generation is a key equi-join, no cartesian") {
+    val corpus = Seq((0L, base, "a"), (1L, base, "b")).toDF("doc_id", "text", "source")
+    val df = Dedup.sourceOverlap(corpus, "text", "source")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s"no cartesian allowed:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"no nested loop allowed:\n$s")
+  }
 }

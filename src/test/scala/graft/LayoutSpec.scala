@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zkey interleaves bits exactly (known Morton values)") {
+    // morton(x, y) with x in even positions: (3, 0) -> 0b0101 = 5,
+    // (0, 3) -> 0b1010 = 10, (3, 3) -> 15, (2, 1) -> y1=0,x1=1,y0=1,x0=0 -> 0b0110 = 6
+    val got = Seq((3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+      .select(Layout.zkey(Seq(col("x"), col("y")), 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(5L, 10L, 15L, 6L))
+    // values beyond `bits` are masked, not shifted into high positions
+    val masked = Seq((7L, 4L)).toDF("x", "y")
+      .select(Layout.zkey(Seq(col("x"), col("y")), 2).as("z"))
+      .as[Long].head()
+    assert(masked == 5L) // 7 & 3 = 3, 4 & 3 = 0 -> morton(3, 0)
+  }
+
+  test("zkey and zkeySql agree on random inputs") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df = rows.toDF("x", "y")
+    df.createOrReplaceTempView("zt")
+    val viaColumn = df.select(Layout.zkey(Seq(col("x"), col("y")), 16).as("z"))
+      .as[Long].collect().toSeq
+    // zkeySql is ANSI bit arithmetic — Spark SQL runs it too
+    val viaSql = spark.sql(
+      s"SELECT ${Layout.zkeySql(Seq("x", "y"), 16)} AS z FROM zt")
+      .as[Long].collect().toSeq
+    assert(viaColumn == viaSql)
+  }
+
+  test("zorderWrite bounds the non-leading dimension a plain sort leaves open") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val df = rows.toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_s").toString
+    Layout.zorderWrite(df, Seq("x", "y"), bits = 10, files = 64, zDir)
+    // the comparison layout: same file count, sorted on x only
+    df.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sDir)
+
+    // per-file min/max spans — exactly the parquet footer statistics a
+    // scan's file-skipping consults
+    def meanSpans(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y"))
+          .as[(Long, Long, Long, Long)].head()
+        ((r._2 - r._1 + 1).toDouble, (r._4 - r._3 + 1).toDouble)
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val (zx, zy) = meanSpans(zDir)
+    val (sx, sy) = meanSpans(sDir)
+    // x-sorted: x razor thin but y unconstrained -> no pruning for
+    // y predicates. z-order: BOTH dims bounded (~128-256 tile sides),
+    // so min/max skipping works for either predicate column.
+    assert(sy > 1000.0, s"x-sorted layout should leave y open, got $sy")
+    assert(zy < sy / 2.0, s"z-order must bound y: z=$zy sorted=$sy")
+    assert(zx < 1024.0 / 2.0, s"z-order must keep x bounded too: $zx")
+    // and the layout holds exactly the same rows
+    assert(spark.read.parquet(zDir).count() == 20000)
+  }
+}

@@ -121,4 +121,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0L) && out(10L))
     assert(!out(1L) && !out(2L) && !out(11L))
   }
+
+  test("randomProjection matches a per-dim dot against the same plane family") {
+    import spark.implicits._
+    val emb = Seq((0L, Array.fill(64)(0.5f), 0), (1L, Array.tabulate(64)(_.toFloat / 64f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.randomProjection(emb, outDim = 4, dim = 64)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.size == 8)
+    // re-derive plane 0..3 on the driver and fold left-to-right
+    val planes = graft.operators.Similarity.portablePlanes(4, 64, salt = "rp:")
+    val vecs = Map(0L -> Array.fill(64)(0.5f.toDouble),
+      1L -> Array.tabulate(64)(_.toDouble / 64f.toDouble))
+    for (((id, p), v) <- got) {
+      var acc = 0.0
+      for (d <- 0 until 64) acc += vecs(id)(d) * planes(p.toInt)(d)
+      val want = BigDecimal(acc * math.sqrt(3.0 / 4.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(v - want) < 1e-12, s"($id,$p): got $v want $want")
+    }
+  }
+
+  test("randomProjection roughly preserves pairwise distance ratios (J-L)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(20)(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), 0))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val proj = graft.operators.Similarity.randomProjection(emb, outDim = 16, dim = 64)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3) }
+    val orig = vecs.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // distortion bounded for the bulk of pairs (16 dims is coarse; J-L
+    // guarantees concentration around 1.0, not a hard bound at this
+    // dim count)
+    val ratios = for {
+      i <- 0L until 20L; j <- (i + 1) until 20L
+    } yield d2(proj(i).toArray, proj(j).toArray) / d2(orig(i), orig(j))
+    val within = ratios.count(r => r > 0.45 && r < 2.2)
+    assert(within >= ratios.size * 8 / 10, s"only $within/${ratios.size} within band")
+  }
+
+  test("randomProjection plan has no shuffle") {
+    import spark.implicits._
+    val emb = Seq((0L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+    val s = graft.operators.Similarity.randomProjection(emb, 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s"projection must be map-only:\n$s")
+  }
 }

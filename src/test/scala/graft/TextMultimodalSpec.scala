@@ -446,4 +446,35 @@ class TextMultimodalSpec extends AnyFunSuite {
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
     assert(re == got)
   }
+
+  test("shardAssign is a partitioning-independent permutation with dense per-shard ordinals") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = TextAnalysis.shardAssign(docs, "doc_id", shards = 4)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).distinct.length == 200) // every doc exactly once
+    assert(got.forall(r => r._2 >= 0 && r._2 < 4))
+    for ((_, rs) <- got.groupBy(_._2)) // seq dense 1..n within each shard
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    // content-independent determinism: same assignment regardless of
+    // input partitioning
+    val re = TextAnalysis.shardAssign(docs.repartition(13), "doc_id", 4)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  test("exportShards writes one seq-ordered file tree per shard") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    TextAnalysis.exportShards(docs, "doc_id", shards = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    // directory partitioning: shard is a partition column with 4 values
+    assert(back.select("shard").distinct().count() == 4)
+    // rows within each shard's files come back in seq order
+    for (sh <- 0 until 4) {
+      val seqs = spark.read.parquet(s"$dir/shard=$sh")
+        .select("seq").as[Long].collect()
+      assert(seqs.toSeq == seqs.sorted.toSeq, s"shard $sh not seq-ordered")
+    }
+  }
 }
