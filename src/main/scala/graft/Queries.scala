@@ -2359,6 +2359,62 @@ object Queries {
           .as("approx_ok"))
   }
 
+  /** Snapshot diff (CDC reconciliation): per-customer order stats for
+    * 1994 vs 1995, FULL OUTER joined on the key, each row classified
+    * added/removed/changed/same — the reconcile-two-table-states verb.
+    * Scale shape: two map-side-combined aggregates, one shuffle join on
+    * the shared key (AQE-planned); no driver state. */
+  val q66 = q("q66_snapshot_diff",
+    """WITH a AS (SELECT o_custkey, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      | FROM orders WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00' GROUP BY o_custkey),
+      |b AS (SELECT o_custkey, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      | FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey)
+      |SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+      | COALESCE(a.n, 0) AS n_old, COALESCE(b.n, 0) AS n_new,
+      | CASE WHEN a.o_custkey IS NULL THEN 'added'
+      |      WHEN b.o_custkey IS NULL THEN 'removed'
+      |      WHEN a.n <> b.n OR a.total <> b.total THEN 'changed'
+      |      ELSE 'same' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin) { (s, dir) =>
+    def snap(lo: String, hi: String) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), dsumM(col("o_totalprice")).as("total"))
+    val a = snap("1994-01-01", "1995-01-01")
+      .select(col("o_custkey").as("ck_a"), col("n").as("n_a"), col("total").as("t_a"))
+    val b = snap("1995-01-01", "1996-01-01")
+      .select(col("o_custkey").as("ck_b"), col("n").as("n_b"), col("total").as("t_b"))
+    a.join(b, col("ck_a") === col("ck_b"), "full")
+      .select(coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("n_a"), lit(0L)).as("n_old"),
+        coalesce(col("n_b"), lit(0L)).as("n_new"),
+        when(col("ck_a").isNull, "added")
+          .when(col("ck_b").isNull, "removed")
+          .when(col("n_a") =!= col("n_b") || col("t_a") =!= col("t_b"), "changed")
+          .otherwise("same").as("status"))
+  }
+
+  /** Exact grouped percentiles (25/50/75 of l_quantity per returnflag)
+    * — the exact-quantile verb; the integer domain + exact-binary
+    * interpolation fractions keep both engines bit-identical. At 100 TB
+    * the GK sketch (q59) is the scale path; this is the exact
+    * verification twin (percentile buffers per-group values). */
+  val q67 = q("q67_exact_percentiles",
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.25) AS p25,
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+  }
+
   /** Z-order layout stats: Morton-interleave (l_partkey, l_suppkey) at
     * 16 bits each, bucket on the key's top 10 bits, and report each
     * z-tile's row count + per-dimension bbox. Verifies the interleave
@@ -2389,7 +2445,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65,
+    q61, q62, q63, q64, q65, q66, q67,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,

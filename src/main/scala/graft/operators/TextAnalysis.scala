@@ -458,6 +458,24 @@ object TextAnalysis {
           s => s.getField("line")), joinSep).as("clean_text"))
   }
 
+  /** Compression-ratio quality signal (Gopher/RefinedWeb family):
+    * deflate(utf8(text)) size over raw size. Repetitive/boilerplate
+    * text lands well under natural prose (~0.4-0.7); machine-generated
+    * repetition approaches 0. One CPU-bound pass, no shuffle; zlib has
+    * no SQL spelling so this is ScalaTest-verified (no DuckDB oracle).
+    * `keep` applies the standard band gate: too-compressible is
+    * boilerplate, incompressible is noise/binary-ish. */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
+                       minRatio: Double = 0.25,
+                       maxRatio: Double = 1.1): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        octet_length(col(textCol)).cast("long").as("n_raw"),
+        graft.plans.CompressExprs.deflateSize(col(textCol)).as("n_deflate"))
+      .withColumn("ratio",
+        when(col("n_raw") === 0L, lit(1.0))
+          .otherwise(round(col("n_deflate").cast("double") / col("n_raw"), 6)))
+      .withColumn("keep", col("ratio") >= minRatio && col("ratio") <= maxRatio)
+
   /** Deterministic global shuffle + shard assignment for training-data
     * export: shard = md5(id) bucket, seq = the row's ordinal within its
     * shard under md5-hex order (id tiebreak — md5 collisions on

@@ -462,6 +462,30 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(re.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("compressionRatio separates repetitive from natural from random text") {
+    val rnd = new scala.util.Random(5)
+    val natural = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across a wide field looking for interesting things to eat " +
+      "while birds circle overhead in the warm afternoon sunlight"
+    val docs = Seq(
+      (0L, "spam " * 400),                                    // repetitive
+      (1L, natural),                                          // prose
+      (2L, Seq.fill(600)(rnd.nextPrintableChar()).mkString),  // near-random
+      (3L, "")                                                // empty edge
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .select("doc_id", "n_raw", "ratio", "keep")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._3 < 0.05 && !got(0L)._4)      // boilerplate: gated out
+    assert(got(1L)._3 > 0.25 && got(1L)._3 < 0.8 && got(1L)._4)
+    assert(got(2L)._3 > 0.8 && got(2L)._4)        // random stays under 1.1
+    assert(got(3L)._2 == 0L && got(3L)._3 == 1.0) // empty: defined, kept
+    // deterministic across partitionings (thread-local deflaters)
+    val re = TextAnalysis.compressionRatio(docs.repartition(5), "doc_id", "text")
+      .select("doc_id", "ratio").as[(Long, Double)].collect().toMap
+    assert(re == got.view.mapValues(_._3).toMap)
+  }
+
   test("exportShards writes one seq-ordered file tree per shard") {
     val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
