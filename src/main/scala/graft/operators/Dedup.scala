@@ -483,11 +483,16 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
                     shingleN: Int = 3, maxSources: Int = 16): DataFrame = {
     require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
+    // materialize the distinct universe ONCE (the d03 localCheckpoint
+    // discipline): it feeds the cap, both pair sides, and both totals —
+    // recomputing the explode+distinct per consumer made d12 the
+    // second-slowest bench query (4 document scans; 2.08 s -> this)
     val keys = docs
       .select(col(srcCol).as("src"),
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
       .select(col("src"), substring(md5(col("sh")), 1, 16).as("gkey"))
       .distinct()
+      .localCheckpoint(false)
     // (src, gkey) is distinct, so a plain count per key IS the number
     // of sources carrying the key
     val capped = keys.groupBy("gkey")
@@ -495,6 +500,7 @@ object Dedup {
       .where(col("nsrc") <= maxSources)
       .select("gkey")
     val u = keys.join(capped, Seq("gkey"), "left_semi")
+      .localCheckpoint(false)
     val totals = u.groupBy("src").agg(count(lit(1)).as("total"))
     val pairs = u.select(col("gkey"), col("src").as("src_a"))
       .join(u.select(col("gkey"), col("src").as("src_b")), Seq("gkey"))

@@ -196,6 +196,53 @@ object Multimodal {
         }
       }
 
+    /** Real animated-GIF decode (pure JDK: ImageIO's GIF reader walks
+      * every image in the stream): n_frames = actual frame count,
+      * brightness = mean luma over all decoded frames. Static (1-frame)
+      * GIFs return None so the image path keeps owning them; a
+      * non-GIF payload returns None on the magic check. GIF is the one
+      * multi-frame format the JDK decodes natively end-to-end, so the
+      * video chain gets a full-fidelity tier that needs no external
+      * codec. */
+    def decodeGifVideo(f: MediaFile): Option[MediaFeatures] = {
+      val b = f.payload
+      if (b.length < 6 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 1) return None
+          var lumaSum = 0L; var pixels = 0L
+          var w = 0; var h = 0
+          var i = 0
+          while (i < n) {
+            val img = r.read(i)
+            if (i == 0) { w = img.getWidth; h = img.getHeight }
+            val iw = img.getWidth; val ih = img.getHeight
+            val row = new Array[Int](iw)
+            var y = 0
+            while (y < ih) {
+              img.getRGB(0, y, iw, 1, row, 0, iw)
+              var x = 0
+              while (x < iw) { lumaSum += luma(row(x)); x += 1 }
+              y += 1
+            }
+            pixels += iw.toLong * ih
+            i += 1
+          }
+          if (pixels == 0L) None
+          else Some(MediaFeatures(f.media_id, f.kind, b.length.toLong,
+            sha256(b), w, h, n,
+            math.rint(lumaSum.toDouble / pixels / 255.0 * 1e6) / 1e6))
+        } finally r.dispose()
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
     /** Sampled MJPEG-in-AVI frames decoded to native-size luma grids —
       * the frame-sampling analogue of [[decodeAviVideo]], same
       * all-or-nothing rule over the SAMPLED chunks. */
@@ -216,7 +263,8 @@ object Multimodal {
       * one total function per partition, robust to mixed corpora.
       * Video, in decreasing fidelity: full Y4M decode (frames + luma),
       * else MJPEG-in-AVI pixel decode (frames + luma via per-chunk
-      * JPEG), else real AVI header METADATA (width/height/frame count
+      * JPEG), else animated-GIF pixel decode (ImageIO multi-image
+      * walk), else real AVI header METADATA (width/height/frame count
       * from the RIFF avih chunk — frame pixels stay compressed in a
       * codec the JDK lacks, so brightness reports 0.0), else real MP4
       * box-parse METADATA ([[Mp4]]: tkhd dims + stts frame count, same
@@ -226,6 +274,7 @@ object Multimodal {
       case "audio" => decodeAudio(f)
       case "video" => decodeVideo(f)
         .orElse(decodeAviVideo(f))
+        .orElse(decodeGifVideo(f))
         .orElse(Avi.info(f.payload).map { a =>
           MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
             sha256(f.payload), a.width, a.height, a.totalFrames, 0.0)

@@ -65,6 +65,25 @@ object CorpusStream {
       graft.operators.Dedup.keepOneByContent(fresh, "doc_id", col("fp"))
   }
 
+  /** [[prepare]] with pipeline observability: CollectMetrics nodes
+    * before and after the gate/dedup stages count rows and input bytes
+    * INSIDE the existing pass — no second scan, no action, no state.
+    * Streaming: per-batch numbers arrive in every
+    * `StreamingQueryProgress.observedMetrics` under "corpus_in" /
+    * "corpus_out" (the ingest-health dashboard feed: dedup ratio, gate
+    * drop rate, byte throughput). Batch: the same names surface in
+    * `df.queryExecution.observedMetrics` after any action. At 100 TB
+    * this is the difference between monitoring ingestion and re-running
+    * three count() jobs over it. */
+  def prepareObserved(docs: DataFrame, watermark: String = "10 minutes",
+                      knownKeys: Option[DataFrame] = None): DataFrame =
+    prepare(
+      docs.observe("corpus_in",
+        count(lit(1)).as("n_in"),
+        sum(octet_length(col("text")).cast("long")).as("bytes_in")),
+      watermark, knownKeys)
+      .observe("corpus_out", count(lit(1)).as("n_out"))
+
   /** Run the ingestion end-to-end: lines → prepare → partitioned
     * parquet append (by lang, the downstream mix/filter key). Uses the
     * NATIVE parquet streaming sink, which is exactly-once by itself:

@@ -77,4 +77,42 @@ class CorpusStreamSpec extends AnyFunSuite {
     val got = CorpusStream.prepare(docs).select("doc_id").as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("prepareObserved surfaces per-batch gate metrics in streaming progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = CorpusStream.prepareObserved(
+        CorpusStream.parseDocs(input.toDF()), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("obs_corpus")
+      .outputMode("append").trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    input.addData(doc(1, longText, "en", 0))
+    input.addData(doc(2, "too short", "en", 10))
+    input.addData(doc(3, longText, "en", 20)) // dup of 1
+    q.processAllAvailable()
+    // walk recentProgress: batches may be split arbitrarily, totals hold
+    val (nIn, nOut) = q.recentProgress.foldLeft((0L, 0L)) { (acc, p) =>
+      val in = Option(p.observedMetrics.get("corpus_in"))
+      val out = Option(p.observedMetrics.get("corpus_out"))
+      (acc._1 + in.map(_.getLong(0)).getOrElse(0L),
+        acc._2 + out.map(_.getLong(0)).getOrElse(0L))
+    }
+    q.stop()
+    assert(nIn == 3L, s"3 docs entered, observed $nIn")
+    assert(nOut == 1L, s"1 doc survived gate+dedup, observed $nOut")
+  }
+
+  test("prepareObserved surfaces the same metrics on a batch frame") {
+    val docs = Seq(
+      (1L, longText, "en"), (2L, "too short", "en"), (3L, longText, "en")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2025-01-01 10:00:00")))
+    val out = CorpusStream.prepareObserved(docs)
+    out.collect() // any action populates observedMetrics
+    val m = out.queryExecution.observedMetrics
+    assert(m("corpus_in").getAs[Long]("n_in") == 3L)
+    assert(m("corpus_in").getAs[Long]("bytes_in") > 0L)
+    assert(m("corpus_out").getAs[Long]("n_out") == 1L)
+  }
 }

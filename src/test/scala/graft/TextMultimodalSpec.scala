@@ -215,6 +215,37 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.JvmCodec.decode(withParams).n_frames == 2)
   }
 
+  test("JvmCodec decodes animated GIF frame count and exact mean luma") {
+    // build a real 3-frame animated GIF with the JDK's own GIF writer
+    def grayFrame(v: Int, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    Seq(50, 100, 150).foreach(v =>
+      w.writeToSequence(new javax.imageio.IIOImage(grayFrame(v, 6, 4), null, null), null))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val feats = Multimodal.JvmCodec.decode(Multimodal.MediaFile(21L, "video", gif))
+    assert(feats.width == 6 && feats.height == 4 && feats.n_frames == 3)
+    // GIF palettes are lossless for gray fills: mean luma = (50+100+150)/3
+    assert(feats.brightness == math.rint(100.0 / 255.0 * 1e6) / 1e6)
+    // a single-frame GIF under kind "video" is NOT claimed by the
+    // animated tier (image semantics); it falls through to the stub
+    val bos1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grayFrame(80, 3, 3), "gif", bos1)
+    assert(Multimodal.JvmCodec.decodeGifVideo(
+      Multimodal.MediaFile(22L, "video", bos1.toByteArray)).isEmpty)
+  }
+
   test("Y4M chroma planes ceil-divide on odd dimensions") {
     val clip = y4mClip(5, 3, 2, _ => 1)
     val Some((info, offs)) = Multimodal.Y4M.frameOffsets(clip)
