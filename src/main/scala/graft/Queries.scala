@@ -2415,6 +2415,34 @@ object Queries {
         expr("percentile(l_quantity, 0.75)").as("p75"))
   }
 
+  /** Time-series gap fill + forward fill (Relational.gapFill): densify
+    * each user's event series to a 600 s grid over its own span, carry
+    * the last per-minute mean forward into generated gaps — the
+    * missing-bars repair upstream of every rolling metric. Buckets
+    * compare as epoch seconds (BIGINT) to keep the oracle free of
+    * timestamp-representation drift. */
+  val q68 = q("q68_gap_fill",
+    """WITH pb AS (SELECT user_id,
+      |  CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(value), 6) AS v
+      | FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+      | FROM pb GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 600)) AS bucket_s
+      | FROM span)
+      |SELECT g.user_id, g.bucket_s,
+      | last_value(pb.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |   ORDER BY g.bucket_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      | pb.v IS NOT NULL AS observed
+      |FROM grid g LEFT JOIN pb
+      |  ON pb.user_id = g.user_id AND pb.bucket_s = g.bucket_s""".stripMargin) { (s, dir) =>
+    Relational.gapFill(Tables.events(s, dir), Seq("user_id"), "ts",
+        round(davg(col("value")), 6), stepSeconds = 600)
+      .select(col("user_id"),
+        unix_timestamp(col("bucket")).cast("long").as("bucket_s"),
+        col("value"), col("observed"))
+  }
+
   /** Z-order layout stats: Morton-interleave (l_partkey, l_suppkey) at
     * 16 bits each, bucket on the key's top 10 bits, and report each
     * z-tile's row count + per-dimension bbox. Verifies the interleave
@@ -2445,7 +2473,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67,
+    q61, q62, q63, q64, q65, q66, q67, q68,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,

@@ -54,4 +54,29 @@ class RelationalSpec extends AnyFunSuite {
       .select("k", "ts").as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("a", 2L), ("a", 4L), ("c", 1L)))
   }
+
+  test("gapFill densifies per-key grids and carries values forward") {
+    val df = Seq(
+      // user a: observations at minutes 0, 3 (gap at 1, 2), two rows in min 0
+      ("a", "2024-01-01 10:00:05", 10.0),
+      ("a", "2024-01-01 10:00:45", 20.0),
+      ("a", "2024-01-01 10:03:10", 40.0),
+      // user b: single observation -> single-row grid
+      ("b", "2024-01-01 11:00:00", 7.0)
+    ).toDF("k", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Relational.gapFill(df, Seq("k"), "ts",
+        round(avg(col("value")), 6), stepSeconds = 60)
+      .select(col("k"), unix_timestamp(col("bucket")).as("b"),
+        col("value"), col("observed"))
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(got.size == 5) // a: 4 buckets, b: 1
+    assert(got(("a", t0)) == ((15.0, true)))        // in-bucket mean
+    assert(got(("a", t0 + 60)) == ((15.0, false)))  // filled
+    assert(got(("a", t0 + 120)) == ((15.0, false))) // filled
+    assert(got(("a", t0 + 180)) == ((40.0, true)))
+    assert(got.exists { case ((k, _), (v, o)) => k == "b" && v == 7.0 && o })
+  }
 }
