@@ -45,7 +45,10 @@ object EdgeRunner {
     webhook: Option[String] = None,
     timeoutSec: Option[Long] = None,  // stream mode: stop after N seconds
     known: String = "",               // dedup mode: known-corpus parquet dir
-    knownKeys: String = "")           // dedup mode: persisted key-table dir
+    knownKeys: String = "",           // dedup mode: persisted key-table dir
+    dims: Seq[String] = Nil,          // zorder mode: columns to interleave
+    bits: Int = 16,                   // zorder mode: bits per dimension
+    files: Int = 64)                  // zorder mode: output file count
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -57,8 +60,8 @@ object EdgeRunner {
       k -> v
     }.toMap
     val mode = kv.getOrElse("--mode",
-      sys.error("--mode batch|stream|meta|corpus|dedup is required"))
-    require(Set("batch", "stream", "meta", "corpus", "dedup")(mode),
+      sys.error("--mode batch|stream|meta|corpus|dedup|zorder is required"))
+    require(Set("batch", "stream", "meta", "corpus", "dedup", "zorder")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -72,7 +75,10 @@ object EdgeRunner {
       webhook = kv.get("--webhook"),
       timeoutSec = kv.get("--timeout-sec").map(_.toLong),
       known = kv.getOrElse("--known", ""),
-      knownKeys = kv.getOrElse("--known-keys", ""))
+      knownKeys = kv.getOrElse("--known-keys", ""),
+      dims = kv.get("--dims").map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
+      bits = kv.get("--bits").map(_.toInt).getOrElse(16),
+      files = kv.get("--files").map(_.toInt).getOrElse(64))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -222,6 +228,23 @@ object EdgeRunner {
     case "dedup"  => println(s"[edge] corpus_docs rows kept: ${runDedup(spark, cfg)}")
     case "stream" => await(startStream(spark, cfg), cfg.timeoutSec)
     case "corpus" => await(startCorpus(spark, cfg), cfg.timeoutSec)
+    case "zorder" => println(s"[edge] zorder files written: ${runZorder(spark, cfg)}")
+  }
+
+  /** `--mode zorder`: OPTIMIZE-ZORDER for a parquet table — read
+    * `--in file:/dir`, cluster on the Morton key of `--dims` (see
+    * operators.Layout), write `--files` parquet files to --out. The
+    * offline layout pass a 100 TB lakehouse schedules after ingest so
+    * min/max file skipping works on every listed dimension. */
+  private def runZorder(spark: SparkSession, cfg: Config): Long = {
+    require(cfg.in.startsWith("file:"), "zorder mode requires --in file:/dir")
+    require(cfg.out.nonEmpty && cfg.dims.size >= 2,
+      "zorder mode requires --out and --dims c1,c2[,c3[,c4]]")
+    graft.operators.Layout.zorderWrite(
+      spark.read.parquet(cfg.in.stripPrefix("file:")),
+      cfg.dims, cfg.bits, cfg.files, cfg.out)
+    new java.io.File(cfg.out).listFiles()
+      .count(f => f.getName.endsWith(".parquet")).toLong
   }
 
   def main(args: Array[String]): Unit = {

@@ -187,6 +187,34 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(bars.count() > afterFirst, "restart must process the new file")
   }
 
+  test("--mode zorder clusters a parquet table on the Morton key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val in = java.nio.file.Files.createTempDirectory("z_in").toString
+    val out = java.nio.file.Files.createTempDirectory("z_out").toString
+    Seq.fill(5000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("x", "y").write.mode("overwrite").parquet(in)
+    EdgeRunner.run(spark, EdgeRunner.parse(Array(
+      "--mode", "zorder", "--in", s"file:$in", "--out", out,
+      "--dims", "x,y", "--bits", "8", "--files", "8")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5000)
+    assert(back.columns.toSet == Set("x", "y")) // zkey dropped from output
+    // every output file holds a bounded bbox in BOTH dims
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 8)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min("y"),
+          org.apache.spark.sql.functions.max("y"))
+        .as[(Long, Long)].head()
+      r._2 - r._1
+    }
+    assert(spans.map(_.toDouble).sum / spans.length < 200.0,
+      s"z-ordered y-spans must be bounded, got ${spans.toSeq}")
+  }
+
   test("parse rejects bad modes and missing inputs") {
     intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "nope", "--in", "x")))
     intercept[RuntimeException](EdgeRunner.parse(Array("--mode", "batch")))
