@@ -261,7 +261,26 @@ object ScaleSmoke {
       linear("contrastive_pairs", "vecs", n =>
         Similarity.contrastivePairs(
           embOf(n).filter(col("id") < 16), embOf(n).filter(col("id") >= 16),
-          k = 4, negLo = 0.1, negHi = 0.35))
+          k = 4, negLo = 0.1, negHi = 0.35)) ++
+      linear("source_overlap", "docs", n =>
+        Dedup.sourceOverlap(
+          docsOf(n).withColumn("source",
+            pmod(xxhash64(col("doc_id"), lit(11)), lit(20L)).cast("string")),
+          "text", "source")) ++
+      linear("substring_dedup", "docs", n =>
+        Dedup.substringDupStats(docsOf(n), "doc_id", "text", k = 8)) ++
+      linear("shard_assign", "docs", n =>
+        TextAnalysis.shardAssign(docsOf(n), "doc_id", shards = 64)) ++
+      linear("compression_ratio", "docs", n =>
+        TextAnalysis.compressionRatio(docsOf(n), "doc_id", "text")) ++
+      linear("random_projection", "vecs", n =>
+        Similarity.randomProjection(
+          embOf(n).select(col("id").as("vec_id"), col("vec").as("embedding")),
+          outDim = 16, dim = 64)) ++
+      linear("zorder_key", "rows", n =>
+        spark.range(n).select(graft.operators.Layout.zkey(
+          Seq(pmod(xxhash64(col("id")), lit(65536L)),
+            pmod(xxhash64(col("id"), lit(1)), lit(65536L))), 16).as("z")))
 
     // --- skew stress: one hot key owning ~30% of rows ----------------
     // The uniform generators above never create a straggler; this

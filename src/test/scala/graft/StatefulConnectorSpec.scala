@@ -38,6 +38,37 @@ class StatefulConnectorSpec extends AnyFunSuite {
     assert(last.last_close == 13.0)
   }
 
+  test("idleSessions emits a closed session on event-time timeout and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Bar]
+    val q = StatefulMetrics.idleSessions(input.toDS(), gapMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("idle_sessions_test")
+      .start()
+    // session A: two bars 10 s apart (away from t=0 — a row AT the
+    // initial watermark would be dropped as late)
+    input.addData(
+      Bar("A", 10, 12, 9, 11, 100.0, new Timestamp(1000000L)),
+      Bar("A", 11, 13, 10, 12, 50.0, new Timestamp(1010000L)))
+    q.processAllAvailable()
+    // nothing closed yet: watermark hasn't passed A.last + gap
+    assert(spark.table("idle_sessions_test").count() == 0)
+    // a much later bar on another key advances the watermark past
+    // A's timeout (1010 s + 60 s) -> A's session closes and its state
+    // slot is removed; B stays open
+    input.addData(Bar("B", 20, 21, 19, 20, 10.0, new Timestamp(2000000L)))
+    q.processAllAvailable()
+    input.addData(Bar("B", 20, 21, 19, 20, 5.0, new Timestamp(2001000L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("idle_sessions_test")
+      .as[StatefulMetrics.ClosedSession].collect()
+    assert(rows.length == 1, s"exactly A's session must close, got ${rows.toSeq}")
+    val a = rows.head
+    assert(a.symbol == "A" && a.n_bars == 2 && a.volume == 150.0)
+    assert(a.first_ms == 1000000L && a.last_ms == 1010000L)
+  }
+
   test("csv connector reads header file with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val f = new java.io.File(dir, "companies.csv")
