@@ -69,6 +69,46 @@ class StatefulConnectorSpec extends AnyFunSuite {
     assert(a.first_ms == 1000000L && a.last_ms == 1010000L)
   }
 
+  test("transformWithState TTL dedup suppresses re-posts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val savedProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.TtlState.RocksDbProvider)
+    try {
+      val input = MemoryStream[(Long, String)]
+      val deduped = graft.streaming.TtlState.dedupByKeyTtl(
+        input.toDS(), (r: (Long, String)) => r._2,
+        java.time.Duration.ofMinutes(10))
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName("ttl_dedup_test").start()
+      // ProcessingTime mode runs continuous housekeeping batches for the
+      // TTL clock, so processAllAvailable never quiesces — poll the sink
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.table("ttl_dedup_test").count() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      }
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // in-batch dup
+      awaitRows(2)
+      input.addData((4L, "alpha"), (5L, "gamma"))               // cross-batch dup
+      awaitRows(3)
+      Thread.sleep(500) // settle: a late duplicate emission would land here
+      q.stop()
+      val rows = spark.table("ttl_dedup_test")
+        .as[(Long, String)].collect().sortBy(_._1)
+      // first arrival per key inside the TTL horizon, nothing else
+      assert(rows.map(_._2).toSeq == Seq("alpha", "beta", "gamma"),
+        s"got ${rows.toSeq}")
+      assert(rows.map(_._1).toSeq == Seq(1L, 2L, 5L))
+    } finally savedProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("csv connector reads header file with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val f = new java.io.File(dir, "companies.csv")
