@@ -2397,22 +2397,33 @@ object Queries {
           .otherwise("same").as("status"))
   }
 
-  /** Exact grouped percentiles (25/50/75 of l_quantity per returnflag)
-    * — the exact-quantile verb; the integer domain + exact-binary
-    * interpolation fractions keep both engines bit-identical. At 100 TB
-    * the GK sketch (q59) is the scale path; this is the exact
-    * verification twin (percentile buffers per-group values). */
-  val q67 = q("q67_exact_percentiles",
-    """SELECT l_returnflag,
-      | quantile_cont(l_quantity, 0.25) AS p25,
-      | quantile_cont(l_quantity, 0.5) AS p50,
-      | quantile_cont(l_quantity, 0.75) AS p75
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
-        expr("percentile(l_quantity, 0.5)").as("p50"),
-        expr("percentile(l_quantity, 0.75)").as("p75"))
+  /** Rank-function family (dense_rank / percent_rank / cume_dist /
+    * ntile) — the remaining window verbs W1's row_number doesn't cover.
+    * The rank trio orders on l_quantity ALONE: their values are
+    * tie-deterministic (they depend on key comparisons, not physical
+    * order), so this also pins cross-engine tie semantics. ntile is
+    * NOT tie-deterministic, so it gets the unique full ordering. */
+  val q67 = q("q67_rank_functions",
+    """SELECT l_orderkey, l_linenumber,
+      | CAST(dense_rank() OVER wq AS BIGINT) AS drnk,
+      | round(percent_rank() OVER wq, 6) AS prnk,
+      | round(cume_dist() OVER wq, 6) AS cd,
+      | CAST(ntile(4) OVER wu AS BIGINT) AS quartile
+      |FROM lineitem
+      |WINDOW wq AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+      |       wu AS (PARTITION BY l_returnflag
+      |              ORDER BY l_quantity, l_orderkey, l_linenumber)""".stripMargin) { (s, dir) =>
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_quantity")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      dense_rank().over(wq).cast("long").as("drnk"),
+      round(percent_rank().over(wq), 6).as("prnk"),
+      round(cume_dist().over(wq), 6).as("cd"),
+      ntile(4).over(wu).cast("long").as("quartile"))
   }
 
   /** Time-series gap fill + forward fill (Relational.gapFill): densify

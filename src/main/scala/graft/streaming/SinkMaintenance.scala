@@ -71,7 +71,8 @@ object SinkMaintenance {
     * cleaned. Call it every K batches or from a scheduler — partition
     * count then stays O(minBatches) over the stream's lifetime instead
     * of O(triggers). */
-  def compact(spark: SparkSession, dir: String, minBatches: Int = 8): Unit = {
+  def compact(spark: SparkSession, dir: String, minBatches: Int = 8,
+              clusterBy: Seq[String] = Nil, clusterBits: Int = 16): Unit = {
     val (fs, root) = fsFor(spark, dir)
     def drop(id: Long): Unit = { fs.delete(new Path(root, s"batch_id=$id"), true); () }
     val ids = partitionIds(fs, root)
@@ -90,7 +91,26 @@ object SinkMaintenance {
         .map(id => s"$dir/batch_id=$id")
       val merged = spark.read.option("basePath", dir).parquet(srcPaths: _*)
         .withColumn("batch_id", lit(target))
-      Connectors.overwritePartitions(merged, dir, Seq("batch_id", "symbol"))
+      // Optional layout pass piggy-backed on the fold (the compaction
+      // is the one moment the sink's rows are rewritten anyway): rows
+      // are range-partitioned and sorted on (symbol, cluster key) —
+      // Morton zkey for 2+ columns (operators.Layout), plain order for
+      // one — so each compacted file covers a DISJOINT cluster-key
+      // range with narrow min/max stats on every cluster column (the
+      // zorderWrite layout). Costs one range exchange of the fold,
+      // only when clustering is requested.
+      def layout(key: org.apache.spark.sql.Column) = merged
+        .withColumn("__ck", key)
+        .repartitionByRange(col("symbol"), col("__ck"))
+        .sortWithinPartitions(col("symbol"), col("__ck"))
+        .drop("__ck")
+      val clustered = clusterBy match {
+        case Nil => merged
+        case one :: Nil => layout(col(one))
+        case many =>
+          layout(graft.operators.Layout.zkey(many.map(col), clusterBits))
+      }
+      Connectors.overwritePartitions(clustered, dir, Seq("batch_id", "symbol"))
     }
     // Deferred deletion: the dirs the new cumulative partition subsumes
     // are NOT removed here — the cleanup sweep at the top of the NEXT

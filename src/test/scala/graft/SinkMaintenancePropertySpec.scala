@@ -46,8 +46,13 @@ class SinkMaintenancePropertySpec extends AnyFunSuite {
               rows.toDF("symbol", "timestamp", "open", "high", "low", "close", "volume"),
               id, out)
           }
-        case 3 =>
-          SinkMaintenance.compact(spark, s"$out/bars", 1 + rnd.nextInt(3))
+        case 3 => // exactness must hold through every clustering flavor
+          SinkMaintenance.compact(spark, s"$out/bars", 1 + rnd.nextInt(3),
+            clusterBy = rnd.nextInt(3) match {
+              case 0 => Nil
+              case 1 => Seq("close")
+              case _ => Seq("close", "volume")
+            })
       }
       if (SinkMaintenance.hasData(spark, s"$out/bars")) {
         val got = SinkMaintenance.read(spark, s"$out/bars")
@@ -70,5 +75,33 @@ class SinkMaintenancePropertySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters:") &&
       """PartitionFilters: \[[^\]]*batch_id""".r.findFirstIn(plan).isDefined,
       s"batch_id must prune partitions, plan was:\n$plan")
+  }
+
+  test("clustered compaction writes the cumulative fold in cluster-key order") {
+    val out = Files.createTempDirectory("graft_sink_cluster").toString
+    val rnd = new scala.util.Random(7)
+    // three batches of shuffled closes
+    (0 until 3).foreach { id =>
+      val rows = (0 until 20).map { i =>
+        ("AAPL", new java.sql.Timestamp(1735732800000L + (id * 20 + i) * 60000L),
+          0.0, 0.0, 0.0, rnd.nextInt(1000).toDouble, 100.0)
+      }
+      MinuteStream.writeBatch(
+        rows.toDF("symbol", "timestamp", "open", "high", "low", "close", "volume"),
+        id.toLong, out)
+    }
+    SinkMaintenance.compact(spark, s"$out/bars", minBatches = 1,
+      clusterBy = Seq("close"))
+    // the cumulative partition exists and its rows come back sorted
+    val cumDir = new java.io.File(s"$out/bars").listFiles()
+      .filter(_.getName.startsWith("batch_id=-")).map(_.getPath)
+    assert(cumDir.nonEmpty, "compaction must produce a cumulative partition")
+    val closes = spark.read.parquet(s"${cumDir.head}/symbol=AAPL")
+      .select("close").as[Double].collect()
+    assert(closes.length >= 40) // ids 0..1 are checkpoint-final at compact time
+    assert(closes.toSeq == closes.sorted.toSeq,
+      "clustered fold must be written in cluster-key order")
+    // and the crash-consistent view still returns every row exactly once
+    assert(SinkMaintenance.read(spark, s"$out/bars").count() == 60)
   }
 }
