@@ -1985,6 +1985,24 @@ object Queries {
     s.sql(q31Sql)
   }
 
+  /** LATERAL correlated subquery (SQL:1999 lateral derived table) —
+    * per-nation top-2 customers by balance, the "for each outer row run
+    * this subquery" verb. Catalyst decorrelates it into a ranked join
+    * (DecorrelateInnerQuery), so the executed plan is the same
+    * window-topk shape as q05 — no nested-loop per-row execution. */
+  private val q69Sql =
+    """SELECT n_name, t.c_custkey, t.c_acctbal, t.rn
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      |  FROM customer WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+  val q69 = q("q69_lateral_topk", q69Sql) { (s, dir) =>
+    Seq("nation", "customer").foreach(t =>
+      Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(q69Sql)
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold on the rounded
     * cosine so both engines make identical inclusion decisions). The
     * registered plan generates candidates from hyperplane-LSH buckets
@@ -2484,7 +2502,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68,
+    q61, q62, q63, q64, q65, q66, q67, q68, q69,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,

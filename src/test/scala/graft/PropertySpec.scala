@@ -145,6 +145,41 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("gapFill equals a sequential densify-and-ffill scan on random series") {
+    val gen = for {
+      events <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(0L, 3000L), Gen.chooseNum(1, 50)))
+      step <- Gen.oneOf(60L, 300L)
+    } yield (events.take(40), step)
+    check("gapFill", Prop.forAll(gen) { case (events, step) =>
+      val df = events.zipWithIndex.map { case ((k, sec, v), i) =>
+        (k, new java.sql.Timestamp(sec * 1000L), v.toDouble) }
+        .toDF("k", "ts", "value")
+      val got = Relational.gapFill(df, Seq("k"), "ts",
+          round(avg(col("value")), 6), step)
+        .select(col("k"), unix_timestamp(col("bucket")).as("b"),
+          col("value"), col("observed"))
+        .as[(Int, Long, Double, Boolean)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      // sequential reference: per key, bucket means on the step grid,
+      // dense range lo..hi, carry last mean forward
+      val naive = events.groupBy(_._1).flatMap { case (k, rs) =>
+        val byBucket = rs.groupBy(r => r._2 / step * step).map { case (b, g) =>
+          b -> BigDecimal(g.map(_._3).sum.toDouble / g.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val lo = byBucket.keys.min; val hi = byBucket.keys.max
+        var lastV = 0.0
+        (lo to hi by step).map { b =>
+          val obs = byBucket.contains(b)
+          if (obs) lastV = byBucket(b)
+          (k, b) -> ((lastV, obs))
+        }
+      }.toMap
+      got == naive
+    }, n = 10)
+  }
+
   test("compact keeps exactly the change-log rows of a sequential scan, nulls included") {
     // random per-key event streams with timestamp TIES (broken by
     // event_id) and NULL values: prev-null vs null must compact away
