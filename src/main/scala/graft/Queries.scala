@@ -2116,6 +2116,61 @@ object Queries {
       emb.filter(col("id") >= 10), k = 4, negLo = 0.1, negHi = 0.35)
   }
 
+  /** One product-quantization subspace's oracle CTE block: the s04
+    * unrolled-Lloyd pattern applied to the slice v[lo:hi] — identical
+    * seed rule (first k by md5(vec_id)), assignment tie-break, exact
+    * decimal centroid means, and empty-cluster carry. */
+  private def pqSubCtes(s: Int, k: Int, subDim: Int): String = {
+    val lo = s * subDim + 1; val hi = (s + 1) * subDim
+    s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cid, v
+       | FROM (SELECT vec_id, v FROM sub$s ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)),
+       |a1_$s AS (SELECT vec_id, v, cid FROM (
+       | SELECT t.vec_id, t.v, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(t.v, c.v), c.cid) AS r
+       | FROM sub$s t, c0_$s c) WHERE r = 1),
+       |u1_$s AS (SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(x) AS cv
+       | FROM (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1_$s)
+       | GROUP BY cid, pos),
+       |c0e_$s AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM c0_$s),
+       |c1_$s AS (SELECT c0e_$s.cid, list(coalesce(u1_$s.cv, c0e_$s.x) ORDER BY c0e_$s.pos) AS v
+       | FROM c0e_$s LEFT JOIN u1_$s ON u1_$s.cid = c0e_$s.cid AND u1_$s.pos = c0e_$s.pos
+       | GROUP BY c0e_$s.cid),
+       |a2_$s AS (SELECT vec_id, v, cid FROM (
+       | SELECT t.vec_id, t.v, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(t.v, c.v), c.cid) AS r
+       | FROM sub$s t, c1_$s c) WHERE r = 1),
+       |u2_$s AS (SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(x) AS cv
+       | FROM (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2_$s)
+       | GROUP BY cid, pos),
+       |c1e_$s AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM c1_$s),
+       |c2_$s AS (SELECT c1e_$s.cid, list(coalesce(u2_$s.cv, c1e_$s.x) ORDER BY c1e_$s.pos) AS v
+       | FROM c1e_$s LEFT JOIN u2_$s ON u2_$s.cid = c1e_$s.cid AND u2_$s.pos = c1e_$s.pos
+       | GROUP BY c1e_$s.cid),
+       |af_$s AS (SELECT vec_id, CAST($s AS BIGINT) AS subspace, cid AS code FROM (
+       | SELECT t.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(t.v, c.v), c.cid) AS r
+       | FROM sub$s t, c2_$s c) WHERE r = 1)""".stripMargin
+  }
+
+  /** Product quantization, fully oracle-checked: four independent
+    * 16-d subspace codebooks (portable-init k-means, 2 Lloyd rounds)
+    * re-derived bit-for-bit in DuckDB via the s04 unrolled-Lloyd
+    * pattern per slice. */
+  val s10 = q("s10_product_quantize", {
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16))
+    val union = (0 until 4).map(s => s"SELECT * FROM af_$s").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${blocks.mkString(",\n")}
+       |$union""".stripMargin
+  }) { (s, dir) =>
+    Similarity.productQuantize(Tables.embeddings(s, dir), m = 4, k = 8,
+      iters = 2, dim = 64)
+  }
+
   /** Johnson–Lindenstrauss random projection 64→16 dims over the
     * md5-portable plane family (salt "rp:") — fully oracle-checked:
     * DuckDB re-derives the identical plane matrix from md5 and folds
@@ -2505,6 +2560,6 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     m01, m02, m03, p01)
 }

@@ -476,6 +476,33 @@ object Similarity {
       .agg(round(Exact.davg(col("e")), 6).as("c"))
   }
 
+  /** Product quantization: split each vector into `m` contiguous
+    * subspaces and learn an independent `k`-centroid codebook per
+    * subspace (portable-init k-means, the s04 machinery applied
+    * per-slice); a vector compresses to m small codes — the classic
+    * memory-bandwidth trade of billion-scale ANN (SQ8 keeps 1 byte/dim;
+    * PQ keeps m codes/VECTOR). Output: (vec_id, subspace, code).
+    *
+    * 100 TB shape: per subspace, one localCheckpointed slice pass +
+    * `iters` broadcast-assign/hash-agg Lloyd rounds; only m × k ×
+    * subDim doubles ever reach the driver. */
+  def productQuantize(embeddings: DataFrame, m: Int = 4, k: Int = 8,
+                      iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val base = embeddings
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("full"))
+      .localCheckpoint(false)
+    (0 until m).map { s =>
+      val sliced = base.select(col("id"),
+        slice(col("full"), s * subDim + 1, subDim).as("vec"))
+      ivfIndex(sliced, k, iters, portableInit = true).assignments
+        .select(col("id").as("vec_id"), lit(s.toLong).as("subspace"),
+          col("cid").cast("long").as("code"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Dense random projection (Johnson–Lindenstrauss) of the embedding
     * column to `outDim` dimensions — the standard dimensionality-
     * reduction front-end for clustering / dedup over very wide

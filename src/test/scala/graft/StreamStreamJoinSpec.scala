@@ -40,6 +40,46 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("A", 100.0, 99.0)))
   }
 
+  test("left-outer stream-stream join emits the null row only after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[Trade]
+    val quotes = MemoryStream[Quote]
+    val t = trades.toDF().withColumnRenamed("symbol", "t_sym")
+      .withWatermark("t", "10 seconds")
+    val q = quotes.toDF().withColumnRenamed("symbol", "q_sym")
+      .withWatermark("qt", "10 seconds")
+    val joined = t.join(q,
+      expr("t_sym = q_sym AND qt BETWEEN t - INTERVAL 1 MINUTE AND t"),
+      "left_outer")
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_test").start()
+    val m0 = 1735732800000L
+    quotes.addData(Quote("A", new Timestamp(m0), 99.0))
+    trades.addData(Trade("A", new Timestamp(m0 + 30000), 100.0)) // matches
+    trades.addData(Trade("C", new Timestamp(m0 + 30000), 70.0))  // never matches
+    query.processAllAvailable()
+    // C's null row may NOT appear yet: its join window is still open
+    val early = spark.table("ssj_outer_test")
+      .select("t_sym").as[String].collect().toSet
+    assert(!early.contains("C") || early == Set("A", "C"))
+    // advance BOTH watermarks far past C's window end
+    quotes.addData(Quote("Z", new Timestamp(m0 + 600000), 1.0))
+    trades.addData(Trade("Z2", new Timestamp(m0 + 600000), 1.0))
+    query.processAllAvailable()
+    // one more cycle so the no-data batch after the watermark bump
+    // flushes expired outer state
+    trades.addData(Trade("Z3", new Timestamp(m0 + 660000), 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("ssj_outer_test")
+      .select("t_sym", "price", "bid").as[(String, Double, Option[Double])]
+      .collect().filter(r => r._1 == "A" || r._1 == "C").sortBy(_._1)
+    // matched row carries the quote; unmatched C surfaced exactly once
+    // with a NULL quote side after its window expired
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("A", 100.0, Some(99.0)), ("C", 70.0, None)), s"got ${rows.toSeq}")
+  }
+
   test("streaming latest-per-key join emits ONE row per trade and evicts state") {
     // The reference's J1 (latest quote per trade) as a STREAM-STREAM
     // shape: interval join for candidates, then a second stateful
