@@ -2120,9 +2120,10 @@ object Queries {
     * unrolled-Lloyd pattern applied to the slice v[lo:hi] — identical
     * seed rule (first k by md5(vec_id)), assignment tie-break, exact
     * decimal centroid means, and empty-cluster carry. */
-  private def pqSubCtes(s: Int, k: Int, subDim: Int): String = {
+  private def pqSubCtes(s: Int, k: Int, subDim: Int,
+                        src: String = "e"): String = {
     val lo = s * subDim + 1; val hi = (s + 1) * subDim
-    s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+    s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
        |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cid, v
        | FROM (SELECT vec_id, v FROM sub$s ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)),
        |a1_$s AS (SELECT vec_id, v, cid FROM (
@@ -2169,6 +2170,47 @@ object Queries {
   }) { (s, dir) =>
     Similarity.productQuantize(Tables.embeddings(s, dir), m = 4, k = 8,
       iters = 2, dim = 64)
+  }
+
+  /** PQ-ADC two-stage retrieval, fully oracle-checked: codebooks
+    * trained on the corpus slice (s10 machinery over `corp`), corpus
+    * scored through its codes against per-query lookup dots, 40-deep
+    * shortlist on the rounded approx score, exact-cosine top-5 rerank
+    * (the s06 contract with PQ codes instead of SQ8 bytes). */
+  val s11 = q("s11_pq_rerank", {
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16, src = "corp"))
+    val scs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      s"""sc_$s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  list_dot_product(q.v[$lo:$hi], c.v) AS d
+         | FROM qs q, af_$s a JOIN c2_$s c ON c.cid = a.code)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corp AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+       |qs AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+       |${blocks.mkString(",\n")},
+       |${scs.mkString(",\n")},
+       |approx AS (SELECT sc_0.query_id, sc_0.neighbor_id,
+       |  round(sc_0.d + sc_1.d + sc_2.d + sc_3.d, 6) AS approx
+       | FROM sc_0 JOIN sc_1 USING (query_id, neighbor_id)
+       |  JOIN sc_2 USING (query_id, neighbor_id)
+       |  JOIN sc_3 USING (query_id, neighbor_id)),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, neighbor_id) AS arn FROM approx) WHERE arn <= 40),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |  round(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+       | FROM short s JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ce ON ce.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, cos,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |FROM rr QUALIFY rn <= 5""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    Similarity.pqRerankTopK(emb.filter(col("id") < 10),
+      emb.filter(col("id") >= 10), k = 5, shortlist = 40)
   }
 
   /** Johnson–Lindenstrauss random projection 64→16 dims over the
@@ -2560,6 +2602,6 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     m01, m02, m03, p01)
 }

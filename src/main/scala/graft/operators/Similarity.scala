@@ -487,20 +487,78 @@ object Similarity {
     * `iters` broadcast-assign/hash-agg Lloyd rounds; only m × k ×
     * subDim doubles ever reach the driver. */
   def productQuantize(embeddings: DataFrame, m: Int = 4, k: Int = 8,
-                      iters: Int = 2, dim: Int = 64): DataFrame = {
+                      iters: Int = 2, dim: Int = 64): DataFrame =
+    productQuantizeModel(embeddings, m, k, iters, dim)._1
+
+  /** [[productQuantize]] plus the learned codebooks:
+    * codebooks(s)(c) = subspace s's centroid c (subDim doubles) — the
+    * lookup tables ADC retrieval ([[pqRerankTopK]]) scores with. */
+  def productQuantizeModel(embeddings: DataFrame, m: Int = 4, k: Int = 8,
+                           iters: Int = 2, dim: Int = 64)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
     val base = embeddings
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("full"))
       .localCheckpoint(false)
-    (0 until m).map { s =>
+    val parts = (0 until m).map { s =>
       val sliced = base.select(col("id"),
         slice(col("full"), s * subDim + 1, subDim).as("vec"))
-      ivfIndex(sliced, k, iters, portableInit = true).assignments
+      val model = ivfIndex(sliced, k, iters, portableInit = true)
+      (model.assignments
         .select(col("id").as("vec_id"), lit(s.toLong).as("subspace"),
-          col("cid").cast("long").as("code"))
-    }.reduce(_ unionAll _)
+          col("cid").cast("long").as("code")),
+        model.centroids)
+    }
+    (parts.map(_._1).reduce(_ unionAll _), parts.map(_._2).toArray)
+  }
+
+  /** PQ-ADC two-stage retrieval: corpus vectors are scored through
+    * their m codes against per-query LOOKUP TABLES (dot of each query
+    * slice with each codebook centroid — m × k doubles per query,
+    * computed once), the approximate score shortlists `shortlist`
+    * candidates per query, and exact cosine re-ranks to top-k — the
+    * s06 contract with PQ codes instead of SQ8 bytes. The corpus pass
+    * touches only (vec_id, m codes): at 100 TB that is the
+    * memory-bandwidth win PQ exists for. Approx scores sum the
+    * subspace contributions in subspace order (deterministic), then
+    * round 6dp before ranking; id tiebreaks throughout. */
+  def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                   shortlist: Int, m: Int = 4, codebookK: Int = 8,
+                   iters: Int = 2, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val (codes, books) = productQuantizeModel(
+      candidates.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      m, codebookK, iters, dim)
+    // wide code table: one row per corpus vector, one column per subspace
+    val wide = codes.groupBy("vec_id")
+      .pivot("subspace", (0 until m).map(_.toLong))
+      .agg(first(col("code")))
+      .toDF("neighbor_id" +: (0 until m).map(s => s"c$s"): _*)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      VectorOps.norm(col("vec")).as("qn"))
+    // approx dot = Σ_s LUT_s[code_s], LUT entries computed inline as
+    // dot(query slice, codebook centroid) — a small literal per (s, c)
+    def lutScore(s: Int): Column = {
+      val qSlice = slice(col("qv"), s * subDim + 1, subDim)
+      val entries = (0 until codebookK).map(c =>
+        VectorOps.dot(qSlice, typedlit(books(s)(c).toSeq)))
+      element_at(array(entries: _*), col(s"c$s").cast("int") + 1)
+    }
+    val scored = wide.crossJoin(broadcast(q))
+      .withColumn("approx",
+        round((0 until m).map(lutScore).reduce(_ + _), 6))
+    val short = Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("approx").desc, col("neighbor_id")), shortlist, rankCol = "arn")
+    val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      VectorOps.norm(col("vec")).as("cn"))
+    val reranked = short.join(c, "neighbor_id")
+      .withColumn("cos",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    Relational.topKPerGroup(reranked, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cos", "rn")
   }
 
   /** Dense random projection (Johnson–Lindenstrauss) of the embedding

@@ -122,6 +122,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out(1L) && !out(2L) && !out(11L))
   }
 
+  test("pqRerankTopK recalls the bulk of brute-force top-5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def v() = Array.fill(64)(rnd.nextGaussian())
+    val corpus = Seq.tabulate(200)(i => (100L + i, v()))
+    val queries = Seq.tabulate(5)(i => (i.toLong, v()))
+    val cdf = corpus.toDF("id", "vec")
+    val qdf = queries.toDF("id", "vec")
+    val exact = graft.operators.Similarity.bruteForceTopK(qdf, cdf, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = graft.operators.Similarity.pqRerankTopK(qdf, cdf, k = 5,
+        shortlist = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ shortlist recall too low: $recall")
+  }
+
   test("randomProjection matches a per-dim dot against the same plane family") {
     import spark.implicits._
     val emb = Seq((0L, Array.fill(64)(0.5f), 0), (1L, Array.tabulate(64)(_.toFloat / 64f), 1))
