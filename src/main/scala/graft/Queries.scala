@@ -2116,6 +2116,41 @@ object Queries {
       emb.filter(col("id") >= 10), k = 4, negLo = 0.1, negHi = 0.35)
   }
 
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4's UnionLoop):
+    * per-customer order chains walked in date order, accumulating a
+    * running total — one recursive step per chain position, linear
+    * rows (every row has exactly one successor), depth = max orders
+    * per customer (25 at every shipped/replicated SF, far under
+    * Spark's 100-level default). The accumulator is a scaled BIGINT
+    * (the dsumL discipline) so the recursion's row type is fixed and
+    * engine-exact. Scale note: recursion materializes one iteration
+    * per level — for deep/cyclic graphs use the pointer-jumping d07
+    * operator; this is the bounded-depth SQL verb. */
+  private val q70Sql =
+    """WITH RECURSIVE seqd AS (
+      | SELECT o_custkey, o_orderkey,
+      |  CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS price_l,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+      | FROM orders),
+      |chain(o_custkey, o_orderkey, rn, running_l) AS (
+      | SELECT o_custkey, o_orderkey, rn, price_l FROM seqd WHERE rn = 1
+      | UNION ALL
+      | SELECT s.o_custkey, s.o_orderkey, s.rn, c.running_l + s.price_l
+      | FROM chain c JOIN seqd s
+      |  ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1)
+      |SELECT o_custkey, o_orderkey, rn,
+      | CAST(running_l AS DOUBLE) / 10000.0 AS running
+      |FROM chain""".stripMargin
+  val q70 = q("q70_recursive_chains", q70Sql) { (s, dir) =>
+    // every chain row passes through the recursion, so the ROW limit
+    // must scale with the input (the LEVEL limit stays at its safe
+    // default — depth is 25 at every SF); 1e9 covers ~sf100
+    s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q70Sql)
+  }
+
   /** One product-quantization subspace's oracle CTE block: the s04
     * unrolled-Lloyd pattern applied to the slice v[lo:hi] — identical
     * seed rule (first k by md5(vec_id)), assignment tie-break, exact
@@ -2599,7 +2634,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
