@@ -2147,8 +2147,31 @@ object Queries {
     // must scale with the input (the LEVEL limit stays at its safe
     // default — depth is 25 at every SF); 1e9 covers ~sf100
     s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
-    Tables(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(q70Sql)
+    // materialize the ranked chain table ONCE: left inside the
+    // recursive query, the seqd CTE (a window over the full orders
+    // scan) is re-evaluated at EVERY recursion level — 25 redundant
+    // window passes, measured 11.4 s -> 3.4 s at sf0.1. The per-level
+    // join probes it broadcast (one map pass per frontier).
+    val seqd = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 10000.0).cast("long").as("price_l"),
+          row_number().over(w).cast("long").as("rn"))
+        .localCheckpoint(false)
+    }
+    seqd.createOrReplaceTempView("seqd")
+    s.sql(
+      """WITH RECURSIVE chain(o_custkey, o_orderkey, rn, running_l) AS (
+        | SELECT o_custkey, o_orderkey, rn, price_l FROM seqd WHERE rn = 1
+        | UNION ALL
+        | SELECT /*+ BROADCAST(c) */ s.o_custkey, s.o_orderkey, s.rn,
+        |  c.running_l + s.price_l
+        | FROM chain c JOIN seqd s
+        |  ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1)
+        |SELECT o_custkey, o_orderkey, rn,
+        | CAST(running_l AS DOUBLE) / 10000.0 AS running
+        |FROM chain""".stripMargin)
   }
 
   /** One product-quantization subspace's oracle CTE block: the s04
