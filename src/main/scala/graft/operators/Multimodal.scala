@@ -30,6 +30,8 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            sha: String, width: Int, height: Int,
                            n_frames: Int, brightness: Double)
+  case class AudioFeatures(media_id: Long, sample_rate: Double, n_fft: Int,
+                           zcr: Double, centroid_hz: Double)
 
   /** Hex SHA-256 of the payload — ONE definition shared by both codecs:
     * the fallback contract requires the real and stub paths to emit the
@@ -121,6 +123,92 @@ object Multimodal {
             if (frames < 0) 0 else frames.toInt, math.rint(rms * 1e6) / 1e6))
         } finally in.close()
       } catch { case _: Exception => None }
+    }
+
+    /** Spectral features of a PCM WAV payload — zero-crossing rate and
+      * FFT spectral centroid over the first channel's leading
+      * power-of-two window (≤ `maxWindow` samples): the
+      * content/quality signals an audio gate filters on (speech vs
+      * tone vs noise separate cleanly on these two axes). Pure-JDK
+      * radix-2 FFT, O(n log n) per file, embarrassingly parallel
+      * across the corpus. None for payloads the PCM reader rejects. */
+    def audioSpectral(f: MediaFile, maxWindow: Int = 4096): Option[AudioFeatures] = {
+      import javax.sound.sampled.AudioSystem
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(f.payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+          val buf = in.readAllBytes()
+          val stride = fmt.getFrameSize
+          val total = buf.length / stride
+          var n = 1
+          while (n * 2 <= math.min(total, maxWindow)) n *= 2
+          if (n < 2) return None
+          val re = new Array[Double](n)
+          val im = new Array[Double](n)
+          var crossings = 0L
+          var i = 0
+          while (i < n) {
+            val o = i * stride
+            val s = ((buf(o + 1) << 8) | (buf(o) & 0xff)).toShort
+            re(i) = s.toDouble / 32768.0
+            if (i > 0 && (re(i) >= 0) != (re(i - 1) >= 0)) crossings += 1
+            i += 1
+          }
+          val zcr = crossings.toDouble / (n - 1)
+          fft(re, im)
+          val sr = fmt.getSampleRate.toDouble
+          var num = 0.0; var den = 0.0
+          var k = 1
+          while (k <= n / 2) {
+            val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+            num += (k * sr / n) * mag; den += mag
+            k += 1
+          }
+          val centroid = if (den == 0.0) 0.0 else num / den
+          Some(AudioFeatures(f.media_id, sr, n,
+            math.rint(zcr * 1e6) / 1e6, math.rint(centroid * 1e3) / 1e3))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** In-place iterative radix-2 FFT (n a power of two). */
+    private def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      var i = 1; var j = 0
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang); val wi = math.sin(ang)
+        var i0 = 0
+        while (i0 < n) {
+          var cr = 1.0; var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val ur = re(i0 + k); val ui = im(i0 + k)
+            val xr = re(i0 + k + len / 2); val xi = im(i0 + k + len / 2)
+            val vr = xr * cr - xi * ci
+            val vi = xr * ci + xi * cr
+            re(i0 + k) = ur + vr; im(i0 + k) = ui + vi
+            re(i0 + k + len / 2) = ur - vr; im(i0 + k + len / 2) = ui - vi
+            val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+            k += 1
+          }
+          i0 += len
+        }
+        len <<= 1
+      }
     }
 
     /** Real Y4M video decode: width/height from the stream header,
@@ -356,6 +444,14 @@ object Multimodal {
       // per-partition setup would go here (load codec, alloc buffers)
       it.map(codec)
     }
+  }
+
+  /** Per-partition spectral pass over audio payloads (see
+    * JvmCodec.audioSpectral); non-audio / non-PCM rows drop out. */
+  def spectralFeatures(files: Dataset[MediaFile],
+                       maxWindow: Int = 4096): Dataset[AudioFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.flatMap(f => JvmCodec.audioSpectral(f, maxWindow)))
   }
 
   case class Frame(media_id: Long, frame_idx: Int, data: Array[Byte])

@@ -524,13 +524,56 @@ object Similarity {
     * memory-bandwidth win PQ exists for. Approx scores sum the
     * subspace contributions in subspace order (deterministic), then
     * round 6dp before ranking; id tiebreaks throughout. */
+  /** Persist a PQ model (codes + codebooks) as catalog tables — the
+    * build-once/probe-many lifecycle [[ensureIvfIndex]] gives IVF,
+    * applied to PQ: retrieval re-runs pay only the code-table scan. */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession, name: String,
+                  codes: DataFrame,
+                  books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    codes.write.mode("overwrite").format("parquet").saveAsTable(s"${name}_codes")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.flatMap { case (c, cid) =>
+        c.zipWithIndex.map { case (v, p) => (s, cid, p, v) } }
+    }.toSeq.toDF("subspace", "cid", "pos", "v")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_books")
+  }
+
+  /** Load-or-build a persisted PQ model; cache key is the NAME (encode
+    * the corpus identity in it). Rebuilds on subspace-count drift. */
+  def ensurePqModel(spark: org.apache.spark.sql.SparkSession, name: String,
+                    corpus: => DataFrame, m: Int = 4, k: Int = 8,
+                    iters: Int = 2, dim: Int = 64)
+      : (DataFrame, Array[Array[Array[Double]]]) = synchronized {
+    def load(): (DataFrame, Array[Array[Array[Double]]]) = {
+      val rows = spark.table(s"${name}_books").collect()
+      val nS = rows.map(_.getInt(0)).max + 1
+      val nC = rows.map(_.getInt(1)).max + 1
+      val nP = rows.map(_.getInt(2)).max + 1
+      val books = Array.ofDim[Double](nS, nC, nP)
+      rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      (spark.table(s"${name}_codes"), books)
+    }
+    val existing =
+      if (spark.catalog.tableExists(s"${name}_codes") &&
+          spark.catalog.tableExists(s"${name}_books")) Some(load())
+      else None
+    existing.filter(_._2.length == m).getOrElse {
+      val (codes, books) = productQuantizeModel(corpus, m, k, iters, dim)
+      savePqModel(spark, name, codes, books)
+      load()
+    }
+  }
+
   def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                    shortlist: Int, m: Int = 4, codebookK: Int = 8,
-                   iters: Int = 2, dim: Int = 64): DataFrame = {
+                   iters: Int = 2, dim: Int = 64,
+                   model: Option[(DataFrame, Array[Array[Array[Double]]])] = None)
+      : DataFrame = {
     val subDim = dim / m
-    val (codes, books) = productQuantizeModel(
+    val (codes, books) = model.getOrElse(productQuantizeModel(
       candidates.select(col("id").as("vec_id"), col("vec").as("embedding")),
-      m, codebookK, iters, dim)
+      m, codebookK, iters, dim))
     // wide code table: one row per corpus vector, one column per subspace
     val wide = codes.groupBy("vec_id")
       .pivot("subspace", (0 until m).map(_.toLong))

@@ -125,6 +125,31 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f.sha.length == 64)
   }
 
+  test("audioSpectral recovers a sine's frequency and zero-crossing rate") {
+    implicit val s = spark
+    // 1000 Hz sine at 8 kHz over 4096 samples: exactly bin 512, no
+    // spectral leakage -> centroid lands on 1000 Hz
+    val sine = Array.tabulate(4096)(i =>
+      (math.sin(2 * math.Pi * 1000.0 * i / 8000.0) * 16384).toShort)
+    // 1 kHz square wave: same ZCR, centroid pulled UP by odd harmonics
+    val square = Array.tabulate(4096)(i =>
+      (if ((i / 4) % 2 == 0) 16384 else -16384).toShort)
+    val files = Seq(Multimodal.MediaFile(31L, "audio", wav(sine)),
+      Multimodal.MediaFile(32L, "audio", wav(square)),
+      Multimodal.MediaFile(33L, "audio", "junk".getBytes)).toDS()
+    val got = Multimodal.spectralFeatures(files).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got.size == 2) // junk payload dropped
+    val sin = got(31L)
+    assert(sin.sample_rate == 8000.0 && sin.n_fft == 4096)
+    assert(math.abs(sin.centroid_hz - 1000.0) < 1.0, s"centroid ${sin.centroid_hz}")
+    // sine crosses zero twice per period: 2 * f / sr = 0.25 per sample
+    assert(math.abs(sin.zcr - 0.25) < 0.01, s"zcr ${sin.zcr}")
+    val sq = got(32L)
+    assert(math.abs(sq.zcr - 0.25) < 0.01)
+    assert(sq.centroid_hz > 1500.0, s"square harmonics must raise centroid, got ${sq.centroid_hz}")
+  }
+
   test("JvmCodec decodes real WAV format, frame count, and RMS") {
     implicit val s = spark
     val bytes = wav(Array[Short](16384, -16384, 16384, -16384))
