@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout optimization: Z-order (Morton) clustering for
@@ -59,4 +59,48 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** The manifest sub-directory a stats manifest lives in. */
+  val ManifestDir = "_graft_manifest"
+
+  /** Collect per-FILE min/max statistics for `dims` over a parquet
+    * table and persist them as the table's manifest — the skipping
+    * index that turns a [[zorderWrite]] layout into pruned scans
+    * (the Delta/Iceberg file-stats idea as a self-contained artifact).
+    * One distributed pass: group by input file name, min/max each dim.
+    * Manifest size = files × dims — driver-safe at any table size. */
+  def writeManifest(spark: SparkSession, dir: String,
+                    dims: Seq[String]): Unit = {
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    spark.read.parquet(dir)
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$ManifestDir")
+  }
+
+  /** The files whose [min, max] envelope on `dim` intersects
+    * [lo, hi] — a driver-side manifest lookup (manifest rows = file
+    * count, collect is safe). */
+  def prunedFiles(spark: SparkSession, dir: String, dim: String,
+                  lo: Long, hi: Long): Seq[String] =
+    spark.read.parquet(s"$dir/$ManifestDir")
+      .where(col(s"max_$dim") >= lo && col(s"min_$dim") <= hi)
+      .select("__file").collect().map(_.getString(0)).toSeq
+
+  /** Range scan through the manifest: only intersecting files are
+    * listed to the reader (the others never open), then the exact
+    * predicate filters inside them. Returns the same rows a full scan
+    * + filter would — the spec proves both equality and the pruning. */
+  def readPruned(spark: SparkSession, dir: String, dim: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(spark, dir, dim, lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(dir).where(lit(false))
+    else
+      spark.read.parquet(files: _*)
+        .where(col(dim) >= lo && col(dim) <= hi)
+  }
 }

@@ -37,6 +37,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(viaColumn == viaSql)
   }
 
+  test("manifest pruning reads a fraction of the z-ordered files, result exact") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val df = rows.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    Layout.zorderWrite(df, Seq("x", "y"), bits = 10, files = 64, dir)
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    // range scan on the NON-leading dim: a single-column-sorted layout
+    // could prune nothing here; z-order + manifest prunes most files
+    val pruned = Layout.prunedFiles(spark, dir, "y", 100L, 131L)
+    assert(pruned.nonEmpty && pruned.size < 32,
+      s"expected strong pruning, got ${pruned.size} of 64 files")
+    val got = Layout.readPruned(spark, dir, "y", 100L, 131L)
+      .select("x", "y").as[(Long, Long)].collect().sorted.toSeq
+    val want = rows.filter(r => r._2 >= 100 && r._2 <= 131).sorted
+    assert(got == want, "pruned scan must equal full scan + filter")
+    // empty-range path returns an empty frame with the right schema
+    assert(Layout.readPruned(spark, dir, "y", 5000L, 6000L).count() == 0)
+  }
+
   test("zorderWrite bounds the non-leading dimension a plain sort leaves open") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
