@@ -243,6 +243,8 @@ object EdgeRunner {
     graft.operators.Layout.zorderWrite(
       spark.read.parquet(cfg.in.stripPrefix("file:")),
       cfg.dims, cfg.bits, cfg.files, cfg.out)
+    // the skipping index that makes the layout pay off at read time
+    graft.operators.Layout.writeManifest(spark, cfg.out, cfg.dims)
     new java.io.File(cfg.out).listFiles()
       .count(f => f.getName.endsWith(".parquet")).toLong
   }

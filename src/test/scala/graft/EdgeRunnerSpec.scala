@@ -213,6 +213,10 @@ class EdgeRunnerSpec extends AnyFunSuite {
     }
     assert(spans.map(_.toDouble).sum / spans.length < 200.0,
       s"z-ordered y-spans must be bounded, got ${spans.toSeq}")
+    // the mode also writes the skipping manifest: pruned range reads work
+    val pruned = graft.operators.Layout.readPruned(spark, out, "y", 0L, 31L)
+    assert(pruned.count() ==
+      spark.read.parquet(out).where("y BETWEEN 0 AND 31").count())
   }
 
   test("parse rejects bad modes and missing inputs") {

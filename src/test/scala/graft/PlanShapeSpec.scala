@@ -124,4 +124,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the two split-aggregate scans:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q65 zorder stats is one scan + one agg shuffle, interleave stays codegen") {
+    val p = plan("q65_zorder_stats")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, s"one scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the Morton key lowered to built-in bit ops (shiftleft/shiftright),
+    // not a fallback expression
+    assert(p.contains("shiftleft"), s"interleave must be built-in bit ops:\n$p")
+  }
+
+  test("q66 snapshot diff joins two aggregates, no nested loop") {
+    val p = plan("q66_snapshot_diff")
+    assert(p.contains("FullOuter"), s"must be a full outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"equi full outer must not nested-loop:\n$p")
+  }
+
+  test("q68 gap fill: one grid generate, one fill window, no cartesian") {
+    val p = plan("q68_gap_fill")
+    assert("Generate".r.findAllMatchIn(p).size == 1,
+      s"exactly one sequence explode:\n$p")
+    assert("Window".r.findAllMatchIn(p).size == 1,
+      s"exactly one fill window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s11 PQ rerank: code-table pass broadcasts only the query side") {
+    val p = plan("s11_pq_rerank")
+    // the corpus/code side must stream: every broadcast build is the
+    // tiny query frame, never the corpus
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size <= 4,
+      s"code table + rerank scans only:\n$p")
+  }
 }
