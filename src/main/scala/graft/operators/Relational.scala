@@ -157,15 +157,19 @@ object Relational {
     *
     * `agg` reduces multiple observations inside one bucket (pass e.g.
     * last-by-tiebreak or an Exact mean). Scale shape: one hash agg to
-    * buckets, one per-key span agg, a sequence() explode whose fanout
-    * is span/step (bounded by the key's own horizon — no global
-    * calendar join), and one window per key for the fill; everything
-    * shuffles ONCE on the key. */
+    * buckets, then ONE window pass over the *sparse* per-bucket rows
+    * (`last` ignoreNulls for the carry + `lead` for the span end share a
+    * window frame, so they plan as a single WindowExec), then a
+    * sequence() explode that emits each observation's half-open span
+    * directly — the dense grid is never materialized as a join input and
+    * never windowed over. Two shuffles total (bucket agg, key window);
+    * the explode fanout is bounded by each key's own horizon, so there
+    * is no global calendar join at any scale. */
   def gapFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
               valueAgg: Column, stepSeconds: Long): DataFrame = {
     require(stepSeconds >= 1, s"step must be >= 1s, got $stepSeconds")
     val keys = keyCols.map(col)
-    // grid generation and the fill run in primitive epoch-second space:
+    // span generation and the fill run in primitive epoch-second space:
     // sequence() over longs is a tight numeric loop where the timestamp
     // form pays per-element interval arithmetic (measured 2.5x on the
     // q68 shape); one timestamp conversion happens at the end
@@ -174,17 +178,25 @@ object Relational {
     val perBucket = df.withColumn("bucket_s", bucketS)
       .groupBy(keys :+ col("bucket_s"): _*)
       .agg(valueAgg.as("__v"))
-    val grid = perBucket
-      .groupBy(keys: _*)
-      .agg(min(col("bucket_s")).as("__lo"), max(col("bucket_s")).as("__hi"))
-      .select(keys :+ explode(sequence(col("__lo"), col("__hi"),
-        lit(stepSeconds))).as("bucket_s"): _*)
     val w = Window.partitionBy(keys: _*).orderBy(col("bucket_s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(perBucket, keyCols :+ "bucket_s", "left")
-      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
-      .withColumn("observed", col("__v").isNotNull)
-      .withColumn("bucket", timestamp_seconds(col("bucket_s")))
-      .drop("__v", "bucket_s")
+    // carry-forward over sparse buckets (ignoreNulls so an observed
+    // bucket whose aggregate is null inherits the previous value, same
+    // as the dense-grid formulation), and the next observation bound:
+    // each observed bucket owns [bucket, next) on the step grid; the
+    // key's last bucket owns only itself.
+    perBucket
+      .withColumn("__fill",
+        last(col("__v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__next", lead(col("bucket_s"), 1).over(w))
+      .select(keys ++ Seq(
+        posexplode(sequence(col("bucket_s"),
+          coalesce(col("__next") - lit(stepSeconds), col("bucket_s")),
+          lit(stepSeconds))).as(Seq("__pos", "__b")),
+        col("__fill"), col("__v")): _*)
+      .select(keys ++ Seq(
+        col("__fill").as("value"),
+        (col("__pos") === 0 && col("__v").isNotNull).as("observed"),
+        timestamp_seconds(col("__b")).as("bucket")): _*)
   }
 }

@@ -141,12 +141,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"equi full outer must not nested-loop:\n$p")
   }
 
-  test("q68 gap fill: one grid generate, one fill window, no cartesian") {
+  test("q68 gap fill: sparse window + span explode, no grid join") {
     val p = plan("q68_gap_fill")
     assert("Generate".r.findAllMatchIn(p).size == 1,
       s"exactly one sequence explode:\n$p")
     assert("Window".r.findAllMatchIn(p).size == 1,
-      s"exactly one fill window:\n$p")
+      s"carry + lead must share one window pass:\n$p")
+    // the dense grid is emitted by the explode directly — it must never
+    // come back as a join input (the pre-r7 shape joined grid×perBucket)
+    assert(!p.contains("Join"), s"gap fill must be join-free:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
