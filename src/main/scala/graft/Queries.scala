@@ -2276,6 +2276,63 @@ object Queries {
       model = Some(model))
   }
 
+  /** IVF-ADC (Jégou et al. 2011) — the billion-scale ANN composition
+    * of the s04 coarse quantizer and the s10 product codes, fully
+    * oracle-checked: queries probe 4 of 16 IVF cells, candidates
+    * inside the probed cells score through per-query ADC lookup
+    * tables (no corpus-side vector math), 40-deep shortlist on the
+    * rounded approx score, exact-cosine top-5 rerank on the fetched
+    * shortlist. The scoring pass reads only the bucketed
+    * (cid, codes) posting table built once in `prepare`. */
+  val s12 = q("s12_ivfadc", {
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16, src = "corp"))
+    val scs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      s"""sc_$s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  list_dot_product(q.v[$lo:$hi], c.v) AS d
+         | FROM qs q, af_$s a JOIN c2_$s c ON c.cid = a.code)""".stripMargin
+    }
+    s"""$ivfOracleCtes,
+       |${blocks.mkString(",\n")},
+       |${scs.mkString(",\n")},
+       |probe AS (SELECT vec_id AS query_id, cid FROM (
+       | SELECT qs.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+       | FROM qs, c2 c) WHERE r <= 4),
+       |cand AS (SELECT p.query_id, af.vec_id AS neighbor_id
+       | FROM probe p JOIN af ON af.cid = p.cid),
+       |approx AS (SELECT c.query_id, c.neighbor_id,
+       |  round(sc_0.d + sc_1.d + sc_2.d + sc_3.d, 6) AS approx
+       | FROM cand c JOIN sc_0 USING (query_id, neighbor_id)
+       |  JOIN sc_1 USING (query_id, neighbor_id)
+       |  JOIN sc_2 USING (query_id, neighbor_id)
+       |  JOIN sc_3 USING (query_id, neighbor_id)),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, neighbor_id) AS arn FROM approx) WHERE arn <= 40),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |  round(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+       | FROM short s JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ce ON ce.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, cos,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |FROM rr QUALIFY rn <= 5""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val corp = emb.filter(col("id") >= 10)
+    val ivf = Similarity.ensureIvfIndex(s, ivfIndexName(dir), corp,
+      nCentroids = 16, iters = 2, portableInit = true)
+    val (codes, books) = Similarity.ensurePqModel(s, pqModelName(dir),
+      corp.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      m = 4, k = 8, iters = 2, dim = 64)
+    val postings = Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4)
+    Similarity.ivfAdcTopK(emb.filter(col("id") < 10), ivf, postings, books,
+      k = 5, nProbe = 4, shortlist = 40)
+  }
+
   /** Johnson–Lindenstrauss random projection 64→16 dims over the
     * md5-portable plane family (salt "rp:") — fully oracle-checked:
     * DuckDB re-derives the identical plane matrix from md5 and folds
@@ -2336,12 +2393,13 @@ object Queries {
   def prepare(s: SparkSession, dir: String): Unit = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-    Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+    val ivf = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
       emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true)
-    Similarity.ensurePqModel(s, pqModelName(dir),
+    val (codes, _) = Similarity.ensurePqModel(s, pqModelName(dir),
       emb.filter(col("id") >= 10)
         .select(col("id").as("vec_id"), col("vec").as("embedding")),
       m = 4, k = 8, iters = 2, dim = 64)
+    Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4)
     ensureClusters(s, dir)
     ()
   }
@@ -2673,6 +2731,6 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     m01, m02, m03, p01)
 }

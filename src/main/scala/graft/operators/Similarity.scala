@@ -565,6 +565,27 @@ object Similarity {
     }
   }
 
+  /** The per-query ADC lookup table, flat: entry s·k + c is the dot of
+    * the query's s-th slice with codebook centroid c. Computed ONCE per
+    * query row (m × k × subDim mults), so the per-candidate ADC score
+    * degenerates to m array lookups — the asymmetric-distance trick
+    * that makes PQ a memory-bandwidth win instead of a recompute. */
+  private def queryLut(qv: Column, books: Array[Array[Array[Double]]],
+                       subDim: Int): Column =
+    array((for {
+      s <- books.indices
+      c <- books(s).indices
+    } yield VectorOps.dot(slice(qv, s * subDim + 1, subDim),
+      typedlit(books(s)(c).toSeq))): _*)
+
+  /** approx dot = Σ_s LUT[s·k + code_s] over the flat per-query table. */
+  private def adcScore(books: Array[Array[Array[Double]]]): Column = {
+    val k = books(0).length
+    books.indices.map(s =>
+      element_at(col("lut"), col(s"c$s").cast("int") + lit(s * k) + 1))
+      .reduce(_ + _)
+  }
+
   def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                    shortlist: Int, m: Int = 4, codebookK: Int = 8,
                    iters: Int = 2, dim: Int = 64,
@@ -580,18 +601,10 @@ object Similarity {
       .agg(first(col("code")))
       .toDF("neighbor_id" +: (0 until m).map(s => s"c$s"): _*)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      VectorOps.norm(col("vec")).as("qn"))
-    // approx dot = Σ_s LUT_s[code_s], LUT entries computed inline as
-    // dot(query slice, codebook centroid) — a small literal per (s, c)
-    def lutScore(s: Int): Column = {
-      val qSlice = slice(col("qv"), s * subDim + 1, subDim)
-      val entries = (0 until codebookK).map(c =>
-        VectorOps.dot(qSlice, typedlit(books(s)(c).toSeq)))
-      element_at(array(entries: _*), col(s"c$s").cast("int") + 1)
-    }
+      VectorOps.norm(col("vec")).as("qn"),
+      queryLut(col("vec"), books, subDim).as("lut"))
     val scored = wide.crossJoin(broadcast(q))
-      .withColumn("approx",
-        round((0 until m).map(lutScore).reduce(_ + _), 6))
+      .withColumn("approx", round(adcScore(books), 6))
     val short = Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("approx").desc, col("neighbor_id")), shortlist, rankCol = "arn")
     val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"),
@@ -600,6 +613,78 @@ object Similarity {
       .withColumn("cos",
         round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     Relational.topKPerGroup(reranked, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  // --------------------------------------------------------- IVF-ADC
+
+  /** Build-once ADC posting table for IVF-ADC retrieval: each corpus
+    * vector's IVF cell id next to its m PQ codes —
+    * (cid, neighbor_id, c0..c{m-1}) — persisted bucketed by cell so a
+    * probe scans only the probed cells' rows of an already-narrow
+    * table. This is THE billion-scale ANN layout (IVFADC, Jégou et
+    * al. 2011): the full vectors are touched only for the tiny
+    * shortlist fetch, never during candidate scoring. */
+  def ensureAdcPostings(spark: org.apache.spark.sql.SparkSession,
+                        name: String, ivf: IVFModel, codes: DataFrame,
+                        m: Int, buckets: Int = 8): DataFrame = synchronized {
+    val t = s"${name}_adc"
+    if (!spark.catalog.tableExists(t)) {
+      val wide = codes.groupBy("vec_id")
+        .pivot("subspace", (0 until m).map(_.toLong))
+        .agg(first(col("code")))
+        .toDF("neighbor_id" +: (0 until m).map(s => s"c$s"): _*)
+      val posting = ivf.assignments
+        .select(col("cid"), col("id").as("neighbor_id"))
+        .join(wide, "neighbor_id")
+      graft.sources.Bucketing.writeBucketed(posting, t, "cid", buckets)
+    }
+    spark.table(t)
+  }
+
+  /** IVF-ADC two-stage retrieval: queries route to their `nProbe`
+    * nearest IVF cells (coarse quantizer), candidates inside those
+    * cells are scored through the per-query ADC lookup table (m array
+    * lookups per candidate — no vector math on the corpus side), the
+    * rounded approx score shortlists `shortlist` per query, and exact
+    * cosine re-ranks the fetched shortlist vectors to top-k.
+    *
+    * 100 TB shape: the scoring pass reads ONLY the probed buckets of
+    * the narrow posting table (cell id + m byte-sized codes per
+    * vector); the full-vector table is joined only against the
+    * shortlist (queries × shortlist rows). Deterministic end-to-end:
+    * portable k-means on both quantizers, 6dp rounds, id tiebreaks. */
+  def ivfAdcTopK(queries: DataFrame, model: IVFModel, postings: DataFrame,
+                 books: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+                 shortlist: Int, dim: Int = 64): DataFrame = {
+    val subDim = dim / books.length
+    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      VectorOps.norm(col("vec")).as("qn"),
+      queryLut(col("vec"), books, subDim).as("lut"),
+      explode(transform(slice(array_sort(dists), 1, nProbe), s => s.getField("i")))
+        .as("cid"))
+    // each corpus vector lives under exactly one cid and the probed
+    // cids are distinct per query, so no pair can score twice (the
+    // ivfTopK no-distinct argument, unchanged by ADC scoring)
+    val scored = postings.join(broadcast(q), "cid")
+      .withColumn("approx", round(adcScore(books), 6))
+    val short = Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("approx").desc, col("neighbor_id")), shortlist, rankCol = "arn")
+    val corpus = model.assignments.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    // queries × shortlist rows — always the broadcast side; the full
+    // vector table streams and is touched only here
+    val rr = broadcast(short.select("query_id", "neighbor_id", "qv", "qn"))
+      .join(corpus, "neighbor_id")
+      .withColumn("cos",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    Relational.topKPerGroup(rr, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "cos", "rn")
   }

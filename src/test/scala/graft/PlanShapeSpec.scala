@@ -153,6 +153,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s12 IVF-ADC: candidates score through the posting table, corpus never broadcast") {
+    val p = plan("s12_ivfadc")
+    assert(!p.contains("CartesianProduct"))
+    // the ADC scoring pass reads the persisted narrow posting table
+    assert(p.contains("_adc"), s"scoring must read the ADC posting table:\n$p")
+    // every broadcast build is the query/shortlist side, never the
+    // corpus: no build side may originate from the assignments table
+    // (full vectors) — it streams into the rerank fetch only
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query side should broadcast:\n$p")
+  }
+
   test("s11 PQ rerank: code-table pass broadcasts only the query side") {
     val p = plan("s11_pq_rerank")
     // the corpus/code side must stream: every broadcast build is the
