@@ -2174,6 +2174,41 @@ object Queries {
         |FROM chain""".stripMargin)
   }
 
+  /** Bloom-pruned large×large join (Relational.bloomPruneJoin):
+    * lineitem joins a selectively-filtered orders slice whose key set
+    * is sketched into a bloom filter; the fact side is pruned by a
+    * native membership probe BEFORE its shuffle, and the exact join
+    * removes the sketch's false positives — same technique as Spark's
+    * conf-driven InjectRuntimeFilter, declared explicitly. The oracle
+    * is the plain join: the bloom changes shuffle volume, never the
+    * result. */
+  val q71 = q("q71_bloom_join",
+    s"""SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       | CAST(EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT) AS o_month,
+       | COUNT(*) AS n_items,
+       | ${dsumMSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+       |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |WHERE o.o_orderpriority = '1-URGENT'
+       |  AND o.o_orderdate >= DATE '1997-01-01'
+       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1997-01-01").cast("date"))
+      .select("o_orderkey", "o_orderdate")
+    // sketch sizing wants the true key count; the dim side is the
+    // small, already-filtered slice, so the extra count is one narrow
+    // pushed-predicate scan
+    val nKeys = math.max(o.count(), 1L)
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    Relational.bloomPruneJoin(li, o, "l_orderkey", "o_orderkey", nKeys)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_items"),
+        dsumM(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
   /** One product-quantization subspace's oracle CTE block: the s04
     * unrolled-Lloyd pattern applied to the slice v[lo:hi] — identical
     * seed rule (first k by md5(vec_id)), assignment tie-break, exact
@@ -2728,7 +2763,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,

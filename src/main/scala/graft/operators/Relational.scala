@@ -147,6 +147,31 @@ object Relational {
       .select(df.columns.toIndexedSeq.map(c => col(s"__d.$c")): _*)
   }
 
+  /** Semi-join reduction via a bloom sketch: when the dim side is too
+    * large to broadcast as a hash table but its KEY SET fits a few
+    * bits per key, build a [[org.apache.spark.util.sketch.BloomFilter]]
+    * over the dim keys (distributed treeAggregate; only the finished
+    * sketch reaches the driver) and prune the fact side with a native
+    * codegen membership probe BEFORE the join's shuffle. The exact
+    * equi-join still runs, so bloom false positives are removed and the
+    * result is bit-identical to the plain join — the sketch only
+    * decides how many fact rows pay the shuffle.
+    *
+    * Sizing: ~9.6 bits/key at fpp=0.01 — 100M dim keys ≈ 115 MB. The
+    * sketch ships in the task binary; beyond a few hundred MB prefer a
+    * coarser fpp (the join stays exact regardless) or Spark's own
+    * conf-driven InjectRuntimeFilter, which this operator mirrors in
+    * explicit, environment-independent form. */
+  def bloomPruneJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, expectedDimKeys: Long,
+                     fpp: Double = 0.01): DataFrame = {
+    val bits = graft.plans.BloomExprs.serialize(
+      dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp))
+    val pruned = fact.filter(
+      graft.plans.BloomExprs.mightContain(col(factKey), bits))
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
   /** Time-series gap fill + forward fill: densify each key's series to
     * a regular `stepSeconds` grid between its own first and last
     * observation, then carry the last observed value forward into the

@@ -153,6 +153,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q71 bloom probe filters the fact scan before the join") {
+    val p = plan("q71_bloom_join")
+    assert(p.toLowerCase.contains("bloommightcontainkey"),
+      s"fact side must carry the native bloom probe:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the probe must sit under the join, not above it: in the plan
+    // string the Filter carrying it appears AFTER (deeper than) the
+    // last join node
+    val probeAt = p.toLowerCase.indexOf("bloommightcontainkey")
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe must be below the join:\n$p")
+  }
+
   test("s12 IVF-ADC: candidates score through the posting table, corpus never broadcast") {
     val p = plan("s12_ivfadc")
     assert(!p.contains("CartesianProduct"))

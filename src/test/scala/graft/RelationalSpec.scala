@@ -55,6 +55,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Set(("a", 1L), ("a", 2L), ("a", 4L), ("c", 1L)))
   }
 
+  test("bloomPruneJoin equals the plain join, and the probe prunes misses") {
+    val fact = Seq((1L, 10.0), (1L, 11.0), (2L, 20.0), (9L, 90.0), (7L, 70.0))
+      .toDF("fk", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "name")
+    val got = Relational.bloomPruneJoin(fact, dim, "fk", "dk",
+        expectedDimKeys = 3)
+      .select("fk", "v", "name").as[(Long, Double, String)].collect().toSet
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "v", "name").as[(Long, Double, String)].collect().toSet
+    assert(got == plain && got.size == 3)
+    // the membership probe itself: definite misses are pruned pre-join
+    val bits = graft.plans.BloomExprs.serialize(
+      dim.stat.bloomFilter("dk", 3, 0.01))
+    val kept = fact.filter(graft.plans.BloomExprs.mightContain(col("fk"), bits))
+      .count()
+    assert(kept >= 3 && kept < 5, s"bloom should prune most misses, kept=$kept")
+  }
+
   test("gapFill densifies per-key grids and carries values forward") {
     val df = Seq(
       // user a: observations at minutes 0, 3 (gap at 1, 2), two rows in min 0
