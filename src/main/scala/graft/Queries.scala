@@ -2209,6 +2209,33 @@ object Queries {
           .as("revenue"))
   }
 
+  /** MapType + higher-order map functions (the one SURVEY §1 type gap
+    * left): per-user event-type counts pivoted into a map column
+    * (map_from_entries), totalled with a lambda fold over map_values
+    * (`aggregate`), and exploded back to rows. The map is internal
+    * plan state — the oracle sees only the exploded relational form,
+    * so cross-engine map representation differences never matter.
+    * Per-user maps are bounded by the event-type vocabulary (tiny), so
+    * the collect_list is safe at any corpus size. */
+  val q72 = q("q72_map_funcs",
+    """SELECT user_id, event_type, cnt,
+      | round(CAST(cnt AS DOUBLE) / total, 6) AS share
+      |FROM (SELECT user_id, event_type, COUNT(*) AS cnt,
+      |   SUM(COUNT(*)) OVER (PARTITION BY user_id) AS total
+      |  FROM events GROUP BY 1, 2)""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .select(col("user_id"),
+        aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+          .as("total"),
+        explode(col("m")).as(Seq("event_type", "cnt")))
+      .select(col("user_id"), col("event_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+  }
+
   /** One product-quantization subspace's oracle CTE block: the s04
     * unrolled-Lloyd pattern applied to the slice v[lo:hi] — identical
     * seed rule (first k by md5(vec_id)), assignment tie-break, exact
@@ -2763,7 +2790,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,

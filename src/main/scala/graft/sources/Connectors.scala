@@ -109,4 +109,17 @@ object Connectors {
   def writeJsonLines(df: DataFrame, path: String,
                      mode: SaveMode = SaveMode.Append): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC source — Spark's second first-class columnar format, common
+    * as the landing format of Hive-era warehouses a 100 TB corpus
+    * often starts in. Same scan machinery as parquet: schema from the
+    * file footer, predicate pushdown + column pruning reach the
+    * stripe level (spec-verified via PushedFilters in the plan). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }

@@ -85,4 +85,20 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(mixed.count() == 2)
     assert(mixed.filter($"doc_id".isNull).count() == 1)
   }
+
+  test("orc sink + source round-trip with pushed predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val docs = Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0))
+      .toDF("id", "name", "v")
+    Connectors.writeOrc(docs, dir)
+    val back = Connectors.orc(spark, dir)
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0)))
+    // predicate + projection reach the ORC scan like the parquet path
+    val q = back.filter($"id" > 1L).select("id", "name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"orc scan must carry the pushed filter:\n$plan")
+    assert(q.count() == 2)
+  }
 }
