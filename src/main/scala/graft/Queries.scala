@@ -983,7 +983,12 @@ object Queries {
     * pipeline bit-for-bit. The production path — same banding, native
     * xxhash64 signature expression, ~10× faster — is what d05/d07/d08
     * route through and what DedupSpec covers against exact Jaccard. */
-  val d03 = q("d03_dedup_minhash_pairs",
+  // The portable-MinHash candidate-pair oracle prelude shared by d03
+  // and d13: md5-derived hash family, 32-slot signatures, 16-band
+  // equi-join, ending in `cand` = the distinct (doc_a < doc_b)
+  // band-collision pairs. ONE definition — the "same candidates"
+  // guarantee between the queries would drift with two copies.
+  private val minhashCandOracleCtes =
     """WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
       |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       |   ELSE [array_to_string(t, ' ')] END) AS sh
@@ -1000,7 +1005,10 @@ object Queries {
       | FROM sigs, unnest(range(16)) AS t(bb)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       | FROM bands a JOIN bands b
-      |  ON a.bb = b.bb AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
+      |  ON a.bb = b.bb AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)""".stripMargin
+
+  val d03 = q("d03_dedup_minhash_pairs",
+    s"""$minhashCandOracleCtes
       |SELECT c.doc_a, c.doc_b,
       | round(CAST(len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 32, 6) AS est_jaccard
       |FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
@@ -1436,6 +1444,23 @@ object Queries {
     (s, dir) =>
       Dedup.sourceOverlap(Tables.documents(s, dir), "text", "source",
         shingleN = 3, maxSources = 16)
+  }
+
+  /** Edit-distance near-dup pairs (Dedup.editDistancePairs): the d03
+    * MinHash band join generates candidates, exact Levenshtein over
+    * 80-char prefixes verifies them (dist ≤ 20) — the two-phase
+    * fuzzy-dedup shape for edits Jaccard can't see. Both engines run
+    * classic unit-cost Levenshtein, so the verifier is hash-exact. */
+  val d13 = q("d13_editdist_pairs",
+    s"""$minhashCandOracleCtes
+      |SELECT c.doc_a, c.doc_b,
+      | CAST(levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS BIGINT) AS dist
+      |FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+      | JOIN documents tb ON tb.doc_id = c.doc_b
+      |WHERE levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) <= 20""".stripMargin) {
+    (s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        prefixLen = 80, maxDist = 20)
   }
 
   /** Stratified corpus re-mixing: deterministic per-language sampling
@@ -2791,7 +2816,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     m01, m02, m03, p01)

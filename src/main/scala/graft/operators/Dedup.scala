@@ -283,6 +283,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Two-phase fuzzy dedup with an EDIT-DISTANCE verifier: candidate
+    * pairs come from the portable MinHash band join (never O(n²)),
+    * then each candidate is verified with exact Levenshtein over the
+    * documents' first `prefixLen` chars — bounding the DP cost to
+    * O(prefixLen²) per pair instead of O(|doc|²). The standard
+    * near-dup shape when token-set similarity (Jaccard) is too loose:
+    * edit distance catches reorderings and small in-place edits that
+    * shingle overlap scores identically. Output: (doc_a, doc_b, dist)
+    * for pairs with dist ≤ maxDist.
+    *
+    * 100 TB shape: the band join routes ~duplicate pairs only; the
+    * prefix projection keeps the verify join narrow (80 chars/doc,
+    * not the document body). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int, maxDist: Int): DataFrame = {
+    val cand = minhashCandidatePairsPortable(docs, idCol, textCol)
+      .select("doc_a", "doc_b")
+    val pfx = docs.select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, prefixLen).as("pfx"))
+      .localCheckpoint(false)
+    cand.join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), "doc_a")
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Keep-one-per-content (the d02 rule as a transform): retain the
     * row with the minimum `idCol` per `contentKey` — one window over
     * the content-hash partition, which Catalyst prunes to per-hash
