@@ -339,7 +339,51 @@ object ScaleSmoke {
       r
     }
 
-    val allResults = results ++ linearResults ++ skewResults
+    // --- round-7 additions: gap fill, bloom-pruned join, edit-distance
+    // verify, IVF-ADC probe ------------------------------------------
+    val r7Results = {
+      // IVF-ADC artifacts built off-clock (the registered s12 probes a
+      // persisted posting table the same way)
+      val corpA = embeddings.filter(col("id") >= 16)
+      val ivfA = Similarity.ivfIndex(corpA, nCentroids = 16, iters = 2)
+      val (codesA, booksA) = Similarity.productQuantizeModel(
+        corpA.select(col("id").as("vec_id"), col("vec").as("embedding")),
+        m = 4, k = 8, iters = 2, dim = 64)
+      val wideA = codesA.groupBy("vec_id")
+        .pivot("subspace", (0 until 4).map(_.toLong))
+        .agg(first(col("code")))
+        .toDF("neighbor_id", "c0", "c1", "c2", "c3")
+      val postingsA = ivfA.assignments
+        .select(col("cid"), col("id").as("neighbor_id"))
+        .join(wideA, "neighbor_id").localCheckpoint()
+      Seq(
+        time(s"gap_fill_$ne") {
+          // 5000 users × a 30-day span on a 600 s grid ≈ 21.6M output
+          // rows — the explode fanout dominating the timing is the point
+          Relational.gapFill(events, Seq("user_id"), "ts",
+            avg(col("value")), stepSeconds = 600)
+        },
+        time(s"bloom_prune_join_$ne") {
+          // 10% of user ids survive the sketch: the fact shuffle pays
+          // ~10% of rows, the join removes the false positives
+          val dim = spark.range(5000L).filter(col("id") % 10 === 0)
+            .select(col("id").as("uid"), md5(col("id").cast("string")).as("uattr"))
+          Relational.bloomPruneJoin(
+            events.select("event_id", "user_id", "value"), dim,
+            "user_id", "uid", expectedDimKeys = 500)
+        },
+        time(s"ivfadc_probe_${nd}_vecs") {
+          Similarity.ivfAdcTopK(embeddings.filter(col("id") < 16), ivfA,
+            postingsA, booksA, k = 5, nProbe = 4, shortlist = 40)
+        })
+    }
+
+    val r7Linear =
+      linear("editdist_pairs", "docs", n =>
+        Dedup.editDistancePairs(docsOf(n), "doc_id", "text",
+          prefixLen = 80, maxDist = 20))
+
+    val allResults = results ++ linearResults ++ skewResults ++ r7Results ++ r7Linear
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()
