@@ -2261,6 +2261,34 @@ object Queries {
         round(col("cnt").cast("double") / col("total"), 6).as("share"))
   }
 
+  /** Dynamic partition pruning over the date-partitioned events
+    * layout (ensureEventsByDate): the day list to process arrives as a
+    * JOINED relation — in production a control table of pending dates,
+    * here a deterministic md5-sample of the distinct days so the
+    * oracle re-derives it — and Spark prunes the fact scan to exactly
+    * those partitions at RUNTIME via the broadcast-reused dim
+    * (`PartitionFilters: dynamicpruningexpression(...)`, plan-locked).
+    * The 100 TB point: a static date predicate can't express "the days
+    * some other table names", but the partitioned layout + DPP gives
+    * the same scan-only-what-matters behavior for join-driven day
+    * selection. */
+  val q73 = q("q73_dpp",
+    s"""WITH busy AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date
+       | FROM events WHERE substr(md5(CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 1) < '8')
+       |SELECT e.event_date, COUNT(*) AS n_events,
+       | ${dsumMSql("e.value")} AS sum_value
+       |FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e
+       |JOIN busy USING (event_date)
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = ensureEventsByDate(s, dir)
+    val busy = t.select("event_date").distinct()
+      .filter(substring(md5(col("event_date").cast("string").cast("binary")),
+        1, 1) < "8")
+    t.join(busy, "event_date")
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_events"), dsumM(col("value")).as("sum_value"))
+  }
+
   /** One product-quantization subspace's oracle CTE block: the s04
     * unrolled-Lloyd pattern applied to the slice v[lo:hi] — identical
     * seed rule (first k by md5(vec_id)), assignment tie-break, exact
@@ -2488,7 +2516,26 @@ object Queries {
       m = 4, k = 8, iters = 2, dim = 64)
     Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4)
     ensureClusters(s, dir)
+    ensureEventsByDate(s, dir)
     ()
+  }
+
+  /** Catalog-safe partitioned-events name, unique per SF directory. */
+  private def eventsByDateName(dir: String): String =
+    "graft_events_bydate_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-once date-partitioned events layout: the physical design a
+    * 100 TB event table actually ships with (one directory per day, so
+    * date predicates and date-keyed joins prune partitions instead of
+    * scanning the table). 30 distinct days at every shipped SF. */
+  def ensureEventsByDate(s: SparkSession, dir: String): DataFrame = synchronized {
+    val name = eventsByDateName(dir)
+    if (!s.catalog.tableExists(name))
+      Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date")
+        .format("parquet").saveAsTable(name)
+    s.table(name)
   }
 
   /** Catalog-safe cluster-table name, unique per SF directory. */
@@ -2815,7 +2862,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,

@@ -167,6 +167,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom probe must be below the join:\n$p")
   }
 
+  test("q73 fact scan carries a dynamic partition pruning filter") {
+    val p = plan("q73_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"partitioned events scan must be runtime-pruned by the day dim:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s12 IVF-ADC: candidates score through the posting table, corpus never broadcast") {
     val p = plan("s12_ivfadc")
     assert(!p.contains("CartesianProduct"))
