@@ -1740,6 +1740,38 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  /** Composed MULTIMODAL shard-prep pipeline (the p01 contract for a
+    * media corpus): metadata extraction (m01's columnar twin — bytes,
+    * content sha, kind), a size gate dropping payload outliers, exact
+    * content dedup on the sha (the d02 keep-one rule), deterministic
+    * shard assignment (the t19 hash rule), and a per-(kind, shard)
+    * manifest. ONE documents scan feeds the whole plan; every stage is
+    * a component already oracle-proven on its own query. */
+  val p02 = q("p02_media_shard_prep",
+    """WITH meta AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS sha
+      | FROM documents),
+      |sized AS (SELECT * FROM meta WHERE n_bytes BETWEEN 100 AND 500),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM sized GROUP BY sha),
+      |sharded AS (SELECT s.doc_id, s.kind, s.n_bytes,
+      |  CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 4 AS shard
+      | FROM sized s JOIN keep k ON s.doc_id = k.doc_id)
+      |SELECT kind, shard, COUNT(*) AS n_files,
+      | CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+      |FROM sharded GROUP BY kind, shard""".stripMargin) { (s, dir) =>
+    val meta = Multimodal.metadata(Tables.documents(s, dir))
+    val sized = meta.filter(col("n_bytes").between(100, 500))
+    val kept = Dedup.keepOneByContent(sized, "doc_id", col("sha"))
+    val kind = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+    TextAnalysis.shardAssign(kept, "doc_id", shards = 4)
+      .groupBy(kind.as("kind"), col("shard"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("total_bytes"))
+  }
+
   // --------------------------------------------- similarity (LLM pipeline)
 
   /** Brute-force cosine top-5: queries = vec_id < 10 (broadcast side),
@@ -2866,5 +2898,5 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
-    m01, m02, m03, p01)
+    m01, m02, m03, p01, p02)
 }
