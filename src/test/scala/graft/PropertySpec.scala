@@ -34,6 +34,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bloomPruneJoin equals the plain join on random fact/dim key sets") {
+    val gen = for {
+      factKeys <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+      dimKeys <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+    } yield (factKeys.take(80), dimKeys.distinct.take(30))
+    check("bloomPruneJoin", Prop.forAll(gen) { case (fk, dk) =>
+      val fact = fk.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("fk", "row_id")
+      val dim = dk.map(k => (k, s"d$k")).toDF("dk", "attr")
+      val got = Relational.bloomPruneJoin(fact, dim, "fk", "dk",
+          expectedDimKeys = dk.size.toLong.max(1L))
+        .select("row_id", "attr").as[(Long, String)].collect().sorted.toSeq
+      val plain = fact.join(dim, col("fk") === col("dk"))
+        .select("row_id", "attr").as[(Long, String)].collect().sorted.toSeq
+      got == plain
+    }, n = 10)
+  }
+
   test("shingle count is max(1, n - 2) and every shingle has <= 3 words") {
     val gen = Gen.chooseNum(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd")))
