@@ -1767,8 +1767,11 @@ object Queries {
     val kept = Dedup.keepOneByContent(sized, "doc_id", col("sha"))
     val kind = when(col("doc_id") % 3 === 0, "image")
       .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
-    TextAnalysis.shardAssign(kept, "doc_id", shards = 4)
-      .groupBy(kind.as("kind"), col("shard"))
+    // shardOf, not shardAssign: the manifest only buckets, so the
+    // shard id stays a pure per-row expression — shardAssign's seq
+    // ordinal would add a window shuffled into only `shards` partitions
+    kept.groupBy(kind.as("kind"),
+        TextAnalysis.shardOf(col("doc_id"), 4).as("shard"))
       .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("total_bytes"))
   }
 
@@ -2183,9 +2186,10 @@ object Queries {
     * engine-exact. Scale note: recursion materializes one iteration
     * per level — for deep/cyclic graphs use the pointer-jumping d07
     * operator; this is the bounded-depth SQL verb. Cost structure,
-    * measured: ~90 ms/level FIXED driver overhead (UnionLoop re-plans
-    * + re-codegens each step: 2.2 s at sf0.001's 1,500 rows, same 25
-    * levels) plus the data-bound probe (~2.5 s more at sf0.1) — so
+    * measured (local[8]): ~90 ms/level FIXED driver overhead
+    * (UnionLoop re-plans + re-codegens each step: 2.2 s at sf0.001's
+    * 1,500 rows, same 25 levels) plus the data-bound probe (~2.5 s
+    * more at sf0.1; the 4-CPU bench config lands ~6.5 s total) — so
     * wall-clock is depth-dominated at small SF and data-dominated at
     * scale, where the per-level join is a broadcast probe of the
     * materialized frontier. */
@@ -2254,13 +2258,16 @@ object Queries {
        |WHERE o.o_orderpriority = '1-URGENT'
        |  AND o.o_orderdate >= DATE '1997-01-01'
        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    // the filtered dim slice is read THREE times (sizing count, sketch
+    // aggregate, the join itself) — materialize it once; it's the
+    // small side by construction
     val o = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderdate") >= lit("1997-01-01").cast("date"))
       .select("o_orderkey", "o_orderdate")
-    // sketch sizing wants the true key count; the dim side is the
-    // small, already-filtered slice, so the extra count is one narrow
-    // pushed-predicate scan
+      .localCheckpoint(false)
+    // sketch sizing wants the true key count — a row count of the
+    // already-materialized slice
     val nKeys = math.max(o.count(), 1L)
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")

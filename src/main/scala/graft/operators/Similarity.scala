@@ -586,6 +586,26 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** Long-form PQ codes pivoted wide: one row per corpus vector,
+    * columns (neighbor_id, c0..c{m-1}) — the layout every ADC consumer
+    * scores against. ONE definition (pqRerankTopK, ensureAdcPostings,
+    * ScaleSmoke) so the column naming and pivot-value types cannot
+    * drift between them. */
+  def codesWide(codes: DataFrame, m: Int): DataFrame =
+    codes.groupBy("vec_id")
+      .pivot("subspace", (0 until m).map(_.toLong))
+      .agg(first(col("code")))
+      .toDF("neighbor_id" +: (0 until m).map(s => s"c$s"): _*)
+
+  /** The IVF-ADC posting relation: each corpus vector's cell id next
+    * to its wide PQ codes — (cid, neighbor_id, c0..c{m-1}). */
+  def adcPostings(ivf: IVFModel, codes: DataFrame, m: Int): DataFrame =
+    ivf.assignments.select(col("cid"), col("id").as("vec_id"))
+      .join(codesWide(codes, m).withColumnRenamed("neighbor_id", "vec_id"),
+        "vec_id")
+      .select(col("cid") +: col("vec_id").as("neighbor_id") +:
+        (0 until m).map(s => col(s"c$s")): _*)
+
   def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                    shortlist: Int, m: Int = 4, codebookK: Int = 8,
                    iters: Int = 2, dim: Int = 64,
@@ -595,11 +615,7 @@ object Similarity {
     val (codes, books) = model.getOrElse(productQuantizeModel(
       candidates.select(col("id").as("vec_id"), col("vec").as("embedding")),
       m, codebookK, iters, dim))
-    // wide code table: one row per corpus vector, one column per subspace
-    val wide = codes.groupBy("vec_id")
-      .pivot("subspace", (0 until m).map(_.toLong))
-      .agg(first(col("code")))
-      .toDF("neighbor_id" +: (0 until m).map(s => s"c$s"): _*)
+    val wide = codesWide(codes, m)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       VectorOps.norm(col("vec")).as("qn"),
       queryLut(col("vec"), books, subDim).as("lut"))
@@ -630,16 +646,9 @@ object Similarity {
                         name: String, ivf: IVFModel, codes: DataFrame,
                         m: Int, buckets: Int = 8): DataFrame = synchronized {
     val t = s"${name}_adc"
-    if (!spark.catalog.tableExists(t)) {
-      val wide = codes.groupBy("vec_id")
-        .pivot("subspace", (0 until m).map(_.toLong))
-        .agg(first(col("code")))
-        .toDF("neighbor_id" +: (0 until m).map(s => s"c$s"): _*)
-      val posting = ivf.assignments
-        .select(col("cid"), col("id").as("neighbor_id"))
-        .join(wide, "neighbor_id")
-      graft.sources.Bucketing.writeBucketed(posting, t, "cid", buckets)
-    }
+    if (!spark.catalog.tableExists(t))
+      graft.sources.Bucketing.writeBucketed(
+        adcPostings(ivf, codes, m), t, "cid", buckets)
     spark.table(t)
   }
 

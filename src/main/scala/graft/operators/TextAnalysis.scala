@@ -493,15 +493,22 @@ object TextAnalysis {
     * .sortWithinPartitions("shard","seq")` then gives one
     * sequentially-ordered output file per shard with no further
     * movement — see [[exportShards]]. */
+  /** The deterministic shard id alone (the t19 hash rule, no ordinal):
+    * first 13 md5 hex chars = 52 bits → exact in a long, never
+    * negative. For consumers that only bucket — e.g. the p02 manifest —
+    * this is a pure per-row expression: no window, no shuffle. */
+  def shardOf(idCol: Column, shards: Int): Column = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10)
+      .cast("long"), lit(shards.toLong))
+  }
+
   def shardAssign(df: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     df.withColumn("__h", md5(col(idCol).cast("string")))
-      // first 13 hex chars = 52 bits → exact in a long, never negative
-      .withColumn("shard",
-        pmod(conv(substring(col("__h"), 1, 13), 16, 10).cast("long"),
-          lit(shards.toLong)))
+      .withColumn("shard", shardOf(col(idCol), shards))
       .withColumn("seq", row_number().over(w).cast("long"))
       .drop("__h")
   }

@@ -43,6 +43,17 @@ case class BloomMightContainKey(child: Expression, bloomBits: Array[Byte])
     extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
+
+  // case-class equality on Array[Byte] is reference identity, which
+  // would defeat Catalyst semantic equality (CSE, ReuseExchange) for
+  // bit-identical probes built separately — compare sketch CONTENT
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContainKey(c, bits) =>
+      c == child && java.util.Arrays.equals(bits, bloomBits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBits)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -349,13 +349,8 @@ object ScaleSmoke {
       val (codesA, booksA) = Similarity.productQuantizeModel(
         corpA.select(col("id").as("vec_id"), col("vec").as("embedding")),
         m = 4, k = 8, iters = 2, dim = 64)
-      val wideA = codesA.groupBy("vec_id")
-        .pivot("subspace", (0 until 4).map(_.toLong))
-        .agg(first(col("code")))
-        .toDF("neighbor_id", "c0", "c1", "c2", "c3")
-      val postingsA = ivfA.assignments
-        .select(col("cid"), col("id").as("neighbor_id"))
-        .join(wideA, "neighbor_id").localCheckpoint()
+      val postingsA =
+        Similarity.adcPostings(ivfA, codesA, m = 4).localCheckpoint()
       Seq(
         time(s"gap_fill_$ne") {
           // 5000 users × a 30-day span on a 600 s grid ≈ 21.6M output
