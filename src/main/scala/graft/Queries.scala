@@ -2241,6 +2241,27 @@ object Queries {
         |FROM chain""".stripMargin)
   }
 
+  /** Windowed DISTINCT count — the verb Spark's WindowExec doesn't
+    * accept directly (`COUNT(DISTINCT) OVER` is unsupported), expressed
+    * the idiomatic way: `size(collect_set(x)) OVER (PARTITION BY ...)`.
+    * Each lineitem row carries the number of distinct suppliers on its
+    * order. The oracle is the relational equivalent (per-order distinct
+    * aggregate joined back), which also documents the rewrite a
+    * cost-conscious 100 TB plan would prefer when ONLY the partition
+    * total is needed; the window form exists for plans already paying
+    * the partition sort that want the value per-row without a join. */
+  val q74 = q("q74_window_distinct",
+    """SELECT l.l_orderkey, l.l_linenumber, d.n_supp
+      |FROM lineitem l JOIN (
+      | SELECT l_orderkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      | FROM lineitem GROUP BY 1) d ON d.l_orderkey = l.l_orderkey""".stripMargin) {
+    (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(collect_set(col("l_suppkey")).over(w)).cast("long").as("n_supp"))
+  }
+
   /** Bloom-pruned large×large join (Relational.bloomPruneJoin):
     * lineitem joins a selectively-filtered orders slice whose key set
     * is sketched into a bloom filter; the fact side is pruned by a
@@ -2907,7 +2928,7 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
