@@ -2922,6 +2922,176 @@ object Queries {
         min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
   }
 
+  /** Conversion funnel over the event stream: per user, the earliest
+    * signup, the earliest purchase AFTER that signup, and the earliest
+    * error after that purchase — then one corpus-wide rollup of how
+    * many users survive each stage. Strictly-ordered semantics (each
+    * stage must follow the previous one in event time), computed in a
+    * single user-id shuffle by Relational.funnelTimes. */
+  val q75 = q("q75_funnel",
+    """WITH s1 AS (
+      | SELECT user_id, ts, event_type,
+      |  min(CASE WHEN event_type = 'signup' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_signup
+      | FROM events),
+      |s2 AS (
+      | SELECT *,
+      |  min(CASE WHEN event_type = 'purchase' AND ts > t_signup THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_purchase
+      | FROM s1),
+      |s3 AS (
+      | SELECT *,
+      |  min(CASE WHEN event_type = 'error' AND ts > t_purchase THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_error
+      | FROM s2),
+      |u AS (
+      | SELECT user_id, max(t_signup) AS t_signup,
+      |  max(t_purchase) AS t_purchase, max(t_error) AS t_error
+      | FROM s3 GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users, COUNT(t_signup) AS n_signup,
+      | COUNT(t_purchase) AS n_purchase_after_signup,
+      | COUNT(t_error) AS n_error_after_purchase
+      |FROM u""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    Relational.funnelTimes(e, col("user_id"), col("ts"), Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "purchase" -> (col("event_type") === "purchase"),
+        "error" -> (col("event_type") === "error")))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        count(col("t_purchase")).as("n_purchase_after_signup"),
+        count(col("t_error")).as("n_error_after_purchase"))
+  }
+
+  /** Time-weighted average value per event type: each observation is
+    * weighted by the microseconds until the key's next event of the
+    * same type (a TWAP — the duration-correct mean for irregular
+    * time series, vs q06's trade-weighted VWAP). Exact arithmetic
+    * end-to-end: value in integer cents × integer µs duration, summed
+    * as DECIMAL(38,0); the only float op is the final display
+    * division, performed on identical inputs in identical order on
+    * both engines. One (user, type) shuffle for the lead(), then a
+    * 5-group hash agg. */
+  val q76 = q("q76_twap",
+    """WITH seg AS (
+      | SELECT user_id, event_type, value, ts,
+      |  lead(ts) OVER (PARTITION BY user_id, event_type
+      |                 ORDER BY ts, event_id) AS next_ts
+      | FROM events),
+      |d AS (
+      | SELECT event_type,
+      |  epoch_us(next_ts) - epoch_us(ts) AS dur_us,
+      |  CAST(CAST(round(value * 100) AS BIGINT)
+      |    * (epoch_us(next_ts) - epoch_us(ts)) AS DECIMAL(38,0)) AS cd
+      | FROM seg WHERE next_ts IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_segments,
+      | CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+      | round(CAST(SUM(cd) AS DOUBLE)
+      |   / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / 100.0, 6) AS twap
+      |FROM d GROUP BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        col("event_id"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .withColumn("cd", (round(col("value") * 100).cast("long") * col("dur_us"))
+        .cast("decimal(38,0)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur_us")).as("total_dur_us"),
+        sum(col("cd")).as("__sum_cd"))
+      .select(col("event_type"), col("n_segments"), col("total_dur_us"),
+        round(col("__sum_cd").cast("double") /
+          col("total_dur_us").cast("double") / lit(100.0), 6).as("twap"))
+  }
+
+  /** Equi-width histogram of l_extendedprice (20 × $5250 buckets from
+    * $0): the data-profiling primitive. Bucketing runs in integer
+    * cents with integer division — bit-exact bucket edges on every
+    * engine, no width_bucket float-boundary hazard. Scan → map-side
+    * partial agg → 20-row result; the share column divides two longs
+    * from a 20-row window, not a second scan. */
+  val q77 = q("q77_histogram",
+    s"""WITH b AS (
+       | SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 525000 AS bucket,
+       |  l_extendedprice, l_quantity FROM lineitem)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+       | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+       | ${dsumLSql("l_quantity")} AS sum_qty,
+       | round(CAST(COUNT(*) AS DOUBLE)
+       |   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+       |FROM b GROUP BY bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.lineitem(s, dir)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV 525000")
+          .as("bucket"),
+        col("l_extendedprice"), col("l_quantity"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        dsumL(col("l_quantity")).as("sum_qty"))
+      .withColumn("share", round(col("n_rows").cast("double") /
+        sum(col("n_rows")).over(Window.partitionBy()).cast("double"), 6))
+  }
+
+  /** Hashed bag-of-n-grams linear classifier inference over the corpus
+    * (fastText-style quality gate): deterministic md5-derived integer
+    * weight vector, unigram+bigram features, exact BIGINT score. Zero
+    * shuffle — the whole pass is one per-row lambda (see
+    * TextAnalysis.hashedLinearScore). */
+  val t20 = q("t20_classifier_score",
+    """WITH f AS (
+      | SELECT doc_id, unnest(list_concat(toks,
+      |   CASE WHEN len(toks) < 2 THEN []
+      |    ELSE list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1]) END)) AS f
+      | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |w AS (
+      | SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(CAST(
+      |    CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 4096
+      |   AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000 AS wt
+      | FROM f)
+      |SELECT doc_id, COUNT(*) AS n_feats, SUM(wt) AS score,
+      | SUM(wt) > 0 AS keep
+      |FROM w GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  /** Exact k-NN majority-vote classification: held-out queries
+    * (vec_id % 20 = 0) labeled by the dominant label among their 10
+    * nearest corpus vectors. Queries broadcast, corpus streamed once;
+    * both ranking stages deterministic (Similarity.knnClassify). */
+  val s13 = q("s13_knn_classify",
+    """WITH scored AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+      |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |    CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      | FROM embeddings q JOIN embeddings c
+      |  ON q.vec_id % 20 = 0 AND c.vec_id % 20 <> 0),
+      |topk AS (SELECT * FROM (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY cos DESC, neighbor_id) AS rn FROM scored) WHERE rn <= 10),
+      |v AS (SELECT query_id, label, COUNT(*) AS votes
+      |      FROM topk GROUP BY query_id, label)
+      |SELECT query_id, label AS pred_label, votes FROM (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY votes DESC, label) AS rv FROM v) WHERE rv = 1""".stripMargin) {
+    (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val c = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"),
+        col("label"))
+    Similarity.knnClassify(q, c, 10)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2929,8 +3099,10 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
+    q75, q76, q77,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+    t15, t16, t17, t18, t19, t20,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
     m01, m02, m03, p01, p02)
 }

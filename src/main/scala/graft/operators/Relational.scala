@@ -224,4 +224,40 @@ object Relational {
         (col("__pos") === 0 && col("__v").isNotNull).as("observed"),
         timestamp_seconds(col("__b")).as("bucket")): _*)
   }
+
+  /** Ordered funnel-stage timestamps per key: `t_<stage>` is the
+    * earliest event satisfying that stage's predicate STRICTLY AFTER
+    * the key's previous stage time (first stage: earliest match
+    * overall); null once any stage is unreached. The product-analytics
+    * conversion-funnel primitive (signup → activation → …), done as
+    * sequential partition-wide window minimums — stage i+1's predicate
+    * can reference `t_<stage_i>` because each withColumn layers a new
+    * Window node over the SAME partitioning, so Catalyst plans ONE
+    * hash-shuffle on `key` and reuses the sorted exchange for every
+    * stage. No self-joins, no per-stage scans.
+    *
+    * Output: one row per key. 100 TB shape: single shuffle of (key, ts,
+    * stage-bits); state per task is the window sort of one key's
+    * events. Skewed mega-keys (bot users) can be pre-capped upstream;
+    * stage count only widens the row, never adds a pass. */
+  def funnelTimes(events: DataFrame, keyCol: Column, tsCol: Column,
+                  stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnelTimes needs at least one stage")
+    val w = Window.partitionBy(col("__k"))
+    val base = events.select(
+      (keyCol.as("__k") +: tsCol.as("__ts") +:
+        stages.map { case (n, p) => p.as(s"__p_$n") }): _*)
+    val staged = stages.zipWithIndex.foldLeft(base) {
+      case (df, ((name, _), i)) =>
+        val reached =
+          if (i == 0) col(s"__p_$name")
+          else col(s"__p_$name") &&
+            col("__ts") > col(s"t_${stages(i - 1)._1}")
+        df.withColumn(s"t_$name",
+          min(when(reached, col("__ts"))).over(w))
+    }
+    staged.groupBy(col("__k").as("key"))
+      .agg(max(col(s"t_${stages.head._1}")).as(s"t_${stages.head._1}"),
+        stages.tail.map(s => max(col(s"t_${s._1}")).as(s"t_${s._1}")): _*)
+  }
 }

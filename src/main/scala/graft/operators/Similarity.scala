@@ -729,4 +729,34 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         round(col("p") * scale, 6).as("proj"))
   }
+
+  /** Exact k-NN majority-vote classification: each query vector takes
+    * the label most frequent among its k nearest corpus vectors by
+    * cosine. `queries`/`candidates`: (id, vec); candidates also carry
+    * `label`. Both ranking stages are deterministic — neighbors rank on
+    * (rounded cos desc, id), the vote on (votes desc, label) — so the
+    * prediction is reproducible across engines.
+    *
+    * The label rides THROUGH the scoring scan instead of being joined
+    * back onto the top-k afterward: a post-hoc label join would shuffle
+    * the corpus a second time, while carrying the column costs one
+    * int per streamed row. 100 TB shape: queries broadcast, corpus
+    * streamed once (s01's plan), then the vote runs on k·|queries|
+    * rows — tiny regardless of corpus size. */
+  def knnClassify(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      VectorOps.norm(col("vec")).as("qn"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("label"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+    val topk = Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("neighbor_id")), k)
+    val votes = topk.groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    Relational.topKPerGroup(votes, Seq(col("query_id")),
+        Seq(col("votes").desc, col("label")), 1, rankCol = "__rv")
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
 }

@@ -524,4 +524,54 @@ object TextAnalysis {
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "seq")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Hashed bag-of-n-grams linear classifier scoring — the fastText-
+    * style quality-filter inference pass of a corpus pipeline (e.g. an
+    * educational-value or toxicity gate): features are unigrams +
+    * bigrams of the token stream, hashed into `nBuckets` weight
+    * buckets, and the document's score is the sum of its features'
+    * bucket weights.
+    *
+    * The weight vector is DETERMINISTIC — w(b) = md5(b)-derived integer
+    * in [-1000, 1000] — standing in for trained parameters so the whole
+    * inference pass is engine-portable and oracle-checkable (the
+    * [[hashSplit]] principle; a real deployment swaps in its trained
+    * array, nothing else changes). Integer weights make the score an
+    * exact BIGINT sum: no float-association drift in any aggregation
+    * order.
+    *
+    * 100 TB shape: pure per-row map — feature generation, hashing, and
+    * the weight lookup all run inside ONE `aggregate` lambda over the
+    * token array (no explode → no shuffle, no per-feature row blowup);
+    * the 4096-int weight array ships as a plan literal (the broadcast-
+    * weights inference shape). Throughput scales with executors
+    * linearly; nothing is collected or joined. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // w(b) = 52-bit md5 int of the bucket id, folded to [-1000, 1000] —
+    // same digest→long rule as shardOf/portablePlanes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val weights: Seq[Long] = (0 until nBuckets).map { b =>
+      val hex = md.digest(b.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2001L - 1000L
+    }
+    docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__t"))
+      // bigrams guard: sequence(1, 0) would generate DESCENDING [1, 0],
+      // not empty, so single-token docs must short-circuit explicitly
+      .withColumn("__feats", concat(col("__t"), expr(
+        """CASE WHEN size(__t) < 2 THEN array()
+          | ELSE transform(sequence(1, size(__t) - 1),
+          |   i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))
+          |END""".stripMargin)))
+      .select(col("doc_id"),
+        size(col("__feats")).cast("long").as("n_feats"),
+        aggregate(col("__feats"), lit(0L), (acc, f) =>
+          acc + element_at(typedLit(weights),
+            (pmod(conv(substring(md5(f), 1, 13), 16, 10).cast("long"),
+              lit(nBuckets.toLong)) + 1L).cast("int"))).as("score"))
+      .withColumn("keep", col("score") > 0L)
+  }
 }

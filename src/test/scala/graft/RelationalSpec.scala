@@ -97,4 +97,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(("a", t0 + 180)) == ((40.0, true)))
     assert(got.exists { case ((k, _), (v, o)) => k == "b" && v == 7.0 && o })
   }
+
+  test("funnelTimes enforces strict stage order per key") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      // u1: clean signup(10) -> purchase(20) -> error(30)
+      (1L, ts(10), "signup"), (1L, ts(20), "purchase"), (1L, ts(30), "error"),
+      // u2: purchase BEFORE signup doesn't count; no purchase after -> stage 2 null
+      (2L, ts(10), "purchase"), (2L, ts(20), "signup"), (2L, ts(30), "error"),
+      // u3: purchase at the same instant as signup is NOT strictly after
+      (3L, ts(10), "signup"), (3L, ts(10), "purchase"),
+      // u4: earliest qualifying purchase picked (25, not 40); error before it ignored
+      (4L, ts(10), "signup"), (4L, ts(15), "error"), (4L, ts(25), "purchase"),
+      (4L, ts(40), "purchase"), (4L, ts(50), "error"),
+      // u5: no signup at all
+      (5L, ts(10), "view")).toDF("user_id", "ts", "event_type")
+    val got = Relational.funnelTimes(df, col("user_id"), col("ts"), Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "purchase" -> (col("event_type") === "purchase"),
+        "error" -> (col("event_type") === "error")))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+      .toMap
+    assert(got(1L) == ((Some(ts(10)), Some(ts(20)), Some(ts(30)))))
+    assert(got(2L) == ((Some(ts(20)), None, None)))
+    assert(got(3L) == ((Some(ts(10)), None, None)))
+    assert(got(4L) == ((Some(ts(10)), Some(ts(25)), Some(ts(50)))))
+    assert(got(5L) == ((None, None, None)))
+    assert(got.size == 5)
+  }
 }

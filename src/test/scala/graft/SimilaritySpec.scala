@@ -187,4 +187,40 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!s.contains("Exchange"), s"projection must be map-only:\n$s")
   }
+
+  test("knnClassify majority vote with deterministic tie-break") {
+    import spark.implicits._
+    // 2-d space: label-0 cluster near (1,0), label-1 cluster near (0,1)
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0), 0), (11L, Array(0.9, 0.1), 0),
+      (12L, Array(0.95, 0.05), 0),
+      (20L, Array(0.0, 1.0), 1), (21L, Array(0.1, 0.9), 1),
+      (22L, Array(0.05, 0.95), 1)).toDF("id", "vec", "label")
+    val queries = Seq(
+      (1L, Array(1.0, 0.02)),   // firmly in the label-0 cluster
+      (2L, Array(0.02, 1.0))).toDF("id", "vec")
+    // k=3: each query's 3 nearest are exactly its own cluster
+    val got = Similarity.knnClassify(queries, corpus, 3)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0, 3L)))
+    assert(got(2L) == ((1, 3L)))
+    assert(got.size == 2)
+    // k=6 swallows the whole corpus -> 3 votes per label: the tie must
+    // resolve deterministically to the SMALLER label
+    val tie = Similarity.knnClassify(
+        Seq((3L, Array(1.0, 1.0))).toDF("id", "vec"), corpus, 6)
+      .as[(Long, Int, Long)].collect()
+    assert(tie.toSeq == Seq((3L, 0, 3L)))
+  }
+
+  test("knnClassify k smaller than a cluster isolates the nearest labels") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0), 7), (11L, Array(0.9, 0.1), 7),
+      (20L, Array(-1.0, 0.0), 3)).toDF("id", "vec", "label")
+    val queries = Seq((1L, Array(1.0, 0.0))).toDF("id", "vec")
+    val got = Similarity.knnClassify(queries, corpus, 2)
+      .as[(Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((1L, 7, 2L)))
+  }
 }

@@ -557,4 +557,44 @@ class TextMultimodalSpec extends AnyFunSuite {
       assert(seqs.toSeq == seqs.sorted.toSeq, s"shard $sh not seq-ordered")
     }
   }
+
+  test("hashedLinearScore: lambda path equals the explode+groupBy spelling") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one"),              // single token: bigram guard, 1 feature
+      (3L, ""),                 // split('',' ') -> [""]: still 1 feature
+      (4L, "a b a b a")).toDF("doc_id", "text")
+    val fast = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+    // reference spelling: explode features to rows, hash/weight per row,
+    // sum — the shape the zero-shuffle lambda must reproduce exactly
+    val toks = split(col("text"), " ")
+    val bigrams = expr(
+      """CASE WHEN size(__t) < 2 THEN array()
+        | ELSE transform(sequence(1, size(__t) - 1),
+        |   i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))
+        |END""".stripMargin)
+    val slow = docs.select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), explode(concat(col("__t"), bigrams)).as("f"))
+      .withColumn("b", pmod(conv(substring(md5(col("f")), 1, 13), 16, 10)
+        .cast("long"), lit(4096L)))
+      .withColumn("w", pmod(conv(substring(md5(col("b").cast("string")), 1, 13),
+        16, 10).cast("long"), lit(2001L)) - lit(1000L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
+    val f = fast.select("doc_id", "n_feats", "score")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val g = slow.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(f == g, s"lambda=$f explode=$g")
+    // 9 tokens + 8 bigrams
+    assert(f.head == f.head.copy(_2 = 17L))
+  }
+
+  test("hashedLinearScore plan is shuffle-free") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier must be map-only:\n$plan")
+  }
 }
