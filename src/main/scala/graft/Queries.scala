@@ -3092,6 +3092,103 @@ object Queries {
     Similarity.knnClassify(q, c, 10)
   }
 
+  /** Cohort retention over the event stream: users cohorted by the ISO
+    * week of their first signup; every later event lands in a
+    * (cohort-week, week-offset) cell with distinct-user and event
+    * counts — the standard growth-analytics retention matrix. The
+    * first-signup time is a partition-wide window min (no self-join of
+    * the event table against its own aggregate), so the plan is one
+    * user-id shuffle + one cohort-cell hash agg. Week arithmetic stays
+    * in integer epoch-µs on week-aligned values — exact on both
+    * engines. */
+  val q78 = q("q78_cohort_retention",
+    """WITH t0 AS (
+      | SELECT user_id, ts,
+      |  min(CASE WHEN event_type = 'signup' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t0
+      | FROM events),
+      |a AS (
+      | SELECT user_id, CAST(date_trunc('week', t0) AS TIMESTAMP) AS cohort_week,
+      |  (epoch_us(date_trunc('week', ts)) - epoch_us(date_trunc('week', t0)))
+      |    // 604800000000 AS week_offset
+      | FROM t0 WHERE t0 IS NOT NULL AND ts >= t0)
+      |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+      | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM a GROUP BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t0",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .filter(col("t0").isNotNull && col("ts") >= col("t0"))
+      .withColumn("cohort_week", date_trunc("week", col("t0")))
+      .withColumn("week_offset", expr(
+        "(unix_micros(date_trunc('week', ts)) - unix_micros(cohort_week))" +
+          " DIV 604800000000"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Canonical-document selection per near-dup cluster: from each d07
+    * cluster keep the member with the most tokens (doc_id tiebreak) —
+    * the "keep best, drop the rest" step that turns near-dup detection
+    * into an actual corpus reduction. Consumes the PERSISTED cluster
+    * artifact (ensureClusters, the d08 precedent) and joins token
+    * counts; both window columns share one cluster-id shuffle. The
+    * oracle rebuilds the same clusters from scratch (d07/d08's
+    * recursive CTE) and applies the same keep rule. */
+  val d14 = q("d14_cluster_canonical",
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      | WHERE jaccard >= 0.5),
+      |edges AS (
+      | SELECT doc_a AS src, doc_b AS dst FROM pairs
+      | UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+      |tok AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |ranked AS (
+      | SELECT cl.cluster_id, cl.doc_id, t.n_tok,
+      |  COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+      |  ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+      |    ORDER BY t.n_tok DESC, cl.doc_id) AS rn
+      | FROM cl JOIN tok t ON t.doc_id = cl.doc_id)
+      |SELECT cluster_id, doc_id AS keep_doc, n_tok AS keep_n_tok,
+      | CAST(n_members AS BIGINT) AS n_members,
+      | CAST(n_members - 1 AS BIGINT) AS n_dropped
+      |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cl = ensureClusters(s, dir)
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy("cluster_id")
+    cl.join(tok, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+      .withColumn("rn", row_number()
+        .over(w.orderBy(col("n_tok").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+        col("n_tok").as("keep_n_tok"), col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3099,8 +3196,8 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-    q75, q76, q77,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+    q75, q76, q77, q78,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,

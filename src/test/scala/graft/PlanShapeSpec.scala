@@ -196,4 +196,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllMatchIn(p).size <= 4,
       s"code table + rerank scans only:\n$p")
   }
+
+  test("q75 funnel: three stage windows share one user-id shuffle") {
+    val p = plan("q75_funnel")
+    // one exchange for the user partition + one single-partition
+    // exchange for the final 1-row rollup; a per-stage shuffle or a
+    // stage self-join would add more
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2,
+      s"stages must reuse the user-id exchange:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"funnel reads events once:\n$p")
+  }
+
+  test("q78 cohort retention: window min, not a self-join against first-signup") {
+    val p = plan("q78_cohort_retention")
+    assert(!p.contains("Join"), s"first-signup must be a window, not a join:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"events scanned once:\n$p")
+  }
+
+  test("d14 canonical selection: member-count and rank share the cluster shuffle") {
+    val p = plan("d14_cluster_canonical")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // n_members count-over + row_number rank partition on the same key:
+    // at most the doc-id join exchanges + ONE cluster-id exchange
+    assert("Exchange hashpartitioning\\(cluster_id".r.findAllMatchIn(p).size <= 1,
+      s"both windows must share the cluster-id exchange:\n$p")
+  }
+
+  test("t20 classifier score is a map-only single scan") {
+    val p = plan("t20_classifier_score")
+    assert(!p.contains("Exchange"), s"classifier must be map-only:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"documents scanned once:\n$p")
+  }
 }
