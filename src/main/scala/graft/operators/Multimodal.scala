@@ -792,6 +792,71 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) of an image payload: real JDK decode,
+    * area-average downsample to an 8×8 luma grid ([[JvmCodec.resizeImage]]),
+    * each cell thresholded at the integer grid mean, packed row-major
+    * MSB-first. The standard cheap perceptual fingerprint: stable under
+    * re-encoding (PNG↔JPEG), format conversion, and uniform brightness
+    * shifts; Hamming distance between hashes ≈ visual difference.
+    * None for payloads ImageIO cannot decode. */
+  def aHash64(payload: Array[Byte]): Option[Long] =
+    JvmCodec.resizeImage(payload, 8, 8).map { g =>
+      var sum = 0L
+      var i = 0
+      while (i < 64) { sum += (g(i) & 0xff); i += 1 }
+      val mean = sum / 64
+      var acc = 0L
+      i = 0
+      while (i < 64) {
+        if ((g(i) & 0xff) >= mean) acc |= (1L << (63 - i))
+        i += 1
+      }
+      acc
+    }
+
+  /** Perceptual near-duplicate image pairs: decode → [[aHash64]] →
+    * banded candidate join → exact Hamming verify. The image twin of
+    * the d03 MinHash pipeline: the hash splits into four 16-bit bands
+    * and candidates are pairs agreeing on ANY band — a hash-shuffle
+    * equi-join on (band, key), never an all-pairs comparison. By
+    * pigeonhole, a pair within Hamming distance 3 differs in at most 3
+    * of 4 bands, so one band always matches: recall is exactly 1 for
+    * `maxHamming` ≤ 3 (the useful near-dup range; larger thresholds
+    * trade recall like wider LSH everywhere else in the engine).
+    *
+    * 100 TB shape: decode is partition-streamed (mapPartitions, one
+    * codec per task); the join key space is 4 × 2^16 buckets whose
+    * occupancy mirrors visual-content frequency — boilerplate images
+    * (logos, spacers) concentrate, which is exactly the dup mass the
+    * operator exists to find. Output is pair-bound, not corpus². */
+  def perceptualDupPairs(files: Dataset[MediaFile], maxHamming: Int = 3)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hashed = files
+      .mapPartitions(it =>
+        it.flatMap(f => aHash64(f.payload).map(h => (f.media_id, h))))
+      .toDF("media_id", "phash")
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val banded = hashed
+      .select(col("media_id"), col("phash"), explode(array(bands: _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct() // pairs agreeing on several bands collapse to one row
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Pure-column metadata path (no decode): cheap filters that should
     * run BEFORE the decode stage at scale. Oracle-checkable. */
   def metadata(docs: DataFrame): DataFrame =

@@ -597,4 +597,60 @@ class TextMultimodalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"classifier must be map-only:\n$plan")
   }
+
+  private def encodeImg(img: java.awt.image.BufferedImage,
+                        fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  private def halfImage(dark: Int, light: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = if (x < 32) dark else light
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("aHash64 survives re-encode and brightness shift, separates content") {
+    val base = Multimodal.aHash64(encodeImg(halfImage(0, 255), "png")).get
+    // JPEG re-encode of the SAME pixels: lossy, but cell averages stay
+    // far from the mean -> identical or near-identical hash
+    val jpeg = Multimodal.aHash64(encodeImg(halfImage(0, 255), "jpg")).get
+    assert(java.lang.Long.bitCount(base ^ jpeg) <= 3,
+      s"png-vs-jpeg hamming ${java.lang.Long.bitCount(base ^ jpeg)}")
+    // uniform brightness shift moves every cell AND the mean together
+    val bright = Multimodal.aHash64(encodeImg(halfImage(40, 215), "png")).get
+    assert(base == bright, "aHash must be brightness-shift invariant")
+    // opposite content (halves swapped) -> far hash
+    val flipped = Multimodal.aHash64(encodeImg(halfImage(255, 0), "png")).get
+    assert(java.lang.Long.bitCount(base ^ flipped) >= 32,
+      "swapped halves must be distant")
+    // undecodable payload -> None, not a crash
+    assert(Multimodal.aHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("perceptualDupPairs finds cross-codec dups via band join, no cartesian") {
+    implicit val sp = spark
+    import spark.implicits._
+    val files = Seq(
+      Multimodal.MediaFile(1L, "image", encodeImg(halfImage(0, 255), "png")),
+      Multimodal.MediaFile(2L, "image", encodeImg(halfImage(0, 255), "jpg")),
+      Multimodal.MediaFile(3L, "image", encodeImg(halfImage(255, 0), "png")),
+      Multimodal.MediaFile(4L, "image", encodeImg(halfImage(255, 0), "bmp")),
+      Multimodal.MediaFile(5L, "image", "garbage".getBytes)).toDS()
+    val pairs = Multimodal.perceptualDupPairs(files, maxHamming = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the band equi-join:\n$plan")
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"png/jpeg dup missed: $got")
+    assert(got.contains((3L, 4L)), s"png/bmp dup missed: $got")
+    assert(!got.exists(p => p._1 <= 2 && p._2 >= 3),
+      s"opposite-content pair must not match: $got")
+  }
 }
