@@ -378,7 +378,67 @@ object ScaleSmoke {
         Dedup.editDistancePairs(docsOf(n), "doc_id", "text",
           prefixLen = 80, maxDist = 20))
 
-    val allResults = results ++ linearResults ++ skewResults ++ r7Results ++ r7Linear
+    // --- round-7b: funnel, cohort retention, classifier inference,
+    // perceptual image dedup ------------------------------------------
+    val r7bResults = {
+      val typeNames = typedlit(Seq("click", "error", "purchase", "signup", "view"))
+      val typed = events.withColumn("event_type",
+        element_at(typeNames,
+          (pmod(xxhash64(col("event_id"), lit(4)), lit(5L)) + 1).cast("int")))
+      // 256 distinct quadrant-pattern PNGs replicated across nImgs ids:
+      // dup mass is pattern-bound, so pair output stays far from n² —
+      // the decode+hash throughput and the band join are what's timed
+      val nImgs = math.max(nDocs / 10, 1000L)
+      val imgFiles = spark.range(nImgs).map { id =>
+        val pat = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val q = (if (y < 16) 2 else 0) + (if (x < 16) 1 else 0)
+            val v = ((pat >> (q * 2)) & 3) * 70 + 20
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Multimodal.MediaFile(id, "image", baos.toByteArray)
+      }
+      Seq(
+        time(s"funnel_$ne") {
+          Relational.funnelTimes(typed, col("user_id"), col("ts"), Seq(
+            "signup" -> (col("event_type") === "signup"),
+            "purchase" -> (col("event_type") === "purchase"),
+            "error" -> (col("event_type") === "error")))
+        },
+        time(s"cohort_retention_$ne") {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          typed
+            .withColumn("t0",
+              min(when(col("event_type") === "signup", col("ts"))).over(w))
+            .filter(col("t0").isNotNull && col("ts") >= col("t0"))
+            .withColumn("cohort_week", date_trunc("week", col("t0")))
+            .withColumn("week_offset", expr(
+              "(unix_micros(date_trunc('week', ts)) - unix_micros(cohort_week))" +
+                " DIV 604800000000"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(countDistinct(col("user_id")).as("n_users"),
+              count(lit(1)).as("n_events"))
+        },
+        time(s"perceptual_pairs_${fmt(nImgs)}") {
+          Multimodal.perceptualDupPairs(imgFiles, maxHamming = 3)(spark)
+        })
+    }
+    val r7bLinear =
+      linear("classifier_score", "docs", n =>
+        TextAnalysis.hashedLinearScore(docsOf(n), "doc_id", "text"))
+
+    val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
+      r7Linear ++ r7bResults ++ r7bLinear
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()
