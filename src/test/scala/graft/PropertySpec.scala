@@ -434,4 +434,79 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 12)
   }
+
+  test("funnelTimes equals the sequential per-user reference walk") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 4L)
+      t <- Gen.chooseNum(1L, 50L)
+      e <- Gen.oneOf("signup", "purchase", "error", "view")
+    } yield (u, t, e)
+    val gen = Gen.nonEmptyListOf(evGen).map(_.take(60))
+    check("funnelTimes", Prop.forAll(gen) { evs =>
+      val stages = Seq("signup", "purchase", "error")
+      // reference: per user, scan events in (ts, insertion) order? No —
+      // the operator is order-free (window MIN per stage), so the
+      // reference recomputes each stage time as min{ts : pred ∧ ts > prev}
+      def ref(rows: Seq[(Long, String)]): Seq[Option[Long]] = {
+        var prev = Long.MinValue
+        stages.map { st =>
+          val hit = rows.collect {
+            case (t, e) if e == st && t > prev && prev != Long.MaxValue => t
+          }.sorted.headOption
+          prev = hit.getOrElse(Long.MaxValue)
+          hit
+        }
+      }
+      val expect = evs.groupBy(_._1).view.mapValues(rs =>
+        ref(rs.map(r => (r._2, r._3)))).toMap
+      val df = evs.map { case (u, t, e) =>
+        (u, new java.sql.Timestamp(t * 1000L), e) }
+        .toDF("user_id", "ts", "event_type")
+      val got = Relational.funnelTimes(df, col("user_id"), col("ts"), Seq(
+          "signup" -> (col("event_type") === "signup"),
+          "purchase" -> (col("event_type") === "purchase"),
+          "error" -> (col("event_type") === "error")))
+        .collect().map { r =>
+          r.getLong(0) -> (1 to 3).map(i =>
+            Option(r.getTimestamp(i)).map(_.getTime / 1000L)).toSeq
+        }.toMap
+      got == expect
+    })
+  }
+
+  test("TWAP lies within the per-type value envelope (weighted-mean bound)") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 3L)
+      t <- Gen.chooseNum(1L, 1000L)
+      v <- Gen.chooseNum(1, 9999).map(_ / 100.0)
+    } yield (u, t, v)
+    val gen = Gen.listOfN(30, evGen).map(_.distinctBy(e => (e._1, e._2)))
+      .suchThat(_.nonEmpty)
+    check("twapEnvelope", Prop.forAll(gen) { evs =>
+      // single event type: the q76 shape reduced to its invariant —
+      // a duration-weighted mean can never leave [min, max] of the
+      // values that carry nonzero weight
+      val df = evs.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, new java.sql.Timestamp(t * 1000L), u, "click", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val seg = df.withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dur_us",
+          unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      if (seg.isEmpty) true
+      else {
+        val twap = seg
+          .withColumn("cd", (round(col("value") * 100).cast("long") *
+            col("dur_us")).cast("decimal(38,0)"))
+          .agg((sum(col("cd")).cast("double") /
+            sum(col("dur_us")).cast("double") / lit(100.0)).as("twap"))
+          .as[Double].head()
+        val vals = seg.select("value").as[Double].collect()
+        twap >= vals.min - 1e-9 && twap <= vals.max + 1e-9
+      }
+    }, n = 12)
+  }
 }
