@@ -3189,6 +3189,54 @@ object Queries {
         (col("n_members") - 1L).as("n_dropped"))
   }
 
+  /** Composed corpus-mix refresh: classifier gate → exact dedup →
+    * shard mixing, the p01 pipeline with the t20 model-inference gate
+    * in place of the heuristic quality gate. Score, fingerprint, and
+    * the gate all ride ONE documents scan (plan-locked); dedup is the
+    * d02 keep-min rule on the fingerprint; shards are the t19 hash
+    * rule. Per-shard rollup: doc count, exact BIGINT score mass,
+    * smallest kept id. */
+  val p03 = q("p03_classifier_mix",
+    s"""WITH f AS (
+       | SELECT doc_id, unnest(list_concat(toks,
+       |   CASE WHEN len(toks) < 2 THEN []
+       |    ELSE list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1]) END)) AS f
+       | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |w AS (
+       | SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(CAST(
+       |    CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 4096
+       |   AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000 AS wt
+       | FROM f),
+       |sc AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY doc_id),
+       |fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |kept AS (
+       | SELECT s.doc_id, s.score, p.fp FROM sc s JOIN fp p USING (doc_id)
+       | WHERE s.score > 0),
+       |k1 AS (SELECT doc_id, score FROM (
+       | SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       | FROM kept) WHERE rn = 1),
+       |sh AS (SELECT doc_id, score,
+       |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+       |    AS BIGINT) % 8 AS shard
+       | FROM k1)
+       |SELECT shard, COUNT(*) AS n_docs,
+       | CAST(SUM(score) AS BIGINT) AS sum_score, min(doc_id) AS min_doc
+       |FROM sh GROUP BY shard""".stripMargin) { (s, dir) =>
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.hashedScoreOf(
+          TextAnalysis.ngramFeatures(TextOps.tokens(col("text")))).as("score"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .filter(col("score") > 0L)
+    Relational.topKPerGroup(staged, Seq(col("fp")), Seq(col("doc_id")), 1)
+      .withColumn("shard", TextAnalysis.shardOf(col("doc_id"), 8))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3201,5 +3249,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-    m01, m02, m03, p01, p02)
+    m01, m02, m03, p01, p02, p03)
 }

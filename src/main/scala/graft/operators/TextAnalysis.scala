@@ -546,32 +546,48 @@ object TextAnalysis {
     * the 4096-int weight array ships as a plan literal (the broadcast-
     * weights inference shape). Throughput scales with executors
     * linearly; nothing is collected or joined. */
-  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
-                        nBuckets: Int = 4096): DataFrame = {
-    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    // w(b) = 52-bit md5 int of the bucket id, folded to [-1000, 1000] —
-    // same digest→long rule as shardOf/portablePlanes
+  /** Unigram+bigram feature array of a token array — the classifier's
+    * feature extractor as a composable column. The bigram branch is
+    * guarded: sequence(1, 0) would generate DESCENDING [1, 0], not
+    * empty, so single-token docs must short-circuit explicitly. */
+  def ngramFeatures(toks: Column): Column =
+    concat(toks,
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+
+  /** The md5-derived integer weight vector: w(b) ∈ [-1000, 1000] from
+    * the 52-bit md5 int of the bucket id — same digest→long rule as
+    * shardOf/portablePlanes. A trained deployment swaps this literal
+    * for its real parameters; nothing else changes. */
+  private[graft] def classifierWeights(nBuckets: Int): Seq[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val weights: Seq[Long] = (0 until nBuckets).map { b =>
+    (0 until nBuckets).map { b =>
       val hex = md.digest(b.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2001L - 1000L
     }
+  }
+
+  /** Exact BIGINT classifier score of a feature array: each feature
+    * hashes to a bucket, the bucket's weight is looked up in the
+    * plan-literal vector, the sum folds in one `aggregate` lambda —
+    * composable into single-scan pipelines (p03). */
+  def hashedScoreOf(feats: Column, nBuckets: Int = 4096): Column = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    aggregate(feats, lit(0L), (acc, f) =>
+      acc + element_at(typedLit(classifierWeights(nBuckets)),
+        (pmod(conv(substring(md5(f), 1, 13), 16, 10).cast("long"),
+          lit(nBuckets.toLong)) + 1L).cast("int")))
+  }
+
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 4096): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__t"))
-      // bigrams guard: sequence(1, 0) would generate DESCENDING [1, 0],
-      // not empty, so single-token docs must short-circuit explicitly
-      .withColumn("__feats", concat(col("__t"), expr(
-        """CASE WHEN size(__t) < 2 THEN array()
-          | ELSE transform(sequence(1, size(__t) - 1),
-          |   i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))
-          |END""".stripMargin)))
+      .select(col(idCol).as("doc_id"),
+        ngramFeatures(TextOps.tokens(col(textCol))).as("__feats"))
       .select(col("doc_id"),
         size(col("__feats")).cast("long").as("n_feats"),
-        aggregate(col("__feats"), lit(0L), (acc, f) =>
-          acc + element_at(typedLit(weights),
-            (pmod(conv(substring(md5(f), 1, 13), 16, 10).cast("long"),
-              lit(nBuckets.toLong)) + 1L).cast("int"))).as("score"))
+        hashedScoreOf(col("__feats"), nBuckets).as("score"))
       .withColumn("keep", col("score") > 0L)
-  }
 }

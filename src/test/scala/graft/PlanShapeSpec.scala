@@ -225,6 +225,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both windows must share the cluster-id exchange:\n$p")
   }
 
+  test("p03 classifier-mix pipeline reads documents exactly once") {
+    val p = plan("p03_classifier_mix")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"score+fingerprint+gate must share one scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t20 classifier score is a map-only single scan") {
     val p = plan("t20_classifier_score")
     assert(!p.contains("Exchange"), s"classifier must be map-only:\n$p")
