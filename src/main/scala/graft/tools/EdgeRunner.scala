@@ -61,7 +61,8 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|zorder is required"))
-    require(Set("batch", "stream", "meta", "corpus", "dedup", "zorder")(mode),
+    require(
+      Set("batch", "stream", "meta", "corpus", "dedup", "zorder", "classify")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -229,6 +230,21 @@ object EdgeRunner {
     case "stream" => await(startStream(spark, cfg), cfg.timeoutSec)
     case "corpus" => await(startCorpus(spark, cfg), cfg.timeoutSec)
     case "zorder" => println(s"[edge] zorder files written: ${runZorder(spark, cfg)}")
+    case "classify" =>
+      println(s"[edge] docs scored: ${runClassify(spark, cfg)}")
+  }
+
+  /** `--mode classify`: the t20 model-inference gate as an operational
+    * job — score every document in a parquet dir with the hashed
+    * n-gram linear classifier (shuffle-free map) and land
+    * (doc_id, n_feats, score, keep) partitioned by the keep flag, so
+    * downstream mixes read only the `keep=true` branch. */
+  private def runClassify(spark: SparkSession, cfg: Config): Long = {
+    require(cfg.in.startsWith("file:"), "classify mode requires --in file:/dir")
+    val docs = spark.read.parquet(cfg.in.stripPrefix("file:"))
+    writeAndCount(cfg,
+      graft.operators.TextAnalysis.hashedLinearScore(docs, "doc_id", "text"),
+      "classified", SaveMode.Overwrite, Seq("keep"))
   }
 
   /** `--mode zorder`: OPTIMIZE-ZORDER for a parquet table — read

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.tools.EdgeRunner
@@ -217,6 +218,31 @@ class EdgeRunnerSpec extends AnyFunSuite {
     val pruned = graft.operators.Layout.readPruned(spark, out, "y", 0L, 31L)
     assert(pruned.count() ==
       spark.read.parquet(out).where("y BETWEEN 0 AND 31").count())
+  }
+
+  test("--mode classify scores documents and partitions by the keep flag") {
+    val in = Files.createTempDirectory("edge_cls_in").toString
+    val out = Files.createTempDirectory("edge_cls_out").toString
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the dog"),
+        (2L, "alpha beta gamma delta"),
+        (3L, "one"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    EdgeRunner.run(spark, EdgeRunner.parse(
+      Array("--mode", "classify", "--in", s"file:$in", "--out", out)))
+    val got = spark.read.parquet(s"$out/classified")
+    assert(got.count() == 3)
+    // landed rows must carry the same scores as the library path, and
+    // keep must partition on score > 0
+    val lib = graft.operators.TextAnalysis
+      .hashedLinearScore(spark.read.parquet(in), "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    // keep comes back as a PARTITION column — cast pins its type
+    // regardless of partition-value inference
+    val landed = got.select(col("doc_id"), col("score"),
+        col("keep").cast("boolean"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(landed.forall { case (id, sc, k) => lib(id) == sc && k == (sc > 0) })
   }
 
   test("parse rejects bad modes and missing inputs") {
