@@ -3237,6 +3237,36 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Gopher-style quality rules (token-count band, mean-token-length
+    * band, symbol ratio cap, stopword floor) with per-rule booleans —
+    * all integer cross-multiplied, one token array per doc. */
+  val t21 = q("t21_gopher_rules",
+    """WITH b AS (
+      | SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tok,
+      |  CAST(length(text) - (len(toks) - 1) AS BIGINT) AS n_tok_chars,
+      |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+      |    AS BIGINT) AS n_symbols,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(list_filter(toks, x -> x IN
+      |    ('the','a','of','and','is','to','in','that','it'))) AS BIGINT) AS n_stop
+      | FROM b)
+      |SELECT doc_id, n_tok, n_symbols, n_stop,
+      | n_tok BETWEEN 50 AND 100000 AS ok_count,
+      | (n_tok_chars >= n_tok * 3 AND n_tok_chars <= n_tok * 10) AS ok_mean_len,
+      | n_symbols * 10 < n_chars AS ok_symbols,
+      | (n_stop * 100 >= n_tok * 2 AND n_stop >= 1) AS ok_stopwords,
+      | (n_tok BETWEEN 50 AND 100000
+      |   AND n_tok_chars >= n_tok * 3 AND n_tok_chars <= n_tok * 10
+      |   AND n_symbols * 10 < n_chars
+      |   AND n_stop * 100 >= n_tok * 2 AND n_stop >= 1) AS keep
+      |FROM m""".stripMargin) { (s, dir) =>
+    TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3247,7 +3277,7 @@ object Queries {
     q75, q76, q77, q78,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20,
+    t15, t16, t17, t18, t19, t20, t21,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
     m01, m02, m03, p01, p02, p03)
 }

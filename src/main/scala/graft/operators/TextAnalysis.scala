@@ -581,6 +581,45 @@ object TextAnalysis {
           lit(nBuckets.toLong)) + 1L).cast("int")))
   }
 
+  /** Gopher-style repetition-free quality rules (Rae et al. 2021 §A1.1,
+    * the subset computable from the token stream): token-count bounds,
+    * mean-token-length band, symbol-to-character ratio cap, and a
+    * stopword floor. Every rule is exact integer/length arithmetic over
+    * ONE materialized token array (no per-rule re-tokenize), reported
+    * as individual booleans plus the conjunction gate — pipelines log
+    * per-rule rejection rates, not just the final verdict. All ratios
+    * compare via cross-multiplication in integers, so the gate can
+    * never flip on float rounding. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in", "that", "it")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        // letters-only length: token chars minus spaces
+        (length(col("__t")) - (size(col("__toks")) - 1)).cast("long")
+          .as("n_tok_chars"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), "[^A-Za-z0-9 ]", "")))
+          .cast("long").as("n_symbols"),
+        length(col("__t")).cast("long").as("n_chars"),
+        TextOps.markerCount(col("__toks"), stop).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tok"), col("n_symbols"), col("n_stop"),
+        col("n_tok").between(50L, 100000L).as("ok_count"),
+        // 3 <= mean token length <= 10, compared as integers
+        (col("n_tok_chars") >= col("n_tok") * 3L &&
+          col("n_tok_chars") <= col("n_tok") * 10L).as("ok_mean_len"),
+        // symbols < 10% of characters
+        (col("n_symbols") * 10L < col("n_chars")).as("ok_symbols"),
+        // >= 2 stopword hits per 100 tokens (and at least one)
+        (col("n_stop") * 100L >= col("n_tok") * 2L && col("n_stop") >= 1L)
+          .as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_count") && col("ok_mean_len") &&
+          col("ok_symbols") && col("ok_stopwords"))
+  }
+
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
                         nBuckets: Int = 4096): DataFrame =
     docs
