@@ -549,7 +549,13 @@ object TextAnalysis {
   /** Unigram+bigram feature array of a token array — the classifier's
     * feature extractor as a composable column. The bigram branch is
     * guarded: sequence(1, 0) would generate DESCENDING [1, 0], not
-    * empty, so single-token docs must short-circuit explicitly. */
+    * empty, so single-token docs must short-circuit explicitly.
+    *
+    * Pass a MATERIALIZED token column (its own projection), never an
+    * inline split(...): `toks` is referenced three times here and
+    * interpreted HOFs get no CSE, so an unmaterialized split is
+    * re-evaluated per reference (measured 3.7× on t20 when this
+    * regressed). */
   def ngramFeatures(toks: Column): Column =
     concat(toks,
       when(size(toks) < 2, array().cast("array<string>"))
@@ -623,8 +629,8 @@ object TextAnalysis {
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
                         nBuckets: Int = 4096): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"),
-        ngramFeatures(TextOps.tokens(col(textCol))).as("__feats"))
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), ngramFeatures(col("__t")).as("__feats"))
       .select(col("doc_id"),
         size(col("__feats")).cast("long").as("n_feats"),
         hashedScoreOf(col("__feats"), nBuckets).as("score"))
