@@ -3042,8 +3042,8 @@ object Queries {
   /** Hashed bag-of-n-grams linear classifier inference over the corpus
     * (fastText-style quality gate): deterministic md5-derived integer
     * weight vector, unigram+bigram features, exact BIGINT score. Zero
-    * shuffle — the whole pass is one per-row lambda (see
-    * TextAnalysis.hashedLinearScore). */
+    * shuffle — the whole pass is one native per-row expression
+    * (TextAnalysis.hashedLinearScore → plans.HashedClassifierScore). */
   val t20 = q("t20_classifier_score",
     """WITH f AS (
       | SELECT doc_id, unnest(list_concat(toks,
@@ -3225,23 +3225,22 @@ object Queries {
        | CAST(SUM(score) AS BIGINT) AS sum_score, min(doc_id) AS min_doc
        |FROM sh GROUP BY shard""".stripMargin) { (s, dir) =>
     val staged = Tables.documents(s, dir)
-      // tokens materialized first: ngramFeatures references them three
-      // times and interpreted HOFs get no CSE (see its scaladoc)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"),
         TextOps.fingerprint(col("text")).as("fp"))
       .select(col("doc_id"),
-        TextAnalysis.hashedScoreOf(
-          TextAnalysis.ngramFeatures(col("__t"))).as("score"), col("fp"))
+        graft.plans.TextHash.classifierScore(col("__t")).as("score"), col("fp"))
     // The gate rides the dedup window instead of a pre-filter: a
-    // Filter directly over the scoring projection gets the whole
-    // aggregate lambda SUBSTITUTED into its condition by predicate
+    // Filter directly over the scoring projection gets the scoring
+    // expression SUBSTITUTED into its condition by predicate
     // pushdown — every doc then pays the classifier twice (measured
-    // 5.1 s vs 1.1 s at sf0.1). Ordering kept-first makes rn=1 the
-    // min-id KEPT doc whenever the cluster has one, and the score
-    // predicate cannot push through a Window on a non-partition
-    // column, so the lambda is evaluated exactly once per doc. The
-    // shuffle carries (doc_id, score, fp) for ALL docs — ~32 bytes/row
-    // — the price of the compute-once guarantee.
+    // 5.1 s vs 1.1 s at sf0.1 on the interpreted spelling; the native
+    // expression shrinks but does not remove the duplicate work).
+    // Ordering kept-first makes rn=1 the min-id KEPT doc whenever the
+    // cluster has one, and the score predicate cannot push through a
+    // Window on a non-partition column, so the classifier is evaluated
+    // exactly once per doc. The shuffle carries (doc_id, score, fp)
+    // for ALL docs — ~32 bytes/row — the price of the compute-once
+    // guarantee.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy((col("score") <= 0L).asc, col("doc_id"))
     staged.withColumn("rn", row_number().over(w))

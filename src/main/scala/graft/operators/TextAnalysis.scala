@@ -541,11 +541,14 @@ object TextAnalysis {
     * order.
     *
     * 100 TB shape: pure per-row map — feature generation, hashing, and
-    * the weight lookup all run inside ONE `aggregate` lambda over the
-    * token array (no explode → no shuffle, no per-feature row blowup);
-    * the 4096-int weight array ships as a plan literal (the broadcast-
+    * the weight lookup all run inside ONE native expression over the
+    * token array ([[graft.plans.HashedClassifierScore]]: no explode →
+    * no shuffle, no per-feature row blowup, no interpreted lambda
+    * frames); the weight array rides the expression (the broadcast-
     * weights inference shape). Throughput scales with executors
-    * linearly; nothing is collected or joined. */
+    * linearly; nothing is collected or joined. The interpreted
+    * `hashedScoreOf(ngramFeatures(...))` spelling below is kept as the
+    * bit-identical cross-check (TextMultimodalSpec). */
   /** Unigram+bigram feature array of a token array — the classifier's
     * feature extractor as a composable column. The bigram branch is
     * guarded: sequence(1, 0) would generate DESCENDING [1, 0], not
@@ -566,14 +569,8 @@ object TextAnalysis {
     * the 52-bit md5 int of the bucket id — same digest→long rule as
     * shardOf/portablePlanes. A trained deployment swaps this literal
     * for its real parameters; nothing else changes. */
-  private[graft] def classifierWeights(nBuckets: Int): Seq[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until nBuckets).map { b =>
-      val hex = md.digest(b.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2001L - 1000L
-    }
-  }
+  private[graft] def classifierWeights(nBuckets: Int): Seq[Long] =
+    graft.plans.HashedClassifierScore.weights(nBuckets).toSeq
 
   /** Exact BIGINT classifier score of a feature array: each feature
     * hashes to a bucket, the bucket's weight is looked up in the
@@ -630,9 +627,11 @@ object TextAnalysis {
                         nBuckets: Int = 4096): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), ngramFeatures(col("__t")).as("__feats"))
       .select(col("doc_id"),
-        size(col("__feats")).cast("long").as("n_feats"),
-        hashedScoreOf(col("__feats"), nBuckets).as("score"))
+        // |unigrams| + |bigrams| without materializing the feature
+        // array: n + max(0, n-1)
+        when(size(col("__t")) < 2, size(col("__t")))
+          .otherwise(size(col("__t")) * 2 - 1).cast("long").as("n_feats"),
+        graft.plans.TextHash.classifierScore(col("__t"), nBuckets).as("score"))
       .withColumn("keep", col("score") > 0L)
 }

@@ -54,6 +54,10 @@ object TextHash {
 
   def simhashPortable(tokens: Column): Column =
     GraftShim.column(SimHashPortable(GraftShim.expression(tokens)))
+
+  def classifierScore(tokens: Column, nBuckets: Int = 4096): Column =
+    GraftShim.column(
+      HashedClassifierScore(GraftShim.expression(tokens), nBuckets))
 }
 
 /** MinHash signature over word-`shingleN`-gram shingles of a token
@@ -281,4 +285,90 @@ case class SimHashPortable(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): SimHashPortable =
     copy(child = c)
+}
+
+/** Hashed bag-of-n-grams linear classifier score (array<string> →
+  * long): the fastText-style quality-gate inference pass as ONE native
+  * expression. Features are the unigrams plus space-joined bigrams of
+  * the token array; each feature's bucket is the first 13 hex chars of
+  * its md5 (52 bits) mod `nBuckets`, and the score is the exact BIGINT
+  * sum of the deterministic md5-derived bucket weights
+  * (w(b) ∈ [-1000, 1000] — see [[HashedClassifierScore.weights]]).
+  *
+  * Bit-identical to the interpreted spelling
+  * `hashedScoreOf(ngramFeatures(toks))` (TextAnalysis) and to the t20
+  * DuckDB oracle, but it never materializes the feature array and runs
+  * one JVM loop per row instead of two nested interpreted HOF lambdas
+  * (no per-feature UTF8String concat, no base-16 string `conv`, no
+  * 4096-element literal-array `element_at` walk). Measured ~5× on t20
+  * at sf0.1. Codegen: reference-object call (see [[MinHashShingleSig]]),
+  * so surrounding operators stay in whole-stage codegen. */
+case class HashedClassifierScore(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val w = HashedClassifierScore.weights(nBuckets)
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clfScore", this, classOf[HashedClassifierScore].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(toks: ArrayData): Long = {
+    val md = MinHashShinglePortable.digest.get()
+    val n = toks.numElements()
+    var score = 0L
+    var prev: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      val cur = toks.getUTF8String(i).getBytes
+      md.reset()
+      score += w(bucketOf(md.digest(cur)))
+      if (prev != null) {
+        // bigram "prev cur" hashed without building a String
+        val bi = new Array[Byte](prev.length + 1 + cur.length)
+        System.arraycopy(prev, 0, bi, 0, prev.length)
+        bi(prev.length) = ' '
+        System.arraycopy(cur, 0, bi, prev.length + 1, cur.length)
+        md.reset()
+        score += w(bucketOf(md.digest(bi)))
+      }
+      prev = cur
+      i += 1
+    }
+    score
+  }
+
+  @inline private def bucketOf(digest: Array[Byte]): Int =
+    (MinHashShinglePortable.hexRange(digest, 0, 13) % nBuckets).toInt
+
+  override protected def withNewChildInternal(c: Expression): HashedClassifierScore =
+    copy(child = c)
+}
+
+object HashedClassifierScore {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** The canonical md5-derived integer weight vector:
+    * w(b) = (first-13-hex-chars of md5(b)) % 2001 - 1000 ∈ [-1000, 1000].
+    * Deterministic stand-in for trained parameters (a real deployment
+    * swaps in its trained array; nothing else changes). Cached per
+    * size; also the source of truth for the interpreted spelling
+    * (TextAnalysis.classifierWeights delegates here). */
+  def weights(nBuckets: Int): Array[Long] =
+    cache.computeIfAbsent(nBuckets,
+      (n: Int) => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(n) { b =>
+          MinHashShinglePortable.hexRange(
+            md.digest(b.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)), 0, 13) % 2001L - 1000L
+        }
+      })
 }

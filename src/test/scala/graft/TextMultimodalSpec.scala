@@ -590,6 +590,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f.head == f.head.copy(_2 = 17L))
   }
 
+  test("native classifierScore is bit-identical to the interpreted HOF spelling") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("the quick brown fox jumps over the lazy dog")),
+      (2L, Option("one")),
+      (3L, Option("")),
+      (4L, Option("a b a b a éüñ unicode tōken")),
+      (5L, None)).toDF("doc_id", "text")
+    val staged = docs.select(col("doc_id"), split(col("text"), " ").as("__t"))
+    val both = staged.select(col("doc_id"),
+      graft.plans.TextHash.classifierScore(col("__t")).as("native"),
+      TextAnalysis.hashedScoreOf(TextAnalysis.ngramFeatures(col("__t")))
+        .as("interp"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    both.foreach { case (id, n, i) =>
+      assert(n == i, s"doc $id: native=$n interpreted=$i") }
+    assert(both.find(_._1 == 5L).exists(_._2.isEmpty), "null text -> null score")
+  }
+
   test("hashedLinearScore plan is shuffle-free") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
