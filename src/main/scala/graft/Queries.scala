@@ -2583,6 +2583,7 @@ object Queries {
     Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4)
     ensureClusters(s, dir)
     ensureEventsByDate(s, dir)
+    ensureBucketed(s, dir)
     ()
   }
 
@@ -3131,6 +3132,75 @@ object Queries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Skew-safe two-phase aggregation (Skew.saltedAgg) surfaced on the
+    * oracle gate: events grouped by event_type — the exact shape that
+    * straggles at 100 TB when one key carries half the rows. Phase 1
+    * spreads each key over 16 content-hash salts, phase 2 merges the
+    * ≤16 partials per key; all aggregates are associative-exact (count,
+    * BIGINT cent-sum, min/max), so the split-merge is bit-identical to
+    * the plain GROUP BY the oracle runs. The uniform testdata can't
+    * manufacture the straggler, but it proves the rewrite's algebra;
+    * AsOfSkewSpec proves the salt actually spreads rows. */
+  val q79 = q("q79_salted_agg",
+    """SELECT event_type, COUNT(*) AS n_events,
+      | SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+      | min(event_id) AS min_event, max(event_id) AS max_event
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    Skew.saltedAgg(ev, Seq("event_type"), salts = 16, Seq(
+      Skew.Agg("n_events", lit(1), "count"),
+      Skew.Agg("sum_cents", col("value_cents"), "sum"),
+      Skew.Agg("min_event", col("event_id"), "min"),
+      Skew.Agg("max_event", col("event_id"), "max")))
+  }
+
+  /** Co-located fact join over BUCKETED tables (Bucketing.writeBucketed
+    * — the pre-shuffle-once physical design for a fact table every
+    * query joins on the same key): lineitem ⋈ orders on orderkey with
+    * ZERO exchange on either join side (BucketingSpec locks the plan
+    * property), then a 5-group priority rollup. The bucketed artifacts
+    * are built once per SF dir (prepare(), the ensureClusters
+    * precedent), so the timed query measures the production read path:
+    * at 100 TB this is the difference between re-shuffling 60 B rows
+    * per query and never shuffling them again. */
+  val q80 = q("q80_bucketed_join",
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       | ${dsumLSql("l_quantity")} AS sum_qty,
+       | ${dsumLSql("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val (liT, ordT) = ensureBucketed(s, dir)
+    s.table(liT).join(s.table(ordT),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsumL(col("l_quantity")).as("sum_qty"),
+        dsumL(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** Catalog-safe bucketed-table name, unique per SF directory. */
+  private def bucketedName(dir: String, t: String): String =
+    s"graft_bkt_${t}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-once bucketed lineitem/orders (8 buckets on orderkey, sorted
+    * within buckets): the write pays the shuffle once; every subsequent
+    * orderkey join reads co-located buckets with no exchange. Full
+    * column set — a production bucketed fact table serves all queries,
+    * not one. */
+  def ensureBucketed(s: SparkSession, dir: String): (String, String) = synchronized {
+    val li = bucketedName(dir, "lineitem")
+    val ord = bucketedName(dir, "orders")
+    if (!s.catalog.tableExists(li))
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(s, dir), li, "l_orderkey", 8)
+    if (!s.catalog.tableExists(ord))
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, dir), ord, "o_orderkey", 8)
+    (li, ord)
+  }
+
   /** Canonical-document selection per near-dup cluster: from each d07
     * cluster keep the member with the most tokens (doc_id tiebreak) —
     * the "keep best, drop the rest" step that turns near-dup detection
@@ -3288,7 +3358,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-    q75, q76, q77, q78,
+    q75, q76, q77, q78, q79, q80,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21,

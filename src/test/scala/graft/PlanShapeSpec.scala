@@ -238,4 +238,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllMatchIn(p).size == 1,
       s"documents scanned once:\n$p")
   }
+
+  test("q79 salted agg is two hash-agg phases, no key re-sort") {
+    val p = plan("q79_salted_agg")
+    // phase-1 partial+final on (key, salt), phase-2 partial+final on key
+    assert("HashAggregate".r.findAllMatchIn(p).size == 4,
+      s"expected the 4 hash-agg stages of split-merge:\n$p")
+    assert(!p.contains("SortAggregate") && !p.contains("CartesianProduct"))
+  }
+
+  test("q80 bucketed join runs exchange-free up to the rollup") {
+    // tiny SF broadcasts the dim (correct at this size); disable it to
+    // expose the scale plan — co-located bucket SMJ with the ONLY
+    // exchange being the 5-group rollup after the join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q80_bucketed_join")
+      assert(p.contains("SortMergeJoin"), s"expected bucket SMJ:\n$p")
+      assert(!p.contains("BroadcastExchange"))
+      assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+        s"join sides must read co-located buckets, no exchange:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
