@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -26,7 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ranges, a restarted query resumes from the committed offset, and
   * re-planning an old range re-reads identical rows (append-only
   * files ARE the replay log). `initialOffset` honors
-  * `startingOffsets=earliest|latest` like the Kafka source.
+  * `startingOffsets=earliest|latest` like the Kafka source, and
+  * `Trigger.AvailableNow` drains exactly the start-time snapshot in
+  * `maxLinesPerTrigger`-bounded batches then stops
+  * (SupportsTriggerAvailableNow, same contract as Kafka's).
   *
   * Scale shape: one input partition per (file, range) — parallelism =
   * file count, like Kafka's partition count; readers stream lines and
@@ -262,7 +265,27 @@ class LineLogScan(path: String, startingOffsets: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream with SupportsAdmissionControl {
+    new MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
+      // Trigger.AvailableNow contract (same as the Kafka source): the
+      // wrapper calls prepareForTriggerAvailableNow() once at query
+      // start; every subsequent latestOffset sees AT MOST this
+      // snapshot, so the query drains exactly the data present at
+      // start — in maxLinesPerTrigger-bounded batches — then stops,
+      // even while writers keep appending.
+      @volatile private var availableNowCap: Option[Map[String, Long]] = None
+      override def prepareForTriggerAvailableNow(): Unit =
+        availableNowCap = Some(LineLogSource.latestCounts(path).toMap)
+      private def currentCounts(): Seq[(String, Long)] = {
+        val live = LineLogSource.latestCounts(path)
+        availableNowCap match {
+          case Some(cap) => live.flatMap { case (log, n) =>
+            // files created after the snapshot don't participate at all
+            cap.get(log).map(c => log -> math.min(n, c))
+          }
+          case None => live
+        }
+      }
       override def initialOffset(): Offset =
         if (startingOffsets == "latest")
           LineLogOffset(LineLogSource.latestCounts(path).toMap)
@@ -277,7 +300,7 @@ class LineLogScan(path: String, startingOffsets: String,
         throw new UnsupportedOperationException(
           "latestOffset(start, limit) is used (SupportsAdmissionControl)")
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-        val cur = LineLogSource.latestCounts(path)
+        val cur = currentCounts()
         limit match {
           case r: ReadMaxRows =>
             val s = start.asInstanceOf[LineLogOffset].counts
@@ -292,7 +315,7 @@ class LineLogScan(path: String, startingOffsets: String,
         }
       }
       override def reportLatestOffset(): Offset =
-        LineLogOffset(LineLogSource.latestCounts(path).toMap)
+        LineLogOffset(currentCounts().toMap)
       override def deserializeOffset(json: String): Offset =
         LineLogOffset.parse(json)
       // append-only files are their own replay log: nothing to prune

@@ -149,6 +149,32 @@ class LineLogSourceSpec extends AnyFunSuite {
       ((0 until 5).map(i => s"a$i") ++ Seq("b0", "b1")).sorted)
   }
 
+  test("Trigger.AvailableNow drains the start snapshot in bounded batches, then stops") {
+    val dir = Files.createTempDirectory("graftlog_avnow")
+    val ckpt = Files.createTempDirectory("graftlog_avnow_ckpt").toString
+    append(dir, "a.log", (0 until 6).map(i => s"a$i"): _*)
+    append(dir, "b.log", "b0", "b1", "b2")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = spark.readStream.format("graftlog")
+      .option("path", dir.toString).option("maxLinesPerTrigger", "4")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vals = df.select("value").as[String].collect().toSeq
+        batches.synchronized { if (vals.nonEmpty) batches += vals }
+        ()
+      }.start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    val got = batches.synchronized(batches.toList)
+    // 9 lines at <=4 per trigger: >=3 bounded batches covering every
+    // line exactly once — NOT the single-batch fallback
+    assert(got.size >= 3, s"expected bounded multi-batch drain, got $got")
+    assert(got.forall(_.size <= 4), s"batch over cap: $got")
+    assert(got.flatten.sorted ==
+      ((0 until 6).map(i => s"a$i") ++ Seq("b0", "b1", "b2")).sorted)
+  }
+
   test("startingOffsets=latest skips existing lines like the Kafka source") {
     val dir = Files.createTempDirectory("graftlog_latest")
     val ckpt = Files.createTempDirectory("graftlog_latest_ckpt").toString
