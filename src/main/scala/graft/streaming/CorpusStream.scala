@@ -50,9 +50,31 @@ object CorpusStream {
     * join, stateless on the stream side, so the only streaming state
     * remains the watermarked within-stream dedup map. */
   def prepare(docs: DataFrame, watermark: String = "10 minutes",
-              knownKeys: Option[DataFrame] = None): DataFrame = {
+              knownKeys: Option[DataFrame] = None): DataFrame =
+    prepareGated(docs, TextAnalysis.qualityPredicate(col("text")),
+      watermark, knownKeys)
+
+  /** [[prepare]] with the t20/p03 MODEL-INFERENCE gate in place of the
+    * heuristic: keep docs whose hashed bag-of-n-grams classifier score
+    * is positive ([[graft.plans.HashedClassifierScore]] — fastText-
+    * style quality filter). The gate is a stateless per-row native
+    * expression, so it costs the same in streaming and batch and can
+    * move between the landing stream and the batch refresh (p03)
+    * without semantic drift; dedup/anti-join state is unchanged. */
+  def prepareClassified(docs: DataFrame, watermark: String = "10 minutes",
+                        knownKeys: Option[DataFrame] = None,
+                        nBuckets: Int = 4096): DataFrame =
+    prepareGated(docs,
+      graft.plans.TextHash.classifierScore(
+        TextOps.tokens(col("text")), nBuckets) > 0L,
+      watermark, knownKeys)
+
+  private def prepareGated(docs: DataFrame,
+                           gate: org.apache.spark.sql.Column,
+                           watermark: String,
+                           knownKeys: Option[DataFrame]): DataFrame = {
     val gated = docs
-      .filter(TextAnalysis.qualityPredicate(col("text")))
+      .filter(gate)
       .withColumn("fp", TextOps.fingerprint(col("text")))
     val fresh = knownKeys.fold(gated)(k =>
       gated.join(k.select("fp"), Seq("fp"), "left_anti"))

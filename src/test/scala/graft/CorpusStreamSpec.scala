@@ -66,6 +66,42 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(landed.select("doc_id").as[Long].collect().toSet == Set(5L))
   }
 
+  test("prepareClassified gates by classifier score, identically stream vs batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // enough docs that both score signs occur (md5-derived weights)
+    val texts = (0 until 40).map(i =>
+      (100L + i, (1 to 12).map(j => s"d${i}w$j").mkString(" ")))
+    val staticDocs = texts.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("ts", org.apache.spark.sql.functions.lit("2025-01-01 10:00:00").cast("timestamp"))
+    val expected = staticDocs.select(col("doc_id"), col("text"),
+        graft.plans.TextHash.classifierScore(
+          graft.functions.TextOps.tokens(col("text"))).as("score"))
+      .filter(col("score") > 0L)
+      // batch twin also dedups by content; these texts are all distinct
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < texts.size,
+      s"gate must split the corpus, kept ${expected.size}/${texts.size}")
+    // batch path
+    val batchKept = CorpusStream.prepareClassified(staticDocs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == expected)
+    // streaming path over the same docs
+    val input = MemoryStream[String]
+    val prepared = CorpusStream.prepareClassified(
+      CorpusStream.parseDocs(input.toDF()))
+    val q = prepared.writeStream.format("memory")
+      .queryName("clf_gate").outputMode("append")
+      .trigger(Trigger.ProcessingTime("0 seconds")).start()
+    texts.zipWithIndex.foreach { case ((id, t), i) => input.addData(doc(id, t, "en", i)) }
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("clf_gate")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == expected, s"stream=$streamKept expected=$expected")
+  }
+
   test("prepare on a static frame applies the same gate and dedup") {
     val docs = Seq(
       (1L, longText, "en"),
