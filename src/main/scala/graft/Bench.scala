@@ -61,8 +61,15 @@ object Bench {
     }
     calibration() // untimed: first use pays codegen compile, not CPU
     val calPre = calibration()
+    // builder-side scale sweeps only: skip named queries (e.g. the
+    // output-grid-sized q68 at a 100x replica). Unset for driver runs.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => !skip(name) }
+      .flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column. A bare count()

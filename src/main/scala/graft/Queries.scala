@@ -3067,7 +3067,12 @@ object Queries {
   /** Exact k-NN majority-vote classification: held-out queries
     * (vec_id % 20 = 0) labeled by the dominant label among their 10
     * nearest corpus vectors. Queries broadcast, corpus streamed once;
-    * both ranking stages deterministic (Similarity.knnClassify). */
+    * both ranking stages deterministic (Similarity.knnClassify).
+    * Scale note: with the query set a FIXED FRACTION of the corpus this
+    * shape is inherently quadratic (both sides 100× → 10,000× scored
+    * pairs); the production form at that scale is
+    * Similarity.knnClassifyIvf — IVF-probed neighbors, same vote,
+    * bit-identical at full probe width (SimilaritySpec). */
   val s13 = q("s13_knn_classify",
     """WITH scored AS (
       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,

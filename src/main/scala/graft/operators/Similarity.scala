@@ -759,4 +759,29 @@ object Similarity {
         Seq(col("votes").desc, col("label")), 1, rankCol = "__rv")
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
+
+  /** ANN k-NN classification: neighbors come from the IVF probe
+    * ([[ivfTopK]] — nProbe cells per query against the bucketed
+    * posting table) instead of the exact corpus scan, then the same
+    * deterministic majority vote as [[knnClassify]]. This is the
+    * production form at corpus scale: exact kNN classification is
+    * inherently QUADRATIC when the query set grows with the corpus
+    * (both sides 100× → 10,000× scored pairs — measured, see
+    * TESTDATA.md), while the probe scores nProbe/nCentroids of the
+    * corpus per query. `labels` (id, label) joins onto the k·|queries|
+    * top-k rows — the corpus' vectors are never re-shuffled, only its
+    * narrow label table. With nProbe = nCentroids every cell is probed
+    * and the prediction equals the exact form bit-for-bit
+    * (spec-locked); recall at small nProbe is measured in the spec. */
+  def knnClassifyIvf(queries: DataFrame, model: IVFModel, labels: DataFrame,
+                     k: Int, nProbe: Int): DataFrame = {
+    val topk = ivfTopK(queries, model, k, nProbe)
+      .join(labels.select(col("id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+    val votes = topk.groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    Relational.topKPerGroup(votes, Seq(col("query_id")),
+        Seq(col("votes").desc, col("label")), 1, rankCol = "__rv")
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
 }

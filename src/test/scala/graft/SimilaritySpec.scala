@@ -223,4 +223,33 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect()
     assert(got.toSeq == Seq((1L, 7, 2L)))
   }
+
+  test("knnClassifyIvf equals exact kNN when every cell is probed; agrees at nProbe=2") {
+    import spark.implicits._
+    // 3 well-separated label clusters of 8 vectors each in 8-d
+    def cl(base: Int, axis: Int, label: Int) = (0 until 8).map { j =>
+      val v = Array.fill(8)(0.01 * j)
+      v(axis) = 1.0 + 0.02 * j
+      (base + j.toLong, v, label)
+    }
+    val corpus = (cl(100, 0, 0) ++ cl(200, 3, 1) ++ cl(300, 6, 2))
+      .toDF("id", "vec", "label")
+    val queries = Seq(
+      (1L, { val v = Array.fill(8)(0.0); v(0) = 1.0; v }),
+      (2L, { val v = Array.fill(8)(0.0); v(3) = 1.0; v }),
+      (3L, { val v = Array.fill(8)(0.0); v(6) = 1.0; v })).toDF("id", "vec")
+    val model = Similarity.ivfIndex(corpus.select("id", "vec"),
+      nCentroids = 6, iters = 3)
+    val labels = corpus.select("id", "label")
+    val exact = Similarity.knnClassify(queries, corpus, 5)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    // nProbe = nCentroids probes every cell -> bit-identical to exact
+    val full = Similarity.knnClassifyIvf(queries, model, labels, 5, 6)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(full == exact, s"full-probe ANN must equal exact: $full vs $exact")
+    // tight probe still lands every query in its own cluster's label
+    val probed = Similarity.knnClassifyIvf(queries, model, labels, 5, 2)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(probed == Map(1L -> 0, 2L -> 1, 3L -> 2), s"probed=$probed")
+  }
 }
