@@ -2847,7 +2847,21 @@ object Queries {
     * The rank trio orders on l_quantity ALONE: their values are
     * tie-deterministic (they depend on key comparisons, not physical
     * order), so this also pins cross-engine tie semantics. ntile is
-    * NOT tie-deterministic, so it gets the unique full ordering. */
+    * NOT tie-deterministic, so it gets the unique full ordering.
+    *
+    * Plan shape: NOT the direct `rank() OVER (PARTITION BY flag)` —
+    * l_returnflag has 3 values, so the direct window serializes the
+    * whole table into 3 sort tasks (measured 54 s at ~sf10, the
+    * low-cardinality-partition wall every engine hits). Because every
+    * rank verb here is a pure function of (tie-group prefix counts,
+    * within-tie row number), it decomposes: aggregate per (flag,
+    * quantity) — 3×50 rows — window THAT, broadcast it back, and run
+    * the only per-row window on (flag, quantity) partitions (150-way
+    * parallel instead of 3). dense_rank = distinct-key row_number;
+    * percent_rank = prefix/(N-1); cume_dist = (prefix+ties)/N; ntile's
+    * bucket is integer arithmetic on rn = prefix + within-tie rn.
+    * Identical output to the direct spelling (spec-locked) — the
+    * rewrite applies whenever the ORDER key's cardinality ≪ rows. */
   val q67 = q("q67_rank_functions",
     """SELECT l_orderkey, l_linenumber,
       | CAST(dense_rank() OVER wq AS BIGINT) AS drnk,
@@ -2858,17 +2872,35 @@ object Queries {
       |WINDOW wq AS (PARTITION BY l_returnflag ORDER BY l_quantity),
       |       wu AS (PARTITION BY l_returnflag
       |              ORDER BY l_quantity, l_orderkey, l_linenumber)""".stripMargin) { (s, dir) =>
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("l_quantity")
-    val wu = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag")
-      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    Tables.lineitem(s, dir).select(
-      col("l_orderkey"), col("l_linenumber"),
-      dense_rank().over(wq).cast("long").as("drnk"),
-      round(percent_rank().over(wq), 6).as("prnk"),
-      round(cume_dist().over(wq), 6).as("cd"),
-      ntile(4).over(wu).cast("long").as("quartile"))
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val wA = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val stats = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("tie_n"))
+      .select(col("l_returnflag"), col("l_quantity"), col("tie_n"),
+        coalesce(sum(col("tie_n")).over(
+          wA.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("pfx"),
+        row_number().over(wA).cast("long").as("drnk"),
+        sum(col("tie_n")).over(
+          Window.partitionBy("l_returnflag")).as("n_part"))
+    val wTie = Window.partitionBy("l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+    li.join(broadcast(stats), Seq("l_returnflag", "l_quantity"))
+      .withColumn("__rn", col("pfx") + row_number().over(wTie).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("drnk"),
+        round(when(col("n_part") > 1L,
+          col("pfx").cast("double") / (col("n_part") - 1L).cast("double"))
+          .otherwise(lit(0.0)), 6).as("prnk"),
+        round((col("pfx") + col("tie_n")).cast("double") /
+          col("n_part").cast("double"), 6).as("cd"),
+        // SQL-standard ntile(4): r = n%4 leading buckets of size q+1
+        expr("""CAST(CASE WHEN __rn <= (n_part % 4) * (n_part DIV 4 + 1)
+               | THEN (__rn - 1) DIV (n_part DIV 4 + 1) + 1
+               | ELSE n_part % 4 +
+               |  (__rn - (n_part % 4) * (n_part DIV 4 + 1) - 1)
+               |    DIV (n_part DIV 4) + 1
+               |END AS BIGINT)""".stripMargin).as("quartile"))
   }
 
   /** Time-series gap fill + forward fill (Relational.gapFill): densify

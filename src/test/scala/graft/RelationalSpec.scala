@@ -126,4 +126,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(5L) == ((None, None, None)))
     assert(got.size == 5)
   }
+
+  test("q67 decomposed rank functions equal the direct window spelling") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q67_rank_functions")(spark, dir)
+    val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val wu = Window.partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    val direct = graft.sources.Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      dense_rank().over(wq).cast("long").as("drnk"),
+      round(percent_rank().over(wq), 6).as("prnk"),
+      round(cume_dist().over(wq), 6).as("cd"),
+      ntile(4).over(wu).cast("long").as("quartile"))
+    assert(got.count() == direct.count())
+    assert(got.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(got).count() == 0,
+      "decomposed rank family must be row-identical to the direct windows")
+  }
 }
