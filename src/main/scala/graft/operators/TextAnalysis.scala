@@ -603,9 +603,10 @@ object TextAnalysis {
         // letters-only length: token chars minus spaces
         (length(col("__t")) - (size(col("__toks")) - 1)).cast("long")
           .as("n_tok_chars"),
-        (length(col("__t")) -
-          length(regexp_replace(col("__t"), "[^A-Za-z0-9 ]", "")))
-          .cast("long").as("n_symbols"),
+        // native one-pass symbol count — identical to the oracle's
+        // length(s) - length(regexp_replace(s, "[^A-Za-z0-9 ]", ""))
+        // spelling without the regex walk (see plans.SymbolCount)
+        graft.plans.SetExprs.symbolCount(col("__t")).as("n_symbols"),
         length(col("__t")).cast("long").as("n_chars"),
         TextOps.markerCount(col("__toks"), stop).cast("long").as("n_stop"))
       .select(col("doc_id"), col("n_tok"), col("n_symbols"), col("n_stop"),

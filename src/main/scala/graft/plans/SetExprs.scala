@@ -19,6 +19,55 @@ object SetExprs {
 
   def shingleArray(toks: Column, n: Int): Column =
     GraftShim.column(ShingleArray(GraftShim.expression(toks), n))
+
+  def symbolCount(s: Column): Column =
+    GraftShim.column(SymbolCount(GraftShim.expression(s)))
+}
+
+/** Count of codepoints OUTSIDE [A-Za-z0-9 ] (string → long) — the
+  * symbol-ratio numerator of the Gopher quality rules. Replaces
+  * `length(s) - length(regexp_replace(s, "[^A-Za-z0-9 ]", ""))`:
+  * java.util.regex walks a per-char predicate lambda chain and builds
+  * the scrubbed string just to take its length, which made the regex
+  * the ENTIRE cost of t21 at the 100x sweep (thread dumps: all samples
+  * in Pattern$BmpCharPredicate; 17.8 s → ~1 s). One pass over the
+  * UTF-8 bytes, no allocation: an ASCII byte checks the class
+  * directly; any non-ASCII LEAD byte (not 10xxxxxx) counts as one
+  * symbol codepoint — exactly the codepoint arithmetic of the
+  * length-difference spelling, for any UTF-8 input. */
+case class SymbolCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("symcount", this, classOf[SymbolCount].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes()
+    var i = 0
+    var symbols = 0L
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (b < 0x80) {
+        val ok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9') || b == ' '
+        if (!ok) symbols += 1
+      } else if ((b & 0xc0) != 0x80) {
+        symbols += 1 // lead byte of a non-ASCII codepoint
+      }
+      i += 1
+    }
+    symbols
+  }
+
+  override protected def withNewChildInternal(c: Expression): SymbolCount =
+    copy(child = c)
 }
 
 /** Word n-gram shingles over a token array (array<string> →

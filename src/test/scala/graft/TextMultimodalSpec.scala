@@ -590,6 +590,28 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f.head == f.head.copy(_2 = 17L))
   }
 
+  test("native symbolCount equals the regex length-difference spelling") {
+    import spark.implicits._
+    val docs = Seq(
+      "plain words only",
+      "symbols! and, punct. 50% #tags",
+      "",
+      "unicode éüñ — and emoji 😀 mix",
+      "   leading & trailing!   ",
+      "tabs\tand\nnewlines").toDF("text")
+    val both = docs.select(
+      graft.plans.SetExprs.symbolCount(col("text")).as("native"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+        .cast("long").as("regex"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (n, r) => assert(n == r, s"native=$n regex=$r") }
+    // null text -> null count, matching the regex spelling
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(graft.plans.SetExprs.symbolCount(col("text"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("native classifierScore is bit-identical to the interpreted HOF spelling") {
     import spark.implicits._
     val docs = Seq(
