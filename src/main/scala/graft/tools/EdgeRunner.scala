@@ -31,6 +31,8 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   * runMain graft.tools.EdgeRunner --mode meta   --in kafka://broker:9092/stock_meta --jdbc-url jdbc:...
   * runMain graft.tools.EdgeRunner --mode stream --in kafka://broker:9092/stream_stock \
   *   --out /tmp/out --checkpoint /tmp/ckpt --webhook https://hooks.slack.example/T/K
+  * runMain graft.tools.EdgeRunner --mode stream --in log:/var/log/trades \
+  *   --out /tmp/out --checkpoint /tmp/ckpt --drain true   // catch-up: drain backlog, exit
   * }}}
   */
 object EdgeRunner {
@@ -48,7 +50,8 @@ object EdgeRunner {
     knownKeys: String = "",           // dedup mode: persisted key-table dir
     dims: Seq[String] = Nil,          // zorder mode: columns to interleave
     bits: Int = 16,                   // zorder mode: bits per dimension
-    files: Int = 64)                  // zorder mode: output file count
+    files: Int = 64,                  // zorder mode: output file count
+    drain: Boolean = false)           // stream/corpus: AvailableNow catch-up
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -79,7 +82,8 @@ object EdgeRunner {
       knownKeys = kv.getOrElse("--known-keys", ""),
       dims = kv.get("--dims").map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
       bits = kv.get("--bits").map(_.toInt).getOrElse(16),
-      files = kv.get("--files").map(_.toInt).getOrElse(64))
+      files = kv.get("--files").map(_.toInt).getOrElse(64),
+      drain = kv.get("--drain").exists(_.toBoolean))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -217,6 +221,10 @@ object EdgeRunner {
       cfg.checkpoint, trigger, knownKeys = knownKeys)
   }
 
+  private def triggerOf(cfg: Config): Trigger =
+    if (cfg.drain) Trigger.AvailableNow()
+    else Trigger.ProcessingTime("1 minute")
+
   private def await(q: StreamingQuery, timeoutSec: Option[Long]): Unit =
     timeoutSec match {
       case Some(t) => q.awaitTermination(t * 1000L); q.stop()
@@ -227,8 +235,12 @@ object EdgeRunner {
     case "batch"  => println(s"[edge] stock_bars rows: ${runBatch(spark, cfg)}")
     case "meta"   => println(s"[edge] company_data rows: ${runMeta(spark, cfg)}")
     case "dedup"  => println(s"[edge] corpus_docs rows kept: ${runDedup(spark, cfg)}")
-    case "stream" => await(startStream(spark, cfg), cfg.timeoutSec)
-    case "corpus" => await(startCorpus(spark, cfg), cfg.timeoutSec)
+    // --drain true: process exactly the backlog present at start in
+    // bounded batches, then exit (Trigger.AvailableNow) — the catch-up
+    // job a deployment runs after downtime, against the same
+    // checkpoint the steady-state trigger will resume from.
+    case "stream" => await(startStream(spark, cfg, triggerOf(cfg)), cfg.timeoutSec)
+    case "corpus" => await(startCorpus(spark, cfg, triggerOf(cfg)), cfg.timeoutSec)
     case "zorder" => println(s"[edge] zorder files written: ${runZorder(spark, cfg)}")
     case "classify" =>
       println(s"[edge] docs scored: ${runClassify(spark, cfg)}")

@@ -141,6 +141,26 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sOut/bars").count() >= 1)
   }
 
+  test("--drain true processes the backlog with AvailableNow and self-terminates") {
+    val m0 = 1735732800000L
+    val in = Files.createTempDirectory("edge_drain").toString
+    val out = Files.createTempDirectory("edge_drain_out").toString
+    val ckpt = Files.createTempDirectory("edge_drain_ckpt").toString
+    // two trades 10 min apart: the second batch's watermark flushes the
+    // first minute's bar before the drain completes
+    writeLines(in, "trades.log", Seq(
+      s"""{"data": [{"p": 100.0, "s": "AAPL", "t": ${m0 + 1000}, "v": 10.0}]}""",
+      s"""{"data": [{"p": 102.0, "s": "AAPL", "t": ${m0 + 600000}, "v": 10.0}]}"""))
+    val cfg = EdgeRunner.parse(Array("--mode", "stream", "--in", s"log:$in",
+      "--out", out, "--checkpoint", ckpt, "--drain", "true"))
+    assert(cfg.drain)
+    val q = EdgeRunner.startStream(spark, cfg,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // AvailableNow must terminate on its own — no stop() needed
+    assert(q.awaitTermination(60000), "drain query must self-terminate")
+    assert(spark.read.parquet(s"$out/bars").count() >= 1)
+  }
+
   test("--mode corpus ingests from the graftlog source with offsets") {
     import spark.implicits._
     val in = Files.createTempDirectory("edge_corpus_log").toString
