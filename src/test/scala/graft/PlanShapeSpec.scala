@@ -239,6 +239,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"documents scanned once:\n$p")
   }
 
+  test("t21 gopher rules is a map-only single scan with no regex in the plan") {
+    val p = plan("t21_gopher_rules")
+    assert(!p.contains("Exchange"), s"rules must be map-only:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1)
+    // the symbol ratio must use the native byte scan, not regexp_replace
+    // (java.util.regex was the entire t21 cost at the 100x sweep)
+    assert(!p.contains("regexp_replace"), s"symbol count must be native:\n$p")
+  }
+
   test("q79 salted agg is two hash-agg phases, no key re-sort") {
     val p = plan("q79_salted_agg")
     // phase-1 partial+final on (key, salt), phase-2 partial+final on key
