@@ -3217,6 +3217,32 @@ object Queries {
         dsumL(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** FILTER-clause aggregates — the SQL-standard conditional-aggregation
+    * verb (one pass, N conditions), exercised through Spark's SQL PATH
+    * (the q31 precedent) so the parser/analyzer surface is covered, not
+    * just the `sum(when(...))` DataFrame rewrite it lowers to. Exact
+    * DECIMAL sum under the filter keeps cross-engine bit parity; one
+    * scan, one hash aggregate — conditions never become self-joins. */
+  val q81 = q("q81_filter_agg",
+    """SELECT o_orderpriority,
+      | COUNT(*) AS n_orders,
+      | COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      | CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |   FILTER (WHERE o_totalprice > 150000), 0) AS DOUBLE) AS sum_big,
+      | COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+      |   AS n_fin_cust
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q81_orders")
+    s.sql("""SELECT o_orderpriority,
+      | COUNT(*) AS n_orders,
+      | COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      | CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |   FILTER (WHERE o_totalprice > 150000), 0) AS DOUBLE) AS sum_big,
+      | COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+      |   AS n_fin_cust
+      |FROM graft_q81_orders GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** Catalog-safe bucketed-table name, unique per SF directory. */
   private def bucketedName(dir: String, t: String): String =
     s"graft_bkt_${t}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -3395,7 +3421,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-    q75, q76, q77, q78, q79, q80,
+    q75, q76, q77, q78, q79, q80, q81,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21,
