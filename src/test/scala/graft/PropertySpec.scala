@@ -509,4 +509,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 12)
   }
+
+  test("SymbolCount equals the regex spelling on random unicode strings") {
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.const(' '),
+      2 -> Gen.oneOf('!', ',', '.', '#', '%', '\t', '\n', '\u00e9',
+        '\u00fc', '\u4e2d', '\u6587'))
+    val gen = Gen.listOf(charGen).map(_.mkString)
+    check("symbolCount", Prop.forAll(gen) { text =>
+      val Array(n, r) = Seq(text).toDF("t").select(
+          graft.plans.SetExprs.symbolCount(col("t")),
+          (length(col("t")) -
+            length(regexp_replace(col("t"), "[^A-Za-z0-9 ]", "")))
+            .cast("long"))
+        .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
+      n == r
+    }, n = 20)
+  }
+
+  test("native classifierScore equals the interpreted HOF spelling on random token arrays") {
+    val tokGen = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(8)),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("\u00e9\u00fc", "\u4e2d\u6587", "a b"))
+    val gen = Gen.listOf(tokGen).map(_.take(30))
+    check("classifierScore", Prop.forAll(gen) { toks =>
+      val Array(n, i) = Seq(Tuple1(toks)).toDF("toks").select(
+          graft.plans.TextHash.classifierScore(col("toks")),
+          TextAnalysis.hashedScoreOf(TextAnalysis.ngramFeatures(col("toks"))))
+        .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
+      n == i
+    }, n = 20)
+  }
 }
