@@ -138,14 +138,20 @@ object TextAnalysis {
     * arithmetic, so it is engine-exact. */
   val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  def tokenRolling(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0))
-    val tokVals = transform(toks, t => (ascii(t) + length(t)).cast("long"))
-    docs.select(col(idCol).as("doc_id"),
-      size(toks).cast("long").as("n_regex_tokens"),
-      aggregate(tokVals, lit(0L),
-        (h, v) => pmod(h * 131 + v, lit(1000000007L))).as("roll_hash"))
-  }
+  def tokenRolling(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      // the regex array gets its own projection: it was referenced
+      // twice (size + the fold) and interpreted HOFs get no CSE, so
+      // the inline form ran regexp_extract_all TWICE per row
+      .select(col(idCol).as("doc_id"),
+        regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0))
+          .as("__rt"))
+      .select(col("doc_id"),
+        size(col("__rt")).cast("long").as("n_regex_tokens"),
+        // native fold (plans.RollingTokenHash) — replaces the
+        // interpreted transform+aggregate lambda pair, same
+        // (h*131 + ascii + length) mod p arithmetic
+        graft.plans.TextHash.rollingTokenHash(col("__rt")).as("roll_hash"))
 
   /** Deterministic train/val/test assignment by content-independent
     * id hash — reproducible across runs, engines, and partitionings

@@ -58,6 +58,60 @@ object TextHash {
   def classifierScore(tokens: Column, nBuckets: Int = 4096): Column =
     GraftShim.column(
       HashedClassifierScore(GraftShim.expression(tokens), nBuckets))
+
+  def rollingTokenHash(tokens: Column): Column =
+    GraftShim.column(RollingTokenHash(GraftShim.expression(tokens)))
+}
+
+/** Polynomial rolling hash of a token array (array<string> → long):
+  * h ← (h·131 + ascii(t) + length(t)) mod 1000000007 over the tokens
+  * in order — the order-sensitive document fingerprint of t05. One JVM
+  * loop per row replacing an interpreted transform+aggregate lambda
+  * pair. Per-token value matches `ascii(t) + length(t)` exactly:
+  * ascii = the FIRST CODEPOINT (0 for empty — probed identical in
+  * Spark and DuckDB, including multibyte: é→233, 中→20013), length =
+  * codepoint count (UTF8String.numChars). All terms non-negative, so
+  * plain % is the oracle's pmod. */
+case class RollingTokenHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollhash", this, classOf[RollingTokenHash].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      h = (h * 131L + firstCodePoint(t) + t.numChars()) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  private def firstCodePoint(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val nb = s.numBytes()
+    if (nb == 0) return 0L
+    val b0 = s.getByte(0) & 0xff
+    if (b0 < 0x80) b0.toLong
+    else if (b0 < 0xe0)
+      (((b0 & 0x1f) << 6) | (s.getByte(1) & 0x3f)).toLong
+    else if (b0 < 0xf0)
+      (((b0 & 0x0f) << 12) | ((s.getByte(1) & 0x3f) << 6) |
+        (s.getByte(2) & 0x3f)).toLong
+    else
+      (((b0 & 0x07) << 18) | ((s.getByte(1) & 0x3f) << 12) |
+        ((s.getByte(2) & 0x3f) << 6) | (s.getByte(3) & 0x3f)).toLong
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingTokenHash =
+    copy(child = c)
 }
 
 /** MinHash signature over word-`shingleN`-gram shingles of a token

@@ -612,6 +612,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("native rollingTokenHash equals the transform+aggregate spelling") {
+    import spark.implicits._
+    val docs = Seq(
+      Seq("hello", "world", "!"),
+      Seq(),
+      Seq(""),
+      Seq("é", "中文", "😀", "a"),
+      Seq("same", "words"), Seq("words", "same")  // order-sensitive
+    ).map(Tuple1(_)).toDF("toks")
+    val both = docs.select(
+      graft.plans.TextHash.rollingTokenHash(col("toks")).as("native"),
+      aggregate(transform(col("toks"), t => (ascii(t) + length(t)).cast("long")),
+        lit(0L), (h, v) => pmod(h * 131 + v, lit(1000000007L))).as("interp"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (n, i) => assert(n == i, s"native=$n interp=$i") }
+    // the two permuted docs must hash differently (order sensitivity)
+    assert(both(4)._1 != both(5)._1)
+  }
+
   test("native classifierScore is bit-identical to the interpreted HOF spelling") {
     import spark.implicits._
     val docs = Seq(
