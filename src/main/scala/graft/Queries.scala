@@ -2218,7 +2218,13 @@ object Queries {
     // recursive query, the seqd CTE (a window over the full orders
     // scan) is re-evaluated at EVERY recursion level — 25 redundant
     // window passes, measured 11.4 s -> 3.4 s at sf0.1. The per-level
-    // join probes it broadcast (one map pass per frontier).
+    // join probes it broadcast (one map pass per frontier). Scale
+    // note: the BROADCAST(c) hint assumes the frontier (<= one row
+    // per customer) fits the broadcast budget — true through the
+    // measured 100x sweep (1.5M-row frontier, 42.7 s total); beyond
+    // that, DROP the hint so each level runs a shuffle join instead.
+    // For plain running totals the production shape is the q26 window
+    // sum — q70 exists to exercise WITH RECURSIVE (UnionLoop) itself.
     val seqd = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
