@@ -3420,6 +3420,39 @@ object Queries {
     TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** Budget-capped quality selection — keep the best-scored documents
+    * until a fixed token budget is spent (the "top docs up to N
+    * tokens" curation step of a training-data refresh). The oracle is
+    * the global running sum over (score DESC, doc_id); the Spark side
+    * is the DISTRIBUTED PREFIX SUM (TextAnalysis.tokenBudgetSelect):
+    * range-partition on the ranking key, per-partition cumsum, add
+    * broadcast partition offsets — bit-identical, but no global
+    * single-task sort (the q67 wall applied to an ORDER BY with no
+    * partition key at all). */
+  val t22 = q("t22_token_budget",
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id, unnest(list_concat(toks,
+      |  CASE WHEN len(toks) < 2 THEN []
+      |   ELSE list_transform(range(1, len(toks)),
+      |     i -> toks[i] || ' ' || toks[i + 1]) END)) AS f FROM b),
+      |w AS (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(CAST(
+      |    CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 4096
+      |   AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000 AS wt
+      | FROM f),
+      |sc AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      | FROM documents),
+      |r AS (SELECT n.doc_id, n.n_tok, sc.score,
+      |  SUM(n.n_tok) OVER (ORDER BY sc.score DESC, n.doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum_tok
+      | FROM n JOIN sc USING (doc_id))
+      |SELECT doc_id, n_tok, score, cum_tok FROM r
+      |WHERE cum_tok <= 10000""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenBudgetSelect(Tables.documents(s, dir),
+      "doc_id", "text", budget = 10000L)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3430,7 +3463,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21,
+    t15, t16, t17, t18, t19, t20, t21, t22,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
     m01, m02, m03, p01, p02, p03)
 }

@@ -641,4 +641,52 @@ object TextAnalysis {
           .otherwise(size(col("__t")) * 2 - 1).cast("long").as("n_feats"),
         graft.plans.TextHash.classifierScore(col("__t"), nBuckets).as("score"))
       .withColumn("keep", col("score") > 0L)
+
+  /** Budget-capped quality selection — "take the best documents until
+    * the token budget is spent" (the fixed-token-count curation step
+    * of a training-data refresh): rank docs by (classifier score desc,
+    * doc_id), keep every doc whose cumulative token count INCLUDING
+    * itself is ≤ `budget`.
+    *
+    * The naive spelling is a running sum over `ORDER BY score DESC` —
+    * a windowed prefix sum with NO partition key, which serializes the
+    * whole corpus into ONE sort task (the q67 wall, but global). This
+    * is the classic DISTRIBUTED PREFIX SUM instead: range-repartition
+    * on the ranking key so partition i holds a contiguous rank slice,
+    * cumsum WITHIN each partition (parallel), then add each
+    * partition's offset — the sum of all earlier partitions' totals,
+    * a tiny per-partition summary cumsum'd on one row per partition
+    * and broadcast back. Bit-identical to the global window (the
+    * ranking is total — doc_id breaks score ties), spec-locked, and
+    * every corpus-sized step is per-partition parallel. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        budget: Long, partitions: Int = 32): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tok"),
+        graft.plans.TextHash.classifierScore(col("__t")).as("score"))
+    // materialized once: both the offsets summary and the main pass
+    // consume it — unchecked, each branch would re-run the classifier
+    // scan AND the range shuffle (verified in the plan: two scans)
+    val ranged = scored
+      .repartitionByRange(partitions, col("score").desc, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum(col("n_tok")).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptotal")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("__pid")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .drop("__ptotal")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("score").desc, col("doc_id"))
+    ranged
+      .withColumn("__local_cum", sum(col("n_tok")).over(wLocal))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("cum_tok", col("__local_cum") + col("__offset"))
+      .filter(col("cum_tok") <= budget)
+      .select("doc_id", "n_tok", "score", "cum_tok")
+  }
 }

@@ -590,6 +590,45 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f.head == f.head.copy(_2 = 17L))
   }
 
+  test("tokenBudgetSelect distributed prefix sum equals the global-window spelling") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val got = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "text", 10000L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // naive single-partition global window — the reference semantics
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs.select(col("doc_id"),
+        split(col("text"), " ").as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tok"),
+        graft.plans.TextHash.classifierScore(col("__t")).as("score"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= 10000L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.nonEmpty && got.size < docs.count(),
+      s"budget must select a strict subset, got ${got.size}")
+    assert(got == naive, s"two-pass=${got.size} naive=${naive.size}")
+  }
+
+  test("tokenBudgetSelect: corpus windows key on __pid; single-partition work is summary-only") {
+    val dir = "/root/testdata/sf0.001"
+    val p = TextAnalysis.tokenBudgetSelect(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text", 10000L)
+      .queryExecution.executedPlan.toString
+    // (the range exchange lives inside the checkpoint lineage, so it
+    // doesn't print here; the equivalence test proves its semantics)
+    // corpus-side window must be per-partition parallel, keyed on __pid
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"corpus cumsum must partition by __pid:\n$p")
+    // exactly one SinglePartition exchange — the ≤`partitions`-row
+    // offsets summary — and the offsets ride a broadcast join back
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size == 1,
+      s"only the tiny offsets summary may single-partition:\n$p")
+    assert(p.contains("BroadcastExchange"), s"offsets must broadcast:\n$p")
+  }
+
   test("native symbolCount equals the regex length-difference spelling") {
     import spark.implicits._
     val docs = Seq(
