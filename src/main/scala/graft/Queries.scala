@@ -3096,7 +3096,7 @@ object Queries {
       |    CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 4096
       |   AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000 AS wt
       | FROM f)
-      |SELECT doc_id, COUNT(*) AS n_feats, SUM(wt) AS score,
+      |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(wt) AS BIGINT) AS score,
       | SUM(wt) > 0 AS keep
       |FROM w GROUP BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text")
@@ -3186,7 +3186,7 @@ object Queries {
     * AsOfSkewSpec proves the salt actually spreads rows. */
   val q79 = q("q79_salted_agg",
     """SELECT event_type, COUNT(*) AS n_events,
-      | SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+      | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       | min(event_id) AS min_event, max(event_id) AS max_event
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
@@ -3253,20 +3253,61 @@ object Queries {
   private def bucketedName(dir: String, t: String): String =
     s"graft_bkt_${t}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Cheap content fingerprint of a source parquet path (file count +
+    * total bytes + newest mtime, recursive): regenerating the testdata
+    * under the SAME path changes it, so a persisted derived table keyed
+    * only on the path can be detected as stale and rebuilt instead of
+    * silently served — the round-6 testdata-regeneration failure mode. */
+  private[graft] def dataFingerprint(dir: String, table: String): String = {
+    def scan(f: java.io.File): (Long, Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .foldLeft((0L, 0L, 0L)) { case ((n, sz, mt), c) =>
+            val (cn, csz, cmt) = scan(c)
+            (n + cn, sz + csz, math.max(mt, cmt))
+          }
+      else (1L, f.length(), f.lastModified())
+    val (n, sz, mt) = scan(new java.io.File(dir, s"$table.parquet"))
+    s"n$n-sz$sz-mt$mt"
+  }
+
+  private def tableFingerprint(s: SparkSession, table: String): Option[String] =
+    try {
+      s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties.get("graft.fingerprint")
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Table exists AND its recorded source fingerprint matches the data
+    * currently on disk. A table written before fingerprinting existed
+    * (no property) counts as stale — rebuild once, then it's stamped. */
+  private def freshTable(s: SparkSession, table: String, fp: String): Boolean =
+    s.catalog.tableExists(table) && tableFingerprint(s, table).contains(fp)
+
+  private def stampFingerprint(s: SparkSession, table: String, fp: String): Unit =
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.fingerprint'='$fp')")
+
   /** Build-once bucketed lineitem/orders (8 buckets on orderkey, sorted
     * within buckets): the write pays the shuffle once; every subsequent
     * orderkey join reads co-located buckets with no exchange. Full
     * column set — a production bucketed fact table serves all queries,
-    * not one. */
+    * not one. Keyed on a data fingerprint, not just the path: stale
+    * tables after an in-place testdata regeneration are rebuilt. */
   def ensureBucketed(s: SparkSession, dir: String): (String, String) = synchronized {
     val li = bucketedName(dir, "lineitem")
     val ord = bucketedName(dir, "orders")
-    if (!s.catalog.tableExists(li))
+    val liFp = dataFingerprint(dir, "lineitem")
+    val ordFp = dataFingerprint(dir, "orders")
+    if (!freshTable(s, li, liFp)) {
       graft.sources.Bucketing.writeBucketed(
         Tables.lineitem(s, dir), li, "l_orderkey", 8)
-    if (!s.catalog.tableExists(ord))
+      stampFingerprint(s, li, liFp)
+    }
+    if (!freshTable(s, ord, ordFp)) {
       graft.sources.Bucketing.writeBucketed(
         Tables.orders(s, dir), ord, "o_orderkey", 8)
+      stampFingerprint(s, ord, ordFp)
+    }
     (li, ord)
   }
 
@@ -3440,12 +3481,12 @@ object Queries {
       |    CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 4096
       |   AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000 AS wt
       | FROM f),
-      |sc AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY doc_id),
+      |sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY doc_id),
       |n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       | FROM documents),
       |r AS (SELECT n.doc_id, n.n_tok, sc.score,
-      |  SUM(n.n_tok) OVER (ORDER BY sc.score DESC, n.doc_id
-      |    ROWS UNBOUNDED PRECEDING) AS cum_tok
+      |  CAST(SUM(n.n_tok) OVER (ORDER BY sc.score DESC, n.doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
       | FROM n JOIN sc USING (doc_id))
       |SELECT doc_id, n_tok, score, cum_tok FROM r
       |WHERE cum_tok <= 10000""".stripMargin) { (s, dir) =>

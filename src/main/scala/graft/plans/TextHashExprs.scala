@@ -75,19 +75,32 @@ object TextHash {
 case class RollingTokenHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // A null ELEMENT yields a null result (the interpreted
+  // transform+aggregate spelling this is bit-parity with propagates
+  // lambda nulls), so nullability must also reflect containsNull.
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("rollhash", this, classOf[RollingTokenHash].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("rollhashRes")
+      s"""java.lang.Long $tmp = $ref.compute($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
   }
 
-  def compute(toks: ArrayData): Long = {
+  def compute(toks: ArrayData): java.lang.Long = {
     val n = toks.numElements()
     var h = 0L
     var i = 0
     while (i < n) {
+      if (toks.isNullAt(i)) return null
       val t = toks.getUTF8String(i)
       h = (h * 131L + firstCodePoint(t) + t.numChars()) % 1000000007L
       i += 1
@@ -363,6 +376,12 @@ case class HashedClassifierScore(child: Expression, nBuckets: Int)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // Null elements propagate to a null score (matching the interpreted
+  // HOF spelling), so nullability reflects containsNull too.
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   @transient private lazy val w = HashedClassifierScore.weights(nBuckets)
 
@@ -370,16 +389,22 @@ case class HashedClassifierScore(child: Expression, nBuckets: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("clfScore", this, classOf[HashedClassifierScore].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("clfScoreRes")
+      s"""java.lang.Long $tmp = $ref.compute($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
   }
 
-  def compute(toks: ArrayData): Long = {
+  def compute(toks: ArrayData): java.lang.Long = {
     val md = MinHashShinglePortable.digest.get()
     val n = toks.numElements()
     var score = 0L
     var prev: Array[Byte] = null
     var i = 0
     while (i < n) {
+      if (toks.isNullAt(i)) return null
       val cur = toks.getUTF8String(i).getBytes
       md.reset()
       score += w(bucketOf(md.digest(cur)))

@@ -286,9 +286,14 @@ class LineLogScan(path: String, startingOffsets: String,
           case None => live
         }
       }
+      // Routed through currentCounts() (not raw latestCounts): under
+      // Trigger.AvailableNow the cap snapshot is taken BEFORE this
+      // call, so an uncapped snapshot here could exceed the cap when
+      // writers append between the two — latestOffset would then
+      // compute hi - lo < 0 and emit an end offset below start.
       override def initialOffset(): Offset =
         if (startingOffsets == "latest")
-          LineLogOffset(LineLogSource.latestCounts(path).toMap)
+          LineLogOffset(currentCounts().toMap)
         else LineLogOffset(Map.empty)
       // Kafka's maxOffsetsPerTrigger analogue: with maxLinesPerTrigger
       // set, each micro-batch admits at most that many NEW lines total,
@@ -307,11 +312,18 @@ class LineLogScan(path: String, startingOffsets: String,
             var budget = r.maxRows()
             LineLogOffset(cur.map { case (log, hi) =>
               val lo = s.getOrElse(log, 0L)
-              val take = math.min(hi - lo, math.max(budget, 0L))
+              // hi - lo clamped to >= 0: a checkpointed start can sit
+              // above a later AvailableNow cap (restart after the
+              // original drain); never move an offset backwards.
+              val take = math.min(math.max(hi - lo, 0L), math.max(budget, 0L))
               budget -= take
               log -> (lo + take)
             }.toMap)
-          case _ => LineLogOffset(cur.toMap)
+          case _ =>
+            val s = start.asInstanceOf[LineLogOffset].counts
+            LineLogOffset(cur.map { case (log, hi) =>
+              log -> math.max(hi, s.getOrElse(log, 0L))
+            }.toMap)
         }
       }
       override def reportLatestOffset(): Offset =

@@ -16,7 +16,8 @@ class BenchFormatSpec extends AnyFunSuite {
     results = Seq("q01" -> 1.23456789, "q02" -> 0.5),
     failed = Seq("q99"),
     reps = 3, sfDir = "/data/sf0.1",
-    calPre = 0.31, calPost = 0.42, wallEndMs = 1755120000000L)
+    calPre = 0.31, calPost = 0.42, wallEndMs = 1755120000000L,
+    skipped = Seq("q68", "q05"))
 
   test("emits one parseable JSON object") {
     // no JSON lib on the classpath; structural checks pin the grammar
@@ -29,8 +30,8 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("truncation-surviving fields come after the queries dict") {
-    val order = Seq("\"queries\"", "\"failed\"", "\"calibration\"",
-      "\"total_sec\"", "\"wall_end_ms\"").map(line.indexOf)
+    val order = Seq("\"queries\"", "\"failed\"", "\"skipped\"",
+      "\"calibration\"", "\"total_sec\"", "\"wall_end_ms\"").map(line.indexOf)
     assert(order.forall(_ >= 0), line)
     assert(order == order.sorted,
       s"field order must keep calibration/total_sec/wall_end_ms last: $line")
@@ -44,6 +45,8 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"value\":1.7346"))
     assert(line.contains("\"total_sec\":1.7346"))
     assert(line.contains("\"failed\":[\"q99\"]"))
+    // skipped list is sorted so the artifact is diffable run-to-run
+    assert(line.contains("\"skipped\":[\"q05\",\"q68\"]"))
     assert(line.contains("\"reps\":3"))
     assert(line.contains("\"sf\":\"/data/sf0.1\""))
     assert(line.contains("\"wall_end_ms\":1755120000000"))
@@ -52,6 +55,7 @@ class BenchFormatSpec extends AnyFunSuite {
   test("empty surface still renders a valid line") {
     val empty = Bench.renderJson(Nil, Nil, 1, "/x", 0.1, 0.1, 0L)
     assert(empty.contains("\"queries\":{}") && empty.contains("\"failed\":[]"))
+    assert(empty.contains("\"skipped\":[]"))
     assert(empty.contains("\"value\":0.0000"))
   }
 }

@@ -175,6 +175,28 @@ class LineLogSourceSpec extends AnyFunSuite {
       ((0 until 6).map(i => s"a$i") ++ Seq("b0", "b1", "b2")).sorted)
   }
 
+  test("AvailableNow + latest: initialOffset is capped, end offset never below start") {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+    val dir = Files.createTempDirectory("graftlog_avnow_latest")
+    append(dir, "a.log", "a0", "a1")
+    val stream = new graft.sources.LineLogScan(dir.toString, "latest", Some(1L))
+      .toMicroBatchStream(Files.createTempDirectory("graftlog_avnow_ck").toString)
+    // cap snapshot at 2 lines, then a writer races ahead of it — the
+    // regression had initialOffset() read the UNCAPPED live count (4),
+    // putting start above every capped end and driving hi - lo negative
+    stream.asInstanceOf[SupportsTriggerAvailableNow].prepareForTriggerAvailableNow()
+    append(dir, "a.log", "a2", "a3")
+    val start = stream.initialOffset().asInstanceOf[LineLogOffset]
+    assert(start.counts("a.log") == 2L,
+      s"initialOffset must respect the AvailableNow cap: $start")
+    val end = stream.asInstanceOf[SupportsAdmissionControl]
+      .latestOffset(start, ReadLimit.maxRows(10L)).asInstanceOf[LineLogOffset]
+    end.counts.foreach { case (log, hi) =>
+      assert(hi >= start.counts.getOrElse(log, 0L),
+        s"end offset below start for $log: start=$start end=$end") }
+    assert(end.counts("a.log") == 2L, s"cap must hold at latestOffset: $end")
+  }
+
   test("startingOffsets=latest skips existing lines like the Kafka source") {
     val dir = Files.createTempDirectory("graftlog_latest")
     val ckpt = Files.createTempDirectory("graftlog_latest_ckpt").toString

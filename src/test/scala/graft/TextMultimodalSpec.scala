@@ -689,6 +689,31 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(both.find(_._1 == 5L).exists(_._2.isEmpty), "null text -> null score")
   }
 
+  test("null array ELEMENTS yield null from both native hash exprs") {
+    import spark.implicits._
+    // split() never emits null elements, but the parity claim is with
+    // the interpreted HOFs, which propagate a null element to a null
+    // result — the native exprs must match on ALL inputs, not just
+    // split() outputs (and must not NPE).
+    val docs = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String](null)),
+      (3L, Seq[String]("a", "b"))).toDF("doc_id", "toks")
+    val rows = docs.select(col("doc_id"),
+      graft.plans.TextHash.rollingTokenHash(col("toks")).as("roll"),
+      graft.plans.TextHash.classifierScore(col("toks")).as("clf"),
+      aggregate(transform(col("toks"), t => (ascii(t) + length(t)).cast("long")),
+        lit(0L), (h, v) => pmod(h * 131 + v, lit(1000000007L))).as("interpRoll"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows(0)._2.isEmpty && rows(0)._3.isEmpty)
+    assert(rows(1)._2.isEmpty && rows(1)._3.isEmpty)
+    assert(rows(2)._2.nonEmpty && rows(2)._3.nonEmpty)
+    // interpreted HOF agrees on the null-element rows
+    rows.foreach { case (id, roll, _, interp) =>
+      assert(roll == interp, s"doc $id: native=$roll interpreted=$interp") }
+  }
+
   test("hashedLinearScore plan is shuffle-free") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
