@@ -2149,7 +2149,8 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
-      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true)
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
     Similarity.ivfTopK(emb.filter(col("id") < 10), model, k = 5, nProbe = 4)
   }
 
@@ -2218,13 +2219,9 @@ object Queries {
     // recursive query, the seqd CTE (a window over the full orders
     // scan) is re-evaluated at EVERY recursion level — 25 redundant
     // window passes, measured 11.4 s -> 3.4 s at sf0.1. The per-level
-    // join probes it broadcast (one map pass per frontier). Scale
-    // note: the BROADCAST(c) hint assumes the frontier (<= one row
-    // per customer) fits the broadcast budget — true through the
-    // measured 100x sweep (1.5M-row frontier, 42.7 s total); beyond
-    // that, DROP the hint so each level runs a shuffle join instead.
-    // For plain running totals the production shape is the q26 window
-    // sum — q70 exists to exercise WITH RECURSIVE (UnionLoop) itself.
+    // join probes it broadcast (one map pass per frontier). For plain
+    // running totals the production shape is the q26 window sum — q70
+    // exists to exercise WITH RECURSIVE (UnionLoop) itself.
     val seqd = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -2234,11 +2231,24 @@ object Queries {
         .localCheckpoint(false)
     }
     seqd.createOrReplaceTempView("seqd")
+    // The BROADCAST(c) hint is CONDITIONAL on the frontier actually
+    // fitting a broadcast: the frontier is <= one row (~32 B) per
+    // customer per level, and the rn=1 count over the already-
+    // materialized checkpoint is an exact, cheap bound on it. Measured
+    // safe through the 100x sweep (1.5M-row frontier); past the limit
+    // (default 4M rows ~ a few hundred MB) the hint is dropped and
+    // each level runs a shuffle join instead of an executor-OOM-risk
+    // broadcast — the behavior a 100 TB plan needs.
+    val frontierLimit = s.conf.getOption("spark.graft.q70.broadcastFrontierLimit")
+      .map(_.toLong).getOrElse(4000000L)
+    val hint =
+      if (seqd.where(col("rn") === 1).count() <= frontierLimit)
+        "/*+ BROADCAST(c) */ " else ""
     s.sql(
-      """WITH RECURSIVE chain(o_custkey, o_orderkey, rn, running_l) AS (
+      s"""WITH RECURSIVE chain(o_custkey, o_orderkey, rn, running_l) AS (
         | SELECT o_custkey, o_orderkey, rn, price_l FROM seqd WHERE rn = 1
         | UNION ALL
-        | SELECT /*+ BROADCAST(c) */ s.o_custkey, s.o_orderkey, s.rn,
+        | SELECT ${hint}s.o_custkey, s.o_orderkey, s.rn,
         |  c.running_l + s.price_l
         | FROM chain c JOIN seqd s
         |  ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1)
@@ -2457,7 +2467,7 @@ object Queries {
     val model = Similarity.ensurePqModel(s, pqModelName(dir),
       emb.filter(col("id") >= 10)
         .select(col("id").as("vec_id"), col("vec").as("embedding")),
-      m = 4, k = 8, iters = 2, dim = 64)
+      m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
     Similarity.pqRerankTopK(emb.filter(col("id") < 10),
       emb.filter(col("id") >= 10), k = 5, shortlist = 40,
       model = Some(model))
@@ -2511,11 +2521,13 @@ object Queries {
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val corp = emb.filter(col("id") >= 10)
     val ivf = Similarity.ensureIvfIndex(s, ivfIndexName(dir), corp,
-      nCentroids = 16, iters = 2, portableInit = true)
+      nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
     val (codes, books) = Similarity.ensurePqModel(s, pqModelName(dir),
       corp.select(col("id").as("vec_id"), col("vec").as("embedding")),
-      m = 4, k = 8, iters = 2, dim = 64)
-    val postings = Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4)
+      m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
+    val postings = Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4,
+      fingerprint = Some(embFp(dir)))
     Similarity.ivfAdcTopK(emb.filter(col("id") < 10), ivf, postings, books,
       k = 5, nProbe = 4, shortlist = 40)
   }
@@ -2557,7 +2569,8 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
-      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true)
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
     Similarity.semanticDedup(model, threshold = 0.3)
       .select(col("vec_id"), col("cid").cast("long").as("cid"),
         col("cos_keeper"), col("keep"))
@@ -2568,6 +2581,11 @@ object Queries {
     * persisted by the pre-portable builds. */
   private def ivfIndexName(dir: String): String =
     "graft_ivfp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Source fingerprint of the embeddings table — staleness key for
+    * every persisted ANN artifact derived from it. */
+  private def embFp(dir: String): String =
+    graft.sources.DerivedTables.sourceFingerprint(dir, "embeddings")
 
   /** Catalog-safe PQ-model name, unique per SF directory. */
   private def pqModelName(dir: String): String =
@@ -2581,12 +2599,14 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val ivf = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
-      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true)
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
     val (codes, _) = Similarity.ensurePqModel(s, pqModelName(dir),
       emb.filter(col("id") >= 10)
         .select(col("id").as("vec_id"), col("vec").as("embedding")),
-      m = 4, k = 8, iters = 2, dim = 64)
-    Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4)
+      m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
+    Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4,
+      fingerprint = Some(embFp(dir)))
     ensureClusters(s, dir)
     ensureEventsByDate(s, dir)
     ensureBucketed(s, dir)
@@ -2602,12 +2622,14 @@ object Queries {
     * date predicates and date-keyed joins prune partitions instead of
     * scanning the table). 30 distinct days at every shipped SF. */
   def ensureEventsByDate(s: SparkSession, dir: String): DataFrame = synchronized {
+    import graft.sources.DerivedTables
     val name = eventsByDateName(dir)
-    if (!s.catalog.tableExists(name))
+    DerivedTables.ensure(s, Seq(name), DerivedTables.sourceFingerprint(dir, "events")) {
       Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date")
         .format("parquet").saveAsTable(name)
+    }
     s.table(name)
   }
 
@@ -2622,12 +2644,14 @@ object Queries {
     * times the full clustering operator; d08 consumes this artifact so
     * its bench number reflects the signature aggregation. */
   def ensureClusters(s: SparkSession, dir: String): DataFrame = synchronized {
+    import graft.sources.DerivedTables
     val name = clustersName(dir)
-    if (!s.catalog.tableExists(name))
+    DerivedTables.ensure(s, Seq(name), DerivedTables.sourceFingerprint(dir, "documents")) {
       Dedup.clusters(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
           .select("doc_a", "doc_b"))
         .write.mode("overwrite").format("parquet").saveAsTable(name)
+    }
     s.table(name)
   }
 
@@ -3253,40 +3277,6 @@ object Queries {
   private def bucketedName(dir: String, t: String): String =
     s"graft_bkt_${t}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Cheap content fingerprint of a source parquet path (file count +
-    * total bytes + newest mtime, recursive): regenerating the testdata
-    * under the SAME path changes it, so a persisted derived table keyed
-    * only on the path can be detected as stale and rebuilt instead of
-    * silently served — the round-6 testdata-regeneration failure mode. */
-  private[graft] def dataFingerprint(dir: String, table: String): String = {
-    def scan(f: java.io.File): (Long, Long, Long) =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .foldLeft((0L, 0L, 0L)) { case ((n, sz, mt), c) =>
-            val (cn, csz, cmt) = scan(c)
-            (n + cn, sz + csz, math.max(mt, cmt))
-          }
-      else (1L, f.length(), f.lastModified())
-    val (n, sz, mt) = scan(new java.io.File(dir, s"$table.parquet"))
-    s"n$n-sz$sz-mt$mt"
-  }
-
-  private def tableFingerprint(s: SparkSession, table: String): Option[String] =
-    try {
-      s.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .properties.get("graft.fingerprint")
-    } catch { case scala.util.control.NonFatal(_) => None }
-
-  /** Table exists AND its recorded source fingerprint matches the data
-    * currently on disk. A table written before fingerprinting existed
-    * (no property) counts as stale — rebuild once, then it's stamped. */
-  private def freshTable(s: SparkSession, table: String, fp: String): Boolean =
-    s.catalog.tableExists(table) && tableFingerprint(s, table).contains(fp)
-
-  private def stampFingerprint(s: SparkSession, table: String, fp: String): Unit =
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.fingerprint'='$fp')")
-
   /** Build-once bucketed lineitem/orders (8 buckets on orderkey, sorted
     * within buckets): the write pays the shuffle once; every subsequent
     * orderkey join reads co-located buckets with no exchange. Full
@@ -3294,19 +3284,16 @@ object Queries {
     * not one. Keyed on a data fingerprint, not just the path: stale
     * tables after an in-place testdata regeneration are rebuilt. */
   def ensureBucketed(s: SparkSession, dir: String): (String, String) = synchronized {
+    import graft.sources.DerivedTables
     val li = bucketedName(dir, "lineitem")
     val ord = bucketedName(dir, "orders")
-    val liFp = dataFingerprint(dir, "lineitem")
-    val ordFp = dataFingerprint(dir, "orders")
-    if (!freshTable(s, li, liFp)) {
+    DerivedTables.ensure(s, Seq(li), DerivedTables.sourceFingerprint(dir, "lineitem")) {
       graft.sources.Bucketing.writeBucketed(
         Tables.lineitem(s, dir), li, "l_orderkey", 8)
-      stampFingerprint(s, li, liFp)
     }
-    if (!freshTable(s, ord, ordFp)) {
+    DerivedTables.ensure(s, Seq(ord), DerivedTables.sourceFingerprint(dir, "orders")) {
       graft.sources.Bucketing.writeBucketed(
         Tables.orders(s, dir), ord, "o_orderkey", 8)
-      stampFingerprint(s, ord, ordFp)
     }
     (li, ord)
   }

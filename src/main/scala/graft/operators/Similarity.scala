@@ -202,19 +202,26 @@ object Similarity {
     * silently returned — the cheap param drift the catalog can detect. */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                      corpus: => DataFrame, nCentroids: Int, iters: Int = 3,
-                     buckets: Int = 8, portableInit: Boolean = false): IVFModel =
+                     buckets: Int = 8, portableInit: Boolean = false,
+                     fingerprint: Option[String] = None): IVFModel =
     synchronized {
-      val existing =
-        if (spark.catalog.tableExists(s"${name}_centroids") &&
-            spark.catalog.tableExists(s"${name}_assignments"))
-          Some(loadIvfIndex(spark, name))
-        else None
+      import graft.sources.DerivedTables
+      val tables = Seq(s"${name}_centroids", s"${name}_assignments")
+      // with a source fingerprint, "exists" additionally means "built
+      // from the data currently on disk" — an in-place regeneration of
+      // the corpus invalidates the persisted index
+      val present = fingerprint match {
+        case Some(fp) => tables.forall(DerivedTables.fresh(spark, _, fp))
+        case None => tables.forall(spark.catalog.tableExists)
+      }
+      val existing = if (present) Some(loadIvfIndex(spark, name)) else None
       // single load on the hot path; rebuild only on absence/param
       // drift. The init family is part of the NAME contract: callers
       // must use distinct names for portable vs native indices.
       existing.filter(_.centroids.length == nCentroids).getOrElse {
         saveIvfIndex(spark, ivfIndex(corpus, nCentroids, iters, portableInit),
           name, buckets)
+        fingerprint.foreach(fp => tables.foreach(DerivedTables.stamp(spark, _, fp)))
         loadIvfIndex(spark, name)
       }
     }
@@ -543,8 +550,10 @@ object Similarity {
     * the corpus identity in it). Rebuilds on subspace-count drift. */
   def ensurePqModel(spark: org.apache.spark.sql.SparkSession, name: String,
                     corpus: => DataFrame, m: Int = 4, k: Int = 8,
-                    iters: Int = 2, dim: Int = 64)
+                    iters: Int = 2, dim: Int = 64,
+                    fingerprint: Option[String] = None)
       : (DataFrame, Array[Array[Array[Double]]]) = synchronized {
+    import graft.sources.DerivedTables
     def load(): (DataFrame, Array[Array[Array[Double]]]) = {
       val rows = spark.table(s"${name}_books").collect()
       val nS = rows.map(_.getInt(0)).max + 1
@@ -554,13 +563,16 @@ object Similarity {
       rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
       (spark.table(s"${name}_codes"), books)
     }
-    val existing =
-      if (spark.catalog.tableExists(s"${name}_codes") &&
-          spark.catalog.tableExists(s"${name}_books")) Some(load())
-      else None
+    val tables = Seq(s"${name}_codes", s"${name}_books")
+    val present = fingerprint match {
+      case Some(fp) => tables.forall(DerivedTables.fresh(spark, _, fp))
+      case None => tables.forall(spark.catalog.tableExists)
+    }
+    val existing = if (present) Some(load()) else None
     existing.filter(_._2.length == m).getOrElse {
       val (codes, books) = productQuantizeModel(corpus, m, k, iters, dim)
       savePqModel(spark, name, codes, books)
+      fingerprint.foreach(fp => tables.foreach(DerivedTables.stamp(spark, _, fp)))
       load()
     }
   }
@@ -644,11 +656,19 @@ object Similarity {
     * shortlist fetch, never during candidate scoring. */
   def ensureAdcPostings(spark: org.apache.spark.sql.SparkSession,
                         name: String, ivf: IVFModel, codes: DataFrame,
-                        m: Int, buckets: Int = 8): DataFrame = synchronized {
+                        m: Int, buckets: Int = 8,
+                        fingerprint: Option[String] = None): DataFrame = synchronized {
+    import graft.sources.DerivedTables
     val t = s"${name}_adc"
-    if (!spark.catalog.tableExists(t))
+    val present = fingerprint match {
+      case Some(fp) => DerivedTables.fresh(spark, t, fp)
+      case None => spark.catalog.tableExists(t)
+    }
+    if (!present) {
       graft.sources.Bucketing.writeBucketed(
         adcPostings(ivf, codes, m), t, "cid", buckets)
+      fingerprint.foreach(DerivedTables.stamp(spark, t, _))
+    }
     spark.table(t)
   }
 
