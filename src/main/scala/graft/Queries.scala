@@ -3418,6 +3418,61 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Decontaminated (leakage-free) split: the t07 hash split, but near-
+    * dup twins can never straddle train/test — the split key is the
+    * d07 CLUSTER id for clustered docs (the doc's own id for
+    * singletons), so each cluster lands whole in one split. The thing
+    * a plain per-doc split gets wrong for LLM training data: a test
+    * document whose near-duplicate sits in train is a leaked eval.
+    * Consumes the PERSISTED cluster artifact (ensureClusters); the
+    * oracle rebuilds the same clusters from scratch (d07/d14's
+    * recursive CTE) and applies the same key rule. Per-split rollup:
+    * docs, clustered docs, whole clusters, smallest id. */
+  val p04 = q("p04_decontam_split",
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      | WHERE jaccard >= 0.5),
+      |edges AS (
+      | SELECT doc_a AS src, doc_b AS dst FROM pairs
+      | UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+      |k AS (SELECT doc.doc_id,
+      |  COALESCE(cl.cluster_id, doc.doc_id) AS split_key,
+      |  cl.doc_id IS NOT NULL AS clustered
+      | FROM documents doc LEFT JOIN cl ON cl.doc_id = doc.doc_id),
+      |sp AS (SELECT doc_id, split_key, clustered,
+      |  CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+      |   WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+      |   ELSE 'test' END AS split
+      | FROM k)
+      |SELECT split, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+      | COUNT(DISTINCT CASE WHEN clustered THEN split_key END) AS n_clusters,
+      | min(doc_id) AS min_doc
+      |FROM sp GROUP BY split""".stripMargin) { (s, dir) =>
+    TextAnalysis.decontaminatedSplit(
+        Tables.documents(s, dir), ensureClusters(s, dir), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("clustered"), 1L).otherwise(0L)).cast("long").as("n_clustered_docs"),
+        countDistinct(when(col("clustered"), col("split_key"))).as("n_clusters"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   /** Gopher-style quality rules (token-count band, mean-token-length
     * band, symbol ratio cap, stopword floor) with per-rule booleans —
     * all integer cross-multiplied, one token array per doc. */
@@ -3493,5 +3548,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-    m01, m02, m03, p01, p02, p03)
+    m01, m02, m03, p01, p02, p03, p04)
 }

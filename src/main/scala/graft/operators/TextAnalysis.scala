@@ -163,6 +163,30 @@ object TextAnalysis {
       when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
   }
 
+  /** Leakage-free (decontaminated) train/val/test assignment: documents
+    * that are near-duplicates of each other must land in the SAME
+    * split, or test examples leak into training through their near-dup
+    * twins. The split key is therefore the near-dup CLUSTER id (from
+    * the d07 connected-components artifact) for clustered docs, and
+    * the doc's own id for singletons; the [[hashSplit]] md5-nibble rule
+    * is then applied to the key. By construction every cluster lands
+    * whole in one split. 100 TB shape: one equi-join of the corpus
+    * against the (far smaller) cluster-assignment table — broadcast
+    * when it fits, shuffle-on-doc_id otherwise — then a map-side hash;
+    * no global coordination. */
+  def decontaminatedSplit(docs: DataFrame, clusters: DataFrame,
+                          idCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"),
+        col("cluster_id").isNotNull.as("clustered"))
+    val nibble = substring(md5(col("split_key").cast("string")), 1, 1)
+    keyed.withColumn("split",
+      when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
+  }
+
   /** Stable 128-bit fingerprint + 16-bit band prefix per document —
     * the blocking key for distributed exact-dup clustering. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -689,6 +689,33 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(both.find(_._1 == 5L).exists(_._2.isEmpty), "null text -> null score")
   }
 
+  test("decontaminatedSplit keeps every near-dup cluster whole in one split") {
+    import spark.implicits._
+    // doc ids picked so a naive per-doc hashSplit WOULD separate some
+    // cluster members; the cluster-keyed split must not
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 1L), (7L, 1L), (13L, 1L),     // cluster 1
+      (20L, 20L), (21L, 20L),            // cluster 20
+      (50L, 50L), (99L, 50L), (150L, 50L)).toDF("doc_id", "cluster_id")
+    val split = TextAnalysis.decontaminatedSplit(docs, clusters, "doc_id")
+    val perCluster = split.filter(col("clustered"))
+      .groupBy("split_key").agg(countDistinct(col("split")).as("n_splits"))
+      .as[(Long, Long)].collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_._2 == 1L),
+      s"cluster straddles splits: ${perCluster.mkString(",")}")
+    // singletons fall back to the plain per-doc hash split rule
+    val single = split.filter(!col("clustered"))
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val plain = TextAnalysis.hashSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    single.foreach { case (id, sp) => assert(plain(id) == sp, s"doc $id") }
+    // every doc assigned exactly one of the three splits
+    assert(split.count() == 200L)
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
+
   test("null array ELEMENTS yield null from both native hash exprs") {
     import spark.implicits._
     // split() never emits null elements, but the parity claim is with
