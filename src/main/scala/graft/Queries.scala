@@ -3418,6 +3418,37 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Source-balanced corpus mix: per-source token quotas (p05). Every
+    * source keeps its best-classifier-scored docs up to the SAME token
+    * budget, so no single crawl dominates the training mix — the
+    * per-group variant of t22's global budget. Window partitioned by
+    * source → independent per-source shuffle partitions, no global
+    * sort anywhere. Same md5-hashed-classifier scoring as t20/t22. */
+  val p05 = q("p05_source_quota",
+    """WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id, unnest(list_concat(toks,
+      |  CASE WHEN len(toks) < 2 THEN []
+      |   ELSE list_transform(range(1, len(toks)),
+      |     i -> toks[i] || ' ' || toks[i + 1]) END)) AS f FROM b),
+      |w AS (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(CAST(
+      |    CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 4096
+      |   AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000 AS wt
+      | FROM f),
+      |sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY doc_id),
+      |n AS (SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |r AS (SELECT n.source, n.doc_id, n.n_tok, sc.score,
+      |  CAST(SUM(n.n_tok) OVER (PARTITION BY n.source
+      |    ORDER BY sc.score DESC, n.doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      | FROM n JOIN sc USING (doc_id))
+      |SELECT source, doc_id, n_tok, score, cum_tok FROM r
+      |WHERE cum_tok <= 700""".stripMargin) { (s, dir) =>
+    TextAnalysis.sourceQuotaSelect(Tables.documents(s, dir),
+      "doc_id", "text", "source", quota = 700L)
+  }
+
   /** Decontaminated (leakage-free) split: the t07 hash split, but near-
     * dup twins can never straddle train/test — the split key is the
     * d07 CLUSTER id for clustered docs (the doc's own id for
@@ -3548,5 +3579,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-    m01, m02, m03, p01, p02, p03, p04)
+    m01, m02, m03, p01, p02, p03, p04, p05)
 }

@@ -163,6 +163,31 @@ object TextAnalysis {
       when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
   }
 
+  /** Per-source token-quota selection: within EACH source, keep the
+    * highest-classifier-score documents until that source's token
+    * quota is exhausted — the source-balanced corpus mix (every source
+    * capped at the same budget so no single crawl dominates training),
+    * vs [[tokenBudgetSelect]]'s single global budget. The running sum
+    * is a window PARTITIONED by source, so each source's sort is an
+    * independent shuffle partition — embarrassingly parallel across
+    * sources at 100 TB. If ONE source is itself shuffle-partition-
+    * sized, apply tokenBudgetSelect's range-partition + broadcast-
+    * offsets decomposition inside that source; the per-source quota
+    * math is unchanged. */
+  def sourceQuotaSelect(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, quota: Long): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("source"),
+        size(col("__t")).cast("long").as("n_tok"),
+        graft.plans.TextHash.classifierScore(col("__t")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= quota)
+      .select("source", "doc_id", "n_tok", "score", "cum_tok")
+  }
+
   /** Leakage-free (decontaminated) train/val/test assignment: documents
     * that are near-duplicates of each other must land in the SAME
     * split, or test examples leak into training through their near-dup

@@ -689,6 +689,29 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(both.find(_._1 == 5L).exists(_._2.isEmpty), "null text -> null score")
   }
 
+  test("sourceQuotaSelect caps every source at the quota, greedy by score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "a"), (2L, "one two", "a"),
+      (3L, "x y z w q r s t u v", "a"),
+      (4L, "lone doc here", "b")).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.sourceQuotaSelect(docs, "doc_id", "text", "source", quota = 6L)
+    val bySource = kept.groupBy("source").agg(sum("n_tok").as("tot"))
+      .as[(String, Long)].collect().toMap
+    bySource.values.foreach(t => assert(t <= 6L, s"quota exceeded: $bySource"))
+    // within a source, selection order is score desc (doc_id tiebreak):
+    // every kept doc's score must be >= every dropped doc's score
+    val a = docs.filter(col("source") === "a")
+    val scored = TextAnalysis.sourceQuotaSelect(a, "doc_id", "text", "source", quota = 1000L)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val keptA = kept.filter(col("source") === "a").select("doc_id")
+      .as[Long].collect().toSet
+    val dropped = scored.keySet -- keptA
+    for (k <- keptA; d <- dropped)
+      assert(scored(k) > scored(d) || (scored(k) == scored(d) && k < d),
+        s"non-greedy pick: kept $k (${scored(k)}) over $d (${scored(d)})")
+  }
+
   test("decontaminatedSplit keeps every near-dup cluster whole in one split") {
     import spark.implicits._
     // doc ids picked so a naive per-doc hashSplit WOULD separate some
