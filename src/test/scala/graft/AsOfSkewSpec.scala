@@ -229,6 +229,45 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(first.forall(s => s >= 0 && s < 8))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    // The OTHER skew tool besides salting: Spark's own runtime re-plan.
+    // Thresholds scaled to toy data (the 256 MB default floor is a
+    // cluster setting); the assertion locks that OptimizeSkewedJoin
+    // actually fires, so a config regression that silently disables
+    // the 100 TB skew path turns the suite red.
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      // 150k rows on ONE hot key vs ~1k spread keys: the hot shuffle
+      // partition dwarfs the median and crosses the scaled threshold
+      val left = spark.range(0, 160000).select(
+        when(col("id") < 150000, lit(0L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("name_"), col("id")).as("name"))
+      val joined = left.join(right, "k")
+      // materialize THIS QueryExecution (count() would plan a new one
+      // and leave joined's adaptive plan unexecuted / non-final)
+      assert(joined.collect().length == 160000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew-join did not fire:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedBroadcastJoin equals plain join") {
     val big = Seq.tabulate(500)(i => ("hot", i)) ++ Seq.tabulate(5)(i => (s"k$i", i))
     val bigDf = big.toDF("k", "v")
