@@ -3273,6 +3273,66 @@ object Queries {
       |FROM graft_q81_orders GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Incremental aggregate maintenance (materialized-view refresh):
+    * base facts are aggregated into a persisted STATE once, a raw
+    * delta folds in via one associative merge (Skew.incrementalAgg) —
+    * the refresh never rescans base facts, so at 100 TB the cost is
+    * O(delta) + O(group cardinality) instead of O(table). All aggs
+    * associative (count/sum/min/max over BIGINT cents), so the merged
+    * state is bit-identical to the from-scratch GROUP BY the oracle
+    * runs over ALL events. The base/delta boundary here is a
+    * deterministic id split (stands in for the date boundary a
+    * production refresh uses; the oracle is split-invariant). */
+  val q82 = q("q82_incremental_agg",
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      | min(event_id) AS min_event, max(event_id) AS max_event
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val aggs = Seq(
+      Skew.Agg("n_events", lit(1), "count"),
+      Skew.Agg("sum_cents", col("value_cents"), "sum"),
+      Skew.Agg("min_event", col("event_id"), "min"),
+      Skew.Agg("max_event", col("event_id"), "max"))
+    val state = Skew.partialAgg(
+      ev.filter(pmod(col("event_id"), lit(5)) < 4), Seq("event_type"), aggs)
+    Skew.incrementalAgg(state,
+      ev.filter(pmod(col("event_id"), lit(5)) === 4), Seq("event_type"), aggs)
+  }
+
+  /** Re-aggregatable distinct-count sketches (Datasketches HLL): the
+    * 100 TB rollup pattern — per-day sketches built ONCE near the
+    * data, then any coarser rollup (here event_type across all days)
+    * is a cheap sketch UNION over tiny binary states, never a rescan
+    * of raw ids. COUNT(DISTINCT) cannot re-aggregate (distinct sets
+    * don't add); sketches exist precisely to make that lossless-ish.
+    * Oracle discipline = q29: the dumped columns are the EXACT
+    * distinct counts plus booleans asserting the merged estimate
+    * landed within 5% (lgConfigK=14 → RSE ~0.8%, so 5% is a >6-sigma
+    * bound); the oracle emits TRUE, so a drifting sketch
+    * hash-mismatches. */
+  val q83 = q("q83_sketch_merge",
+    """SELECT event_type,
+      | COUNT(DISTINCT user_id) AS exact_users,
+      | TRUE AS merged_within_5pct
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("approx_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("merged_within_5pct"))
+  }
+
   /** Catalog-safe bucketed-table name, unique per SF directory. */
   private def bucketedName(dir: String, t: String): String =
     s"graft_bkt_${t}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -3574,7 +3634,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-    q75, q76, q77, q78, q79, q80, q81,
+    q75, q76, q77, q78, q79, q80, q81, q82, q83,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22,

@@ -217,6 +217,23 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("incrementalAgg merge is bit-identical to the from-scratch GROUP BY") {
+    val base = Seq(("a", 1L), ("a", 5L), ("b", 2L)).toDF("k", "v")
+    val delta = Seq(("a", 10L), ("c", 7L)).toDF("k", "v") // c: delta-only key
+    val aggs = Seq(
+      Skew.Agg("n", lit(1), "count"), Skew.Agg("s", col("v"), "sum"),
+      Skew.Agg("mn", col("v"), "min"), Skew.Agg("mx", col("v"), "max"))
+    val incr = Skew.incrementalAgg(
+        Skew.partialAgg(base, Seq("k"), aggs), delta, Seq("k"), aggs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val full = Skew.partialAgg(base.unionByName(delta), Seq("k"), aggs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(incr == full, s"incr=$incr full=$full")
+    assert(incr.exists(_._1 == "c"), "delta-only key must pass through")
+    // base-only key untouched by the delta
+    assert(incr.contains(("b", 1L, 2L, 2L, 2L)))
+  }
+
   test("content salt is retry-deterministic and actually spreads rows") {
     val df = Seq.tabulate(100)(i => (s"k${i % 3}", i.toDouble)).toDF("k", "v")
     def salts() = df.withColumn("s", Skew.contentSalt(df, 8))
