@@ -51,6 +51,8 @@ object EdgeRunner {
     dims: Seq[String] = Nil,          // zorder mode: columns to interleave
     bits: Int = 16,                   // zorder mode: bits per dimension
     files: Int = 64,                  // zorder mode: output file count
+    simThreshold: Double = 0.7,       // neardup mode: est-Jaccard suppress cutoff
+    ttlMin: Long = 10,                // neardup mode: state TTL (minutes)
     drain: Boolean = false)           // stream/corpus: AvailableNow catch-up
 
   def parse(args: Array[String]): Config = {
@@ -65,7 +67,8 @@ object EdgeRunner {
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|zorder is required"))
     require(
-      Set("batch", "stream", "meta", "corpus", "dedup", "zorder", "classify")(mode),
+      Set("batch", "stream", "meta", "corpus", "dedup", "zorder", "classify",
+        "neardup")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -83,6 +86,8 @@ object EdgeRunner {
       dims = kv.get("--dims").map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
       bits = kv.get("--bits").map(_.toInt).getOrElse(16),
       files = kv.get("--files").map(_.toInt).getOrElse(64),
+      simThreshold = kv.get("--sim-threshold").map(_.toDouble).getOrElse(0.7),
+      ttlMin = kv.get("--ttl-min").map(_.toLong).getOrElse(10L),
       drain = kv.get("--drain").exists(_.toBoolean))
   }
 
@@ -221,6 +226,33 @@ object EdgeRunner {
       cfg.checkpoint, trigger, knownKeys = knownKeys)
   }
 
+  /** `--mode neardup`: streaming NEAR-duplicate suppression — the
+    * fuzzier sibling of `corpus` (which drops EXACT re-posts): arriving
+    * docs whose estimated Jaccard vs a recently-admitted doc is >=
+    * `--sim-threshold` are dropped before landing (minhash-bucket
+    * blocking + signature verify, state TTL'd at `--ttl-min`). Needs
+    * the RocksDB state store, set here like any transformWithState
+    * deployment would. */
+  def startNearDup(spark: SparkSession, cfg: Config,
+                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
+      "--out and --checkpoint are required in neardup mode")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.TtlState.RocksDbProvider)
+    val docs = CorpusStream.parseDocs(readStreamEnvelopes(spark, cfg.in))
+      .select("doc_id", "text", "ts")
+    graft.streaming.NearDupStream.suppress(docs,
+        ttl = java.time.Duration.ofMinutes(cfg.ttlMin),
+        threshold = cfg.simThreshold)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cfg.checkpoint)
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", cfg.out)
+      .start()
+  }
+
   private def triggerOf(cfg: Config): Trigger =
     if (cfg.drain) Trigger.AvailableNow()
     else Trigger.ProcessingTime("1 minute")
@@ -241,6 +273,7 @@ object EdgeRunner {
     // checkpoint the steady-state trigger will resume from.
     case "stream" => await(startStream(spark, cfg, triggerOf(cfg)), cfg.timeoutSec)
     case "corpus" => await(startCorpus(spark, cfg, triggerOf(cfg)), cfg.timeoutSec)
+    case "neardup" => await(startNearDup(spark, cfg, triggerOf(cfg)), cfg.timeoutSec)
     case "zorder" => println(s"[edge] zorder files written: ${runZorder(spark, cfg)}")
     case "classify" =>
       println(s"[edge] docs scored: ${runClassify(spark, cfg)}")

@@ -181,6 +181,49 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(landed.count() == 5, "all five distinct quality docs land")
   }
 
+  test("--mode neardup suppresses near-duplicate docs from the graftlog stream") {
+    val in = Files.createTempDirectory("edge_neardup_log").toString
+    val out = Files.createTempDirectory("edge_neardup_out").toString
+    val ckpt = Files.createTempDirectory("edge_neardup_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen sleepy badgers watch from the mossy riverbank " +
+      "under a pale october moon and nothing else happens tonight"
+    val nearDup = base.replace("nothing else", "nothing much")
+    val distinct = "completely different subject matter entirely about " +
+      "catalyst optimizer rules rewriting logical plans into physical " +
+      "operators with whole stage code generation for columnar batches"
+    def doc(i: Int, text: String) =
+      s"""{"doc_id":$i,"text":"$text","lang":"en","ts":"2025-01-01 10:0$i:00"}"""
+    writeLines(in, "docs.log",
+      Seq(doc(1, base), doc(2, nearDup), doc(3, distinct)))
+    val savedProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    try {
+      val cfg = EdgeRunner.parse(Array("--mode", "neardup", "--in", s"log:$in",
+        "--out", out, "--checkpoint", ckpt, "--sim-threshold", "0.7"))
+      assert(cfg.simThreshold == 0.7 && cfg.ttlMin == 10L)
+      val q = EdgeRunner.startNearDup(spark, cfg,
+        Trigger.ProcessingTime("0 seconds"))
+      // processing-time TTL housekeeping never quiesces (TtlState
+      // scaladoc) — poll the sink, don't wait on processAllAvailable
+      val deadline = System.currentTimeMillis() + 60000
+      def landedCount(): Long =
+        try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+      while (landedCount() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      Thread.sleep(1000) // settle: a late wrong admission would land here
+      q.stop()
+      val ids = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"near-dup doc 2 must be suppressed: $ids")
+    } finally savedProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream mode resumes from its checkpoint without duplicating bars") {
     val in = Files.createTempDirectory("edge_resume").toString
     val out = Files.createTempDirectory("edge_resume_out").toString
