@@ -3627,6 +3627,70 @@ object Queries {
       "doc_id", "text", budget = 10000L)
   }
 
+  /** Vocabulary build + id encoding (the tokenize-to-ids step of
+    * training-data prep): top-64 terms by corpus frequency get dense
+    * rank ids (term tiebreak), every doc is encoded as its in-vocab
+    * token ids in ORIGINAL order (OOV dropped, coverage counted). The
+    * top-V selection is a distributed TakeOrderedAndProject over the
+    * term-count table; only the 64 survivors touch the ranking
+    * window. Ids stringified for the gate (q41 array convention). */
+  val t23 = q("t23_vocab_encode",
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS c FROM
+      |  (SELECT unnest(t) AS term FROM b) GROUP BY term),
+      |vocab AS (SELECT term,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT) AS id
+      | FROM cnt QUALIFY id <= 64),
+      |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t FROM b),
+      |tok AS (SELECT doc_id, p, t[p] AS term FROM pos),
+      |enc AS (SELECT tok.doc_id,
+      |  array_to_string(array_agg(v.id ORDER BY tok.p), ',') AS ids,
+      |  COUNT(*) AS n_in_vocab
+      | FROM tok JOIN vocab v USING (term) GROUP BY tok.doc_id),
+      |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM b)
+      |SELECT n.doc_id, n.n_tok,
+      | CAST(COALESCE(e.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+      | COALESCE(e.ids, '') AS ids
+      |FROM n LEFT JOIN enc e USING (doc_id)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.encodeDocs(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, "text", size = 64))
+      .select(col("doc_id"), col("n_tok"), col("n_in_vocab"),
+        concat_ws(",", col("ids")).as("ids"))
+  }
+
+  /** BM25 ranked keyword retrieval — the lexical complement of the
+    * s-series vector search. Only docs containing a query term are
+    * scored (term filter BEFORE the shuffle: the posting rows of
+    * |query| terms, never the corpus term table); idf/tf use the
+    * standard k1=1.2, b=0.75 form with per-term parts rounded at 6dp
+    * and DECIMAL-summed (the t16 float discipline). Top-10 by score
+    * via distributed TakeOrderedAndProject. */
+  val t24 = q("t24_bm25_search",
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM b),
+      |tok AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM b),
+      |tf AS (SELECT doc_id, term, CAST(dl AS BIGINT) AS dl, COUNT(*) AS tf
+      | FROM tok WHERE term IN ('join', 'hash', 'scan')
+      | GROUP BY doc_id, term, dl),
+      |sc AS (SELECT doc_id, term, tf, dl,
+      |  COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+      |parts AS (SELECT doc_id,
+      |  round(ln(1.0 + (stats.n - df + 0.5) / (df + 0.5))
+      |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * stats.n / stats.sum_dl)), 6)
+      |   AS part
+      | FROM sc CROSS JOIN stats),
+      |scored AS (SELECT doc_id,
+      |  CAST(SUM(CAST(part AS DECIMAL(18,4))) AS DOUBLE) AS score,
+      |  COUNT(*) AS n_matched
+      | FROM parts GROUP BY doc_id)
+      |SELECT doc_id, score, n_matched FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+    TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+        query = Seq("join", "hash", "scan"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3637,7 +3701,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
     m01, m02, m03, p01, p02, p03, p04, p05)
 }

@@ -163,6 +163,90 @@ object TextAnalysis {
       when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
   }
 
+  /** Corpus vocabulary: the `size` most frequent tokens, id = dense
+    * frequency rank (term tiebreak) — the word↔id table a tokenizer
+    * training step exports. Top-V selection is the DISTRIBUTED
+    * TakeOrderedAndProject over the term-count table (never a global
+    * sort of all distinct terms); only the V surviving rows pass
+    * through the single-partition ranking window, so the window's
+    * "one partition" is V rows by construction. */
+  def buildVocab(docs: DataFrame, textCol: String, size: Int): DataFrame = {
+    val cnt = docs.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    cnt.orderBy(col("c").desc, col("term")).limit(size)
+      .withColumn("id", row_number().over(w).cast("long"))
+      .select("term", "id", "c")
+  }
+
+  /** Encode documents to vocab-id sequences (the tokenize-to-ids step
+    * of training-data prep): per doc, the ids of its in-vocab tokens
+    * in ORIGINAL token order, plus n_tok / n_in_vocab coverage counts.
+    * OOV tokens are dropped (coverage is the point of the counts).
+    * The vocab (V rows) broadcasts; token order survives the groupBy
+    * via sort_array over (pos, id) structs — no assumption that
+    * collect_list preserves order, because it doesn't. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol)))).toDF("doc_id", "pos", "term")
+    val enc = toks.join(broadcast(vocab.select("term", "id")), Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id")).as("ids"),
+        count(lit(1)).as("n_in_vocab"))
+    docs.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+      .join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        coalesce(col("ids"), array().cast("array<long>")).as("ids"))
+  }
+
+  /** BM25 ranked retrieval over the corpus (Robertson/Sparck Jones,
+    * k1/b defaults): keyword search, the lexical complement of the
+    * s-series vector search. Scores only documents containing at
+    * least one query term (the inverted-index access path: the tf
+    * table is term-keyed, so a query touches |query| posting lists,
+    * never the corpus); idf uses the +1 form, ln rounded at 6dp per
+    * the t16/t17 cross-engine float discipline. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // two corpus scalars, exact integer sums until the one division
+    val Array(nDocs, sumDl) = docs
+      .agg(count(lit(1)), sum(size(TextOps.tokens(col(textCol))).cast("long")))
+      .collect().head.toSeq.map(_.toString.toLong).toArray
+    // the inverted-index access path: terms filter to the query BEFORE
+    // the shuffle, so the (doc, term) aggregation carries only posting
+    // rows of the |query| terms -- never the corpus term table
+    val matched = docs.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    matched
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      // per-(doc,term) part rounded at 6dp, then DECIMAL-summed -- the
+      // t16 discipline: the sum is order-independent and cross-engine
+      // dl/avgdl spelled as (b*dl)*n / sum_dl: every step before the
+      // one division is EXACT in ieee754 (b has few mantissa bits, the
+      // products stay < 2^53), and the final division is correctly
+      // rounded -- so the oracle reproduces it bit-for-bit by using
+      // the same left-associative order
+      .withColumn("part", round(col("idf") * (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") *
+          lit(nDocs.toDouble) / lit(sumDl.toDouble))), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("part").cast(graft.functions.Exact.M)).cast("double").as("score"),
+        count(lit(1)).as("n_matched"))
+  }
+
   /** Per-source token-quota selection: within EACH source, keep the
     * highest-classifier-score documents until that source's token
     * quota is exhausted — the source-balanced corpus mix (every source

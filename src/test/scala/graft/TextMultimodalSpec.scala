@@ -689,6 +689,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(both.find(_._1 == 5L).exists(_._2.isEmpty), "null text -> null score")
   }
 
+  test("encodeDocs preserves token order, drops OOV, keeps empty-coverage docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a b c a"),   // c is OOV below
+      (2L, "zzz qqq"),     // fully OOV
+      (3L, "a a a")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L), ("b", 2L)).toDF("term", "id")
+    val got = TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab)
+      .select("doc_id", "n_tok", "n_in_vocab", "ids")
+      .as[(Long, Long, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 4L, Seq(2L, 1L, 2L, 1L))), s"${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 0L, Seq())), "fully-OOV doc must survive")
+    assert(got(3L) == ((3L, 3L, 3L, Seq(1L, 1L, 1L))))
+    // vocab rank: most frequent first, term tiebreak, dense ids from 1
+    val v = TextAnalysis.buildVocab(docs, "text", size = 2)
+      .select("term", "id").as[(String, Long)].collect().toSet
+    assert(v == Set(("a", 1L), ("b", 2L)), s"$v") // a:6, b:2 > c:1
+  }
+
   test("sourceQuotaSelect caps every source at the quota, greedy by score") {
     import spark.implicits._
     val docs = Seq(
