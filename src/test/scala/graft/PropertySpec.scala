@@ -528,6 +528,33 @@ class PropertySpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("incrementalAgg equals the from-scratch GROUP BY for any data and any split") {
+    import graft.operators.Skew
+    val rowGen = Gen.zip(Gen.choose(0, 6), Gen.choose(-1000L, 1000L))
+    val gen = Gen.zip(Gen.listOf(rowGen).map(_.take(60)), Gen.long)
+    val aggs = Seq(
+      Skew.Agg("n", lit(1), "count"), Skew.Agg("s", col("v"), "sum"),
+      Skew.Agg("mn", col("v"), "min"), Skew.Agg("mx", col("v"), "max"))
+    check("incrementalAgg", Prop.forAll(gen) { case (rows, seed) =>
+      rows.isEmpty || {
+        // split membership from a hash of (seed, index): arbitrary,
+        // including all-base and all-delta at the extremes
+        val (baseRows, deltaRows) = rows.zipWithIndex.partition {
+          case (_, i) => ((seed ^ i) & 3) != 0
+        }
+        val df = rows.map { case (k, v) => (s"k$k", v) }.toDF("k", "v")
+        val base = baseRows.map { case ((k, v), _) => (s"k$k", v) }.toDF("k", "v")
+        val delta = deltaRows.map { case ((k, v), _) => (s"k$k", v) }.toDF("k", "v")
+        val full = Skew.partialAgg(df, Seq("k"), aggs)
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+        val incr = Skew.incrementalAgg(
+            Skew.partialAgg(base, Seq("k"), aggs), delta, Seq("k"), aggs)
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+        incr == full
+      }
+    }, n = 10)
+  }
+
   test("native classifierScore equals the interpreted HOF spelling on random token arrays") {
     val tokGen = Gen.frequency(
       5 -> Gen.alphaNumStr.map(_.take(8)),
