@@ -270,4 +270,36 @@ class PlanShapeSpec extends AnyFunSuite {
         s"join sides must read co-located buckets, no exchange:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("t23 encoding broadcasts the vocab, never shuffles it") {
+    val p = plan("t23_vocab_encode")
+    assert(p.contains("BroadcastExchange"),
+      s"the V-row vocab must broadcast into the token join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t24 BM25 filters to query terms below every exchange") {
+    val p = plan("t24_bm25_search")
+    // the term IN (...) predicate must sit BELOW the shuffles — at
+    // 100 TB that is the difference between shuffling |query| posting
+    // lists and shuffling the corpus term table. toString prints the
+    // tree root-first, so "below" = a LARGER text index than every
+    // exchange above it.
+    val filterIdx = p.indexOf("IN (join,hash,scan)")
+    assert(filterIdx >= 0, s"query-term IN filter missing:\n$p")
+    val lastExchange = p.lastIndexOf("Exchange hashpartitioning")
+    assert(lastExchange >= 0 && filterIdx > lastExchange,
+      s"term filter must be below the exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be the distributed TakeOrderedAndProject:\n$p")
+  }
+
+  test("p05 quota selection is one scan, score computed map-side") {
+    val p = plan("p05_source_quota")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"expected a single documents scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"expected exactly the source window exchange:\n$p")
+  }
 }
