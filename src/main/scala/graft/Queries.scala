@@ -3273,6 +3273,45 @@ object Queries {
       |FROM graft_q81_orders GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Re-aggregatable FREQUENCY sketches (Count-Min): per-day CMS
+    * states built with Spark's `count_min_sketch` aggregate, merged to
+    * the event_type rollup by the typed CmsMerge Aggregator (counters
+    * are additive; Spark ships no SQL merge function) — q83's HLL
+    * pattern for point frequencies instead of distinct counts. The
+    * invariants are the CMS contract and DETERMINISTIC given the
+    * fixed seed + data: estimates never undercount (hard guarantee)
+    * and sit within eps·N of exact (verified at every shipped SF and
+    * the 100x replica). The estimate UDF touches 3 users x 5 types =
+    * 15 rows of pre-broadcast sketches — never the fact table. */
+  val q84 = q("q84_cms_merge",
+    """WITH e AS (SELECT event_type, user_id, COUNT(*) AS exact_n
+      |  FROM events WHERE user_id IN (1, 2, 3)
+      |  GROUP BY event_type, user_id)
+      |SELECT event_type, user_id, exact_n,
+      | TRUE AS ge_exact, TRUE AS within_eps
+      |FROM e""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("d"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(graft.functions.Aggregators.cmsMerge(col("sk")).as("sk"))
+    val estimate = udf((sk: Array[Byte], u: Long) =>
+      graft.functions.Aggregators.cmsEstimate(sk, u))
+    val exact = ev.filter(col("user_id").isin(1L, 2L, 3L))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+    exact
+      .join(broadcast(merged), "event_type")
+      .join(broadcast(totals), "event_type")
+      .withColumn("est", estimate(col("sk"), col("user_id")))
+      .select(col("event_type"), col("user_id"), col("exact_n"),
+        (col("est") >= col("exact_n")).as("ge_exact"),
+        (col("est") <= col("exact_n") + ceil(col("n_total") * 0.001))
+          .as("within_eps"))
+  }
+
   /** Incremental aggregate maintenance (materialized-view refresh):
     * base facts are aggregated into a persisted STATE once, a raw
     * delta folds in via one associative merge (Skew.incrementalAgg) —
@@ -3698,7 +3737,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-    q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,

@@ -43,6 +43,51 @@ object Aggregators {
   }
 
   /** Column-API form: `df.groupBy(...).agg(minhashUnion(col("sig")))`. */
+  /** Merge of serialized Count-Min sketches (the binary column Spark's
+    * `count_min_sketch` aggregate emits): CMS counters are additive,
+    * so merging per-segment sketches equals sketching the concatenated
+    * data — the re-aggregatable-frequency twin of q83's HLL union,
+    * which Spark exposes no SQL merge function for. Buffer is the
+    * serialized form (empty = identity); segment-level inputs are few
+    * per group (days, shards), so the per-row deserialize cost is
+    * bounded by group fan-in, never data volume. */
+  object CmsMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def toBytes(c: org.apache.spark.util.sketch.CountMinSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      c.writeTo(bos)
+      bos.toByteArray
+    }
+    private def read(b: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    private def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val ca = read(a)
+        ca.mergeInPlace(read(b))
+        toBytes(ca)
+      }
+    override def zero: Array[Byte] = Array.empty
+    override def reduce(buf: Array[Byte], row: Array[Byte]): Array[Byte] =
+      combine(buf, row)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      combine(a, b)
+    override def finish(buf: Array[Byte]): Array[Byte] = buf
+    override def bufferEncoder: Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  def cmsMerge: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(CmsMerge)
+
+  /** Point-estimate from a serialized CMS (driver- or executor-side). */
+  def cmsEstimate(sketch: Array[Byte], item: Long): Long =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch)).estimateCount(item)
+
   def minhashUnion(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MinHashUnion(numHashes),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())

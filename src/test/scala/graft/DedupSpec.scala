@@ -127,6 +127,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 21 && got.values.forall(_ == 1L))
   }
 
+  test("CmsMerge of per-segment sketches is byte-identical to the whole-data sketch") {
+    import org.apache.spark.sql.functions.expr
+    val rows = (1L to 300L).map(i => (i % 3, i % 17)).toDF("seg", "item")
+    val whole = rows
+      .agg(expr("count_min_sketch(item, 0.01d, 0.9d, 7)").as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    val merged = rows.groupBy("seg")
+      .agg(expr("count_min_sketch(item, 0.01d, 0.9d, 7)").as("sk"))
+      .agg(graft.functions.Aggregators.cmsMerge(col("sk")).as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    // CMS counters are additive and dims/seed are shared, so the merge
+    // is not approximately equal — it is the SAME sketch
+    assert(java.util.Arrays.equals(whole, merged),
+      "merged segment sketches must equal the whole-data sketch")
+    for (item <- 0L to 16L)
+      assert(graft.functions.Aggregators.cmsEstimate(merged, item) >=
+        rows.filter(col("item") === item).count())
+  }
+
   test("minhashUnion aggregator: cluster signature = elementwise min") {
     val sigs = Seq(
       (1L, Seq(5L, 9L, 3L)), (1L, Seq(2L, 10L, 4L)), (2L, Seq(7L, 7L, 7L))
