@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   *    /root/reference/spark/jobs/stock_stream.py:85-97).
   */
 object Relational {
+  /** Single-pass column profile (Deequ/dbt-style expectations input):
+    * one output row per audited column — null count, exact distinct
+    * count, stringified min/max — all columns' aggregates computed
+    * side by side in ONE scan, then pivoted with a free stack() over
+    * the 1-row aggregate. Exact COUNT(DISTINCT) across several
+    * columns plans Spark's expand (rows × columns into the shuffle) —
+    * the standard price of exact profiles; a 100 TB profile swaps in
+    * approx_count_distinct (2% rsd) with everything else unchanged. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `null_$c`, `nd_$c`, `min_$c`, `max_$c`").mkString(", ")
+    one.selectExpr("n_rows", s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_null, n_distinct, min_value, max_value)")
+      .select("column_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value")
+  }
+
   /** Keep the top k rows per partition under `order`. One shuffle on
     * `partitionCols`; within-partition sort only (no global order), so it
     * scales linearly with data / executors. Skewed partition keys can be
