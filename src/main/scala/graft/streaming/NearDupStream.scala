@@ -95,6 +95,12 @@ object NearDupStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val keyed: Dataset[Keyed] = docs
+      // malformed wire docs (null id/text/ts from from_json) would put
+      // a null into Keyed's primitive bucket field and kill the query;
+      // an un-fingerprintable doc can't be deduped, so it is dropped
+      // here like the corpus gate drops it
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("ts").isNotNull)
       .select(col("doc_id"), col("text"), col("ts"),
         graft.plans.TextHash.minhashSig(
           TextOps.tokens(col("text")), shingleN, numHashes).as("sig"))
