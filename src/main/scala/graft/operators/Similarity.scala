@@ -210,10 +210,7 @@ object Similarity {
       // with a source fingerprint, "exists" additionally means "built
       // from the data currently on disk" — an in-place regeneration of
       // the corpus invalidates the persisted index
-      val present = fingerprint match {
-        case Some(fp) => tables.forall(DerivedTables.fresh(spark, _, fp))
-        case None => tables.forall(spark.catalog.tableExists)
-      }
+      val present = DerivedTables.presentOrExists(spark, tables, fingerprint)
       val existing = if (present) Some(loadIvfIndex(spark, name)) else None
       // single load on the hot path; rebuild only on absence/param
       // drift. The init family is part of the NAME contract: callers
@@ -221,7 +218,7 @@ object Similarity {
       existing.filter(_.centroids.length == nCentroids).getOrElse {
         saveIvfIndex(spark, ivfIndex(corpus, nCentroids, iters, portableInit),
           name, buckets)
-        fingerprint.foreach(fp => tables.foreach(DerivedTables.stamp(spark, _, fp)))
+        DerivedTables.stampAll(spark, tables, fingerprint)
         loadIvfIndex(spark, name)
       }
     }
@@ -564,15 +561,12 @@ object Similarity {
       (spark.table(s"${name}_codes"), books)
     }
     val tables = Seq(s"${name}_codes", s"${name}_books")
-    val present = fingerprint match {
-      case Some(fp) => tables.forall(DerivedTables.fresh(spark, _, fp))
-      case None => tables.forall(spark.catalog.tableExists)
-    }
+    val present = DerivedTables.presentOrExists(spark, tables, fingerprint)
     val existing = if (present) Some(load()) else None
     existing.filter(_._2.length == m).getOrElse {
       val (codes, books) = productQuantizeModel(corpus, m, k, iters, dim)
       savePqModel(spark, name, codes, books)
-      fingerprint.foreach(fp => tables.foreach(DerivedTables.stamp(spark, _, fp)))
+      DerivedTables.stampAll(spark, tables, fingerprint)
       load()
     }
   }
@@ -660,14 +654,10 @@ object Similarity {
                         fingerprint: Option[String] = None): DataFrame = synchronized {
     import graft.sources.DerivedTables
     val t = s"${name}_adc"
-    val present = fingerprint match {
-      case Some(fp) => DerivedTables.fresh(spark, t, fp)
-      case None => spark.catalog.tableExists(t)
-    }
-    if (!present) {
+    if (!DerivedTables.presentOrExists(spark, Seq(t), fingerprint)) {
       graft.sources.Bucketing.writeBucketed(
         adcPostings(ivf, codes, m), t, "cid", buckets)
-      fingerprint.foreach(DerivedTables.stamp(spark, t, _))
+      DerivedTables.stampAll(spark, Seq(t), fingerprint)
     }
     spark.table(t)
   }

@@ -214,9 +214,12 @@ object TextAnalysis {
     * the t16/t17 cross-engine float discipline. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // two corpus scalars, exact integer sums until the one division
+    // two corpus scalars, exact integer sums until the one division;
+    // sum() is SQL NULL on an empty corpus -> coalesce, and the match
+    // join below is then empty so neither scalar divides anything
     val Array(nDocs, sumDl) = docs
-      .agg(count(lit(1)), sum(size(TextOps.tokens(col(textCol))).cast("long")))
+      .agg(count(lit(1)),
+        coalesce(sum(size(TextOps.tokens(col(textCol))).cast("long")), lit(0L)))
       .collect().head.toSeq.map(_.toString.toLong).toArray
     // the inverted-index access path: terms filter to the query BEFORE
     // the shuffle, so the (doc, term) aggregation carries only posting
@@ -291,9 +294,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("split_key"),
         col("cluster_id").isNotNull.as("clustered"))
-    val nibble = substring(md5(col("split_key").cast("string")), 1, 1)
-    keyed.withColumn("split",
-      when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
+    // ONE definition of the split rule: hashSplit on the cluster key,
+    // so a ratio change there cannot silently diverge the two paths
+    hashSplit(keyed, "split_key")
   }
 
   /** Stable 128-bit fingerprint + 16-bit band prefix per document —

@@ -89,9 +89,15 @@ case class RollingTokenHash(child: Expression) extends UnaryExpression {
     val ref = ctx.addReferenceObj("rollhash", this, classOf[RollingTokenHash].getName)
     nullSafeCodeGen(ctx, ev, a => {
       val tmp = ctx.freshName("rollhashRes")
-      s"""java.lang.Long $tmp = $ref.compute($a);
-         |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      // ev.isNull is only DECLARED when nullable: with a non-nullable
+      // child whose elements have containsNull=false, referencing it
+      // is a janino compile error (silent interpreted fallback)
+      if (nullable)
+        s"""java.lang.Long $tmp = $ref.compute($a);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      else
+        s"${ev.value} = $ref.compute($a).longValue();"
     })
   }
 
@@ -391,9 +397,13 @@ case class HashedClassifierScore(child: Expression, nBuckets: Int)
     val ref = ctx.addReferenceObj("clfScore", this, classOf[HashedClassifierScore].getName)
     nullSafeCodeGen(ctx, ev, a => {
       val tmp = ctx.freshName("clfScoreRes")
-      s"""java.lang.Long $tmp = $ref.compute($a);
-         |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      // see RollingTokenHash: ev.isNull is undeclared when nullable=false
+      if (nullable)
+        s"""java.lang.Long $tmp = $ref.compute($a);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      else
+        s"${ev.value} = $ref.compute($a).longValue();"
     })
   }
 

@@ -14,21 +14,25 @@ object DerivedTables {
   private val Prop = "graft.fingerprint"
 
   /** Cheap content fingerprint of a source parquet path: recursive
-    * (file count, total bytes, newest mtime). Not a data hash — an
+    * (file count, total bytes, newest mtime, plus an order-independent
+    * per-file mix of name/size/mtime so a same-total rewrite within
+    * mtime granularity still changes the print). Not a data hash — an
     * identical-bytes rewrite with a newer mtime reads as changed,
     * which errs on the safe side (rebuild) at O(directory listing)
     * cost, never O(data). */
   def sourceFingerprint(dir: String, table: String): String = {
-    def scan(f: java.io.File): (Long, Long, Long) =
+    def scan(f: java.io.File): (Long, Long, Long, Long) =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)
-          .foldLeft((0L, 0L, 0L)) { case ((n, sz, mt), c) =>
-            val (cn, csz, cmt) = scan(c)
-            (n + cn, sz + csz, math.max(mt, cmt))
+          .foldLeft((0L, 0L, 0L, 0L)) { case ((n, sz, mt, mx), c) =>
+            val (cn, csz, cmt, cmx) = scan(c)
+            (n + cn, sz + csz, math.max(mt, cmt), mx + cmx)
           }
-      else (1L, f.length(), f.lastModified())
-    val (n, sz, mt) = scan(new java.io.File(dir, s"$table.parquet"))
-    s"n$n-sz$sz-mt$mt"
+      else (1L, f.length(),
+        f.lastModified(),
+        f.getName.hashCode.toLong * 1000003L + f.length() * 31L + f.lastModified())
+    val (n, sz, mt, mx) = scan(new java.io.File(dir, s"$table.parquet"))
+    s"n$n-sz$sz-mt$mt-x$mx"
   }
 
   private def recorded(s: SparkSession, table: String): Option[String] =
@@ -55,4 +59,17 @@ object DerivedTables {
       build
       tables.foreach(stamp(s, _, fp))
     }
+
+  /** Optional-fingerprint flavor for ensure* helpers whose callers may
+    * not know the source path: with a fingerprint, present means
+    * fresh; without one, merely existing (the pre-guard behavior). */
+  def presentOrExists(s: SparkSession, tables: Seq[String],
+                      fp: Option[String]): Boolean = fp match {
+    case Some(f) => tables.forall(fresh(s, _, f))
+    case None => tables.forall(s.catalog.tableExists)
+  }
+
+  def stampAll(s: SparkSession, tables: Seq[String],
+               fp: Option[String]): Unit =
+    fp.foreach(f => tables.foreach(stamp(s, _, f)))
 }

@@ -61,6 +61,10 @@ object NearDupStream {
                                  timerValues: TimerValues): Iterator[Keyed] = {
       // bounded by maxPerBucket, so the copy is small and in-batch
       // arrivals compare against earlier rows of the SAME batch too
+      // length-mismatched state (a numHashes change across a
+      // checkpoint restart) is incomparable: comparing a prefix would
+      // skew the estimate and indexing past it would kill the query —
+      // ignore those entries and let TTL age them out
       val stored = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
       sigs.get().foreach(s => stored += s.h.toArray)
       val out = scala.collection.mutable.ArrayBuffer.empty[Keyed]
@@ -68,10 +72,12 @@ object NearDupStream {
         val sig = r.sig.toArray
         val n = sig.length
         val dup = stored.exists { s =>
-          var m = 0
-          var i = 0
-          while (i < n) { if (s(i) == sig(i)) m += 1; i += 1 }
-          m.toDouble / n >= threshold
+          s.length == n && {
+            var m = 0
+            var i = 0
+            while (i < n) { if (s(i) == sig(i)) m += 1; i += 1 }
+            m.toDouble / n >= threshold
+          }
         }
         if (!dup) {
           out += r

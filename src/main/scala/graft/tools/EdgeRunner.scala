@@ -65,7 +65,7 @@ object EdgeRunner {
       k -> v
     }.toMap
     val mode = kv.getOrElse("--mode",
-      sys.error("--mode batch|stream|meta|corpus|dedup|zorder is required"))
+      sys.error("--mode batch|stream|meta|corpus|dedup|zorder|classify|neardup is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "zorder", "classify",
         "neardup")(mode),

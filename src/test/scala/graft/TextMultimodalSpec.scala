@@ -758,6 +758,28 @@ class TextMultimodalSpec extends AnyFunSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("native hash exprs codegen-compile on NON-nullable input (no fallback)") {
+    // nullable=false means ev.isNull is never declared; the generated
+    // null-check must not reference it (janino error -> silent
+    // interpreted fallback). CODEGEN_ONLY turns that fallback into a
+    // hard failure so this spec catches it.
+    val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      val df = spark.range(3).select(
+        split(concat(col("id").cast("string"), lit(" x y")), " ").as("toks"))
+      val out = df.select(
+        graft.plans.TextHash.rollingTokenHash(col("toks")).as("r"),
+        graft.plans.TextHash.classifierScore(col("toks")).as("c"))
+        .as[(Long, Long)].collect()
+      assert(out.length == 3 && out.forall(_._1 != 0L))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("null array ELEMENTS yield null from both native hash exprs") {
     import spark.implicits._
     // split() never emits null elements, but the parity claim is with
