@@ -3160,6 +3160,112 @@ object Queries {
     Similarity.knnClassify(q, c, 10)
   }
 
+  /** MMR diversity re-rank (s14): from each query's cosine top-20,
+    * greedily keep 5 results balancing relevance against redundancy —
+    * score(c) = 0.7·rel(c) − (1−0.7)·max sim(c, selected). The greedy
+    * is inherently sequential PER QUERY (k=5 steps over a ≤20-row
+    * shortlist), so the oracle unrolls it as five chained QUALIFY
+    * argmax steps; rel/sim are 6dp-rounded cosines and the λ
+    * combination is spelled `0.7·x − (1.0 − 0.7)·y` on BOTH engines
+    * (a literal 0.3 is a DIFFERENT double than 1.0−0.7). */
+  val s14 = q("s14_mmr_rerank",
+    """WITH ranked AS MATERIALIZED (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |    CAST(c.embedding AS DOUBLE[])), 6) AS rel,
+      |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |     CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rn
+      | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |sl AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM ranked WHERE rn <= 20),
+      |sim AS MATERIALIZED (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+      |  round(list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
+      |    CAST(bv.embedding AS DOUBLE[])), 6) AS sim
+      | FROM sl x JOIN sl y
+      |  ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+      | JOIN embeddings av ON av.vec_id = x.neighbor_id
+      | JOIN embeddings bv ON bv.vec_id = y.neighbor_id),
+      |s1 AS (SELECT query_id, neighbor_id,
+      |  CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 AS score FROM sl
+      | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 DESC, neighbor_id) = 1),
+      |s2 AS (SELECT query_id, neighbor_id, score FROM (
+      |  SELECT sl.query_id, sl.neighbor_id,
+      |   CAST(0.7 AS DOUBLE) * sl.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * p1.sim AS score
+      |  FROM sl
+      |  JOIN s1 ON s1.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s1.neighbor_id
+      |  JOIN sim p1 ON p1.query_id = sl.query_id
+      |   AND p1.a = sl.neighbor_id AND p1.b = s1.neighbor_id)
+      | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) = 1),
+      |s3 AS (SELECT query_id, neighbor_id, score FROM (
+      |  SELECT sl.query_id, sl.neighbor_id,
+      |   CAST(0.7 AS DOUBLE) * sl.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * greatest(p1.sim, p2.sim) AS score
+      |  FROM sl
+      |  JOIN s1 ON s1.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s1.neighbor_id
+      |  JOIN s2 ON s2.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s2.neighbor_id
+      |  JOIN sim p1 ON p1.query_id = sl.query_id
+      |   AND p1.a = sl.neighbor_id AND p1.b = s1.neighbor_id
+      |  JOIN sim p2 ON p2.query_id = sl.query_id
+      |   AND p2.a = sl.neighbor_id AND p2.b = s2.neighbor_id)
+      | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) = 1),
+      |s4 AS (SELECT query_id, neighbor_id, score FROM (
+      |  SELECT sl.query_id, sl.neighbor_id,
+      |   CAST(0.7 AS DOUBLE) * sl.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * greatest(p1.sim, p2.sim, p3.sim) AS score
+      |  FROM sl
+      |  JOIN s1 ON s1.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s1.neighbor_id
+      |  JOIN s2 ON s2.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s2.neighbor_id
+      |  JOIN s3 ON s3.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s3.neighbor_id
+      |  JOIN sim p1 ON p1.query_id = sl.query_id
+      |   AND p1.a = sl.neighbor_id AND p1.b = s1.neighbor_id
+      |  JOIN sim p2 ON p2.query_id = sl.query_id
+      |   AND p2.a = sl.neighbor_id AND p2.b = s2.neighbor_id
+      |  JOIN sim p3 ON p3.query_id = sl.query_id
+      |   AND p3.a = sl.neighbor_id AND p3.b = s3.neighbor_id)
+      | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) = 1),
+      |s5 AS (SELECT query_id, neighbor_id, score FROM (
+      |  SELECT sl.query_id, sl.neighbor_id,
+      |   CAST(0.7 AS DOUBLE) * sl.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * greatest(p1.sim, p2.sim, p3.sim, p4.sim) AS score
+      |  FROM sl
+      |  JOIN s1 ON s1.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s1.neighbor_id
+      |  JOIN s2 ON s2.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s2.neighbor_id
+      |  JOIN s3 ON s3.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s3.neighbor_id
+      |  JOIN s4 ON s4.query_id = sl.query_id
+      |   AND sl.neighbor_id <> s4.neighbor_id
+      |  JOIN sim p1 ON p1.query_id = sl.query_id
+      |   AND p1.a = sl.neighbor_id AND p1.b = s1.neighbor_id
+      |  JOIN sim p2 ON p2.query_id = sl.query_id
+      |   AND p2.a = sl.neighbor_id AND p2.b = s2.neighbor_id
+      |  JOIN sim p3 ON p3.query_id = sl.query_id
+      |   AND p3.a = sl.neighbor_id AND p3.b = s3.neighbor_id
+      |  JOIN sim p4 ON p4.query_id = sl.query_id
+      |   AND p4.a = sl.neighbor_id AND p4.b = s4.neighbor_id)
+      | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY score DESC, neighbor_id) = 1)
+      |SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id,
+      | score FROM s1
+      |UNION ALL SELECT query_id, 2, neighbor_id, score FROM s2
+      |UNION ALL SELECT query_id, 3, neighbor_id, score FROM s3
+      |UNION ALL SELECT query_id, 4, neighbor_id, score FROM s4
+      |UNION ALL SELECT query_id, 5, neighbor_id, score FROM s5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    Similarity.mmrRerank(
+      emb.filter(col("id") < 10), emb.filter(col("id") >= 10),
+      shortlist = 20, k = 5, lambda = 0.7)
+  }
+
   /** Cohort retention over the event stream: users cohorted by the ISO
     * week of their first signup; every later event lands in a
     * (cohort-week, week-offset) cell with distinct-user and event
@@ -3776,6 +3882,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
     m01, m02, m03, p01, p02, p03, p04, p05)
 }

@@ -794,4 +794,79 @@ object Similarity {
         Seq(col("votes").desc, col("label")), 1, rankCol = "__rv")
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
+
+  /** MMR (maximal marginal relevance) diversity re-rank: from each
+    * query's cosine top-`shortlist`, greedily pick `k` results that
+    * balance relevance against redundancy —
+    * score(c) = λ·rel(c) − (1−λ)·max sim(c, selected) — the standard
+    * retrieval-diversification step before results feed a consumer
+    * that wastes budget on near-identical hits.
+    *
+    * 100 TB shape: the expensive part is the shortlist (any retriever:
+    * brute/IVF/ADC); MMR itself touches only shortlist² pairwise sims
+    * PER QUERY (bounded: 20² here), computed relationally and then
+    * resolved by a per-query greedy over collected ≤shortlist-row
+    * groups — no driver loop, no cross-query state. Determinism for
+    * the oracle: rel and sim are 6dp-rounded cosines, the greedy
+    * combination is plain IEEE `λ·rel − (1−λ)·maxsim` spelled
+    * identically in the chained-QUALIFY oracle, ids break ties. */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, shortlist: Int,
+                k: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sl = bruteForceTopK(queries, candidates, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+    val cv = candidates.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    val withVec = sl.join(cv, "neighbor_id")
+    val a = withVec.select(col("query_id"), col("neighbor_id").as("a"),
+      col("cv").as("av"), col("cn").as("an"))
+    val b = withVec.select(col("query_id"), col("neighbor_id").as("b"),
+      col("cv").as("bv"), col("cn").as("bn"))
+    val sims = a.join(b, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(VectorOps.dot(col("av"), col("bv")) /
+          (col("an") * col("bn")), 6).as("sim"))
+    val grouped = sl.groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id"), col("rel"))).as("rels"))
+      .join(sims.groupBy("query_id")
+        .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims")),
+        Seq("query_id"), "left")
+    val picked = grouped.flatMap { r =>
+      val qid = r.getLong(0)
+      val rels = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val sim = Option(r.getSeq[org.apache.spark.sql.Row](2))
+        .getOrElse(Seq.empty)
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+      var selected = Vector.empty[Long]
+      var remaining = rels.keySet
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      var step = 1
+      while (step <= k && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        // ascending-id iteration makes "first max wins" the smallest-id
+        // tiebreak the oracle's (score DESC, id) ordering uses
+        remaining.toSeq.sorted.foreach { c =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => sim((c, s))).max
+          val score = lambda * rels(c) - (1.0 - lambda) * maxSim
+          if (score > bestScore) { bestScore = score; bestId = c }
+        }
+        out += ((qid, step.toLong, bestId, bestScore))
+        selected :+= bestId
+        remaining -= bestId
+        step += 1
+      }
+      out.result()
+    }.toDF("query_id", "mmr_rank", "neighbor_id", "score")
+    // the score stays UNROUNDED: every input (6dp rel/sim) and every
+    // arithmetic step is bit-identical cross-engine, so the raw double
+    // compares exactly — while round()ing it would hit the q48 class
+    // (0.7 x a 6dp value lands EXACT halves at 6dp, where Spark's
+    // shortest-string HALF_UP and DuckDB's exact-binary round diverge)
+    picked
+  }
 }

@@ -9,6 +9,27 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("mmrRerank trades relevance for diversity; pure-relevance at lambda=1") {
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val cands = Seq(
+      (10L, Seq(1.0, 0.0)),   // exact match
+      (11L, Seq(1.0, 0.0)),   // redundant duplicate of 10
+      (12L, Seq(0.8, 0.6))).toDF("id", "vec") // diverse, lower rel
+    def picks(lambda: Double): Seq[Long] =
+      Similarity.mmrRerank(queries, cands, shortlist = 3, k = 2, lambda)
+        .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    // diversity-weighted: step 1 takes 10 (id tiebreak over its twin),
+    // step 2 must SKIP the duplicate 11 for the diverse 12
+    assert(picks(0.3) == Seq(10L, 12L))
+    // pure relevance: the duplicate wins step 2
+    assert(picks(1.0) == Seq(10L, 11L))
+    // ranks are 1..k and scores non-increasing within a query
+    val full = Similarity.mmrRerank(queries, cands, 3, 3, 0.5)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "score").as[(Long, Double)].collect().toSeq
+    assert(full.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("vector ops: dot, norm, cosine on known vectors") {
     val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
     val r = df.select(
