@@ -3871,6 +3871,30 @@ object Queries {
       .orderBy(col("score").desc, col("doc_id")).limit(10)
   }
 
+  /** Corpus drift monitor (t25): which terms does src0 over-represent
+    * vs src1? Per-term KL contribution with add-one smoothing over the
+    * union vocabulary, top-15 by contribution. The expectations check
+    * a pipeline runs when a new crawl lands next to an old one. */
+  val t25 = q("t25_corpus_drift",
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |c AS (SELECT term,
+      |  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      | FROM t GROUP BY term),
+      |s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |  CAST(SUM(cb) AS BIGINT) AS nb, COUNT(*) AS v FROM c),
+      |kk AS (SELECT term, ca, cb, round(p * ln(p / q), 6) AS kl_term FROM (
+      |  SELECT c.term, c.ca, c.cb,
+      |   (c.ca + 1) / CAST(s.na + s.v AS DOUBLE) AS p,
+      |   (c.cb + 1) / CAST(s.nb + s.v AS DOUBLE) AS q
+      |  FROM c CROSS JOIN s))
+      |SELECT term, ca, cb, kl_term FROM kk
+      |ORDER BY kl_term DESC, term LIMIT 15""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenDrift(Tables.documents(s, dir),
+      "text", "source", "src0", "src1", k = 15)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3881,7 +3905,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
     m01, m02, m03, p01, p02, p03, p04, p05)
 }

@@ -163,6 +163,36 @@ object TextAnalysis {
       when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
   }
 
+  /** Token-distribution drift between two corpus segments: per-term
+    * KL contribution p·ln(p/q) with add-one smoothing over the union
+    * vocabulary, top-k most divergent terms — the drift monitor a
+    * pipeline runs when a new crawl/source lands (which terms does
+    * segment A over-represent vs B?). One explode + one hash agg over
+    * the union vocab, two scalar totals, then a distributed
+    * TakeOrderedAndProject — linear end to end. Cross-engine floats:
+    * counts stay integer until the two exact int→double divisions;
+    * ln per the t16/t17 discipline; contribution rounded 6dp with
+    * term tiebreak. */
+  def tokenDrift(docs: DataFrame, textCol: String, segCol: String,
+                 segA: String, segB: String, k: Int): DataFrame = {
+    val toks = docs.filter(col(segCol).isin(segA, segB))
+      .select(col(segCol).as("seg"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term")
+      .agg(sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
+    val row = counts
+      .agg(coalesce(sum("ca"), lit(0L)), coalesce(sum("cb"), lit(0L)),
+        count(lit(1))).collect().head
+    val Array(na, nb, v) = row.toSeq.map(_.toString.toLong).toArray
+    counts
+      .withColumn("p", (col("ca") + 1L) / lit((na + v).toDouble))
+      .withColumn("q", (col("cb") + 1L) / lit((nb + v).toDouble))
+      .withColumn("kl_term", round(col("p") * log(col("p") / col("q")), 6))
+      .orderBy(col("kl_term").desc, col("term")).limit(k)
+      .select("term", "ca", "cb", "kl_term")
+  }
+
   /** Corpus vocabulary: the `size` most frequent tokens, id = dense
     * frequency rank (term tiebreak) — the word↔id table a tokenizer
     * training step exports. Top-V selection is the DISTRIBUTED
