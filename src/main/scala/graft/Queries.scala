@@ -1231,6 +1231,33 @@ object Queries {
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
   }
 
+  /** Incremental near-dup delta (d15): near-dup pairs between a NEW
+    * batch (doc_id % 10 = 0 stands in for today's ingest) and the
+    * LANDED corpus — never old x old, the quadratic bulk a daily
+    * re-pair must avoid. Same banding and exact-Jaccard verify as
+    * d05, restricted to the cross-membership pairs; the oracle is
+    * d05's inverted-index spelling with the membership predicates. */
+  val d15 = q("d15_neardup_delta",
+    """WITH d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d)
+      |SELECT doc_new, doc_old, jaccard FROM (
+      | SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+      |  CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      | FROM e a JOIN e b ON a.s = b.s
+      |  AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      | GROUP BY a.doc_id, b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.jaccardPairsBetween(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      "doc_id", "text", threshold = 0.5)
+  }
+
   // ------------------------------------------- text analysis (LLM pipeline)
 
   private def markerSql(ws: Seq[String]): String =
@@ -3903,7 +3930,7 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,

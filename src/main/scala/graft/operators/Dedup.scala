@@ -268,6 +268,48 @@ object Dedup {
     * comfortably below the similarity of the duplicates you must not
     * lose (the test corpus is bimodal: dups ≥ 0.75, noise ≤ 0.15 —
     * recall=1 asserted against the full pairwise join in DedupSpec). */
+  /** Incremental near-dup pairs: candidates between a NEW batch and
+    * the landed corpus ONLY — the daily-ingest near-dup path, where
+    * re-pairing the whole corpus per ingest (old×old, the quadratic
+    * bulk) is exactly the work to avoid. Band keys come from the same
+    * [[bandKeys]] definition as the full pairwise path, so recall is
+    * identical per pair: a (new, old) pair colliding in the full d05
+    * run collides here too. Verification is the exact shingle Jaccard,
+    * like [[jaccardPairs]]. At 100 TB: the batch side is small, its
+    * banded form broadcasts/shuffles cheaply against the corpus band
+    * table (which a production deployment persists bucketed, the d10
+    * key-table discipline). */
+  def jaccardPairsBetween(newDocs: DataFrame, oldDocs: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          numHashes: Int = 32, bands: Int = 16,
+                          shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val nSig = signatures(newDocs, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(false)
+    val oSig = signatures(oldDocs, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(false)
+    val a = bandKeys(nSig, numHashes, bands).select(col("band_idx"),
+      col("band_key"), col("doc_id").as("doc_new"), col("sig").as("sig_n"))
+    val b = bandKeys(oSig, numHashes, bands).select(col("band_idx"),
+      col("band_key"), col("doc_id").as("doc_old"), col("sig").as("sig_o"))
+    // multi-band collisions dedup via first-agreeing-band, same as
+    // bandedPairs — no pair-distinct shuffle
+    val cand = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_key"))
+      .filter(graft.plans.VectorExprs.firstAgreeIndex(
+        col("sig_n"), col("sig_o"), rows) === col("band_idx"))
+      .select("doc_new", "doc_old")
+    def sh(docs: DataFrame, out: String, shName: String): DataFrame =
+      docs.select(col(idCol).as(out),
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+          .as(shName))
+        .localCheckpoint(false)
+    cand.join(sh(newDocs, "doc_new", "sh_n"), "doc_new")
+      .join(sh(oldDocs, "doc_old", "sh_o"), "doc_old")
+      .select(col("doc_new"), col("doc_old"),
+        jaccard(col("sh_n"), col("sh_o")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 32, bands: Int = 16,
                    shingleN: Int = 3): DataFrame = {

@@ -101,6 +101,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == full, s"LSH missed ${(full -- lsh).size}, extra ${(lsh -- full).size}")
   }
 
+  test("jaccardPairsBetween equals the full run restricted to cross-membership") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val isNew = (id: Long) => id % 10 == 0
+    val between = Dedup.jaccardPairsBetween(
+        corpus.filter(pmod(col("doc_id"), lit(10)) === 0),
+        corpus.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: full pairwise pairs with exactly one side "new",
+    // re-oriented to (new, old)
+    val full: Set[(Long, Long, Double)] =
+      Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    val expected = full.flatMap { case (a, b, j) =>
+      if (isNew(a) && !isNew(b)) Some((a, b, j))
+      else if (!isNew(a) && isNew(b)) Some((b, a, j))
+      else None
+    }
+    assert(expected.nonEmpty, "split must cut across some near-dup pair")
+    assert(between == expected,
+      s"missed ${(expected -- between).size}, extra ${(between -- expected).size}")
+  }
+
   test("simhash: identical texts equal; near-dups within small hamming distance") {
     val sh = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
