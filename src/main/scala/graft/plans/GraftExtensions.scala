@@ -64,7 +64,23 @@ object GraftExtensions {
           intArg(args(2), "numHashes"))),
     ("graft_simhash_portable",
       new ExpressionInfo(classOf[SimHashPortable].getName, "graft_simhash_portable"),
-      (args: Seq[Expression]) => SimHashPortable(args.head)))
+      (args: Seq[Expression]) => SimHashPortable(args.head)),
+    ("graft_classifier_score",
+      new ExpressionInfo(classOf[HashedClassifierScore].getName, "graft_classifier_score"),
+      (args: Seq[Expression]) =>
+        HashedClassifierScore(args.head,
+          if (args.length > 1) intArg(args(1), "nBuckets") else 4096)),
+    ("graft_rolling_hash",
+      new ExpressionInfo(classOf[RollingTokenHash].getName, "graft_rolling_hash"),
+      (args: Seq[Expression]) => RollingTokenHash(args.head)),
+    ("graft_symbol_count",
+      new ExpressionInfo(classOf[SymbolCount].getName, "graft_symbol_count"),
+      (args: Seq[Expression]) => SymbolCount(args.head)),
+    ("graft_deflate_size",
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      (args: Seq[Expression]) =>
+        DeflateSize(args.head,
+          if (args.length > 1) intArg(args(1), "level") else 6)))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

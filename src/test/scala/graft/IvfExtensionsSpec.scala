@@ -82,7 +82,12 @@ class IvfExtensionsSpec extends AnyFunSuite {
         |  graft_shingles(array('a','b','c','d'), 3) AS sg,
         |  graft_jaccard(array('x','y'), array('y','z')) AS j,
         |  graft_minhash_portable(array('w1','w2','w3','w4'), 3, 8) AS mhp,
-        |  graft_simhash_portable(array('a','b')) AS shp""".stripMargin).head()
+        |  graft_simhash_portable(array('a','b')) AS shp,
+        |  graft_classifier_score(array('a','b')) AS clf,
+        |  graft_classifier_score(array('a','b'), 1024) AS clf2,
+        |  graft_rolling_hash(array('a','b')) AS rh,
+        |  graft_symbol_count('a, b!') AS sc,
+        |  graft_deflate_size(repeat('ab', 50)) AS dz""".stripMargin).head()
     assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Double]("n2") == 25.0)
@@ -90,6 +95,17 @@ class IvfExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("j") == 1.0 / 3.0) // raw quotient, unrounded
     assert(r.getAs[scala.collection.Seq[Long]]("mhp").length == 8)
     assert(r.getAs[Long]("shp") != 0L)
+    // round-9 registrations: classifier / rolling-hash / symbol-count /
+    // deflate-size reachable from plain SQL, values match Column API
+    val clfCol = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(graft.plans.TextHash.classifierScore(col("toks"))).as[Long].head()
+    assert(r.getAs[Long]("clf") == clfCol)
+    assert(r.getAs[Long]("clf2") != 0L || r.getAs[Long]("clf") != 0L)
+    val rhCol = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(graft.plans.TextHash.rollingTokenHash(col("toks"))).as[Long].head()
+    assert(r.getAs[Long]("rh") == rhCol)
+    assert(r.getAs[Long]("sc") == 2L) // ',' and '!'
+    assert(r.getAs[Long]("dz") > 0L && r.getAs[Long]("dz") < 100L)
     // SQL function values match the Column-API expressions
     val viaCol = Seq((Seq("a", "b"), 1)).toDF("toks", "x")
       .select(graft.plans.TextHash.simhash(col("toks"))).as[Long].head()
