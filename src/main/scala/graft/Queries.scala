@@ -3716,6 +3716,70 @@ object Queries {
       "doc_id", "text", "source", quota = 700L)
   }
 
+  /** Composed incremental daily-ingest pipeline (p06): the batch that
+    * lands next to a 100 TB corpus — classifier quality gate (t20) →
+    * exact dedup vs the corpus (d02/d10 fingerprint rule) → VERIFIED
+    * near-dup delta vs the corpus (d15: new×old band join only, never
+    * old×old) → per-source landing rollup. Every stage is an
+    * anti-join against corpus-side KEY tables (fingerprints, band
+    * keys), so the corpus contributes keys, never text; the batch side
+    * is the only full-row scan. The oracle chains the t20/d02/d05
+    * spellings with the membership predicates. */
+  val p06 = q("p06_incremental_ingest",
+    """WITH b AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+      |  FROM documents),
+      |f AS (SELECT doc_id, unnest(list_concat(t,
+      |  CASE WHEN len(t) < 2 THEN []
+      |   ELSE list_transform(range(1, len(t)),
+      |     i -> t[i] || ' ' || t[i + 1]) END)) AS f
+      | FROM b WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(CAST(
+      |    CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 4096
+      |   AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000 AS wt
+      | FROM f),
+      |sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY doc_id),
+      |gated AS (SELECT n.doc_id, n.source, n.text, n.t FROM b n
+      | JOIN sc ON sc.doc_id = n.doc_id WHERE n.doc_id % 10 = 0 AND sc.score > 0),
+      |cfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      | FROM b WHERE doc_id % 10 <> 0),
+      |ex AS (SELECT g.* FROM gated g
+      | WHERE md5(regexp_replace(lower(trim(g.text)), '\s+', ' ', 'g'))
+      |  NOT IN (SELECT fp FROM cfp)),
+      |d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh FROM b),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |neardup AS (SELECT a.doc_id AS doc_new
+      | FROM e a JOIN e b2 ON a.s = b2.s
+      |  AND a.doc_id % 10 = 0 AND b2.doc_id % 10 <> 0
+      | GROUP BY a.doc_id, b2.doc_id
+      | HAVING CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b2.n) - COUNT(*)) >= 0.5),
+      |kept AS (SELECT * FROM ex
+      | WHERE doc_id NOT IN (SELECT doc_new FROM neardup))
+      |SELECT source, COUNT(*) AS n_kept,
+      | CAST(SUM(len(t)) AS BIGINT) AS sum_tok, min(doc_id) AS min_doc
+      |FROM kept GROUP BY source""".stripMargin) { (s, dir) =>
+    import graft.functions.TextOps
+    val docs = Tables.documents(s, dir)
+    val newB = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val gated = newB.filter(
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L)
+    val exact = gated.join(
+      corpus.select(TextOps.fingerprint(col("text")).as("__fp")).distinct(),
+      TextOps.fingerprint(col("text")) === col("__fp"), "left_anti")
+    val nearDropped = Dedup.jaccardPairsBetween(
+        exact, corpus, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_new").as("doc_id")).distinct()
+    exact.join(nearDropped, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_tok"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   /** Decontaminated (leakage-free) split: the t07 hash split, but near-
     * dup twins can never straddle train/test — the split key is the
     * d07 CLUSTER id for clustered docs (the doc's own id for
@@ -3934,5 +3998,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-    m01, m02, m03, p01, p02, p03, p04, p05)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06)
 }
