@@ -689,6 +689,38 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(both.find(_._1 == 5L).exists(_._2.isEmpty), "null text -> null score")
   }
 
+  test("profile handles null-bearing and empty frames") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some("a")), (None, Some("b")), (Some(3L), None))
+      .toDF("k", "v")
+    val p = graft.operators.Relational.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("k") == ((3L, 1L, 2L)))   // 3 rows, 1 null, 2 distinct
+    assert(p("v") == ((3L, 1L, 2L)))
+    // empty frame: profile rows still exist, zeros and null min/max
+    val e = graft.operators.Relational.profile(
+      spark.emptyDataset[(Long, String)].toDF("k", "v"), Seq("k"))
+      .collect()
+    assert(e.length == 1 && e.head.getLong(1) == 0L && e.head.isNullAt(4))
+  }
+
+  test("tokenDrift: one-sided vocabulary still scores (add-one smoothing)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta", "a"),
+      (2L, "gamma delta", "b")).toDF("doc_id", "text", "source")
+    val drift = TextAnalysis.tokenDrift(docs, "text", "source", "a", "b", k = 10)
+      .as[(String, Long, Long, Double)].collect()
+    assert(drift.length == 4) // union vocab
+    // a term absent from B still gets a finite positive contribution
+    val alpha = drift.find(_._1 == "alpha").get
+    assert(alpha._2 == 2L && alpha._3 == 0L && alpha._4 > 0.0)
+    // A-absent terms contribute negatively or ~zero, never NaN/Inf
+    drift.foreach { case (_, _, _, klt) =>
+      assert(!klt.isNaN && !klt.isInfinite) }
+  }
+
   test("encodeDocs preserves token order, drops OOV, keeps empty-coverage docs") {
     import spark.implicits._
     val docs = Seq(
