@@ -37,6 +37,18 @@ class SchemaLintSpec extends AnyFunSuite {
     case _                          => false
   }
 
+  test("every registered query carries an oracle; names align exactly") {
+    // A queries() entry without an oracleSql twin silently downgrades
+    // the driver's gate to a rows-only check; an oracle without a
+    // query is dead text. Either asymmetry is a registration bug.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")
+    assert(q.nonEmpty && q.forall(_.matches("[a-z][a-z0-9_]+")),
+      "query names must be stable snake_case identifiers")
+  }
+
   test("no registered query emits DecimalType/FloatType output columns") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
