@@ -277,34 +277,109 @@ object Dedup {
     * run collides here too. Verification is the exact shingle Jaccard,
     * like [[jaccardPairs]]. At 100 TB: the batch side is small, its
     * banded form broadcasts/shuffles cheaply against the corpus band
-    * table (which a production deployment persists bucketed, the d10
-    * key-table discipline). */
+    * table — which a production deployment persists bucketed via
+    * [[saveNearDupKeys]] and consumes through
+    * [[jaccardPairsBetweenFromTables]] (the d10 key-table discipline);
+    * this inline form re-derives the same keys from corpus text and
+    * exists for one-shot runs and as the table path's oracle twin. */
   def jaccardPairsBetween(newDocs: DataFrame, oldDocs: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
                           numHashes: Int = 32, bands: Int = 16,
                           shingleN: Int = 3): DataFrame = {
+    // ONE corpus scan computes both key sets (banded signatures AND
+    // distinct shingle sets), checkpointed because each feeds a join
+    // subtree — this is the inline twin of the PERSISTED artifact
+    // [[saveNearDupKeys]] writes; the candidate/verify core is shared
+    // so the two paths cannot drift
+    val oKeys = nearDupKeys(oldDocs, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(false)
+    jaccardPairsBetweenJoinReady(newDocs,
+      bandKeys(oKeys.select("doc_id", "sig"), numHashes, bands)
+        .select("band_idx", "band_key", "doc_id", "sig")
+        .hint("shuffle_hash"),
+      oKeys.select("doc_id", "sh"),
+      idCol, textCol, threshold, numHashes, bands, shingleN)
+  }
+
+  /** The corpus-side near-dup key projection — (doc_id, sig, sh) in
+    * ONE text scan: the MinHash signature (candidate generation) and
+    * the distinct shingle set (exact-Jaccard verification). */
+  private def nearDupKeys(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      sigExpr(textCol, numHashes, shingleN, portable = false).as("sig"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+        .as("sh"))
+
+  /** Persist the corpus-side near-dup key tables in JOIN-READY form —
+    * the artifact a daily-ingest near-dup pipeline maintains, mirroring
+    * [[saveIncrementalKeys]] for the exact path:
+    *   - `{name}_ndband` (band_idx, band_key, doc_id, sig), bucketed on
+    *     the band join key: candidate generation reads the bucketed
+    *     layout with NO corpus-side exchange or explode per batch.
+    *   - `{name}_ndsh` (doc_id, sh), bucketed on doc_id: the verify
+    *     join reads shingle sets by id, never corpus text.
+    * One corpus text scan builds both. Per-ingest cost then scales with
+    * the BATCH plus columnar key-table scans — without this, every
+    * batch re-fingerprints the full corpus (at 100 TB: a daily full
+    * rescan). Band/hash parameters are the table's contract, as with
+    * the IVF index. */
+  def saveNearDupKeys(spark: org.apache.spark.sql.SparkSession, name: String,
+                      corpus: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 16,
+                      shingleN: Int = 3, buckets: Int = 8): Unit = {
+    val keys = nearDupKeys(corpus, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(false)
+    graft.sources.Bucketing.writeBucketedMulti(
+      bandKeys(keys.select("doc_id", "sig"), numHashes, bands)
+        .select("band_idx", "band_key", "doc_id", "sig"),
+      s"${name}_ndband", Seq("band_idx", "band_key"), buckets)
+    graft.sources.Bucketing.writeBucketed(
+      keys.select("doc_id", "sh"), s"${name}_ndsh", "doc_id", buckets)
+  }
+
+  /** [[jaccardPairsBetween]] joining directly against the bucketed key
+    * tables written by [[saveNearDupKeys]] — the batch-bound ingest
+    * path: the corpus contributes persisted KEYS (band table, shingle
+    * table), never text, so no corpus document is re-read per batch. */
+  def jaccardPairsBetweenFromTables(spark: org.apache.spark.sql.SparkSession,
+                                    newDocs: DataFrame, name: String,
+                                    idCol: String, textCol: String,
+                                    threshold: Double, numHashes: Int = 32,
+                                    bands: Int = 16, shingleN: Int = 3): DataFrame =
+    jaccardPairsBetweenJoinReady(newDocs,
+      spark.table(s"${name}_ndband"), spark.table(s"${name}_ndsh"),
+      idCol, textCol, threshold, numHashes, bands, shingleN)
+
+  /** The shared new×old candidate + verify core: `oldBanded` is the
+    * corpus band table (band_idx, band_key, doc_id, sig) and
+    * `oldShingles` its shingle table (doc_id, sh) — inline checkpoints
+    * or persisted bucketed tables, same semantics either way. Only the
+    * NEW side is scanned from text here. */
+  private def jaccardPairsBetweenJoinReady(newDocs: DataFrame,
+                                           oldBanded: DataFrame,
+                                           oldShingles: DataFrame,
+                                           idCol: String, textCol: String,
+                                           threshold: Double, numHashes: Int,
+                                           bands: Int, shingleN: Int): DataFrame = {
     val rows = numHashes / bands
-    val nSig = signatures(newDocs, idCol, textCol, numHashes, shingleN)
+    val nKeys = nearDupKeys(newDocs, idCol, textCol, numHashes, shingleN)
       .localCheckpoint(false)
-    val oSig = signatures(oldDocs, idCol, textCol, numHashes, shingleN)
-      .localCheckpoint(false)
-    val a = bandKeys(nSig, numHashes, bands).select(col("band_idx"),
-      col("band_key"), col("doc_id").as("doc_new"), col("sig").as("sig_n"))
-    val b = bandKeys(oSig, numHashes, bands).select(col("band_idx"),
-      col("band_key"), col("doc_id").as("doc_old"), col("sig").as("sig_o"))
+    val a = bandKeys(nKeys.select("doc_id", "sig"), numHashes, bands)
+      .select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_new"), col("sig").as("sig_n"))
+    val b = oldBanded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_old"), col("sig").as("sig_o"))
     // multi-band collisions dedup via first-agreeing-band, same as
     // bandedPairs — no pair-distinct shuffle
-    val cand = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_key"))
+    val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(graft.plans.VectorExprs.firstAgreeIndex(
         col("sig_n"), col("sig_o"), rows) === col("band_idx"))
       .select("doc_new", "doc_old")
-    def sh(docs: DataFrame, out: String, shName: String): DataFrame =
-      docs.select(col(idCol).as(out),
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
-          .as(shName))
-        .localCheckpoint(false)
-    cand.join(sh(newDocs, "doc_new", "sh_n"), "doc_new")
-      .join(sh(oldDocs, "doc_old", "sh_o"), "doc_old")
+    cand.join(nKeys.select(col("doc_id").as("doc_new"), col("sh").as("sh_n")),
+        "doc_new")
+      .join(oldShingles.select(col("doc_id").as("doc_old"), col("sh").as("sh_o")),
+        "doc_old")
       .select(col("doc_new"), col("doc_old"),
         jaccard(col("sh_n"), col("sh_o")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

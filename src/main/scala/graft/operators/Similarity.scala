@@ -843,7 +843,8 @@ object Similarity {
       var remaining = rels.keySet
       val out = Seq.newBuilder[(Long, Long, Long, Double)]
       var step = 1
-      while (step <= k && remaining.nonEmpty) {
+      var stuck = false
+      while (step <= k && remaining.nonEmpty && !stuck) {
         var bestId = -1L
         var bestScore = Double.NegativeInfinity
         // ascending-id iteration makes "first max wins" the smallest-id
@@ -855,10 +856,17 @@ object Similarity {
           val score = lambda * rels(c) - (1.0 - lambda) * maxSim
           if (score > bestScore) { bestScore = score; bestId = c }
         }
-        out += ((qid, step.toLong, bestId, bestScore))
-        selected :+= bestId
-        remaining -= bestId
-        step += 1
+        // a zero-norm vector makes every remaining score NaN (NaN
+        // never compares > -Inf): bestId then stays -1, and emitting
+        // it would both return a phantom id and poison the next
+        // step's sim((c, -1)) lookup — stop the greedy instead
+        if (bestId < 0) stuck = true
+        else {
+          out += ((qid, step.toLong, bestId, bestScore))
+          selected :+= bestId
+          remaining -= bestId
+          step += 1
+        }
       }
       out.result()
     }.toDF("query_id", "mmr_rank", "neighbor_id", "score")

@@ -276,7 +276,12 @@ object TextAnalysis {
         (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") *
           lit(nDocs.toDouble) / lit(sumDl.toDouble))), 6))
       .groupBy("doc_id")
-      .agg(sum(col("part").cast(graft.functions.Exact.M)).cast("double").as("score"),
+      // DECIMAL(30,10) (Exact.dsum), NOT the money-scale (18,4): the
+      // 6dp parts land on exact 4dp half boundaries ~1% of the time,
+      // where Spark's double→decimal (HALF_UP over shortest repr) and
+      // DuckDB's binary-value rounding can diverge — 10 fractional
+      // digits hold every 6dp addend losslessly, so the sum is exact
+      .agg(graft.functions.Exact.dsum(col("part")).as("score"),
         count(lit(1)).as("n_matched"))
   }
 

@@ -21,6 +21,17 @@ object DerivedTables {
     * which errs on the safe side (rebuild) at O(directory listing)
     * cost, never O(data). */
   def sourceFingerprint(dir: String, table: String): String = {
+    // A nonexistent path (typo'd dir, non-local URI) would otherwise
+    // fold to the CONSTANT "n0-sz0-mt0-x0" fingerprint — every build
+    // would then stamp and match it, silently reinstating the very
+    // stale-artifact failure mode this guard exists to catch. Local
+    // java.io listing is the fingerprint's contract; remote stores
+    // need a FileSystem-based fingerprint, not a silent constant.
+    val root = new java.io.File(dir, s"$table.parquet")
+    require(root.exists(),
+      s"sourceFingerprint: $root does not exist (or is not a local " +
+        "path) — refusing to fingerprint; a constant print would mark " +
+        "derived tables permanently fresh")
     def scan(f: java.io.File): (Long, Long, Long, Long) =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)
@@ -31,7 +42,7 @@ object DerivedTables {
       else (1L, f.length(),
         f.lastModified(),
         f.getName.hashCode.toLong * 1000003L + f.length() * 31L + f.lastModified())
-    val (n, sz, mt, mx) = scan(new java.io.File(dir, s"$table.parquet"))
+    val (n, sz, mt, mx) = scan(root)
     s"n$n-sz$sz-mt$mt-x$mx"
   }
 

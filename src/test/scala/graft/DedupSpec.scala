@@ -124,6 +124,28 @@ class DedupSpec extends AnyFunSuite {
       s"missed ${(expected -- between).size}, extra ${(between -- expected).size}")
   }
 
+  test("jaccardPairsBetweenFromTables (persisted key tables) equals the inline path") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val newB = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val old = corpus.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val name = "graft_test_ndkeys"
+    try {
+      Dedup.saveNearDupKeys(spark, name, old, "doc_id", "text")
+      val fromTables = Dedup.jaccardPairsBetweenFromTables(
+          spark, newB, name, "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val inline = Dedup.jaccardPairsBetween(
+          newB, old, "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(inline.nonEmpty, "corpus must contain cross-membership near-dups")
+      assert(fromTables == inline,
+        s"missed ${(inline -- fromTables).size}, extra ${(fromTables -- inline).size}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_ndband")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_ndsh")
+    }
+  }
+
   test("simhash: identical texts equal; near-dups within small hamming distance") {
     val sh = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

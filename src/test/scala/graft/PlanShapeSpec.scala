@@ -302,4 +302,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
       s"expected exactly the source window exchange:\n$p")
   }
+
+  test("p06 per-batch plan reads corpus keys from persisted tables, never corpus text") {
+    val p = plan("p06_incremental_ingest")
+    // the ONE documents.parquet scan is the batch side (doc_id % 10 =
+    // 0); every corpus-side input is a persisted bucketed key table —
+    // a second documents scan would mean an ingest rescans corpus
+    // text, the O(corpus)-per-batch shape this artifact exists to kill
+    assert("documents\\.parquet".r.findAllMatchIn(p).size == 1,
+      s"expected exactly one (batch-side) documents scan:\n$p")
+    for (t <- Seq("_norm", "_ndband", "_ndsh"))
+      assert(("graft_ingest\\S*" + t).r.findFirstIn(p).isDefined,
+        s"corpus key table $t missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q70 broadcast gate: hinted under the limit, shuffle-join fallback above it — same rows") {
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val name = "q70_recursive_chains"
+    val dfB = SparkEntry.queries(name)(spark, dir)
+    assert(optimized(dfB).contains("strategy=broadcast"),
+      s"default frontier (under the limit) must carry the broadcast hint:\n${optimized(dfB)}")
+    val broadcastRows = dfB.collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.q70.broadcastFrontierLimit", "1")
+    try {
+      val dfS = SparkEntry.queries(name)(spark, dir)
+      // the 100×-scale path: hint dropped, each recursion level runs a
+      // shuffle join — and it must produce the broadcast path's rows
+      assert(!optimized(dfS).contains("strategy=broadcast"),
+        s"limit=1 must drop the broadcast hint:\n${optimized(dfS)}")
+      val shuffleRows = dfS.collect().map(_.toSeq).toSet
+      assert(broadcastRows.nonEmpty && shuffleRows == broadcastRows,
+        "shuffle-join fallback must return exactly the broadcast path's rows")
+    } finally spark.conf.unset("spark.graft.q70.broadcastFrontierLimit")
+  }
 }
