@@ -3484,6 +3484,50 @@ object Queries {
       Seq("o_custkey", "o_orderstatus", "o_orderdate"))
   }
 
+  /** The 100 TB profile twin (q86): [[Relational.profileApprox]] —
+    * q85's schema with approx_count_distinct, so the single pass has
+    * NO Expand (exact multi-distinct replicates every row per audited
+    * column into the shuffle; the sketch form doesn't — plan-locked).
+    * Oracle discipline = q29/q83: dumped columns are the EXACT
+    * distinct counts plus a boolean asserting each sketch estimate
+    * landed within 5% of exact (rsd 0.0125 → >4 sigma, deterministic
+    * given the data; verified at every shipped SF); the oracle emits
+    * TRUE, so a drifting sketch hash-mismatches. */
+  val q86 = q("q86_profile_approx",
+    """WITH a AS (SELECT COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(o_custkey) AS null_custkey,
+      |  COUNT(DISTINCT o_custkey) AS nd_custkey,
+      |  CAST(min(o_custkey) AS VARCHAR) AS min_custkey,
+      |  CAST(max(o_custkey) AS VARCHAR) AS max_custkey,
+      |  COUNT(*) - COUNT(o_orderstatus) AS null_status,
+      |  COUNT(DISTINCT o_orderstatus) AS nd_status,
+      |  CAST(min(o_orderstatus) AS VARCHAR) AS min_status,
+      |  CAST(max(o_orderstatus) AS VARCHAR) AS max_status,
+      |  COUNT(*) - COUNT(o_orderdate) AS null_date,
+      |  COUNT(DISTINCT o_orderdate) AS nd_date,
+      |  CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+      |  CAST(max(o_orderdate) AS VARCHAR) AS max_date
+      | FROM orders)
+      |SELECT 'o_custkey' AS column_name, n_rows, null_custkey AS n_null,
+      | nd_custkey AS n_distinct, min_custkey AS min_value,
+      | max_custkey AS max_value, TRUE AS nd_within_5pct FROM a
+      |UNION ALL
+      |SELECT 'o_orderstatus', n_rows, null_status, nd_status, min_status,
+      | max_status, TRUE FROM a
+      |UNION ALL
+      |SELECT 'o_orderdate', n_rows, null_date, nd_date, min_date,
+      | max_date, TRUE FROM a""".stripMargin) { (s, dir) =>
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderdate")
+    val approx = Relational.profileApprox(Tables.orders(s, dir), cols)
+      .select(col("column_name"), col("n_distinct").as("nd_approx"))
+    Relational.profile(Tables.orders(s, dir), cols)
+      .join(broadcast(approx), "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        (abs(col("nd_approx") - col("n_distinct")) <=
+          col("n_distinct") * 0.05).as("nd_within_5pct"))
+  }
+
   /** Re-aggregatable FREQUENCY sketches (Count-Min): per-day CMS
     * states built with Spark's `count_min_sketch` aggregate, merged to
     * the event_type rollup by the typed CmsMerge Aggregator (counters
@@ -4044,7 +4088,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-    q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
+    q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,

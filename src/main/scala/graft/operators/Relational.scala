@@ -40,6 +40,32 @@ object Relational {
         "min_value", "max_value")
   }
 
+  /** The 100 TB profile: [[profile]] with `approx_count_distinct`
+    * (HLL++) in place of exact COUNT(DISTINCT) — same schema, so it is
+    * a drop-in swap, but the plan has NO Expand: the exact form
+    * multiplies every row by (columns+1) into the shuffle, the sketch
+    * form aggregates each column's registers in the single pass
+    * (plan-locked in PlanShapeSpec). rsd 0.0125 = 2^13 registers per
+    * column (the q29 setting), so a 5% acceptance bound is >4 sigma —
+    * q86 pins that contract against the exact profile the way
+    * q29/q83 pin theirs. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.0125): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `null_$c`, `nd_$c`, `min_$c`, `max_$c`").mkString(", ")
+    one.selectExpr("n_rows", s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_null, n_distinct, min_value, max_value)")
+      .select("column_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value")
+  }
+
   /** Keep the top k rows per partition under `order`. One shuffle on
     * `partitionCols`; within-partition sort only (no global order), so it
     * scales linearly with data / executors. Skewed partition keys can be

@@ -809,12 +809,27 @@ object Similarity {
     * groups — no driver loop, no cross-query state. Determinism for
     * the oracle: rel and sim are 6dp-rounded cosines, the greedy
     * combination is plain IEEE `λ·rel − (1−λ)·maxsim` spelled
-    * identically in the chained-QUALIFY oracle, ids break ties. */
+    * identically in the chained-QUALIFY oracle, ids break ties.
+    *
+    * This overload runs the exact brute-force shortlist (the oracle
+    * twin); [[mmrRerankShortlist]] accepts ANY retriever's shortlist
+    * frame — at scale the re-rank composes with the ANN stack
+    * (ivfTopK/adcRerankTopK) instead of forcing a corpus scan. */
   def mmrRerank(queries: DataFrame, candidates: DataFrame, shortlist: Int,
-                k: Int, lambda: Double = 0.7): DataFrame = {
-    val spark = queries.sparkSession
+                k: Int, lambda: Double = 0.7): DataFrame =
+    mmrRerankShortlist(bruteForceTopK(queries, candidates, shortlist),
+      candidates, k, lambda)
+
+  /** [[mmrRerank]] over a caller-supplied shortlist — (query_id,
+    * neighbor_id, cos) from any retriever (brute/IVF/ADC top-k all
+    * emit this shape). `candidates` supplies the vectors for the
+    * pairwise-diversity sims; shortlist rows whose neighbor_id is
+    * missing from it are dropped by the vector join. */
+  def mmrRerankShortlist(shortlist: DataFrame, candidates: DataFrame,
+                         k: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = shortlist.sparkSession
     import spark.implicits._
-    val sl = bruteForceTopK(queries, candidates, shortlist)
+    val sl = shortlist
       .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
     val cv = candidates.select(col("id").as("neighbor_id"),
       col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))

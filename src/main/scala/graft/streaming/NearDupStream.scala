@@ -45,9 +45,35 @@ object NearDupStream {
   case class Keyed(bucket: Long, doc_id: Long, text: String,
                    ts: java.sql.Timestamp, sig: Seq[Long])
 
+  /** Multi-band wire type: one row per (doc, band) probe. */
+  case class BandRow(bucket: Long, band: Int, doc_id: Long, text: String,
+                     ts: java.sql.Timestamp, sig: Seq[Long])
+
+  /** Per-band verdict row feeding the any-band reduction. */
+  case class FlagRow(doc_id: Long, text: String,
+                     ts: java.sql.Timestamp, dup: Boolean)
+
   /** One admitted signature in bucket state (product-encoded — no
     * kryo in the state store). */
   case class StoredSig(h: Seq[Long])
+
+  /** Bucket-verify core shared by the single-band and banded
+    * processors: full-signature agreement fraction >= threshold
+    * against any stored signature of the same length (length
+    * mismatches — a numHashes change across restart — are
+    * incomparable and skipped; TTL ages them out). */
+  private def matchesStored(stored: scala.collection.Seq[Array[Long]],
+                            sig: Array[Long], threshold: Double): Boolean = {
+    val n = sig.length
+    stored.exists { s =>
+      s.length == n && {
+        var m = 0
+        var i = 0
+        while (i < n) { if (s(i) == sig(i)) m += 1; i += 1 }
+        m.toDouble / n >= threshold
+      }
+    }
+  }
 
   class NearDupProcessor(ttl: Duration, threshold: Double, maxPerBucket: Int)
       extends StatefulProcessor[Long, Keyed, Keyed] {
@@ -70,15 +96,7 @@ object NearDupStream {
       val out = scala.collection.mutable.ArrayBuffer.empty[Keyed]
       rows.foreach { r =>
         val sig = r.sig.toArray
-        val n = sig.length
-        val dup = stored.exists { s =>
-          s.length == n && {
-            var m = 0
-            var i = 0
-            while (i < n) { if (s(i) == sig(i)) m += 1; i += 1 }
-            m.toDouble / n >= threshold
-          }
-        }
+        val dup = matchesStored(stored, sig, threshold)
         if (!dup) {
           out += r
           if (stored.size < maxPerBucket) {
@@ -91,16 +109,85 @@ object NearDupStream {
     }
   }
 
+  /** The banded twin of [[NearDupProcessor]]: same bucket state and
+    * verify, but EMITS every probe with its verdict instead of
+    * filtering — the per-doc any-band decision happens downstream in
+    * [[AnyBandReducer]]. A locally-clean probe stores its signature
+    * even if another band of the same doc flags it (no cross-key
+    * channel exists to veto the store) — so bands>1 state holds
+    * signatures of documents SEEN within the TTL, not only admitted
+    * ones; the observable effect is transitive suppression (C near
+    * suppressed-B near admitted-A gets suppressed via B), the usual
+    * chain semantics of streaming dedup. */
+  class BandFlagProcessor(ttl: Duration, threshold: Double, maxPerBucket: Int)
+      extends StatefulProcessor[Long, BandRow, FlagRow] {
+    @transient private var sigs: ListState[StoredSig] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sigs = getHandle.getListState[StoredSig]("sigs",
+        Encoders.product[StoredSig], TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[BandRow],
+                                 timerValues: TimerValues): Iterator[FlagRow] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      sigs.get().foreach(s => stored += s.h.toArray)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FlagRow]
+      rows.foreach { r =>
+        val sig = r.sig.toArray
+        val dup = matchesStored(stored, sig, threshold)
+        if (!dup && stored.size < maxPerBucket) {
+          stored += sig
+          sigs.appendValue(StoredSig(r.sig))
+        }
+        out += FlagRow(r.doc_id, r.text, r.ts, dup)
+      }
+      out.iterator
+    }
+  }
+
+  /** Stateless per-doc reduction: a document's `bands` probe verdicts
+    * all arrive in the SAME micro-batch (the explode is batch-local),
+    * so the group iterator holds every band row and the admit
+    * decision needs no persisted state — emit iff NO band verified a
+    * near-dup. */
+  class AnyBandReducer
+      extends StatefulProcessor[Long, FlagRow, FlagRow] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[FlagRow],
+                                 timerValues: TimerValues): Iterator[FlagRow] = {
+      val rs = rows.toSeq
+      if (rs.exists(_.dup)) Iterator.empty else rs.iterator.take(1)
+    }
+  }
+
   /** Admit only documents that are NOT near-duplicates (estimated
     * Jaccard >= `threshold`) of anything admitted in the last `ttl`
     * of processing time. Input needs (doc_id, text, ts); output is
-    * the admitted subset with the same three columns. */
+    * the admitted subset with the same three columns.
+    *
+    * `bands` picks the blocking recall/state tradeoff:
+    *  - 1 (default): one probe per doc on its first minhash — a
+    *    j-similar pair shares the bucket with probability exactly j;
+    *    one state entry per admitted doc.
+    *  - b > 1: the doc probes b buckets (band i keys on minhash i),
+    *    and is suppressed if ANY band's bucket verifies — blocking
+    *    recall rises to 1 − (1−j)^b, the lift that matters in the
+    *    j ≈ threshold regime (j=0.5: 0.5 → 0.996 at b=8). Cost: b×
+    *    the state (each seen doc stores in up to b buckets), b× the
+    *    routing rows, and chain semantics ("seen", not "admitted" —
+    *    see [[BandFlagProcessor]]). Suppression stays probabilistic
+    *    either way; the batch d03/d07 sweep over landed data remains
+    *    authoritative. */
   def suppress(docs: DataFrame, ttl: Duration, threshold: Double = 0.7,
                shingleN: Int = 3, numHashes: Int = 32,
-               maxPerBucket: Int = 64): DataFrame = {
+               maxPerBucket: Int = 64, bands: Int = 1): DataFrame = {
+    require(bands >= 1 && bands <= numHashes,
+      s"bands ($bands) must be in [1, numHashes=$numHashes] — each band " +
+        "keys on one distinct minhash component")
     val spark = docs.sparkSession
     import spark.implicits._
-    val keyed: Dataset[Keyed] = docs
+    val base = docs
       // malformed wire docs (null id/text/ts from from_json) would put
       // a null into Keyed's primitive bucket field and kill the query;
       // an un-fingerprintable doc can't be deduped, so it is dropped
@@ -110,12 +197,33 @@ object NearDupStream {
       .select(col("doc_id"), col("text"), col("ts"),
         graft.plans.TextHash.minhashSig(
           TextOps.tokens(col("text")), shingleN, numHashes).as("sig"))
-      .withColumn("bucket", element_at(col("sig"), 1))
-      .as[Keyed]
-    keyed.groupByKey(_.bucket)(Encoders.scalaLong)
-      .transformWithState(
-        new NearDupProcessor(ttl, threshold, maxPerBucket),
-        TimeMode.ProcessingTime(), OutputMode.Append())
-      .select("doc_id", "text", "ts")
+    if (bands == 1) {
+      val keyed: Dataset[Keyed] = base
+        .withColumn("bucket", element_at(col("sig"), 1))
+        .as[Keyed]
+      keyed.groupByKey(_.bucket)(Encoders.scalaLong)
+        .transformWithState(
+          new NearDupProcessor(ttl, threshold, maxPerBucket),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .select("doc_id", "text", "ts")
+    } else {
+      // explode to one probe row per band; the bucket key mixes the
+      // band index in so band i's keyspace never collides with band
+      // j's (same state store holds all bands)
+      val banded: Dataset[BandRow] = base
+        .select(col("doc_id"), col("text"), col("ts"), col("sig"),
+          posexplode(slice(col("sig"), 1, bands)).as(Seq("band", "bv")))
+        .withColumn("bucket", xxhash64(col("band"), col("bv")))
+        .select("bucket", "band", "doc_id", "text", "ts", "sig")
+        .as[BandRow]
+      banded.groupByKey(_.bucket)(Encoders.scalaLong)
+        .transformWithState(
+          new BandFlagProcessor(ttl, threshold, maxPerBucket),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .groupByKey(_.doc_id)(Encoders.scalaLong)
+        .transformWithState(new AnyBandReducer,
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .select("doc_id", "text", "ts")
+    }
   }
 }

@@ -110,6 +110,93 @@ class NearDupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-band blocking lifts recall above single-band, exactly as the signature model predicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // 25 (original, near-dup) pairs at j ~ 0.73 — the j ≈ threshold
+    // regime where single-band blocking (catch prob = j) visibly
+    // leaks and any-of-8 (1 − (1−j)^8) does not
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(400)(i => s"w$i")
+    def doc(): Array[String] = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+    val originals = (1 to 25).map(i => i.toLong -> doc())
+    val twins = originals.map { case (id, toks) =>
+      val t = toks.clone()
+      t(rnd.nextInt(20)) = "xx" + id
+      t(20 + rnd.nextInt(20)) = "yy" + id
+      (100 + id) -> t
+    }
+    val threshold = 0.5
+    val numHashes = 32
+    // signature-level prediction: the stream must behave EXACTLY as
+    // the same minhash signatures say it should
+    val sigs = (originals ++ twins).toDF("doc_id", "toks")
+      .select(col("doc_id"), graft.plans.TextHash.minhashSig(
+        col("toks"), 3, numHashes).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    def predicted(bands: Int): Set[Long] = originals.map(_._1).flatMap { id =>
+      val (o, n) = (sigs(id), sigs(100 + id))
+      val verified = est(o, n) >= threshold
+      val blocked = (0 until bands).exists(b => o(b) == n(b))
+      if (verified && blocked) Some(100 + id) else None
+    }.toSet
+    val pSingle = predicted(1)
+    val pAny8 = predicted(8)
+    assert(est(sigs(1L), sigs(101L)) >= threshold, "pairs must verify")
+    assert(pSingle.subsetOf(pAny8) && pSingle != pAny8,
+      s"corpus must expose the uplift: single=$pSingle any8=$pAny8")
+    assert(pAny8.size == 25, s"any-of-8 must catch every pair here: $pAny8")
+    val savedProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.TtlState.RocksDbProvider)
+    try {
+      def run(bands: Int, sinkName: String, expectedTwins: Int): Set[Long] = {
+        val input = MemoryStream[(Long, String, Timestamp)]
+        val q = NearDupStream.suppress(
+            input.toDS().toDF("doc_id", "text", "ts"),
+            ttl = java.time.Duration.ofMinutes(10), threshold = threshold,
+            bands = bands)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName).start()
+        // TWS-with-TTL queries trigger continuous maintenance batches,
+        // so processAllAvailable never settles — poll the sink like
+        // the other suppression tests
+        def awaitRows(n: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 90000
+          while (spark.table(sinkName).count() < n &&
+            System.currentTimeMillis() < deadline) Thread.sleep(100)
+        }
+        try {
+          input.addData(originals.map { case (id, t) =>
+            (id, t.mkString(" "), new Timestamp(id * 1000)) })
+          awaitRows(25)
+          input.addData(twins.map { case (id, t) =>
+            (id, t.mkString(" "), new Timestamp(id * 1000)) })
+          awaitRows(25L + expectedTwins)
+          Thread.sleep(1500) // settle: wrong late admissions land here
+        } finally q.stop()
+        spark.table(sinkName).select("doc_id").as[Long].collect().toSet
+      }
+      val admitted1 = run(1, "neardup_band1", 25 - pSingle.size)
+      val admitted8 = run(8, "neardup_band8", 25 - pAny8.size)
+      val all = (originals ++ twins).map(_._1.toLong).toSet
+      assert(admitted1 == all -- pSingle,
+        s"bands=1 must match the single-probe model")
+      assert(admitted8 == all -- pAny8,
+        s"bands=8 must match the any-of-8 model")
+      assert((admitted1 -- admitted8).nonEmpty,
+        "bands=8 must suppress near-dups that slipped the single band")
+    } finally savedProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("verification rejects false bucket collisions (precision)") {
     // two docs forced into the SAME bucket must both be admitted when
     // their signatures disagree: blocking is recall-only

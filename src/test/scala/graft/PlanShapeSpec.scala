@@ -318,6 +318,22 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("profileApprox plans no Expand; the exact profile does (the swap is the point)") {
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderdate")
+    val approx = graft.operators.Relational.profileApprox(orders, cols)
+      .queryExecution.executedPlan.toString
+    // exact multi-distinct replicates every row per audited column
+    // into the shuffle (Expand); the sketch form must not
+    assert(!approx.contains("Expand"),
+      s"approx profile must not plan an Expand:\n$approx")
+    val exact = graft.operators.Relational.profile(orders, cols)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      "exact profile is expected to Expand — if this changes, " +
+        "re-examine what q86 is pinning")
+  }
+
   test("q70 broadcast gate: hinted under the limit, shuffle-join fallback above it — same rows") {
     def optimized(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.optimizedPlan.toString

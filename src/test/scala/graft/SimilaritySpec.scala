@@ -30,6 +30,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.map(_._1) == Seq(1L, 2L, 3L))
   }
 
+  test("mmrRerankShortlist composes with an IVF retriever; brute shortlist is the identity") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 2))
+    val cands = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 40).map { i =>
+        (ci * 100 + i + 100).toLong -> c.map(x => x + rnd.nextGaussian() * 0.1).toSeq
+      }
+    }.toSeq.toDF("id", "vec")
+    val qs = centers.zipWithIndex
+      .map { case (c, i) => i.toLong -> c.toSeq }.toSeq.toDF("id", "vec")
+    // plumbing identity: an explicit brute shortlist IS mmrRerank
+    val viaBrute = Similarity.mmrRerankShortlist(
+        Similarity.bruteForceTopK(qs, cands, 10), cands, k = 5, lambda = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = Similarity.mmrRerank(qs, cands, shortlist = 10, k = 5, lambda = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaBrute == direct)
+    // the scale path: IVF shortlist feeding the same re-rank — recall
+    // of the picked sets vs the exact-shortlist MMR stays high on
+    // clustered data (the ivfTopK recall bound carries through MMR)
+    val model = Similarity.ivfIndex(cands, nCentroids = 8, iters = 3)
+    val viaIvf = Similarity.mmrRerankShortlist(
+        Similarity.ivfTopK(qs, model, k = 10, nProbe = 3), cands, k = 5, lambda = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3)).toSet
+    val exactPicks = direct.map(r => (r._1, r._3))
+    val recall = (exactPicks intersect viaIvf).size.toDouble / exactPicks.size
+    assert(recall >= 0.8, s"IVF-shortlist MMR recall $recall too low")
+  }
+
   test("vector ops: dot, norm, cosine on known vectors") {
     val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
     val r = df.select(
