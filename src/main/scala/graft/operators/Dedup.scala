@@ -165,6 +165,31 @@ object Dedup {
       s"${name}_bands", Seq("band_idx", "band_key"), buckets)
   }
 
+  /** Per-ingest maintenance for [[saveIncrementalKeys]]'s tables:
+    * append the surviving batch's distinct norm hashes and band keys,
+    * bucket-aligned — the daily refresh that keeps the exact-dedup
+    * key tables current without re-fingerprinting the corpus. Keys
+    * are DISTINCT within the appended batch but may repeat rows
+    * already in the table across ingests; the consuming joins are
+    * semi/anti (set semantics), so duplicates cost bytes, never
+    * correctness — compact on whatever cadence the table's growth
+    * warrants. Re-stamp any staleness fingerprint after appending. */
+  def appendIncrementalKeys(spark: org.apache.spark.sql.SparkSession, name: String,
+                            batch: DataFrame, textCol: String,
+                            numHashes: Int = 32, bands: Int = 16,
+                            shingleN: Int = 3, portable: Boolean = false,
+                            buckets: Int = 8): Unit = {
+    val keys = knownKeys(batch, textCol, numHashes, shingleN, portable)
+      .localCheckpoint(false)
+    graft.sources.Bucketing.appendBucketedMulti(
+      keys.select("__norm_key").distinct(), s"${name}_norm",
+      Seq("__norm_key"), buckets)
+    graft.sources.Bucketing.appendBucketedMulti(
+      bandKeys(keys.select("sig"), numHashes, bands)
+        .select("band_idx", "band_key").distinct(),
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
+  }
+
   /** The batch-bound ingest path: [[incrementalKeep]] joining directly
     * against the bucketed tables written by [[saveIncrementalKeys]].
     * Band/hash parameters must match those the tables were built with
@@ -336,6 +361,31 @@ object Dedup {
       s"${name}_ndband", Seq("band_idx", "band_key"), buckets)
     graft.sources.Bucketing.writeBucketed(
       keys.select("doc_id", "sh"), s"${name}_ndsh", "doc_id", buckets)
+  }
+
+  /** The per-ingest MAINTENANCE step for [[saveNearDupKeys]]'s tables:
+    * append the (surviving) batch's band-signature and shingle rows,
+    * preserving each table's bucketing — so the corpus key tables stay
+    * current WITHOUT ever rebuilding from corpus text. A daily
+    * pipeline runs: pairs = [[jaccardPairsBetweenFromTables]](batch) →
+    * land the kept docs → `appendNearDupKeys(kept)`. One batch text
+    * scan; cost O(batch). Both tables key per doc, so appended rows
+    * are disjoint from existing ones as long as doc ids are (the same
+    * contract the landing itself needs). Callers using a staleness
+    * fingerprint must re-stamp after appending (the append IS the
+    * refresh). */
+  def appendNearDupKeys(spark: org.apache.spark.sql.SparkSession, name: String,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, bands: Int = 16,
+                        shingleN: Int = 3, buckets: Int = 8): Unit = {
+    val keys = nearDupKeys(batch, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(false)
+    graft.sources.Bucketing.appendBucketedMulti(
+      bandKeys(keys.select("doc_id", "sig"), numHashes, bands)
+        .select("band_idx", "band_key", "doc_id", "sig"),
+      s"${name}_ndband", Seq("band_idx", "band_key"), buckets)
+    graft.sources.Bucketing.appendBucketedMulti(
+      keys.select("doc_id", "sh"), s"${name}_ndsh", Seq("doc_id"), buckets)
   }
 
   /** [[jaccardPairsBetween]] joining directly against the bucketed key

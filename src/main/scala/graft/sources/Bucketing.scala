@@ -28,6 +28,17 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table with the SAME bucket spec —
+    * the per-ingest maintenance write of an incrementally-maintained
+    * key table: new rows land bucket-aligned (Spark validates the
+    * spec against the catalog), so reads stay exchange-free and the
+    * table never needs a rebuild. The bucket spec must match what the
+    * table was created with; a mismatch throws rather than silently
+    * degrading the layout. */
+  def appendBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                          buckets: Int): Unit =
+    writeBucketedMulti(df, table, keys, buckets, SaveMode.Append)
+
   /** Join two tables bucketed on the same key with the same bucket
     * count: Catalyst sees compatible output partitionings and plans a
     * sort-merge join with zero Exchange on either side. */

@@ -53,6 +53,7 @@ object EdgeRunner {
     files: Int = 64,                  // zorder mode: output file count
     simThreshold: Double = 0.7,       // neardup mode: est-Jaccard suppress cutoff
     ttlMin: Long = 10,                // neardup mode: state TTL (minutes)
+    bands: Int = 1,                   // neardup mode: blocking bands (recall 1-(1-j)^b)
     drain: Boolean = false)           // stream/corpus: AvailableNow catch-up
 
   def parse(args: Array[String]): Config = {
@@ -88,6 +89,7 @@ object EdgeRunner {
       files = kv.get("--files").map(_.toInt).getOrElse(64),
       simThreshold = kv.get("--sim-threshold").map(_.toDouble).getOrElse(0.7),
       ttlMin = kv.get("--ttl-min").map(_.toLong).getOrElse(10L),
+      bands = kv.get("--bands").map(_.toInt).getOrElse(1),
       drain = kv.get("--drain").exists(_.toBoolean))
   }
 
@@ -230,7 +232,9 @@ object EdgeRunner {
     * fuzzier sibling of `corpus` (which drops EXACT re-posts): arriving
     * docs whose estimated Jaccard vs a recently-admitted doc is >=
     * `--sim-threshold` are dropped before landing (minhash-bucket
-    * blocking + signature verify, state TTL'd at `--ttl-min`). Needs
+    * blocking + signature verify, state TTL'd at `--ttl-min`;
+    * `--bands b` probes b buckets per doc, lifting blocking recall to
+    * 1−(1−j)^b at b× the state). Needs
     * the RocksDB state store, set here like any transformWithState
     * deployment would. */
   def startNearDup(spark: SparkSession, cfg: Config,
@@ -243,7 +247,7 @@ object EdgeRunner {
       .select("doc_id", "text", "ts")
     graft.streaming.NearDupStream.suppress(docs,
         ttl = java.time.Duration.ofMinutes(cfg.ttlMin),
-        threshold = cfg.simThreshold)
+        threshold = cfg.simThreshold, bands = cfg.bands)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", cfg.checkpoint)

@@ -272,6 +272,51 @@ class DedupSpec extends AnyFunSuite {
       s"known-key scans must not re-shuffle:\n$plan")
   }
 
+  test("appendNearDupKeys: save(old) + append(delta) equals save(old ∪ delta)") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val newB = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val old = corpus.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    // a corpus landed in two ingests: the bulk, then a delta
+    val bulk = old.filter(pmod(col("doc_id"), lit(10)) =!= 2)
+    val delta = old.filter(pmod(col("doc_id"), lit(10)) === 2)
+    val (inc, whole) = ("graft_test_ndinc", "graft_test_ndwhole")
+    try {
+      Dedup.saveNearDupKeys(spark, inc, bulk, "doc_id", "text")
+      Dedup.appendNearDupKeys(spark, inc, delta, "doc_id", "text")
+      Dedup.saveNearDupKeys(spark, whole, old, "doc_id", "text")
+      def pairs(name: String): Set[(Long, Long, Double)] =
+        Dedup.jaccardPairsBetweenFromTables(
+            spark, newB, name, "doc_id", "text", threshold = 0.5)
+          .as[(Long, Long, Double)].collect().toSet
+      val (got, want) = (pairs(inc), pairs(whole))
+      assert(want.nonEmpty, "delta split must keep some near-dup pairs")
+      assert(got == want,
+        s"missed ${(want -- got).size}, extra ${(got -- want).size}")
+      // the delta must actually contribute pairs, or append proved nothing
+      Dedup.saveNearDupKeys(spark, inc, bulk, "doc_id", "text")
+      assert(pairs(inc) != want, "delta docs must appear in some pair")
+    } finally for (n <- Seq(inc, whole); t <- Seq("_ndband", "_ndsh"))
+      spark.sql(s"DROP TABLE IF EXISTS $n$t")
+  }
+
+  test("appendIncrementalKeys: maintained tables keep exactly what a rebuild keeps") {
+    val known = docs.filter(col("doc_id") =!= 3L)
+    val incoming = docs.select(col("doc_id") + 100L as "doc_id", col("text"))
+    val name = "dedup_spec_appkeys"
+    try {
+      // land doc 0's keys first, then maintain with docs 1,2's keys
+      Dedup.saveIncrementalKeys(spark, name, known.filter(col("doc_id") === 0L), "text")
+      Dedup.appendIncrementalKeys(spark, name, known.filter(col("doc_id") =!= 0L), "text")
+      val fromTables = Dedup
+        .incrementalKeepFromTables(spark, incoming, name, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      val inline = Dedup.incrementalKeep(incoming, known, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(fromTables == inline)
+    } finally for (t <- Seq("_norm", "_bands"))
+      spark.sql(s"DROP TABLE IF EXISTS $name$t")
+  }
+
   test("substringDupStats: dup positions, span merge, split, short docs") {
     // k=3 fixture, hand-computed:
     //  0: "a b c" / "b c d" shared with doc 1 -> positions {0,1}, one span
