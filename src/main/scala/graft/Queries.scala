@@ -1258,6 +1258,50 @@ object Queries {
       "doc_id", "text", threshold = 0.5)
   }
 
+  /** Incremental cluster maintenance (d16): fold the new batch
+    * (doc_id % 10 = 0) into the PERSISTED old-corpus clusters without
+    * re-clustering the corpus — star edges from the artifact ∪
+    * within-batch pairs ∪ batch×corpus pairs (both from d15's
+    * machinery; the corpus side is the persisted key tables, never
+    * text). The oracle is d07's from-scratch full-corpus recursive
+    * CTE, so the gate IS the claim: incremental ≡ rebuild, including
+    * batch docs that bridge two old clusters. Per-ingest cost:
+    * O(batch LSH + cluster table + delta edges); the old corpus is
+    * never re-scanned or re-banded. */
+  val d16 = q("d16_incremental_clusters",
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      | WHERE jaccard >= 0.5),
+      |edges AS (
+      | SELECT doc_a AS src, doc_b AS dst FROM pairs
+      | UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+      |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val keys = ensureIngestKeys(s, dir)
+    val newB = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val withinBatch = Dedup.jaccardPairs(newB, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val vsCorpus = Dedup.jaccardPairsBetweenFromTables(
+        s, newB, keys, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+    Dedup.incrementalClusters(
+      ensureCorpusClusters(s, dir), withinBatch.union(vsCorpus))
+  }
+
   // ------------------------------------------- text analysis (LLM pipeline)
 
   private def markerSql(ws: Seq[String]): String =
@@ -2653,6 +2697,7 @@ object Queries {
     ensureEventsByDate(s, dir)
     ensureBucketed(s, dir)
     ensureIngestKeys(s, dir)
+    ensureCorpusClusters(s, dir)
     ()
   }
 
@@ -2722,6 +2767,28 @@ object Queries {
     DerivedTables.ensure(s, Seq(name), DerivedTables.sourceFingerprint(dir, "documents")) {
       Dedup.clusters(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+          .select("doc_a", "doc_b"))
+        .write.mode("overwrite").format("parquet").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
+  /** Catalog-safe old-corpus cluster-table name, per SF directory. */
+  private def corpusClustersName(dir: String): String =
+    "graft_corpclusters_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-once cluster assignments over the LANDED corpus only
+    * (doc_id % 10 <> 0, the d15/p06 membership convention) — the
+    * artifact d16's incremental maintenance starts from, distinct
+    * from [[ensureClusters]] (full corpus, d08/p04's input). */
+  def ensureCorpusClusters(s: SparkSession, dir: String): DataFrame = synchronized {
+    import graft.sources.DerivedTables
+    val name = corpusClustersName(dir)
+    DerivedTables.ensure(s, Seq(name), DerivedTables.sourceFingerprint(dir, "documents")) {
+      Dedup.clusters(
+        Dedup.jaccardPairs(
+            Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            "doc_id", "text", threshold = 0.5)
           .select("doc_a", "doc_b"))
         .write.mode("overwrite").format("parquet").saveAsTable(name)
     }
@@ -4092,7 +4159,7 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,

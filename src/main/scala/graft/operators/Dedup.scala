@@ -592,6 +592,25 @@ object Dedup {
     labels
   }
 
+  /** Incremental cluster maintenance — fold a new batch into an
+    * EXISTING cluster assignment without re-clustering the corpus:
+    * connected components over (old assignments as star edges
+    * member→root) ∪ (the delta's near-dup pairs: within-batch and
+    * batch×corpus). Star edges preserve every old component's
+    * connectivity through its root, so the result is IDENTICAL to
+    * re-running [[clusters]] over the full pair set (min-id labels are
+    * canonical under connectivity; d16's oracle re-derives them from
+    * scratch) — including batch docs that BRIDGE two old clusters,
+    * which merge to the smaller root. Cost: O(cluster table + delta
+    * edges) through the pointer-jumping rounds — the corpus's LSH/
+    * banding never re-runs (its keys are the persisted
+    * [[saveNearDupKeys]] tables the delta pairs come from). */
+  def incrementalClusters(oldClusters: DataFrame, deltaPairs: DataFrame,
+                          maxIter: Int = 8): DataFrame =
+    clusters(
+      oldClusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        .union(deltaPairs.select(col("doc_a"), col("doc_b"))), maxIter)
+
   /** Exact duplicated-substring profiling — the substring-level dedup
     * signal of "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al., 2021), re-expressed as a distributed

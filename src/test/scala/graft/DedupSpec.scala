@@ -317,6 +317,42 @@ class DedupSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $name$t")
   }
 
+  test("incrementalClusters merges bridged old clusters to the smaller root") {
+    // old clusters {1,2} (root 1) and {10,11} (root 10); batch doc 5
+    // pairs with 2 AND 10 — everything must merge under root 1, and
+    // the untouched cluster {20,21} must keep its label
+    val oldClusters = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "cluster_id")
+    val delta = Seq((5L, 2L), (5L, 10L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.incrementalClusters(oldClusters, delta)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 5L, 10L, 11L).forall(got(_) == 1L),
+      s"bridged components must share root 1: $got")
+    assert(got(20L) == 20L && got(21L) == 20L)
+  }
+
+  test("incrementalClusters over the delta pair set equals from-scratch clustering") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val newB = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val old = corpus.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val oldClusters = Dedup.clusters(
+      Dedup.jaccardPairs(old, "doc_id", "text", threshold = 0.5)
+        .select("doc_a", "doc_b"))
+    val delta = Dedup.jaccardPairs(newB, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b")
+      .union(Dedup.jaccardPairsBetween(newB, old, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b")))
+    val incremental = Dedup.incrementalClusters(oldClusters, delta)
+      .as[(Long, Long)].collect().toSet
+    val fromScratch = Dedup.clusters(
+        Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+          .select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(fromScratch.nonEmpty)
+    assert(incremental == fromScratch,
+      s"missed ${(fromScratch -- incremental).size}, extra ${(incremental -- fromScratch).size}")
+  }
+
   test("substringDupStats: dup positions, span merge, split, short docs") {
     // k=3 fixture, hand-computed:
     //  0: "a b c" / "b c d" shared with doc 1 -> positions {0,1}, one span
