@@ -3643,6 +3643,37 @@ object Queries {
           .as("within_eps"))
   }
 
+  /** Approximate quantiles (q87) — the third classic big-data sketch
+    * after HLL (q83) and CMS (q84): percentile_approx's
+    * QuantileSummaries (Greenwald-Khanna) computes distributed
+    * quantiles in one pass with a DETERMINISTIC rank guarantee —
+    * the returned element's rank is within N/accuracy of the target
+    * for ANY partitioning/merge order, which is exactly why the gate
+    * emits in-bound BOOLEANS and not the element (a different merge
+    * order may surface a different element inside the band; the band
+    * itself never moves). Bounds = Spark's exact interpolated
+    * percentiles at p ± 5/accuracy — 5× the sketch's rank error, so
+    * interpolation-vs-rank slack can't flip the gate. Exact COUNT
+    * rides for the oracle (q29 discipline: the oracle emits TRUE, a
+    * drifting sketch hash-mismatches). At 100 TB the exact percentile
+    * (full sort per group) is the thing you CAN'T run — the sketch is
+    * one narrow pass + tiny merges; here exact runs only to verify. */
+  val q87 = q("q87_approx_quantiles",
+    """SELECT event_type, COUNT(*) AS n,
+      | TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_approx(value, array(0.5D, 0.95D), 1000)").as("ap"),
+        expr("percentile(value, array(0.495D, 0.505D, 0.945D, 0.955D))").as("ex"))
+      .select(col("event_type"), col("n"),
+        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ex"), 2)).as("p50_in_bounds"),
+        (element_at(col("ap"), 2) >= element_at(col("ex"), 3) &&
+          element_at(col("ap"), 2) <= element_at(col("ex"), 4)).as("p95_in_bounds"))
+  }
+
   /** Incremental aggregate maintenance (materialized-view refresh):
     * base facts are aggregated into a persisted STATE once, a raw
     * delta folds in via one associative merge (Skew.incrementalAgg) —
@@ -4158,7 +4189,7 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-    q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
+    q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
