@@ -3554,15 +3554,22 @@ object Queries {
       Seq("o_custkey", "o_orderstatus", "o_orderdate"))
   }
 
-  /** The 100 TB profile twin (q86): [[Relational.profileApprox]] —
-    * q85's schema with approx_count_distinct, so the single pass has
-    * NO Expand (exact multi-distinct replicates every row per audited
-    * column into the shuffle; the sketch form doesn't — plan-locked).
-    * Oracle discipline = q29/q83: dumped columns are the EXACT
-    * distinct counts plus a boolean asserting each sketch estimate
-    * landed within 5% of exact (rsd 0.0125 → >4 sigma, deterministic
-    * given the data; verified at every shipped SF); the oracle emits
-    * TRUE, so a drifting sketch hash-mismatches. */
+  /** The 100 TB profile twin (q86): q85's schema with
+    * approx_count_distinct. The production operator is
+    * [[Relational.profileApprox]] — a single pass with NO Expand
+    * (exact multi-distinct replicates every row per audited column
+    * into the shuffle; the sketch form doesn't — plan-locked in
+    * PlanShapeSpec). Oracle discipline = q29/q83: dumped columns are
+    * the EXACT distinct counts plus a boolean asserting each sketch
+    * estimate landed within 5% of exact (rsd 0.0125 → >4 sigma,
+    * deterministic given the data; verified at every shipped SF and
+    * the 100× replica); the oracle emits TRUE, so a drifting sketch
+    * hash-mismatches. The GATE runs the exact and approx profiles as
+    * SEPARATE passes joined on column_name — the q29 lesson, measured
+    * here too: a combined agg drags each column's 2^13-register HLL
+    * buffer through the exact multi-distinct Expand (rows × columns
+    * copies), 1.2 s → 6.6 s at sf0.1. Two scans beat one scan when
+    * one of them would carry sketch state through an Expand. */
   val q86 = q("q86_profile_approx",
     """WITH a AS (SELECT COUNT(*) AS n_rows,
       |  COUNT(*) - COUNT(o_custkey) AS null_custkey,

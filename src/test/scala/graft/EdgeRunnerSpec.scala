@@ -199,9 +199,13 @@ class EdgeRunnerSpec extends AnyFunSuite {
     val savedProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     try {
+      // --bands 4 drives the multi-band path through the full graftlog
+      // e2e; doc 2's signature agrees with doc 1's at band 0 (the
+      // single-band variant of this test), so any-of-4 must suppress too
       val cfg = EdgeRunner.parse(Array("--mode", "neardup", "--in", s"log:$in",
-        "--out", out, "--checkpoint", ckpt, "--sim-threshold", "0.7"))
-      assert(cfg.simThreshold == 0.7 && cfg.ttlMin == 10L)
+        "--out", out, "--checkpoint", ckpt, "--sim-threshold", "0.7",
+        "--bands", "4"))
+      assert(cfg.simThreshold == 0.7 && cfg.ttlMin == 10L && cfg.bands == 4)
       val q = EdgeRunner.startNearDup(spark, cfg,
         Trigger.ProcessingTime("0 seconds"))
       // processing-time TTL housekeeping never quiesces (TtlState
