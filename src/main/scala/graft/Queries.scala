@@ -4189,6 +4189,28 @@ object Queries {
       "text", "source", "src0", "src1", k = 15)
   }
 
+  /** Sequence packing (t26): concat-then-chunk — docs ordered by id
+    * form one token stream cut into 1024-token training windows; per
+    * doc: stream offset and the chunk span it occupies. The offset is
+    * the t22 distributed prefix sum (range partitions + broadcast
+    * offsets — never a single global sort task); integer arithmetic
+    * end to end, so the oracle's window spelling matches exactly. */
+  val t26 = q("t26_sequence_packing",
+    """WITH n AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |  CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) - n_tok AS start_tok
+      | FROM n)
+      |SELECT doc_id, n_tok, start_tok,
+      | start_tok // 1024 AS first_chunk,
+      | (start_tok + n_tok - 1) // 1024 AS last_chunk,
+      | (start_tok + n_tok - 1) // 1024 - start_tok // 1024 + 1 AS n_chunks
+      |FROM c""".stripMargin) { (s, dir) =>
+    TextAnalysis.packSequences(Tables.documents(s, dir),
+      "doc_id", "text", contextLen = 1024L)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4199,7 +4221,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
     m01, m02, m03, p01, p02, p03, p04, p05, p06)
 }

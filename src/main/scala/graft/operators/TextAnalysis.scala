@@ -830,6 +830,50 @@ object TextAnalysis {
     * and broadcast back. Bit-identical to the global window (the
     * ranking is total — doc_id breaks score ties), spec-locked, and
     * every corpus-sized step is per-partition parallel. */
+  /** Sequence packing, concat-then-chunk (the GPT-style pretraining
+    * layout): documents ordered by id concatenate into one token
+    * stream, cut into fixed `contextLen` windows; each doc reports its
+    * stream offset and the [first_chunk, last_chunk] span it occupies
+    * (a doc straddling a boundary spans several training examples).
+    * The stream offset is a GLOBAL prefix sum — computed with
+    * [[tokenBudgetSelect]]'s distributed decomposition (range-
+    * repartition on doc_id, per-partition cumsum, one tiny broadcast
+    * offsets row per partition), so no single-task global sort exists
+    * at any scale. Integer arithmetic end to end → engine-exact. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    contextLen: Long, partitions: Int = 32): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val sized = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    // materialized once — offsets summary + main pass both consume it
+    val ranged = sized.repartitionByRange(partitions, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum(col("n_tok")).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptotal")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("__pid")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .drop("__ptotal")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("doc_id")
+    ranged
+      .withColumn("__local_cum", sum(col("n_tok")).over(wLocal))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("start_tok",
+        col("__local_cum") + col("__offset") - col("n_tok"))
+      // `div` = integer division on longs (floor for the nonnegative
+      // offsets here) — no double round-trip at any magnitude
+      .withColumn("first_chunk", expr(s"start_tok div ${contextLen}L"))
+      .withColumn("last_chunk",
+        expr(s"(start_tok + n_tok - 1) div ${contextLen}L"))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        col("first_chunk"), col("last_chunk"),
+        (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"))
+  }
+
   def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
                         budget: Long, partitions: Int = 32): DataFrame = {
     val scored = docs.select(col(idCol).as("doc_id"),

@@ -590,6 +590,17 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f.head == f.head.copy(_2 = 17L))
   }
 
+  test("packSequences: stream offsets and chunk spans, boundary-straddling doc") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, "doc_id", "text", contextLen = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 0L, 0L, 0L, 1L)))
+    // tokens 3..6 straddle the 5-token boundary → spans chunks 0 and 1
+    assert(got(1) == ((2L, 4L, 3L, 0L, 1L, 2L)))
+    assert(got(2) == ((3L, 2L, 7L, 1L, 1L, 1L)))
+  }
+
   test("tokenBudgetSelect distributed prefix sum equals the global-window spelling") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
