@@ -110,6 +110,57 @@ class NearDupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-band suppression state survives a checkpoint restart (chained stateful ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    val savedProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.TtlState.RocksDbProvider)
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("neardup_band_ckpt").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("neardup_band_out").toString
+      val input = MemoryStream[(Long, String, Timestamp)]
+      def startQuery() = NearDupStream.suppress(
+          input.toDS().toDF("doc_id", "text", "ts"),
+          ttl = java.time.Duration.ofMinutes(30), threshold = 0.7,
+          bands = 4)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      def landed(): Long =
+        try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (landed() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      }
+      val q1 = startQuery()
+      input.addData((1L, base, new Timestamp(1000L)))
+      awaitRows(1)
+      q1.stop()
+      // restart against the SAME checkpoint: all four band buckets of
+      // doc 1 must come back from RocksDB (two chained stateful
+      // operators share the checkpoint) and still suppress its twin
+      val q2 = startQuery()
+      input.addData((2L, nearDup, new Timestamp(60000L)),
+        (3L, distinct, new Timestamp(61000L)))
+      awaitRows(2)
+      Thread.sleep(1000)
+      q2.stop()
+      val ids = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L),
+        s"restart must reload banded suppression state (expected 1,3): $ids")
+    } finally savedProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("multi-band blocking lifts recall above single-band, exactly as the signature model predicts") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
