@@ -153,16 +153,28 @@ object Dedup {
                           known: DataFrame, textCol: String,
                           numHashes: Int = 32, bands: Int = 16,
                           shingleN: Int = 3, portable: Boolean = false,
-                          buckets: Int = 8): Unit = {
+                          buckets: Int = 8): Unit =
+    writeIncrementalKeys(name, known, textCol, numHashes, bands, shingleN,
+      portable, buckets, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** ONE writer for build and maintenance: the key projections, band
+    * layout, and bucket specs cannot drift between the initial save
+    * and the per-ingest append — only the SaveMode differs. */
+  private def writeIncrementalKeys(name: String, docs: DataFrame,
+                                   textCol: String, numHashes: Int, bands: Int,
+                                   shingleN: Int, portable: Boolean,
+                                   buckets: Int,
+                                   mode: org.apache.spark.sql.SaveMode): Unit = {
     // one corpus scan feeds both key sets
-    val keys = knownKeys(known, textCol, numHashes, shingleN, portable)
+    val keys = knownKeys(docs, textCol, numHashes, shingleN, portable)
       .localCheckpoint(false)
-    graft.sources.Bucketing.writeBucketed(
-      keys.select("__norm_key").distinct(), s"${name}_norm", "__norm_key", buckets)
+    graft.sources.Bucketing.writeBucketedMulti(
+      keys.select("__norm_key").distinct(), s"${name}_norm",
+      Seq("__norm_key"), buckets, mode)
     graft.sources.Bucketing.writeBucketedMulti(
       bandKeys(keys.select("sig"), numHashes, bands)
         .select("band_idx", "band_key").distinct(),
-      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets, mode)
   }
 
   /** Per-ingest maintenance for [[saveIncrementalKeys]]'s tables:
@@ -178,17 +190,9 @@ object Dedup {
                             batch: DataFrame, textCol: String,
                             numHashes: Int = 32, bands: Int = 16,
                             shingleN: Int = 3, portable: Boolean = false,
-                            buckets: Int = 8): Unit = {
-    val keys = knownKeys(batch, textCol, numHashes, shingleN, portable)
-      .localCheckpoint(false)
-    graft.sources.Bucketing.appendBucketedMulti(
-      keys.select("__norm_key").distinct(), s"${name}_norm",
-      Seq("__norm_key"), buckets)
-    graft.sources.Bucketing.appendBucketedMulti(
-      bandKeys(keys.select("sig"), numHashes, bands)
-        .select("band_idx", "band_key").distinct(),
-      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
-  }
+                            buckets: Int = 8): Unit =
+    writeIncrementalKeys(name, batch, textCol, numHashes, bands, shingleN,
+      portable, buckets, org.apache.spark.sql.SaveMode.Append)
 
   /** The batch-bound ingest path: [[incrementalKeep]] joining directly
     * against the bucketed tables written by [[saveIncrementalKeys]].
@@ -318,19 +322,25 @@ object Dedup {
     // so the two paths cannot drift
     val oKeys = nearDupKeys(oldDocs, idCol, textCol, numHashes, shingleN)
       .localCheckpoint(false)
-    jaccardPairsBetweenJoinReady(newDocs,
+    jaccardPairsBetweenJoinReady(
+      nearDupKeys(newDocs, idCol, textCol, numHashes, shingleN)
+        .localCheckpoint(false),
       bandKeys(oKeys.select("doc_id", "sig"), numHashes, bands)
         .select("band_idx", "band_key", "doc_id", "sig")
         .hint("shuffle_hash"),
       oKeys.select("doc_id", "sh"),
-      idCol, textCol, threshold, numHashes, bands, shingleN)
+      threshold, numHashes, bands)
   }
 
-  /** The corpus-side near-dup key projection — (doc_id, sig, sh) in
-    * ONE text scan: the MinHash signature (candidate generation) and
-    * the distinct shingle set (exact-Jaccard verification). */
-  private def nearDupKeys(docs: DataFrame, idCol: String, textCol: String,
-                          numHashes: Int, shingleN: Int): DataFrame =
+  /** The near-dup key projection — (doc_id, sig, sh) in ONE text
+    * scan: the MinHash signature (candidate generation) and the
+    * distinct shingle set (exact-Jaccard verification). Callers that
+    * feed several pair generators from the same documents (d16: the
+    * within-batch pairs AND the vs-corpus pairs) compute this once,
+    * localCheckpoint it, and pass it to the *FromKeys forms — one
+    * batch text scan total. */
+  def nearDupKeys(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 32, shingleN: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       sigExpr(textCol, numHashes, shingleN, portable = false).as("sig"),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
@@ -352,15 +362,26 @@ object Dedup {
   def saveNearDupKeys(spark: org.apache.spark.sql.SparkSession, name: String,
                       corpus: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 16,
-                      shingleN: Int = 3, buckets: Int = 8): Unit = {
-    val keys = nearDupKeys(corpus, idCol, textCol, numHashes, shingleN)
+                      shingleN: Int = 3, buckets: Int = 8): Unit =
+    writeNearDupKeys(name, corpus, idCol, textCol, numHashes, bands,
+      shingleN, buckets, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** ONE writer for build and maintenance (the writeIncrementalKeys
+    * discipline): save and append share projections and bucket specs
+    * by construction. */
+  private def writeNearDupKeys(name: String, docs: DataFrame, idCol: String,
+                               textCol: String, numHashes: Int, bands: Int,
+                               shingleN: Int, buckets: Int,
+                               mode: org.apache.spark.sql.SaveMode): Unit = {
+    val keys = nearDupKeys(docs, idCol, textCol, numHashes, shingleN)
       .localCheckpoint(false)
     graft.sources.Bucketing.writeBucketedMulti(
       bandKeys(keys.select("doc_id", "sig"), numHashes, bands)
         .select("band_idx", "band_key", "doc_id", "sig"),
-      s"${name}_ndband", Seq("band_idx", "band_key"), buckets)
-    graft.sources.Bucketing.writeBucketed(
-      keys.select("doc_id", "sh"), s"${name}_ndsh", "doc_id", buckets)
+      s"${name}_ndband", Seq("band_idx", "band_key"), buckets, mode)
+    graft.sources.Bucketing.writeBucketedMulti(
+      keys.select("doc_id", "sh"), s"${name}_ndsh", Seq("doc_id"),
+      buckets, mode)
   }
 
   /** The per-ingest MAINTENANCE step for [[saveNearDupKeys]]'s tables:
@@ -377,16 +398,9 @@ object Dedup {
   def appendNearDupKeys(spark: org.apache.spark.sql.SparkSession, name: String,
                         batch: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, bands: Int = 16,
-                        shingleN: Int = 3, buckets: Int = 8): Unit = {
-    val keys = nearDupKeys(batch, idCol, textCol, numHashes, shingleN)
-      .localCheckpoint(false)
-    graft.sources.Bucketing.appendBucketedMulti(
-      bandKeys(keys.select("doc_id", "sig"), numHashes, bands)
-        .select("band_idx", "band_key", "doc_id", "sig"),
-      s"${name}_ndband", Seq("band_idx", "band_key"), buckets)
-    graft.sources.Bucketing.appendBucketedMulti(
-      keys.select("doc_id", "sh"), s"${name}_ndsh", Seq("doc_id"), buckets)
-  }
+                        shingleN: Int = 3, buckets: Int = 8): Unit =
+    writeNearDupKeys(name, batch, idCol, textCol, numHashes, bands,
+      shingleN, buckets, org.apache.spark.sql.SaveMode.Append)
 
   /** [[jaccardPairsBetween]] joining directly against the bucketed key
     * tables written by [[saveNearDupKeys]] — the batch-bound ingest
@@ -397,24 +411,34 @@ object Dedup {
                                     idCol: String, textCol: String,
                                     threshold: Double, numHashes: Int = 32,
                                     bands: Int = 16, shingleN: Int = 3): DataFrame =
-    jaccardPairsBetweenJoinReady(newDocs,
-      spark.table(s"${name}_ndband"), spark.table(s"${name}_ndsh"),
-      idCol, textCol, threshold, numHashes, bands, shingleN)
+    jaccardPairsBetweenFromKeys(spark,
+      nearDupKeys(newDocs, idCol, textCol, numHashes, shingleN)
+        .localCheckpoint(false),
+      name, threshold, numHashes, bands)
 
-  /** The shared new×old candidate + verify core: `oldBanded` is the
-    * corpus band table (band_idx, band_key, doc_id, sig) and
-    * `oldShingles` its shingle table (doc_id, sh) — inline checkpoints
-    * or persisted bucketed tables, same semantics either way. Only the
-    * NEW side is scanned from text here. */
-  private def jaccardPairsBetweenJoinReady(newDocs: DataFrame,
+  /** [[jaccardPairsBetweenFromTables]] over a precomputed new-side
+    * [[nearDupKeys]] frame — for callers that feed several pair
+    * generators from one batch scan (d16). */
+  def jaccardPairsBetweenFromKeys(spark: org.apache.spark.sql.SparkSession,
+                                  newKeys: DataFrame, name: String,
+                                  threshold: Double, numHashes: Int = 32,
+                                  bands: Int = 16): DataFrame =
+    jaccardPairsBetweenJoinReady(newKeys,
+      spark.table(s"${name}_ndband"), spark.table(s"${name}_ndsh"),
+      threshold, numHashes, bands)
+
+  /** The shared new×old candidate + verify core: `nKeys` is the new
+    * side's (checkpointed) key frame; `oldBanded` is the corpus band
+    * table (band_idx, band_key, doc_id, sig) and `oldShingles` its
+    * shingle table (doc_id, sh) — inline checkpoints or persisted
+    * bucketed tables, same semantics either way. No text is scanned
+    * here at all. */
+  private def jaccardPairsBetweenJoinReady(nKeys: DataFrame,
                                            oldBanded: DataFrame,
                                            oldShingles: DataFrame,
-                                           idCol: String, textCol: String,
                                            threshold: Double, numHashes: Int,
-                                           bands: Int, shingleN: Int): DataFrame = {
+                                           bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val nKeys = nearDupKeys(newDocs, idCol, textCol, numHashes, shingleN)
-      .localCheckpoint(false)
     val a = bandKeys(nKeys.select("doc_id", "sig"), numHashes, bands)
       .select(col("band_idx"), col("band_key"),
         col("doc_id").as("doc_new"), col("sig").as("sig_n"))
@@ -437,14 +461,23 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 32, bands: Int = 16,
-                   shingleN: Int = 3): DataFrame = {
-    val cand = minhashCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleN)
+                   shingleN: Int = 3): DataFrame =
+    // one text scan computes signatures AND shingle sets (the
+    // candidate pass and the verify join used to scan text separately)
+    jaccardPairsFromKeys(
+      nearDupKeys(docs, idCol, textCol, numHashes, shingleN)
+        .localCheckpoint(false),
+      threshold, numHashes, bands)
+
+  /** [[jaccardPairs]] over a precomputed (usually checkpointed)
+    * [[nearDupKeys]] frame — candidates from the banded signature
+    * join, verification from the shingle sets, no text access. */
+  def jaccardPairsFromKeys(keys: DataFrame, threshold: Double,
+                           numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val cand = bandedPairs(keys.select("doc_id", "sig"), numHashes, bands)
       .select("doc_a", "doc_b")
-    val sh = docs.select(col(idCol).as("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
-      .localCheckpoint(false)
-    cand.join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    cand.join(keys.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(keys.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

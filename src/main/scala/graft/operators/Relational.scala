@@ -24,10 +24,18 @@ object Relational {
     * columns plans Spark's expand (rows × columns into the shuffle) —
     * the standard price of exact profiles; a 100 TB profile swaps in
     * approx_count_distinct (2% rsd) with everything else unchanged. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** The shared single-pass profile body — `nd` supplies the distinct
+    * counter (exact or sketch), everything else (null counts, min/max,
+    * the stack pivot) is identical by construction so the two profile
+    * flavors cannot drift schemas. */
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          nd: String => Column): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
+        nd(c).as(s"nd_$c"),
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     }
@@ -50,21 +58,8 @@ object Relational {
     * q86 pins that contract against the exact profile the way
     * q29/q83 pin theirs. */
   def profileApprox(df: DataFrame, cols: Seq[String],
-                    rsd: Double = 0.0125): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
-        approx_count_distinct(col(c), rsd).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', `null_$c`, `nd_$c`, `min_$c`, `max_$c`").mkString(", ")
-    one.selectExpr("n_rows", s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_null, n_distinct, min_value, max_value)")
-      .select("column_name", "n_rows", "n_null", "n_distinct",
-        "min_value", "max_value")
-  }
+                    rsd: Double = 0.0125): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
 
   /** Keep the top k rows per partition under `order`. One shuffle on
     * `partitionCols`; within-partition sort only (no global order), so it

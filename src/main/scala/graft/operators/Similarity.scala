@@ -860,7 +860,8 @@ object Similarity {
       var step = 1
       var stuck = false
       while (step <= k && remaining.nonEmpty && !stuck) {
-        var bestId = -1L
+        var bestId = 0L
+        var found = false
         var bestScore = Double.NegativeInfinity
         // ascending-id iteration makes "first max wins" the smallest-id
         // tiebreak the oracle's (score DESC, id) ordering uses
@@ -869,13 +870,14 @@ object Similarity {
             if (selected.isEmpty) 0.0
             else selected.map(s => sim((c, s))).max
           val score = lambda * rels(c) - (1.0 - lambda) * maxSim
-          if (score > bestScore) { bestScore = score; bestId = c }
+          if (score > bestScore) { bestScore = score; bestId = c; found = true }
         }
         // a zero-norm vector makes every remaining score NaN (NaN
-        // never compares > -Inf): bestId then stays -1, and emitting
-        // it would both return a phantom id and poison the next
-        // step's sim((c, -1)) lookup — stop the greedy instead
-        if (bestId < 0) stuck = true
+        // never compares > -Inf): no candidate is ever picked, and
+        // emitting a phantom would poison the next step's sim lookup —
+        // stop the greedy instead. The stall flag is a separate
+        // boolean, NOT an id sentinel: negative neighbor ids are legal
+        if (!found) stuck = true
         else {
           out += ((qid, step.toLong, bestId, bestScore))
           selected :+= bestId

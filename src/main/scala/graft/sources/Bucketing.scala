@@ -19,7 +19,12 @@ object Bucketing {
 
   /** Multi-key form: bucket (and sort) on a composite join key — for
     * joins whose equi-keys are a column PAIR (e.g. LSH (band_idx,
-    * band_key)), where bucketing on a prefix would still exchange. */
+    * band_key)), where bucketing on a prefix would still exchange.
+    * SaveMode.Append is the per-ingest maintenance write of an
+    * incrementally-maintained key table: new rows land bucket-aligned
+    * (Spark validates the spec against the catalog, a mismatch throws
+    * rather than silently degrading the layout), so reads stay
+    * exchange-free and the table never needs a rebuild. */
   def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
                          buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode)
@@ -27,17 +32,6 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
-
-  /** Append to an existing bucketed table with the SAME bucket spec —
-    * the per-ingest maintenance write of an incrementally-maintained
-    * key table: new rows land bucket-aligned (Spark validates the
-    * spec against the catalog), so reads stay exchange-free and the
-    * table never needs a rebuild. The bucket spec must match what the
-    * table was created with; a mismatch throws rather than silently
-    * degrading the layout. */
-  def appendBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
-                          buckets: Int): Unit =
-    writeBucketedMulti(df, table, keys, buckets, SaveMode.Append)
 
   /** Join two tables bucketed on the same key with the same bucket
     * count: Catalyst sees compatible output partitionings and plans a

@@ -45,12 +45,15 @@ object NearDupStream {
   case class Keyed(bucket: Long, doc_id: Long, text: String,
                    ts: java.sql.Timestamp, sig: Seq[Long])
 
-  /** Multi-band wire type: one row per (doc, band) probe. */
-  case class BandRow(bucket: Long, band: Int, doc_id: Long, text: String,
-                     ts: java.sql.Timestamp, sig: Seq[Long])
+  /** Multi-band wire type: one row per (doc, band) probe. `uid` hashes
+    * the full input row (doc_id, ts, text) so the per-doc reduction
+    * groups each arriving ROW's probes — keying on doc_id alone would
+    * mix the verdicts of same-batch rows sharing an id. */
+  case class BandRow(bucket: Long, band: Int, uid: Long, doc_id: Long,
+                     text: String, ts: java.sql.Timestamp, sig: Seq[Long])
 
   /** Per-band verdict row feeding the any-band reduction. */
-  case class FlagRow(doc_id: Long, text: String,
+  case class FlagRow(uid: Long, doc_id: Long, text: String,
                      ts: java.sql.Timestamp, dup: Boolean)
 
   /** One admitted signature in bucket state (product-encoded — no
@@ -139,25 +142,33 @@ object NearDupStream {
           stored += sig
           sigs.appendValue(StoredSig(r.sig))
         }
-        out += FlagRow(r.doc_id, r.text, r.ts, dup)
+        out += FlagRow(r.uid, r.doc_id, r.text, r.ts, dup)
       }
       out.iterator
     }
   }
 
-  /** Stateless per-doc reduction: a document's `bands` probe verdicts
-    * all arrive in the SAME micro-batch (the explode is batch-local),
-    * so the group iterator holds every band row and the admit
-    * decision needs no persisted state — emit iff NO band verified a
-    * near-dup. */
-  class AnyBandReducer
+  /** Stateless per-row reduction: a row's `bands` probe verdicts all
+    * arrive in the SAME micro-batch (the explode is batch-local), so
+    * the group iterator holds every band flag and the admit decision
+    * needs no persisted state. Admit ONE row iff the group contains a
+    * fully-clean probe set (clean-flag count == bands): byte-identical
+    * same-batch copies share a uid — the first copy's probes are the
+    * clean ones, later copies flag dup against its stored signatures —
+    * so exactly one copy is admitted, matching the bands=1 processor's
+    * first-wins semantics; a group with ANY dup verdict on its only
+    * copy has clean < bands and is suppressed (the any-band rule). */
+  class AnyBandReducer(bands: Int)
       extends StatefulProcessor[Long, FlagRow, FlagRow] {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
 
     override def handleInputRows(key: Long, rows: Iterator[FlagRow],
                                  timerValues: TimerValues): Iterator[FlagRow] = {
       val rs = rows.toSeq
-      if (rs.exists(_.dup)) Iterator.empty else rs.iterator.take(1)
+      // >= not ==: if the bucket cap kept the first copy's signature
+      // from being stored, later identical copies are also fully clean
+      // (2×bands clean flags) — still admit exactly one
+      if (rs.count(!_.dup) >= bands) rs.iterator.take(1) else Iterator.empty
     }
   }
 
@@ -209,19 +220,22 @@ object NearDupStream {
     } else {
       // explode to one probe row per band; the bucket key mixes the
       // band index in so band i's keyspace never collides with band
-      // j's (same state store holds all bands)
+      // j's (same state store holds all bands). uid hashes the whole
+      // input row (monotonically_increasing_id is unsupported on
+      // streams) so the reducer groups per arriving ROW, not per id
       val banded: Dataset[BandRow] = base
-        .select(col("doc_id"), col("text"), col("ts"), col("sig"),
+        .withColumn("uid", xxhash64(col("doc_id"), col("ts"), col("text")))
+        .select(col("uid"), col("doc_id"), col("text"), col("ts"), col("sig"),
           posexplode(slice(col("sig"), 1, bands)).as(Seq("band", "bv")))
         .withColumn("bucket", xxhash64(col("band"), col("bv")))
-        .select("bucket", "band", "doc_id", "text", "ts", "sig")
+        .select("bucket", "band", "uid", "doc_id", "text", "ts", "sig")
         .as[BandRow]
       banded.groupByKey(_.bucket)(Encoders.scalaLong)
         .transformWithState(
           new BandFlagProcessor(ttl, threshold, maxPerBucket),
           TimeMode.ProcessingTime(), OutputMode.Append())
-        .groupByKey(_.doc_id)(Encoders.scalaLong)
-        .transformWithState(new AnyBandReducer,
+        .groupByKey(_.uid)(Encoders.scalaLong)
+        .transformWithState(new AnyBandReducer(bands),
           TimeMode.ProcessingTime(), OutputMode.Append())
         .select("doc_id", "text", "ts")
     }

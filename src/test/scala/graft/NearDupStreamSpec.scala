@@ -248,6 +248,45 @@ class NearDupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-band admits exactly one copy of a same-batch duplicate row") {
+    implicit val sqlCtx = spark.sqlContext
+    val savedProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.TtlState.RocksDbProvider)
+    try {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val q = NearDupStream.suppress(
+          input.toDS().toDF("doc_id", "text", "ts"),
+          ttl = java.time.Duration.ofMinutes(10), threshold = 0.7,
+          bands = 4)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("neardup_dupe_row").start()
+      try {
+        // the same row posted TWICE in one batch plus a distinct doc:
+        // the reducer must admit doc 7 ONCE (first copy clean, second
+        // flags dup against it — the bands=1 first-wins semantics),
+        // never zero times (the doc_id-keyed collapse bug) or twice
+        input.addData((7L, base, new Timestamp(1000L)),
+          (7L, base, new Timestamp(1000L)),
+          (8L, distinct, new Timestamp(2000L)))
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.table("neardup_dupe_row").count() < 2 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        Thread.sleep(1000)
+      } finally q.stop()
+      val ids = spark.table("neardup_dupe_row")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(7L, 8L),
+        s"expected doc 7 admitted exactly once plus doc 8, got $ids")
+    } finally savedProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("verification rejects false bucket collisions (precision)") {
     // two docs forced into the SAME bucket must both be admitted when
     // their signatures disagree: blocking is recall-only
