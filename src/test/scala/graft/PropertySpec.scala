@@ -555,6 +555,57 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("incrementalClusters equals from-scratch clustering on random graphs and splits") {
+    import graft.operators.Dedup
+    val gen = for {
+      edges <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+      splitBit <- Gen.chooseNum(2, 5)
+    } yield (edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct.take(40), splitBit)
+    check("incrementalClusters", Prop.forAll(gen) { case (edges, splitBit) =>
+      edges.isEmpty || {
+        // "old" edges = both endpoints land old under a modular split;
+        // every other edge is the delta (mixed + new×new) — the shape
+        // of a real ingest's pair decomposition
+        val isOld = (x: Long) => x % splitBit != 0
+        val (oldE, deltaE) = edges.partition { case (a, b) => isOld(a) && isOld(b) }
+        val all = edges.toDF("doc_a", "doc_b")
+        val full = Dedup.clusters(all)
+          .as[(Long, Long)].collect().toSet
+        val incr =
+          if (oldE.isEmpty)
+            Dedup.clusters(deltaE.toDF("doc_a", "doc_b"))
+              .as[(Long, Long)].collect().toSet
+          else Dedup.incrementalClusters(
+              Dedup.clusters(oldE.toDF("doc_a", "doc_b")),
+              deltaE.toDF("doc_a", "doc_b"))
+            .as[(Long, Long)].collect().toSet
+        // nodes only touched by old edges keep their labels; the rest
+        // must match from-scratch exactly (deltaE empty ⇒ incr == full
+        // trivially via the star edges)
+        incr == full
+      }
+    }, n = 10)
+  }
+
+  test("packSequences offsets are the exact running sum in doc_id order") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 12)).map(_.take(25))
+    check("packSequences", Prop.forAll(gen) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" ")) }.toDF("doc_id", "text")
+      val got = TextAnalysis.packSequences(docs, "doc_id", "text",
+          contextLen = 7, partitions = 3)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      val starts = lens.scanLeft(0L)(_ + _).init
+      got.zipWithIndex.forall { case ((id, nTok, start, fc, lc, nc), i) =>
+        id == i.toLong && nTok == lens(i).toLong && start == starts(i) &&
+          fc == start / 7 && lc == (start + nTok - 1) / 7 &&
+          nc == lc - fc + 1
+      }
+    }, n = 10)
+  }
+
   test("native classifierScore equals the interpreted HOF spelling on random token arrays") {
     val tokGen = Gen.frequency(
       5 -> Gen.alphaNumStr.map(_.take(8)),
