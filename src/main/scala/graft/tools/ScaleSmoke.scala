@@ -437,8 +437,41 @@ object ScaleSmoke {
       linear("classifier_score", "docs", n =>
         TextAnalysis.hashedLinearScore(docsOf(n), "doc_id", "text"))
 
+    // --- round-10: incremental cluster maintenance vs full re-cluster
+    // The d16 claim: folding a batch into the persisted corpus
+    // clusters costs O(batch keys + cluster table + delta edges) —
+    // the artifacts (corpus key tables, old assignment) are built
+    // off-clock like every persisted artifact; the timed part is one
+    // batch scan + both pair joins + the pointer-jumping rounds.
+    // Compare against dedup_clusters_* above (the full re-run).
+    val r10Results = {
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val newB = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.saveNearDupKeys(spark, "graft_smoke_ndkeys", old, "doc_id", "text")
+      val oldClusters = Dedup.clusters(
+          Dedup.jaccardPairs(old, "doc_id", "text", threshold = 0.5)
+            .select("doc_a", "doc_b"))
+        .localCheckpoint()
+      def maintain(): DataFrame = {
+        val nKeys = Dedup.nearDupKeys(newB, "doc_id", "text")
+          .localCheckpoint(false)
+        val within = Dedup.jaccardPairsFromKeys(nKeys, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val vs = Dedup.jaccardPairsBetweenFromKeys(
+            spark, nKeys, "graft_smoke_ndkeys", threshold = 0.5)
+          .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+        Dedup.incrementalClusters(oldClusters, within.union(vs))
+      }
+      maintain().write.format("noop").mode("overwrite").save() // warmup
+      Seq(time(s"incr_clusters_${nd}_docs")(maintain()))
+    }
+    val r10Linear =
+      linear("pack_sequences", "docs", n =>
+        TextAnalysis.packSequences(docsOf(n), "doc_id", "text",
+          contextLen = 1024L))
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
-      r7Linear ++ r7bResults ++ r7bLinear
+      r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()
