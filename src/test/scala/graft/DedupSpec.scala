@@ -331,6 +331,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got(20L) == 20L && got(21L) == 20L)
   }
 
+  test("incrementalClusters with an empty delta returns the old assignment unchanged") {
+    val oldClusters = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.incrementalClusters(oldClusters, empty)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("incrementalClusters over the delta pair set equals from-scratch clustering") {
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val newB = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)

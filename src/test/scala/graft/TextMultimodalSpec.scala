@@ -640,6 +640,21 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"offsets must broadcast:\n$p")
   }
 
+  test("packSequences: offset windows key on __pid; single-partition work is summary-only") {
+    val dir = "/root/testdata/sf0.001"
+    val p = TextAnalysis.packSequences(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text", 1024L)
+      .queryExecution.executedPlan.toString
+    // the t22 distributed-prefix-sum shape: per-partition cumsum keyed
+    // on __pid, ONE tiny single-partition offsets summary, broadcast
+    // back — never a global unpartitioned window over the corpus
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"stream-offset cumsum must partition by __pid:\n$p")
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size == 1,
+      s"only the tiny offsets summary may single-partition:\n$p")
+    assert(p.contains("BroadcastExchange"), s"offsets must broadcast:\n$p")
+  }
+
   test("native symbolCount equals the regex length-difference spelling") {
     import spark.implicits._
     val docs = Seq(
