@@ -1293,17 +1293,10 @@ object Queries {
     val keys = ensureIngestKeys(s, dir)
     val newB = Tables.documents(s, dir)
       .filter(pmod(col("doc_id"), lit(10)) === 0)
-    // ONE batch text scan feeds both pair generators (the within-batch
-    // LSH and the vs-corpus key-table join)
-    val nKeys = Dedup.nearDupKeys(newB, "doc_id", "text")
-      .localCheckpoint(false)
-    val withinBatch = Dedup.jaccardPairsFromKeys(nKeys, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    val vsCorpus = Dedup.jaccardPairsBetweenFromKeys(
-        s, nKeys, keys, threshold = 0.5)
-      .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
     Dedup.incrementalClusters(
-      ensureCorpusClusters(s, dir), withinBatch.union(vsCorpus))
+      ensureCorpusClusters(s, dir),
+      Dedup.incrementalDeltaPairs(s, newB, keys, "doc_id", "text",
+        threshold = 0.5))
   }
 
   // ------------------------------------------- text analysis (LLM pipeline)

@@ -644,6 +644,28 @@ object Dedup {
       oldClusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
         .union(deltaPairs.select(col("doc_a"), col("doc_b"))), maxIter)
 
+  /** The delta EDGE SET an ingest feeds [[incrementalClusters]]: the
+    * batch's within-batch near-dup pairs ∪ its pairs against the
+    * persisted corpus key tables (`name`, from [[saveNearDupKeys]]) —
+    * ONE batch text scan feeds both generators via a shared
+    * checkpointed [[nearDupKeys]] frame. Defined once so the
+    * registered d16 query and the ScaleSmoke probe cannot drift
+    * (the writeIncrementalKeys single-definition discipline).
+    * Output: (doc_a = batch doc, doc_b = the other side). */
+  def incrementalDeltaPairs(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, name: String,
+                            idCol: String, textCol: String, threshold: Double,
+                            numHashes: Int = 32, bands: Int = 16,
+                            shingleN: Int = 3): DataFrame = {
+    val nKeys = nearDupKeys(batch, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(false)
+    jaccardPairsFromKeys(nKeys, threshold, numHashes, bands)
+      .select("doc_a", "doc_b")
+      .union(jaccardPairsBetweenFromKeys(spark, nKeys, name, threshold,
+          numHashes, bands)
+        .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b")))
+  }
+
   /** Exact duplicated-substring profiling — the substring-level dedup
     * signal of "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al., 2021), re-expressed as a distributed

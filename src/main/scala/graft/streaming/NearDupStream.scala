@@ -52,8 +52,11 @@ object NearDupStream {
   case class BandRow(bucket: Long, band: Int, uid: Long, doc_id: Long,
                      text: String, ts: java.sql.Timestamp, sig: Seq[Long])
 
-  /** Per-band verdict row feeding the any-band reduction. */
-  case class FlagRow(uid: Long, doc_id: Long, text: String,
+  /** Per-band verdict row feeding the any-band reduction: `band`
+    * rides so the reducer can attribute verdicts per band — the
+    * admit rule needs "does band b verify against PRIOR state",
+    * which only the per-band flag pattern reveals. */
+  case class FlagRow(uid: Long, band: Int, doc_id: Long, text: String,
                      ts: java.sql.Timestamp, dup: Boolean)
 
   /** One admitted signature in bucket state (product-encoded — no
@@ -142,7 +145,7 @@ object NearDupStream {
           stored += sig
           sigs.appendValue(StoredSig(r.sig))
         }
-        out += FlagRow(r.uid, r.doc_id, r.text, r.ts, dup)
+        out += FlagRow(r.uid, r.band, r.doc_id, r.text, r.ts, dup)
       }
       out.iterator
     }
@@ -151,13 +154,17 @@ object NearDupStream {
   /** Stateless per-row reduction: a row's `bands` probe verdicts all
     * arrive in the SAME micro-batch (the explode is batch-local), so
     * the group iterator holds every band flag and the admit decision
-    * needs no persisted state. Admit ONE row iff the group contains a
-    * fully-clean probe set (clean-flag count == bands): byte-identical
-    * same-batch copies share a uid — the first copy's probes are the
-    * clean ones, later copies flag dup against its stored signatures —
-    * so exactly one copy is admitted, matching the bands=1 processor's
-    * first-wins semantics; a group with ANY dup verdict on its only
-    * copy has clean < bands and is suppressed (the any-band rule). */
+    * needs no persisted state. A uid group holds k byte-identical
+    * copies × `bands` flags; per BAND the pattern is deterministic —
+    * all-dup ⇔ the band verifies against PRIOR state (a pre-existing
+    * near-dup), while ≥1 clean flag means the band's only matches are
+    * the group's own just-stored first copy (or the cap blocked every
+    * store and all k stay clean). The any-band suppression rule is
+    * therefore: admit ONE row iff EVERY band has a clean witness. A
+    * cross-copy clean COUNT would be wrong — two partially-dup copies
+    * can jointly reach `bands` clean flags (dup in band 0, cap-
+    * saturated clean band 1, posted twice) without any copy being
+    * clean in every band. */
   class AnyBandReducer(bands: Int)
       extends StatefulProcessor[Long, FlagRow, FlagRow] {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
@@ -165,10 +172,10 @@ object NearDupStream {
     override def handleInputRows(key: Long, rows: Iterator[FlagRow],
                                  timerValues: TimerValues): Iterator[FlagRow] = {
       val rs = rows.toSeq
-      // >= not ==: if the bucket cap kept the first copy's signature
-      // from being stored, later identical copies are also fully clean
-      // (2×bands clean flags) — still admit exactly one
-      if (rs.count(!_.dup) >= bands) rs.iterator.take(1) else Iterator.empty
+      val byBand = rs.groupBy(_.band)
+      val admit = byBand.size == bands &&
+        byBand.valuesIterator.forall(_.exists(f => !f.dup))
+      if (admit) rs.iterator.take(1) else Iterator.empty
     }
   }
 

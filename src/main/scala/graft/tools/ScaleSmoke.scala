@@ -452,16 +452,10 @@ object ScaleSmoke {
           Dedup.jaccardPairs(old, "doc_id", "text", threshold = 0.5)
             .select("doc_a", "doc_b"))
         .localCheckpoint()
-      def maintain(): DataFrame = {
-        val nKeys = Dedup.nearDupKeys(newB, "doc_id", "text")
-          .localCheckpoint(false)
-        val within = Dedup.jaccardPairsFromKeys(nKeys, threshold = 0.5)
-          .select("doc_a", "doc_b")
-        val vs = Dedup.jaccardPairsBetweenFromKeys(
-            spark, nKeys, "graft_smoke_ndkeys", threshold = 0.5)
-          .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
-        Dedup.incrementalClusters(oldClusters, within.union(vs))
-      }
+      def maintain(): DataFrame =
+        Dedup.incrementalClusters(oldClusters,
+          Dedup.incrementalDeltaPairs(spark, newB, "graft_smoke_ndkeys",
+            "doc_id", "text", threshold = 0.5))
       maintain().write.format("noop").mode("overwrite").save() // warmup
       Seq(time(s"incr_clusters_${nd}_docs")(maintain()))
     }

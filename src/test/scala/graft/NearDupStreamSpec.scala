@@ -287,6 +287,29 @@ class NearDupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("AnyBandReducer: per-band clean witness, not a cross-copy clean count") {
+    import NearDupStream.{AnyBandReducer, FlagRow}
+    val t = new Timestamp(0L)
+    def flags(xs: (Int, Boolean)*): Iterator[FlagRow] =
+      xs.iterator.map { case (b, dup) => FlagRow(1L, b, 7L, "x", t, dup) }
+    val r = new AnyBandReducer(bands = 2)
+    def admitted(rows: Iterator[FlagRow]): Boolean =
+      r.handleInputRows(1L, rows, null).nonEmpty
+    // single clean copy → admit
+    assert(admitted(flags(0 -> false, 1 -> false)))
+    // any-band dup on a single copy → suppress
+    assert(!admitted(flags(0 -> true, 1 -> false)))
+    // the cap corner: TWO identical copies, band 0 verifies a PRIOR
+    // near-dup for both (all-dup), band 1's bucket is cap-saturated so
+    // both stay clean — 2 clean flags would satisfy a naive
+    // count >= bands, but band 0 has no clean witness → suppress
+    assert(!admitted(flags(0 -> true, 1 -> false, 0 -> true, 1 -> false)))
+    // two clean copies (novel doc, cap blocked the store) → admit one
+    assert(admitted(flags(0 -> false, 1 -> false, 0 -> false, 1 -> false)))
+    // first copy clean+stored, second flags dup against it → admit one
+    assert(admitted(flags(0 -> false, 1 -> false, 0 -> true, 1 -> true)))
+  }
+
   test("verification rejects false bucket collisions (precision)") {
     // two docs forced into the SAME bucket must both be admitted when
     // their signatures disagree: blocking is recall-only
