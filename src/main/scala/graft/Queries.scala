@@ -3659,9 +3659,16 @@ object Queries {
     * percentiles at p ± 5/accuracy — 5× the sketch's rank error, so
     * interpolation-vs-rank slack can't flip the gate. Exact COUNT
     * rides for the oracle (q29 discipline: the oracle emits TRUE, a
-    * drifting sketch hash-mismatches). At 100 TB the exact percentile
-    * (full sort per group) is the thing you CAN'T run — the sketch is
-    * one narrow pass + tiny merges; here exact runs only to verify. */
+    * drifting sketch hash-mismatches). Validity bound (the q84
+    * triage discipline): the band argument needs the ±0.004 rank
+    * slack to exceed one rank, i.e. N > 250 rows per group — below
+    * that the interpolated bounds can sit strictly between adjacent
+    * order statistics and exclude the (exact) surfaced element. Every
+    * shipped SF has ≥ ~2000 events per type; a red q87 on a tiny new
+    * data family is that bound, not a sketch bug. At 100 TB the exact
+    * percentile (full sort per group) is the thing you CAN'T run —
+    * the sketch is one narrow pass + tiny merges; here exact runs
+    * only to verify. */
   val q87 = q("q87_approx_quantiles",
     """SELECT event_type, COUNT(*) AS n,
       | TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
