@@ -4193,6 +4193,29 @@ object Queries {
       "text", "source", "src0", "src1", k = 15)
   }
 
+  /** Deterministic stratified sample (t27): seedless md5-bucket
+    * sampling with per-source rates (src0 20%, src1 5%, others 10%) —
+    * the reproducible eval-subset draw of a data pipeline. Membership
+    * is a pure function of (doc_id, rate): stable under repartition,
+    * monotone under rate increases, identical on any engine with md5
+    * — which is exactly why the oracle can enumerate the same rows.
+    * Output = the sampled rows themselves (id, source, token count),
+    * hash-exact. */
+  val t27 = q("t27_stratified_sample",
+    """SELECT doc_id, source,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |   AS BIGINT) % 10000
+      | < CASE WHEN source = 'src0' THEN 2000
+      |    WHEN source = 'src1' THEN 500 ELSE 1000 END""".stripMargin) { (s, dir) =>
+    TextAnalysis.stratifiedSample(Tables.documents(s, dir),
+        "doc_id", "source", Map("src0" -> 2000, "src1" -> 500),
+        defaultBp = 1000)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+  }
+
   /** Sequence packing (t26): concat-then-chunk — docs ordered by id
     * form one token stream cut into 1024-token training windows; per
     * doc: stream offset and the chunk span it occupies. The offset is
@@ -4225,7 +4248,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
     m01, m02, m03, p01, p02, p03, p04, p05, p06)
 }

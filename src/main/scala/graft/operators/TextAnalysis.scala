@@ -163,6 +163,33 @@ object TextAnalysis {
       when(nibble < "d", "train").when(nibble < "f", "val").otherwise("test"))
   }
 
+  /** Deterministic stratified sampling — reproducible across runs,
+    * engines, and partitionings (no RNG, no sampling state, the
+    * [[hashSplit]] family): a row is kept iff the first 8 hex chars
+    * of md5(id), taken mod 10000, fall under its stratum's rate in
+    * basis points. Membership depends ONLY on (id, rate), so samples
+    * are stable under repartitioning, nest monotonically (raising a
+    * rate only ADDS rows — refreshing a 5% eval slice to 10% keeps
+    * the old rows), and compose across tables sharing ids. The 32-bit
+    * prefix makes the mod-10000 bias ~2e-6 relative — negligible
+    * against any statistical use of a sample. One narrow scan, filter
+    * fully map-side; at 100 TB this is the only sampling shape that
+    * needs no shuffle and no seed coordination. */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       ratesBp: Map[String, Int],
+                       defaultBp: Int): DataFrame = {
+    (ratesBp.values.toSeq :+ defaultBp).foreach(r =>
+      require(r >= 0 && r <= 10000, s"rate must be in [0, 10000] bp, got $r"))
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10000L))
+    val rate = ratesBp.foldLeft(lit(defaultBp.toLong)) {
+      case (acc, (stratum, bp)) =>
+        when(col(strataCol) === stratum, lit(bp.toLong)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+  }
+
   /** Token-distribution drift between two corpus segments: per-term
     * KL contribution p·ln(p/q) with add-one smoothing over the union
     * vocabulary, top-k most divergent terms — the drift monitor a

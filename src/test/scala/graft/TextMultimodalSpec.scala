@@ -590,6 +590,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f.head == f.head.copy(_2 = 17L))
   }
 
+  test("stratifiedSample: partition-invariant, rate-monotone, per-stratum rates") {
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"doc $i")).toDF("doc_id", "src", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val s10 = ids(TextAnalysis.stratifiedSample(docs, "doc_id", "src",
+      Map("a" -> 1000), defaultBp = 1000))
+    // repartitioning must not change membership (hash of id only)
+    val s10r = ids(TextAnalysis.stratifiedSample(docs.repartition(7),
+      "doc_id", "src", Map("a" -> 1000), defaultBp = 1000))
+    assert(s10 == s10r)
+    // raising a rate only ADDS rows (nested samples)
+    val s30 = ids(TextAnalysis.stratifiedSample(docs, "doc_id", "src",
+      Map("a" -> 3000), defaultBp = 1000))
+    assert(s10.subsetOf(s30) && s30.size > s10.size)
+    // per-stratum rates apply independently; ~10% of 1000 per stratum
+    val mixed = TextAnalysis.stratifiedSample(docs, "doc_id", "src",
+      Map("a" -> 2000, "b" -> 500), defaultBp = 0)
+    val byStratum = mixed.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStratum("a") > byStratum("b") * 2,
+      s"stratum rates must differentiate: $byStratum")
+    assert(math.abs(byStratum("a") - 200L) < 60 &&
+      math.abs(byStratum("b") - 50L) < 30, s"rates off: $byStratum")
+  }
+
   test("packSequences: stream offsets and chunk spans, boundary-straddling doc") {
     val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
       .toDF("doc_id", "text")
