@@ -3987,6 +3987,42 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Composed eval-shard construction (p07): the read-only tail of a
+    * training-data pipeline — t07's deterministic hash split selects
+    * the test docs, t27's stratified sample draws a reproducible
+    * subset (src0 at 80%, others 50%), t26's packing lays the
+    * survivors into 256-token context windows. Every stage is a pure
+    * function of doc_id/source, so the oracle chains the three
+    * spellings and the output is hash-exact end to end. One text
+    * scan + the prefix-sum machinery; nothing stateful, nothing
+    * side-effecting. */
+  val p07 = q("p07_eval_shard",
+    """WITH test AS (
+      | SELECT doc_id, source, text FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'f'),
+      |samp AS (
+      | SELECT doc_id, text FROM test
+      | WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 10000
+      |  < CASE WHEN source = 'src0' THEN 8000 ELSE 5000 END),
+      |n AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM samp),
+      |c AS (SELECT doc_id, n_tok,
+      |  CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) - n_tok AS start_tok
+      | FROM n)
+      |SELECT doc_id, n_tok, start_tok,
+      | start_tok // 256 AS first_chunk,
+      | (start_tok + n_tok - 1) // 256 AS last_chunk,
+      | (start_tok + n_tok - 1) // 256 - start_tok // 256 + 1 AS n_chunks
+      |FROM c""".stripMargin) { (s, dir) =>
+    val test = TextAnalysis.hashSplit(Tables.documents(s, dir), "doc_id")
+      .filter(col("split") === "test")
+    val sampled = TextAnalysis.stratifiedSample(test, "doc_id", "source",
+      Map("src0" -> 8000), defaultBp = 5000)
+    TextAnalysis.packSequences(sampled, "doc_id", "text", contextLen = 256L)
+  }
+
   /** Decontaminated (leakage-free) split: the t07 hash split, but near-
     * dup twins can never straddle train/test — the split key is the
     * d07 CLUSTER id for clustered docs (the doc's own id for
@@ -4250,5 +4286,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07)
 }
