@@ -66,10 +66,10 @@ object EdgeRunner {
       k -> v
     }.toMap
     val mode = kv.getOrElse("--mode",
-      sys.error("--mode batch|stream|meta|corpus|dedup|zorder|classify|neardup is required"))
+      sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|neardup is required"))
     require(
-      Set("batch", "stream", "meta", "corpus", "dedup", "zorder", "classify",
-        "neardup")(mode),
+      Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
+        "classify", "neardup")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -210,6 +210,26 @@ object EdgeRunner {
     writeAndCount(cfg, kept, "corpus_docs", saveMode(cfg.dbMode), Seq("lang"))
   }
 
+  /** `--mode maintain`: the per-ingest maintenance step that closes
+    * the dedup loop — compute [[graft.operators.Dedup.knownKeys]] for
+    * the just-landed batch (`--in`, usually the kept docs a prior
+    * `--mode dedup` run wrote) and APPEND them to the `--known-keys`
+    * parquet key-table dir. The next day's `--mode dedup` then joins
+    * against keys only; corpus text is never re-fingerprinted. Also
+    * the bootstrap: run it once over the existing corpus to create
+    * the key table. Returns the number of key rows appended. */
+  def runMaintain(spark: SparkSession, cfg: Config): Long = {
+    require(cfg.knownKeys.nonEmpty,
+      "maintain mode requires --known-keys (the parquet key-table dir to append to)")
+    val batch = parseJson(readBatchJson(spark, cfg.in), Schemas.document)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val keys = graft.operators.Dedup.knownKeys(batch, "text")
+      .localCheckpoint(false)
+    val n = keys.count()
+    keys.write.mode("append").parquet(cfg.knownKeys)
+    n
+  }
+
   /** `--mode corpus`: streaming corpus ingestion (quality gate +
     * watermarked content dedup → lang-partitioned parquet). With
     * `--known`, already-landed content is dropped too (stream-static
@@ -271,6 +291,7 @@ object EdgeRunner {
     case "batch"  => println(s"[edge] stock_bars rows: ${runBatch(spark, cfg)}")
     case "meta"   => println(s"[edge] company_data rows: ${runMeta(spark, cfg)}")
     case "dedup"  => println(s"[edge] corpus_docs rows kept: ${runDedup(spark, cfg)}")
+    case "maintain" => println(s"[edge] key rows appended: ${runMaintain(spark, cfg)}")
     // --drain true: process exactly the backlog present at start in
     // bounded batches, then exit (Trigger.AvailableNow) — the catch-up
     // job a deployment runs after downtime, against the same

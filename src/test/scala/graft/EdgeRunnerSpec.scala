@@ -117,6 +117,42 @@ class EdgeRunnerSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(12L))
   }
 
+  test("--mode maintain closes the dedup loop: bootstrap, ingest, append, re-ingest") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val keysDir = Files.createTempDirectory("edge_maint_keys").toString + "/keys"
+    // day 0 (bootstrap): maintain over the existing corpus creates the
+    // key table — the corpus text is never read again after this
+    val corpusIn = Files.createTempDirectory("edge_maint_corpus").toString
+    writeLines(corpusIn, "corpus.json", Seq(
+      s"""{"doc_id":0,"text":"$base","lang":"en","source":"web"}"""))
+    val boot = EdgeRunner.parse(Array("--mode", "maintain",
+      "--in", s"file:$corpusIn", "--known-keys", keysDir))
+    assert(EdgeRunner.runMaintain(spark, boot) == 1L)
+    // day 1: a fresh doc survives dedup against the keys
+    val in1 = Files.createTempDirectory("edge_maint_in1").toString
+    writeLines(in1, "b1.json", Seq(
+      """{"doc_id":10,"text":"rainfall statistics across four decades of measurements","lang":"en","source":"news"}"""))
+    val out1 = Files.createTempDirectory("edge_maint_out1").toString
+    assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+      "--in", s"file:$in1", "--out", out1, "--known-keys", keysDir))) == 1L)
+    // maintenance appends the survivor's keys
+    assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+      "--in", s"file:$in1", "--known-keys", keysDir))) == 1L)
+    // day 2: a re-post of day 1's survivor AND of the bootstrap corpus
+    // are both dropped; only the genuinely new doc lands
+    val in2 = Files.createTempDirectory("edge_maint_in2").toString
+    writeLines(in2, "b2.json", Seq(
+      """{"doc_id":20,"text":"rainfall statistics across four decades of measurements","lang":"en","source":"web"}""",
+      s"""{"doc_id":21,"text":"$base","lang":"en","source":"web"}""",
+      """{"doc_id":22,"text":"entirely novel content about catalyst physical planning","lang":"en","source":"web"}"""))
+    val out2 = Files.createTempDirectory("edge_maint_out2").toString
+    assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+      "--in", s"file:$in2", "--out", out2, "--known-keys", keysDir))) == 1L)
+    assert(spark.read.parquet(s"$out2/corpus_docs")
+      .select("doc_id").as[Long].collect().toSeq == Seq(22L))
+  }
+
   test("--mode batch and stream run off the graftlog (log:) DSv2 source") {
     val in = Files.createTempDirectory("edge_log").toString
     val out = Files.createTempDirectory("edge_log_out").toString
