@@ -223,6 +223,29 @@ object Similarity {
       }
     }
 
+  /** Per-ingest IVF maintenance — the d10/d16 append discipline
+    * applied to the ANN index: assign NEW vectors to the EXISTING
+    * centroids (one broadcast-arithmetic pass over the batch) and
+    * append them bucket-aligned to the posting table. No re-train, no
+    * corpus re-scan; probes see the new vectors through the same
+    * bucketed lists immediately, with identical routing to what a
+    * from-scratch assignment under these centroids would produce
+    * (spec-locked). Centroids drift from the data distribution over
+    * many ingests — re-train on the cadence recall monitoring
+    * dictates, which is the standard IVF operations story; the append
+    * keeps daily cost O(batch) instead of O(corpus k-means). `buckets`
+    * must match the save-time spec (Spark validates; mismatch throws).
+    * Callers using a staleness fingerprint re-stamp after appending. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                       newVecs: DataFrame, buckets: Int = 8): Unit = {
+    val model = loadIvfIndex(spark, name)
+    graft.sources.Bucketing.writeBucketedMulti(
+      newVecs.select(col("id"), col("vec"))
+        .withColumn("cid", nearestCentroid(col("vec"), model.centroids)),
+      s"${name}_assignments", Seq("cid"), buckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Reload a persisted IVF index. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): IVFModel = {
     val rows = spark.table(s"${name}_centroids").collect()

@@ -57,6 +57,42 @@ class IvfExtensionsSpec extends AnyFunSuite {
     assert(direct == viaTable)
   }
 
+  test("appendToIvfIndex routes new vectors exactly like a fixed-centroid reassignment") {
+    val rnd = new scala.util.Random(17)
+    def vecs(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toSeq.toDF("id", "vec")
+    val old = vecs(100 until 160)
+    val delta = vecs(200 until 230)
+    for (t <- Seq("ivf_app_centroids", "ivf_app_assignments"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val model = Similarity.ivfIndex(old, nCentroids = 4, iters = 2)
+    Similarity.saveIvfIndex(spark, model, "ivf_app")
+    Similarity.appendToIvfIndex(spark, "ivf_app", delta)
+    val maintained = Similarity.loadIvfIndex(spark, "ivf_app")
+    // centroids untouched by the append
+    assert(maintained.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    // assignments = old ∪ (delta routed under the ORIGINAL centroids):
+    // every delta id present exactly once, with cid = the argmin of
+    // the same L2 surrogate the index uses — byte-for-byte what a
+    // from-scratch assignment with these fixed centroids produces
+    val got = maintained.assignments.select("id", "cid")
+      .as[(Long, Int)].collect().toSet
+    val cents = model.centroids
+    val deltaRows = delta.as[(Long, Seq[Double])].collect().toMap
+    val gotDelta = got.filter(_._1 >= 200L)
+    assert(gotDelta.map(_._1) == deltaRows.keySet)
+    gotDelta.foreach { case (id, cid) =>
+      val v = deltaRows(id)
+      val dists = cents.map(c =>
+        c.map(x => x * x).sum - 2.0 * c.zip(v).map { case (a, b) => a * b }.sum)
+      assert(dists(cid) == dists.min, s"delta $id routed to $cid, not argmin")
+    }
+    // old assignments untouched
+    assert(got.filter(_._1 < 200L) ==
+      model.assignments.select("id", "cid").as[(Long, Int)].collect().toSet)
+  }
+
   test("ensureIvfIndex builds once, then reuses the persisted index") {
     val rnd = new scala.util.Random(7)
     val cands = Seq.tabulate(40)(i =>
