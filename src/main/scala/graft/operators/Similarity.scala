@@ -574,15 +574,8 @@ object Similarity {
                     fingerprint: Option[String] = None)
       : (DataFrame, Array[Array[Array[Double]]]) = synchronized {
     import graft.sources.DerivedTables
-    def load(): (DataFrame, Array[Array[Array[Double]]]) = {
-      val rows = spark.table(s"${name}_books").collect()
-      val nS = rows.map(_.getInt(0)).max + 1
-      val nC = rows.map(_.getInt(1)).max + 1
-      val nP = rows.map(_.getInt(2)).max + 1
-      val books = Array.ofDim[Double](nS, nC, nP)
-      rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-      (spark.table(s"${name}_codes"), books)
-    }
+    def load(): (DataFrame, Array[Array[Array[Double]]]) =
+      (spark.table(s"${name}_codes"), loadPqBooks(spark, name))
     val tables = Seq(s"${name}_codes", s"${name}_books")
     val present = DerivedTables.presentOrExists(spark, tables, fingerprint)
     val existing = if (present) Some(load()) else None
@@ -592,6 +585,19 @@ object Similarity {
       DerivedTables.stampAll(spark, tables, fingerprint)
       load()
     }
+  }
+
+  /** Reload a persisted PQ codebook table (written by [[savePqModel]]):
+    * books(s)(c) = subspace s's centroid c. */
+  def loadPqBooks(spark: org.apache.spark.sql.SparkSession,
+                  name: String): Array[Array[Array[Double]]] = {
+    val rows = spark.table(s"${name}_books").collect()
+    val nS = rows.map(_.getInt(0)).max + 1
+    val nC = rows.map(_.getInt(1)).max + 1
+    val nP = rows.map(_.getInt(2)).max + 1
+    val books = Array.ofDim[Double](nS, nC, nP)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    books
   }
 
   /** The per-query ADC lookup table, flat: entry s·k + c is the dot of
@@ -683,6 +689,37 @@ object Similarity {
       DerivedTables.stampAll(spark, Seq(t), fingerprint)
     }
     spark.table(t)
+  }
+
+  /** Per-ingest IVF-ADC maintenance — [[appendToIvfIndex]]'s twin for
+    * the billion-scale layout: route the NEW vectors through the
+    * EXISTING coarse quantizer (`ivfName`'s centroids), encode each
+    * subspace slice against the EXISTING PQ codebooks (`pqName`'s
+    * books), and append the resulting (cid, neighbor_id, c0..c{m-1})
+    * rows bucket-aligned to the posting table. O(batch) broadcast
+    * arithmetic; no k-means re-run, no corpus re-encode; probes see
+    * the batch through the same bucketed cells immediately. Quantizer
+    * drift is the re-train trigger, as with the IVF append. */
+  def appendToAdcPostings(spark: org.apache.spark.sql.SparkSession,
+                          ivfName: String, pqName: String,
+                          newVecs: DataFrame, m: Int, dim: Int = 64,
+                          buckets: Int = 8): Unit = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val ivf = loadIvfIndex(spark, ivfName)
+    val books = loadPqBooks(spark, pqName)
+    val routed = newVecs.select(col("id"), col("vec"))
+      .withColumn("cid", nearestCentroid(col("vec"), ivf.centroids))
+    val coded = (0 until m).foldLeft(routed) { (df, s) =>
+      df.withColumn(s"c$s",
+        nearestCentroid(slice(col("vec"), s * subDim + 1, subDim), books(s))
+          .cast("long"))
+    }
+    graft.sources.Bucketing.writeBucketedMulti(
+      coded.select(col("cid") +: col("id").as("neighbor_id") +:
+        (0 until m).map(s => col(s"c$s")): _*),
+      s"${pqName}_adc", Seq("cid"), buckets,
+      org.apache.spark.sql.SaveMode.Append)
   }
 
   /** IVF-ADC two-stage retrieval: queries route to their `nProbe`

@@ -93,6 +93,47 @@ class IvfExtensionsSpec extends AnyFunSuite {
       model.assignments.select("id", "cid").as[(Long, Int)].collect().toSet)
   }
 
+  test("appendToAdcPostings encodes new vectors with the existing quantizers") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    val dim = 8; val m = 2; val subDim = dim / m
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))).toSeq.toDF("id", "vec")
+    val old = vecs(100 until 150)
+    val delta = vecs(200 until 220)
+    for (t <- Seq("adc_app_centroids", "adc_app_assignments",
+        "adc_app_pq_codes", "adc_app_pq_books", "adc_app_pq_adc"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val ivf = Similarity.ivfIndex(old, nCentroids = 4, iters = 2)
+    Similarity.saveIvfIndex(spark, ivf, "adc_app")
+    val (codes, books) = Similarity.productQuantizeModel(
+      old.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      m = m, k = 4, iters = 2, dim = dim)
+    Similarity.savePqModel(spark, "adc_app_pq", codes, books)
+    Similarity.ensureAdcPostings(spark, "adc_app_pq", ivf, codes, m = m)
+    val before = spark.table("adc_app_pq_adc").collect().map(_.toSeq).toSet
+    Similarity.appendToAdcPostings(spark, "adc_app", "adc_app_pq",
+      delta, m = m, dim = dim)
+    val after = spark.table("adc_app_pq_adc").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // old postings untouched
+    assert(after.filter(_._2 < 200L).map(x => Seq(x._1, x._2, x._3, x._4))
+      .map(_.toSeq).toSet.size == before.size)
+    // every delta row routed/encoded exactly as the fixed quantizers say
+    def argmin(v: Seq[Double], cents: Array[Array[Double]]): Int =
+      cents.map(c => c.map(x => x * x).sum -
+        2.0 * c.zip(v).map { case (a, b) => a * b }.sum).zipWithIndex.min._2
+    val deltaRows = delta.as[(Long, Seq[Double])].collect().toMap
+    val gotDelta = after.filter(_._2 >= 200L)
+    assert(gotDelta.map(_._2).toSet == deltaRows.keySet)
+    gotDelta.foreach { case (cid, id, c0, c1) =>
+      val v = deltaRows(id)
+      assert(cid == argmin(v, ivf.centroids), s"coarse routing off for $id")
+      assert(c0 == argmin(v.slice(0, subDim), books(0)), s"c0 off for $id")
+      assert(c1 == argmin(v.slice(subDim, dim), books(1)), s"c1 off for $id")
+    }
+  }
+
   test("ensureIvfIndex builds once, then reuses the persisted index") {
     val rnd = new scala.util.Random(7)
     val cands = Seq.tabulate(40)(i =>
