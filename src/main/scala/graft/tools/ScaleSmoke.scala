@@ -459,13 +459,38 @@ object ScaleSmoke {
       maintain().write.format("noop").mode("overwrite").save() // warmup
       Seq(time(s"incr_clusters_${nd}_docs")(maintain()))
     }
+    // --- round-10: ANN index maintenance vs full retrain -------------
+    // appendToIvfIndex's O(batch) claim: route a 10% batch through the
+    // persisted centroids and append, vs re-running the full k-means
+    // build. The append is a single broadcast-arithmetic pass + a
+    // bucketed write; retrain re-reads the corpus per Lloyd round.
+    val annResults = {
+      val old = embeddings.filter(col("id") % 10 =!= 0)
+      val delta = embeddings.filter(col("id") % 10 === 0)
+      for (t <- Seq("graft_smoke_ivf_centroids", "graft_smoke_ivf_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex(old, nCentroids = 16, iters = 2), "graft_smoke_ivf")
+      val t0 = System.nanoTime()
+      Similarity.appendToIvfIndex(spark, "graft_smoke_ivf", delta)
+      val tAppend = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ivf_append_10pct_${nd}_vecs  ${tAppend}%8.2f s")
+      val t1 = System.nanoTime()
+      Similarity.ivfIndex(embeddings, nCentroids = 16, iters = 2)
+        .assignments.write.format("noop").mode("overwrite").save()
+      val tRetrain = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] ivf_retrain_${nd}_vecs       ${tRetrain}%8.2f s")
+      Seq(s"ivf_append_10pct_${nd}_vecs" -> tAppend,
+        s"ivf_retrain_${nd}_vecs" -> tRetrain)
+    }
     val r10Linear =
       linear("pack_sequences", "docs", n =>
         TextAnalysis.packSequences(docsOf(n), "doc_id", "text",
           contextLen = 1024L))
 
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
-      r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear
+      r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
+      annResults
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()
