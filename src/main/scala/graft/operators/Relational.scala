@@ -23,7 +23,8 @@ object Relational {
     * the 1-row aggregate. Exact COUNT(DISTINCT) across several
     * columns plans Spark's expand (rows × columns into the shuffle) —
     * the standard price of exact profiles; a 100 TB profile swaps in
-    * approx_count_distinct (2% rsd) with everything else unchanged. */
+    * [[profileApprox]] (HLL++, rsd 0.0125) with everything else
+    * unchanged. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     profileWith(df, cols, c => countDistinct(col(c)))
 
