@@ -154,45 +154,58 @@ object Dedup {
                           numHashes: Int = 32, bands: Int = 16,
                           shingleN: Int = 3, portable: Boolean = false,
                           buckets: Int = 8): Unit =
-    writeIncrementalKeys(name, known, textCol, numHashes, bands, shingleN,
-      portable, buckets, org.apache.spark.sql.SaveMode.Overwrite)
+    writeIncrementalKeys(spark, name, known, textCol, numHashes, bands,
+      shingleN, portable, buckets, ingestId = "base", overwrite = true)
 
   /** ONE writer for build and maintenance: the key projections, band
     * layout, and bucket specs cannot drift between the initial save
-    * and the per-ingest append — only the SaveMode differs. */
-  private def writeIncrementalKeys(name: String, docs: DataFrame,
+    * and the per-ingest append — only the ingest stamp differs. Both
+    * paths are REPLAY-SAFE: rows land in an `ingest_id` directory
+    * partition via [[graft.sources.Bucketing.writeBucketedIngest]], so
+    * a retried ingest overwrites its own partition instead of
+    * double-appending. */
+  private def writeIncrementalKeys(spark: org.apache.spark.sql.SparkSession,
+                                   name: String, docs: DataFrame,
                                    textCol: String, numHashes: Int, bands: Int,
                                    shingleN: Int, portable: Boolean,
-                                   buckets: Int,
-                                   mode: org.apache.spark.sql.SaveMode): Unit = {
+                                   buckets: Int, ingestId: String,
+                                   overwrite: Boolean): Unit = {
     // one corpus scan feeds both key sets
     val keys = knownKeys(docs, textCol, numHashes, shingleN, portable)
       .localCheckpoint(false)
-    graft.sources.Bucketing.writeBucketedMulti(
+    graft.sources.Bucketing.writeBucketedIngest(spark,
       keys.select("__norm_key").distinct(), s"${name}_norm",
-      Seq("__norm_key"), buckets, mode)
-    graft.sources.Bucketing.writeBucketedMulti(
+      Seq("__norm_key"), buckets, ingestId, overwrite)
+    graft.sources.Bucketing.writeBucketedIngest(spark,
       bandKeys(keys.select("sig"), numHashes, bands)
         .select("band_idx", "band_key").distinct(),
-      s"${name}_bands", Seq("band_idx", "band_key"), buckets, mode)
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets, ingestId, overwrite)
   }
 
   /** Per-ingest maintenance for [[saveIncrementalKeys]]'s tables:
     * append the surviving batch's distinct norm hashes and band keys,
-    * bucket-aligned — the daily refresh that keeps the exact-dedup
-    * key tables current without re-fingerprinting the corpus. Keys
-    * are DISTINCT within the appended batch but may repeat rows
-    * already in the table across ingests; the consuming joins are
-    * semi/anti (set semantics), so duplicates cost bytes, never
-    * correctness — compact on whatever cadence the table's growth
-    * warrants. Re-stamp any staleness fingerprint after appending. */
+    * bucket-aligned, stamped with `ingestId` — the daily refresh that
+    * keeps the exact-dedup key tables current without
+    * re-fingerprinting the corpus. IDEMPOTENT under retry: the stamp
+    * is a directory partition written by dynamic partition overwrite,
+    * so re-running a crashed maintain job with the same `ingestId`
+    * replaces that ingest's rows instead of double-appending
+    * (append-twice ≡ append-once, spec-locked). Distinct ingests must
+    * use distinct ids (the date / batch number a daily pipeline
+    * already has). Keys are DISTINCT within an ingest but may repeat
+    * rows already present from earlier ingests; the consuming joins
+    * are semi/anti (set semantics), so those duplicates cost bytes,
+    * never correctness — fold finalized ingests down with
+    * [[graft.sources.Bucketing.compactIngests]] on whatever cadence
+    * the table's file count warrants. Re-stamp any staleness
+    * fingerprint after appending. */
   def appendIncrementalKeys(spark: org.apache.spark.sql.SparkSession, name: String,
-                            batch: DataFrame, textCol: String,
+                            batch: DataFrame, textCol: String, ingestId: String,
                             numHashes: Int = 32, bands: Int = 16,
                             shingleN: Int = 3, portable: Boolean = false,
                             buckets: Int = 8): Unit =
-    writeIncrementalKeys(name, batch, textCol, numHashes, bands, shingleN,
-      portable, buckets, org.apache.spark.sql.SaveMode.Append)
+    writeIncrementalKeys(spark, name, batch, textCol, numHashes, bands,
+      shingleN, portable, buckets, ingestId, overwrite = false)
 
   /** The batch-bound ingest path: [[incrementalKeep]] joining directly
     * against the bucketed tables written by [[saveIncrementalKeys]].
@@ -363,25 +376,27 @@ object Dedup {
                       corpus: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 16,
                       shingleN: Int = 3, buckets: Int = 8): Unit =
-    writeNearDupKeys(name, corpus, idCol, textCol, numHashes, bands,
-      shingleN, buckets, org.apache.spark.sql.SaveMode.Overwrite)
+    writeNearDupKeys(spark, name, corpus, idCol, textCol, numHashes, bands,
+      shingleN, buckets, ingestId = "base", overwrite = true)
 
   /** ONE writer for build and maintenance (the writeIncrementalKeys
     * discipline): save and append share projections and bucket specs
-    * by construction. */
-  private def writeNearDupKeys(name: String, docs: DataFrame, idCol: String,
+    * by construction, and both land under a replay-safe `ingest_id`
+    * partition stamp. */
+  private def writeNearDupKeys(spark: org.apache.spark.sql.SparkSession,
+                               name: String, docs: DataFrame, idCol: String,
                                textCol: String, numHashes: Int, bands: Int,
                                shingleN: Int, buckets: Int,
-                               mode: org.apache.spark.sql.SaveMode): Unit = {
+                               ingestId: String, overwrite: Boolean): Unit = {
     val keys = nearDupKeys(docs, idCol, textCol, numHashes, shingleN)
       .localCheckpoint(false)
-    graft.sources.Bucketing.writeBucketedMulti(
+    graft.sources.Bucketing.writeBucketedIngest(spark,
       bandKeys(keys.select("doc_id", "sig"), numHashes, bands)
         .select("band_idx", "band_key", "doc_id", "sig"),
-      s"${name}_ndband", Seq("band_idx", "band_key"), buckets, mode)
-    graft.sources.Bucketing.writeBucketedMulti(
+      s"${name}_ndband", Seq("band_idx", "band_key"), buckets, ingestId, overwrite)
+    graft.sources.Bucketing.writeBucketedIngest(spark,
       keys.select("doc_id", "sh"), s"${name}_ndsh", Seq("doc_id"),
-      buckets, mode)
+      buckets, ingestId, overwrite)
   }
 
   /** The per-ingest MAINTENANCE step for [[saveNearDupKeys]]'s tables:
@@ -389,18 +404,25 @@ object Dedup {
     * preserving each table's bucketing — so the corpus key tables stay
     * current WITHOUT ever rebuilding from corpus text. A daily
     * pipeline runs: pairs = [[jaccardPairsBetweenFromTables]](batch) →
-    * land the kept docs → `appendNearDupKeys(kept)`. One batch text
-    * scan; cost O(batch). Both tables key per doc, so appended rows
-    * are disjoint from existing ones as long as doc ids are (the same
-    * contract the landing itself needs). Callers using a staleness
-    * fingerprint must re-stamp after appending (the append IS the
-    * refresh). */
+    * land the kept docs → `appendNearDupKeys(kept, ingestId)`. One
+    * batch text scan; cost O(batch). IDEMPOTENT under retry: rows land
+    * in the `ingest_id` partition via dynamic partition overwrite, so
+    * a crashed-and-retried maintain with the same id replaces its own
+    * rows — no duplicated band/shingle rows, hence no duplicated
+    * candidate or verified pairs (append-twice ≡ append-once,
+    * spec-locked). Distinct ingests must use distinct ids, and doc ids
+    * must be disjoint across ingests (the same contract the landing
+    * itself needs — a doc id appended under TWO DIFFERENT ingest ids
+    * is a pipeline bug upstream of this table). Callers using a
+    * staleness fingerprint must re-stamp after appending (the append
+    * IS the refresh). */
   def appendNearDupKeys(spark: org.apache.spark.sql.SparkSession, name: String,
                         batch: DataFrame, idCol: String, textCol: String,
+                        ingestId: String,
                         numHashes: Int = 32, bands: Int = 16,
                         shingleN: Int = 3, buckets: Int = 8): Unit =
-    writeNearDupKeys(name, batch, idCol, textCol, numHashes, bands,
-      shingleN, buckets, org.apache.spark.sql.SaveMode.Append)
+    writeNearDupKeys(spark, name, batch, idCol, textCol, numHashes, bands,
+      shingleN, buckets, ingestId, overwrite = false)
 
   /** [[jaccardPairsBetween]] joining directly against the bucketed key
     * tables written by [[saveNearDupKeys]] — the batch-bound ingest

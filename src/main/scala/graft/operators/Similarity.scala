@@ -185,8 +185,11 @@ object Similarity {
       .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) => (i, p, v) } }
       .toSeq.toDF("cid", "pos", "v")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_centroids")
-    graft.sources.Bucketing.writeBucketed(
-      model.assignments, s"${name}_assignments", "cid", buckets)
+    // ingest-partitioned from birth so per-ingest appends
+    // ([[appendToIvfIndex]]) are replay-idempotent partitions
+    graft.sources.Bucketing.writeBucketedIngest(spark,
+      model.assignments, s"${name}_assignments", Seq("cid"), buckets,
+      ingestId = "base", overwrite = true)
   }
 
   /** Build-once / probe-many entry: returns the index named `name`,
@@ -232,18 +235,25 @@ object Similarity {
     * from-scratch assignment under these centroids would produce
     * (spec-locked). Centroids drift from the data distribution over
     * many ingests — re-train on the cadence recall monitoring
-    * dictates, which is the standard IVF operations story; the append
+    * ([[recallAtK]] via `EdgeRunner --mode recall-check`) dictates,
+    * which is the standard IVF operations story; the append
     * keeps daily cost O(batch) instead of O(corpus k-means). `buckets`
     * must match the save-time spec (Spark validates; mismatch throws).
-    * Callers using a staleness fingerprint re-stamp after appending. */
+    * IDEMPOTENT under retry: the batch lands in the `ingest_id`
+    * partition via dynamic partition overwrite, so a retried maintain
+    * with the same id replaces its own postings — a crashed-and-rerun
+    * ingest cannot return the same neighbor twice in top-k
+    * (append-twice ≡ append-once, spec-locked). Distinct ingests use
+    * distinct ids. Callers using a staleness fingerprint re-stamp
+    * after appending. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
-                       newVecs: DataFrame, buckets: Int = 8): Unit = {
+                       newVecs: DataFrame, ingestId: String,
+                       buckets: Int = 8): Unit = {
     val model = loadIvfIndex(spark, name)
-    graft.sources.Bucketing.writeBucketedMulti(
+    graft.sources.Bucketing.writeBucketedIngest(spark,
       newVecs.select(col("id"), col("vec"))
         .withColumn("cid", nearestCentroid(col("vec"), model.centroids)),
-      s"${name}_assignments", Seq("cid"), buckets,
-      org.apache.spark.sql.SaveMode.Append)
+      s"${name}_assignments", Seq("cid"), buckets, ingestId)
   }
 
   /** Reload a persisted IVF index. */
@@ -684,11 +694,68 @@ object Similarity {
     import graft.sources.DerivedTables
     val t = s"${name}_adc"
     if (!DerivedTables.presentOrExists(spark, Seq(t), fingerprint)) {
-      graft.sources.Bucketing.writeBucketed(
-        adcPostings(ivf, codes, m), t, "cid", buckets)
+      // ingest-partitioned from birth: [[appendToAdcPostings]] lands
+      // each batch in its own replay-idempotent partition
+      graft.sources.Bucketing.writeBucketedIngest(spark,
+        adcPostings(ivf, codes, m), t, Seq("cid"), buckets,
+        ingestId = "base", overwrite = true)
       DerivedTables.stampAll(spark, Seq(t), fingerprint)
     }
     spark.table(t)
+  }
+
+  // ------------------------------------------------ recall monitoring
+
+  /** recall@k of an ANN result against the exact answer: the fraction
+    * of the exact (query_id, neighbor_id) top-k pairs the ANN result
+    * surfaced — computed distributed (one semi join + two counts), so
+    * it works on any pair of frames in the [[bruteForceTopK]] output
+    * shape ([[ivfTopK]], [[ivfAdcTopK]], [[lshTopK]] all emit it). */
+  def recallAtK(ann: DataFrame, exact: DataFrame): Double = {
+    val denom = exact.count()
+    require(denom > 0, "exact top-k is empty — nothing to measure recall against")
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    hits.toDouble / denom
+  }
+
+  /** The monitor's output: measured recall plus the retrain verdict
+    * the append paths defer to. */
+  case class RecallReport(recall: Double, nQueries: Long, k: Int,
+                          nProbe: Int, minRecall: Double) {
+    /** true ⇒ the index has drifted below the floor: re-train the
+      * quantizer(s) instead of appending further. */
+    def retrain: Boolean = recall < minRecall
+  }
+
+  /** Operational recall monitor for a persisted, append-maintained IVF
+    * index — the measurement [[appendToIvfIndex]] /
+    * [[appendToAdcPostings]] defer their re-train cadence to. Samples
+    * `sampleN` corpus vectors deterministically (the smallest
+    * xxhash64(id) — planned as a TakeOrdered: per-partition heaps, one
+    * corpus scan, never a full sort, unbiased across ingest
+    * partitions), runs [[ivfTopK]] against [[bruteForceTopK]] on them,
+    * and verdicts the measured recall@k against `minRecall`. Cost is
+    * one corpus scan × sampleN broadcast queries for the exact side —
+    * the honest price of ground truth, bounded by the sample size and
+    * paid only on the monitoring cadence (daily, after the append),
+    * not per probe. Queries drawn from the corpus find themselves at
+    * rank 1 on BOTH sides, so self-hits cancel out of the comparison
+    * rather than inflating it. */
+  def ivfRecallCheck(spark: org.apache.spark.sql.SparkSession, name: String,
+                     k: Int = 10, nProbe: Int = 2, sampleN: Int = 64,
+                     minRecall: Double = 0.9): RecallReport = {
+    val model = loadIvfIndex(spark, name)
+    val corpus = model.assignments.select(col("id"), col("vec"))
+    val queries = corpus
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .localCheckpoint(false)
+    val exact = bruteForceTopK(queries, corpus, k)
+    val ann = ivfTopK(queries, model, k, nProbe)
+    RecallReport(recallAtK(ann, exact), queries.count(), k, nProbe, minRecall)
   }
 
   /** Per-ingest IVF-ADC maintenance — [[appendToIvfIndex]]'s twin for
@@ -699,10 +766,15 @@ object Similarity {
     * rows bucket-aligned to the posting table. O(batch) broadcast
     * arithmetic; no k-means re-run, no corpus re-encode; probes see
     * the batch through the same bucketed cells immediately. Quantizer
-    * drift is the re-train trigger, as with the IVF append. */
+    * drift is the re-train trigger, as with the IVF append
+    * ([[recallAtK]] measures it). IDEMPOTENT under retry: the batch
+    * lands in the `ingest_id` partition via dynamic partition
+    * overwrite (append-twice ≡ append-once, spec-locked); distinct
+    * ingests use distinct ids. */
   def appendToAdcPostings(spark: org.apache.spark.sql.SparkSession,
                           ivfName: String, pqName: String,
-                          newVecs: DataFrame, m: Int, dim: Int = 64,
+                          newVecs: DataFrame, m: Int, ingestId: String,
+                          dim: Int = 64,
                           buckets: Int = 8): Unit = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
@@ -715,11 +787,10 @@ object Similarity {
         nearestCentroid(slice(col("vec"), s * subDim + 1, subDim), books(s))
           .cast("long"))
     }
-    graft.sources.Bucketing.writeBucketedMulti(
+    graft.sources.Bucketing.writeBucketedIngest(spark,
       coded.select(col("cid") +: col("id").as("neighbor_id") +:
         (0 until m).map(s => col(s"c$s")): _*),
-      s"${pqName}_adc", Seq("cid"), buckets,
-      org.apache.spark.sql.SaveMode.Append)
+      s"${pqName}_adc", Seq("cid"), buckets, ingestId)
   }
 
   /** IVF-ADC two-stage retrieval: queries route to their `nProbe`

@@ -39,4 +39,88 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** The replay-safe per-ingest write for an incrementally-maintained
+    * bucketed table: rows are stamped with `ingestId` and the table is
+    * PARTITIONED on that stamp (directory partition) while staying
+    * bucketed (and sorted) on the join `keys`, so
+    *   - a RETRIED ingest replaces exactly its own `ingest_id=...`
+    *     partition via dynamic partition overwrite instead of
+    *     double-appending (write-twice ≡ write-once — the
+    *     at-least-once retry a daily pipeline WILL eventually hit),
+    *   - reads stay exchange-free on the bucket keys (bucket layout is
+    *     per (partition, bucket); Catalyst still reports the hash
+    *     partitioning, verified by plan-shape spec),
+    *   - compaction ([[compactIngests]]) can fold finalized ingest
+    *     partitions without touching live ones.
+    * `overwrite = true` is the bootstrap: (re)create the table from
+    * scratch. `overwrite = false` requires the table to exist (the
+    * bootstrap is a separate, explicit act — an append into nothing is
+    * a pipeline wiring bug, not a table to silently invent). */
+  def writeBucketedIngest(spark: SparkSession, df: DataFrame, table: String,
+                          keys: Seq[String], buckets: Int, ingestId: String,
+                          overwrite: Boolean = false): Unit = {
+    require(ingestId.nonEmpty, "ingestId must be non-empty")
+    val stamped = df.withColumn("ingest_id",
+      org.apache.spark.sql.functions.lit(ingestId))
+    if (overwrite || !spark.catalog.tableExists(table)) {
+      stamped.write.mode(SaveMode.Overwrite)
+        .partitionBy("ingest_id")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet").saveAsTable(table)
+    } else {
+      // insertInto is positional: emit exactly the catalog's column
+      // order (data columns, then the ingest_id partition column last)
+      val cols = spark.table(table).columns
+        .map(org.apache.spark.sql.functions.col)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try stamped.select(cols.toIndexedSeq: _*)
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Compaction for an ingest-partitioned bucketed table (the
+    * operational tax of [[writeBucketedIngest]]: each daily ingest
+    * leaves its own partition directory of ≤`buckets` files, so a year
+    * of ingests is 365×buckets small files). Folds every ingest
+    * partition EXCEPT the lexically-greatest `keepLast` ids into the
+    * single `base` partition, rewriting with the identical bucket/sort
+    * spec — results and exchange-free plans are unchanged (spec-locked).
+    * Kept partitions preserve replayability: a retry of a still-kept
+    * ingest id remains idempotent; a retry of a FOLDED id would
+    * re-append, so compact only ingests past the pipeline's retry
+    * horizon (that is what `keepLast` is for — ids must sort by time:
+    * dates or zero-padded batch numbers). Rewrites via a side table +
+    * catalog rename so the source is never read and overwritten in the
+    * same job (and nothing is dropped until the replacement exists). */
+  def compactIngests(spark: SparkSession, table: String, keys: Seq[String],
+                     buckets: Int, keepLast: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val ids = spark.table(table).select("ingest_id").distinct()
+      .collect().map(_.getString(0)).sorted
+    val kept = ids.takeRight(keepLast).toSet
+    val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
+    val remapped = spark.table(table)
+      .withColumn("ingest_id", when(keptCond, col("ingest_id")).otherwise(lit("base")))
+    val side = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $side")
+    remapped.write.mode(SaveMode.Overwrite)
+      .partitionBy("ingest_id")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(side)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $side RENAME TO $table")
+    // the rename moves the managed dir but catalog-provided PARTITION
+    // locations still point at the side path — re-sync them from disk,
+    // then drop the cached file index
+    spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+    spark.catalog.refreshTable(table)
+  }
 }

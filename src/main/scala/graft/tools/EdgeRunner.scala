@@ -54,7 +54,14 @@ object EdgeRunner {
     simThreshold: Double = 0.7,       // neardup mode: est-Jaccard suppress cutoff
     ttlMin: Long = 10,                // neardup mode: state TTL (minutes)
     bands: Int = 1,                   // neardup mode: blocking bands (recall 1-(1-j)^b)
-    drain: Boolean = false)           // stream/corpus: AvailableNow catch-up
+    drain: Boolean = false,           // stream/corpus: AvailableNow catch-up
+    ingestId: String = "",            // maintain mode: replay key (defaults to hash of --in)
+    index: String = "",               // recall-check mode: IVF index table prefix
+    warehouse: String = "",           // recall-check/compact: spark.sql.warehouse.dir
+    k: Int = 10,                      // recall-check mode: top-k depth
+    nProbe: Int = 2,                  // recall-check mode: probed cells
+    sample: Int = 64,                 // recall-check mode: sampled query count
+    minRecall: Double = 0.9)          // recall-check mode: retrain verdict threshold
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -66,10 +73,11 @@ object EdgeRunner {
       k -> v
     }.toMap
     val mode = kv.getOrElse("--mode",
-      sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|neardup is required"))
+      sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
+        "neardup|recall-check is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
-        "classify", "neardup")(mode),
+        "classify", "neardup", "recall-check")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -90,7 +98,14 @@ object EdgeRunner {
       simThreshold = kv.get("--sim-threshold").map(_.toDouble).getOrElse(0.7),
       ttlMin = kv.get("--ttl-min").map(_.toLong).getOrElse(10L),
       bands = kv.get("--bands").map(_.toInt).getOrElse(1),
-      drain = kv.get("--drain").exists(_.toBoolean))
+      drain = kv.get("--drain").exists(_.toBoolean),
+      ingestId = kv.getOrElse("--ingest-id", ""),
+      index = kv.getOrElse("--index", ""),
+      warehouse = kv.getOrElse("--warehouse", ""),
+      k = kv.get("--k").map(_.toInt).getOrElse(10),
+      nProbe = kv.get("--nprobe").map(_.toInt).getOrElse(2),
+      sample = kv.get("--sample").map(_.toInt).getOrElse(64),
+      minRecall = kv.get("--min-recall").map(_.toDouble).getOrElse(0.9))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -132,6 +147,19 @@ object EdgeRunner {
     * cast value, from_json against the explicit schema, flatten). */
   private def parseJson(raw: DataFrame, schema: StructType): DataFrame =
     raw.select(from_json(col("json"), schema).as("data")).select("data.*")
+
+  /** Typed document rows from any batch input: `parquet:/dir` reads an
+    * ALREADY-TYPED parquet directory — the kept-docs output a prior
+    * `--mode dedup` run landed, which is exactly what `--mode maintain`
+    * must consume (feeding it the raw JSON batch would also append keys
+    * for docs dedup DROPPED, so never-landed content would suppress
+    * future ingests) — anything else is raw JSON lines / a topic parsed
+    * against `Schemas.document`. */
+  private def readDocs(spark: SparkSession, in: String): DataFrame = in match {
+    case s if s.startsWith("parquet:") =>
+      spark.read.parquet(s.stripPrefix("parquet:"))
+    case other => parseJson(readBatchJson(spark, other), Schemas.document)
+  }
 
   /** Sink dispatch: JDBC named table when configured, else partitioned
     * parquet under out/<table> (reference write_stock_bars /
@@ -196,7 +224,7 @@ object EdgeRunner {
     // incrementalKeep drops null id/text itself. (Content-quality
     // gating beyond that composes upstream — the streaming twin's
     // CorpusStream gate.)
-    val incoming = parseJson(readBatchJson(spark, cfg.in), Schemas.document)
+    val incoming = readDocs(spark, cfg.in)
     // --known-keys wins: the persisted key table is the production path
     // (each ingest appends its survivors' keys; the corpus text is
     // never re-fingerprinted)
@@ -212,23 +240,43 @@ object EdgeRunner {
 
   /** `--mode maintain`: the per-ingest maintenance step that closes
     * the dedup loop — compute [[graft.operators.Dedup.knownKeys]] for
-    * the just-landed batch (`--in`, usually the kept docs a prior
-    * `--mode dedup` run wrote) and APPEND them to the `--known-keys`
-    * parquet key-table dir. The next day's `--mode dedup` then joins
-    * against keys only; corpus text is never re-fingerprinted. Also
-    * the bootstrap: run it once over the existing corpus to create
-    * the key table. Returns the number of key rows appended. */
+    * the just-landed batch and land them in the `--known-keys` parquet
+    * key-table dir. `--in parquet:/out/corpus_docs` feeds the kept
+    * docs a prior `--mode dedup` run wrote (the correct input: keys of
+    * what LANDED, not of what arrived — raw JSON input also works for
+    * the bootstrap over an existing corpus, or when the batch was
+    * landed verbatim). REPLAY-IDEMPOTENT: the keys land under an
+    * `ingest_id=` partition via dynamic partition overwrite, so a
+    * crashed-and-retried maintain replaces its own partition instead
+    * of double-appending; the id is `--ingest-id` when given (use the
+    * date / batch number), else derived from a hash of `--in` — which
+    * is deterministic per retry but REQUIRES per-batch input paths
+    * (reusing one path for successive batches without `--ingest-id`
+    * would overwrite the previous batch's keys). The next day's
+    * `--mode dedup` joins against keys only; corpus text is never
+    * re-fingerprinted. Returns the number of key rows landed. */
   def runMaintain(spark: SparkSession, cfg: Config): Long = {
     require(cfg.knownKeys.nonEmpty,
       "maintain mode requires --known-keys (the parquet key-table dir to append to)")
-    val batch = parseJson(readBatchJson(spark, cfg.in), Schemas.document)
+    val batch = readDocs(spark, cfg.in)
       .filter(org.apache.spark.sql.functions.col("text").isNotNull)
     val keys = graft.operators.Dedup.knownKeys(batch, "text")
       .localCheckpoint(false)
     val n = keys.count()
-    keys.write.mode("append").parquet(cfg.knownKeys)
+    Connectors.overwritePartitions(
+      keys.withColumn("ingest_id", lit(ingestIdOf(cfg))),
+      cfg.knownKeys, Seq("ingest_id"))
     n
   }
+
+  /** The maintain/recall replay key: explicit `--ingest-id`, else a
+    * deterministic hash of the input path (stable across retries of
+    * the same batch, distinct across per-batch input dirs). */
+  private def ingestIdOf(cfg: Config): String =
+    if (cfg.ingestId.nonEmpty) cfg.ingestId
+    else "in_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.in.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
 
   /** `--mode corpus`: streaming corpus ingestion (quality gate +
     * watermarked content dedup → lang-partitioned parquet). With
@@ -302,6 +350,28 @@ object EdgeRunner {
     case "zorder" => println(s"[edge] zorder files written: ${runZorder(spark, cfg)}")
     case "classify" =>
       println(s"[edge] docs scored: ${runClassify(spark, cfg)}")
+    case "recall-check" =>
+      val r = runRecallCheck(spark, cfg)
+      println(f"[edge] recall@${r.k}=${r.recall}%.4f over ${r.nQueries} queries " +
+        f"(nprobe=${r.nProbe}, floor=${r.minRecall}) verdict=" +
+        (if (r.retrain) "RETRAIN" else "OK"))
+  }
+
+  /** `--mode recall-check`: the ANN re-train trigger — sampled
+    * recall@k of the append-maintained IVF index (`--index` table
+    * prefix, in `--warehouse`) vs brute force, verdict RETRAIN when it
+    * falls below `--min-recall`. Run it on the maintenance cadence
+    * AFTER the day's `appendToIvfIndex`; a RETRAIN verdict means the
+    * frozen centroids no longer separate the (drifted) corpus and the
+    * index should be rebuilt (`ensureIvfIndex` after dropping, or
+    * `saveIvfIndex` of a fresh `ivfIndex`). Exit contract: returns the
+    * report; the printed line carries the verdict. */
+  def runRecallCheck(spark: SparkSession,
+                     cfg: Config): graft.operators.Similarity.RecallReport = {
+    require(cfg.index.nonEmpty,
+      "recall-check mode requires --index (the IVF table prefix)")
+    graft.operators.Similarity.ivfRecallCheck(spark, cfg.index,
+      cfg.k, cfg.nProbe, cfg.sample, cfg.minRecall)
   }
 
   /** `--mode classify`: the t20 model-inference gate as an operational
@@ -338,12 +408,16 @@ object EdgeRunner {
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // recall-check reads catalog tables: point the session at the
+    // warehouse the index was persisted into
+    val spark = (if (cfg.warehouse.nonEmpty)
+      builder.config("spark.sql.warehouse.dir", cfg.warehouse)
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, cfg) finally spark.stop()
   }

@@ -472,7 +472,7 @@ object ScaleSmoke {
       Similarity.saveIvfIndex(spark,
         Similarity.ivfIndex(old, nCentroids = 16, iters = 2), "graft_smoke_ivf")
       val t0 = System.nanoTime()
-      Similarity.appendToIvfIndex(spark, "graft_smoke_ivf", delta)
+      Similarity.appendToIvfIndex(spark, "graft_smoke_ivf", delta, ingestId = "i1")
       val tAppend = (System.nanoTime() - t0) / 1e9
       println(f"[scale] ivf_append_10pct_${nd}_vecs  ${tAppend}%8.2f s")
       val t1 = System.nanoTime()

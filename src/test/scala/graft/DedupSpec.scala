@@ -282,7 +282,7 @@ class DedupSpec extends AnyFunSuite {
     val (inc, whole) = ("graft_test_ndinc", "graft_test_ndwhole")
     try {
       Dedup.saveNearDupKeys(spark, inc, bulk, "doc_id", "text")
-      Dedup.appendNearDupKeys(spark, inc, delta, "doc_id", "text")
+      Dedup.appendNearDupKeys(spark, inc, delta, "doc_id", "text", ingestId = "i1")
       Dedup.saveNearDupKeys(spark, whole, old, "doc_id", "text")
       def pairs(name: String): Set[(Long, Long, Double)] =
         Dedup.jaccardPairsBetweenFromTables(
@@ -306,7 +306,7 @@ class DedupSpec extends AnyFunSuite {
     try {
       // land doc 0's keys first, then maintain with docs 1,2's keys
       Dedup.saveIncrementalKeys(spark, name, known.filter(col("doc_id") === 0L), "text")
-      Dedup.appendIncrementalKeys(spark, name, known.filter(col("doc_id") =!= 0L), "text")
+      Dedup.appendIncrementalKeys(spark, name, known.filter(col("doc_id") =!= 0L), "text", ingestId = "i1")
       val fromTables = Dedup
         .incrementalKeepFromTables(spark, incoming, name, "doc_id", "text")
         .select("doc_id").as[Long].collect().toSet

@@ -67,7 +67,7 @@ class IvfExtensionsSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     val model = Similarity.ivfIndex(old, nCentroids = 4, iters = 2)
     Similarity.saveIvfIndex(spark, model, "ivf_app")
-    Similarity.appendToIvfIndex(spark, "ivf_app", delta)
+    Similarity.appendToIvfIndex(spark, "ivf_app", delta, ingestId = "i1")
     val maintained = Similarity.loadIvfIndex(spark, "ivf_app")
     // centroids untouched by the append
     assert(maintained.centroids.map(_.toSeq).toSeq ==
@@ -113,7 +113,7 @@ class IvfExtensionsSpec extends AnyFunSuite {
     Similarity.ensureAdcPostings(spark, "adc_app_pq", ivf, codes, m = m)
     val before = spark.table("adc_app_pq_adc").collect().map(_.toSeq).toSet
     Similarity.appendToAdcPostings(spark, "adc_app", "adc_app_pq",
-      delta, m = m, dim = dim)
+      delta, m = m, ingestId = "i1", dim = dim)
     val after = spark.table("adc_app_pq_adc").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
     // old postings untouched
