@@ -153,6 +153,49 @@ class EdgeRunnerSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(22L))
   }
 
+  test("--mode maintain is replay-idempotent and consumes dedup's parquet output") {
+    import spark.implicits._
+    val keysDir = Files.createTempDirectory("edge_replay_keys").toString + "/keys"
+    val corpusIn = Files.createTempDirectory("edge_replay_corpus").toString
+    writeLines(corpusIn, "corpus.json", Seq(
+      """{"doc_id":0,"text":"the quick brown fox jumps over the lazy dog again today","lang":"en","source":"web"}"""))
+    assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+      "--in", s"file:$corpusIn", "--known-keys", keysDir))) == 1L)
+    // the crash-and-retry: same input, same derived ingest id — the
+    // key dir must hold the batch's keys ONCE, not twice
+    assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+      "--in", s"file:$corpusIn", "--known-keys", keysDir))) == 1L)
+    assert(spark.read.parquet(keysDir).count() == 1L,
+      "retried maintain must replace its ingest partition, not append")
+    // day 1: dedup lands survivors as parquet; maintain consumes THAT
+    // parquet (keys of what LANDED), with an explicit ingest id
+    val in1 = Files.createTempDirectory("edge_replay_in1").toString
+    writeLines(in1, "b1.json", Seq(
+      """{"doc_id":10,"text":"rainfall statistics across four decades of measurements","lang":"en","source":"news"}""",
+      """{"doc_id":11,"text":"the quick brown fox jumps over the lazy dog again today","lang":"en","source":"web"}"""))
+    val out1 = Files.createTempDirectory("edge_replay_out1").toString
+    assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+      "--in", s"file:$in1", "--out", out1, "--known-keys", keysDir))) == 1L)
+    for (_ <- 1 to 2) // land + the retry
+      assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+        "--in", s"parquet:$out1/corpus_docs", "--known-keys", keysDir,
+        "--ingest-id", "day1"))) == 1L)
+    assert(spark.read.parquet(keysDir).count() == 2L)
+    assert(spark.read.parquet(keysDir).select("ingest_id").distinct()
+      .as[String].collect().toSet.contains("day1"))
+    // day 2: re-posts of the corpus doc AND day 1's survivor both drop
+    val in2 = Files.createTempDirectory("edge_replay_in2").toString
+    writeLines(in2, "b2.json", Seq(
+      """{"doc_id":20,"text":"rainfall statistics across four decades of measurements","lang":"en","source":"web"}""",
+      """{"doc_id":21,"text":"the quick brown fox jumps over the lazy dog again today","lang":"en","source":"web"}""",
+      """{"doc_id":22,"text":"entirely novel content about catalyst physical planning","lang":"en","source":"web"}"""))
+    val out2 = Files.createTempDirectory("edge_replay_out2").toString
+    assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+      "--in", s"file:$in2", "--out", out2, "--known-keys", keysDir))) == 1L)
+    assert(spark.read.parquet(s"$out2/corpus_docs")
+      .select("doc_id").as[Long].collect().toSeq == Seq(22L))
+  }
+
   test("--mode batch and stream run off the graftlog (log:) DSv2 source") {
     val in = Files.createTempDirectory("edge_log").toString
     val out = Files.createTempDirectory("edge_log_out").toString

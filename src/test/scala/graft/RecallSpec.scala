@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** The ANN recall monitor — the measurement the append-maintenance
+  * paths defer their re-train cadence to. The drift scenario is the
+  * canonical IVF failure mode: appended vectors form a new mode that
+  * STRADDLES a frozen-centroid decision boundary, so each lands in
+  * whichever cell it leans toward and a low-nProbe probe sees only the
+  * half that shares its cell. */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def gauss(rnd: scala.util.Random, n: Int, sd: Double): Seq[Double] =
+    Seq.fill(n)(rnd.nextGaussian() * sd)
+
+  test("recallAtK: identical frames 1.0, disjoint 0.0, half overlap 0.5") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    assert(Similarity.recallAtK(exact, exact) == 1.0)
+    val none = Seq((1L, 99L)).toDF("query_id", "neighbor_id")
+    assert(Similarity.recallAtK(none, exact) == 0.0)
+    val half = Seq((1L, 10L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    assert(Similarity.recallAtK(half, exact) == 0.5)
+  }
+
+  test("ivfRecallCheck: healthy index verdicts OK; a drifted append flips it to RETRAIN") {
+    val rnd = new scala.util.Random(7)
+    // two tight, well-separated modes: the frozen quantizer's world
+    val clusterA = (0 until 20).map(i =>
+      (i.toLong, (10.0 + rnd.nextGaussian() * 0.1) +: gauss(rnd, 7, 0.1)))
+    val clusterB = (100 until 120).map(i =>
+      (i.toLong, (-10.0 + rnd.nextGaussian() * 0.1) +: gauss(rnd, 7, 0.1)))
+    val name = "recall_ivf"
+    try {
+      for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex((clusterA ++ clusterB).toDF("id", "vec"),
+          nCentroids = 2, iters = 3), name)
+      val healthy = Similarity.ivfRecallCheck(spark, name,
+        k = 2, nProbe = 1, sampleN = 200, minRecall = 0.9)
+      assert(healthy.recall == 1.0,
+        s"well-separated clusters under their own centroids: ${healthy.recall}")
+      assert(!healthy.retrain)
+
+      // the drifted day: a new mode at the MIDPOINT, dominant direction
+      // orthogonal to the old axis, built as TWIN PAIRS that differ
+      // only in the sign of a small dim-0 offset — each vector's
+      // nearest neighbor (its twin, cosine ~1) deterministically routes
+      // to the OPPOSITE frozen cell, so an nProbe=1 probe cannot see it
+      // pair-identifying components are LARGE (sd 1.0) and HIGH-DIM
+      // (6 of 8 dims: cross-pair signatures are near-orthogonal, so no
+      // other vector can outrank the twin in cosine), while the small
+      // dim-0 offset (±0.1) still decides the cell — ranking and
+      // routing deliberately decoupled
+      val drift = (0 until 15).flatMap { i =>
+        val w = gauss(rnd, 6, 1.0)
+        Seq((200L + 2 * i, Seq(0.1, 5.0) ++ w),
+          (201L + 2 * i, Seq(-0.1, 5.0) ++ w))
+      }
+      Similarity.appendToIvfIndex(spark, name, drift.toDF("id", "vec"),
+        ingestId = "drift-day")
+      val drifted = Similarity.ivfRecallCheck(spark, name,
+        k = 2, nProbe = 1, sampleN = 200, minRecall = 0.9)
+      assert(drifted.recall < healthy.recall)
+      assert(drifted.retrain,
+        s"boundary-straddling mode must trip the verdict: ${drifted.recall}")
+      // the monitor is measuring a ROUTING gap, not a broken probe:
+      // widening nProbe to cover both straddled cells restores recall
+      val widened = Similarity.ivfRecallCheck(spark, name,
+        k = 2, nProbe = 2, sampleN = 200, minRecall = 0.9)
+      assert(widened.recall == 1.0 && !widened.retrain)
+    } finally for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("EdgeRunner --mode recall-check surfaces the report") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, (if (i % 2 == 0) 8.0 else -8.0) +: gauss(rnd, 3, 0.1)))
+    val name = "recall_edge"
+    try {
+      for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex(vecs.toDF("id", "vec"), nCentroids = 2, iters = 3), name)
+      val cfg = graft.tools.EdgeRunner.parse(Array(
+        "--mode", "recall-check", "--in", "unused:", "--index", name,
+        "--k", "3", "--nprobe", "1", "--sample", "64", "--min-recall", "0.9"))
+      val r = graft.tools.EdgeRunner.runRecallCheck(spark, cfg)
+      assert(r.recall == 1.0 && !r.retrain && r.k == 3 && r.nProbe == 1)
+    } finally for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}
