@@ -648,23 +648,51 @@ object Dedup {
   }
 
   /** Incremental cluster maintenance — fold a new batch into an
-    * EXISTING cluster assignment without re-clustering the corpus:
-    * connected components over (old assignments as star edges
-    * member→root) ∪ (the delta's near-dup pairs: within-batch and
-    * batch×corpus). Star edges preserve every old component's
-    * connectivity through its root, so the result is IDENTICAL to
-    * re-running [[clusters]] over the full pair set (min-id labels are
-    * canonical under connectivity; d16's oracle re-derives them from
-    * scratch) — including batch docs that BRIDGE two old clusters,
-    * which merge to the smaller root. Cost: O(cluster table + delta
-    * edges) through the pointer-jumping rounds — the corpus's LSH/
-    * banding never re-runs (its keys are the persisted
-    * [[saveNearDupKeys]] tables the delta pairs come from). */
+    * EXISTING cluster assignment without re-clustering the corpus,
+    * touching ONLY the components the delta is adjacent to:
+    *   1. roots touched = the old roots of any delta-pair endpoint;
+    *   2. connected components over (star edges member→root of the
+    *      TOUCHED components only) ∪ (the delta's near-dup pairs:
+    *      within-batch and batch×corpus);
+    *   3. untouched assignments pass through UNCHANGED.
+    * Star edges preserve each touched component's connectivity through
+    * its root, and an untouched component has no delta edge incident
+    * by construction, so it is a whole component of the new graph too
+    * — the union is IDENTICAL to re-running [[clusters]] over the full
+    * pair set (min-id labels are per-component, so labels agree;
+    * d16's oracle re-derives them from scratch, and the random-graph
+    * property spec covers bridges/merges). Batch docs that BRIDGE two
+    * old clusters merge them to the smaller root, exactly as a rebuild
+    * would.
+    *
+    * Cost per ingest: the iterative CC rounds — the expensive,
+    * multi-shuffle part — run over O(delta neighborhood) rows (the
+    * touched components + delta edges), not the cluster table; the
+    * cluster table itself is read twice as a narrow columnar scan
+    * (semi-join against the tiny touched-root set — broadcast — and
+    * the pass-through anti-join), which is the irreducible price of
+    * emitting the full assignment. The corpus's LSH/banding never
+    * re-runs (its keys are the persisted [[saveNearDupKeys]] tables
+    * the delta pairs come from). */
   def incrementalClusters(oldClusters: DataFrame, deltaPairs: DataFrame,
-                          maxIter: Int = 8): DataFrame =
-    clusters(
-      oldClusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-        .union(deltaPairs.select(col("doc_a"), col("doc_b"))), maxIter)
+                          maxIter: Int = 8): DataFrame = {
+    // checkpointed: feeds the endpoint set AND the subgraph union
+    val delta = deltaPairs.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false)
+    val ends = delta.select(col("doc_a").as("doc_id"))
+      .union(delta.select(col("doc_b").as("doc_id"))).distinct()
+    // tiny (≤ 2·|delta| roots): both component joins broadcast it
+    val touchedRoots = oldClusters.join(ends, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint(false)
+    val touched = oldClusters
+      .join(broadcast(touchedRoots), Seq("cluster_id"), "left_semi")
+    val merged = clusters(
+      touched.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        .union(delta), maxIter)
+    oldClusters.join(broadcast(touchedRoots), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+      .unionByName(merged.select("doc_id", "cluster_id"))
+  }
 
   /** The delta EDGE SET an ingest feeds [[incrementalClusters]]: the
     * batch's within-batch near-dup pairs ∪ its pairs against the

@@ -62,6 +62,40 @@ object Relational {
                     rsd: Double = 0.0125): DataFrame =
     profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Gate a GK `percentile_approx` against the exact ±0.5%-RANK band
+    * per group: for each percentile p the single-pass approx estimate
+    * must land between the exact interpolated percentiles at p∓0.005 —
+    * a merge-order-safe invariant (GK's rank error is bounded by the
+    * accuracy parameter; the surfaced element itself is merge-order-
+    * dependent, so the BOOLEAN is what a cross-engine oracle checks).
+    * Output: (group, n, p50_in_bounds, p95_in_bounds).
+    *
+    * Auto-guarded for SMALL groups: below `minN` rows a ±0.5% rank
+    * band spans less than one element while the exact side
+    * interpolates BETWEEN elements, so a correct approx answer (an
+    * actual element of the group) can sit outside the band — the gate
+    * is only meaningful when the band is at least ~an element wide
+    * (n ≳ 1/0.005 ≥ 200; 250 adds margin). Under the bound the gate
+    * emits TRUE by construction, so a tiny-SF or replica run cannot go
+    * red on correct code (spec-locked both sides of the bound). */
+  def approxQuantileGate(df: DataFrame, groupCol: String, valueCol: String,
+                         minN: Long = 250): DataFrame = {
+    val guard = col("n") < minN
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile_approx($valueCol, array(0.5D, 0.95D), 1000)").as("ap"),
+        expr(s"percentile($valueCol, array(0.495D, 0.505D, 0.945D, 0.955D))").as("ex"))
+      .select(col(groupCol), col("n"),
+        (guard ||
+          (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("ex"), 2)))
+          .as("p50_in_bounds"),
+        (guard ||
+          (element_at(col("ap"), 2) >= element_at(col("ex"), 3) &&
+            element_at(col("ap"), 2) <= element_at(col("ex"), 4)))
+          .as("p95_in_bounds"))
+  }
+
   /** Keep the top k rows per partition under `order`. One shuffle on
     * `partitionCols`; within-partition sort only (no global order), so it
     * scales linearly with data / executors. Skewed partition keys can be

@@ -488,9 +488,37 @@ object ScaleSmoke {
         TextAnalysis.packSequences(docsOf(n), "doc_id", "text",
           contextLen = 1024L))
 
+    // --- round-11: touched-component maintenance — cost flat in the
+    // CORPUS at fixed delta. The r10 form re-walked the full cluster
+    // table through the CC rounds every ingest (O(cluster table)); the
+    // touched-component form's CC sees only components adjacent to the
+    // delta, so the SAME delta folded into a 2x corpus should cost
+    // about the same, not 2x (the residual growth is the columnar
+    // key-table/assignment scans).
+    val r11Results = {
+      val delta = docsOf(nDocs / 2).filter(col("doc_id") % 10 === 0)
+      def maintainAt(n: Long): (String, Double) = {
+        val tag = fmt(n)
+        val keysName = s"graft_smoke_ndk_$tag"
+        val corpus = docsOf(n).filter(col("doc_id") % 10 =!= 0)
+        Dedup.saveNearDupKeys(spark, keysName, corpus, "doc_id", "text")
+        val oldClusters = Dedup.clusters(
+            Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+              .select("doc_a", "doc_b"))
+          .localCheckpoint()
+        def maintain(): DataFrame =
+          Dedup.incrementalClusters(oldClusters,
+            Dedup.incrementalDeltaPairs(spark, delta, keysName,
+              "doc_id", "text", threshold = 0.5))
+        maintain().write.format("noop").mode("overwrite").save() // warmup
+        time(s"incr_clusters_fixed_delta_${tag}_corpus")(maintain())
+      }
+      Seq(maintainAt(nDocs / 2), maintainAt(nDocs))
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
-      annResults
+      annResults ++ r11Results
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()

@@ -8,6 +8,29 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("approxQuantileGate: small groups auto-guard TRUE, large groups evaluate the band") {
+    // n=10 with distinct values: the exact ±0.5%-rank band interpolates
+    // STRICTLY BETWEEN two elements, so the (correct) approx answer —
+    // an actual element — cannot land inside it: the raw gate is FALSE
+    // on correct code, which is exactly why the guard exists
+    val tiny = (1 to 10).map(v => ("t", v.toDouble))
+    // n=300: the band spans whole elements and the gate is meaningful
+    val big = (1 to 300).map(v => ("b", v.toDouble))
+    val df = (tiny ++ big).toDF("g", "value")
+    val guarded = Relational.approxQuantileGate(df, "g", "value")
+      .as[(String, Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(guarded("t") == (("t", 10L, true, true)),
+      "below the bound the gate must be vacuous-TRUE")
+    assert(guarded("b") == (("b", 300L, true, true)))
+    // both sides of the bound: with the guard disabled the tiny group's
+    // raw band check really does fail on correct data
+    val raw = Relational.approxQuantileGate(df, "g", "value", minN = 0)
+      .as[(String, Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!raw("t")._3 && !raw("t")._4,
+      "n=10 distinct values: no element can sit inside the interpolated band")
+    assert(raw("b")._3 && raw("b")._4)
+  }
+
   test("topKPerGroup keeps exactly k best rows per key with stable order") {
     val df = Seq(
       ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
