@@ -61,7 +61,9 @@ object EdgeRunner {
     k: Int = 10,                      // recall-check mode: top-k depth
     nProbe: Int = 2,                  // recall-check mode: probed cells
     sample: Int = 64,                 // recall-check mode: sampled query count
-    minRecall: Double = 0.9)          // recall-check mode: retrain verdict threshold
+    minRecall: Double = 0.9,          // recall-check mode: retrain verdict threshold
+    table: String = "",               // compact mode: bucketed table + comma keys
+    keepLast: Int = 1)                // compact mode: ingest partitions left intact
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -77,7 +79,7 @@ object EdgeRunner {
         "neardup|recall-check is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
-        "classify", "neardup", "recall-check")(mode),
+        "classify", "neardup", "recall-check", "compact")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -105,7 +107,9 @@ object EdgeRunner {
       k = kv.get("--k").map(_.toInt).getOrElse(10),
       nProbe = kv.get("--nprobe").map(_.toInt).getOrElse(2),
       sample = kv.get("--sample").map(_.toInt).getOrElse(64),
-      minRecall = kv.get("--min-recall").map(_.toDouble).getOrElse(0.9))
+      minRecall = kv.get("--min-recall").map(_.toDouble).getOrElse(0.9),
+      table = kv.getOrElse("--table", ""),
+      keepLast = kv.get("--keep-last").map(_.toInt).getOrElse(1))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -304,7 +308,16 @@ object EdgeRunner {
     * `--bands b` probes b buckets per doc, lifting blocking recall to
     * 1−(1−j)^b at b× the state). Needs
     * the RocksDB state store, set here like any transformWithState
-    * deployment would. */
+    * deployment would.
+    *
+    * With `--known-keys`, the sink additionally CLOSES the
+    * stream→corpus loop: each micro-batch's survivors land via
+    * [[landAndMaintain]], which also appends their dedup keys to the
+    * key dir `--mode dedup` consumes — a doc the stream admitted at
+    * 10:00 suppresses its re-post in the 10:05 BATCH ingest too, not
+    * just within the stream's TTL window. Both writes are
+    * batch_id-keyed dynamic partition overwrites (the
+    * MinuteStream.writeBatch replay discipline). */
   def startNearDup(spark: SparkSession, cfg: Config,
                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
     require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
@@ -313,16 +326,40 @@ object EdgeRunner {
       graft.streaming.TtlState.RocksDbProvider)
     val docs = CorpusStream.parseDocs(readStreamEnvelopes(spark, cfg.in))
       .select("doc_id", "text", "ts")
-    graft.streaming.NearDupStream.suppress(docs,
+    val writer = graft.streaming.NearDupStream.suppress(docs,
         ttl = java.time.Duration.ofMinutes(cfg.ttlMin),
         threshold = cfg.simThreshold, bands = cfg.bands)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", cfg.checkpoint)
       .trigger(trigger)
-      .format("parquet")
-      .option("path", cfg.out)
-      .start()
+    if (cfg.knownKeys.isEmpty)
+      writer.format("parquet").option("path", cfg.out).start()
+    else
+      writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landAndMaintain(batch, batchId, cfg.out, cfg.knownKeys)
+      }.start()
+  }
+
+  /** The neardup sink's batch body — public so the replay contract is
+    * directly testable (call twice with one id): land the surviving
+    * docs under a `batch_id=` partition AND append their
+    * [[graft.operators.Dedup.knownKeys]] to the batch-dedup key dir
+    * under `ingest_id=stream<batchId>`. Both dynamic partition
+    * overwrites: a replayed micro-batch (crash after write, before the
+    * checkpoint commit) replaces its own partitions — no duplicate
+    * docs, no duplicate keys. */
+  def landAndMaintain(batch: DataFrame, batchId: Long, outDir: String,
+                      keysDir: String): Unit = {
+    batch.persist()
+    try {
+      Connectors.overwritePartitions(
+        batch.withColumn("batch_id", lit(batchId)), outDir, Seq("batch_id"))
+      Connectors.overwritePartitions(
+        graft.operators.Dedup.knownKeys(batch, "text")
+          .withColumn("ingest_id", lit(s"stream$batchId")),
+        keysDir, Seq("ingest_id"))
+    } finally { batch.unpersist(); () }
   }
 
   private def triggerOf(cfg: Config): Trigger =
@@ -355,6 +392,57 @@ object EdgeRunner {
       println(f"[edge] recall@${r.k}=${r.recall}%.4f over ${r.nQueries} queries " +
         f"(nprobe=${r.nProbe}, floor=${r.minRecall}) verdict=" +
         (if (r.retrain) "RETRAIN" else "OK"))
+    case "compact" =>
+      println(s"[edge] compacted: ${runCompact(spark, cfg)}")
+  }
+
+  /** `--mode compact`: fold finalized ingest partitions — the
+    * operational tax of the replay-safe append discipline (one
+    * partition directory of small files per daily ingest). Two
+    * targets:
+    *   - `--known-keys <dir>`: the path-based key dir `--mode
+    *     maintain` appends to — all but the lexically-greatest
+    *     `--keep-last` ingest partitions fold into `ingest_id=base`.
+    *   - `--table name:key1,key2` (with `--warehouse`): a managed
+    *     bucketed key table ([[graft.sources.Bucketing.compactIngests]]
+    *     — same fold, bucket/sort spec preserved).
+    * Only compact ingests past the pipeline's retry horizon: a retry
+    * of a FOLDED ingest id re-appends (its partition no longer
+    * exists), which is what `--keep-last` protects. */
+  def runCompact(spark: SparkSession, cfg: Config): String = {
+    require(cfg.knownKeys.nonEmpty || cfg.table.nonEmpty,
+      "compact mode requires --known-keys <dir> or --table name:k1,k2")
+    if (cfg.table.nonEmpty) {
+      val (name, keys) = cfg.table.split(":") match {
+        case Array(n, ks) => (n, ks.split(",").toSeq.map(_.trim))
+        case _ => sys.error(s"--table expects name:key1[,key2], got ${cfg.table}")
+      }
+      graft.sources.Bucketing.compactIngests(spark, name, keys,
+        bucketsOf(spark, name), cfg.keepLast)
+      s"table $name (${spark.table(name).count()} rows)"
+    } else {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val df = spark.read.parquet(cfg.knownKeys)
+      val ids = df.select("ingest_id").distinct()
+        .collect().map(_.getString(0)).sorted
+      val kept = ids.takeRight(cfg.keepLast).toSet
+      val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
+      val remapped = df.withColumn("ingest_id",
+          when(keptCond, col("ingest_id")).otherwise(lit("base")))
+        .localCheckpoint(true) // materialize before overwriting the source dir
+      remapped.write.mode(SaveMode.Overwrite)
+        .partitionBy("ingest_id").parquet(cfg.knownKeys)
+      s"key dir ${cfg.knownKeys} (${ids.length} ingests -> ${kept.size + 1} partitions)"
+    }
+  }
+
+  /** The bucket count a managed table was created with (the catalog's
+    * spec — compaction must preserve it exactly). */
+  private def bucketsOf(spark: SparkSession, name: String): Int = {
+    import spark.implicits._
+    spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").as[String].head().trim.toInt
   }
 
   /** `--mode recall-check`: the ANN re-train trigger — sampled

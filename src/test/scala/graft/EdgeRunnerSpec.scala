@@ -196,6 +196,97 @@ class EdgeRunnerSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(22L))
   }
 
+  test("--mode neardup with --known-keys closes the stream->batch dedup loop") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("edge_loop_log").toString
+    val out = Files.createTempDirectory("edge_loop_out").toString
+    val ckpt = Files.createTempDirectory("edge_loop_ckpt").toString
+    val keysDir = Files.createTempDirectory("edge_loop_keys").toString + "/keys"
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen sleepy badgers watch from the mossy riverbank tonight"
+    val other = "completely different subject matter entirely about " +
+      "catalyst optimizer rules rewriting logical plans tonight"
+    def doc(i: Int, text: String) =
+      s"""{"doc_id":$i,"text":"$text","lang":"en","ts":"2025-01-01 10:0$i:00"}"""
+    writeLines(in, "docs.log", Seq(doc(1, base), doc(2, other)))
+    val savedProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    try {
+      val q = EdgeRunner.startNearDup(spark, EdgeRunner.parse(Array(
+          "--mode", "neardup", "--in", s"log:$in", "--out", out,
+          "--checkpoint", ckpt, "--known-keys", keysDir)),
+        Trigger.ProcessingTime("0 seconds"))
+      val deadline = System.currentTimeMillis() + 60000
+      def keyCount(): Long =
+        try spark.read.parquet(keysDir).count() catch { case _: Exception => 0L }
+      while (keyCount() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      q.stop()
+      assert(keyCount() == 2L, "both admitted docs' keys must reach the key dir")
+      assert(spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L))
+      // the loop closure: a BATCH ingest re-posting a stream-admitted
+      // doc is dropped by --mode dedup against the same key dir
+      val in2 = Files.createTempDirectory("edge_loop_in2").toString
+      writeLines(in2, "b.json", Seq(
+        s"""{"doc_id":10,"text":"$base","lang":"en","source":"web"}""",
+        """{"doc_id":11,"text":"fresh words never landed anywhere before now","lang":"en","source":"web"}"""))
+      val out2 = Files.createTempDirectory("edge_loop_out2").toString
+      assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+        "--in", s"file:$in2", "--out", out2, "--known-keys", keysDir))) == 1L)
+      assert(spark.read.parquet(s"$out2/corpus_docs")
+        .select("doc_id").as[Long].collect().toSeq == Seq(11L))
+      // the foreachBatch body is replay-idempotent: re-running a batch
+      // with the same id replaces its partitions, never duplicates
+      val landed = spark.read.parquet(out).filter(col("batch_id") === 0L)
+        .select("doc_id", "text", "ts").persist()
+      if (landed.count() > 0) {
+        EdgeRunner.landAndMaintain(landed, 0L, out, keysDir)
+        assert(keyCount() == 2L && spark.read.parquet(out).count() == 2L,
+          "replaying batch 0 must not change either table")
+      }
+      landed.unpersist()
+    } finally savedProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("--mode compact folds old ingest partitions of the maintain key dir") {
+    import spark.implicits._
+    val keysDir = Files.createTempDirectory("edge_cpt_keys").toString + "/keys"
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again today",
+      "rainfall statistics across four decades of measurements",
+      "entirely novel content about catalyst physical planning")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val in = Files.createTempDirectory(s"edge_cpt_in$i").toString
+      writeLines(in, "b.json",
+        Seq(s"""{"doc_id":$i,"text":"$t","lang":"en","source":"web"}"""))
+      assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+        "--in", s"file:$in", "--known-keys", keysDir,
+        "--ingest-id", s"day$i"))) == 1L)
+    }
+    EdgeRunner.runCompact(spark, EdgeRunner.parse(Array("--mode", "compact",
+      "--in", "unused:", "--known-keys", keysDir, "--keep-last", "1")))
+    // three ingests folded to base + the most recent (still replayable)
+    assert(spark.read.parquet(keysDir).select("ingest_id").distinct()
+      .as[String].collect().toSet == Set("base", "day2"))
+    assert(spark.read.parquet(keysDir).count() == 3L)
+    // dedup still drops re-posts of ALL compacted batches
+    val in = Files.createTempDirectory("edge_cpt_repost").toString
+    writeLines(in, "b.json", texts.zipWithIndex.map { case (t, i) =>
+      s"""{"doc_id":${10 + i},"text":"$t","lang":"en","source":"web"}"""
+    } :+ """{"doc_id":99,"text":"fresh words never landed anywhere before now","lang":"en","source":"web"}""")
+    val out = Files.createTempDirectory("edge_cpt_out").toString
+    assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+      "--in", s"file:$in", "--out", out, "--known-keys", keysDir))) == 1L)
+    assert(spark.read.parquet(s"$out/corpus_docs")
+      .select("doc_id").as[Long].collect().toSeq == Seq(99L))
+  }
+
   test("--mode batch and stream run off the graftlog (log:) DSv2 source") {
     val in = Files.createTempDirectory("edge_log").toString
     val out = Files.createTempDirectory("edge_log_out").toString
