@@ -1299,6 +1299,56 @@ object Queries {
         threshold = 0.5))
   }
 
+  /** Per-source duplication report — the corpus-health scoreboard a
+    * data-mix owner reads before weighting sources: for every source,
+    * how many docs it contributed, how many of those sit in a near-dup
+    * cluster (≥2 members by construction — the cluster table only
+    * holds docs with at least one ≥0.5-Jaccard edge), how many
+    * distinct clusters its docs touch, and the duplicate rate. Reads
+    * the PERSISTED d07 cluster artifact (the d08/d14/p04 discipline) —
+    * one narrow join + one aggregation; no LSH, no text. The oracle
+    * re-derives clusters from scratch, so the row is end-to-end
+    * oracle-exact. 100 TB shape: equi-join on doc_id + a 4-group agg;
+    * nothing quadratic, no broadcast risk (both sides partition on
+    * doc_id). */
+  val d17 = q("d17_dup_rate_by_source",
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      | WHERE jaccard >= 0.5),
+      |edges AS (
+      | SELECT doc_a AS src, doc_b AS dst FROM pairs
+      | UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      |assign AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+      |SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(COUNT(a.cluster_id) AS BIGINT) AS n_dup_docs,
+      | CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+      | round(CAST(COUNT(a.cluster_id) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |FROM documents doc LEFT JOIN assign a ON a.doc_id = doc.doc_id
+      |GROUP BY doc.source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select("doc_id", "source")
+      .join(ensureClusters(s, dir), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster_id")).as("n_dup_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
   // ------------------------------------------- text analysis (LLM pipeline)
 
   private def markerSql(ws: Seq[String]): String =
@@ -3412,6 +3462,62 @@ object Queries {
       shortlist = 20, k = 5, lambda = 0.7)
   }
 
+  /** The ANN recall MONITOR as an oracle-checked query: per-query
+    * recall@5 of the persisted portable IVF index (s04's — same name,
+    * same frozen quantizer) against brute-force exact cosine. Both
+    * sides are deterministic (portable md5-init k-means, 6dp rounds,
+    * id tiebreaks), so the recall FRACTION itself is engine-exact: the
+    * oracle re-derives the index with the unrolled-Lloyd CTEs, probes
+    * it, takes the exact top-5, and counts the overlap. This is the
+    * read-only twin of `EdgeRunner --mode recall-check` (which uses
+    * the production xxhash-sampled monitor over the maintained index);
+    * registering it makes the round's retrain-trigger measurement part
+    * of the correctness surface, not just a CLI verdict. Scale shape:
+    * ANN side probes bucketed cells; the exact side is one bounded
+    * corpus scan against broadcast queries — the documented price of
+    * ground truth, paid on the monitoring cadence. */
+  val s15 = q("s15_ivf_recall",
+    s"""$ivfOracleCtes,
+      |probe AS (SELECT vec_id AS query_id, cid FROM (
+      | SELECT qs.vec_id, c.cid,
+      |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+      |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+      | FROM qs, c2 c) WHERE r <= 4),
+      |ann AS (SELECT query_id, neighbor_id FROM (
+      | SELECT p.query_id, af.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(qe.v, af.v), 6) AS cos
+      | FROM probe p JOIN af ON af.cid = p.cid JOIN e qe ON qe.vec_id = p.query_id)
+      | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY cos DESC, neighbor_id) <= 5),
+      |exact AS (SELECT query_id, neighbor_id FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+      | FROM qs q, corp c)
+      | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY cos DESC, neighbor_id) <= 5)
+      |SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      | CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+      | round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+      |FROM exact x LEFT JOIN ann a
+      | ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      |GROUP BY x.query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    val queries = emb.filter(col("id") < 10)
+    val ann = Similarity.ivfTopK(queries, model, k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    Similarity.bruteForceTopK(queries, emb.filter(col("id") >= 10), k = 5)
+      .select("query_id", "neighbor_id")
+      .join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** Cohort retention over the event stream: users cohorted by the ISO
     * week of their first signup; every later event lands in a
     * (cohort-week, week-offset) cell with distinct-user and event
@@ -4285,9 +4391,9 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07)
 }

@@ -758,6 +758,30 @@ object Similarity {
     RecallReport(recallAtK(ann, exact), queries.count(), k, nProbe, minRecall)
   }
 
+  /** [[ivfRecallCheck]] for the IVF-ADC layout: same deterministic
+    * sample and exact baseline, probed through [[ivfAdcTopK]] (coarse
+    * route → code-LUT cell scan → exact rerank of `shortlist`), so the
+    * verdict reflects BOTH drift sources the append path freezes — the
+    * coarse quantizer's routing AND the PQ codebooks' encoding. The
+    * exact side fetches full vectors from the IVF assignments table
+    * (`ivfName`), the ANN side reads only the `pqName` postings +
+    * shortlist vectors — the production cost split. */
+  def adcRecallCheck(spark: org.apache.spark.sql.SparkSession,
+                     ivfName: String, pqName: String, dim: Int = 64,
+                     k: Int = 10, nProbe: Int = 2, shortlist: Int = 32,
+                     sampleN: Int = 64, minRecall: Double = 0.9): RecallReport = {
+    val model = loadIvfIndex(spark, ivfName)
+    val corpus = model.assignments.select(col("id"), col("vec"))
+    val queries = corpus
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .localCheckpoint(false)
+    val exact = bruteForceTopK(queries, corpus, k)
+    val ann = ivfAdcTopK(queries, model, spark.table(s"${pqName}_adc"),
+      loadPqBooks(spark, pqName), k, nProbe, shortlist, dim)
+    RecallReport(recallAtK(ann, exact), queries.count(), k, nProbe, minRecall)
+  }
+
   /** Per-ingest IVF-ADC maintenance — [[appendToIvfIndex]]'s twin for
     * the billion-scale layout: route the NEW vectors through the
     * EXISTING coarse quantizer (`ivfName`'s centroids), encode each

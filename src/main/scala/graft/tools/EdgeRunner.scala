@@ -33,6 +33,16 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   *   --out /tmp/out --checkpoint /tmp/ckpt --webhook https://hooks.slack.example/T/K
   * runMain graft.tools.EdgeRunner --mode stream --in log:/var/log/trades \
   *   --out /tmp/out --checkpoint /tmp/ckpt --drain true   // catch-up: drain backlog, exit
+  * // the daily dedup cycle (all three replay-idempotent):
+  * runMain graft.tools.EdgeRunner --mode dedup    --in file:/in/day7 --out /data \
+  *   --known-keys /data/keys
+  * runMain graft.tools.EdgeRunner --mode maintain --in parquet:/data/corpus_docs \
+  *   --known-keys /data/keys --ingest-id day7
+  * runMain graft.tools.EdgeRunner --mode compact  --in unused: \
+  *   --known-keys /data/keys --keep-last 3
+  * // ANN maintenance cadence:
+  * runMain graft.tools.EdgeRunner --mode recall-check --in unused: \
+  *   --index corpus_ivf --warehouse /data/wh --k 10 --nprobe 2 --min-recall 0.9
   * }}}
   */
 object EdgeRunner {
@@ -63,7 +73,10 @@ object EdgeRunner {
     sample: Int = 64,                 // recall-check mode: sampled query count
     minRecall: Double = 0.9,          // recall-check mode: retrain verdict threshold
     table: String = "",               // compact mode: bucketed table + comma keys
-    keepLast: Int = 1)                // compact mode: ingest partitions left intact
+    keepLast: Int = 1,                // compact mode: ingest partitions left intact
+    pq: String = "",                  // recall-check: PQ prefix -> check the IVF-ADC path
+    shortlist: Int = 32,              // recall-check (ADC): rerank shortlist size
+    dim: Int = 64)                    // recall-check (ADC): embedding dimension
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -109,7 +122,10 @@ object EdgeRunner {
       sample = kv.get("--sample").map(_.toInt).getOrElse(64),
       minRecall = kv.get("--min-recall").map(_.toDouble).getOrElse(0.9),
       table = kv.getOrElse("--table", ""),
-      keepLast = kv.get("--keep-last").map(_.toInt).getOrElse(1))
+      keepLast = kv.get("--keep-last").map(_.toInt).getOrElse(1),
+      pq = kv.getOrElse("--pq", ""),
+      shortlist = kv.get("--shortlist").map(_.toInt).getOrElse(32),
+      dim = kv.get("--dim").map(_.toInt).getOrElse(64))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -458,8 +474,15 @@ object EdgeRunner {
                      cfg: Config): graft.operators.Similarity.RecallReport = {
     require(cfg.index.nonEmpty,
       "recall-check mode requires --index (the IVF table prefix)")
-    graft.operators.Similarity.ivfRecallCheck(spark, cfg.index,
-      cfg.k, cfg.nProbe, cfg.sample, cfg.minRecall)
+    // --pq switches to the IVF-ADC path: same sample and exact
+    // baseline, probed through the posting/codebook tables, so the
+    // verdict covers coarse-routing AND encoding drift
+    if (cfg.pq.nonEmpty)
+      graft.operators.Similarity.adcRecallCheck(spark, cfg.index, cfg.pq,
+        cfg.dim, cfg.k, cfg.nProbe, cfg.shortlist, cfg.sample, cfg.minRecall)
+    else
+      graft.operators.Similarity.ivfRecallCheck(spark, cfg.index,
+        cfg.k, cfg.nProbe, cfg.sample, cfg.minRecall)
   }
 
   /** `--mode classify`: the t20 model-inference gate as an operational

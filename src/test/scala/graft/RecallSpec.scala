@@ -78,6 +78,42 @@ class RecallSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("adcRecallCheck monitors the IVF-ADC path (routing + encoding drift together)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    val dim = 8; val m = 2
+    // two tight modes: coarse routing and PQ encoding are both healthy
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, (if (i % 2 == 0) 8.0 else -8.0) +: gauss(rnd, dim - 1, 0.1)))
+    val (ivfN, pqN) = ("recall_adc", "recall_adc_pq")
+    try {
+      for (t <- Seq(s"${ivfN}_centroids", s"${ivfN}_assignments",
+          s"${pqN}_codes", s"${pqN}_books", s"${pqN}_adc"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      val ivf = Similarity.ivfIndex(vecs.toDF("id", "vec"), nCentroids = 2, iters = 3)
+      Similarity.saveIvfIndex(spark, ivf, ivfN)
+      val (codes, books) = Similarity.productQuantizeModel(
+        vecs.toDF("id", "vec").select(col("id").as("vec_id"),
+          col("vec").as("embedding")),
+        m = m, k = 4, iters = 2, dim = dim)
+      Similarity.savePqModel(spark, pqN, codes, books)
+      Similarity.ensureAdcPostings(spark, pqN, ivf, codes, m = m)
+      // generous shortlist: the exact rerank sees every cell member, so
+      // a healthy quantizer pair must reproduce brute force exactly
+      val r = Similarity.adcRecallCheck(spark, ivfN, pqN, dim = dim,
+        k = 3, nProbe = 1, shortlist = 40, sampleN = 64, minRecall = 0.9)
+      assert(r.recall == 1.0 && !r.retrain, s"healthy ADC stack: ${r.recall}")
+      // the CLI face: --pq switches the check to this path
+      val cfg = graft.tools.EdgeRunner.parse(Array(
+        "--mode", "recall-check", "--in", "unused:", "--index", ivfN,
+        "--pq", pqN, "--dim", dim.toString, "--k", "3", "--nprobe", "1",
+        "--shortlist", "40"))
+      assert(graft.tools.EdgeRunner.runRecallCheck(spark, cfg).recall == 1.0)
+    } finally for (t <- Seq(s"${ivfN}_centroids", s"${ivfN}_assignments",
+        s"${pqN}_codes", s"${pqN}_books", s"${pqN}_adc"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("EdgeRunner --mode recall-check surfaces the report") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 30).map(i =>
