@@ -233,8 +233,11 @@ object EdgeRunner {
   /** `--mode dedup`: incremental batch-vs-corpus dedup — incoming docs
     * (JSON lines or a topic, `Schemas.document`) are anti-joined
     * against the known corpus's content hashes and MinHash band keys
-    * ([[graft.operators.Dedup.incrementalKeep]]); survivors append to
-    * `corpus_docs`, lang-partitioned. Beyond the reference's surface —
+    * ([[graft.operators.Dedup.incrementalKeep]]); survivors land in
+    * `corpus_docs` under (lang, ingest_id) partitions via dynamic
+    * partition overwrite — lang-prunable AND replay-idempotent (a
+    * retried run replaces its own docs; `--ingest-id` or the path-hash
+    * default, as in maintain mode). Beyond the reference's surface —
     * the batch front door of the LLM ingest pipeline. */
   def runDedup(spark: SparkSession, cfg: Config): Long = {
     require(cfg.known.nonEmpty || cfg.knownKeys.nonEmpty,
@@ -255,7 +258,28 @@ object EdgeRunner {
       else
         graft.operators.Dedup.incrementalKeep(incoming,
           spark.read.parquet(cfg.known), "doc_id", "text")
-    writeAndCount(cfg, kept, "corpus_docs", saveMode(cfg.dbMode), Seq("lang"))
+    // the LANDING is replay-idempotent too (parquet path): kept docs
+    // live under (lang, ingest_id) partitions — lang stays the
+    // top-level pruning key; the ingest stamp makes a retried dedup
+    // replace its own docs instead of landing them twice (the same
+    // at-least-once hole the key-table appends had). JDBC keeps the
+    // reference's plain append/overwrite semantics.
+    cfg.jdbcUrl match {
+      case Some(_) =>
+        writeAndCount(cfg, kept, "corpus_docs", saveMode(cfg.dbMode), Seq("lang"))
+      case None =>
+        require(cfg.out.nonEmpty, "--out is required without --jdbc-url")
+        val stamped = kept.withColumn("ingest_id", lit(ingestIdOf(cfg))).persist()
+        try {
+          if (cfg.dbMode == "overwrite")
+            Connectors.writeParquet(stamped, s"${cfg.out}/corpus_docs",
+              Seq("lang", "ingest_id"), SaveMode.Overwrite)
+          else
+            Connectors.overwritePartitions(stamped, s"${cfg.out}/corpus_docs",
+              Seq("lang", "ingest_id"))
+          stamped.count()
+        } finally { stamped.unpersist(); () }
+    }
   }
 
   /** `--mode maintain`: the per-ingest maintenance step that closes

@@ -174,8 +174,13 @@ class EdgeRunnerSpec extends AnyFunSuite {
       """{"doc_id":10,"text":"rainfall statistics across four decades of measurements","lang":"en","source":"news"}""",
       """{"doc_id":11,"text":"the quick brown fox jumps over the lazy dog again today","lang":"en","source":"web"}"""))
     val out1 = Files.createTempDirectory("edge_replay_out1").toString
-    assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
-      "--in", s"file:$in1", "--out", out1, "--known-keys", keysDir))) == 1L)
+    // the LANDING is replay-idempotent too: dedup run twice with the
+    // same input lands the survivor once, not twice
+    for (_ <- 1 to 2)
+      assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+        "--in", s"file:$in1", "--out", out1, "--known-keys", keysDir))) == 1L)
+    assert(spark.read.parquet(s"$out1/corpus_docs").count() == 1L,
+      "retried dedup must replace its ingest partition, not re-append docs")
     for (_ <- 1 to 2) // land + the retry
       assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
         "--in", s"parquet:$out1/corpus_docs", "--known-keys", keysDir,
