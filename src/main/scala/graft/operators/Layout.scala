@@ -60,6 +60,60 @@ object Layout {
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
 
+  /** Per-ingest LAYOUT maintenance — OPTIMIZE-ZORDER without the
+    * rewrite: z-cluster the BATCH alone and land it under an
+    * `ingest_id=` partition via dynamic partition overwrite, then
+    * refresh the manifest incrementally ([[refreshManifest]]). Each
+    * ingest's files carry compact per-file bboxes (the batch is
+    * range-partitioned and sorted on its own z-keys), so pruning holds
+    * per partition; a full-table re-cluster is the COMPACTION-cadence
+    * op, not the daily one — at 100 TB re-sorting the table per ingest
+    * is exactly the O(corpus)-per-batch shape the maintenance family
+    * exists to avoid. Replay-idempotent: a retried ingest replaces its
+    * own partition and its own manifest rows (the
+    * writeBucketedIngest discipline applied to layout). Bootstrap =
+    * first call (any id, conventionally "base"). */
+  def appendZorder(spark: SparkSession, batch: DataFrame, dims: Seq[String],
+                   bits: Int, files: Int, path: String,
+                   ingestId: String): Unit = {
+    require(ingestId.nonEmpty, "ingestId must be non-empty")
+    batch.withColumn("__zkey", zkey(dims.map(col), bits))
+      .withColumn("ingest_id", lit(ingestId))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_id").parquet(path)
+    refreshManifest(spark, path, dims, ingestId)
+  }
+
+  /** Incremental manifest refresh for [[appendZorder]]: recompute
+    * per-file stats for ONE ingest partition (an O(batch) scan), keep
+    * every other partition's manifest rows untouched, rewrite the
+    * (tiny: files × dims) manifest. Replayed ingests replace their own
+    * rows — the filter drops the partition's stale entries first. */
+  def refreshManifest(spark: SparkSession, dir: String, dims: Seq[String],
+                      ingestId: String): Unit = {
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    val fresh = spark.read.option("basePath", dir)
+      .parquet(s"$dir/ingest_id=$ingestId")
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(aggs.head, aggs.tail: _*)
+    val manifestPath = s"$dir/$ManifestDir"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val kept =
+      if (fs.exists(new org.apache.hadoop.fs.Path(manifestPath)))
+        spark.read.parquet(manifestPath)
+          .filter(!col("__file").contains(s"/ingest_id=$ingestId/"))
+      else fresh.limit(0)
+    // materialize before overwriting the dir being read
+    val merged = kept.unionByName(fresh).coalesce(1).localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(manifestPath)
+  }
+
   /** The manifest sub-directory a stats manifest lives in. */
   val ManifestDir = "_graft_manifest"
 
@@ -97,10 +151,13 @@ object Layout {
   def readPruned(spark: SparkSession, dir: String, dim: String,
                  lo: Long, hi: Long): DataFrame = {
     val files = prunedFiles(spark, dir, dim, lo, hi)
+    // basePath recovers directory-partition columns (ingest_id under
+    // an appendZorder layout) when reading leaf files directly; for a
+    // flat zorderWrite layout it is a no-op
     if (files.isEmpty)
       spark.read.parquet(dir).where(lit(false))
     else
-      spark.read.parquet(files: _*)
+      spark.read.option("basePath", dir).parquet(files: _*)
         .where(col(dim) >= lo && col(dim) <= hi)
   }
 }

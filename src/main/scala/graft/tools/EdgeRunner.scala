@@ -526,18 +526,32 @@ object EdgeRunner {
     * `--in file:/dir`, cluster on the Morton key of `--dims` (see
     * operators.Layout), write `--files` parquet files to --out. The
     * offline layout pass a 100 TB lakehouse schedules after ingest so
-    * min/max file skipping works on every listed dimension. */
+    * min/max file skipping works on every listed dimension.
+    *
+    * With `--ingest-id`, runs the INCREMENTAL flavor instead
+    * ([[graft.operators.Layout.appendZorder]]): the input is one
+    * batch, z-clustered alone and landed replay-idempotently under its
+    * ingest partition with an incremental manifest refresh — the daily
+    * layout step; the full rewrite above is the compaction-cadence
+    * one. */
   private def runZorder(spark: SparkSession, cfg: Config): Long = {
     require(cfg.in.startsWith("file:"), "zorder mode requires --in file:/dir")
     require(cfg.out.nonEmpty && cfg.dims.size >= 2,
       "zorder mode requires --out and --dims c1,c2[,c3[,c4]]")
-    graft.operators.Layout.zorderWrite(
-      spark.read.parquet(cfg.in.stripPrefix("file:")),
-      cfg.dims, cfg.bits, cfg.files, cfg.out)
-    // the skipping index that makes the layout pay off at read time
-    graft.operators.Layout.writeManifest(spark, cfg.out, cfg.dims)
-    new java.io.File(cfg.out).listFiles()
-      .count(f => f.getName.endsWith(".parquet")).toLong
+    val input = spark.read.parquet(cfg.in.stripPrefix("file:"))
+    if (cfg.ingestId.nonEmpty) {
+      graft.operators.Layout.appendZorder(spark, input, cfg.dims,
+        cfg.bits, cfg.files, cfg.out, cfg.ingestId)
+      new java.io.File(s"${cfg.out}/ingest_id=${cfg.ingestId}").listFiles()
+        .count(f => f.getName.endsWith(".parquet")).toLong
+    } else {
+      graft.operators.Layout.zorderWrite(input, cfg.dims, cfg.bits,
+        cfg.files, cfg.out)
+      // the skipping index that makes the layout pay off at read time
+      graft.operators.Layout.writeManifest(spark, cfg.out, cfg.dims)
+      new java.io.File(cfg.out).listFiles()
+        .count(f => f.getName.endsWith(".parquet")).toLong
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -292,6 +292,33 @@ class EdgeRunnerSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(99L))
   }
 
+  test("--mode compact --table compacts a managed bucketed key table via the catalog spec") {
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val name = "edge_cpt_tbl"
+    try {
+      graft.operators.Dedup.saveNearDupKeys(spark, name,
+        corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      for (d <- 1 to 2)
+        graft.operators.Dedup.appendNearDupKeys(spark, name,
+          corpus.filter(col("doc_id") % 3 === d), "doc_id", "text",
+          ingestId = s"day$d")
+      val before = spark.table(s"${name}_ndsh").count()
+      val out = EdgeRunner.runCompact(spark, EdgeRunner.parse(Array(
+        "--mode", "compact", "--in", "unused:",
+        "--table", s"${name}_ndsh:doc_id", "--keep-last", "1")))
+      assert(out.contains(s"${name}_ndsh"))
+      assert(spark.table(s"${name}_ndsh").count() == before)
+      assert(spark.table(s"${name}_ndsh").select("ingest_id").distinct()
+        .as[String].collect().toSet == Set("base", "day2"))
+      // the rewrite preserved the catalog's 8-bucket spec
+      assert(spark.sql(s"DESCRIBE TABLE EXTENDED ${name}_ndsh")
+        .filter(col("col_name") === "Num Buckets")
+        .select("data_type").as[String].head().trim == "8")
+    } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("--mode batch and stream run off the graftlog (log:) DSv2 source") {
     val in = Files.createTempDirectory("edge_log").toString
     val out = Files.createTempDirectory("edge_log_out").toString
@@ -460,6 +487,31 @@ class EdgeRunnerSpec extends AnyFunSuite {
     val pruned = graft.operators.Layout.readPruned(spark, out, "y", 0L, 31L)
     assert(pruned.count() ==
       spark.read.parquet(out).where("y BETWEEN 0 AND 31").count())
+  }
+
+  test("--mode zorder --ingest-id lands an incremental z-clustered partition") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("edge_zinc_src").toString + "/batch"
+    val out = Files.createTempDirectory("edge_zinc_out").toString + "/t"
+    (0 until 2000).map(i => (i.toLong, (i * 37 % 500).toLong, (i * 91 % 500).toLong))
+      .toDF("id", "x", "y").write.parquet(src)
+    // twice: the incremental layout op is replay-idempotent like the
+    // rest of the maintenance family
+    for (_ <- 1 to 2)
+      EdgeRunner.run(spark, EdgeRunner.parse(Array("--mode", "zorder",
+        "--in", s"file:$src", "--out", out, "--dims", "x,y",
+        "--bits", "9", "--files", "4", "--ingest-id", "day1")))
+    assert(new java.io.File(s"$out/ingest_id=day1").exists())
+    assert(spark.read.parquet(out).count() == 2000L)
+    // manifest rows = this ingest's files; pruned read is exact
+    assert(spark.read.parquet(s"$out/${graft.operators.Layout.ManifestDir}")
+      .count() == 4L)
+    val pruned = graft.operators.Layout.readPruned(spark, out, "x", 50L, 120L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val full = spark.read.parquet(out)
+      .where(col("x") >= 50L && col("x") <= 120L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned == full && pruned.nonEmpty)
   }
 
   test("--mode classify scores documents and partitions by the keep flag") {

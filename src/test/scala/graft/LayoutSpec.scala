@@ -57,6 +57,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.readPruned(spark, dir, "y", 5000L, 6000L).count() == 0)
   }
 
+  test("appendZorder: per-ingest layout maintenance — pruned reads exact, replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_append").toString + "/t"
+    def rows(ids: Range) = ids.map { i =>
+      (i.toLong, (i * 37 % 1000).toLong, (i * 91 % 1000).toLong)
+    }.toDF("id", "x", "y")
+    // bootstrap, then two daily ingests — each z-clustered alone
+    Layout.appendZorder(spark, rows(0 until 4000), Seq("x", "y"),
+      bits = 10, files = 8, dir, ingestId = "base")
+    Layout.appendZorder(spark, rows(4000 until 6000), Seq("x", "y"),
+      bits = 10, files = 8, dir, ingestId = "day1")
+    Layout.appendZorder(spark, rows(6000 until 8000), Seq("x", "y"),
+      bits = 10, files = 8, dir, ingestId = "day2")
+    def fullScan() = spark.read.parquet(dir)
+      .where(col("x") >= 100L && col("x") <= 180L)
+      .select("id").as[Long].collect().sorted.toSeq
+    def pruned() = Layout.readPruned(spark, dir, "x", 100L, 180L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned() == fullScan() && pruned().nonEmpty)
+    // pruning really prunes: the x-window hits a fraction of each
+    // ingest's 8 z-ranged files
+    val total = spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
+    val hit = Layout.prunedFiles(spark, dir, "x", 100L, 180L).size
+    assert(total == 24L, s"3 ingests x 8 files, got $total")
+    assert(hit < 24, s"expected pruning, hit $hit of $total")
+    // the replay: re-landing day2 changes neither the data nor the
+    // manifest (its partition and manifest rows are REPLACED)
+    Layout.appendZorder(spark, rows(6000 until 8000), Seq("x", "y"),
+      bits = 10, files = 8, dir, ingestId = "day2")
+    assert(spark.read.parquet(dir).count() == 8000L,
+      "replayed ingest must replace its partition, not double it")
+    assert(spark.read.parquet(s"$dir/${Layout.ManifestDir}").count() == 24L)
+    assert(pruned() == fullScan())
+  }
+
   test("zorderWrite bounds the non-leading dimension a plain sort leaves open") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))

@@ -318,6 +318,26 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d16 touched-component plan: cluster-table joins broadcast the root set") {
+    // the flat-cost claim's plan shape: the cluster table is touched by
+    // TWO narrow scans joined against the (tiny, broadcast) touched-
+    // root set — never hash-exchanged on cluster_id. A shuffle of the
+    // assignment table here would put the full cluster table back into
+    // the per-ingest shuffle path, the O(cluster table) shape the
+    // restriction removed (ScaleSmoke probes the cost; this pins the
+    // mechanism).
+    // (the twin SEMI join runs inside the checkpointed CC branch, so
+    // only the pass-through ANTI join is visible in the final plan)
+    val p = plan("d16_incremental_clusters")
+    val corpusTableShuffles = "Exchange hashpartitioning\\(cluster_id".r
+      .findAllMatchIn(p).size
+    assert(corpusTableShuffles == 0,
+      s"old assignments must join the root set broadcast, not shuffle on cluster_id:\n$p")
+    assert(p.contains("BroadcastHashJoin [cluster_id") &&
+      p.contains("LeftAnti"),
+      s"expected the pass-through anti join to broadcast touched roots:\n$p")
+  }
+
   test("profileApprox plans no Expand; the exact profile does (the swap is the point)") {
     val orders = graft.sources.Tables.orders(spark, dir)
     val cols = Seq("o_custkey", "o_orderstatus", "o_orderdate")
