@@ -11,6 +11,12 @@ object Scratch {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // temp warehouse (the Verify/Bench discipline): a repo-local
+      // ./spark-warehouse leftover makes the NEXT run's fresh
+      // in-memory catalog refuse to recreate its managed tables
+      // (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_scratch_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
