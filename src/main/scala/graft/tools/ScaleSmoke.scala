@@ -516,9 +516,59 @@ object ScaleSmoke {
       Seq(maintainAt(nDocs / 2), maintainAt(nDocs))
     }
 
+    // --- round-11: the append discipline's operational taxes, measured
+    // (a) compaction: many small per-ingest partitions -> fold -> the
+    //     same probe join, faster, over ~buckets files instead of
+    //     ingests×buckets; (b) the recall monitor's cost at corpus
+    //     scale — one bounded brute pass, the price of ground truth.
+    val r11bResults = {
+      val docs25 = docsOf(nDocs / 2)
+      spark.sql("DROP TABLE IF EXISTS graft_smoke_cpt_ndsh")
+      spark.sql("DROP TABLE IF EXISTS graft_smoke_cpt_ndband")
+      Dedup.saveNearDupKeys(spark, "graft_smoke_cpt",
+        docs25.filter(col("doc_id") % 12 === 0), "doc_id", "text")
+      for (d <- 1 to 11)
+        Dedup.appendNearDupKeys(spark, "graft_smoke_cpt",
+          docs25.filter(col("doc_id") % 12 === d), "doc_id", "text",
+          ingestId = f"day$d%02d")
+      def manifestFiles(t: String): Long = {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+          .filter(col("col_name") === "Location")
+          .select("data_type").as[String].head()
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(new java.net.URI(loc)))
+          .count(_.getName.endsWith(".parquet")).toLong
+      }
+      def probe(): DataFrame = spark.table("graft_smoke_cpt_ndsh")
+        .join(spark.table("graft_smoke_cpt_ndsh")
+          .select(col("doc_id"), col("sh").as("sh2")), "doc_id")
+      probe().write.format("noop").mode("overwrite").save() // warmup
+      val filesBefore = manifestFiles("graft_smoke_cpt_ndsh")
+      val before = time(s"cpt_probe_12ingests_${filesBefore}_files")(probe())
+      val t0 = System.nanoTime()
+      graft.sources.Bucketing.compactIngests(spark, "graft_smoke_cpt_ndsh",
+        Seq("doc_id"), buckets = 8, keepLast = 1)
+      val tCompact = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] cpt_compact_fold             ${tCompact}%8.2f s")
+      val filesAfter = manifestFiles("graft_smoke_cpt_ndsh")
+      val after = time(s"cpt_probe_compacted_${filesAfter}_files")(probe())
+      println(s"[scale] cpt files $filesBefore -> $filesAfter")
+
+      val t1 = System.nanoTime()
+      val rep = Similarity.ivfRecallCheck(spark, "graft_smoke_ivf",
+        k = 10, nProbe = 2, sampleN = 64, minRecall = 0.9)
+      val tRecall = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] recall_check_${nd}_vecs        ${tRecall}%8.2f s " +
+        f"(recall=${rep.recall}%.3f retrain=${rep.retrain})")
+      Seq(before, "cpt_compact_fold" -> tCompact, after,
+        s"recall_check_${nd}_vecs" -> tRecall)
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
-      annResults ++ r11Results
+      annResults ++ r11Results ++ r11bResults
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()
