@@ -4383,6 +4383,64 @@ object Queries {
       "doc_id", "text", contextLen = 1024L)
   }
 
+  /** Temperature-smoothed source-mixture weights: w ∝ n_tokens^0.5 —
+    * the alpha-smoothed sampling rule (mT5/XLM-R) that derives the mix
+    * [[graft.operators.TextAnalysis.weightedMix]] (t14) then
+    * materializes. One corpus scan + a tiny per-source agg; the 1-row
+    * normalization total broadcasts (no unpartitioned window). Float
+    * discipline: round(pow,6) parts, DECIMAL(30,10) normalization sum
+    * (the t24 rule), rounded share — every dumped double is
+    * engine-exact. */
+  val t28 = q("t28_temperature_mix",
+    """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs, n_tokens,
+      |  round(pow(CAST(n_tokens AS DOUBLE), 0.5), 6) AS w FROM s),
+      |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(30,10))) AS DOUBLE) AS tot FROM w)
+      |SELECT source, n_docs, n_tokens, w,
+      | round(w / tot, 6) AS share,
+      | CAST(round(round(w / tot, 6) * CAST(1000000 AS DOUBLE), 0) AS BIGINT)
+      |  AS expected_tokens
+      |FROM w, t""".stripMargin) { (s, dir) =>
+    TextAnalysis.temperatureMix(Tables.documents(s, dir), "text", "source",
+      alpha = 0.5, budget = 1000000L)
+  }
+
+  /** Dedup threshold sweep — the diagnostic a pipeline owner reads
+    * before PICKING the near-dup threshold: how many verified pairs
+    * survive at each candidate cutoff, from ONE pass over the
+    * LSH-routed ≥0.5 pair set (the d05 plan; tighter thresholds are
+    * subsets, so no re-banding per cutoff). Single row of counts; the
+    * exact-jaccard values are engine-identical (d05's gate), so the
+    * conditional counts are too. */
+  val d18 = q("d18_threshold_sweep",
+    """WITH d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |p AS (SELECT doc_a, doc_b, j FROM (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS DOUBLE) / (min(a.n) + min(b.n) - COUNT(*)) AS j
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY a.doc_id, b.doc_id) WHERE j >= 0.5)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_050,
+      | CAST(COUNT(CASE WHEN j >= 0.6 THEN 1 END) AS BIGINT) AS n_060,
+      | CAST(COUNT(CASE WHEN j >= 0.7 THEN 1 END) AS BIGINT) AS n_070,
+      | CAST(COUNT(CASE WHEN j >= 0.8 THEN 1 END) AS BIGINT) AS n_080,
+      | CAST(COUNT(CASE WHEN j >= 0.9 THEN 1 END) AS BIGINT) AS n_090
+      |FROM p""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.jaccardPairs(Tables.documents(s, dir),
+      "doc_id", "text", threshold = 0.5).select("jaccard")
+    pairs.agg(count(lit(1)).as("n_050"),
+      count(when(col("jaccard") >= 0.6, 1)).as("n_060"),
+      count(when(col("jaccard") >= 0.7, 1)).as("n_070"),
+      count(when(col("jaccard") >= 0.8, 1)).as("n_080"),
+      count(when(col("jaccard") >= 0.9, 1)).as("n_090"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4391,9 +4449,9 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07)
 }

@@ -502,6 +502,37 @@ object TextAnalysis {
     * Output adds a positional `copy` index (0-based) so downstream
     * shuffles keep replicas distinguishable. One projection + one
     * explode; no shuffle. */
+  /** Temperature-smoothed mixture weights (the multilingual/multi-
+    * source sampling rule of mT5/XLM-R-style pipelines): each source's
+    * sampling weight ∝ n_tokens^alpha, so alpha=1 reproduces natural
+    * proportions and alpha→0 flattens toward uniform — the knob that
+    * keeps low-resource sources from drowning while high-resource ones
+    * still dominate. Output per source: n_docs, n_tokens, w (the
+    * rounded smoothed mass), share (normalized), expected_tokens under
+    * `budget`. [[weightedMix]] then materializes a mix FROM such
+    * shares; this op derives them from corpus statistics.
+    *
+    * Scale shape: one corpus scan into a per-source aggregate (tiny),
+    * then a broadcast of the 1-row total — no window over an
+    * unpartitioned frame, no second scan. Float discipline: w is
+    * round(pow, 6) BEFORE the DECIMAL(30,10) normalization sum (the
+    * t24 parts rule), so cross-engine 1-ulp pow drift cannot reach the
+    * dumped values. */
+  def temperatureMix(docs: DataFrame, textCol: String, srcCol: String,
+                     alpha: Double = 0.5, budget: Long = 1000000L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val perSource = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("n_tokens"))
+      .withColumn("w", round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+    val total = perSource.agg(Exact.dsum(col("w")).as("__tot"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("share", round(col("w") / col("__tot"), 6))
+      .withColumn("expected_tokens",
+        round(col("share") * lit(budget.toDouble), 0).cast("long"))
+      .drop("__tot")
+  }
+
   def weightedMix(df: DataFrame, idCol: String, stratumCol: String,
                   weights: Map[String, Double],
                   defaultWeight: Double): DataFrame = {
