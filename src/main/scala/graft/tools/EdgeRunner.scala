@@ -74,6 +74,7 @@ object EdgeRunner {
     minRecall: Double = 0.9,          // recall-check mode: retrain verdict threshold
     table: String = "",               // compact mode: bucketed table + comma keys
     keepLast: Int = 1,                // compact mode: ingest partitions left intact
+    partitionBy: Seq[String] = Seq("ingest_id"), // compact mode: dir layout
     pq: String = "",                  // recall-check: PQ prefix -> check the IVF-ADC path
     shortlist: Int = 32,              // recall-check (ADC): rerank shortlist size
     dim: Int = 64)                    // recall-check (ADC): embedding dimension
@@ -123,6 +124,8 @@ object EdgeRunner {
       minRecall = kv.get("--min-recall").map(_.toDouble).getOrElse(0.9),
       table = kv.getOrElse("--table", ""),
       keepLast = kv.get("--keep-last").map(_.toInt).getOrElse(1),
+      partitionBy = kv.get("--partition-by")
+        .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq("ingest_id")),
       pq = kv.getOrElse("--pq", ""),
       shortlist = kv.get("--shortlist").map(_.toInt).getOrElse(32),
       dim = kv.get("--dim").map(_.toInt).getOrElse(64))
@@ -462,7 +465,14 @@ object EdgeRunner {
       s"table $name (${spark.table(name).count()} rows)"
     } else {
       import org.apache.spark.sql.functions.{col, lit, when}
+      // works for ANY ingest-partitioned parquet dir the replay
+      // discipline writes: the maintain key dir (ingest_id only) and
+      // the dedup corpus_docs landing (lang, ingest_id) — other
+      // partition columns are preserved; only ingest_id folds
       val df = spark.read.parquet(cfg.knownKeys)
+      val partCols = cfg.partitionBy.filter(df.columns.contains)
+      require(partCols.contains("ingest_id"),
+        s"compact folds ingest_id; --partition-by was ${cfg.partitionBy.mkString(",")}")
       val ids = df.select("ingest_id").distinct()
         .collect().map(_.getString(0)).sorted
       val kept = ids.takeRight(cfg.keepLast).toSet
@@ -471,8 +481,8 @@ object EdgeRunner {
           when(keptCond, col("ingest_id")).otherwise(lit("base")))
         .localCheckpoint(true) // materialize before overwriting the source dir
       remapped.write.mode(SaveMode.Overwrite)
-        .partitionBy("ingest_id").parquet(cfg.knownKeys)
-      s"key dir ${cfg.knownKeys} (${ids.length} ingests -> ${kept.size + 1} partitions)"
+        .partitionBy(partCols: _*).parquet(cfg.knownKeys)
+      s"dir ${cfg.knownKeys} (${ids.length} ingests -> ${kept.size + 1})"
     }
   }
 

@@ -292,6 +292,43 @@ class EdgeRunnerSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(99L))
   }
 
+  test("--mode compact --partition-by folds the dedup corpus_docs landing, lang preserved") {
+    import spark.implicits._
+    val keysDir = Files.createTempDirectory("edge_cdl_keys").toString + "/keys"
+    val out = Files.createTempDirectory("edge_cdl_out").toString
+    // bootstrap the key dir (dedup reads it even on day 1)
+    val in0 = Files.createTempDirectory("edge_cdl_in0").toString
+    writeLines(in0, "b.json", Seq(
+      """{"doc_id":0,"text":"the original corpus seed document for this loop","lang":"en","source":"web"}"""))
+    assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+      "--in", s"file:$in0", "--known-keys", keysDir, "--ingest-id", "day0"))) == 1L)
+    for (d <- 1 to 2) {
+      val in = Files.createTempDirectory(s"edge_cdl_in$d").toString
+      writeLines(in, "b.json", Seq(
+        s"""{"doc_id":$d,"text":"${if (d == 1) "rainfall statistics across four decades of measurements"
+          else "vier jahrzehnte niederschlag statistik aus den bergen heute"}","lang":"${if (d == 1) "en" else "de"}","source":"web"}"""))
+      assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
+        "--in", s"file:$in", "--out", out, "--known-keys", keysDir,
+        "--ingest-id", s"day$d"))) == 1L)
+      EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+        "--in", s"parquet:$out/corpus_docs", "--known-keys", keysDir,
+        "--ingest-id", s"day$d")))
+    }
+    val docsDir = s"$out/corpus_docs"
+    val before = spark.read.parquet(docsDir)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    EdgeRunner.runCompact(spark, EdgeRunner.parse(Array("--mode", "compact",
+      "--in", "unused:", "--known-keys", docsDir,
+      "--partition-by", "lang,ingest_id", "--keep-last", "1")))
+    assert(spark.read.parquet(docsDir)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet == before)
+    assert(spark.read.parquet(docsDir).select("ingest_id").distinct()
+      .as[String].collect().toSet == Set("base", "day2"))
+    // lang stays the top-level pruning directory
+    assert(new java.io.File(s"$docsDir/lang=en").exists() &&
+      new java.io.File(s"$docsDir/lang=de").exists())
+  }
+
   test("--mode compact --table compacts a managed bucketed key table via the catalog spec") {
     import spark.implicits._
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
