@@ -90,7 +90,7 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
-        "neardup|recall-check is required"))
+        "neardup|recall-check|compact is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
         "classify", "neardup", "recall-check", "compact")(mode),
