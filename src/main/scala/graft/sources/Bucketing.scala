@@ -97,6 +97,41 @@ object Bucketing {
     }
   }
 
+  /** Cross-table ingest-consistency audit for a maintenance FAMILY —
+    * the monitoring face of the replay discipline: a family's writer
+    * lands one ingest into SEVERAL tables sequentially (near-dup keys:
+    * `_ndband` then `_ndsh`; exact keys: `_norm` then `_bands`), and a
+    * crash BETWEEN the writes leaves the ingest half-present. The
+    * retry heals it (every write is idempotent), but if the retry
+    * never comes the family is silently inconsistent — candidate
+    * generation sees docs the verify join can't resolve. This audit
+    * surfaces exactly that: one row per ingest_id with each member's
+    * row count, `consistent` = the ingest exists in EVERY member.
+    * Members are catalog tables, or `parquet:/dir` for the path-based
+    * stores (the maintain key dir, the corpus_docs landing). Cost: one
+    * metadata-light count per member, grouped on the partition column
+    * — partition pruning does the work. Run it on the maintenance
+    * cadence, after the day's appends; an inconsistent row means
+    * "re-run maintain for that ingest id" (idempotence makes that
+    * safe). */
+  def auditIngests(spark: SparkSession, members: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, first, lit}
+    require(members.size >= 2, "auditing a family needs >= 2 member stores")
+    def readMember(m: String): DataFrame =
+      if (m.startsWith("parquet:")) spark.read.parquet(m.stripPrefix("parquet:"))
+      else spark.table(m)
+    val counts = members.map { m =>
+      readMember(m).groupBy(col("ingest_id"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("member", lit(m))
+    }.reduce(_ unionByName _)
+    val pivoted = counts.groupBy(col("ingest_id"))
+      .pivot("member", members)
+      .agg(first(col("rows")))
+    pivoted.withColumn("consistent",
+      members.map(m => col(s"`$m`").isNotNull).reduce(_ && _))
+  }
+
   /** Compaction for an ingest-partitioned bucketed table (the
     * operational tax of [[writeBucketedIngest]]: each daily ingest
     * leaves its own partition directory of ≤`buckets` files, so a year

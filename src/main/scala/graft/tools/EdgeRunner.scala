@@ -90,10 +90,10 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
-        "neardup|recall-check|compact is required"))
+        "neardup|recall-check|compact|audit is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
-        "classify", "neardup", "recall-check", "compact")(mode),
+        "classify", "neardup", "recall-check", "compact", "audit")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -437,6 +437,27 @@ object EdgeRunner {
         (if (r.retrain) "RETRAIN" else "OK"))
     case "compact" =>
       println(s"[edge] compacted: ${runCompact(spark, cfg)}")
+    case "audit" =>
+      val bad = runAudit(spark, cfg)
+      println(if (bad.isEmpty) "[edge] audit OK: every ingest consistent"
+        else s"[edge] audit FAILED for ingests: ${bad.mkString(", ")} — " +
+          "re-run maintain for them (idempotent)")
+  }
+
+  /** `--mode audit`: cross-store ingest-consistency check for a
+    * maintenance family (`--table a,b[,parquet:/dir]`, with
+    * `--warehouse` for catalog members) — detects the
+    * crash-between-writes half-ingest the retry discipline heals but
+    * cannot itself notice. Returns the INCONSISTENT ingest ids
+    * (empty = healthy); the printed verdict names them. */
+  def runAudit(spark: SparkSession, cfg: Config): Seq[String] = {
+    require(cfg.table.nonEmpty && cfg.table.contains(","),
+      "audit mode requires --table member1,member2[,...]")
+    import spark.implicits._
+    graft.sources.Bucketing.auditIngests(spark,
+        cfg.table.split(",").toSeq.map(_.trim))
+      .filter(!col("consistent"))
+      .select("ingest_id").as[String].collect().toSeq.sorted
   }
 
   /** `--mode compact`: fold finalized ingest partitions — the

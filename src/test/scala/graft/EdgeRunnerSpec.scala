@@ -329,6 +329,33 @@ class EdgeRunnerSpec extends AnyFunSuite {
       new java.io.File(s"$docsDir/lang=de").exists())
   }
 
+  test("--mode audit flags an ingest that crashed between a family's two writes") {
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val name = "edge_audit_nd"
+    try {
+      graft.operators.Dedup.saveNearDupKeys(spark, name,
+        corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      graft.operators.Dedup.appendNearDupKeys(spark, name,
+        corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+        ingestId = "day1")
+      def audit() = EdgeRunner.runAudit(spark, EdgeRunner.parse(Array(
+        "--mode", "audit", "--in", "unused:",
+        "--table", s"${name}_ndband,${name}_ndsh")))
+      assert(audit() == Seq.empty, "a healthy family audits clean")
+      // the half-landed ingest: day2 reaches ONLY the band table (the
+      // crash window between writeNearDupKeys' two writes) — simulated
+      // by landing band-shaped rows under a fresh ingest id there
+      graft.sources.Bucketing.writeBucketedIngest(spark,
+        spark.table(s"${name}_ndband").drop("ingest_id").limit(5)
+          .localCheckpoint(true),
+        s"${name}_ndband", Seq("band_idx", "band_key"), 8, "day2")
+      assert(audit() == Seq("day2"),
+        "the band-table-only ingest must be flagged inconsistent")
+    } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("--mode compact --table compacts a managed bucketed key table via the catalog spec") {
     import spark.implicits._
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
