@@ -782,6 +782,31 @@ object Similarity {
     RecallReport(recallAtK(ann, exact), queries.count(), k, nProbe, minRecall)
   }
 
+  /** The ACT half of the monitor's verdict — [[ivfRecallCheck]] says
+    * RETRAIN, this does it: re-run the coarse quantizer's k-means over
+    * the vectors the index already holds (old corpus ∪ every appended
+    * ingest, read back from the posting table) and overwrite the index
+    * in place — the posting table collapses back to one `base`
+    * partition with fresh routing. Pass `corpus` to re-train from the
+    * source table instead (the 100 TB path: the eager checkpoint of
+    * the read-back vectors is executor-memory-bound, while a source
+    * re-read streams). Probes see the new routing immediately; PQ
+    * codebooks are separate state ([[ensurePqModel]]) and re-train on
+    * their own cadence. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                      nCentroids: Int, iters: Int = 3, buckets: Int = 8,
+                      portableInit: Boolean = false,
+                      corpus: Option[DataFrame] = None): IVFModel = {
+    // materialized BEFORE the overwrite when reading the index back:
+    // saveIvfIndex replaces the very files this frame scans
+    val vecs = corpus.getOrElse(
+      loadIvfIndex(spark, name).assignments.select(col("id"), col("vec"))
+        .localCheckpoint(true))
+    saveIvfIndex(spark, ivfIndex(vecs, nCentroids, iters, portableInit),
+      name, buckets)
+    loadIvfIndex(spark, name)
+  }
+
   /** Per-ingest IVF-ADC maintenance — [[appendToIvfIndex]]'s twin for
     * the billion-scale layout: route the NEW vectors through the
     * EXISTING coarse quantizer (`ivfName`'s centroids), encode each

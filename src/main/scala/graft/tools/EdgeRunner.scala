@@ -77,7 +77,8 @@ object EdgeRunner {
     partitionBy: Seq[String] = Seq("ingest_id"), // compact mode: dir layout
     pq: String = "",                  // recall-check: PQ prefix -> check the IVF-ADC path
     shortlist: Int = 32,              // recall-check (ADC): rerank shortlist size
-    dim: Int = 64)                    // recall-check (ADC): embedding dimension
+    dim: Int = 64,                    // recall-check (ADC): embedding dimension
+    centroids: Int = 16)              // retrain mode: coarse-quantizer size
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -90,10 +91,10 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
-        "neardup|recall-check|compact|audit is required"))
+        "neardup|recall-check|compact|audit|retrain is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
-        "classify", "neardup", "recall-check", "compact", "audit")(mode),
+        "classify", "neardup", "recall-check", "compact", "audit", "retrain")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -128,7 +129,8 @@ object EdgeRunner {
         .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq("ingest_id")),
       pq = kv.getOrElse("--pq", ""),
       shortlist = kv.get("--shortlist").map(_.toInt).getOrElse(32),
-      dim = kv.get("--dim").map(_.toInt).getOrElse(64))
+      dim = kv.get("--dim").map(_.toInt).getOrElse(64),
+      centroids = kv.get("--centroids").map(_.toInt).getOrElse(16))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -437,6 +439,14 @@ object EdgeRunner {
         (if (r.retrain) "RETRAIN" else "OK"))
     case "compact" =>
       println(s"[edge] compacted: ${runCompact(spark, cfg)}")
+    case "retrain" =>
+      require(cfg.index.nonEmpty, "retrain mode requires --index")
+      // the ACT half of recall-check's RETRAIN verdict: rebuild the
+      // coarse quantizer over everything the index holds (corpus +
+      // every appended ingest), folding postings back to one partition
+      val m = graft.operators.Similarity.retrainIvfIndex(spark, cfg.index,
+        cfg.centroids)
+      println(s"[edge] retrained ${cfg.index}: ${m.centroids.length} centroids")
     case "audit" =>
       val bad = runAudit(spark, cfg)
       println(if (bad.isEmpty) "[edge] audit OK: every ingest consistent"

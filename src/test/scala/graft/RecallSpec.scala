@@ -74,6 +74,16 @@ class RecallSpec extends AnyFunSuite {
       val widened = Similarity.ivfRecallCheck(spark, name,
         k = 2, nProbe = 2, sampleN = 200, minRecall = 0.9)
       assert(widened.recall == 1.0 && !widened.retrain)
+      // ...and ACTING on the verdict fixes it at the original nProbe:
+      // a 3-centroid re-train gives the drifted mode its own cell, so
+      // each twin pair co-locates again
+      Similarity.retrainIvfIndex(spark, name, nCentroids = 3, iters = 3)
+      val retrained = Similarity.ivfRecallCheck(spark, name,
+        k = 2, nProbe = 1, sampleN = 200, minRecall = 0.9)
+      assert(retrained.recall > drifted.recall,
+        s"retrain must recover recall: ${drifted.recall} -> ${retrained.recall}")
+      assert(!retrained.retrain,
+        s"verdict must flip back to OK after the retrain: ${retrained.recall}")
     } finally for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
@@ -129,6 +139,12 @@ class RecallSpec extends AnyFunSuite {
         "--k", "3", "--nprobe", "1", "--sample", "64", "--min-recall", "0.9"))
       val r = graft.tools.EdgeRunner.runRecallCheck(spark, cfg)
       assert(r.recall == 1.0 && !r.retrain && r.k == 3 && r.nProbe == 1)
+      // the CLI retrain face: rebuild in place, recall intact
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "retrain", "--in", "unused:", "--index", name,
+        "--centroids", "2")))
+      val after = graft.tools.EdgeRunner.runRecallCheck(spark, cfg)
+      assert(after.recall == 1.0 && !after.retrain)
     } finally for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
