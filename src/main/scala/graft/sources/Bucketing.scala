@@ -73,9 +73,12 @@ object Bucketing {
     // 3,071 files after 12 ingests at 32 partitions; with it, ~buckets
     // per ingest). One O(batch) exchange, the same hash family the
     // bucket assignment uses, paid once per maintenance write.
+    require(overwrite || spark.catalog.tableExists(table),
+      s"append into missing table '$table' — an append into nothing is a " +
+        "pipeline wiring bug (typo'd name?); bootstrap with overwrite = true")
     val stamped = df.repartition(buckets, keys.map(col): _*)
       .withColumn("ingest_id", lit(ingestId))
-    if (overwrite || !spark.catalog.tableExists(table)) {
+    if (overwrite) {
       stamped.write.mode(SaveMode.Overwrite)
         .partitionBy("ingest_id")
         .bucketBy(buckets, keys.head, keys.tail: _*)
@@ -132,42 +135,102 @@ object Bucketing {
       members.map(m => col(s"`$m`").isNotNull).reduce(_ && _))
   }
 
+  /** The newest `keepLast` ingest ids of a partitioned store — the set
+    * compaction must NOT fold. "Newest" is the partition directory's
+    * modification time, NOT the id's lexical order: the recommended id
+    * schemes (dates, zero-padded batch numbers) happen to sort by
+    * time, but hash-derived ids (`in_<md5>`) don't sort at all, and
+    * the bootstrap's `base` sorts AFTER date ids (`'2' < 'b'`) — a
+    * lexical take-right with date ids would keep `{base}` and fold the
+    * NEWEST ingest, voiding its replayability. Write time is the
+    * signal that actually means "inside the retry horizon" (a
+    * just-replayed partition is recent by definition), and it is
+    * id-scheme-independent. `base` — the fold TARGET — is always
+    * excluded from retention. Lexical id is the deterministic tiebreak
+    * for same-timestamp writes; a partition whose directory can't be
+    * statted sorts oldest. `globDepth` = how many partition levels sit
+    * ABOVE ingest_id in the layout (0 for `ingest_id=...` at the root,
+    * 1 for `lang=.../ingest_id=...`). */
+  private[graft] def newestIngestIds(spark: SparkSession, baseDir: String,
+                                     ids: Seq[String], keepLast: Int,
+                                     globDepth: Int = 0): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ids.filterNot(_ == "base").map { id =>
+      val pat = new Path(base, ("*/" * globDepth) + s"ingest_id=$id")
+      val mtime = try {
+        val hits = Option(fs.globStatus(pat)).getOrElse(Array.empty)
+        if (hits.isEmpty) 0L else hits.map(_.getModificationTime).max
+      } catch { case _: java.io.IOException => 0L }
+      (mtime, id)
+    }.sorted.takeRight(keepLast).map(_._2).toSet
+  }
+
   /** Compaction for an ingest-partitioned bucketed table (the
     * operational tax of [[writeBucketedIngest]]: each daily ingest
     * leaves its own partition directory of ≤`buckets` files, so a year
     * of ingests is 365×buckets small files). Folds every ingest
-    * partition EXCEPT the lexically-greatest `keepLast` ids into the
+    * partition EXCEPT the most-recently-written `keepLast` ids
+    * ([[newestIngestIds]] — write time, so hash-style ids and the
+    * `base` bootstrap partition can't confuse retention) into the
     * single `base` partition, rewriting with the identical bucket/sort
     * spec — results and exchange-free plans are unchanged (spec-locked).
     * Kept partitions preserve replayability: a retry of a still-kept
     * ingest id remains idempotent; a retry of a FOLDED id would
     * re-append, so compact only ingests past the pipeline's retry
-    * horizon (that is what `keepLast` is for — ids must sort by time:
-    * dates or zero-padded batch numbers). Rewrites via a side table +
-    * catalog rename so the source is never read and overwritten in the
-    * same job (and nothing is dropped until the replacement exists). */
+    * horizon (that is what `keepLast` is for).
+    *
+    * Durability: the compacted copy is fully written to a side table
+    * first, then swapped in by catalog rename — the live table is
+    * renamed ASIDE (`<table>__old`), the side table renamed onto the
+    * production name, and only then is the old copy dropped, so a full
+    * copy of the data exists under SOME name at every instant. If a
+    * crash lands between the two renames, recover with
+    * `ALTER TABLE <table>__old RENAME TO <table>` (or finish the swap:
+    * rename `__compacting` in) — both copies hold identical rows. */
   def compactIngests(spark: SparkSession, table: String, keys: Seq[String],
                      buckets: Int, keepLast: Int = 1): Unit = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val ids = spark.table(table).select("ingest_id").distinct()
-      .collect().map(_.getString(0)).sorted
-    val kept = ids.takeRight(keepLast).toSet
+      .collect().map(_.getString(0)).toSeq
+    val kept = newestIngestIds(spark, tableLocation(spark, table), ids, keepLast)
     val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
     val remapped = spark.table(table)
       .withColumn("ingest_id", when(keptCond, col("ingest_id")).otherwise(lit("base")))
     val side = s"${table}__compacting"
+    val old = s"${table}__old"
     spark.sql(s"DROP TABLE IF EXISTS $side")
     remapped.write.mode(SaveMode.Overwrite)
       .partitionBy("ingest_id")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(side)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    // re-point the renamed-aside table's PARTITION locations at its
+    // moved directory BEFORE the side table takes the production path:
+    // rename moves the dir but partition metadata keeps the old
+    // location (the MSCK gotcha below), and dropping a table whose
+    // stale partition locations point into the live data would, under
+    // a Hive-backed catalog, delete the data we just swapped in
+    spark.sql(s"MSCK REPAIR TABLE $old SYNC PARTITIONS")
     spark.sql(s"ALTER TABLE $side RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
     // the rename moves the managed dir but catalog-provided PARTITION
     // locations still point at the side path — re-sync them from disk,
     // then drop the cached file index
     spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
     spark.catalog.refreshTable(table)
+  }
+
+  /** The storage directory of a catalog table (where its partition
+    * directories live — the mtime source for retention ordering). */
+  private[graft] def tableLocation(spark: SparkSession, table: String): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location")
+      .select("data_type").as[String].head()
   }
 }

@@ -320,7 +320,13 @@ object EdgeRunner {
 
   /** The maintain/recall replay key: explicit `--ingest-id`, else a
     * deterministic hash of the input path (stable across retries of
-    * the same batch, distinct across per-batch input dirs). */
+    * the same batch, distinct across per-batch input dirs). Hash ids
+    * do NOT sort by time — retry determinism forbids a timestamp
+    * component (a retried batch must land under the SAME id) — so
+    * compaction retention deliberately orders ingests by partition
+    * write time, not id ([[graft.sources.Bucketing.newestIngestIds]]);
+    * prefer explicit date / batch-number ids where a pipeline has
+    * them, for listings and range predicates that read. */
   private def ingestIdOf(cfg: Config): String =
     if (cfg.ingestId.nonEmpty) cfg.ingestId
     else "in_" + java.security.MessageDigest.getInstance("MD5")
@@ -402,7 +408,12 @@ object EdgeRunner {
         batch.withColumn("batch_id", lit(batchId)), outDir, Seq("batch_id"))
       Connectors.overwritePartitions(
         graft.operators.Dedup.knownKeys(batch, "text")
-          .withColumn("ingest_id", lit(s"stream$batchId")),
+          // zero-padded so stream ids sort by time like date ids do
+          // (unpadded, "stream10" < "stream9" lexically); compaction
+          // retention orders by partition write time regardless, but
+          // human-readable listings and range predicates deserve ids
+          // that sort
+          .withColumn("ingest_id", lit(f"stream$batchId%012d")),
         keysDir, Seq("ingest_id"))
     } finally { batch.unpersist(); () }
   }
@@ -475,8 +486,9 @@ object EdgeRunner {
     * partition directory of small files per daily ingest). Two
     * targets:
     *   - `--known-keys <dir>`: the path-based key dir `--mode
-    *     maintain` appends to — all but the lexically-greatest
-    *     `--keep-last` ingest partitions fold into `ingest_id=base`.
+    *     maintain` appends to — all but the most-recently-WRITTEN
+    *     `--keep-last` ingest partitions fold into `ingest_id=base`
+    *     (write-time retention; `base` itself never counts).
     *   - `--table name:key1,key2` (with `--warehouse`): a managed
     *     bucketed key table ([[graft.sources.Bucketing.compactIngests]]
     *     — same fold, bucket/sort spec preserved).
@@ -505,14 +517,36 @@ object EdgeRunner {
       require(partCols.contains("ingest_id"),
         s"compact folds ingest_id; --partition-by was ${cfg.partitionBy.mkString(",")}")
       val ids = df.select("ingest_id").distinct()
-        .collect().map(_.getString(0)).sorted
-      val kept = ids.takeRight(cfg.keepLast).toSet
+        .collect().map(_.getString(0)).toSeq
+      // retention by partition WRITE TIME (newest keepLast, `base`
+      // never counted) — the Bucketing.newestIngestIds discipline:
+      // lexical order would keep `base` over date ids and keeps an
+      // arbitrary ingest under hash-style ids
+      val kept = graft.sources.Bucketing.newestIngestIds(spark, cfg.knownKeys,
+        ids, cfg.keepLast, globDepth = partCols.indexOf("ingest_id"))
       val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
       val remapped = df.withColumn("ingest_id",
-          when(keptCond, col("ingest_id")).otherwise(lit("base")))
-        .localCheckpoint(true) // materialize before overwriting the source dir
+        when(keptCond, col("ingest_id")).otherwise(lit("base")))
+      // durable swap, never read-and-overwrite the same dir: the
+      // compacted copy is fully written to a durable side dir, then
+      // renamed over the source (source renamed aside first, deleted
+      // last), so a full copy exists on DISK at every instant — a
+      // crash mid-compaction cannot destroy the store. (The previous
+      // localCheckpoint(+overwrite-in-place) held the only copy in
+      // executor memory while the source dir was being truncated.)
+      // Crash between the renames: both `__old` and `__compacting`
+      // hold complete copies — rename either back.
+      val dir = new org.apache.hadoop.fs.Path(cfg.knownKeys)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val side = dir.suffix("__compacting")
+      val old = dir.suffix("__old")
+      fs.delete(side, true)
       remapped.write.mode(SaveMode.Overwrite)
-        .partitionBy(partCols: _*).parquet(cfg.knownKeys)
+        .partitionBy(partCols: _*).parquet(side.toString)
+      fs.delete(old, true)
+      require(fs.rename(dir, old), s"rename $dir -> $old failed")
+      require(fs.rename(side, dir), s"rename $side -> $dir failed")
+      fs.delete(old, true)
       s"dir ${cfg.knownKeys} (${ids.length} ingests -> ${kept.size + 1})"
     }
   }

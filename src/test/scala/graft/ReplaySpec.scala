@@ -141,15 +141,21 @@ class ReplaySpec extends AnyFunSuite {
   }
 
   test("compactIngests folds old ingest partitions: fewer files, same rows, still exchange-free") {
+    // DATE-STYLE ids on purpose: they sort lexically BEFORE the "base"
+    // bootstrap partition ('2' < 'b'), the exact shape under which a
+    // naive takeRight-over-all-ids retention keeps {base} and folds
+    // the NEWEST ingest (the round-11 verdict defect); retention must
+    // key on partition write time and never count base
+    val ingestIds = Seq("2026-08-01", "2026-08-02", "2026-08-03")
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val name = "replay_compact"
     try {
       Dedup.saveNearDupKeys(spark, name, corpus.filter(pmod(col("doc_id"), lit(4)) === 0),
         "doc_id", "text")
-      for (d <- 1 to 3)
+      for ((id, d) <- ingestIds.zipWithIndex)
         Dedup.appendNearDupKeys(spark, name,
-          corpus.filter(pmod(col("doc_id"), lit(4)) === d), "doc_id", "text",
-          ingestId = s"d$d")
+          corpus.filter(pmod(col("doc_id"), lit(4)) === d + 1), "doc_id", "text",
+          ingestId = id)
       def rows(): Set[Seq[Any]] = spark.table(s"${name}_ndsh")
         .select("doc_id", "sh").collect().map(_.toSeq.toList).toSet
       def files(): Int = {
@@ -165,9 +171,21 @@ class ReplaySpec extends AnyFunSuite {
         Seq("doc_id"), buckets = 8, keepLast = 1)
       assert(rows() == beforeRows, "compaction must not change table contents")
       assert(files() < beforeFiles, s"expected fewer files, $beforeFiles -> ${files()}")
-      // the lexically-last ingest keeps its own partition (still replayable)
+      // the NEWEST ingest keeps its own partition (still replayable) —
+      // not base, which sorts lexically after every date id
       assert(spark.table(s"${name}_ndsh").select("ingest_id").distinct()
-        .as[String].collect().toSet == Set("base", "d3"))
+        .as[String].collect().toSet == Set("base", "2026-08-03"))
+      // ...and a retry of that kept ingest is STILL idempotent after
+      // compaction (the promise keep-last exists to protect)
+      val onceRows = (spark.table(s"${name}_ndband").count(),
+        spark.table(s"${name}_ndsh").count())
+      Dedup.appendNearDupKeys(spark, name,
+        corpus.filter(pmod(col("doc_id"), lit(4)) === 3), "doc_id", "text",
+        ingestId = "2026-08-03")
+      assert((spark.table(s"${name}_ndband").count(),
+        spark.table(s"${name}_ndsh").count()) == onceRows,
+        "replay of the kept ingest after compaction must not double-append")
+      assert(rows() == beforeRows)
       // bucketed layout survives the rewrite: a self-join on the bucket
       // key plans with no shuffle over the table
       val prevAb = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -179,6 +197,42 @@ class ReplaySpec extends AnyFunSuite {
         assert(!plan.contains("ShuffleExchange"),
           s"bucket join must stay exchange-free after compaction:\n$plan")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAb)
-    } finally dropAll(s"${name}_ndband", s"${name}_ndsh")
+    } finally dropAll(s"${name}_ndband", s"${name}_ndsh",
+      s"${name}_ndsh__compacting", s"${name}_ndsh__old")
+  }
+
+  test("dir-flavor compact (EdgeRunner): write-time retention, durable swap, replayable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_dir").toFile
+    val keysDir = s"${tmp.getAbsolutePath}/keys"
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    try {
+      // maintain-shaped writes: ingest_id partitions via dynamic
+      // partition overwrite, date ids that sort BEFORE "base"
+      for ((id, d) <- Seq("base", "2026-08-01", "2026-08-02").zipWithIndex)
+        graft.sources.Connectors.overwritePartitions(
+          Dedup.knownKeys(corpus.filter(pmod(col("doc_id"), lit(3)) === d), "text")
+            .withColumn("ingest_id", lit(id)),
+          keysDir, Seq("ingest_id"))
+      def rows(): Set[String] = spark.read.parquet(keysDir)
+        .select("__norm_key").as[String].collect().toSet
+      val before = rows()
+      val msg = graft.tools.EdgeRunner.runCompact(spark,
+        graft.tools.EdgeRunner.Config(mode = "compact", in = "unused:",
+          knownKeys = keysDir, keepLast = 1))
+      assert(msg.contains(keysDir))
+      assert(rows() == before, "dir compaction must not change contents")
+      assert(spark.read.parquet(keysDir).select("ingest_id").distinct()
+        .as[String].collect().toSet == Set("base", "2026-08-02"),
+        "the newest-written ingest survives; base is the fold target, never kept")
+      // the durable-swap working dirs are gone
+      assert(!new java.io.File(s"${keysDir}__compacting").exists())
+      assert(!new java.io.File(s"${keysDir}__old").exists())
+      // replay of the kept ingest still idempotent post-compaction
+      graft.sources.Connectors.overwritePartitions(
+        Dedup.knownKeys(corpus.filter(pmod(col("doc_id"), lit(3)) === 2), "text")
+          .withColumn("ingest_id", lit("2026-08-02")),
+        keysDir, Seq("ingest_id"))
+      assert(rows() == before)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 }
