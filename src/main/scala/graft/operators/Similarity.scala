@@ -807,6 +807,57 @@ object Similarity {
     loadIvfIndex(spark, name)
   }
 
+  /** The ACT half for ENCODING drift — [[adcRecallCheck]] monitors two
+    * drift sources, the coarse quantizer's routing and the PQ
+    * codebooks' encoding; [[retrainIvfIndex]] remedies the first, this
+    * remedies the second: re-run the per-subspace portable k-means
+    * over the vectors the index holds (read back from the IVF
+    * assignments table — routing state is NOT touched) and then
+    * RE-ENCODE EVERY posting against the new books, because codes
+    * written under the old books are meaningless to the new lookup
+    * tables — a codebook swap without a full re-encode would silently
+    * mis-score the whole corpus. The `{pq}_codes`/`{pq}_books` tables
+    * are overwritten and the `{pq}_adc` posting table collapses back
+    * to one `base` partition (each row keeps its EXISTING cell id from
+    * the assignments table: routing and encoding retrain on their own
+    * cadences, as the monitor separates them). Pass `corpus` to
+    * re-train/re-encode from the source table instead (the 100 TB
+    * path — cids are then re-derived through the frozen centroids,
+    * which is exactly how the append path assigned them). Cost is the
+    * honest price of an encoding retrain: m portable-k-means runs over
+    * slices plus one corpus re-encode pass — O(corpus), paid on the
+    * monitoring cadence, never per probe. */
+  def retrainPqBooks(spark: org.apache.spark.sql.SparkSession,
+                     ivfName: String, pqName: String, m: Int,
+                     codebookK: Int = 8, iters: Int = 2, dim: Int = 64,
+                     buckets: Int = 8,
+                     corpus: Option[DataFrame] = None): Array[Array[Array[Double]]] = {
+    val model = loadIvfIndex(spark, ivfName)
+    // held vectors WITH their routing: read back from the assignments
+    // table (cids preserved verbatim), or re-routed through the frozen
+    // centroids for a caller corpus (identical by construction — the
+    // append path assigns the same way)
+    val held = corpus
+      .map(_.select(col("id"), col("vec"))
+        .withColumn("cid", nearestCentroid(col("vec"), model.centroids)))
+      .getOrElse(model.assignments.select(col("id"), col("vec"), col("cid")))
+    val (codes, books) = productQuantizeModel(
+      held.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      m, codebookK, iters, dim)
+    savePqModel(spark, pqName, codes, books)
+    // the full re-encode: every held vector's NEW wide codes next to
+    // its UNCHANGED cell id, folded to a fresh base partition
+    val postings = held.select(col("cid"), col("id").as("vec_id"))
+      .join(codesWide(codes, m).withColumnRenamed("neighbor_id", "vec_id"),
+        "vec_id")
+      .select(col("cid") +: col("vec_id").as("neighbor_id") +:
+        (0 until m).map(s => col(s"c$s")): _*)
+    graft.sources.Bucketing.writeBucketedIngest(spark, postings,
+      s"${pqName}_adc", Seq("cid"), buckets, ingestId = "base",
+      overwrite = true)
+    books
+  }
+
   /** Per-ingest IVF-ADC maintenance — [[appendToIvfIndex]]'s twin for
     * the billion-scale layout: route the NEW vectors through the
     * EXISTING coarse quantizer (`ivfName`'s centroids), encode each

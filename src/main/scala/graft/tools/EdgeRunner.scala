@@ -43,6 +43,12 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   * // ANN maintenance cadence:
   * runMain graft.tools.EdgeRunner --mode recall-check --in unused: \
   *   --index corpus_ivf --warehouse /data/wh --k 10 --nprobe 2 --min-recall 0.9
+  * // on a RETRAIN verdict — routing drift (coarse quantizer rebuild):
+  * runMain graft.tools.EdgeRunner --mode retrain --in unused: \
+  *   --index corpus_ivf --warehouse /data/wh --centroids 16
+  * // ...or encoding drift (PQ codebooks re-learned, postings re-encoded):
+  * runMain graft.tools.EdgeRunner --mode retrain --in unused: \
+  *   --index corpus_ivf --pq corpus_pq --dim 64 --warehouse /data/wh
   * }}}
   */
 object EdgeRunner {
@@ -452,12 +458,26 @@ object EdgeRunner {
       println(s"[edge] compacted: ${runCompact(spark, cfg)}")
     case "retrain" =>
       require(cfg.index.nonEmpty, "retrain mode requires --index")
-      // the ACT half of recall-check's RETRAIN verdict: rebuild the
-      // coarse quantizer over everything the index holds (corpus +
-      // every appended ingest), folding postings back to one partition
-      val m = graft.operators.Similarity.retrainIvfIndex(spark, cfg.index,
-        cfg.centroids)
-      println(s"[edge] retrained ${cfg.index}: ${m.centroids.length} centroids")
+      // the ACT half of recall-check's RETRAIN verdict. Two flavors,
+      // matching the monitor's two drift sources: without --pq,
+      // rebuild the coarse quantizer over everything the index holds
+      // (routing drift — postings fold back to one partition); with
+      // --pq, re-learn the PQ codebooks and re-encode every posting
+      // (encoding drift — routing untouched). Subspace count and
+      // codebook size are read from the existing books: an encoding
+      // retrain refreshes the model, it does not change its shape.
+      if (cfg.pq.nonEmpty) {
+        val old = graft.operators.Similarity.loadPqBooks(spark, cfg.pq)
+        val books = graft.operators.Similarity.retrainPqBooks(spark,
+          cfg.index, cfg.pq, m = old.length, codebookK = old(0).length,
+          dim = cfg.dim)
+        println(s"[edge] retrained ${cfg.pq}: ${books.length} subspaces x " +
+          s"${books(0).length} codes, postings re-encoded")
+      } else {
+        val m = graft.operators.Similarity.retrainIvfIndex(spark, cfg.index,
+          cfg.centroids)
+        println(s"[edge] retrained ${cfg.index}: ${m.centroids.length} centroids")
+      }
     case "audit" =>
       val bad = runAudit(spark, cfg)
       println(if (bad.isEmpty) "[edge] audit OK: every ingest consistent"

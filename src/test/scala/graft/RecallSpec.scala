@@ -124,6 +124,93 @@ class RecallSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("retrainPqBooks: encoding drift flips the ADC verdict; re-encode restores it") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8; val m = 2
+    // the frozen-codebook world, EXACT by construction (no noise, so
+    // every tie below is an exact tie and the whole scenario is
+    // deterministic): two point-modes along dim 0; subspace 1
+    // (dims 4-7) is identically ZERO, so its learned codebook is all
+    // zero centroids — every subspace-1 LUT entry will be exactly 0
+    val old = (0 until 40).map(i =>
+      (i.toLong, (if (i % 2 == 0) 8.0 else -8.0) +: Seq.fill(dim - 1)(0.0)))
+    val (ivfN, pqN) = ("retrain_adc", "retrain_adc_pq")
+    val tables = Seq(s"${ivfN}_centroids", s"${ivfN}_assignments",
+      s"${pqN}_codes", s"${pqN}_books", s"${pqN}_adc")
+    try {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val ivf = Similarity.ivfIndex(old.toDF("id", "vec"), nCentroids = 2, iters = 3)
+      Similarity.saveIvfIndex(spark, ivf, ivfN)
+      val (codes, books) = Similarity.productQuantizeModel(
+        old.toDF("id", "vec").select(col("id").as("vec_id"),
+          col("vec").as("embedding")),
+        m = m, k = 8, iters = 2, dim = dim)
+      Similarity.savePqModel(spark, pqN, codes, books)
+      Similarity.ensureAdcPostings(spark, pqN, ivf, codes, m = m)
+      def check() = Similarity.adcRecallCheck(spark, ivfN, pqN, dim = dim,
+        k = 3, nProbe = 2, shortlist = 48, sampleN = 200, minRecall = 0.9)
+      val healthy = check()
+      assert(healthy.recall == 1.0 && !healthy.retrain,
+        s"healthy stack must be exact: ${healthy.recall}")
+
+      // the drifted day, ENCODING dimension only: 4 point-clusters of
+      // 10 identical vectors in subspace 1 (orthogonal all-positive
+      // prototypes 20·e_c — deliberately NOT antipodal pairs, so no
+      // k-means merge can average them to a zero centroid), constant
+      // (0,5,0,0) in subspace 0. Under the frozen all-zero subspace-1
+      // codebook every LUT entry is EXACTLY 0 and every candidate's
+      // approx score ties exactly, so the shortlist degenerates to the
+      // neighbor_id tiebreak: ids 0..39 and the first drift cluster
+      // fill it, the three high-id clusters deterministically fall out
+      // of their own queries' shortlists (recall 150/240 = 0.625).
+      // nProbe = 2 probes BOTH cells, so coarse routing cannot be the
+      // failure source — the drift is isolated to the encoding
+      val drift = (0 until 40).map { i =>
+        val proto = Array.fill(4)(0.0); proto(i / 10) = 20.0
+        (200L + i, Seq(0.0, 5.0, 0.0, 0.0) ++ proto.toSeq)
+      }
+      Similarity.appendToIvfIndex(spark, ivfN, drift.toDF("id", "vec"),
+        ingestId = "drift-day")
+      Similarity.appendToAdcPostings(spark, ivfN, pqN, drift.toDF("id", "vec"),
+        m = m, ingestId = "drift-day", dim = dim)
+      val drifted = check()
+      assert(drifted.retrain,
+        s"stale codebooks must trip the verdict: ${drifted.recall}")
+      // proof the failure is the ENCODING: the plain-IVF probe at the
+      // same nProbe (exact cosine inside probed cells, no codes) is
+      // still perfect — routing is intact
+      val plain = Similarity.ivfRecallCheck(spark, ivfN,
+        k = 3, nProbe = 2, sampleN = 200, minRecall = 0.9)
+      assert(plain.recall == 1.0, s"routing must be healthy: ${plain.recall}")
+
+      // ACT: re-learn the books over everything held, re-encode ALL
+      // postings; routing state untouched
+      val centroidsBefore = spark.table(s"${ivfN}_centroids")
+        .collect().map(_.toSeq.toList).toSet
+      Similarity.retrainPqBooks(spark, ivfN, pqN, m = m, codebookK = 8,
+        iters = 2, dim = dim)
+      val after = check()
+      assert(after.recall > drifted.recall && !after.retrain,
+        s"re-encode must recover recall at the ORIGINAL nProbe/shortlist: " +
+          s"${drifted.recall} -> ${after.recall}")
+      assert(spark.table(s"${ivfN}_centroids")
+        .collect().map(_.toSeq.toList).toSet == centroidsBefore,
+        "an encoding retrain must not touch the coarse quantizer")
+      // postings folded to one fresh base partition, every vector coded
+      assert(spark.table(s"${pqN}_adc").select("ingest_id").distinct()
+        .as[String].collect().toSeq == Seq("base"))
+      assert(spark.table(s"${pqN}_adc").count() == 80)
+
+      // the CLI face: --mode retrain --pq infers the model shape from
+      // the persisted books and re-runs the same retrain end-to-end
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "retrain", "--in", "unused:", "--index", ivfN,
+        "--pq", pqN, "--dim", dim.toString)))
+      val cli = check()
+      assert(!cli.retrain && Similarity.loadPqBooks(spark, pqN).length == m)
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("EdgeRunner --mode recall-check surfaces the report") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 30).map(i =>
