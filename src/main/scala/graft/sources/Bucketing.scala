@@ -120,9 +120,13 @@ object Bucketing {
   def auditIngests(spark: SparkSession, members: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, first, lit}
     require(members.size >= 2, "auditing a family needs >= 2 member stores")
+    // ingest_id normalized to string: partition type inference reads
+    // an all-date id set back as DateType, which would break the
+    // cross-member pivot and the callers' string handling
     def readMember(m: String): DataFrame =
-      if (m.startsWith("parquet:")) spark.read.parquet(m.stripPrefix("parquet:"))
-      else spark.table(m)
+      (if (m.startsWith("parquet:")) spark.read.parquet(m.stripPrefix("parquet:"))
+       else spark.table(m))
+        .withColumn("ingest_id", col("ingest_id").cast("string"))
     val counts = members.map { m =>
       readMember(m).groupBy(col("ingest_id"))
         .agg(count(lit(1)).as("rows"))

@@ -84,7 +84,8 @@ object EdgeRunner {
     pq: String = "",                  // recall-check: PQ prefix -> check the IVF-ADC path
     shortlist: Int = 32,              // recall-check (ADC): rerank shortlist size
     dim: Int = 64,                    // recall-check (ADC): embedding dimension
-    centroids: Int = 16)              // retrain mode: coarse-quantizer size
+    centroids: Int = 16,              // retrain mode: coarse-quantizer size
+    repair: Boolean = false)          // audit mode: heal flagged ingests in place
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -136,7 +137,8 @@ object EdgeRunner {
       pq = kv.getOrElse("--pq", ""),
       shortlist = kv.get("--shortlist").map(_.toInt).getOrElse(32),
       dim = kv.get("--dim").map(_.toInt).getOrElse(64),
-      centroids = kv.get("--centroids").map(_.toInt).getOrElse(16))
+      centroids = kv.get("--centroids").map(_.toInt).getOrElse(16),
+      repair = kv.get("--repair").exists(_.toBoolean))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -300,7 +302,11 @@ object EdgeRunner {
     * docs a prior `--mode dedup` run wrote (the correct input: keys of
     * what LANDED, not of what arrived — raw JSON input also works for
     * the bootstrap over an existing corpus, or when the batch was
-    * landed verbatim). REPLAY-IDEMPOTENT: the keys land under an
+    * landed verbatim). When the input carries an `ingest_id` column
+    * (the SHARED landing dir every day's dedup writes into), only the
+    * docs landed under THIS run's ingest id are keyed — run dedup and
+    * maintain with the same `--ingest-id` and the pair composes
+    * partition-pruned, O(batch) per day. REPLAY-IDEMPOTENT: the keys land under an
     * `ingest_id=` partition via dynamic partition overwrite, so a
     * crashed-and-retried maintain replaces its own partition instead
     * of double-appending; the id is `--ingest-id` when given (use the
@@ -313,7 +319,22 @@ object EdgeRunner {
   def runMaintain(spark: SparkSession, cfg: Config): Long = {
     require(cfg.knownKeys.nonEmpty,
       "maintain mode requires --known-keys (the parquet key-table dir to append to)")
-    val batch = readDocs(spark, cfg.in)
+    val raw = readDocs(spark, cfg.in)
+    // a SHARED landing dir (every day's dedup writes the same
+    // corpus_docs) carries its own ingest_id partitions: maintain for
+    // ingest X keys exactly the docs landed UNDER X — one
+    // partition-pruned scan, O(batch) at 100 TB, never a re-key of the
+    // whole corpus. Inputs without the column (raw JSON, a per-batch
+    // dir, the bootstrap over an existing corpus) are taken whole.
+    val scoped =
+      if (raw.columns.contains("ingest_id"))
+        // plain equality, NOT a cast of the column: the literal
+        // coerces to whatever type partition inference gave the
+        // column (all-date id sets come back as DateType), and the
+        // untouched partition column is what lets the scan prune
+        raw.filter(col("ingest_id") === ingestIdOf(cfg)).drop("ingest_id")
+      else raw
+    val batch = scoped
       .filter(org.apache.spark.sql.functions.col("text").isNotNull)
     val keys = graft.operators.Dedup.knownKeys(batch, "text")
       .localCheckpoint(false)
@@ -480,9 +501,61 @@ object EdgeRunner {
       }
     case "audit" =>
       val bad = runAudit(spark, cfg)
-      println(if (bad.isEmpty) "[edge] audit OK: every ingest consistent"
-        else s"[edge] audit FAILED for ingests: ${bad.mkString(", ")} — " +
-          "re-run maintain for them (idempotent)")
+      if (bad.isEmpty) println("[edge] audit OK: every ingest consistent")
+      else if (!cfg.repair)
+        println(s"[edge] audit FAILED for ingests: ${bad.mkString(", ")} — " +
+          "re-run maintain for them (idempotent), or --repair true with " +
+          "--in parquet:<corpus_docs> --known-keys <key dir> to heal in place")
+      else {
+        val (healed, manual) = runRepair(spark, cfg, bad)
+        if (healed.nonEmpty)
+          println(s"[edge] repaired ingests: ${healed.mkString(", ")}")
+        if (manual.nonEmpty)
+          println(s"[edge] NOT repairable from landed docs (no docs " +
+            s"partition): ${manual.mkString(", ")} — re-run the original " +
+            "maintain for them")
+        val still = runAudit(spark, cfg)
+        println(if (still.isEmpty) "[edge] audit OK after repair"
+          else s"[edge] audit still FAILED for: ${still.mkString(", ")}")
+      }
+  }
+
+  /** The heal half of the audit (`--mode audit --repair true`): for
+    * each flagged ingest id, re-run the maintain for EXACTLY that id —
+    * read the landed docs back from their `ingest_id=` partition of
+    * the corpus landing (`--in parquet:<corpus_docs>`, partition-
+    * pruned) and land their dedup keys under the same id in the key
+    * dir (`--known-keys`), exactly [[runMaintain]]'s body. Idempotence
+    * makes this safe unconditionally: a flagged-but-actually-fine
+    * ingest is replaced with identical rows. Ids flagged by the audit
+    * that have NO docs partition (keys landed but the docs write never
+    * happened, or a raw-input maintain the landing never saw) cannot
+    * be healed from the landing — they are returned as `manual` and
+    * need the original batch re-run. Returns (healed, manual). */
+  def runRepair(spark: SparkSession, cfg: Config,
+                bad: Seq[String]): (Seq[String], Seq[String]) = {
+    require(cfg.in.startsWith("parquet:") && cfg.knownKeys.nonEmpty,
+      "audit --repair needs --in parquet:<corpus_docs dir> (the landed " +
+        "docs, ingest_id-partitioned) and --known-keys <key dir to heal>")
+    import spark.implicits._
+    val docs = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
+    // cast only the driver-side id listing (partition inference reads
+    // all-date id sets back as DateType); the per-id filters below
+    // compare the UNTOUCHED partition column so the scans still prune
+    val present = docs.select(col("ingest_id").cast("string"))
+      .distinct().as[String].collect().toSet
+    val (repairable, manual) = bad.partition(present)
+    repairable.foreach { id =>
+      // one partition-pruned scan per healed id; the key write is the
+      // same dynamic partition overwrite the original maintain used
+      val batch = docs.filter(col("ingest_id") === id)
+        .filter(col("text").isNotNull)
+      Connectors.overwritePartitions(
+        graft.operators.Dedup.knownKeys(batch, "text")
+          .withColumn("ingest_id", lit(id)),
+        cfg.knownKeys, Seq("ingest_id"))
+    }
+    (repairable, manual)
   }
 
   /** `--mode audit`: cross-store ingest-consistency check for a
@@ -531,8 +604,12 @@ object EdgeRunner {
       // works for ANY ingest-partitioned parquet dir the replay
       // discipline writes: the maintain key dir (ingest_id only) and
       // the dedup corpus_docs landing (lang, ingest_id) — other
-      // partition columns are preserved; only ingest_id folds
+      // partition columns are preserved; only ingest_id folds.
+      // ingest_id is a STRING by contract: partition type inference
+      // reads an all-date id set back as DateType, which would poison
+      // the "base" remap below
       val df = spark.read.parquet(cfg.knownKeys)
+        .withColumn("ingest_id", col("ingest_id").cast("string"))
       val partCols = cfg.partitionBy.filter(df.columns.contains)
       require(partCols.contains("ingest_id"),
         s"compact folds ingest_id; --partition-by was ${cfg.partitionBy.mkString(",")}")

@@ -178,10 +178,12 @@ class EdgeRunnerSpec extends AnyFunSuite {
     // same input lands the survivor once, not twice
     for (_ <- 1 to 2)
       assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(Array("--mode", "dedup",
-        "--in", s"file:$in1", "--out", out1, "--known-keys", keysDir))) == 1L)
+        "--in", s"file:$in1", "--out", out1, "--known-keys", keysDir,
+        "--ingest-id", "day1"))) == 1L)
     assert(spark.read.parquet(s"$out1/corpus_docs").count() == 1L,
       "retried dedup must replace its ingest partition, not re-append docs")
-    for (_ <- 1 to 2) // land + the retry
+    for (_ <- 1 to 2) // land + the retry; same id as the dedup, so the
+      // maintain keys exactly the docs landed under day1
       assert(EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
         "--in", s"parquet:$out1/corpus_docs", "--known-keys", keysDir,
         "--ingest-id", "day1"))) == 1L)
@@ -601,6 +603,162 @@ class EdgeRunnerSpec extends AnyFunSuite {
         col("keep").cast("boolean"))
       .as[(Long, Long, Boolean)].collect()
     assert(landed.forall { case (id, sc, k) => lib(id) == sc && k == (sc > 0) })
+  }
+
+  test("maintenance lifecycle e2e: bootstrap, ingests, replay, audit, crash, repair, compact, recall loop") {
+    import spark.implicits._
+    // the whole daily story the maintenance family supports, composed
+    // the way an operator would actually run it — each op is spec'd
+    // alone elsewhere; THIS is the composition check, with
+    // row-exactness asserted at every stage
+    val root = Files.createTempDirectory("edge_life").toString
+    val out = s"$root/data"
+    val docsDir = s"$out/corpus_docs"
+    val keysDir = s"$root/keys"
+    val texts = Map(
+      "A" -> "the quick brown fox jumps over the lazy dog again today",
+      "B" -> "rainfall statistics across four decades of measurements",
+      "C" -> "entirely novel content about catalyst physical planning",
+      "D" -> "vier jahrzehnte niederschlag statistik aus den bergen heute",
+      "E" -> "seventeen sleepy badgers watch from the mossy riverbank",
+      "F" -> "broadcast joins beat shuffles when one side is tiny",
+      "G" -> "dynamic partition overwrite makes retried ingests idempotent",
+      "H" -> "bucketed tables keep their sort order across compactions",
+      "I" -> "watermarks bound state growth in streaming aggregations")
+    def dayFile(day: Int, docs: Seq[(Int, String)]): String = {
+      val dir = Files.createTempDirectory(s"edge_life_in$day").toString
+      writeLines(dir, "b.json", docs.map { case (id, key) =>
+        s"""{"doc_id":$id,"text":"${texts(key)}","lang":"en","source":"web"}"""
+      })
+      dir
+    }
+    def id(day: Int) = f"2026-08-$day%02d"
+    def dedupArgs(day: Int, in: String, extra: String*): Array[String] =
+      Array("--mode", "dedup", "--in", s"file:$in", "--out", out,
+        "--ingest-id", id(day)) ++ extra
+    def dedup(day: Int, in: String): Long =
+      EdgeRunner.runDedup(spark, EdgeRunner.parse(
+        dedupArgs(day, in, "--known-keys", keysDir)))
+    def maintain(day: Int): Long =
+      EdgeRunner.runMaintain(spark, EdgeRunner.parse(Array("--mode", "maintain",
+        "--in", s"parquet:$docsDir", "--known-keys", keysDir,
+        "--ingest-id", id(day))))
+    def audit(): Seq[String] =
+      EdgeRunner.runAudit(spark, EdgeRunner.parse(Array("--mode", "audit",
+        "--in", "unused:", "--table", s"parquet:$docsDir,parquet:$keysDir")))
+    def landedIds(): Set[Long] = spark.read.parquet(docsDir)
+      .select("doc_id").as[Long].collect().toSet
+    def keyRows(): Long = spark.read.parquet(keysDir).count()
+
+    // day 1 bootstrap: dedup against an explicitly EMPTY known corpus
+    // (an absent key dir must stay a loud failure, not an implicit
+    // bootstrap), then key what landed
+    val emptyKnown = s"$root/empty_known"
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(emptyKnown)
+    val in1 = dayFile(1, Seq(1 -> "A", 2 -> "B", 3 -> "C"))
+    assert(EdgeRunner.runDedup(spark, EdgeRunner.parse(
+      dedupArgs(1, in1, "--known", emptyKnown))) == 3L)
+    assert(maintain(1) == 3L)
+    // day 2, CRASH-AND-RETRIED at each stage: a dedup retried before
+    // maintain replaces its own landing partition (same survivors —
+    // its keys aren't landed yet); a retried maintain replaces its key
+    // partition; and a FULL-day replay after completion is a no-op —
+    // the day's own keys now suppress its content (kept = 0) while
+    // landing and keys stay byte-identical
+    val in2 = dayFile(2, Seq(4 -> "D", 5 -> "E"))
+    assert(dedup(2, in2) == 2L)
+    assert(dedup(2, in2) == 2L, "pre-maintain dedup retry sees the same survivors")
+    assert(maintain(2) == 2L)
+    assert(maintain(2) == 2L, "maintain retry replaces its partition")
+    assert(dedup(2, in2) == 0L, "post-maintain replay is suppressed by own keys")
+    assert(landedIds() == Set(1L, 2L, 3L, 4L, 5L) && keyRows() == 5L,
+      "replayed day must not duplicate docs or keys")
+    // day 3: a re-post of day 1 content drops, the novel doc lands
+    val in3 = dayFile(3, Seq(6 -> "A", 7 -> "F"))
+    assert(dedup(3, in3) == 1L)
+    assert(maintain(3) == 1L)
+    assert(landedIds() == Set(1L, 2L, 3L, 4L, 5L, 7L))
+    assert(audit() == Seq.empty, "healthy family must audit clean")
+
+    // day 4 CRASH between the family's two writes: docs land, the
+    // maintain never runs — the audit must notice what no retry heals
+    val in4 = dayFile(4, Seq(8 -> "G", 9 -> "H"))
+    assert(dedup(4, in4) == 2L)
+    assert(audit() == Seq(id(4)), "half-landed ingest must be flagged")
+    // ...and --repair heals it from the landed docs partition alone
+    EdgeRunner.run(spark, EdgeRunner.parse(Array("--mode", "audit",
+      "--in", s"parquet:$docsDir", "--table",
+      s"parquet:$docsDir,parquet:$keysDir", "--known-keys", keysDir,
+      "--repair", "true")))
+    assert(audit() == Seq.empty, "audit must be clean after --repair")
+    assert(keyRows() == 8L)
+    // the healed keys are SEMANTICALLY right: day 5's re-post of day-4
+    // content is dropped by the repaired key table
+    val in5 = dayFile(5, Seq(10 -> "G", 11 -> "I"))
+    assert(dedup(5, in5) == 1L)
+    assert(maintain(5) == 1L)
+    assert(landedIds() == Set(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 11L))
+    assert(audit() == Seq.empty)
+
+    // compact the key dir, keep-last honoring WRITE time (date ids
+    // sort before "base"; retention must still keep day 5)
+    val beforeKeys = spark.read.parquet(keysDir)
+      .select("__norm_key").as[String].collect().toSet
+    EdgeRunner.runCompact(spark, EdgeRunner.parse(Array("--mode", "compact",
+      "--in", "unused:", "--known-keys", keysDir, "--keep-last", "1")))
+    assert(spark.read.parquet(keysDir).select("ingest_id").distinct()
+      .as[String].collect().toSet == Set("base", id(5)),
+      "newest ingest survives compaction; base absorbs the rest")
+    assert(spark.read.parquet(keysDir).select("__norm_key")
+      .as[String].collect().toSet == beforeKeys && keyRows() == 9L)
+    // the kept ingest is STILL replayable post-compaction
+    assert(maintain(5) == 1L)
+    assert(keyRows() == 9L, "post-compact replay of the kept id must not append")
+    // and the compacted keys still suppress re-posts of EVERY batch
+    val in6 = dayFile(6, Seq(20 -> "A", 21 -> "D", 22 -> "G", 23 -> "I"))
+    assert(dedup(6, in6) == 0L)
+
+    // the ANN wing of the same cadence: bootstrap index -> ingest
+    // append -> recall-check OK -> drifted append -> RETRAIN ->
+    // --mode retrain -> OK at the original nProbe
+    val rnd = new scala.util.Random(29)
+    def gauss(n: Int, sd: Double) = Seq.fill(n)(rnd.nextGaussian() * sd)
+    val name = "life_ivf"
+    try {
+      for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      val modes = (0 until 20).map(i => (i.toLong,
+        (if (i % 2 == 0) 10.0 else -10.0) +: gauss(7, 0.1)))
+      graft.operators.Similarity.saveIvfIndex(spark,
+        graft.operators.Similarity.ivfIndex(modes.toDF("id", "vec"),
+          nCentroids = 2, iters = 3), name)
+      // day ingest: more of the same modes — healthy append
+      val more = (100 until 120).map(i => (i.toLong,
+        (if (i % 2 == 0) 10.0 else -10.0) +: gauss(7, 0.1)))
+      graft.operators.Similarity.appendToIvfIndex(spark, name,
+        more.toDF("id", "vec"), ingestId = id(5))
+      def recall() = EdgeRunner.runRecallCheck(spark, EdgeRunner.parse(Array(
+        "--mode", "recall-check", "--in", "unused:", "--index", name,
+        "--k", "2", "--nprobe", "1", "--sample", "200")))
+      assert(recall().recall == 1.0, "healthy append must keep recall")
+      // drifted day: boundary-straddling twin pairs (the RecallSpec
+      // geometry) — verdict flips
+      val drift = (0 until 15).flatMap { i =>
+        val w = gauss(6, 1.0)
+        Seq((300L + 2 * i, Seq(0.1, 5.0) ++ w),
+          (301L + 2 * i, Seq(-0.1, 5.0) ++ w))
+      }
+      graft.operators.Similarity.appendToIvfIndex(spark, name,
+        drift.toDF("id", "vec"), ingestId = id(6))
+      assert(recall().retrain, "boundary-straddling drift must trip RETRAIN")
+      // ACT on the verdict through the CLI; verdict flips back
+      EdgeRunner.run(spark, EdgeRunner.parse(Array("--mode", "retrain",
+        "--in", "unused:", "--index", name, "--centroids", "3")))
+      assert(!recall().retrain, "retrain must restore recall at the same nProbe")
+    } finally for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("parse rejects bad modes and missing inputs") {
