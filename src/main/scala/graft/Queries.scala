@@ -3518,6 +3518,100 @@ object Queries {
         round(col("n_hit").cast("double") / col("n_exact"), 6))
   }
 
+  /** Hybrid retrieval fusion (s16): the lexical and vector stacks
+    * finally COMPOSE — per query (ids < 10, which have BOTH a document
+    * and an embedding), reciprocal-rank-fuse
+    * ([[graft.operators.Relational.rrfFuse]], K = 60)
+    *  - the VECTOR leg: top-20 by the persisted portable IVF index
+    *    (s04's — same name, same frozen quantizer, nProbe 4), and
+    *  - the LEXICAL leg: top-20 BM25 ([[graft.operators.TextAnalysis
+    *    .bm25PerQuery]]) where each query's terms are its own
+    *    document's top-3 tf-idf keywords (the t17 rule) scored against
+    *    the corpus docs (ids >= 10)
+    * — the standard production shape for corpus search and
+    * contamination triage. Both legs re-derive in DuckDB from the s04
+    * unrolled-Lloyd CTEs and the t17/t24 CTE blocks; contributions
+    * round 6dp and DECIMAL-sum, so the fused ranking is engine-exact.
+    * Scale: each leg reads its fact table once (probed cells / filtered
+    * posting lists); the fusion works on queries × 20 × 2 rows. */
+  val s16 = q("s16_hybrid_rrf",
+    s"""$ivfOracleCtes,
+      |probe AS (SELECT vec_id AS query_id, cid FROM (
+      | SELECT qs.vec_id, c.cid,
+      |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+      |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+      | FROM qs, c2 c) WHERE r <= 4),
+      |vleg AS (SELECT query_id, neighbor_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM (
+      | SELECT p.query_id, af.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(qe.v, af.v), 6) AS cos
+      | FROM probe p JOIN af ON af.cid = p.cid JOIN e qe ON qe.vec_id = p.query_id)
+      | QUALIFY rn <= 20),
+      |btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tf_all AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+      |  (SELECT doc_id, unnest(t) AS term FROM btoks) GROUP BY doc_id, term),
+      |df_all AS (SELECT term, COUNT(*) AS df FROM tf_all GROUP BY term),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |qterms AS (SELECT doc_id AS query_id, term FROM (
+      | SELECT tf_all.doc_id, tf_all.term,
+      |  ROW_NUMBER() OVER (PARTITION BY tf_all.doc_id
+      |   ORDER BY round(tf * ln((nn.n + 1.0) / (df_all.df + 1)), 6) DESC,
+      |    tf_all.term) AS rn
+      | FROM tf_all JOIN df_all USING (term) CROSS JOIN nn
+      | WHERE tf_all.doc_id < 10) WHERE rn <= 3),
+      |bdocs AS (SELECT doc_id, t FROM btoks WHERE doc_id >= 10),
+      |bstats AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS BIGINT) AS sum_dl
+      | FROM bdocs),
+      |posting AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, term, COUNT(*) AS tf
+      | FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM bdocs)
+      | WHERE term IN (SELECT DISTINCT term FROM qterms)
+      | GROUP BY doc_id, term, dl),
+      |dft AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+      |bparts AS (SELECT q.query_id, p.doc_id,
+      |  round(ln(1.0 + (bstats.n - dft.df + 0.5) / (dft.df + 0.5))
+      |    * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl * bstats.n / bstats.sum_dl)), 6)
+      |   AS part
+      | FROM posting p JOIN dft USING (term) JOIN qterms q USING (term)
+      | CROSS JOIN bstats),
+      |bscored AS (SELECT query_id, doc_id,
+      |  CAST(SUM(CAST(part AS DECIMAL(30,10))) AS DOUBLE) AS score
+      | FROM bparts GROUP BY query_id, doc_id),
+      |lleg AS (SELECT query_id, doc_id AS neighbor_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+      | FROM bscored QUALIFY rn <= 20),
+      |fused AS (SELECT query_id, neighbor_id,
+      |  CAST(SUM(CAST(round(1.0 / (60 + rn), 6) AS DECIMAL(30,10))) AS DOUBLE) AS rrf,
+      |  CAST(COUNT(*) AS BIGINT) AS n_legs
+      | FROM (SELECT * FROM vleg UNION ALL SELECT * FROM lleg)
+      | GROUP BY query_id, neighbor_id)
+      |SELECT query_id, neighbor_id, rrf, n_legs,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rn
+      |FROM fused QUALIFY rn <= 10""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    val vleg = Similarity.ivfTopK(emb.filter(col("id") < 10), model,
+        k = 20, nProbe = 4)
+      .select("query_id", "neighbor_id", "rn")
+    // tiny (queries × 3 rows) but DERIVED from a full corpus tf-idf:
+    // checkpointed so the two consumers inside bm25PerQuery (posting
+    // term filter + per-query fan-out) don't re-run the derivation
+    val qterms = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .localCheckpoint(false)
+    val lleg = TextAnalysis.bm25PerQuery(docs.filter(col("doc_id") >= 10),
+        "doc_id", "text", qterms, topN = 20)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rn"))
+    Relational.rrfFuse(Seq(vleg, lleg), k = 10)
+  }
+
   /** Cohort retention over the event stream: users cohorted by the ISO
     * week of their first signup; every later event lands in a
     * (cohort-week, week-offset) cell with distinct-user and event
@@ -4407,6 +4501,48 @@ object Queries {
       alpha = 0.5, budget = 1000000L)
   }
 
+  /** DSIR importance resampling ([[graft.operators.TextAnalysis
+    * .dsirResample]]): hashed-n-gram importance weights of every doc
+    * (target LM = the English subset, raw LM = the whole pool, 1024
+    * buckets, add-one smoothing), then a 100-doc Gumbel-top-k draw
+    * over the log-importance — the data-selection step between the
+    * quality gates (t02/t21) and the mixers (t14/t28). Per-bucket
+    * log-ratios round 6dp before the per-doc DECIMAL sum; the Gumbel
+    * key uses the t18 portable md5 uniform — every dumped double is
+    * engine-exact by the same discipline as t16/t18. */
+  val t29 = q("t29_dsir_resample",
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS is_target,
+      |  string_split(text, ' ') AS t FROM documents),
+      |feats AS (SELECT doc_id, is_target,
+      |  CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 1024 AS b
+      | FROM (SELECT doc_id, is_target,
+      |   unnest(t || CASE WHEN len(t) >= 2
+      |     THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |     ELSE CAST([] AS VARCHAR[]) END) AS f
+      |  FROM toks)),
+      |bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+      |  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      | FROM feats GROUP BY b),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+      |  CAST(SUM(ct) AS BIGINT) AS nt FROM bc),
+      |lr AS (SELECT b, round(ln(((ct + 1.0) * (nr + 1024)) /
+      |   ((cr + 1.0) * (nt + 1024))), 6) AS lr
+      | FROM bc CROSS JOIN tot),
+      |docw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |  CAST(SUM(CAST(lr AS DECIMAL(30,10))) AS DOUBLE) AS log_importance
+      | FROM feats JOIN lr USING (b) GROUP BY doc_id),
+      |keyed AS (SELECT doc_id, n_feats, log_importance,
+      |  round(log_importance - ln(-ln(
+      |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+      |     + 1.0) / 4503599627370496.0)), 6) AS sel_key
+      | FROM docw)
+      |SELECT doc_id, n_feats, log_importance, sel_key,
+      | CAST(ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rn
+      |FROM keyed QUALIFY rn <= 100""".stripMargin) { (s, dir) =>
+    TextAnalysis.dsirResample(Tables.documents(s, dir), "doc_id", "text",
+      targetCol = col("lang") === "en", buckets = 1024, k = 100)
+  }
+
   /** Dedup threshold sweep — the diagnostic a pipeline owner reads
     * before PICKING the near-dup threshold: how many verified pairs
     * survive at each candidate cutoff, from ONE pass over the
@@ -4451,7 +4587,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07)
 }

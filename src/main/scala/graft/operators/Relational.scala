@@ -108,6 +108,31 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of N ranked
+    * retrieval legs — the standard way hybrid search combines a
+    * lexical (BM25) and a vector (ANN) ranking without comparable
+    * scores: rrf(d) = Σ_legs 1/(K + rank_leg(d)), summed over the legs
+    * that surfaced d at all. Each leg is (query_id, neighbor_id, rn);
+    * contributions round 6dp then DECIMAL-sum (cross-engine exact);
+    * ties break on neighbor id. `n_legs` reports how many legs agreed
+    * — the diagnostic a search owner reads first.
+    *
+    * Scale shape: the legs are already top-N per query (tiny relative
+    * to any corpus), so the union + one (query, neighbor) aggregation
+    * + per-query top-k is bounded by queries × N × legs rows — the
+    * fusion itself never touches a fact table. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    val contrib = legs.map(_.select(col("query_id"), col("neighbor_id"),
+        round(lit(1.0) / (lit(rrfK.toDouble) + col("rn")), 6).as("c")))
+      .reduce(_ unionAll _)
+    val fused = contrib.groupBy("query_id", "neighbor_id")
+      .agg(graft.functions.Exact.dsum(col("c")).as("rrf"),
+        count(lit(1)).as("n_legs"))
+    topKPerGroup(fused, Seq(col("query_id")),
+      Seq(col("rrf").desc, col("neighbor_id")), k)
+  }
+
   /** Changelog compaction: keep only rows whose value differs from the
     * key's previous row under `order` (each key's first row is always
     * kept) — an event stream reduced to its minimal change log, the

@@ -312,6 +312,54 @@ object TextAnalysis {
         count(lit(1)).as("n_matched"))
   }
 
+  /** Per-QUERY [[bm25]]: many keyword queries ranked against the
+    * corpus in ONE plan — the lexical leg of hybrid retrieval (s16).
+    * `qterms` is the tiny (query_id, term) relation (e.g. each
+    * query's top-tf-idf terms); it broadcasts twice: once distinct-
+    * by-term to filter the posting stream (the inverted-index access
+    * path — the corpus explode carries only rows whose term ANY query
+    * uses, never the full term table), once to fan matched postings
+    * out to the queries that asked for them. df/idf are corpus
+    * properties computed once per term, shared across queries; the
+    * per-(query, doc, term) parts round 6dp and DECIMAL-sum per the
+    * t16/t24 discipline, ranks tie-break on doc id. */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+                   qterms: DataFrame, topN: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val Array(nDocs, sumDl) = docs
+      .agg(count(lit(1)),
+        coalesce(sum(size(TextOps.tokens(col(textCol))).cast("long")), lit(0L)))
+      .collect().head.toSeq.map(_.toString.toLong).toArray
+    val qt = qterms.select(col("query_id"), col("term")).distinct()
+    // materialized once (lazy local checkpoint): the matched-posting
+    // relation is BOUNDED (docs containing a query term × terms), and
+    // it feeds BOTH the df reduction and the scoring join — without
+    // the checkpoint the corpus explode runs twice
+    val posting = docs.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(false)
+    // df per TERM over distinct docs — deliberately from the posting
+    // aggregate, not a per-query window: two queries sharing a term
+    // must see the same df
+    val dft = posting.groupBy("term").agg(count(lit(1)).as("df"))
+    val parts = posting.join(broadcast(dft), "term")
+      .join(broadcast(qt), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part", round(col("idf") * (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") *
+          lit(nDocs.toDouble) / lit(sumDl.toDouble))), 6))
+    val scored = parts.groupBy("query_id", "doc_id")
+      .agg(graft.functions.Exact.dsum(col("part")).as("score"),
+        count(lit(1)).as("n_matched"))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col("doc_id")), topN)
+  }
+
   /** Per-source token-quota selection: within EACH source, keep the
     * highest-classifier-score documents until that source's token
     * quota is exhausted — the source-balanced corpus mix (every source
@@ -635,6 +683,74 @@ object TextAnalysis {
     val key = round(-log(u) / weight, 6)
     Relational.topKPerGroup(df.withColumn("samp_key", key),
       Seq(col(stratumCol)), Seq(col("samp_key"), col(idCol)), k)
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-n-gram bag is
+    * under the TARGET distribution than under the RAW pool, then draw
+    * a fixed-size sample by Gumbel top-k over the log-importance —
+    * the standard data-selection operator between quality gates
+    * (t02/t21) and mixing (t14/t28) in an LLM data pipeline.
+    *
+    *  - features: unigrams + bigrams ([[ngramFeatures]], the t20
+    *    feature family), hashed into `buckets` bins by the md5 52-bit
+    *    rule — both "LMs" are bag-of-hashed-ngram models, estimated
+    *    from THIS corpus: target = rows where `targetCol`, raw = all.
+    *  - per-bucket log-ratio, add-one smoothed:
+    *    lr(b) = ln(((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B))), rounded 6dp so
+    *    the per-doc DECIMAL sum is engine-exact.
+    *  - per-doc log-importance = Σ lr(bucket(f)) over the doc's
+    *    features WITH multiplicity (the product of per-token
+    *    probabilities, in log space).
+    *  - selection: Gumbel top-k — key = log_importance − ln(−ln(u))
+    *    with u the portable md5 uniform of the id (the t18 rule), the
+    *    exact sampling scheme the DSIR paper uses, deterministic
+    *    across engines, runs, and partitionings.
+    *
+    * Scale shape: ONE feature-explode + per-feature md5 pass, reduced
+    * immediately to the per-doc bucket HISTOGRAM (doc, bucket, n) —
+    * bounded at ≤`buckets` rows per doc, orders of magnitude under
+    * the raw feature stream — which is checkpointed once and feeds
+    * BOTH count passes; the bucket table is `buckets` rows (broadcast
+    * back onto the histogram — never a shuffle of the corpus against
+    * it); the only corpus-keyed aggregation is the per-doc sum; top-k
+    * is WindowGroupLimit-pruned before its single-partition step. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetCol: Column, buckets: Int = 1024,
+                   k: Int = 100): DataFrame = {
+    require(buckets >= 1 && k >= 1, s"need buckets/k >= 1, got $buckets/$k")
+    val toks = docs.select(col(idCol).as("doc_id"), targetCol.as("is_target"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val hist = toks.select(col("doc_id"), col("is_target"),
+        explode(ngramFeatures(col("t"))).as("f"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("f")), 1, 13), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .groupBy("doc_id", "is_target", "b")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val bc = hist.groupBy("b").agg(sum(col("n")).as("cr"),
+      sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct"))
+    val totals = bc.agg(sum("cr").as("nr"), sum("ct").as("nt")) // 1 row
+    val lr = bc.crossJoin(broadcast(totals))
+      .select(col("b"), round(log(
+        ((col("ct") + lit(1.0)) * (col("nr") + lit(buckets))) /
+          ((col("cr") + lit(1.0)) * (col("nt") + lit(buckets)))), 6).as("lr"))
+    // lr·n stays an exact 6dp multiple (lr is 6dp-rounded, n integer,
+    // the double product exact well under 2^53), so the DECIMAL sum
+    // over histogram rows equals the per-feature sum bit-for-bit
+    val docw = hist.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_feats"),
+        Exact.dsum(col("lr") * col("n")).as("log_importance"))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 1.0) / 4503599627370496.0 // 2^52
+    val keyed = docw.withColumn("sel_key",
+      round(col("log_importance") - log(-log(u)), 6))
+    Relational.topKPerGroup(keyed, Seq(lit(1)),
+        Seq(col("sel_key").desc, col("doc_id")), k)
+      .select("doc_id", "n_feats", "log_importance", "sel_key", "rn")
   }
 
   /** Line unit for [[dropBoilerplateLines]] on real corpora: literal

@@ -374,4 +374,32 @@ class PlanShapeSpec extends AnyFunSuite {
         "shuffle-join fallback must return exactly the broadcast path's rows")
     } finally spark.conf.unset("spark.graft.q70.broadcastFrontierLimit")
   }
+
+  test("t29 DSIR: bucket log-ratios broadcast, only nested-loop is the 1-row totals") {
+    val p = plan("t29_dsir_resample")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t29:\n$p")
+    // the 1-row totals scalar rides a broadcast nested loop by
+    // construction; the B-row bucket table must come back as a
+    // broadcast HASH join onto the feature stream — never a shuffle
+    // of the corpus against it
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected extra nested-loop joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket log-ratio table must broadcast:\n$p")
+  }
+
+  test("s16 hybrid RRF: no cartesian; only nested-loops are the 1-row tf-idf scalars") {
+    val p = plan("s16_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s16:\n$p")
+    // the tf-idf query-term derivation carries t17's broadcast 1-row
+    // corpus-count scalar; qterms feeds two joins (posting filter +
+    // per-query fan-out), so that subtree appears twice — every OTHER
+    // join must be a hash/merge equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 2,
+      s"unexpected extra nested-loop joins:\n$p")
+    // the vector leg probes the persisted BUCKETED posting table, not
+    // a raw embeddings rescan
+    assert(p.contains("Bucketed: true"),
+      s"vector leg must read the bucketed IVF assignments:\n$p")
+  }
 }
