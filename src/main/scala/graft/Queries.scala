@@ -2674,6 +2674,76 @@ object Queries {
       k = 5, nProbe = 4, shortlist = 40)
   }
 
+  /** RESIDUAL IVF-ADC (s17) — the actual IVFADC of Jégou et al. 2011
+    * §III, upgrading s12's raw-vector codes: the PQ codebooks are
+    * trained on the coarse-quantizer residuals r = v − centroid(cid)
+    * (what a cell must distinguish is displacement AROUND its
+    * centroid), and the approx score decomposes as q·v̂ =
+    * q·centroid(cid) + q·r̂ — one per-(query, probed-cell) centroid
+    * dot plus the same m LUT lookups per candidate. Fully
+    * oracle-checked: DuckDB re-derives the coarse index (unrolled
+    * Lloyd), subtracts the identical centroids to get the residual
+    * table, re-trains the four residual sub-codebooks with the same
+    * CTE blocks, and scores through the same decomposition. Same cost
+    * shape as s12 (the cell term is nProbe scalars per query, never
+    * per candidate). */
+  val s17 = q("s17_ivfadc_residual", {
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16, src = "res"))
+    val scs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      s"""sc_$s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  list_dot_product(q.v[$lo:$hi], c.v) AS d
+         | FROM qs q, af_$s a JOIN c2_$s c ON c.cid = a.code)""".stripMargin
+    }
+    s"""$ivfOracleCtes,
+       |res AS MATERIALIZED (SELECT af.vec_id, af.cid,
+       |  list_transform(range(len(af.v)), i -> af.v[i+1] - c.v[i+1]) AS v
+       | FROM af JOIN c2 c USING (cid)),
+       |${blocks.mkString(",\n")},
+       |${scs.mkString(",\n")},
+       |probe AS (SELECT vec_id AS query_id, cid FROM (
+       | SELECT qs.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+       | FROM qs, c2 c) WHERE r <= 4),
+       |cd AS (SELECT q.vec_id AS query_id, c.cid,
+       |  list_dot_product(q.v, c.v) AS cd
+       | FROM qs q, c2 c),
+       |cand AS (SELECT p.query_id, af.vec_id AS neighbor_id, af.cid
+       | FROM probe p JOIN af ON af.cid = p.cid),
+       |approx AS (SELECT c.query_id, c.neighbor_id,
+       |  round(cd.cd + sc_0.d + sc_1.d + sc_2.d + sc_3.d, 6) AS approx
+       | FROM cand c JOIN cd ON cd.query_id = c.query_id AND cd.cid = c.cid
+       |  JOIN sc_0 ON sc_0.query_id = c.query_id AND sc_0.neighbor_id = c.neighbor_id
+       |  JOIN sc_1 ON sc_1.query_id = c.query_id AND sc_1.neighbor_id = c.neighbor_id
+       |  JOIN sc_2 ON sc_2.query_id = c.query_id AND sc_2.neighbor_id = c.neighbor_id
+       |  JOIN sc_3 ON sc_3.query_id = c.query_id AND sc_3.neighbor_id = c.neighbor_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, neighbor_id) AS arn FROM approx) WHERE arn <= 40),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |  round(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+       | FROM short s JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ce ON ce.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, cos,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |FROM rr QUALIFY rn <= 5""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val corp = emb.filter(col("id") >= 10)
+    val ivf = Similarity.ensureIvfIndex(s, ivfIndexName(dir), corp,
+      nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    val (codes, books) = Similarity.ensureResidualPqModel(s, pqResModelName(dir),
+      ivf, m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
+    val postings = Similarity.ensureAdcPostings(s, pqResModelName(dir), ivf,
+      codes, m = 4, fingerprint = Some(embFp(dir)))
+    Similarity.ivfAdcResidualTopK(emb.filter(col("id") < 10), ivf, postings,
+      books, k = 5, nProbe = 4, shortlist = 40)
+  }
+
   /** Johnson–Lindenstrauss random projection 64→16 dims over the
     * md5-portable plane family (salt "rp:") — fully oracle-checked:
     * DuckDB re-derives the identical plane matrix from md5 and folds
@@ -2733,6 +2803,11 @@ object Queries {
   private def pqModelName(dir: String): String =
     "graft_pq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Residual-PQ model name (codes under the raw and residual schemes
+    * are mutually meaningless — distinct prefix, never shared). */
+  private def pqResModelName(dir: String): String =
+    "graft_pqr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** One-time artifact builds that should not land in any timed query:
     * the s04 IVF index and the d07/d08 near-dup cluster table.
     * Idempotent; Bench calls it during warmup, and a cold Verify run
@@ -2748,6 +2823,10 @@ object Queries {
         .select(col("id").as("vec_id"), col("vec").as("embedding")),
       m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
     Similarity.ensureAdcPostings(s, pqModelName(dir), ivf, codes, m = 4,
+      fingerprint = Some(embFp(dir)))
+    val (resCodes, _) = Similarity.ensureResidualPqModel(s, pqResModelName(dir),
+      ivf, m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
+    Similarity.ensureAdcPostings(s, pqResModelName(dir), ivf, resCodes, m = 4,
       fingerprint = Some(embFp(dir)))
     ensureClusters(s, dir)
     ensureEventsByDate(s, dir)
@@ -4543,6 +4622,61 @@ object Queries {
       targetCol = col("lang") === "en", buckets = 1024, k = 100)
   }
 
+  /** Data-selection pipeline composed end to end (p08): DSIR
+    * importance resampling (t29's exact machinery — hashed-n-gram
+    * importance, Gumbel-top-100 draw) feeds sequence packing (t09's:
+    * 512-token packs within 4 shards) and per-pack occupancy — the
+    * select→pack step of a training-data build as ONE declarative
+    * plan. The selection is 100 ids (broadcast join back onto the
+    * docs), so the packing stage's window runs over the selected
+    * slice only; Catalyst sees a single plan. */
+  val p08 = q("p08_dsir_pack",
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS is_target,
+      |  string_split(text, ' ') AS t FROM documents),
+      |feats AS (SELECT doc_id, is_target,
+      |  CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % 1024 AS b
+      | FROM (SELECT doc_id, is_target,
+      |   unnest(t || CASE WHEN len(t) >= 2
+      |     THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |     ELSE CAST([] AS VARCHAR[]) END) AS f
+      |  FROM toks)),
+      |bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+      |  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      | FROM feats GROUP BY b),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+      |  CAST(SUM(ct) AS BIGINT) AS nt FROM bc),
+      |lr AS (SELECT b, round(ln(((ct + 1.0) * (nr + 1024)) /
+      |   ((cr + 1.0) * (nt + 1024))), 6) AS lr
+      | FROM bc CROSS JOIN tot),
+      |docw AS (SELECT doc_id,
+      |  CAST(SUM(CAST(lr AS DECIMAL(30,10))) AS DOUBLE) AS log_importance
+      | FROM feats JOIN lr USING (b) GROUP BY doc_id),
+      |sel AS (SELECT doc_id FROM (
+      | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+      |   round(log_importance - ln(-ln(
+      |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+      |     + 1.0) / 4503599627370496.0)), 6) DESC, doc_id) AS rn
+      | FROM docw) WHERE rn <= 100),
+      |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN sel USING (doc_id))
+      |SELECT shard, pack_id, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM (
+      | SELECT doc_id, doc_id % 4 AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(len(string_split(text, ' ')))
+      |    OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+      |   - len(string_split(text, ' '))) // 512 AS BIGINT) AS pack_id
+      | FROM kept)
+      |GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sel = TextAnalysis.dsirResample(docs, "doc_id", "text",
+        targetCol = col("lang") === "en", buckets = 1024, k = 100)
+      .select("doc_id")
+    TextAnalysis.packSequences(docs.join(broadcast(sel), "doc_id"),
+        "doc_id", "text", capacity = 512, shards = 4)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   /** Dedup threshold sweep — the diagnostic a pipeline owner reads
     * before PICKING the near-dup threshold: how many verified pairs
     * survive at each candidate cutoff, from ONE pass over the
@@ -4588,6 +4722,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07)
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08)
 }

@@ -769,7 +769,8 @@ object Similarity {
   def adcRecallCheck(spark: org.apache.spark.sql.SparkSession,
                      ivfName: String, pqName: String, dim: Int = 64,
                      k: Int = 10, nProbe: Int = 2, shortlist: Int = 32,
-                     sampleN: Int = 64, minRecall: Double = 0.9): RecallReport = {
+                     sampleN: Int = 64, minRecall: Double = 0.9,
+                     residual: Boolean = false): RecallReport = {
     val model = loadIvfIndex(spark, ivfName)
     val corpus = model.assignments.select(col("id"), col("vec"))
     val queries = corpus
@@ -777,8 +778,14 @@ object Similarity {
       .limit(sampleN)
       .localCheckpoint(false)
     val exact = bruteForceTopK(queries, corpus, k)
-    val ann = ivfAdcTopK(queries, model, spark.table(s"${pqName}_adc"),
-      loadPqBooks(spark, pqName), k, nProbe, shortlist, dim)
+    // residual = the pqName postings hold RESIDUAL codes — probe
+    // through the decomposition they were encoded under
+    val ann =
+      if (residual) ivfAdcResidualTopK(queries, model,
+        spark.table(s"${pqName}_adc"), loadPqBooks(spark, pqName),
+        k, nProbe, shortlist, dim)
+      else ivfAdcTopK(queries, model, spark.table(s"${pqName}_adc"),
+        loadPqBooks(spark, pqName), k, nProbe, shortlist, dim)
     RecallReport(recallAtK(ann, exact), queries.count(), k, nProbe, minRecall)
   }
 
@@ -831,7 +838,8 @@ object Similarity {
                      ivfName: String, pqName: String, m: Int,
                      codebookK: Int = 8, iters: Int = 2, dim: Int = 64,
                      buckets: Int = 8,
-                     corpus: Option[DataFrame] = None): Array[Array[Array[Double]]] = {
+                     corpus: Option[DataFrame] = None,
+                     residual: Boolean = false): Array[Array[Array[Double]]] = {
     val model = loadIvfIndex(spark, ivfName)
     // held vectors WITH their routing: read back from the assignments
     // table (cids preserved verbatim), or re-routed through the frozen
@@ -841,9 +849,14 @@ object Similarity {
       .map(_.select(col("id"), col("vec"))
         .withColumn("cid", nearestCentroid(col("vec"), model.centroids)))
       .getOrElse(model.assignments.select(col("id"), col("vec"), col("cid")))
-    val (codes, books) = productQuantizeModel(
-      held.select(col("id").as("vec_id"), col("vec").as("embedding")),
-      m, codebookK, iters, dim)
+    // residual = the pqName model encodes coarse-quantizer residuals
+    // ([[residualPqModel]]): train AND re-encode in residual space —
+    // mixing the two spaces would make every code meaningless
+    val embs =
+      if (residual) held.select(col("id").as("vec_id"),
+        residualOf(col("vec"), col("cid"), model.centroids).as("embedding"))
+      else held.select(col("id").as("vec_id"), col("vec").as("embedding"))
+    val (codes, books) = productQuantizeModel(embs, m, codebookK, iters, dim)
     savePqModel(spark, pqName, codes, books)
     // the full re-encode: every held vector's NEW wide codes next to
     // its UNCHANGED cell id, folded to a fresh base partition
@@ -891,6 +904,130 @@ object Similarity {
       coded.select(col("cid") +: col("id").as("neighbor_id") +:
         (0 until m).map(s => col(s"c$s")): _*),
       s"${pqName}_adc", Seq("cid"), buckets, ingestId)
+  }
+
+  // ------------------------------------------- residual IVF-PQ (IVFADC)
+
+  /** Element-wise residual of a vector against its assigned coarse
+    * centroid: r = v − centroid(cid). Exact double subtraction against
+    * the broadcast centroid literal — an oracle doing the same
+    * subtraction reproduces every residual bit-for-bit. */
+  private def residualOf(vec: Column, cid: Column,
+                         cents: Array[Array[Double]]): Column =
+    zip_with(vec,
+      element_at(typedlit(cents.map(_.toSeq).toSeq), cid.cast("int") + 1),
+      (a, b) => a - b)
+
+  /** PQ codebooks trained on the coarse-quantizer RESIDUALS — the
+    * actual IVFADC of Jégou et al. 2011 §III: after routing, what a
+    * cell must distinguish is the displacement AROUND its centroid,
+    * not the absolute position, so encoding r = v − c(v) spends the
+    * codebooks' capacity on the part that still varies within a cell
+    * (the classic recall win over raw-vector PQ at the same code
+    * budget). One codebook set shared across cells (the standard
+    * memory/quality point); same portable-k-means-per-slice machinery
+    * as [[productQuantizeModel]], so an oracle re-derives the books
+    * from the residual table with the identical CTE blocks. */
+  def residualPqModel(ivf: IVFModel, m: Int = 4, k: Int = 8,
+                      iters: Int = 2, dim: Int = 64)
+      : (DataFrame, Array[Array[Array[Double]]]) =
+    productQuantizeModel(
+      ivf.assignments.select(col("id").as("vec_id"),
+        residualOf(col("vec"), col("cid"), ivf.centroids).as("embedding")),
+      m, k, iters, dim)
+
+  /** Load-or-build a persisted residual-PQ model for `ivf`; cache key
+    * is the NAME (use a distinct prefix from the raw-vector PQ model —
+    * codes under the two schemes are mutually meaningless). */
+  def ensureResidualPqModel(spark: org.apache.spark.sql.SparkSession,
+                            name: String, ivf: IVFModel, m: Int = 4,
+                            k: Int = 8, iters: Int = 2, dim: Int = 64,
+                            fingerprint: Option[String] = None)
+      : (DataFrame, Array[Array[Array[Double]]]) = synchronized {
+    import graft.sources.DerivedTables
+    def load(): (DataFrame, Array[Array[Array[Double]]]) =
+      (spark.table(s"${name}_codes"), loadPqBooks(spark, name))
+    val tables = Seq(s"${name}_codes", s"${name}_books")
+    val present = DerivedTables.presentOrExists(spark, tables, fingerprint)
+    val existing = if (present) Some(load()) else None
+    existing.filter(_._2.length == m).getOrElse {
+      val (codes, books) = residualPqModel(ivf, m, k, iters, dim)
+      savePqModel(spark, name, codes, books)
+      DerivedTables.stampAll(spark, tables, fingerprint)
+      load()
+    }
+  }
+
+  /** Per-ingest maintenance for the residual layout —
+    * [[appendToAdcPostings]] with the residual insertion: route the
+    * new vectors through the frozen coarse centroids, SUBTRACT the
+    * assigned centroid, encode the residual slices against the frozen
+    * residual books, append bucket-aligned under the replay-safe
+    * `ingest_id` partition. Still O(batch) broadcast arithmetic. */
+  def appendToResidualAdcPostings(spark: org.apache.spark.sql.SparkSession,
+                                  ivfName: String, pqName: String,
+                                  newVecs: DataFrame, m: Int,
+                                  ingestId: String, dim: Int = 64,
+                                  buckets: Int = 8): Unit = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val ivf = loadIvfIndex(spark, ivfName)
+    val books = loadPqBooks(spark, pqName)
+    val routed = newVecs.select(col("id"), col("vec"))
+      .withColumn("cid", nearestCentroid(col("vec"), ivf.centroids))
+      .withColumn("rv", residualOf(col("vec"), col("cid"), ivf.centroids))
+    val coded = (0 until m).foldLeft(routed) { (df, s) =>
+      df.withColumn(s"c$s",
+        nearestCentroid(slice(col("rv"), s * subDim + 1, subDim), books(s))
+          .cast("long"))
+    }
+    graft.sources.Bucketing.writeBucketedIngest(spark,
+      coded.select(col("cid") +: col("id").as("neighbor_id") +:
+        (0 until m).map(s => col(s"c$s")): _*),
+      s"${pqName}_adc", Seq("cid"), buckets, ingestId)
+  }
+
+  /** [[ivfAdcTopK]] over RESIDUAL-encoded postings: the approx score
+    * decomposes as q·v̂ = q·centroid(cid) + q·r̂ — one per-(query,
+    * probed-cell) dot against the broadcast centroid literal plus the
+    * same m LUT lookups per candidate, rounded 6dp together before
+    * ranking. Identical cost shape to the raw-code probe (the
+    * centroid dot is nProbe scalars per query, not per candidate);
+    * the shortlist fetch and exact rerank are unchanged. */
+  def ivfAdcResidualTopK(queries: DataFrame, model: IVFModel,
+                         postings: DataFrame,
+                         books: Array[Array[Array[Double]]], k: Int,
+                         nProbe: Int, shortlist: Int,
+                         dim: Int = 64): DataFrame = {
+    val subDim = dim / books.length
+    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        VectorOps.norm(col("vec")).as("qn"),
+        queryLut(col("vec"), books, subDim).as("lut"),
+        explode(transform(slice(array_sort(dists), 1, nProbe), s => s.getField("i")))
+          .as("cid"))
+      // the residual decomposition's cell term: one dot per probed
+      // (query, cell) against the broadcast centroid literal
+      .withColumn("cd", VectorOps.dot(col("qv"),
+        element_at(typedlit(model.centroids.map(_.toSeq).toSeq),
+          col("cid").cast("int") + 1)))
+    val scored = postings.join(broadcast(q), "cid")
+      .withColumn("approx", round(col("cd") + adcScore(books), 6))
+    val short = Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("approx").desc, col("neighbor_id")), shortlist, rankCol = "arn")
+    val corpus = model.assignments.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    val rr = broadcast(short.select("query_id", "neighbor_id", "qv", "qn"))
+      .join(corpus, "neighbor_id")
+      .withColumn("cos",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    Relational.topKPerGroup(rr, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cos", "rn")
   }
 
   /** IVF-ADC two-stage retrieval: queries route to their `nProbe`

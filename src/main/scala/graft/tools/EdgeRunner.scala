@@ -85,7 +85,8 @@ object EdgeRunner {
     shortlist: Int = 32,              // recall-check (ADC): rerank shortlist size
     dim: Int = 64,                    // recall-check (ADC): embedding dimension
     centroids: Int = 16,              // retrain mode: coarse-quantizer size
-    repair: Boolean = false)          // audit mode: heal flagged ingests in place
+    repair: Boolean = false,          // audit mode: heal flagged ingests in place
+    residual: Boolean = false)        // recall-check/retrain --pq: residual-coded postings
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -138,7 +139,8 @@ object EdgeRunner {
       shortlist = kv.get("--shortlist").map(_.toInt).getOrElse(32),
       dim = kv.get("--dim").map(_.toInt).getOrElse(64),
       centroids = kv.get("--centroids").map(_.toInt).getOrElse(16),
-      repair = kv.get("--repair").exists(_.toBoolean))
+      repair = kv.get("--repair").exists(_.toBoolean),
+      residual = kv.get("--residual").exists(_.toBoolean))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -491,7 +493,7 @@ object EdgeRunner {
         val old = graft.operators.Similarity.loadPqBooks(spark, cfg.pq)
         val books = graft.operators.Similarity.retrainPqBooks(spark,
           cfg.index, cfg.pq, m = old.length, codebookK = old(0).length,
-          dim = cfg.dim)
+          dim = cfg.dim, residual = cfg.residual)
         println(s"[edge] retrained ${cfg.pq}: ${books.length} subspaces x " +
           s"${books(0).length} codes, postings re-encoded")
       } else {
@@ -521,22 +523,43 @@ object EdgeRunner {
   }
 
   /** The heal half of the audit (`--mode audit --repair true`): for
-    * each flagged ingest id, re-run the maintain for EXACTLY that id —
-    * read the landed docs back from their `ingest_id=` partition of
-    * the corpus landing (`--in parquet:<corpus_docs>`, partition-
-    * pruned) and land their dedup keys under the same id in the key
-    * dir (`--known-keys`), exactly [[runMaintain]]'s body. Idempotence
-    * makes this safe unconditionally: a flagged-but-actually-fine
-    * ingest is replaced with identical rows. Ids flagged by the audit
-    * that have NO docs partition (keys landed but the docs write never
-    * happened, or a raw-input maintain the landing never saw) cannot
-    * be healed from the landing — they are returned as `manual` and
-    * need the original batch re-run. Returns (healed, manual). */
+    * each flagged ingest id, re-run the family's maintain for EXACTLY
+    * that id — read the landed docs back from their `ingest_id=`
+    * partition of the corpus landing (`--in parquet:<corpus_docs>`,
+    * partition-pruned) and re-land the derived keys under the same id.
+    * Which maintain depends on the family:
+    *   - `--known-keys <dir>`: the path-based key dir — exactly
+    *     [[runMaintain]]'s body (dynamic partition overwrite).
+    *   - otherwise, the MANAGED families are inferred from the
+    *     `--table` members' suffixes (the writers' naming contract):
+    *     `<n>_norm`+`<n>_bands` → [[graft.operators.Dedup
+    *     .appendIncrementalKeys]]; `<n>_ndband`+`<n>_ndsh` →
+    *     [[graft.operators.Dedup.appendNearDupKeys]] — the re-append
+    *     lands BOTH member tables, completing whichever half the
+    *     crash dropped.
+    * Idempotence makes this safe unconditionally: a
+    * flagged-but-actually-fine ingest (or the surviving half of a
+    * half-ingest) is replaced with identical rows. Ids flagged by the
+    * audit that have NO docs partition (keys landed but the docs
+    * write never happened, or a raw-input maintain the landing never
+    * saw) cannot be healed from the landing — they are returned as
+    * `manual` and need the original batch re-run. Returns
+    * (healed, manual). */
   def runRepair(spark: SparkSession, cfg: Config,
                 bad: Seq[String]): (Seq[String], Seq[String]) = {
-    require(cfg.in.startsWith("parquet:") && cfg.knownKeys.nonEmpty,
+    require(cfg.in.startsWith("parquet:"),
       "audit --repair needs --in parquet:<corpus_docs dir> (the landed " +
-        "docs, ingest_id-partitioned) and --known-keys <key dir to heal>")
+        "docs, ingest_id-partitioned) as the heal source")
+    val managed = cfg.table.split(",").toSeq.map(_.trim)
+      .filterNot(_.startsWith("parquet:"))
+    def prefixes(a: String, b: String): Seq[String] =
+      managed.filter(_.endsWith(a)).map(_.stripSuffix(a))
+        .intersect(managed.filter(_.endsWith(b)).map(_.stripSuffix(b)))
+    val exactFams = prefixes("_norm", "_bands")
+    val ndFams = prefixes("_ndband", "_ndsh")
+    require(cfg.knownKeys.nonEmpty || exactFams.nonEmpty || ndFams.nonEmpty,
+      "audit --repair needs --known-keys <dir to heal>, or --table members " +
+        "naming a managed family (<n>_norm,<n>_bands or <n>_ndband,<n>_ndsh)")
     import spark.implicits._
     val docs = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
     // cast only the driver-side id listing (partition inference reads
@@ -546,14 +569,21 @@ object EdgeRunner {
       .distinct().as[String].collect().toSet
     val (repairable, manual) = bad.partition(present)
     repairable.foreach { id =>
-      // one partition-pruned scan per healed id; the key write is the
-      // same dynamic partition overwrite the original maintain used
+      // one partition-pruned scan per healed id; every write below is
+      // the same idempotent overwrite the original maintain used
       val batch = docs.filter(col("ingest_id") === id)
         .filter(col("text").isNotNull)
-      Connectors.overwritePartitions(
-        graft.operators.Dedup.knownKeys(batch, "text")
-          .withColumn("ingest_id", lit(id)),
-        cfg.knownKeys, Seq("ingest_id"))
+      if (cfg.knownKeys.nonEmpty)
+        Connectors.overwritePartitions(
+          graft.operators.Dedup.knownKeys(batch, "text")
+            .withColumn("ingest_id", lit(id)),
+          cfg.knownKeys, Seq("ingest_id"))
+      exactFams.foreach(n =>
+        graft.operators.Dedup.appendIncrementalKeys(spark, n, batch,
+          "text", ingestId = id))
+      ndFams.foreach(n =>
+        graft.operators.Dedup.appendNearDupKeys(spark, n, batch,
+          "doc_id", "text", ingestId = id))
     }
     (repairable, manual)
   }
@@ -675,7 +705,8 @@ object EdgeRunner {
     // verdict covers coarse-routing AND encoding drift
     if (cfg.pq.nonEmpty)
       graft.operators.Similarity.adcRecallCheck(spark, cfg.index, cfg.pq,
-        cfg.dim, cfg.k, cfg.nProbe, cfg.shortlist, cfg.sample, cfg.minRecall)
+        cfg.dim, cfg.k, cfg.nProbe, cfg.shortlist, cfg.sample, cfg.minRecall,
+        residual = cfg.residual)
     else
       graft.operators.Similarity.ivfRecallCheck(spark, cfg.index,
         cfg.k, cfg.nProbe, cfg.sample, cfg.minRecall)

@@ -566,9 +566,41 @@ object ScaleSmoke {
         s"recall_check_${nd}_vecs" -> tRecall)
     }
 
+    // --- round-12: PQ encoding retrain — the ACT half for encoding
+    // drift. Cost model to verify: retrainPqBooks = m sub-k-means over
+    // the held vectors + ONE corpus re-encode pass (O(corpus), paid on
+    // the monitoring cadence) vs the O(batch) adc append it
+    // complements on ordinary days. Uses the annResults index (old +
+    // the i1 ingest already appended).
+    val r12Results = {
+      val old = embeddings.filter(col("id") % 10 =!= 0)
+      val delta = embeddings.filter(col("id") % 10 === 0)
+      for (t <- Seq("graft_smoke_pq_codes", "graft_smoke_pq_books",
+          "graft_smoke_pq_adc"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      val ivf = Similarity.loadIvfIndex(spark, "graft_smoke_ivf")
+      val (codes, books) = Similarity.productQuantizeModel(
+        old.select(col("id").as("vec_id"), col("vec").as("embedding")),
+        m = 4, k = 8, iters = 2, dim = 64)
+      Similarity.savePqModel(spark, "graft_smoke_pq", codes, books)
+      Similarity.ensureAdcPostings(spark, "graft_smoke_pq", ivf, codes, m = 4)
+      val t0 = System.nanoTime()
+      Similarity.appendToAdcPostings(spark, "graft_smoke_ivf",
+        "graft_smoke_pq", delta, m = 4, ingestId = "i1", dim = 64)
+      val tAppend = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] adc_append_10pct_${nd}_vecs  ${tAppend}%8.2f s")
+      val t1 = System.nanoTime()
+      Similarity.retrainPqBooks(spark, "graft_smoke_ivf", "graft_smoke_pq",
+        m = 4, codebookK = 8, iters = 2, dim = 64)
+      val tRetrain = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] pq_retrain_reencode_${nd}_vecs ${tRetrain}%8.2f s")
+      Seq(s"adc_append_10pct_${nd}_vecs" -> tAppend,
+        s"pq_retrain_reencode_${nd}_vecs" -> tRetrain)
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
-      annResults ++ r11Results ++ r11bResults
+      annResults ++ r11Results ++ r11bResults ++ r12Results
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()

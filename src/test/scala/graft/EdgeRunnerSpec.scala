@@ -605,6 +605,60 @@ class EdgeRunnerSpec extends AnyFunSuite {
     assert(landed.forall { case (id, sc, k) => lib(id) == sc && k == (sc > 0) })
   }
 
+  test("--mode audit --repair heals a MANAGED near-dup family from the landed docs") {
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val name = "edge_heal_nd"
+    val docsDir = Files.createTempDirectory("edge_heal_docs").toString + "/corpus_docs"
+    val day = "2026-08-10"
+    try {
+      val boot = corpus.filter(col("doc_id") % 3 === 0)
+      graft.operators.Dedup.saveNearDupKeys(spark, name, boot, "doc_id", "text")
+      // the bootstrap corpus lives in the landing too (a real
+      // pipeline's landing holds everything ever kept), so the audit
+      // sees `base` in every member
+      graft.sources.Connectors.overwritePartitions(
+        boot.withColumn("ingest_id",
+          org.apache.spark.sql.functions.lit("base")), docsDir, Seq("ingest_id"))
+      // day1: docs land in the ingest-partitioned corpus landing AND
+      // both key tables get the ingest...
+      val day1 = corpus.filter(col("doc_id") % 3 === 1)
+      graft.sources.Connectors.overwritePartitions(
+        day1.withColumn("ingest_id",
+          org.apache.spark.sql.functions.lit(day)), docsDir, Seq("ingest_id"))
+      graft.operators.Dedup.appendNearDupKeys(spark, name, day1,
+        "doc_id", "text", ingestId = day)
+      // ...then the crash window is simulated by dropping the SECOND
+      // table's partition (appendNearDupKeys writes _ndband, then
+      // _ndsh — a crash between them leaves exactly this state)
+      spark.sql(s"ALTER TABLE ${name}_ndsh DROP IF EXISTS " +
+        s"PARTITION (ingest_id='$day')")
+      val members = s"parquet:$docsDir,${name}_ndband,${name}_ndsh"
+      def audit() = EdgeRunner.runAudit(spark, EdgeRunner.parse(Array(
+        "--mode", "audit", "--in", "unused:", "--table", members)))
+      assert(audit() == Seq(day), "the half-landed ingest must be flagged")
+      val shBefore = spark.table(s"${name}_ndsh").count()
+      // heal: family inferred from the member suffixes, batch read
+      // back from the landing's ingest partition, both tables
+      // re-appended idempotently
+      val (healed, manual) = EdgeRunner.runRepair(spark, EdgeRunner.parse(Array(
+        "--mode", "audit", "--in", s"parquet:$docsDir",
+        "--table", members, "--repair", "true")), Seq(day))
+      assert(healed == Seq(day) && manual.isEmpty)
+      assert(audit() == Seq.empty, "audit must be clean after the heal")
+      // the healed shingle rows are exactly the batch's keys, and the
+      // surviving band half was replaced with identical rows
+      assert(spark.table(s"${name}_ndsh").count() == shBefore + day1.count())
+      val expected = graft.operators.Dedup
+        .nearDupKeys(day1, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(spark.table(s"${name}_ndsh")
+        .filter(col("ingest_id") === day)
+        .select("doc_id").as[Long].collect().toSet == expected)
+    } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("maintenance lifecycle e2e: bootstrap, ingests, replay, audit, crash, repair, compact, recall loop") {
     import spark.implicits._
     // the whole daily story the maintenance family supports, composed

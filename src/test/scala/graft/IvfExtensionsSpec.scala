@@ -134,6 +134,96 @@ class IvfExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVFADC: books train on residuals, append encodes residual slices, replay-safe") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    val dim = 8; val m = 2; val subDim = dim / m
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))).toSeq.toDF("id", "vec")
+    val old = vecs(100 until 150)
+    val delta = vecs(200 until 220)
+    val tables = Seq("radc_centroids", "radc_assignments",
+      "radc_pq_codes", "radc_pq_books", "radc_pq_adc")
+    try {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val ivf = Similarity.ivfIndex(old, nCentroids = 4, iters = 2)
+      Similarity.saveIvfIndex(spark, ivf, "radc")
+      val (codes, books) = Similarity.residualPqModel(ivf, m = m, k = 4,
+        iters = 2, dim = dim)
+      def argmin(v: Seq[Double], cents: Array[Array[Double]]): Int =
+        cents.map(c => c.map(x => x * x).sum -
+          2.0 * c.zip(v).map { case (a, b) => a * b }.sum).zipWithIndex.min._2
+      // the codes are the argmin of the RESIDUAL slices (not the raw
+      // vector's) against the learned books — the defining property
+      val oldRows = old.as[(Long, Seq[Double])].collect().toMap
+      val assigned = ivf.assignments.select("id", "cid")
+        .as[(Long, Int)].collect().toMap
+      val codeRows = codes.select("vec_id", "subspace", "code")
+        .as[(Long, Long, Long)].collect()
+      assert(codeRows.length == oldRows.size * m)
+      codeRows.foreach { case (id, s, code) =>
+        val r = oldRows(id).zip(ivf.centroids(assigned(id)))
+          .map { case (a, b) => a - b }
+        assert(code == argmin(r.slice(s.toInt * subDim, (s.toInt + 1) * subDim),
+          books(s.toInt)), s"residual code off for $id subspace $s")
+      }
+      Similarity.savePqModel(spark, "radc_pq", codes, books)
+      Similarity.ensureAdcPostings(spark, "radc_pq", ivf, codes, m = m)
+      Similarity.appendToResidualAdcPostings(spark, "radc", "radc_pq",
+        delta, m = m, ingestId = "i1", dim = dim)
+      val after = spark.table("radc_pq_adc").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+      val deltaRows = delta.as[(Long, Seq[Double])].collect().toMap
+      val gotDelta = after.filter(_._2 >= 200L)
+      assert(gotDelta.map(_._2).toSet == deltaRows.keySet)
+      gotDelta.foreach { case (cid, id, c0, c1) =>
+        val v = deltaRows(id)
+        assert(cid == argmin(v, ivf.centroids), s"coarse routing off for $id")
+        val r = v.zip(ivf.centroids(cid)).map { case (a, b) => a - b }
+        assert(c0 == argmin(r.slice(0, subDim), books(0)), s"c0 off for $id")
+        assert(c1 == argmin(r.slice(subDim, dim), books(1)), s"c1 off for $id")
+      }
+      // replay-safe like every maintenance append
+      Similarity.appendToResidualAdcPostings(spark, "radc", "radc_pq",
+        delta, m = m, ingestId = "i1", dim = dim)
+      assert(spark.table("radc_pq_adc").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toList.sorted == after.sorted,
+        "replayed residual append must replace its partition")
+      // the probe with an everything-covering shortlist reproduces
+      // brute force exactly (the rerank contract, residual flavor)
+      val model2 = Similarity.loadIvfIndex(spark, "radc")
+      val queries = vecs(200 until 204)
+      val ann = Similarity.ivfAdcResidualTopK(queries, model2,
+          spark.table("radc_pq_adc"), books, k = 3, nProbe = 4,
+          shortlist = 70, dim = dim)
+        .select("query_id", "neighbor_id", "cos", "rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val exact = Similarity.bruteForceTopK(queries,
+          model2.assignments.select("id", "vec"), k = 3)
+        .select("query_id", "neighbor_id", "cos", "rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(ann == exact,
+        "full-probe full-shortlist residual ADC must equal brute force")
+      // the monitor probes through the residual decomposition the
+      // postings were encoded under...
+      val rep = Similarity.adcRecallCheck(spark, "radc", "radc_pq",
+        dim = dim, k = 3, nProbe = 4, shortlist = 70, sampleN = 100,
+        minRecall = 0.9, residual = true)
+      assert(rep.recall == 1.0 && !rep.retrain,
+        s"residual monitor on a healthy full-probe stack: ${rep.recall}")
+      // ...and the encoding retrain stays in residual space end to
+      // end: re-learned books + full residual re-encode, recall intact
+      Similarity.retrainPqBooks(spark, "radc", "radc_pq", m = m,
+        codebookK = 4, iters = 2, dim = dim, residual = true)
+      val rep2 = Similarity.adcRecallCheck(spark, "radc", "radc_pq",
+        dim = dim, k = 3, nProbe = 4, shortlist = 70, sampleN = 100,
+        minRecall = 0.9, residual = true)
+      assert(rep2.recall == 1.0 && !rep2.retrain,
+        s"residual retrain must preserve recall: ${rep2.recall}")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ensureIvfIndex builds once, then reuses the persisted index") {
     val rnd = new scala.util.Random(7)
     val cands = Seq.tabulate(40)(i =>

@@ -186,6 +186,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"query side should broadcast:\n$p")
   }
 
+  test("s17 residual IVF-ADC: same posting-table probe shape as s12") {
+    val p = plan("s17_ivfadc_residual")
+    assert(!p.contains("CartesianProduct"))
+    // the residual decomposition's cell term is computed on the
+    // broadcast query side (nProbe scalars per query) — the posting
+    // scan stays the narrow (cid, codes) table, identical to s12
+    assert(p.contains("_adc"), s"scoring must read the ADC posting table:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query side should broadcast:\n$p")
+  }
+
+  test("p08 DSIR->pack pipeline: selection broadcasts back onto the docs") {
+    val p = plan("p08_dsir_pack")
+    assert(!p.contains("CartesianProduct"), s"cartesian in p08:\n$p")
+    // the 100-id selection joins back as a broadcast hash join; the
+    // only nested-loop is t29's 1-row totals scalar
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected extra nested-loop joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"selection must broadcast onto the docs scan:\n$p")
+  }
+
   test("s11 PQ rerank: code-table pass broadcasts only the query side") {
     val p = plan("s11_pq_rerank")
     // the corpus/code side must stream: every broadcast build is the
