@@ -228,6 +228,16 @@ object Bucketing {
     spark.catalog.refreshTable(table)
   }
 
+  /** The bucket count a managed table was created with (the catalog's
+    * spec — any partition rewrite must preserve it exactly). */
+  private[graft] def bucketsOf(spark: SparkSession, table: String): Int = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").as[String].head().trim.toInt
+  }
+
   /** The storage directory of a catalog table (where its partition
     * directories live — the mtime source for retention ordering). */
   private[graft] def tableLocation(spark: SparkSession, table: String): String = {

@@ -49,6 +49,10 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   * // ...or encoding drift (PQ codebooks re-learned, postings re-encoded):
   * runMain graft.tools.EdgeRunner --mode retrain --in unused: \
   *   --index corpus_ivf --pq corpus_pq --dim 64 --warehouse /data/wh
+  * // deletion propagation (right-to-be-forgotten), every doc-keyed store:
+  * runMain graft.tools.EdgeRunner --mode forget --ids 5,9 \
+  *   --in parquet:/data/corpus_docs --partition-by lang,ingest_id \
+  *   --table corpus_nd --index corpus_ivf --pq corpus_pq --warehouse /data/wh
   * }}}
   */
 object EdgeRunner {
@@ -86,7 +90,8 @@ object EdgeRunner {
     dim: Int = 64,                    // recall-check (ADC): embedding dimension
     centroids: Int = 16,              // retrain mode: coarse-quantizer size
     repair: Boolean = false,          // audit mode: heal flagged ingests in place
-    residual: Boolean = false)        // recall-check/retrain --pq: residual-coded postings
+    residual: Boolean = false,        // recall-check/retrain --pq: residual-coded postings
+    ids: Seq[Long] = Nil)             // forget mode: doc ids to delete everywhere
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -99,10 +104,11 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
-        "neardup|recall-check|compact|audit|retrain is required"))
+        "neardup|recall-check|compact|audit|retrain|forget is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
-        "classify", "neardup", "recall-check", "compact", "audit", "retrain")(mode),
+        "classify", "neardup", "recall-check", "compact", "audit", "retrain",
+        "forget")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -140,7 +146,9 @@ object EdgeRunner {
       dim = kv.get("--dim").map(_.toInt).getOrElse(64),
       centroids = kv.get("--centroids").map(_.toInt).getOrElse(16),
       repair = kv.get("--repair").exists(_.toBoolean),
-      residual = kv.get("--residual").exists(_.toBoolean))
+      residual = kv.get("--residual").exists(_.toBoolean),
+      ids = kv.get("--ids")
+        .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Nil))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -501,6 +509,8 @@ object EdgeRunner {
           cfg.centroids)
         println(s"[edge] retrained ${cfg.index}: ${m.centroids.length} centroids")
       }
+    case "forget" =>
+      println(s"[edge] rows deleted across stores: ${runForget(spark, cfg)}")
     case "audit" =>
       val bad = runAudit(spark, cfg)
       if (bad.isEmpty) println("[edge] audit OK: every ingest consistent")
@@ -520,6 +530,46 @@ object EdgeRunner {
         println(if (still.isEmpty) "[edge] audit OK after repair"
           else s"[edge] audit still FAILED for: ${still.mkString(", ")}")
       }
+  }
+
+  /** `--mode forget --ids 5,9,...`: deletion propagation
+    * ([[graft.operators.Forget]]) — remove the requested doc ids from
+    * every doc-keyed store the pipeline maintains, each a
+    * partition-targeted rewrite:
+    *   - `--in parquet:<corpus landing>` (+ `--partition-by`): the
+    *     landed docs themselves (durable side-dir swap per partition);
+    *   - `--table <ndPrefix>`: the near-dup key family
+    *     (`_ndband`/`_ndsh`, bucketed rewrite);
+    *   - `--index <ivfPrefix>`: the IVF assignments;
+    *   - `--pq <pqPrefix>`: the ADC postings.
+    * Content-keyed exact-dedup stores are deliberately left intact
+    * (see [[graft.operators.Forget]] — re-posts of forgotten content
+    * stay suppressed). At least one target is required; pass all that
+    * the deployment maintains. Returns total rows deleted. */
+  def runForget(spark: SparkSession, cfg: Config): Long = {
+    require(cfg.ids.nonEmpty, "forget mode requires --ids id1,id2,...")
+    require(cfg.in.startsWith("parquet:") || cfg.table.nonEmpty ||
+      cfg.index.nonEmpty || cfg.pq.nonEmpty,
+      "forget mode needs at least one target: --in parquet:<landing>, " +
+        "--table <ndPrefix>, --index <ivfPrefix>, --pq <pqPrefix>")
+    import graft.operators.Forget
+    var n = 0L
+    if (cfg.in.startsWith("parquet:"))
+      n += Forget.forgetFromDir(spark, cfg.in.stripPrefix("parquet:"),
+        "doc_id", cfg.ids, cfg.partitionBy)
+    if (cfg.table.nonEmpty) {
+      n += Forget.forgetFromTable(spark, s"${cfg.table}_ndband",
+        Seq("band_idx", "band_key"), "doc_id", cfg.ids)
+      n += Forget.forgetFromTable(spark, s"${cfg.table}_ndsh",
+        Seq("doc_id"), "doc_id", cfg.ids)
+    }
+    if (cfg.index.nonEmpty)
+      n += Forget.forgetFromTable(spark, s"${cfg.index}_assignments",
+        Seq("cid"), "id", cfg.ids)
+    if (cfg.pq.nonEmpty)
+      n += Forget.forgetFromTable(spark, s"${cfg.pq}_adc",
+        Seq("cid"), "neighbor_id", cfg.ids)
+    n
   }
 
   /** The heal half of the audit (`--mode audit --repair true`): for
@@ -627,7 +677,7 @@ object EdgeRunner {
         case _ => sys.error(s"--table expects name:key1[,key2], got ${cfg.table}")
       }
       graft.sources.Bucketing.compactIngests(spark, name, keys,
-        bucketsOf(spark, name), cfg.keepLast)
+        graft.sources.Bucketing.bucketsOf(spark, name), cfg.keepLast)
       s"table $name (${spark.table(name).count()} rows)"
     } else {
       import org.apache.spark.sql.functions.{col, lit, when}
@@ -676,15 +726,6 @@ object EdgeRunner {
       fs.delete(old, true)
       s"dir ${cfg.knownKeys} (${ids.length} ingests -> ${kept.size + 1})"
     }
-  }
-
-  /** The bucket count a managed table was created with (the catalog's
-    * spec — compaction must preserve it exactly). */
-  private def bucketsOf(spark: SparkSession, name: String): Int = {
-    import spark.implicits._
-    spark.sql(s"DESCRIBE TABLE EXTENDED $name")
-      .filter(col("col_name") === "Num Buckets")
-      .select("data_type").as[String].head().trim.toInt
   }
 
   /** `--mode recall-check`: the ANN re-train trigger — sampled
