@@ -773,6 +773,33 @@ class EdgeRunnerSpec extends AnyFunSuite {
     // and the compacted keys still suppress re-posts of EVERY batch
     val in6 = dayFile(6, Seq(20 -> "A", 21 -> "D", 22 -> "G", 23 -> "I"))
     assert(dedup(6, in6) == 0L)
+    // compaction is a FAMILY operation: folding only the key dir
+    // diverges the members' ingest-partition sets and the audit
+    // (correctly) flags every folded id — compact the landing with the
+    // same retention and the family is consistent again
+    EdgeRunner.runCompact(spark, EdgeRunner.parse(Array("--mode", "compact",
+      "--in", "unused:", "--known-keys", docsDir,
+      "--partition-by", "lang,ingest_id", "--keep-last", "1")))
+    assert(audit() == Seq.empty,
+      "family compacted with the same retention must audit clean")
+    assert(landedIds() == Set(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 11L))
+
+    // a deletion request against the landing: doc 8 (now folded into
+    // the base partition) vanishes from the corpus, the content
+    // FINGERPRINT is retained by design — so a re-post of the
+    // forgotten text is still suppressed (the content must not come
+    // back via another upload), and the family still audits clean
+    // (the base partition survives with its other docs; forgetting an
+    // ingest's ONLY doc would drop that docs partition and the audit
+    // would — correctly — flag the keys-only id for key compaction)
+    EdgeRunner.run(spark, EdgeRunner.parse(Array("--mode", "forget",
+      "--ids", "8", "--in", s"parquet:$docsDir",
+      "--partition-by", "lang,ingest_id")))
+    assert(!landedIds().contains(8L), "forgotten doc must leave the landing")
+    val in7 = dayFile(7, Seq(30 -> "G"))
+    assert(dedup(7, in7) == 0L,
+      "re-post of forgotten content must stay suppressed (fingerprints retained)")
+    assert(audit() == Seq.empty)
 
     // the ANN wing of the same cadence: bootstrap index -> ingest
     // append -> recall-check OK -> drifted append -> RETRAIN ->
