@@ -337,13 +337,20 @@ object EdgeRunner {
     // whole corpus. Inputs without the column (raw JSON, a per-batch
     // dir, the bootstrap over an existing corpus) are taken whole.
     val scoped =
-      if (raw.columns.contains("ingest_id"))
+      if (raw.columns.contains("ingest_id")) {
+        // fail fast without an explicit id: the path-hash default is
+        // derived from the LANDING's path, which no landed partition
+        // was stamped with — the filter below would silently select
+        // nothing and the maintain would "succeed" with 0 keys
+        require(cfg.ingestId.nonEmpty,
+          "maintain over an ingest-partitioned landing requires an " +
+            "explicit --ingest-id (the id the day's dedup ran with)")
         // plain equality, NOT a cast of the column: the literal
         // coerces to whatever type partition inference gave the
         // column (all-date id sets come back as DateType), and the
         // untouched partition column is what lets the scan prune
         raw.filter(col("ingest_id") === ingestIdOf(cfg)).drop("ingest_id")
-      else raw
+      } else raw
     val batch = scoped
       .filter(org.apache.spark.sql.functions.col("text").isNotNull)
     val keys = graft.operators.Dedup.knownKeys(batch, "text")
