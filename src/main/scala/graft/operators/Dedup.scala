@@ -714,6 +714,101 @@ object Dedup {
       .union(jaccardPairsBetweenFromKeys(spark, nKeys, name, threshold,
           numHashes, bands)
         .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b")))
+      // when the family's key tables were already appended for this
+      // ingest (order is immaterial by contract), the batch matches
+      // ITSELF on the corpus side — a self-pair is never a near-dup
+      // edge, and left in it would mint singleton vertices in the
+      // cluster fold (breaking the >=2-member membership contract)
+      .filter(col("doc_a") =!= col("doc_b"))
+  }
+
+  /** Persist the near-dup CLUSTER assignment artifact as the THIRD
+    * maintained member of the `name` near-dup family (alongside
+    * `_ndband`/`_ndsh`): `{name}_clusters` (doc_id, cluster_id),
+    * ingest-partitioned and bucketed on doc_id via
+    * [[graft.sources.Bucketing.writeBucketedIngest]] — so d14-style
+    * canonical selection, d17-style duplication reports, and p04-style
+    * decontaminated splits consume a store that is replay-idempotent,
+    * audit-visible, compactable, AND inside `--mode forget`'s reach
+    * ([[Forget.forgetFromClusters]]). `assignments` is the bootstrap
+    * [[clusters]] output over the corpus's verified pairs; it lands
+    * under `ingest_id=base`. */
+  def saveClusterAssignments(spark: org.apache.spark.sql.SparkSession,
+                             name: String, assignments: DataFrame,
+                             buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketedIngest(spark,
+      assignments.select("doc_id", "cluster_id"), s"${name}_clusters",
+      Seq("doc_id"), buckets, ingestId = "base", overwrite = true)
+
+  /** Per-ingest maintenance for [[saveClusterAssignments]]'s table —
+    * the [[incrementalClusters]] fold as a PERSISTED family op: the
+    * batch's delta pairs (within-batch ∪ batch×corpus, from the
+    * family's own `_ndband`/`_ndsh` key tables — corpus text is never
+    * re-scanned) fold into the stored assignment, and the table is
+    * updated partition-targeted:
+    *   - the batch docs' brand-new rows land under `ingest_id` via
+    *     dynamic partition overwrite (replay-idempotent);
+    *   - old docs whose label CHANGED (a batch doc bridged their
+    *     clusters — bounded by the delta neighborhood) have their
+    *     partitions rewritten in place with the merged labels, bucket
+    *     spec preserved and partition mtime restored (retention must
+    *     not mistake a relabel for a fresh landing).
+    * CRASH-CONVERGENT rather than transactional: a retry after any
+    * partial write recomputes the fold from the current table state —
+    * already-applied relabels are no-ops, missing ones still differ
+    * and get applied, and the batch partition overwrites itself — so
+    * retry-until-success reaches the exact rebuild-equivalent state
+    * (the ReplaySpec contract). Run it with the SAME `ingestId` as the
+    * family's key append; order against [[appendNearDupKeys]] is
+    * immaterial (duplicate/self edges are harmless to connected
+    * components). */
+  def appendClusterAssignments(spark: org.apache.spark.sql.SparkSession,
+                               name: String, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double, ingestId: String,
+                               numHashes: Int = 32, bands: Int = 16,
+                               shingleN: Int = 3): Unit = {
+    import spark.implicits._
+    val tbl = s"${name}_clusters"
+    require(spark.catalog.tableExists(tbl),
+      s"append into missing cluster table '$tbl' — bootstrap with " +
+        "saveClusterAssignments first")
+    val old = spark.table(tbl).select("doc_id", "cluster_id")
+    val next = incrementalClusters(old,
+      incrementalDeltaPairs(spark, batch, name, idCol, textCol, threshold,
+        numHashes, bands, shingleN))
+    // both write inputs are BOUNDED (batch / delta neighborhood) and
+    // eagerly materialized: the partition rewrites below overwrite the
+    // very table these frames read (the self-read-overwrite rule)
+    val newRows = next.join(old, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val changed = next.select(col("doc_id"), col("cluster_id").as("__new_cid"))
+      .join(old, Seq("doc_id"))
+      .filter(col("__new_cid") =!= col("cluster_id"))
+      .select("doc_id", "__new_cid")
+      .localCheckpoint(true)
+    val buckets = graft.sources.Bucketing.bucketsOf(spark, tbl)
+    val df = spark.table(tbl)
+    val affected = df.join(changed, Seq("doc_id"), "left_semi")
+      .select(col("ingest_id").cast("string")).distinct()
+      .as[String].collect()
+    affected.foreach { ing =>
+      val rewritten = df.filter(col("ingest_id") === ing)
+        .join(broadcast(changed), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("__new_cid"), col("cluster_id")))
+        .drop("__new_cid", "ingest_id")
+        .localCheckpoint(true)
+      graft.sources.Bucketing.preservingMtime(spark, tbl, ing) {
+        graft.sources.Bucketing.writeBucketedIngest(spark, rewritten, tbl,
+          Seq("doc_id"), buckets, ingestId = ing)
+      }
+    }
+    // zero new rows (pure-merge or replayed batch) is a no-op write:
+    // dynamic partition overwrite touches no partition
+    graft.sources.Bucketing.writeBucketedIngest(spark,
+      newRows.select("doc_id", "cluster_id"), tbl, Seq("doc_id"), buckets,
+      ingestId)
+    spark.catalog.refreshTable(tbl)
   }
 
   /** Exact duplicated-substring profiling — the substring-level dedup

@@ -228,6 +228,31 @@ object Bucketing {
     spark.catalog.refreshTable(table)
   }
 
+  /** Run `body` (a partition REWRITE of `table`'s `ingest_id=ing`) and
+    * restore the partition directory's pre-rewrite modification time:
+    * compaction retention ([[newestIngestIds]]) keys on write time,
+    * and a maintenance rewrite of an OLD partition (forget, repair, a
+    * cluster-merge relabel) must not make that ingest look freshly
+    * landed — it would be retained over a genuinely recent ingest,
+    * folding the recent one inside its retry horizon (whose retry
+    * would then double-append). The physical dir is derived with the
+    * same escaping the writer used (managed-table partition columns
+    * are string-typed by schema, so no inference drift). */
+  private[graft] def preservingMtime[T](spark: SparkSession, table: String,
+                                        ing: String)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val loc = new Path(tableLocation(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new Path(loc, "ingest_id=" + ExternalCatalogUtils.escapePathName(ing))
+    val mtime =
+      if (fs.exists(part)) Some(fs.getFileStatus(part).getModificationTime)
+      else None
+    val r = body
+    mtime.foreach(t => if (fs.exists(part)) fs.setTimes(part, t, -1))
+    r
+  }
+
   /** The bucket count a managed table was created with (the catalog's
     * spec — any partition rewrite must preserve it exactly). */
   private[graft] def bucketsOf(spark: SparkSession, table: String): Int = {

@@ -49,10 +49,16 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   * // ...or encoding drift (PQ codebooks re-learned, postings re-encoded):
   * runMain graft.tools.EdgeRunner --mode retrain --in unused: \
   *   --index corpus_ivf --pq corpus_pq --dim 64 --warehouse /data/wh
-  * // deletion propagation (right-to-be-forgotten), every doc-keyed store:
+  * // deletion propagation (right-to-be-forgotten), every doc-keyed store
+  * // (incl. the family's _clusters member when maintained):
   * runMain graft.tools.EdgeRunner --mode forget --ids 5,9 \
   *   --in parquet:/data/corpus_docs --partition-by lang,ingest_id \
   *   --table corpus_nd --index corpus_ivf --pq corpus_pq --warehouse /data/wh
+  * // cluster-assignment lifecycle (bootstrap, then per-ingest fold):
+  * runMain graft.tools.EdgeRunner --mode cluster --in parquet:/data/corpus_docs \
+  *   --table corpus_nd --sim-threshold 0.5 --warehouse /data/wh
+  * runMain graft.tools.EdgeRunner --mode cluster --in parquet:/data/corpus_docs \
+  *   --table corpus_nd --sim-threshold 0.5 --ingest-id day7 --warehouse /data/wh
   * }}}
   */
 object EdgeRunner {
@@ -104,11 +110,11 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
-        "neardup|recall-check|compact|audit|retrain|forget is required"))
+        "neardup|recall-check|compact|audit|retrain|forget|cluster is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
         "classify", "neardup", "recall-check", "compact", "audit", "retrain",
-        "forget")(mode),
+        "forget", "cluster")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -450,6 +456,17 @@ object EdgeRunner {
     try {
       Connectors.overwritePartitions(
         batch.withColumn("batch_id", lit(batchId)), outDir, Seq("batch_id"))
+      // version-boundary replay safety: a batch that first landed under
+      // the LEGACY unpadded id (`stream<N>`) and is replayed after the
+      // zero-padded writer shipped would otherwise land under a second,
+      // different partition — duplicating its keys. The replayed batch
+      // carries the same rows, so dropping the legacy partition before
+      // the padded overwrite IS the migration; a batch never replayed
+      // keeps its legacy partition untouched (compaction retention is
+      // write-time-ordered, so the two formats coexist harmlessly).
+      val legacy = new org.apache.hadoop.fs.Path(keysDir, s"ingest_id=stream$batchId")
+      val fs = legacy.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(legacy)) { fs.delete(legacy, true); () }
       Connectors.overwritePartitions(
         graft.operators.Dedup.knownKeys(batch, "text")
           // zero-padded so stream ids sort by time like date ids do
@@ -518,6 +535,8 @@ object EdgeRunner {
       }
     case "forget" =>
       println(s"[edge] rows deleted across stores: ${runForget(spark, cfg)}")
+    case "cluster" =>
+      println(s"[edge] ${runCluster(spark, cfg)}")
     case "audit" =>
       val bad = runAudit(spark, cfg)
       if (bad.isEmpty) println("[edge] audit OK: every ingest consistent")
@@ -569,6 +588,11 @@ object EdgeRunner {
         Seq("band_idx", "band_key"), "doc_id", cfg.ids)
       n += Forget.forgetFromTable(spark, s"${cfg.table}_ndsh",
         Seq("doc_id"), "doc_id", cfg.ids)
+      // the family's cluster member, when maintained (`--mode cluster`):
+      // membership rows vanish, anchored clusters relabel to the next
+      // surviving min member, <2-member clusters dissolve
+      if (spark.catalog.tableExists(s"${cfg.table}_clusters"))
+        n += Forget.forgetFromClusters(spark, s"${cfg.table}_clusters", cfg.ids)
     }
     if (cfg.index.nonEmpty)
       n += Forget.forgetFromTable(spark, s"${cfg.index}_assignments",
@@ -577,6 +601,54 @@ object EdgeRunner {
       n += Forget.forgetFromTable(spark, s"${cfg.pq}_adc",
         Seq("cid"), "neighbor_id", cfg.ids)
     n
+  }
+
+  /** `--mode cluster`: the cluster-assignment lifecycle — the third
+    * member of the `--table` near-dup family
+    * (`<name>_ndband`/`_ndsh`/`_clusters`), so the artifact d14-style
+    * canonical selection and d17-style duplication reports consume is
+    * maintained, audited, compacted, and forgotten like every other
+    * family member instead of living outside the lifecycle. Two
+    * flavors:
+    *   - BOOTSTRAP (no `--ingest-id`): cluster the corpus at `--in
+    *     parquet:<docs>` from scratch (LSH candidates → verified pairs
+    *     at `--sim-threshold` → connected components) and persist as
+    *     `ingest_id=base` ([[graft.operators.Dedup
+    *     .saveClusterAssignments]]).
+    *   - APPEND (`--ingest-id X`): fold the batch at `--in` into the
+    *     stored assignment via the incremental delta fold
+    *     ([[graft.operators.Dedup.appendClusterAssignments]] — delta
+    *     pairs from the family's own key tables, never a corpus
+    *     re-scan; new rows land replay-idempotently under X, bridged
+    *     clusters' partitions are relabeled in place). An
+    *     ingest-partitioned input is scoped to X (the runMaintain
+    *     shared-landing discipline). Returns the printed summary. */
+  def runCluster(spark: SparkSession, cfg: Config): String = {
+    require(cfg.table.nonEmpty,
+      "cluster mode requires --table <near-dup family prefix>")
+    require(cfg.in.startsWith("parquet:"),
+      "cluster mode requires --in parquet:<docs dir>")
+    val raw = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
+    val tbl = s"${cfg.table}_clusters"
+    if (cfg.ingestId.isEmpty) {
+      val assigns = graft.operators.Dedup.clusters(
+        graft.operators.Dedup.jaccardPairs(raw, "doc_id", "text",
+            threshold = cfg.simThreshold)
+          .select("doc_a", "doc_b"))
+      graft.operators.Dedup.saveClusterAssignments(spark, cfg.table, assigns)
+      s"cluster bootstrap: ${spark.table(tbl).count()} assignment rows in $tbl"
+    } else {
+      // shared landing: scope to this ingest's partition (pruned scan)
+      val batch =
+        if (raw.columns.contains("ingest_id"))
+          raw.filter(col("ingest_id") === cfg.ingestId).drop("ingest_id")
+        else raw
+      graft.operators.Dedup.appendClusterAssignments(spark, cfg.table,
+        batch.filter(col("text").isNotNull), "doc_id", "text",
+        threshold = cfg.simThreshold, ingestId = cfg.ingestId)
+      s"cluster append ${cfg.ingestId}: ${spark.table(tbl).count()} " +
+        s"assignment rows in $tbl"
+    }
   }
 
   /** The heal half of the audit (`--mode audit --repair true`): for
@@ -627,20 +699,39 @@ object EdgeRunner {
     val (repairable, manual) = bad.partition(present)
     repairable.foreach { id =>
       // one partition-pruned scan per healed id; every write below is
-      // the same idempotent overwrite the original maintain used
+      // the same idempotent overwrite the original maintain used.
+      // Heal rewrites preserve each surviving partition's mtime
+      // (compaction retention is write-time-ordered — healing an OLD
+      // ingest must not make it look freshly landed); the member the
+      // crash dropped gets a fresh partition, fresh mtime, which is
+      // honest: it WAS just written.
       val batch = docs.filter(col("ingest_id") === id)
         .filter(col("text").isNotNull)
-      if (cfg.knownKeys.nonEmpty)
+      if (cfg.knownKeys.nonEmpty) {
+        val part = new org.apache.hadoop.fs.Path(cfg.knownKeys, s"ingest_id=$id")
+        val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mtime = if (fs.exists(part))
+          Some(fs.getFileStatus(part).getModificationTime) else None
         Connectors.overwritePartitions(
           graft.operators.Dedup.knownKeys(batch, "text")
             .withColumn("ingest_id", lit(id)),
           cfg.knownKeys, Seq("ingest_id"))
+        mtime.foreach(t => if (fs.exists(part)) fs.setTimes(part, t, -1))
+      }
       exactFams.foreach(n =>
-        graft.operators.Dedup.appendIncrementalKeys(spark, n, batch,
-          "text", ingestId = id))
+        graft.sources.Bucketing.preservingMtime(spark, s"${n}_norm", id) {
+          graft.sources.Bucketing.preservingMtime(spark, s"${n}_bands", id) {
+            graft.operators.Dedup.appendIncrementalKeys(spark, n, batch,
+              "text", ingestId = id)
+          }
+        })
       ndFams.foreach(n =>
-        graft.operators.Dedup.appendNearDupKeys(spark, n, batch,
-          "doc_id", "text", ingestId = id))
+        graft.sources.Bucketing.preservingMtime(spark, s"${n}_ndband", id) {
+          graft.sources.Bucketing.preservingMtime(spark, s"${n}_ndsh", id) {
+            graft.operators.Dedup.appendNearDupKeys(spark, n, batch,
+              "doc_id", "text", ingestId = id)
+          }
+        })
     }
     (repairable, manual)
   }

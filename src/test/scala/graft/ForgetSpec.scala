@@ -80,6 +80,56 @@ class ForgetSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("forgetFromDir: staging invisible to discovery, crash between renames recovers, escaped partition values, mtime preserved") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("forget_crash")
+      .toString + "/landing"
+    // partition VALUES that need path escaping ('%', space): the
+    // physical dirs are derived from input_file_name, never rebuilt
+    // from the value strings
+    val docs = Seq(
+      (1L, "a", "en us"), (2L, "b", "en us"), (3L, "c", "en us"),
+      (6L, "d", "fr%ca"), (7L, "e", "fr%ca"))
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("ingest_id", lit("2026-08-01"))
+      .write.mode("overwrite").partitionBy("lang", "ingest_id").parquet(dir)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val enPart = fs.globStatus(new Path(base, "*/ingest_id=2026-08-01"))
+      .map(_.getPath).find(_.toString.contains("en")).get
+    // age the partition: a deletion request must not freshen it
+    val aged = System.currentTimeMillis() - 7777000L
+    fs.setTimes(enPart, aged, -1)
+
+    assert(Forget.forgetFromDir(spark, dir, "doc_id", Seq(2L, 6L),
+      Seq("lang", "ingest_id")) == 2L)
+    assert(spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 7L))
+    assert(fs.getFileStatus(enPart).getModificationTime == aged,
+      "partition rewrite must preserve the pre-forget mtime")
+
+    // simulate the crash BETWEEN the two renames: the side dir (in the
+    // staging tree OUTSIDE the landing root) holds the complete
+    // post-delete copy, the live partition is gone
+    val qBase = fs.makeQualified(base)
+    val side = new Path(
+      new Path(qBase.getParent, "_" + qBase.getName + "__forget"),
+      enPart.toString.stripPrefix(qBase.toString).stripPrefix("/") + "__forgetting")
+    val kept = spark.read.parquet(enPart.toString).filter(col("doc_id") =!= 3L)
+    kept.write.mode("overwrite").parquet(side.toString)
+    fs.delete(enPart, true)
+    // the staging dir is INVISIBLE to partition discovery: no mangled
+    // partition, no duplicated rows — the store reads merely stale
+    assert(spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      == Set(7L))
+    // any forget run recovers: the preamble finishes the swap
+    assert(Forget.forgetFromDir(spark, dir, "doc_id", Seq(999L),
+      Seq("lang", "ingest_id")) == 0L)
+    assert(spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 7L))
+    assert(!fs.exists(side))
+  }
+
   test("forget drops an ingest partition its deletions emptied; probes stop returning forgotten vectors") {
     val rnd = new scala.util.Random(37)
     def vecs(ids: Range) =
