@@ -2833,6 +2833,7 @@ object Queries {
     ensureBucketed(s, dir)
     ensureIngestKeys(s, dir)
     ensureCorpusClusters(s, dir)
+    ensureLexicalIndex(s, dir)
     ()
   }
 
@@ -2862,6 +2863,29 @@ object Queries {
           .as("__norm_key")).distinct(),
         s"${name}_norm", "__norm_key", 8)
       Dedup.saveNearDupKeys(s, name, corpus, "doc_id", "text")
+    }
+    name
+  }
+
+  /** Catalog-safe lexical-index prefix, unique per SF directory. */
+  private def lexIndexName(dir: String): String =
+    "graft_lex_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-once / maintained-per-ingest BM25 posting index over the
+    * retrieval corpus (doc_id >= 10 — s16's corpus side): the
+    * `{prefix}_post`/`_lexstats` family ([[graft.operators.TextAnalysis
+    * .saveLexicalIndex]]), so the hybrid-retrieval lexical leg probes
+    * persisted posting lists instead of re-deriving corpus tf/df per
+    * call — the same key-table discipline d10/d15/p06 apply to dedup,
+    * applied to retrieval. Fingerprint-guarded like every artifact; a
+    * deployment appends per ingest. */
+  def ensureLexicalIndex(s: SparkSession, dir: String): String = synchronized {
+    import graft.sources.DerivedTables
+    val name = lexIndexName(dir)
+    DerivedTables.ensure(s, Seq(s"${name}_post", s"${name}_lexstats"),
+        DerivedTables.sourceFingerprint(dir, "documents")) {
+      TextAnalysis.saveLexicalIndex(s, name,
+        Tables.documents(s, dir).filter(col("doc_id") >= 10), "doc_id", "text")
     }
     name
   }
@@ -3685,8 +3709,12 @@ object Queries {
       .filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("term"))
       .localCheckpoint(false)
-    val lleg = TextAnalysis.bm25PerQuery(docs.filter(col("doc_id") >= 10),
-        "doc_id", "text", qterms, topN = 20)
+    // the lexical leg probes the PERSISTED posting family (bucket-
+    // pruned term lists + summed stats rows) — corpus text is never
+    // re-scanned per retrieval call; table-vs-inline equivalence is
+    // spec-locked, so the oracle's from-scratch derivation still holds
+    val lleg = TextAnalysis.bm25FromTables(s, ensureLexicalIndex(s, dir),
+        qterms, topN = 20)
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rn"))
     Relational.rrfFuse(Seq(vleg, lleg), k = 10)
   }

@@ -342,9 +342,20 @@ object TextAnalysis {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .localCheckpoint(false)
-    // df per TERM over distinct docs — deliberately from the posting
-    // aggregate, not a per-query window: two queries sharing a term
-    // must see the same df
+    bm25FromPostings(posting, qt, nDocs, sumDl, topN, k1, b)
+  }
+
+  /** The shared BM25 scoring core over a MATCHED-POSTING relation
+    * (doc_id, term, tf, dl — only rows whose term some query asked
+    * for): df per term from the postings themselves (two queries
+    * sharing a term must see the same df, and a doc lands exactly once
+    * so the count is exact), 6dp-rounded parts DECIMAL-summed per the
+    * t16/t24 discipline. One definition feeds the inline path
+    * ([[bm25PerQuery]]) and the persisted-index probe
+    * ([[bm25FromTables]]) so their math cannot drift. */
+  private def bm25FromPostings(posting: DataFrame, qt: DataFrame,
+                               nDocs: Long, sumDl: Long, topN: Int,
+                               k1: Double, b: Double): DataFrame = {
     val dft = posting.groupBy("term").agg(count(lit(1)).as("df"))
     val parts = posting.join(broadcast(dft), "term")
       .join(broadcast(qt), "term")
@@ -358,6 +369,101 @@ object TextAnalysis {
         count(lit(1)).as("n_matched"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("score").desc, col("doc_id")), topN)
+  }
+
+  /** Persist the corpus-side BM25 retrieval index as a MAINTAINED
+    * bucketed family — the lexical counterpart of the IVF/ADC posting
+    * tables, so per-query retrieval probes posting LISTS instead of
+    * re-deriving corpus tf/df/length stats from raw text on every
+    * call (at 100 TB: a full text scan per query batch):
+    *   - `{name}_post` (term, doc_id, tf, dl), bucketed and sorted on
+    *     term — a query's probe reads only its terms' buckets (bucket
+    *     pruning on the term IN filter), never corpus text;
+    *   - `{name}_lexstats` (n_docs, sum_dl) — one row per ingest with
+    *     that batch's corpus-scalar CONTRIBUTIONS; readers SUM across
+    *     rows, so appends (and compaction folds, which merely re-stamp
+    *     rows) never recompute them.
+    * tf/dl stay RAW: k1/b/idf are query-time math, so a parameter
+    * change never rebuilds the index; df is derived per probe from the
+    * matched posting lists (exact — a doc lands in exactly one
+    * ingest). Both members ride [[graft.sources.Bucketing
+    * .writeBucketedIngest]]: replay-idempotent, audit-visible,
+    * compactable (the stats member's bucket spec on its n_docs column
+    * is vestigial — the table is a row per ingest — but keeps the
+    * whole family on one writer discipline). */
+  def saveLexicalIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                       docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int = 8): Unit =
+    writeLexicalIndex(spark, name, docs, idCol, textCol, buckets,
+      ingestId = "base", overwrite = true)
+
+  /** Per-ingest maintenance for [[saveLexicalIndex]]'s tables: the
+    * batch's postings and stat contributions land under `ingestId`
+    * (dynamic partition overwrite — replay-idempotent). Doc ids must
+    * be disjoint across ingests, the same contract every doc-keyed
+    * family carries. */
+  def appendLexicalIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                         batch: DataFrame, idCol: String, textCol: String,
+                         ingestId: String, buckets: Int = 8): Unit =
+    writeLexicalIndex(spark, name, batch, idCol, textCol, buckets,
+      ingestId, overwrite = false)
+
+  /** ONE writer for build and maintenance (the writeIncrementalKeys
+    * discipline): posting projection, stats math, and bucket specs
+    * cannot drift between bootstrap and append. */
+  private def writeLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+                                name: String, docs: DataFrame, idCol: String,
+                                textCol: String, buckets: Int,
+                                ingestId: String, overwrite: Boolean): Unit = {
+    import spark.implicits._
+    val posting = docs.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .select("term", "doc_id", "tf", "dl")
+    graft.sources.Bucketing.writeBucketedIngest(spark, posting,
+      s"${name}_post", Seq("term"), buckets, ingestId, overwrite)
+    val Array(nDocs, sumDl) = docs
+      .agg(count(lit(1)),
+        coalesce(sum(size(TextOps.tokens(col(textCol))).cast("long")), lit(0L)))
+      .collect().head.toSeq.map(_.toString.toLong).toArray
+    graft.sources.Bucketing.writeBucketedIngest(spark,
+      Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl"),
+      s"${name}_lexstats", Seq("n_docs"), 1, ingestId, overwrite)
+  }
+
+  /** [[bm25PerQuery]] probing the PERSISTED index instead of raw text
+    * — the operational retrieval path: corpus scalars are one sum over
+    * the tiny stats table, and the posting scan carries a literal
+    * term-IN filter (the query set is bounded by contract — its
+    * distinct terms collect driver-side) so bucket pruning reads only
+    * the matched terms' buckets. No document text is touched anywhere
+    * in the probe (plan-locked). Results are IDENTICAL to the inline
+    * path over the same corpus: same posting rows, same df, same
+    * scoring core. */
+  def bm25FromTables(spark: org.apache.spark.sql.SparkSession, name: String,
+                     qterms: DataFrame, topN: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val Array(nDocs, sumDl) = spark.table(s"${name}_lexstats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("sum_dl")), lit(0L)))
+      .collect().head.toSeq.map(_.toString.toLong).toArray
+    val qt = qterms.select(col("query_id"), col("term")).distinct()
+      .localCheckpoint(false)
+    val terms = qt.select("term").distinct().as[String].collect().toSeq
+    // literal IN on the bucket column -> bucket-pruned posting scan.
+    // Deliberately NOT checkpointed (unlike the inline path, whose
+    // posting derivation was a corpus explode): the two consumers (df
+    // reduction, scoring join) each re-scan a pruned columnar read,
+    // and keeping the relation un-materialized preserves the bucketed
+    // output partitioning so the per-term df aggregation plans with NO
+    // exchange
+    val posting = spark.table(s"${name}_post")
+      .filter(col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf", "dl")
+    bm25FromPostings(posting, qt, nDocs, sumDl, topN, k1, b)
   }
 
   /** Per-source token-quota selection: within EACH source, keep the

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** The persisted BM25 posting family (`_post`/`_lexstats`): probing
+  * the tables is row-identical to the inline corpus derivation,
+  * appends are rebuild-equivalent and replay-idempotent, and the
+  * per-query probe never touches document text (plan-locked, bucket-
+  * pruned). */
+class LexicalIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.select("query_id", "doc_id", "score", "n_matched", "rn")
+      .collect().map(_.toSeq.toList).toSet
+
+  test("table probe == inline derivation on real docs; no text scan; bucket-pruned") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val qterms = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .localCheckpoint(true)
+    val name = "lexspec_idx"
+    try {
+      TextAnalysis.saveLexicalIndex(spark, name, corpus, "doc_id", "text")
+      val inline = TextAnalysis.bm25PerQuery(corpus, "doc_id", "text",
+        qterms, topN = 20)
+      val probe = TextAnalysis.bm25FromTables(spark, name, qterms, topN = 20)
+      assert(rows(probe) == rows(inline))
+      assert(rows(probe).nonEmpty)
+
+      // plan lock: the probe reads the posting table with a pruned
+      // bucket set and NEVER scans the documents parquet
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents"),
+        s"the index probe must not scan document text:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"the term IN filter must prune posting buckets:\n$plan")
+      // the stats read is a sum over the tiny _lexstats table, checked
+      // by equivalence above (nDocs/sumDl identical to the inline agg)
+    } finally for (t <- Seq(s"${name}_post", s"${name}_lexstats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("append == rebuild; replay-idempotent; stats rows sum across ingests") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 10)
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+    val qterms = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .localCheckpoint(true)
+    val inc = "lexspec_inc"
+    val full = "lexspec_full"
+    try {
+      TextAnalysis.saveLexicalIndex(spark, inc, old, "doc_id", "text")
+      TextAnalysis.appendLexicalIndex(spark, inc, batch, "doc_id", "text",
+        ingestId = "2026-08-14")
+      TextAnalysis.saveLexicalIndex(spark, full, docs, "doc_id", "text")
+      val probeInc = TextAnalysis.bm25FromTables(spark, inc, qterms, topN = 10)
+      val probeFull = TextAnalysis.bm25FromTables(spark, full, qterms, topN = 10)
+      assert(rows(probeInc) == rows(probeFull))
+      assert(rows(probeInc).nonEmpty)
+
+      // replay: the retried ingest replaces its own partition
+      val before = spark.table(s"${inc}_post").count()
+      TextAnalysis.appendLexicalIndex(spark, inc, batch, "doc_id", "text",
+        ingestId = "2026-08-14")
+      assert(spark.table(s"${inc}_post").count() == before)
+      assert(rows(TextAnalysis.bm25FromTables(spark, inc, qterms, topN = 10))
+        == rows(probeFull))
+
+      // corpus scalars are the SUM of per-ingest contribution rows
+      val Seq((n1, s1)) = spark.table(s"${inc}_lexstats")
+        .agg(sum("n_docs"), sum("sum_dl")).as[(Long, Long)].collect().toSeq
+      val Seq((n2, s2)) = spark.table(s"${full}_lexstats")
+        .agg(sum("n_docs"), sum("sum_dl")).as[(Long, Long)].collect().toSeq
+      assert((n1, s1) == (n2, s2))
+      assert(spark.table(s"${inc}_lexstats").count() == 2L)
+
+      // the family is audit-visible like every maintained family
+      val audit = graft.sources.Bucketing.auditIngests(spark,
+        Seq(s"${inc}_post", s"${inc}_lexstats"))
+      assert(audit.filter(!col("consistent")).count() == 0)
+    } finally for (t <- Seq(s"${inc}_post", s"${inc}_lexstats",
+      s"${full}_post", s"${full}_lexstats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}
