@@ -216,8 +216,14 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 numHashes: Int = 32, bands: Int = 16,
                                 shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    // commit-visibility: a half-landed ingest (crash between the _norm
+    // and _bands writes) is invisible until the family's marker lands
+    // — no-op for legacy families without a _commits table
     incrementalKeepJoinReady(incoming,
-      spark.table(s"${name}_norm"), spark.table(s"${name}_bands"),
+      graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${name}_norm"), name),
+      graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${name}_bands"), name),
       idCol, textCol, numHashes, bands, shingleN, portable)
 
   private def incrementalKeepJoinReady(incoming: DataFrame, normKeys: DataFrame,
@@ -445,8 +451,15 @@ object Dedup {
                                   newKeys: DataFrame, name: String,
                                   threshold: Double, numHashes: Int = 32,
                                   bands: Int = 16): DataFrame =
+    // commit-visibility: a half-landed ingest (crash between the
+    // _ndband and _ndsh writes) would yield candidates the verify join
+    // can't resolve — invisible until the family's marker lands; no-op
+    // for legacy families without a _commits table
     jaccardPairsBetweenJoinReady(newKeys,
-      spark.table(s"${name}_ndband"), spark.table(s"${name}_ndsh"),
+      graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${name}_ndband"), name),
+      graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${name}_ndsh"), name),
       threshold, numHashes, bands)
 
   /** The shared new×old candidate + verify core: `nKeys` is the new

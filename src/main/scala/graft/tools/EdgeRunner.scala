@@ -97,7 +97,9 @@ object EdgeRunner {
     centroids: Int = 16,              // retrain mode: coarse-quantizer size
     repair: Boolean = false,          // audit mode: heal flagged ingests in place
     residual: Boolean = false,        // recall-check/retrain --pq: residual-coded postings
-    ids: Seq[Long] = Nil)             // forget mode: doc ids to delete everywhere
+    ids: Seq[Long] = Nil,             // forget mode: doc ids to delete everywhere
+    commits: String = "",             // audit mode: family prefix with a _commits table
+    graceSec: Long = 900L)            // audit mode: in-flight vs crashed window
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -154,7 +156,9 @@ object EdgeRunner {
       repair = kv.get("--repair").exists(_.toBoolean),
       residual = kv.get("--residual").exists(_.toBoolean),
       ids = kv.get("--ids")
-        .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Nil))
+        .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Nil),
+      commits = kv.getOrElse("--commits", ""),
+      graceSec = kv.get("--grace-sec").map(_.toLong).getOrElse(900L))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -732,6 +736,11 @@ object EdgeRunner {
               "doc_id", "text", ingestId = id)
           }
         })
+      // a healed ingest IS fully landed — for families enforcing
+      // commit visibility, the repair is the "last member write"
+      (exactFams ++ ndFams)
+        .filter(graft.sources.FamilyCommit.enabled(spark, _))
+        .foreach(graft.sources.FamilyCommit.commit(spark, _, id))
     }
     (repairable, manual)
   }
@@ -746,10 +755,22 @@ object EdgeRunner {
     require(cfg.table.nonEmpty && cfg.table.contains(","),
       "audit mode requires --table member1,member2[,...]")
     import spark.implicits._
-    graft.sources.Bucketing.auditIngests(spark,
-        cfg.table.split(",").toSeq.map(_.trim))
-      .filter(!col("consistent"))
-      .select("ingest_id").as[String].collect().toSeq.sorted
+    val members = cfg.table.split(",").toSeq.map(_.trim)
+    if (cfg.commits.nonEmpty) {
+      // marker-aware audit: an UNCOMMITTED ingest younger than the
+      // grace window is a writer mid-family (in-flight — leave it
+      // alone, repair would race the live write); older is crashed. A
+      // committed-but-inconsistent ingest ("broken") needs repair too.
+      val st = graft.sources.FamilyCommit.status(spark, members,
+          cfg.commits, cfg.graceSec * 1000L)
+        .select(col("ingest_id").cast("string"), col("status"))
+        .as[(String, String)].collect().toSeq.sortBy(_._1)
+      st.foreach { case (id, s) => println(s"[edge] ingest $id: $s") }
+      st.collect { case (id, "crashed" | "broken") => id }
+    } else
+      graft.sources.Bucketing.auditIngests(spark, members)
+        .filter(!col("consistent"))
+        .select("ingest_id").as[String].collect().toSeq.sorted
   }
 
   /** `--mode compact`: fold finalized ingest partitions — the
