@@ -268,6 +268,48 @@ object Forget {
     * rewrites of only the partitions holding touched-cluster members.
     * Returns rows deleted (forgotten rows + dissolved-cluster
     * survivors). */
+  /** BULK purge of a doc-keyed bucketed table at the COMPACTION
+    * cadence — the path for whole-source / time-range deletions, where
+    * the per-id [[forgetFromTable]] (driver-side id list, partition
+    * hunt) is the wrong tool: `purgeIds` is a DATAFRAME of doc ids,
+    * and the deletion rides [[graft.sources.Bucketing.compactIngests]]
+    * as an anti-join inside the fold — the store is rewritten exactly
+    * once (the rewrite compaction was going to do anyway), bucket/sort
+    * spec preserved, write-time retention honored (`keepLast` ingests
+    * stay replayable — NOTE a replayed kept ingest re-lands its purged
+    * rows; purge after the retry horizon, or re-run the purge). */
+  def purgeTable(spark: SparkSession, table: String, keys: Seq[String],
+                 idCol: String, purgeIds: DataFrame, keepLast: Int = 1): Unit =
+    graft.sources.Bucketing.compactIngests(spark, table, keys,
+      graft.sources.Bucketing.bucketsOf(spark, table), keepLast,
+      transform = df => df.join(
+        purgeIds.select(col(purgeIds.columns.head).as(idCol)),
+        Seq(idCol), "left_anti").select(df.columns.map(col): _*))
+
+  /** [[purgeTable]] for the cluster-assignment member, which an
+    * anti-join alone cannot serve (labels are member ids, membership
+    * is ≥2 by contract): inside the fold, purged rows drop, every
+    * cluster relabels to its min surviving member (a no-op for
+    * untouched clusters — the label already IS the min member), and
+    * clusters left under two members dissolve. Same bridge caveat as
+    * [[forgetFromClusters]]: connectivity is not re-derived. */
+  def purgeClusters(spark: SparkSession, table: String,
+                    purgeIds: DataFrame, keepLast: Int = 1): Unit =
+    graft.sources.Bucketing.compactIngests(spark, table, Seq("doc_id"),
+      graft.sources.Bucketing.bucketsOf(spark, table), keepLast,
+      transform = { df =>
+        val kept = df.join(
+          purgeIds.select(col(purgeIds.columns.head).as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        val relabel = kept.groupBy("cluster_id")
+          .agg(min(col("doc_id")).as("__new_cid"), count(lit(1)).as("__n"))
+        kept.join(relabel, Seq("cluster_id"))
+          .filter(col("__n") >= 2L)
+          .withColumn("cluster_id", col("__new_cid"))
+          .drop("__new_cid", "__n")
+          .select(df.columns.map(col): _*)
+      })
+
   def forgetFromClusters(spark: SparkSession, table: String,
                          ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "forget needs at least one id")

@@ -194,14 +194,20 @@ object Bucketing {
     * `ALTER TABLE <table>__old RENAME TO <table>` (or finish the swap:
     * rename `__compacting` in) — both copies hold identical rows. */
   def compactIngests(spark: SparkSession, table: String, keys: Seq[String],
-                     buckets: Int, keepLast: Int = 1): Unit = {
+                     buckets: Int, keepLast: Int = 1,
+                     transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val ids = spark.table(table).select("ingest_id").distinct()
       .collect().map(_.getString(0)).toSeq
     val kept = newestIngestIds(spark, tableLocation(spark, table), ids, keepLast)
     val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
-    val remapped = spark.table(table)
-      .withColumn("ingest_id", when(keptCond, col("ingest_id")).otherwise(lit("base")))
+    // `transform` is the bulk-purge hook ([[graft.operators.Forget]]):
+    // the fold already rewrites every row once, so an anti-join or
+    // relabel riding it costs no extra pass — and because the WHOLE
+    // store lands in the side table, a partition emptied by the purge
+    // simply never materializes (no stale-partition trap)
+    val remapped = transform(spark.table(table)
+      .withColumn("ingest_id", when(keptCond, col("ingest_id")).otherwise(lit("base"))))
     val side = s"${table}__compacting"
     val old = s"${table}__old"
     spark.sql(s"DROP TABLE IF EXISTS $side")
@@ -226,6 +232,55 @@ object Bucketing {
     // then drop the cached file index
     spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
     spark.catalog.refreshTable(table)
+  }
+
+  /** Compaction for an ingest-partitioned parquet DIRECTORY store (the
+    * maintain key dir, the dedup corpus landing — any layout whose
+    * partition columns include `ingest_id`): every ingest partition
+    * except the most-recently-WRITTEN `keepLast` ids folds into
+    * `ingest_id=base`, other partition columns preserved. Durable
+    * swap: the compacted copy is fully written to a side dir, the live
+    * dir renamed aside, the side renamed in, the old copy deleted last
+    * — a full on-disk copy exists at every instant; a crash between
+    * the renames leaves both `__old` and `__compacting` complete
+    * (rename either back). `transform` is the bulk-purge hook (see
+    * [[compactIngests]]). Returns (ingests before, partitions kept
+    * incl. base). */
+  def compactDir(spark: SparkSession, dir: String, partitionBy: Seq[String],
+                 keepLast: Int,
+                 transform: DataFrame => DataFrame = identity): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // ingest_id is a STRING by contract: partition type inference
+    // reads an all-date id set back as DateType, which would poison
+    // the "base" remap below
+    val df = spark.read.parquet(dir)
+      .withColumn("ingest_id", col("ingest_id").cast("string"))
+    val partCols = partitionBy.filter(df.columns.contains)
+    require(partCols.contains("ingest_id"),
+      s"compact folds ingest_id; --partition-by was ${partitionBy.mkString(",")}")
+    val ids = df.select("ingest_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    // retention by partition WRITE TIME (newest keepLast, `base` never
+    // counted) — the newestIngestIds discipline: lexical order would
+    // keep `base` over date ids and keeps an arbitrary ingest under
+    // hash-style ids
+    val kept = newestIngestIds(spark, dir, ids, keepLast,
+      globDepth = partCols.indexOf("ingest_id"))
+    val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
+    val remapped = transform(df.withColumn("ingest_id",
+      when(keptCond, col("ingest_id")).otherwise(lit("base"))))
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = base.suffix("__compacting")
+    val old = base.suffix("__old")
+    fs.delete(side, true)
+    remapped.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(side.toString)
+    fs.delete(old, true)
+    require(fs.rename(base, old), s"rename $base -> $old failed")
+    require(fs.rename(side, base), s"rename $side -> $base failed")
+    fs.delete(old, true)
+    (ids.length, kept.size + 1)
   }
 
   /** Run `body` (a partition REWRITE of `table`'s `ingest_id=ing`) and

@@ -99,7 +99,8 @@ object EdgeRunner {
     residual: Boolean = false,        // recall-check/retrain --pq: residual-coded postings
     ids: Seq[Long] = Nil,             // forget mode: doc ids to delete everywhere
     commits: String = "",             // audit mode: family prefix with a _commits table
-    graceSec: Long = 900L)            // audit mode: in-flight vs crashed window
+    graceSec: Long = 900L,            // audit mode: in-flight vs crashed window
+    source: String = "")              // forget mode: bulk purge a whole source
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -158,7 +159,8 @@ object EdgeRunner {
       ids = kv.get("--ids")
         .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Nil),
       commits = kv.getOrElse("--commits", ""),
-      graceSec = kv.get("--grace-sec").map(_.toLong).getOrElse(900L))
+      graceSec = kv.get("--grace-sec").map(_.toLong).getOrElse(900L),
+      source = kv.getOrElse("--source", ""))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -538,7 +540,14 @@ object EdgeRunner {
         println(s"[edge] retrained ${cfg.index}: ${m.centroids.length} centroids")
       }
     case "forget" =>
-      println(s"[edge] rows deleted across stores: ${runForget(spark, cfg)}")
+      require(cfg.ids.isEmpty || cfg.source.isEmpty,
+        "forget takes --ids (request cadence) OR --source (bulk purge " +
+          "at compaction cadence), not both")
+      if (cfg.source.nonEmpty)
+        println(s"[edge] source '${cfg.source}' purged: " +
+          s"${runPurge(spark, cfg)} doc ids across stores")
+      else
+        println(s"[edge] rows deleted across stores: ${runForget(spark, cfg)}")
     case "cluster" =>
       println(s"[edge] ${runCluster(spark, cfg)}")
     case "audit" =>
@@ -604,6 +613,52 @@ object EdgeRunner {
     if (cfg.pq.nonEmpty)
       n += Forget.forgetFromTable(spark, s"${cfg.pq}_adc",
         Seq("cid"), "neighbor_id", cfg.ids)
+    n
+  }
+
+  /** `--mode forget --source X`: BULK deletion (delist a whole source)
+    * at the COMPACTION cadence — the per-id forget's driver-side id
+    * list and partition hunt are the wrong tool for this, so the purge
+    * rides the compaction fold instead ([[graft.operators.Forget
+    * .purgeTable]]/[[graft.operators.Forget.purgeClusters]] /
+    * [[graft.sources.Bucketing.compactDir]]'s transform hook): one
+    * rewrite per store, bucket specs preserved, write-time retention
+    * honored. The landing (`--in parquet:`) drops the source's rows
+    * directly; the doc-keyed derived stores (`--table`/`--index`/
+    * `--pq`, same targets as the per-id forget) anti-join the source's
+    * doc ids — materialized from the landing BEFORE its fold rewrites
+    * it. Returns the purged doc-id count. Kept (replay-horizon)
+    * ingests stay replayable; a replay re-lands purged rows — purge
+    * after the horizon, or re-run. */
+  def runPurge(spark: SparkSession, cfg: Config): Long = {
+    require(cfg.in.startsWith("parquet:"),
+      "bulk purge needs --in parquet:<landing> — the source's doc ids " +
+        "are resolved from it, and the landing itself is purged")
+    import graft.operators.Forget
+    val dir = cfg.in.stripPrefix("parquet:")
+    val landing = spark.read.parquet(dir)
+    // the id set must survive the landing's own fold: eager checkpoint
+    val ids = landing.filter(col("source") === cfg.source)
+      .select("doc_id").distinct().localCheckpoint(true)
+    val n = ids.count()
+    graft.sources.Bucketing.compactDir(spark, dir, cfg.partitionBy,
+      cfg.keepLast,
+      // null-safe: rows with a NULL source are never "the source"
+      transform = df => df.filter(!(col("source") <=> lit(cfg.source))))
+    if (cfg.table.nonEmpty) {
+      Forget.purgeTable(spark, s"${cfg.table}_ndband",
+        Seq("band_idx", "band_key"), "doc_id", ids, cfg.keepLast)
+      Forget.purgeTable(spark, s"${cfg.table}_ndsh",
+        Seq("doc_id"), "doc_id", ids, cfg.keepLast)
+      if (spark.catalog.tableExists(s"${cfg.table}_clusters"))
+        Forget.purgeClusters(spark, s"${cfg.table}_clusters", ids, cfg.keepLast)
+    }
+    if (cfg.index.nonEmpty)
+      Forget.purgeTable(spark, s"${cfg.index}_assignments",
+        Seq("cid"), "id", ids, cfg.keepLast)
+    if (cfg.pq.nonEmpty)
+      Forget.purgeTable(spark, s"${cfg.pq}_adc",
+        Seq("cid"), "neighbor_id", ids, cfg.keepLast)
     n
   }
 
@@ -799,51 +854,15 @@ object EdgeRunner {
         graft.sources.Bucketing.bucketsOf(spark, name), cfg.keepLast)
       s"table $name (${spark.table(name).count()} rows)"
     } else {
-      import org.apache.spark.sql.functions.{col, lit, when}
       // works for ANY ingest-partitioned parquet dir the replay
       // discipline writes: the maintain key dir (ingest_id only) and
       // the dedup corpus_docs landing (lang, ingest_id) — other
       // partition columns are preserved; only ingest_id folds.
-      // ingest_id is a STRING by contract: partition type inference
-      // reads an all-date id set back as DateType, which would poison
-      // the "base" remap below
-      val df = spark.read.parquet(cfg.knownKeys)
-        .withColumn("ingest_id", col("ingest_id").cast("string"))
-      val partCols = cfg.partitionBy.filter(df.columns.contains)
-      require(partCols.contains("ingest_id"),
-        s"compact folds ingest_id; --partition-by was ${cfg.partitionBy.mkString(",")}")
-      val ids = df.select("ingest_id").distinct()
-        .collect().map(_.getString(0)).toSeq
-      // retention by partition WRITE TIME (newest keepLast, `base`
-      // never counted) — the Bucketing.newestIngestIds discipline:
-      // lexical order would keep `base` over date ids and keeps an
-      // arbitrary ingest under hash-style ids
-      val kept = graft.sources.Bucketing.newestIngestIds(spark, cfg.knownKeys,
-        ids, cfg.keepLast, globDepth = partCols.indexOf("ingest_id"))
-      val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
-      val remapped = df.withColumn("ingest_id",
-        when(keptCond, col("ingest_id")).otherwise(lit("base")))
-      // durable swap, never read-and-overwrite the same dir: the
-      // compacted copy is fully written to a durable side dir, then
-      // renamed over the source (source renamed aside first, deleted
-      // last), so a full copy exists on DISK at every instant — a
-      // crash mid-compaction cannot destroy the store. (The previous
-      // localCheckpoint(+overwrite-in-place) held the only copy in
-      // executor memory while the source dir was being truncated.)
-      // Crash between the renames: both `__old` and `__compacting`
-      // hold complete copies — rename either back.
-      val dir = new org.apache.hadoop.fs.Path(cfg.knownKeys)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val side = dir.suffix("__compacting")
-      val old = dir.suffix("__old")
-      fs.delete(side, true)
-      remapped.write.mode(SaveMode.Overwrite)
-        .partitionBy(partCols: _*).parquet(side.toString)
-      fs.delete(old, true)
-      require(fs.rename(dir, old), s"rename $dir -> $old failed")
-      require(fs.rename(side, dir), s"rename $side -> $dir failed")
-      fs.delete(old, true)
-      s"dir ${cfg.knownKeys} (${ids.length} ingests -> ${kept.size + 1})"
+      // Durable side-dir + rename-aside swap, write-time retention
+      // (graft.sources.Bucketing.compactDir).
+      val (nIds, nKept) = graft.sources.Bucketing.compactDir(spark,
+        cfg.knownKeys, cfg.partitionBy, cfg.keepLast)
+      s"dir ${cfg.knownKeys} ($nIds ingests -> $nKept)"
     }
   }
 
