@@ -4739,6 +4739,71 @@ object Queries {
       count(when(col("jaccard") >= 0.9, 1)).as("n_090"))
   }
 
+  /** One unrolled BPE round for t30's oracle — the unrolled-Lloyd
+    * discipline (fixed round count = fixed CTE blocks; every carrier
+    * CTE MATERIALIZED or DuckDB's inlining re-evaluates the whole
+    * chain per reference, the s17 lesson). Per round: all-adjacent
+    * pair counts weighted by word frequency, deterministic argmax
+    * (freq desc, pair asc), then the greedy non-overlapping merge as
+    * gaps-and-islands — hit positions grouped into runs, even offsets
+    * within a run selected, position i emits the merged token when
+    * selected, nothing when i-1 was selected, its own symbol
+    * otherwise. */
+  private def bpeRoundCtes(r: Int): String = {
+    val p = s"seg_${r - 1}"
+    s"""p_$r AS MATERIALIZED (
+       | SELECT syms[i] AS x, syms[i+1] AS y, CAST(SUM(cnt) AS BIGINT) AS freq
+       | FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $p)
+       | GROUP BY x, y),
+       |w_$r AS MATERIALIZED (
+       | SELECT x, y, freq FROM p_$r ORDER BY freq DESC, x, y LIMIT 1),
+       |h_$r AS MATERIALIZED (
+       | SELECT t.word, t.cnt, t.syms, t.i,
+       |  (t.i < len(t.syms) AND t.syms[t.i] = w.x AND t.syms[t.i+1] = w.y) AS hit
+       | FROM (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS i
+       |       FROM $p) t
+       | CROSS JOIN w_$r w),
+       |sel_$r AS MATERIALIZED (
+       | SELECT word, i,
+       |  (i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0 AS selected
+       | FROM (SELECT word, i,
+       |        i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+       |       FROM h_$r WHERE hit)),
+       |seg_$r AS MATERIALIZED (
+       | SELECT h.word, h.cnt,
+       |  list(CASE WHEN COALESCE(s.selected, FALSE)
+       |         THEN h.syms[h.i] || h.syms[h.i+1]
+       |        ELSE h.syms[h.i] END ORDER BY h.i)
+       |   FILTER (WHERE NOT COALESCE(sp.selected, FALSE)) AS syms
+       | FROM h_$r h
+       | LEFT JOIN sel_$r s  ON s.word = h.word AND s.i = h.i AND s.selected
+       | LEFT JOIN sel_$r sp ON sp.word = h.word AND sp.i = h.i - 1 AND sp.selected
+       | GROUP BY h.word, h.cnt)""".stripMargin
+  }
+
+  private val BpeRounds = 6
+
+  /** BPE merge learning — the tokenizer-TRAINING operator between
+    * t23's word-level vocab and t03's BPE-ish application: 6 merge
+    * rules learned over the corpus word-frequency table (Sennrich
+    * §3.2, no end-of-word marker). Pair counts, argmax tiebreaks, and
+    * the greedy left-to-right merge are integer/string-exact, so the
+    * oracle (6 unrolled rounds, materialized carriers) reproduces the
+    * rule list bit-for-bit. The corpus is scanned once; each round
+    * runs over the distinct-word table only. */
+  val t30 = q("t30_bpe_merges",
+    s"""WITH b AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |seg_0 AS MATERIALIZED (
+       | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
+       | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
+       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")}
+       |${(1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, x, y, x || y AS merged, freq FROM w_$r")
+          .mkString("\nUNION ALL ")}""".stripMargin) { (s, dir) =>
+    TextAnalysis.bpeMerges(Tables.documents(s, dir), "text",
+      rounds = BpeRounds)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4749,7 +4814,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08)
 }

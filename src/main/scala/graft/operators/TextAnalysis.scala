@@ -466,6 +466,66 @@ object TextAnalysis {
     bm25FromPostings(posting, qt, nDocs, sumDl, topN, k1, b)
   }
 
+  /** BPE merge LEARNING (Sennrich et al., 2016 §3.2) — the tokenizer-
+    * training step between t23's word-level vocab and t03's "BPE-ish"
+    * application: `rounds` merge rules learned over the corpus's
+    * word-frequency table. Per round: count ALL adjacent symbol pairs
+    * weighted by word frequency (overlaps included, the reference
+    * counting), take the most frequent (freq desc, then (x, y) — the
+    * deterministic tiebreak), and re-segment every word by merging
+    * that pair greedily left-to-right (non-overlapping: a fold whose
+    * accumulator's last symbol only matches the UNMERGED x). No
+    * end-of-word marker — the no-marker variant keeps the oracle
+    * cross-engine exact; symbols are plain strings, so a merged token
+    * that collides with another concatenation is treated identically
+    * by construction on both engines.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregation); every round after that runs over the DISTINCT-WORD
+    * table (pair explode → one map-side-combined aggregation → a
+    * 1-row argmax → a map-only fold re-segmentation), checkpointed
+    * per round to keep the plan flat. Rounds are inherently
+    * sequential — each merge depends on the last — so the driver
+    * loop IS the algorithm, not a scale compromise. Returns
+    * (round, x, y, merged, freq). */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seg = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("word"), ""))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val top = seg
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(s, i) -> struct(s AS x, element_at(syms, i + 2) AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("x"), col("y"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (x, y, freq) = top.head
+        merges += ((r.toLong, x, y, x + y, freq))
+        seg = seg.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, s) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(x) && s === lit(y),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+                .otherwise(concat(acc, array(s)))))
+          .localCheckpoint(false)
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("round", "x", "y", "merged", "freq")
+  }
+
   /** Per-source token-quota selection: within EACH source, keep the
     * highest-classifier-score documents until that source's token
     * quota is exhausted — the source-balanced corpus mix (every source

@@ -54,6 +54,10 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   * runMain graft.tools.EdgeRunner --mode forget --ids 5,9 \
   *   --in parquet:/data/corpus_docs --partition-by lang,ingest_id \
   *   --table corpus_nd --index corpus_ivf --pq corpus_pq --warehouse /data/wh
+  * // bulk purge: delist a whole source at the compaction cadence:
+  * runMain graft.tools.EdgeRunner --mode forget --source badsrc \
+  *   --in parquet:/data/corpus_docs --partition-by lang,ingest_id \
+  *   --table corpus_nd --warehouse /data/wh
   * // cluster-assignment lifecycle (bootstrap, then per-ingest fold):
   * runMain graft.tools.EdgeRunner --mode cluster --in parquet:/data/corpus_docs \
   *   --table corpus_nd --sim-threshold 0.5 --warehouse /data/wh

@@ -598,9 +598,58 @@ object ScaleSmoke {
         s"pq_retrain_reencode_${nd}_vecs" -> tRetrain)
     }
 
+    // --- round-13: deletion propagation + the lexical-index probe ----
+    // (a) forget — the O(affected partitions) claim, measured: ids
+    //     from ONE of 8 ingests; the targeted path rewrites that one
+    //     partition, the bulk (compaction-cadence) path folds the
+    //     whole store once. Request-cadence deletions should ride the
+    //     first, source delistings the second.
+    // (b) BM25 — probing the persisted posting family vs re-deriving
+    //     corpus tf/df from raw text per call (s16's pre-r13 lexical
+    //     leg). The probe should be corpus-size-independent.
+    val r13Results = {
+      for (t <- Seq("graft_smoke_fgt_ndsh", "graft_smoke_fgt_ndband",
+          "graft_smoke_lex_post", "graft_smoke_lex_lexstats"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      val docs25 = docsOf(nDocs / 2)
+      Dedup.saveNearDupKeys(spark, "graft_smoke_fgt",
+        docs25.filter(col("doc_id") % 8 === 0), "doc_id", "text")
+      for (d <- 1 to 7)
+        Dedup.appendNearDupKeys(spark, "graft_smoke_fgt",
+          docs25.filter(col("doc_id") % 8 === d), "doc_id", "text",
+          ingestId = f"day$d%02d")
+      val idsA = Seq(3L, 11L, 19L, 27L, 35L)  // all in day03
+      val t0 = System.nanoTime()
+      val nA = Forget.forgetFromTable(spark, "graft_smoke_fgt_ndsh",
+        Seq("doc_id"), "doc_id", idsA)
+      val tTargeted = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] forget_targeted_1of8_parts  ${tTargeted}%8.2f s " +
+        s"($nA rows)")
+      val idsB = Seq(43L, 51L, 59L, 67L, 75L).toDF("doc_id")
+      val t1 = System.nanoTime()
+      Forget.purgeTable(spark, "graft_smoke_fgt_ndsh", Seq("doc_id"),
+        "doc_id", idsB, keepLast = 1)
+      val tFold = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] forget_fullstore_fold       ${tFold}%8.2f s")
+
+      TextAnalysis.saveLexicalIndex(spark, "graft_smoke_lex", docs,
+        "doc_id", "text")
+      val qterms = (0 until 8).flatMap(q => Seq(0, 7, 14).map(o =>
+          (q.toLong, vocab((q + o) % vocab.size))))
+        .toDF("query_id", "term").localCheckpoint(true)
+      val probe = time(s"bm25_probe_tables_$nd") {
+        TextAnalysis.bm25FromTables(spark, "graft_smoke_lex", qterms, topN = 20)
+      }
+      val rederive = time(s"bm25_rederive_inline_$nd") {
+        TextAnalysis.bm25PerQuery(docs, "doc_id", "text", qterms, topN = 20)
+      }
+      Seq("forget_targeted_1of8_parts" -> tTargeted,
+        "forget_fullstore_fold" -> tFold, probe, rederive)
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
-      annResults ++ r11Results ++ r11bResults ++ r12Results
+      annResults ++ r11Results ++ r11bResults ++ r12Results ++ r13Results
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()
