@@ -4804,6 +4804,32 @@ object Queries {
       rounds = BpeRounds)
   }
 
+  /** Tokenize WITH the trained tokenizer (t31) — learn the 6 BPE rules
+    * (t30's machinery) and apply them: per doc, word/char counts and
+    * the token count under the merged segmentation. The oracle reuses
+    * t30's unrolled chain — `seg_6` IS the trained segmentation — and
+    * joins doc words against it, so learn≡learn and apply≡apply are
+    * both pinned in one gate. */
+  val t31 = q("t31_bpe_apply",
+    s"""WITH b2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |b AS (SELECT t FROM b2),
+       |seg_0 AS MATERIALIZED (
+       | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
+       | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
+       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
+       |docw AS (SELECT doc_id, unnest(t) AS word FROM b2)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       | CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+       |FROM docw d JOIN seg_${BpeRounds} s ON s.word = d.word
+       |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
+    TextAnalysis.bpeApply(docs, "doc_id", "text", rules)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4814,7 +4840,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08)
 }

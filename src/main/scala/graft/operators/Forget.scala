@@ -310,6 +310,81 @@ object Forget {
           .select(df.columns.map(col): _*)
       })
 
+  /** Deletion propagation for the LEXICAL index family
+    * ([[graft.operators.TextAnalysis.saveLexicalIndex]]): the
+    * forgotten docs' posting rows vanish from `{prefix}_post`
+    * (partition-targeted, the [[forgetFromTable]] path), and the
+    * affected ingests' `{prefix}_lexstats` contribution rows are
+    * RECOMPUTED from the rewritten postings — corpus scalars must
+    * shrink with the corpus or every later idf/length normalization
+    * would quietly assume the forgotten docs still exist (a rebuild
+    * over the reduced corpus is the contract, and the recompute
+    * matches it exactly: every doc has ≥1 posting row, so per-ingest
+    * n_docs/sum_dl are derivable from the postings alone). An ingest
+    * whose docs ALL vanish loses both partitions. Returns posting
+    * rows deleted. */
+  def forgetFromLexicalIndex(spark: SparkSession, prefix: String,
+                             ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "forget needs at least one id")
+    import spark.implicits._
+    val post = s"${prefix}_post"
+    val stats = s"${prefix}_lexstats"
+    val affected = spark.table(post).filter(col("doc_id").isin(ids: _*))
+      .select(col("ingest_id").cast("string")).distinct()
+      .as[String].collect()
+    val n = forgetFromTable(spark, post, Seq("term"), "doc_id", ids)
+    refreshLexStats(spark, post, stats, affected)
+    n
+  }
+
+  /** Recompute the per-ingest corpus-scalar contribution rows of a
+    * lexical index's `_lexstats` member from its (already rewritten)
+    * postings, for exactly `ingests`; an ingest with no postings left
+    * loses its stats partition. Partition mtimes preserved. */
+  private def refreshLexStats(spark: SparkSession, post: String,
+                              stats: String, ingests: Seq[String]): Unit = {
+    import spark.implicits._
+    val buckets = graft.sources.Bucketing.bucketsOf(spark, stats)
+    ingests.foreach { ing =>
+      val fresh = spark.table(post).filter(col("ingest_id") === ing)
+        .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+        .as[(Long, Long)].collect().head
+      if (fresh._1 == 0L)
+        spark.sql(s"ALTER TABLE $stats DROP IF EXISTS " +
+          s"PARTITION (ingest_id='$ing')")
+      else
+        graft.sources.Bucketing.preservingMtime(spark, stats, ing) {
+          graft.sources.Bucketing.writeBucketedIngest(spark,
+            Seq(fresh).toDF("n_docs", "sum_dl"), stats, Seq("n_docs"),
+            buckets, ingestId = ing)
+        }
+    }
+    spark.catalog.refreshTable(stats)
+  }
+
+  /** [[purgeTable]] for the lexical family: the posting fold plus the
+    * stats recompute over every surviving ingest (bulk cadence — the
+    * fold just rewrote the whole store, the stats re-derivation is a
+    * narrow grouped scan of it). */
+  def purgeLexicalIndex(spark: SparkSession, prefix: String,
+                        purgeIds: DataFrame, keepLast: Int = 1): Unit = {
+    import spark.implicits._
+    val post = s"${prefix}_post"
+    val stats = s"${prefix}_lexstats"
+    val before = spark.table(stats)
+      .select(col("ingest_id").cast("string")).distinct()
+      .as[String].collect()
+    purgeTable(spark, post, Seq("term"), "doc_id", purgeIds, keepLast)
+    val after = spark.table(post)
+      .select(col("ingest_id").cast("string")).distinct()
+      .as[String].collect()
+    // recompute survivors; stats partitions of folded/emptied ingests
+    // (present before, absent from the folded postings) are dropped by
+    // the zero-doc branch of the refresh
+    refreshLexStats(spark, post, stats, (before ++ after).distinct.toSeq)
+  }
+
   def forgetFromClusters(spark: SparkSession, table: String,
                          ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "forget needs at least one id")

@@ -446,7 +446,12 @@ object TextAnalysis {
                      qterms: DataFrame, topN: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    val Array(nDocs, sumDl) = spark.table(s"${name}_lexstats")
+    // commit-visibility (no-op for families without a _commits table):
+    // the writer lands postings THEN stats — an uncommitted ingest must
+    // be invisible to BOTH reads or scores would mix a posting set with
+    // a mismatched corpus-scalar set
+    val Array(nDocs, sumDl) = graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${name}_lexstats"), name)
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("sum_dl")), lit(0L)))
       .collect().head.toSeq.map(_.toString.toLong).toArray
@@ -460,7 +465,8 @@ object TextAnalysis {
     // and keeping the relation un-materialized preserves the bucketed
     // output partitioning so the per-term df aggregation plans with NO
     // exchange
-    val posting = spark.table(s"${name}_post")
+    val posting = graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${name}_post"), name)
       .filter(col("term").isin(terms: _*))
       .select("doc_id", "term", "tf", "dl")
     bm25FromPostings(posting, qt, nDocs, sumDl, topN, k1, b)
@@ -524,6 +530,42 @@ object TextAnalysis {
       r += 1
     }
     merges.toSeq.toDF("round", "x", "y", "merged", "freq")
+  }
+
+  /** Apply a LEARNED merge list ([[bpeMerges]] output, in learning
+    * order) to the corpus — the tokenize-with-the-trained-tokenizer
+    * step: per document, word count, character count, and the token
+    * count under the merged segmentation (the compression a data-mix
+    * owner reads to budget context windows). The merges fold over the
+    * DISTINCT-WORD table (each rule one map-side `aggregate` pass,
+    * same greedy fold as learning — apply and learn cannot drift),
+    * then one join fans word token-counts back to documents: the
+    * corpus text is scanned twice total (word table, doc join), never
+    * per rule. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    var seg = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .distinct()
+      .withColumn("syms", split(col("word"), ""))
+      .localCheckpoint(false)
+    merges.foreach { case (x, y) =>
+      seg = seg.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(x) && s === lit(y),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+              .otherwise(concat(acc, array(s)))))
+        .localCheckpoint(false)
+    }
+    val wordTok = seg.select(col("word"),
+      size(col("syms")).cast("long").as("n_word_tok"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_word_tok")).as("n_bpe_tokens"))
   }
 
   /** Per-source token-quota selection: within EACH source, keep the

@@ -104,7 +104,8 @@ object EdgeRunner {
     ids: Seq[Long] = Nil,             // forget mode: doc ids to delete everywhere
     commits: String = "",             // audit mode: family prefix with a _commits table
     graceSec: Long = 900L,            // audit mode: in-flight vs crashed window
-    source: String = "")              // forget mode: bulk purge a whole source
+    source: String = "",              // forget mode: bulk purge a whole source
+    lex: String = "")                 // forget mode: lexical-index family prefix
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -164,7 +165,8 @@ object EdgeRunner {
         .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Nil),
       commits = kv.getOrElse("--commits", ""),
       graceSec = kv.get("--grace-sec").map(_.toLong).getOrElse(900L),
-      source = kv.getOrElse("--source", ""))
+      source = kv.getOrElse("--source", ""),
+      lex = kv.getOrElse("--lex", ""))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -584,7 +586,10 @@ object EdgeRunner {
     *   - `--table <ndPrefix>`: the near-dup key family
     *     (`_ndband`/`_ndsh`, bucketed rewrite);
     *   - `--index <ivfPrefix>`: the IVF assignments;
-    *   - `--pq <pqPrefix>`: the ADC postings.
+    *   - `--pq <pqPrefix>`: the ADC postings;
+    *   - `--lex <lexPrefix>`: the lexical posting family (postings
+    *     deleted AND the affected ingests' corpus-scalar stats rows
+    *     recomputed — idf must shrink with the corpus).
     * Content-keyed exact-dedup stores are deliberately left intact
     * (see [[graft.operators.Forget]] — re-posts of forgotten content
     * stay suppressed). At least one target is required; pass all that
@@ -617,6 +622,8 @@ object EdgeRunner {
     if (cfg.pq.nonEmpty)
       n += Forget.forgetFromTable(spark, s"${cfg.pq}_adc",
         Seq("cid"), "neighbor_id", cfg.ids)
+    if (cfg.lex.nonEmpty)
+      n += Forget.forgetFromLexicalIndex(spark, cfg.lex, cfg.ids)
     n
   }
 
@@ -663,6 +670,8 @@ object EdgeRunner {
     if (cfg.pq.nonEmpty)
       Forget.purgeTable(spark, s"${cfg.pq}_adc",
         Seq("cid"), "neighbor_id", ids, cfg.keepLast)
+    if (cfg.lex.nonEmpty)
+      Forget.purgeLexicalIndex(spark, cfg.lex, ids, cfg.keepLast)
     n
   }
 

@@ -91,4 +91,78 @@ class LexicalIndexSpec extends AnyFunSuite {
       s"${full}_post", s"${full}_lexstats"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("forget from the lexical family == rebuild without the ids; stats shrink with the corpus; purge flavor too") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 10)
+    val qterms = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .localCheckpoint(true)
+    val ids = Seq(11L, 23L, 42L)
+    val live = "lexspec_fgt"
+    val ref = "lexspec_ref"
+    try {
+      TextAnalysis.saveLexicalIndex(spark, live, docs, "doc_id", "text")
+      // the forgotten ids' postings vanish AND the corpus scalars are
+      // recomputed — probe rows must be IDENTICAL to an index built
+      // over the reduced corpus (idf/df/length norms all shift)
+      val n = graft.operators.Forget.forgetFromLexicalIndex(spark, live, ids)
+      assert(n > 0L)
+      TextAnalysis.saveLexicalIndex(spark, ref,
+        docs.filter(!col("doc_id").isin(ids: _*)), "doc_id", "text")
+      assert(rows(TextAnalysis.bm25FromTables(spark, live, qterms, topN = 10))
+        == rows(TextAnalysis.bm25FromTables(spark, ref, qterms, topN = 10)))
+      assert(spark.table(s"${live}_post")
+        .filter(col("doc_id").isin(ids: _*)).count() == 0)
+      import spark.implicits._
+      val Seq((nl, sl)) = spark.table(s"${live}_lexstats")
+        .agg(sum("n_docs"), sum("sum_dl")).as[(Long, Long)].collect().toSeq
+      val Seq((nr, sr)) = spark.table(s"${ref}_lexstats")
+        .agg(sum("n_docs"), sum("sum_dl")).as[(Long, Long)].collect().toSeq
+      assert((nl, sl) == (nr, sr), "corpus scalars must shrink with the corpus")
+      // idempotent
+      assert(graft.operators.Forget.forgetFromLexicalIndex(spark, live, ids) == 0L)
+
+      // bulk flavor: purge another id set at the compaction cadence —
+      // same rebuild equivalence through the fold path
+      val ids2 = Seq(57L, 88L)
+      graft.operators.Forget.purgeLexicalIndex(spark, live,
+        ids2.toDF("doc_id"), keepLast = 1)
+      TextAnalysis.saveLexicalIndex(spark, ref,
+        docs.filter(!col("doc_id").isin(ids ++ ids2: _*)), "doc_id", "text")
+      assert(rows(TextAnalysis.bm25FromTables(spark, live, qterms, topN = 10))
+        == rows(TextAnalysis.bm25FromTables(spark, ref, qterms, topN = 10)))
+    } finally for (t <- Seq(s"${live}_post", s"${live}_lexstats",
+      s"${ref}_post", s"${ref}_lexstats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("commit-visibility: an uncommitted lexical ingest is invisible to the probe") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 10)
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+    val qterms = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .localCheckpoint(true)
+    val name = "lexspec_cv"
+    try {
+      TextAnalysis.saveLexicalIndex(spark, name, old, "doc_id", "text")
+      graft.sources.FamilyCommit.commit(spark, name, "base")
+      val before = rows(TextAnalysis.bm25FromTables(spark, name, qterms, 10))
+      // the append lands BOTH members but its marker hasn't — the
+      // probe must score exactly the committed corpus (a posting set
+      // mixed with a mismatched scalar set would be silently wrong)
+      TextAnalysis.appendLexicalIndex(spark, name, batch, "doc_id", "text",
+        ingestId = "2026-08-15")
+      assert(rows(TextAnalysis.bm25FromTables(spark, name, qterms, 10)) == before)
+      graft.sources.FamilyCommit.commit(spark, name, "2026-08-15")
+      val after = rows(TextAnalysis.bm25FromTables(spark, name, qterms, 10))
+      assert(after != before, "committed ingest must become visible")
+    } finally for (t <- Seq(s"${name}_post", s"${name}_lexstats",
+      s"${name}_commits"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
