@@ -774,7 +774,16 @@ object Dedup {
     * (the ReplaySpec contract). Run it with the SAME `ingestId` as the
     * family's key append; order against [[appendNearDupKeys]] is
     * immaterial (duplicate/self edges are harmless to connected
-    * components). */
+    * components).
+    *
+    * AUDIT CAVEAT: a batch whose docs have NO near-dup edge
+    * legitimately lands zero cluster rows — its `ingest_id` partition
+    * never exists — so including `_clusters` in an
+    * [[graft.sources.Bucketing.auditIngests]] member list flags such
+    * ingests as inconsistent. That flag is SAFE to repair (re-running
+    * this fold is convergent and a no-op for an edgeless batch), but
+    * audit `_clusters` only when batches are expected to contribute
+    * rows, or treat its missing-partition rows as advisory. */
   def appendClusterAssignments(spark: org.apache.spark.sql.SparkSession,
                                name: String, batch: DataFrame,
                                idCol: String, textCol: String,

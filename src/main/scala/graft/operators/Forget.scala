@@ -156,8 +156,11 @@ object Forget {
       .collect()
     var deleted = 0L
     affected.foreach { row =>
+      // null-safe equality: a NULL partition value (Hive default
+      // partition) under plain === would match NO rows, making keptN 0
+      // and wrongly deleting the whole partition directory
       val pred = partitionCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(row.get(i)) }.reduce(_ && _)
+        .map { case (c, i) => col(c) <=> lit(row.get(i)) }.reduce(_ && _)
       val partPath = fs.makeQualified(new Path(
         new java.net.URI(row.getString(row.length - 1))).getParent)
       val mtime = fs.getFileStatus(partPath).getModificationTime

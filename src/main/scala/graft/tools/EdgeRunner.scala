@@ -118,11 +118,12 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
-        "neardup|recall-check|compact|audit|retrain|forget|cluster is required"))
+        "neardup|recall-check|compact|audit|retrain|forget|cluster|lexical " +
+        "is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
         "classify", "neardup", "recall-check", "compact", "audit", "retrain",
-        "forget", "cluster")(mode),
+        "forget", "cluster", "lexical")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -556,6 +557,8 @@ object EdgeRunner {
         println(s"[edge] rows deleted across stores: ${runForget(spark, cfg)}")
     case "cluster" =>
       println(s"[edge] ${runCluster(spark, cfg)}")
+    case "lexical" =>
+      println(s"[edge] ${runLexical(spark, cfg)}")
     case "audit" =>
       val bad = runAudit(spark, cfg)
       if (bad.isEmpty) println("[edge] audit OK: every ingest consistent")
@@ -702,7 +705,7 @@ object EdgeRunner {
       "cluster mode requires --in parquet:<docs dir>")
     val raw = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
     val tbl = s"${cfg.table}_clusters"
-    if (cfg.ingestId.isEmpty) {
+    val summary = if (cfg.ingestId.isEmpty) {
       val assigns = graft.operators.Dedup.clusters(
         graft.operators.Dedup.jaccardPairs(raw, "doc_id", "text",
             threshold = cfg.simThreshold)
@@ -721,6 +724,53 @@ object EdgeRunner {
       s"cluster append ${cfg.ingestId}: ${spark.table(tbl).count()} " +
         s"assignment rows in $tbl"
     }
+    // `--commits <prefix>`: mark the fold committed — feeds the audit's
+    // in-flight/crashed classification (an edgeless batch legitimately
+    // lands no cluster partition, and the marker is what tells the
+    // audit that's a completed fold, not a crashed one)
+    if (cfg.commits.nonEmpty)
+      graft.sources.FamilyCommit.commit(spark, cfg.commits,
+        if (cfg.ingestId.isEmpty) "base" else cfg.ingestId)
+    summary
+  }
+
+  /** `--mode lexical`: the BM25 posting family's operational face —
+    * `--lex <prefix>` names the family; BOOTSTRAP (no `--ingest-id`)
+    * builds `{prefix}_post`/`_lexstats` from `--in parquet:<docs>`
+    * ([[graft.operators.TextAnalysis.saveLexicalIndex]]); APPEND
+    * (`--ingest-id X`) lands the batch's postings + stat contribution
+    * replay-idempotently (ingest-partitioned inputs scoped to X, the
+    * runMaintain shared-landing discipline). `--commits <prefix>`
+    * (the audit flag, same value as `--lex`) writes the family's
+    * marker after the member writes — switching the family to
+    * enforced read visibility on first use (the bootstrap commit
+    * covers `base`). */
+  def runLexical(spark: SparkSession, cfg: Config): String = {
+    require(cfg.lex.nonEmpty, "lexical mode requires --lex <family prefix>")
+    require(cfg.in.startsWith("parquet:"),
+      "lexical mode requires --in parquet:<docs dir>")
+    val raw = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
+    val post = s"${cfg.lex}_post"
+    val summary = if (cfg.ingestId.isEmpty) {
+      graft.operators.TextAnalysis.saveLexicalIndex(spark, cfg.lex,
+        raw.filter(col("text").isNotNull), "doc_id", "text")
+      if (cfg.commits.nonEmpty)
+        graft.sources.FamilyCommit.commit(spark, cfg.lex, "base")
+      s"lexical bootstrap: ${spark.table(post).count()} postings in $post"
+    } else {
+      val batch =
+        if (raw.columns.contains("ingest_id"))
+          raw.filter(col("ingest_id") === cfg.ingestId).drop("ingest_id")
+        else raw
+      graft.operators.TextAnalysis.appendLexicalIndex(spark, cfg.lex,
+        batch.filter(col("text").isNotNull), "doc_id", "text",
+        ingestId = cfg.ingestId)
+      if (cfg.commits.nonEmpty)
+        graft.sources.FamilyCommit.commit(spark, cfg.lex, cfg.ingestId)
+      s"lexical append ${cfg.ingestId}: ${spark.table(post).count()} " +
+        s"postings in $post"
+    }
+    summary
   }
 
   /** The heal half of the audit (`--mode audit --repair true`): for
@@ -735,9 +785,11 @@ object EdgeRunner {
     *     `--table` members' suffixes (the writers' naming contract):
     *     `<n>_norm`+`<n>_bands` → [[graft.operators.Dedup
     *     .appendIncrementalKeys]]; `<n>_ndband`+`<n>_ndsh` →
-    *     [[graft.operators.Dedup.appendNearDupKeys]] — the re-append
-    *     lands BOTH member tables, completing whichever half the
-    *     crash dropped.
+    *     [[graft.operators.Dedup.appendNearDupKeys]];
+    *     `<n>_post`+`<n>_lexstats` → [[graft.operators.TextAnalysis
+    *     .appendLexicalIndex]] — the re-append lands BOTH member
+    *     tables, completing whichever half the crash dropped, and
+    *     re-commits families that enforce markers.
     * Idempotence makes this safe unconditionally: a
     * flagged-but-actually-fine ingest (or the surviving half of a
     * half-ingest) is replaced with identical rows. Ids flagged by the
@@ -758,9 +810,12 @@ object EdgeRunner {
         .intersect(managed.filter(_.endsWith(b)).map(_.stripSuffix(b)))
     val exactFams = prefixes("_norm", "_bands")
     val ndFams = prefixes("_ndband", "_ndsh")
-    require(cfg.knownKeys.nonEmpty || exactFams.nonEmpty || ndFams.nonEmpty,
+    val lexFams = prefixes("_post", "_lexstats")
+    require(cfg.knownKeys.nonEmpty || exactFams.nonEmpty || ndFams.nonEmpty ||
+      lexFams.nonEmpty,
       "audit --repair needs --known-keys <dir to heal>, or --table members " +
-        "naming a managed family (<n>_norm,<n>_bands or <n>_ndband,<n>_ndsh)")
+        "naming a managed family (<n>_norm,<n>_bands / <n>_ndband,<n>_ndsh / " +
+        "<n>_post,<n>_lexstats)")
     import spark.implicits._
     val docs = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
     // cast only the driver-side id listing (partition inference reads
@@ -804,9 +859,16 @@ object EdgeRunner {
               "doc_id", "text", ingestId = id)
           }
         })
+      lexFams.foreach(n =>
+        graft.sources.Bucketing.preservingMtime(spark, s"${n}_post", id) {
+          graft.sources.Bucketing.preservingMtime(spark, s"${n}_lexstats", id) {
+            graft.operators.TextAnalysis.appendLexicalIndex(spark, n, batch,
+              "doc_id", "text", ingestId = id)
+          }
+        })
       // a healed ingest IS fully landed — for families enforcing
       // commit visibility, the repair is the "last member write"
-      (exactFams ++ ndFams)
+      (exactFams ++ ndFams ++ lexFams)
         .filter(graft.sources.FamilyCommit.enabled(spark, _))
         .foreach(graft.sources.FamilyCommit.commit(spark, _, id))
     }

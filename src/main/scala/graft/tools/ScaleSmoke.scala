@@ -647,9 +647,38 @@ object ScaleSmoke {
         "forget_fullstore_fold" -> tFold, probe, rederive)
     }
 
+    // --- round-13b: the PERSISTED cluster fold vs bootstrap rebuild —
+    // the r10/r11 probes time the in-memory incrementalClusters
+    // computation; this times the full family op (fold + batch-
+    // partition land + bridged-partition relabel rewrites) against
+    // re-clustering and re-persisting the corpus from scratch.
+    val r13bResults = {
+      val docs25 = docsOf(nDocs / 2)
+      val old = docs25.filter(col("doc_id") % 10 =!= 0)
+      val newB = docs25.filter(col("doc_id") % 10 === 0)
+      for (t <- Seq("graft_smoke_clf_ndband", "graft_smoke_clf_ndsh",
+          "graft_smoke_clf_clusters"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      Dedup.saveNearDupKeys(spark, "graft_smoke_clf", old, "doc_id", "text")
+      val t0 = System.nanoTime()
+      Dedup.saveClusterAssignments(spark, "graft_smoke_clf",
+        Dedup.clusters(Dedup.jaccardPairs(old, "doc_id", "text",
+          threshold = 0.5).select("doc_a", "doc_b")))
+      val tBoot = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] cluster_bootstrap_persisted  ${tBoot}%8.2f s")
+      val t1 = System.nanoTime()
+      Dedup.appendClusterAssignments(spark, "graft_smoke_clf", newB,
+        "doc_id", "text", threshold = 0.5, ingestId = "i1")
+      val tFold2 = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] cluster_append_persisted     ${tFold2}%8.2f s")
+      Seq("cluster_bootstrap_persisted" -> tBoot,
+        "cluster_append_persisted" -> tFold2)
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
-      annResults ++ r11Results ++ r11bResults ++ r12Results ++ r13Results
+      annResults ++ r11Results ++ r11bResults ++ r12Results ++ r13Results ++
+      r13bResults
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()

@@ -202,10 +202,16 @@ class ClusterLifecycleSpec extends AnyFunSuite {
       assert(assignments(name) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
       graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
         "--mode", "cluster", "--in", s"parquet:$dir/landing",
-        "--table", name, "--sim-threshold", "0.5", "--ingest-id", "day7")))
+        "--table", name, "--sim-threshold", "0.5", "--ingest-id", "day7",
+        "--commits", name)))
       assert(assignments(name) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
         10L -> 1L, 11L -> 1L, 30L -> 30L, 31L -> 30L))
-    } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh", s"${name}_clusters"))
+      // --commits marked the fold: the audit can tell a completed
+      // (possibly edgeless, partition-less) fold from a crashed one
+      assert(graft.sources.FamilyCommit.committedIds(spark, name)
+        .exists(_.contains("day7")))
+    } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh",
+      s"${name}_clusters", s"${name}_commits"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }

@@ -138,6 +138,71 @@ class LexicalIndexSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("CLI lexical lifecycle: bootstrap + append with markers; audit classifies and --repair heals a half-landed ingest") {
+    import spark.implicits._
+    val name = "lexspec_cli"
+    val ref = "lexspec_cliref"
+    val root = java.nio.file.Files.createTempDirectory("lexcli").toString
+    val oldDocs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"),
+      (3L, "beta beta gamma"))
+    val day9 = Seq((10L, "alpha alpha beta"), (11L, "gamma delta epsilon"))
+    val day10 = Seq((20L, "epsilon alpha"), (21L, "beta delta"))
+    val qterms = Seq((1L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (2L, "delta"), (3L, "epsilon")).toDF("query_id", "term")
+    def probe(p: String) = rows(TextAnalysis.bm25FromTables(spark, p, qterms, 10))
+    def freshRef(docs: Seq[(Long, String)]): Set[Seq[Any]] = {
+      for (t <- Seq(s"${ref}_post", s"${ref}_lexstats"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      TextAnalysis.saveLexicalIndex(spark, ref,
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      probe(ref)
+    }
+    try {
+      oldDocs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$root/old")
+      (day9.map(d => (d._1, d._2, "day9")) ++
+          day10.map(d => (d._1, d._2, "day10")))
+        .toDF("doc_id", "text", "ingest_id")
+        .write.mode("overwrite").partitionBy("ingest_id")
+        .parquet(s"$root/landing")
+      // bootstrap + commit: the family enforces visibility from birth
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "lexical", "--in", s"parquet:$root/old",
+        "--lex", name, "--commits", name)))
+      assert(graft.sources.FamilyCommit.enabled(spark, name))
+      assert(probe(name) == freshRef(oldDocs))
+      // committed append through the dispatcher, scoped to its ingest
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "lexical", "--in", s"parquet:$root/landing",
+        "--lex", name, "--ingest-id", "day9", "--commits", name)))
+      assert(probe(name) == freshRef(oldDocs ++ day9))
+
+      // crash case: day10's postings land, the stats write is lost,
+      // no marker — the probe must keep scoring the committed corpus
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "lexical", "--in", s"parquet:$root/landing",
+        "--lex", name, "--ingest-id", "day10")))
+      spark.sql(s"ALTER TABLE ${name}_lexstats DROP PARTITION (ingest_id='day10')")
+      assert(probe(name) == freshRef(oldDocs ++ day9))
+      // the marker-aware audit calls it crashed (grace 0), repair
+      // re-appends BOTH members from the landing and re-commits
+      val members = Seq(s"${name}_post", s"${name}_lexstats")
+      val bad = graft.tools.EdgeRunner.runAudit(spark,
+        graft.tools.EdgeRunner.parse(Array("--mode", "audit", "--in", "unused:",
+          "--table", members.mkString(","), "--commits", name,
+          "--grace-sec", "0")))
+      assert(bad == Seq("day10"))
+      val (healed, manual) = graft.tools.EdgeRunner.runRepair(spark,
+        graft.tools.EdgeRunner.parse(Array("--mode", "audit",
+          "--in", s"parquet:$root/landing",
+          "--table", members.mkString(","), "--repair", "true")), bad)
+      assert(healed == Seq("day10") && manual.isEmpty)
+      assert(probe(name) == freshRef(oldDocs ++ day9 ++ day10))
+    } finally for (t <- Seq(s"${name}_post", s"${name}_lexstats",
+      s"${name}_commits", s"${ref}_post", s"${ref}_lexstats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("commit-visibility: an uncommitted lexical ingest is invisible to the probe") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") >= 10)
