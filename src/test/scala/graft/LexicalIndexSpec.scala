@@ -42,6 +42,18 @@ class LexicalIndexSpec extends AnyFunSuite {
         s"the term IN filter must prune posting buckets:\n$plan")
       // the stats read is a sum over the tiny _lexstats table, checked
       // by equivalence above (nDocs/sumDl identical to the inline agg)
+
+      // the per-term df aggregation rides the bucket layout: grouping
+      // the term-bucketed scan by term plans with NO exchange (the
+      // scaladoc's exchange-free claim, locked)
+      val qTermsList = qterms.select("term").distinct()
+        .as[String].collect().toSeq
+      val dftPlan = spark.table(s"${name}_post")
+        .filter(col("term").isin(qTermsList: _*))
+        .groupBy("term").agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!dftPlan.contains("ShuffleExchange"),
+        s"df aggregation must be exchange-free on the bucket layout:\n$dftPlan")
     } finally for (t <- Seq(s"${name}_post", s"${name}_lexstats"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
