@@ -47,8 +47,15 @@ object FamilyCommit {
   def commit(spark: SparkSession, prefix: String, ingestId: String): Unit = {
     require(ingestId.nonEmpty, "ingestId must be non-empty")
     val tbl = commitsTable(prefix)
+    // the committed id is ALSO a data column: the partition value is
+    // the replay key (one marker partition per ingest, idempotent
+    // overwrite), but the id a reader trusts must survive compaction
+    // ([[compactMarkers]] folds partitions; an id living only in the
+    // partition VALUE would vanish with the fold and silently revoke
+    // every folded commit)
     val row = spark.range(1)
       .select(current_timestamp().as("committed_at"),
+        lit(ingestId).as("committed_id"),
         lit(ingestId).as("ingest_id"))
     if (!spark.catalog.tableExists(tbl))
       row.write.mode(SaveMode.Overwrite).partitionBy("ingest_id")
@@ -65,15 +72,54 @@ object FamilyCommit {
   }
 
   /** The committed ingest ids, or None when the family is legacy-open
-    * (no commits table). */
+    * (no commits table). Read from the DATA column so markers folded
+    * by [[compactMarkers]] still count. */
   def committedIds(spark: SparkSession, prefix: String): Option[Set[String]] =
     if (!enabled(spark, prefix)) None
     else {
       import spark.implicits._
       Some(spark.table(commitsTable(prefix))
-        .select(col("ingest_id").cast("string")).distinct()
+        .select(col("committed_id").cast("string")).distinct()
         .as[String].collect().toSet)
     }
+
+  /** Compaction for the marker table itself (one tiny partition per
+    * ingest accrues forever — the same small-files tax every per-ingest
+    * store pays): markers OLDER than the newest `keepLast` fold into a
+    * single `base` partition, their ids preserved in the data column;
+    * kept markers stay replay-overwritable. Durable side-table swap
+    * (the compactIngests rename-aside discipline, minus bucketing —
+    * the marker table has no bucket spec). NEVER fold this table with
+    * the generic ingest compaction: that rewrites the `ingest_id`
+    * partition values the marker rows derive nothing from, but only
+    * this routine knows the commits contract. */
+  def compactMarkers(spark: SparkSession, prefix: String,
+                     keepLast: Int = 1): Unit = {
+    val tbl = commitsTable(prefix)
+    val ids = {
+      import spark.implicits._
+      spark.table(tbl).select(col("ingest_id").cast("string")).distinct()
+        .as[String].collect().toSeq
+    }
+    val kept = Bucketing.newestIngestIds(spark,
+      Bucketing.tableLocation(spark, tbl), ids, keepLast)
+    val keptCond = kept.foldLeft(lit(false))((c, id) => c || col("ingest_id") === id)
+    val remapped = spark.table(tbl)
+      .withColumn("ingest_id",
+        when(keptCond, col("ingest_id")).otherwise(lit("base")))
+    val side = s"${tbl}__compacting"
+    val old = s"${tbl}__old"
+    spark.sql(s"DROP TABLE IF EXISTS $side")
+    remapped.write.mode(SaveMode.Overwrite).partitionBy("ingest_id")
+      .format("parquet").saveAsTable(side)
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $tbl RENAME TO $old")
+    spark.sql(s"MSCK REPAIR TABLE $old SYNC PARTITIONS")
+    spark.sql(s"ALTER TABLE $side RENAME TO $tbl")
+    spark.sql(s"DROP TABLE $old")
+    spark.sql(s"MSCK REPAIR TABLE $tbl SYNC PARTITIONS")
+    spark.catalog.refreshTable(tbl)
+  }
 
   /** Restrict a family-member read to COMMITTED ingests (+ `base`).
     * Legacy-open families (no commits table) pass through unchanged.

@@ -71,6 +71,28 @@ class FamilyCommitSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("compactMarkers folds old marker partitions; committed ids survive the fold") {
+    val name = "fcspec_cmp"
+    try {
+      for (id <- Seq("base", "2026-08-01", "2026-08-02", "2026-08-03"))
+        FamilyCommit.commit(spark, name, id)
+      assert(spark.table(s"${name}_commits").count() == 4L)
+      FamilyCommit.compactMarkers(spark, name, keepLast = 1)
+      // partitions folded to base + the newest marker; the COMMITTED
+      // set is unchanged (ids live in the data column, not just the
+      // partition value — folding must not revoke commits)
+      assert(spark.table(s"${name}_commits")
+        .select(col("ingest_id").cast("string")).distinct()
+        .as[String].collect().toSet == Set("base", "2026-08-03"))
+      assert(FamilyCommit.committedIds(spark, name).get ==
+        Set("base", "2026-08-01", "2026-08-02", "2026-08-03"))
+      // a replayed commit of a folded id is harmless: distinct ids
+      FamilyCommit.commit(spark, name, "2026-08-01")
+      assert(FamilyCommit.committedIds(spark, name).get ==
+        Set("base", "2026-08-01", "2026-08-02", "2026-08-03"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_commits")
+  }
+
   test("audit classifies: committed / in-flight / crashed / broken; CLI flags only the repairable ones; repair re-commits") {
     val name = "fcspec_audit"
     try {
