@@ -728,9 +728,13 @@ object EdgeRunner {
     // in-flight/crashed classification (an edgeless batch legitimately
     // lands no cluster partition, and the marker is what tells the
     // audit that's a completed fold, not a crashed one)
-    if (cfg.commits.nonEmpty)
+    if (cfg.commits.nonEmpty) {
+      require(cfg.commits == cfg.table,
+        s"--commits names the family being written (--table ${cfg.table}); " +
+          s"got '${cfg.commits}' — a typo here would mark a DIFFERENT family")
       graft.sources.FamilyCommit.commit(spark, cfg.commits,
         if (cfg.ingestId.isEmpty) "base" else cfg.ingestId)
+    }
     summary
   }
 
@@ -749,6 +753,9 @@ object EdgeRunner {
     require(cfg.lex.nonEmpty, "lexical mode requires --lex <family prefix>")
     require(cfg.in.startsWith("parquet:"),
       "lexical mode requires --in parquet:<docs dir>")
+    require(cfg.commits.isEmpty || cfg.commits == cfg.lex,
+      s"--commits names the family being written (--lex ${cfg.lex}); " +
+        s"got '${cfg.commits}' — a typo here would mark a DIFFERENT family")
     val raw = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
     val post = s"${cfg.lex}_post"
     val summary = if (cfg.ingestId.isEmpty) {
