@@ -783,7 +783,14 @@ object Dedup {
     * ingests as inconsistent. That flag is SAFE to repair (re-running
     * this fold is convergent and a no-op for an edgeless batch), but
     * audit `_clusters` only when batches are expected to contribute
-    * rows, or treat its missing-partition rows as advisory. */
+    * rows, or treat its missing-partition rows as advisory.
+    *
+    * The fold reads the cluster table and the family's key tables
+    * DIRECTLY (not through commit-visibility): this is the family's
+    * own writer mid-pipeline, and converging from the TRUE current state
+    * — including a previous attempt's uncommitted partials — is
+    * exactly what makes the retry heal. Only CONSUMERS gate on the
+    * marker. */
   def appendClusterAssignments(spark: org.apache.spark.sql.SparkSession,
                                name: String, batch: DataFrame,
                                idCol: String, textCol: String,

@@ -118,6 +118,24 @@ class ClusterLifecycleSpec extends AnyFunSuite {
       val audit = graft.sources.Bucketing.auditIngests(spark,
         Seq(s"${name}_ndband", s"${name}_ndsh", s"${name}_clusters"))
       assert(audit.filter(!col("consistent")).count() == 0)
+
+      // the generic ingest compaction applies to the cluster member
+      // like any bucketed family table: assignments identical, newest
+      // ingest kept replayable, reads still exchange-free
+      graft.sources.Bucketing.compactIngests(spark, s"${name}_clusters",
+        Seq("doc_id"), graft.sources.Bucketing.bucketsOf(spark,
+          s"${name}_clusters"), keepLast = 1)
+      assert(assignments(name) == expected)
+      assert(spark.table(s"${name}_clusters")
+        .select(col("ingest_id").cast("string")).distinct()
+        .as[String].collect().toSet == Set("base", "2026-08-13"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val t = spark.table(s"${name}_clusters").select("doc_id", "cluster_id")
+        val plan2 = t.join(t.select(col("doc_id")), "doc_id")
+          .queryExecution.executedPlan.toString
+        assert(!plan2.contains("ShuffleExchange"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAb)
     } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh", s"${name}_clusters"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
