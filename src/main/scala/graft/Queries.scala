@@ -4830,6 +4830,44 @@ object Queries {
     TextAnalysis.bpeApply(docs, "doc_id", "text", rules)
   }
 
+  /** CCNet perplexity tiers (t32): per language, docs sorted by bigram
+    * LM quality split head/middle/tail at equal CHARACTER-mass
+    * boundaries (Wenzek et al. §4.3 — size-based cuts, so long docs
+    * can't flood a tier). Integer boundary math + one correctly-
+    * rounded division make the assignment engine-exact; the oracle
+    * reuses t16's LM CTEs. */
+  val t32 = q("t32_ccnet_tiers",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |  THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |  ELSE [array_to_string(t, ' ')] END) AS bigram FROM toks),
+      |cu AS (SELECT w, COUNT(*) AS cu FROM
+      |  (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM cu),
+      |cb AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram),
+      |scored AS (SELECT bg.doc_id,
+      |  round(ln((cb.cb + 1.0) / (cu.cu + vocab.v)), 6) AS lp
+      | FROM bg JOIN cb USING (bigram)
+      | JOIN cu ON cu.w = string_split(bg.bigram, ' ')[1]
+      | CROSS JOIN vocab),
+      |lm AS (SELECT doc_id, COUNT(*) AS nb,
+      |  CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) AS slp
+      | FROM scored GROUP BY doc_id),
+      |r AS (SELECT d.doc_id, d.lang,
+      |  CAST(length(d.text) AS BIGINT) AS n_chars, lm.slp / lm.nb AS alp
+      | FROM documents d JOIN lm ON lm.doc_id = d.doc_id),
+      |c AS (SELECT doc_id, lang, n_chars,
+      |  SUM(n_chars) OVER (PARTITION BY lang ORDER BY alp DESC, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  SUM(n_chars) OVER (PARTITION BY lang) AS tot FROM r)
+      |SELECT doc_id, lang, n_chars,
+      | CASE WHEN cum * 3 <= tot THEN 'head'
+      |      WHEN cum * 3 <= tot * 2 THEN 'middle'
+      |      ELSE 'tail' END AS tier
+      |FROM c""".stripMargin) { (s, dir) =>
+    TextAnalysis.ccnetTiers(Tables.documents(s, dir), "doc_id", "text", "lang")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4840,7 +4878,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08)
 }

@@ -850,6 +850,36 @@ object TextAnalysis {
       .withColumn("avg_logprob", col("sum_logprob") / col("n_bigrams"))
   }
 
+  /** CCNet-style perplexity tiers (Wenzek et al. 2020 §4.3): within
+    * each language, documents sort by LM quality (the [[bigramLmScore]]
+    * average log-prob, best first — CCNet's "head" is the LEAST
+    * perplexed third) and split into head/middle/tail at equal
+    * CHARACTER-mass boundaries — CCNet cuts by size, not doc count, so
+    * a few long documents can't flood a tier. Boundary math stays in
+    * integers (3·cum ≤ total, 3·cum ≤ 2·total — never a double
+    * division), and the ranking key sum_logprob/n_bigrams is a single
+    * correctly-rounded division of cross-engine-identical inputs, so
+    * the tier assignment is engine-exact. Plan: the LM scoring passes
+    * + ONE per-language window shuffle carrying both the running and
+    * total character sums. */
+  def ccnetTiers(docs: DataFrame, idCol: String, textCol: String,
+                 langCol: String): DataFrame = {
+    val scored = bigramLmScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("avg_logprob"))
+    val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val w = byLang.orderBy(col("avg_logprob").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(scored, "doc_id")
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("tot", sum(col("n_chars")).over(byLang))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("cum") * 3 <= col("tot"), "head")
+          .when(col("cum") * 3 <= col("tot") * 2, "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   /** Tf-idf top-`k` terms per doc (deterministic tiebreak on the term):
     * tf = in-doc occurrences, idf = ln((N+1)/(df+1)) with N the corpus
     * size and df the containing-doc count — the classic keyword
