@@ -4868,6 +4868,37 @@ object Queries {
     TextAnalysis.ccnetTiers(Tables.documents(s, dir), "doc_id", "text", "lang")
   }
 
+  /** Per-source n-gram diversity (t33): distinct/total uni-, bi-,
+    * trigram counts per source — the repetitiveness diagnostic read
+    * next to d17's duplication rates. Integer counts only (ratios
+    * derived downstream); distincts shuffle md5-prefix keys. The
+    * shingle convention matches TextOps: a doc shorter than n yields
+    * its whole text as one shingle. */
+  val t33 = q("t33_ngram_diversity",
+    """WITH b AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |g1 AS (SELECT source, unnest(t) AS g FROM b),
+      |g2 AS (SELECT source, unnest(CASE WHEN len(t) >= 2
+      |  THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |  ELSE [array_to_string(t, ' ')] END) AS g FROM b),
+      |g3 AS (SELECT source, unnest(CASE WHEN len(t) >= 3
+      |  THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |  ELSE [array_to_string(t, ' ')] END) AS g FROM b),
+      |a1 AS (SELECT source, COUNT(*) AS t1, COUNT(DISTINCT g) AS d1
+      | FROM g1 GROUP BY source),
+      |a2 AS (SELECT source, COUNT(*) AS t2, COUNT(DISTINCT g) AS d2
+      | FROM g2 GROUP BY source),
+      |a3 AS (SELECT source, COUNT(*) AS t3, COUNT(DISTINCT g) AS d3
+      | FROM g3 GROUP BY source),
+      |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT nd.source, nd.n_docs,
+      | t1 AS n_tokens, d1 AS distinct_unigrams,
+      | t2 AS total_bigrams, d2 AS distinct_bigrams,
+      | t3 AS total_trigrams, d3 AS distinct_trigrams
+      |FROM nd JOIN a1 USING (source) JOIN a2 USING (source)
+      | JOIN a3 USING (source)""".stripMargin) { (s, dir) =>
+    TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4878,7 +4909,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08)
 }

@@ -850,6 +850,40 @@ object TextAnalysis {
       .withColumn("avg_logprob", col("sum_logprob") / col("n_bigrams"))
   }
 
+  /** Per-source n-gram DIVERSITY profile — the repetitiveness /
+    * mode-collapse diagnostic of a corpus audit (distinct-n-gram
+    * ratios are the standard diversity report a data-mix owner reads
+    * next to d17's duplication rates; a crawl whose trigram
+    * distinct-count flatlines against its token count is boilerplate
+    * or templated spam): per source, doc and token counts plus
+    * DISTINCT and TOTAL n-gram counts for n = 1, 2, 3. Counts only —
+    * all BIGINT, hash-exact by construction; the ratios are derived
+    * downstream (the t16 dump-the-sum discipline). Scale shape: one
+    * unioned explode per n (each a pruned (source, text) scan) into a
+    * single per-(source, n) aggregation; distincts shuffle 16-hex md5
+    * gram keys, never raw n-gram text (the d11/d12 key discipline). */
+  def ngramDiversity(docs: DataFrame, srcCol: String,
+                     textCol: String): DataFrame = {
+    val grams = (1 to 3).map { n =>
+      docs.select(col(srcCol).as("source"), lit(n).as("n"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("g"))
+    }.reduce(_ unionByName _)
+    val perN = grams
+      .select(col("source"), col("n"), substring(md5(col("g")), 1, 16).as("gk"))
+      .groupBy("source", "n")
+      .agg(count(lit(1)).as("total"), countDistinct(col("gk")).as("dist"))
+      .groupBy("source")
+      .pivot("n", Seq(1, 2, 3))
+      .agg(first(col("total")).as("total"), first(col("dist")).as("dist"))
+    docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(perN, "source")
+      .select(col("source"), col("n_docs"),
+        col("1_total").as("n_tokens"), col("1_dist").as("distinct_unigrams"),
+        col("2_total").as("total_bigrams"), col("2_dist").as("distinct_bigrams"),
+        col("3_total").as("total_trigrams"), col("3_dist").as("distinct_trigrams"))
+  }
+
   /** CCNet-style perplexity tiers (Wenzek et al. 2020 §4.3): within
     * each language, documents sort by LM quality (the [[bigramLmScore]]
     * average log-prob, best first — CCNet's "head" is the LEAST
