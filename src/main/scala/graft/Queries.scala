@@ -4868,6 +4868,36 @@ object Queries {
     TextAnalysis.ccnetTiers(Tables.documents(s, dir), "doc_id", "text", "lang")
   }
 
+  /** Containment near-dup pairs (d19): overlap coefficient ≥ 4/5 over
+    * distinct trigram-shingle sets — the quote-inclusion signal
+    * symmetric Jaccard misses. Candidates via the ≤16-doc rare-shingle
+    * cap (d12's), verify exact, threshold an integer cross-multiply
+    * (t21 discipline) — no float anywhere, hash-exact by
+    * construction. */
+  val d19 = q("d19_containment_pairs",
+    """WITH d AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |   ELSE [array_to_string(t, ' ')] END) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS ndocs FROM e GROUP BY s)
+      | WHERE ndocs <= 16),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | WHERE a.s IN (SELECT s FROM rare)),
+      |shared AS (SELECT c.doc_a, c.doc_b,
+      |  CAST(ea.n AS BIGINT) AS n_a, CAST(eb.n AS BIGINT) AS n_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      | FROM cand c
+      | JOIN e ea ON ea.doc_id = c.doc_a
+      | JOIN e eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+      | GROUP BY c.doc_a, c.doc_b, ea.n, eb.n)
+      |SELECT doc_a, doc_b, n_a, n_b, n_shared FROM shared
+      |WHERE n_shared * 5 >= least(n_a, n_b) * 4""".stripMargin) { (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   /** Per-source n-gram diversity (t33): distinct/total uni-, bi-,
     * trigram counts per source — the repetitiveness diagnostic read
     * next to d17's duplication rates. Integer counts only (ratios
@@ -4907,7 +4937,7 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,

@@ -840,6 +840,58 @@ object Dedup {
     spark.catalog.refreshTable(tbl)
   }
 
+  /** Containment (overlap-coefficient) near-dup pairs — the dedup
+    * signal symmetric Jaccard MISSES: a short document quoted whole
+    * inside a long one shares all its shingles, but the union is
+    * dominated by the long side, so jaccard stays low while
+    * containment |A∩B| / min(|A|,|B|) is ~1. Candidates come from a
+    * shingle-key equi-join restricted to shingles in at most
+    * `maxDocs` documents (the d12 boilerplate cap — it bounds per-key
+    * fanout at C(maxDocs,2), keeping the join linear in distinct
+    * shingles; a doc whose EVERY shingle is corpus-common is
+    * boilerplate, not a containment hit, and is deliberately outside
+    * the candidate contract). Verification is exact: full distinct-
+    * shingle sets intersect per candidate pair, and the threshold
+    * gate is an INTEGER cross-multiplication
+    * (`den·n_shared ≥ num·min(n_a,n_b)` — the t21 ratio-gate
+    * discipline; no float ever materializes, so the output is
+    * hash-exact by construction). Output per unordered pair:
+    * (doc_a < doc_b, n_a, n_b, n_shared). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       thresholdNum: Int = 4, thresholdDen: Int = 5,
+                       shingleN: Int = 3, maxDocs: Int = 16): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0,
+      "containment threshold is a fraction num/den")
+    // one text scan: distinct shingle SETS (verify side) and their
+    // exploded keyed form (candidate side) both derive from it
+    val sets = docs.select(col(idCol).as("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+          .as("sh"))
+      .localCheckpoint(false)
+    val keys = sets.select(col("doc_id"),
+      explode(col("sh")).as("s"))
+      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("gk"))
+    val rare = keys.groupBy("gk")
+      .agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") <= maxDocs)
+      .select("gk")
+    val keyed = keys.join(rare, Seq("gk"), "left_semi")
+    val cand = keyed.select(col("gk"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("gk"), col("doc_id").as("doc_b")), Seq("gk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_shared"))
+      .where(col("n_shared") * thresholdDen >=
+        least(col("n_a"), col("n_b")) * thresholdNum)
+  }
+
   /** Exact duplicated-substring profiling — the substring-level dedup
     * signal of "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al., 2021), re-expressed as a distributed

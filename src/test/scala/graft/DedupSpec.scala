@@ -445,4 +445,38 @@ class DedupSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s"no cartesian allowed:\n$s")
     assert(!s.contains("BroadcastNestedLoopJoin"), s"no nested loop allowed:\n$s")
   }
+
+  test("containmentPairs: quote-inclusion caught where jaccard misses; boilerplate-capped; integer gate") {
+    // doc 1 = 30 words; doc 2 = its first 8 words verbatim (a quote):
+    // shared shingles 6, jaccard 6/(28+6-6) ≈ 0.21 — below every
+    // near-dup cutoff — but containment 6/min(28,6) = 1
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (100 to 120).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, long), (2L, quote), (3L, other))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .count() == 0, "fixture must be invisible to symmetric jaccard")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 28L, 6L, 6L)))
+    // integer gate boundary: 4/5 of min — a pair sharing exactly 4 of
+    // the smaller side's 5 shingles passes, 3 of 5 does not
+    val five = "a b c d e f g"                  // 5 shingles
+    val share4 = "a b c d e f zz"               // shares 4 of them
+    val share3 = "a b c d e yy zz"              // shares 3
+    assert(Dedup.containmentPairs(
+      Seq((1L, five), (2L, share4)).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 1)
+    assert(Dedup.containmentPairs(
+      Seq((1L, five), (2L, share3)).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    // the boilerplate cap: 20 docs sharing ONE corpus-common shingle
+    // (plus disjoint tails) generate no candidates through it
+    val common = (0 until 20).map(i =>
+      (i.toLong, s"same same same u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(common, "doc_id", "text",
+      maxDocs = 16).count() == 0)
+  }
 }
