@@ -4929,6 +4929,63 @@ object Queries {
     TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text")
   }
 
+  /** Composed CCNet-style corpus build (p09): exact dedup (d02's
+    * keep-min-per-fingerprint rule) → bigram-LM perplexity tiers over
+    * the DEDUPED corpus (t32 — LM stats must not be skewed by exact
+    * dups, the CCNet ordering) → drop the tail tier → per-(lang, tier)
+    * mix rollup. One declarative plan; the deduped subtree re-derives
+    * per LM pass exactly as the oracle does (a production run lands
+    * the deduped corpus first — p01's pattern — and runs t32 on the
+    * landing; this query is the one-plan composition gate). */
+  val p09 = q("p09_ccnet_mix",
+    s"""WITH kept AS (SELECT doc_id, lang, text FROM (
+       | SELECT doc_id, lang, text,
+       |  ROW_NUMBER() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+       | FROM documents) WHERE rn = 1),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+       |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+       |  THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+       |  ELSE [array_to_string(t, ' ')] END) AS bigram FROM toks),
+       |cu AS (SELECT w, COUNT(*) AS cu FROM
+       |  (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |vocab AS (SELECT COUNT(*) AS v FROM cu),
+       |cb AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram),
+       |scored AS (SELECT bg.doc_id,
+       |  round(ln((cb.cb + 1.0) / (cu.cu + vocab.v)), 6) AS lp
+       | FROM bg JOIN cb USING (bigram)
+       | JOIN cu ON cu.w = string_split(bg.bigram, ' ')[1]
+       | CROSS JOIN vocab),
+       |lm AS (SELECT doc_id, COUNT(*) AS nb,
+       |  CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) AS slp
+       | FROM scored GROUP BY doc_id),
+       |r AS (SELECT k.doc_id, k.lang,
+       |  CAST(length(k.text) AS BIGINT) AS n_chars, lm.slp / lm.nb AS alp
+       | FROM kept k JOIN lm ON lm.doc_id = k.doc_id),
+       |c AS (SELECT doc_id, lang, n_chars,
+       |  SUM(n_chars) OVER (PARTITION BY lang ORDER BY alp DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum,
+       |  SUM(n_chars) OVER (PARTITION BY lang) AS tot FROM r),
+       |tiered AS (SELECT doc_id, lang, n_chars,
+       |  CASE WHEN cum * 3 <= tot THEN 'head'
+       |       WHEN cum * 3 <= tot * 2 THEN 'middle'
+       |       ELSE 'tail' END AS tier FROM c)
+       |SELECT lang, tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS n_chars, MIN(doc_id) AS min_doc
+       |FROM tiered WHERE tier <> 'tail'
+       |GROUP BY lang, tier""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val kept = Tables.documents(s, dir)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(TextOps.normText(col("text"))))
+          .orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    TextAnalysis.ccnetTiers(kept, "doc_id", "text", "lang")
+      .filter(col("tier") =!= "tail")
+      .groupBy("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4941,5 +4998,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }
