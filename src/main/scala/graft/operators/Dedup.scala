@@ -862,15 +862,18 @@ object Dedup {
                        shingleN: Int = 3, maxDocs: Int = 16): DataFrame = {
     require(thresholdDen > 0 && thresholdNum >= 0,
       "containment threshold is a fraction num/den")
-    // one text scan: distinct shingle SETS (verify side) and their
-    // exploded keyed form (candidate side) both derive from it
+    // one text scan: distinct shingle-KEY sets (verify side) and their
+    // exploded form (candidate side) both derive from it. Shingles are
+    // hashed to 16-hex keys AT BUILD (the d11/d12 key discipline): the
+    // verify join then ships and hash-compares fixed 16-byte keys
+    // instead of raw n-gram text — set sizes and intersections are
+    // unchanged (distinct-after-hash), the bytes are ~half
     val sets = docs.select(col(idCol).as("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
-          .as("sh"))
+        array_distinct(transform(
+          TextOps.shingles(TextOps.tokens(col(textCol)), shingleN),
+          s => substring(md5(s), 1, 16))).as("sh"))
       .localCheckpoint(false)
-    val keys = sets.select(col("doc_id"),
-      explode(col("sh")).as("s"))
-      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("gk"))
+    val keys = sets.select(col("doc_id"), explode(col("sh")).as("gk"))
     val rare = keys.groupBy("gk")
       .agg(count(lit(1)).as("ndocs"))
       .where(col("ndocs") <= maxDocs)
@@ -886,7 +889,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+        // native one-pass |∩| (no intermediate intersection array in
+        // the verify join's inner loop — the ArrayJaccard lesson)
+        graft.plans.SetExprs.intersectCount(col("sh_a"), col("sh_b"))
           .as("n_shared"))
       .where(col("n_shared") * thresholdDen >=
         least(col("n_a"), col("n_b")) * thresholdNum)

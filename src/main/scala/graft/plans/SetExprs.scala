@@ -22,6 +22,50 @@ object SetExprs {
 
   def symbolCount(s: Column): Column =
     GraftShim.column(SymbolCount(GraftShim.expression(s)))
+
+  def intersectCount(a: Column, b: Column): Column =
+    GraftShim.column(ArrayIntersectCount(
+      GraftShim.expression(a), GraftShim.expression(b)))
+}
+
+/** |A ∩ B| over string arrays with set semantics (long) — the
+  * containment-verify hot loop (d19): one hash set + one membership
+  * pass, no intermediate array. `size(array_intersect(a, b))`
+  * materializes the intersection array per pair inside the verify
+  * join's inner loop just to take its length (the ArrayJaccard
+  * lesson). */
+case class ArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = compute(
+    l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val nA = a.numElements()
+    val nB = b.numElements()
+    val setA = new java.util.HashSet[Any](nA * 2)
+    var i = 0
+    while (i < nA) { setA.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[Any](nB * 2)
+    var inter = 0L
+    i = 0
+    while (i < nB) {
+      val v = b.getUTF8String(i)
+      if (seenB.add(v) && setA.contains(v)) inter += 1
+      i += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ic", this, classOf[ArrayIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayIntersectCount =
+    copy(left = l, right = r)
 }
 
 /** Count of codepoints OUTSIDE [A-Za-z0-9 ] (string → long) — the

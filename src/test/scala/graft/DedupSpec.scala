@@ -478,5 +478,10 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(Dedup.containmentPairs(common, "doc_id", "text",
       maxDocs = 16).count() == 0)
+    // plan lock: candidate generation is a shingle-key equi-join —
+    // never doc × doc
+    val plan = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 }
