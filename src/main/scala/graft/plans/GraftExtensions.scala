@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_norm_sq(a)                           → double
   *   graft_shingles(tokens, n)                  → array<string>
   *   graft_jaccard(a, b)                        → double
+  *   graft_intersect_count(a, b)                → bigint
   *   graft_minhash_portable(tokens, shingleN, numHashes) → array<bigint>
   *   graft_simhash_portable(tokens)             → bigint
   *
@@ -57,6 +58,10 @@ object GraftExtensions {
     ("graft_jaccard",
       new ExpressionInfo(classOf[ArrayJaccard].getName, "graft_jaccard"),
       (args: Seq[Expression]) => ArrayJaccard(args.head, args(1))),
+    ("graft_intersect_count",
+      new ExpressionInfo(classOf[ArrayIntersectCount].getName,
+        "graft_intersect_count"),
+      (args: Seq[Expression]) => ArrayIntersectCount(args.head, args(1))),
     ("graft_minhash_portable",
       new ExpressionInfo(classOf[MinHashShinglePortable].getName, "graft_minhash_portable"),
       (args: Seq[Expression]) =>

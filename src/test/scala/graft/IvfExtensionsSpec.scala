@@ -248,6 +248,7 @@ class IvfExtensionsSpec extends AnyFunSuite {
         |  graft_norm_sq(array(3.0d, 4.0d)) AS n2,
         |  graft_shingles(array('a','b','c','d'), 3) AS sg,
         |  graft_jaccard(array('x','y'), array('y','z')) AS j,
+        |  graft_intersect_count(array('x','y'), array('y','z')) AS ic,
         |  graft_minhash_portable(array('w1','w2','w3','w4'), 3, 8) AS mhp,
         |  graft_simhash_portable(array('a','b')) AS shp,
         |  graft_classifier_score(array('a','b')) AS clf,
@@ -260,6 +261,7 @@ class IvfExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("n2") == 25.0)
     assert(r.getAs[scala.collection.Seq[String]]("sg") == Seq("a b c", "b c d"))
     assert(r.getAs[Double]("j") == 1.0 / 3.0) // raw quotient, unrounded
+    assert(r.getAs[Long]("ic") == 1L)
     assert(r.getAs[scala.collection.Seq[Long]]("mhp").length == 8)
     assert(r.getAs[Long]("shp") != 0L)
     // round-9 registrations: classifier / rolling-hash / symbol-count /
