@@ -766,15 +766,22 @@ object Dedup {
     *     partitions rewritten in place with the merged labels, bucket
     *     spec preserved and partition mtime restored (retention must
     *     not mistake a relabel for a fresh landing).
-    * CRASH-CONVERGENT rather than transactional: a retry after any
-    * partial write recomputes the fold from the current table state —
-    * already-applied relabels are no-ops, missing ones still differ
-    * and get applied, and the batch partition overwrites itself — so
-    * retry-until-success reaches the exact rebuild-equivalent state
-    * (the ReplaySpec contract). Run it with the SAME `ingestId` as the
-    * family's key append; order against [[appendNearDupKeys]] is
-    * immaterial (duplicate/self edges are harmless to connected
-    * components).
+    * CRASH-CONVERGENT via a durable edit log
+    * ([[graft.sources.RelabelLog]]): the full relabel set is recorded
+    * BEFORE the first partition rewrite and replayed as a preamble on
+    * every entry. Recomputing the fold from the current table state is
+    * NOT enough on its own — a crash between the per-partition relabel
+    * rewrites leaves one component split across two labels, and once
+    * the delta-incident member has moved to the merged label, nothing
+    * links the stale half to a delta endpoint anymore, so a log-less
+    * retry would never re-touch it (the unsafe direction for dedup /
+    * decontamination). With the log, retry-until-success reaches the
+    * exact rebuild-equivalent state (the ReplaySpec contract): replay
+    * finishes the relabels, then the recompute finds nothing left to
+    * change and the batch partition overwrites itself. Run it with the
+    * SAME `ingestId` as the family's key append; order against
+    * [[appendNearDupKeys]] is immaterial (duplicate/self edges are
+    * harmless to connected components).
     *
     * AUDIT CAVEAT: a batch whose docs have NO near-dup edge
     * legitimately lands zero cluster rows — its `ingest_id` partition
@@ -785,23 +792,34 @@ object Dedup {
     * audit `_clusters` only when batches are expected to contribute
     * rows, or treat its missing-partition rows as advisory.
     *
-    * The fold reads the cluster table and the family's key tables
-    * DIRECTLY (not through commit-visibility): this is the family's
-    * own writer mid-pipeline, and converging from the TRUE current state
-    * — including a previous attempt's uncommitted partials — is
-    * exactly what makes the retry heal. Only CONSUMERS gate on the
-    * marker. */
+    * COMMIT-VISIBILITY: the CLUSTER table itself is read directly (the
+    * writer converges from the true current state), but the corpus-side
+    * KEY-TABLE read inside [[incrementalDeltaPairs]] goes through
+    * [[jaccardPairsBetweenFromKeys]] and therefore IS marker-gated once
+    * a `{name}_commits` table exists — deliberately: a crashed prior
+    * ingest's keys may be HALF-landed (bands without shingles, or the
+    * reverse), and edges computed against partial keys are silently
+    * incomplete either way. The consequence is that a fold run while a
+    * prior ingest sits uncommitted records NO edges against that
+    * ingest's docs — which is why crashed-ingest REPAIR must re-run the
+    * cluster fold for the healed ingest after re-committing it
+    * (EdgeRunner.runRepair does; the healed fold re-derives its edges
+    * against everything visible by then, including batches folded
+    * during the outage). */
   def appendClusterAssignments(spark: org.apache.spark.sql.SparkSession,
                                name: String, batch: DataFrame,
                                idCol: String, textCol: String,
                                threshold: Double, ingestId: String,
                                numHashes: Int = 32, bands: Int = 16,
                                shingleN: Int = 3): Unit = {
-    import spark.implicits._
     val tbl = s"${name}_clusters"
     require(spark.catalog.tableExists(tbl),
       s"append into missing cluster table '$tbl' — bootstrap with " +
         "saveClusterAssignments first")
+    // heal a prior attempt's partially-applied relabels FIRST: the fold
+    // below derives touched components from CURRENT labels, and a
+    // half-relabeled component is invisible to it (see RelabelLog)
+    graft.sources.RelabelLog.recover(spark, tbl)
     val old = spark.table(tbl).select("doc_id", "cluster_id")
     val next = incrementalClusters(old,
       incrementalDeltaPairs(spark, batch, name, idCol, textCol, threshold,
@@ -811,32 +829,24 @@ object Dedup {
     // very table these frames read (the self-read-overwrite rule)
     val newRows = next.join(old, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    val changed = next.select(col("doc_id"), col("cluster_id").as("__new_cid"))
+    val changed = next.select(col("doc_id"), col("cluster_id").as("new_cid"))
       .join(old, Seq("doc_id"))
-      .filter(col("__new_cid") =!= col("cluster_id"))
-      .select("doc_id", "__new_cid")
+      .filter(col("new_cid") =!= col("cluster_id"))
+      .select("doc_id", "new_cid")
       .localCheckpoint(true)
-    val buckets = graft.sources.Bucketing.bucketsOf(spark, tbl)
-    val df = spark.table(tbl)
-    val affected = df.join(changed, Seq("doc_id"), "left_semi")
-      .select(col("ingest_id").cast("string")).distinct()
-      .as[String].collect()
-    affected.foreach { ing =>
-      val rewritten = df.filter(col("ingest_id") === ing)
-        .join(broadcast(changed), Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("__new_cid"), col("cluster_id")))
-        .drop("__new_cid", "ingest_id")
-        .localCheckpoint(true)
-      graft.sources.Bucketing.preservingMtime(spark, tbl, ing) {
-        graft.sources.Bucketing.writeBucketedIngest(spark, rewritten, tbl,
-          Seq("doc_id"), buckets, ingestId = ing)
-      }
+    if (!changed.isEmpty) {
+      // durable apply: log the FULL relabel set, then rewrite the
+      // affected partitions by replaying it — a crash at any point
+      // retries into recover(), which finishes the replay before the
+      // next fold recomputes anything
+      graft.sources.RelabelLog.begin(spark, tbl, changed)
+      graft.sources.RelabelLog.recover(spark, tbl)
     }
     // zero new rows (pure-merge or replayed batch) is a no-op write:
     // dynamic partition overwrite touches no partition
     graft.sources.Bucketing.writeBucketedIngest(spark,
-      newRows.select("doc_id", "cluster_id"), tbl, Seq("doc_id"), buckets,
-      ingestId)
+      newRows.select("doc_id", "cluster_id"), tbl, Seq("doc_id"),
+      graft.sources.Bucketing.bucketsOf(spark, tbl), ingestId)
     spark.catalog.refreshTable(tbl)
   }
 

@@ -90,11 +90,21 @@ object Forget {
   private[graft] def recoverSwaps(fs: FileSystem, base: Path): Int = {
     val root = stagingRoot(base)
     if (!fs.exists(root)) return 0
+    // recursive walk, NOT a fixed-depth glob: the staging tree mirrors
+    // the store's partition layout, and a store partitioned by more
+    // columns than a hard-coded glob depth would silently leave its
+    // crashed swaps unfinished forever. A staged leaf (a suffixed dir)
+    // is a plain partition copy — never descended into.
+    def stagedLeaves(p: Path): Seq[Path] =
+      Option(fs.listStatus(p)).getOrElse(Array.empty).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .flatMap { d =>
+          val n = d.getName
+          if (n.endsWith("__forgetting") || n.endsWith("__forgotten")) Seq(d)
+          else stagedLeaves(d)
+        }
     def staged(suffix: String): Seq[Path] =
-      Seq(s"*$suffix", s"*/*$suffix", s"*/*/*$suffix")
-        .flatMap(pat => Option(fs.globStatus(new Path(root, pat)))
-          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq)
-        .map(_.getPath).filter(_.getName.endsWith(suffix))
+      stagedLeaves(root).filter(_.getName.endsWith(suffix))
     var finished = 0
     staged("__forgetting").foreach { side =>
       val live = liveOf(base, side, "__forgetting")
@@ -297,7 +307,10 @@ object Forget {
     * clusters left under two members dissolve. Same bridge caveat as
     * [[forgetFromClusters]]: connectivity is not re-derived. */
   def purgeClusters(spark: SparkSession, table: String,
-                    purgeIds: DataFrame, keepLast: Int = 1): Unit =
+                    purgeIds: DataFrame, keepLast: Int = 1): Unit = {
+    // a pending relabel log must replay BEFORE the fold (recovery
+    // strictly precedes any compaction — the recoverSwaps ordering)
+    graft.sources.RelabelLog.recover(spark, table)
     graft.sources.Bucketing.compactIngests(spark, table, Seq("doc_id"),
       graft.sources.Bucketing.bucketsOf(spark, table), keepLast,
       transform = { df =>
@@ -312,6 +325,7 @@ object Forget {
           .drop("__new_cid", "__n")
           .select(df.columns.map(col): _*)
       })
+  }
 
   /** Deletion propagation for the LEXICAL index family
     * ([[graft.operators.TextAnalysis.saveLexicalIndex]]): the
@@ -392,6 +406,10 @@ object Forget {
                          ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "forget needs at least one id")
     import spark.implicits._
+    // finish any prior crashed relabel/delete pass before deriving
+    // touched clusters from current labels (the RelabelLog contract —
+    // a half-applied prior edit set is invisible to the recompute)
+    graft.sources.RelabelLog.recover(spark, table)
     val df = spark.table(table)
     // clusters that lose a member — bounded by |ids|
     val touched = df.filter(col("doc_id").isin(ids: _*))
@@ -405,37 +423,25 @@ object Forget {
       .groupBy("cluster_id")
       .agg(min(col("doc_id")).as("__new_cid"), count(lit(1)).as("__n"))
       .localCheckpoint(true)
-    // partitions holding any row that changes: forgotten docs' rows,
-    // plus every surviving member of a touched cluster (relabel or
-    // dissolve may rewrite it)
-    val affected = df.filter(col("doc_id").isin(ids: _*) ||
-        col("cluster_id").isin(touched: _*))
-      .select(col("ingest_id").cast("string")).distinct()
-      .as[String].collect()
-    val buckets = graft.sources.Bucketing.bucketsOf(spark, table)
-    var deleted = 0L
-    affected.foreach { ing =>
-      val part = df.filter(col("ingest_id") === ing)
-      val kept = part.filter(!col("doc_id").isin(ids: _*))
-        .join(broadcast(relabel), Seq("cluster_id"), "left")
-        // untouched cluster (null join) passes through; touched keeps
-        // only if >= 2 survivors, under the new min-member label
-        .filter(col("__n").isNull || col("__n") >= 2L)
-        .withColumn("cluster_id", coalesce(col("__new_cid"), col("cluster_id")))
-        .drop("__new_cid", "__n", "ingest_id")
-        .localCheckpoint(true)
-      val keptN = kept.count()
-      deleted += part.count() - keptN
-      if (keptN == 0L)
-        spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
-          s"PARTITION (ingest_id='$ing')")
-      else
-        graft.sources.Bucketing.preservingMtime(spark, table, ing) {
-          graft.sources.Bucketing.writeBucketedIngest(spark, kept, table,
-            Seq("doc_id"), buckets, ingestId = ing)
-        }
-    }
-    spark.catalog.refreshTable(table)
+    // the FULL edit set, one row per row that changes (the durable
+    // unit RelabelLog replays if any partition rewrite crashes):
+    //   - forgotten docs' own rows: delete (new_cid NULL);
+    //   - survivors of a dissolving (<2-member) cluster: delete;
+    //   - survivors whose cluster relabels: set the new min-member id
+    //     (unchanged-label survivors need no rewrite and stay out).
+    val forgottenRows = df.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), lit(null).cast("long").as("new_cid"))
+    val survivorEdits = df.filter(col("cluster_id").isin(touched: _*))
+      .filter(!col("doc_id").isin(ids: _*))
+      .join(broadcast(relabel), Seq("cluster_id"))
+      .withColumn("new_cid",
+        when(col("__n") >= 2L, col("__new_cid")).otherwise(lit(null).cast("long")))
+      .filter(col("new_cid").isNull || col("new_cid") =!= col("cluster_id"))
+      .select("doc_id", "new_cid")
+    val edits = forgottenRows.unionByName(survivorEdits).localCheckpoint(true)
+    val deleted = edits.filter(col("new_cid").isNull).count()
+    graft.sources.RelabelLog.begin(spark, table, edits)
+    graft.sources.RelabelLog.recover(spark, table)
     deleted
   }
 }

@@ -26,6 +26,23 @@ object SetExprs {
   def intersectCount(a: Column, b: Column): Column =
     GraftShim.column(ArrayIntersectCount(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Analysis-time input check for the public array-set SQL functions:
+    * both operands must be array<string> — a non-string array would
+    * otherwise ClassCastException at RUNTIME inside getUTF8String
+    * (these are registered SQL functions; users deserve an analysis
+    * error, the array_intersect contract). */
+  private[plans] def requireStringArrays(fn: String, left: Expression,
+      right: Expression): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects (array<string>, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  }
 }
 
 /** |A ∩ B| over string arrays with set semantics (long) — the
@@ -33,9 +50,17 @@ object SetExprs {
   * pass, no intermediate array. `size(array_intersect(a, b))`
   * materializes the intersection array per pair inside the verify
   * join's inner loop just to take its length (the ArrayJaccard
-  * lesson). */
+  * lesson). Registered as the public SQL `graft_intersect_count`, so
+  * inputs are TYPE-CHECKED at analysis time (array<string> only — a
+  * non-string array would otherwise ClassCastException mid-query) and
+  * NULL elements follow array_intersect's set semantics: null is a
+  * member value, in the intersection iff present in BOTH sides,
+  * counted once. */
 case class ArrayIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SetExprs.requireStringArrays("graft_intersect_count", left, right)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -46,14 +71,23 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
     val nA = a.numElements()
     val nB = b.numElements()
     val setA = new java.util.HashSet[Any](nA * 2)
+    var aHasNull = false
     var i = 0
-    while (i < nA) { setA.add(a.getUTF8String(i)); i += 1 }
+    while (i < nA) {
+      if (a.isNullAt(i)) aHasNull = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
     val seenB = new java.util.HashSet[Any](nB * 2)
+    var bHasNull = false
     var inter = 0L
     i = 0
     while (i < nB) {
-      val v = b.getUTF8String(i)
-      if (seenB.add(v) && setA.contains(v)) inter += 1
+      if (b.isNullAt(i)) {
+        if (!bHasNull) { bHasNull = true; if (aHasNull) inter += 1 }
+      } else {
+        val v = b.getUTF8String(i)
+        if (seenB.add(v) && setA.contains(v)) inter += 1
+      }
       i += 1
     }
     inter
@@ -278,9 +312,16 @@ case class MarkerCount(child: Expression, markers: Seq[String])
   * intermediate arrays) — this sits in the inner loop of pairwise
   * similarity joins. Two empty arrays (a 0/0 union) yield NULL — the
   * oracle engine's division-by-zero result — rather than ANSI
-  * Spark's DIVIDE_BY_ZERO error or a fabricated 0. */
+  * Spark's DIVIDE_BY_ZERO error or a fabricated 0. Public SQL
+  * (`graft_jaccard`): inputs type-checked at analysis time; NULL
+  * elements follow array_intersect/array_union set semantics (null is
+  * a member value — in the intersection iff in both, in the union if
+  * in either, counted once). */
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SetExprs.requireStringArrays("graft_jaccard", left, right)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -293,18 +334,27 @@ case class ArrayJaccard(left: Expression, right: Expression)
     val nA = a.numElements()
     val nB = b.numElements()
     val setA = new java.util.HashSet[Any](nA * 2)
+    var aHasNull = false
     var i = 0
-    while (i < nA) { setA.add(a.getUTF8String(i)); i += 1 }
+    while (i < nA) {
+      if (a.isNullAt(i)) aHasNull = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
     val seenB = new java.util.HashSet[Any](nB * 2)
+    var bHasNull = false
     var inter = 0
     var bOnly = 0
     i = 0
     while (i < nB) {
-      val v = b.getUTF8String(i)
-      if (seenB.add(v)) { if (setA.contains(v)) inter += 1 else bOnly += 1 }
+      if (b.isNullAt(i)) {
+        if (!bHasNull) { bHasNull = true; if (aHasNull) inter += 1 else bOnly += 1 }
+      } else {
+        val v = b.getUTF8String(i)
+        if (seenB.add(v)) { if (setA.contains(v)) inter += 1 else bOnly += 1 }
+      }
       i += 1
     }
-    val union = setA.size + bOnly
+    val union = setA.size + (if (aHasNull) 1 else 0) + bOnly
     if (union == 0) null
     else java.lang.Double.valueOf(inter.toDouble / union)
   }

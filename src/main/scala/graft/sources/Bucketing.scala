@@ -250,6 +250,17 @@ object Bucketing {
                  keepLast: Int,
                  transform: DataFrame => DataFrame = identity): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit, when}
+    // pending forget swaps recover BEFORE the fold reads anything:
+    // unrecovered, a `__forgetting` whose live partition is missing
+    // would be silently compacted away (the finished forget lost), and
+    // a leftover `__forgotten` backup restored AFTER the fold would
+    // resurrect right-to-be-forgotten rows AND duplicate the kept rows
+    // already folded into base — recovery strictly precedes any fold
+    {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val rfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.Forget.recoverSwaps(rfs, rfs.makeQualified(p))
+    }
     // ingest_id is a STRING by contract: partition type inference
     // reads an all-date id set back as DateType, which would poison
     // the "base" remap below

@@ -650,6 +650,15 @@ object EdgeRunner {
         "are resolved from it, and the landing itself is purged")
     import graft.operators.Forget
     val dir = cfg.in.stripPrefix("parquet:")
+    // a crashed per-id forget's pending swap must finish (or roll back)
+    // BEFORE the purge materializes its id set or the fold rewrites the
+    // landing — otherwise the purge reads a store missing one partition,
+    // and a later recovery would restore rows the fold already dropped
+    locally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val rfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Forget.recoverSwaps(rfs, rfs.makeQualified(p))
+    }
     val landing = spark.read.parquet(dir)
     // the id set must survive the landing's own fold: eager checkpoint
     val ids = landing.filter(col("source") === cfg.source)
@@ -878,6 +887,18 @@ object EdgeRunner {
       (exactFams ++ ndFams ++ lexFams)
         .filter(graft.sources.FamilyCommit.enabled(spark, _))
         .foreach(graft.sources.FamilyCommit.commit(spark, _, id))
+      // the cluster fold's corpus-side key read is marker-gated
+      // (Dedup.appendClusterAssignments doc): while this ingest sat
+      // crashed/uncommitted, every fold run in the window recorded NO
+      // edges against its docs — so re-fold the healed ingest AFTER its
+      // re-commit; its delta pairs re-derive against everything visible
+      // NOW (including batches folded during the outage), which
+      // re-adds exactly the edges the gate withheld. Convergent and
+      // replay-idempotent, so a spuriously-flagged ingest is harmless.
+      ndFams.filter(n => spark.catalog.tableExists(s"${n}_clusters"))
+        .foreach(n => graft.operators.Dedup.appendClusterAssignments(
+          spark, n, batch, "doc_id", "text",
+          threshold = cfg.simThreshold, ingestId = id))
     }
     (repairable, manual)
   }

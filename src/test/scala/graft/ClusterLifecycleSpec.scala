@@ -201,6 +201,80 @@ class ClusterLifecycleSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("crash mid-relabel: the durable edit log re-heals a component half-moved to the merged label") {
+    val name = "clspec_wal"
+    try {
+      val old = corpus.toDF("doc_id", "text")
+      Dedup.saveNearDupKeys(spark, name, old, "doc_id", "text")
+      Dedup.saveClusterAssignments(spark, name,
+        Dedup.clusters(Dedup.jaccardPairs(old, "doc_id", "text", threshold = 0.5)
+          .select("doc_a", "doc_b")))
+      // grow cluster {10,11} across a SECOND partition: doc 12 is doc
+      // 10 with the last word changed (j = 12/14), landed under dayA
+      val dayA = Seq((12L, s"$S six seven eight nine tenq"))
+        .toDF("doc_id", "text")
+      Dedup.appendNearDupKeys(spark, name, dayA, "doc_id", "text",
+        ingestId = "dayA")
+      Dedup.appendClusterAssignments(spark, name, dayA, "doc_id", "text",
+        threshold = 0.5, ingestId = "dayA")
+      assert(assignments(name) ==
+        Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+
+      // dayB's doc 5 bridges clusters 1 and 10 -> everything relabels
+      // to 1, across BOTH the base and dayA partitions
+      val dayB = Seq((5L, s"$S $A $B")).toDF("doc_id", "text")
+      Dedup.appendNearDupKeys(spark, name, dayB, "doc_id", "text",
+        ingestId = "dayB")
+
+      // SIMULATED CRASH inside the dayB fold, reproducing the exact
+      // state the fold's edit log exists for: the log is written, the
+      // BASE partition (holding the delta-incident endpoints 2 and 10)
+      // is already relabeled, the dayA partition (doc 12) is NOT, and
+      // the batch partition never landed. Without the log, a retry
+      // recomputes touched roots from CURRENT labels — no delta
+      // endpoint carries label 10 anymore, so doc 12 would keep the
+      // stale label FOREVER (one component split across two ids).
+      val tbl = s"${name}_clusters"
+      val edits = Seq((10L, Option(1L)), (11L, Option(1L)), (12L, Option(1L)))
+        .toDF("doc_id", "new_cid")
+      graft.sources.RelabelLog.begin(spark, tbl, edits)
+      val buckets = graft.sources.Bucketing.bucketsOf(spark, tbl)
+      val baseRelabeled = spark.table(tbl)
+        .filter(col("ingest_id").cast("string") === "base")
+        .withColumn("cluster_id",
+          when(col("doc_id").isin(10L, 11L), 1L).otherwise(col("cluster_id")))
+        .select("doc_id", "cluster_id")
+        .localCheckpoint(true)
+      graft.sources.Bucketing.writeBucketedIngest(spark, baseRelabeled, tbl,
+        Seq("doc_id"), buckets, ingestId = "base")
+      spark.catalog.refreshTable(tbl)
+      // the hazardous half-applied state is real: component split,
+      // stale half no longer reachable from any delta endpoint's label
+      assert(assignments(name) ==
+        Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 10L))
+
+      // the RETRY (same batch, same ingest id) replays the log in its
+      // preamble, THEN folds — reaching the exact rebuild state
+      Dedup.appendClusterAssignments(spark, name, dayB, "doc_id", "text",
+        threshold = 0.5, ingestId = "dayB")
+      val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L,
+        11L -> 1L, 12L -> 1L)
+      assert(assignments(name) == expected)
+      val rebuild = Dedup.clusters(
+        Dedup.jaccardPairs(old.unionByName(dayA).unionByName(dayB),
+            "doc_id", "text", threshold = 0.5).select("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(rebuild == expected, s"fixture drifted from rebuild: $rebuild")
+      // the log is consumed — nothing pending
+      assert(!graft.sources.RelabelLog.recover(spark, tbl))
+      // and a further replay of the fold changes nothing
+      Dedup.appendClusterAssignments(spark, name, dayB, "doc_id", "text",
+        threshold = 0.5, ingestId = "dayB")
+      assert(assignments(name) == expected)
+    } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh", s"${name}_clusters"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CLI cluster lifecycle: bootstrap then per-ingest fold through the dispatcher") {
     val name = "clspec_cli"
     val dir = java.nio.file.Files.createTempDirectory("clspec").toString

@@ -130,6 +130,77 @@ class ForgetSpec extends AnyFunSuite {
     assert(!fs.exists(side))
   }
 
+  test("recoverSwaps walks ANY partition depth: a crashed swap four levels deep still finishes") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("forget_deep")
+      .toString + "/landing"
+    // four partition columns — deeper than any fixed-depth glob
+    Seq((1L, "a", "s1", "en", "x", "2026-08-01"),
+        (2L, "b", "s1", "en", "x", "2026-08-01"),
+        (3L, "c", "s2", "fr", "y", "2026-08-02"))
+      .toDF("doc_id", "text", "src", "lang", "shard", "ingest_id")
+      .write.mode("overwrite")
+      .partitionBy("src", "lang", "shard", "ingest_id").parquet(dir)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qBase = fs.makeQualified(base)
+    // crash between the renames at depth 4: side copy complete, live gone
+    val rel = "src=s1/lang=en/shard=x/ingest_id=2026-08-01"
+    val live = new Path(qBase, rel)
+    val side = new Path(
+      new Path(qBase.getParent, "_" + qBase.getName + "__forget"),
+      rel + "__forgetting")
+    spark.read.parquet(live.toString).filter(col("doc_id") =!= 2L)
+      .write.mode("overwrite").parquet(side.toString)
+    fs.delete(live, true)
+    // any forget run's preamble must find and finish the deep swap
+    assert(Forget.forgetFromDir(spark, dir, "doc_id", Seq(999L),
+      Seq("src", "lang", "shard", "ingest_id")) == 0L)
+    assert(spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    assert(!fs.exists(side), "deep staged swap left behind")
+  }
+
+  test("compaction recovers pending forget swaps FIRST: a leftover backup cannot resurrect forgotten rows after the fold") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("forget_compact")
+      .toString + "/landing"
+    Seq((1L, "a", "i1"), (2L, "b", "i1"), (3L, "c", "i1"))
+      .toDF("doc_id", "text", "ingest_id")
+      .write.mode("overwrite").partitionBy("ingest_id").parquet(dir)
+    Seq((4L, "d", "i2"), (5L, "e", "i2"))
+      .toDF("doc_id", "text", "ingest_id")
+      .write.mode("append").partitionBy("ingest_id").parquet(dir)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qBase = fs.makeQualified(base)
+    // a completed forget of doc 2 ...
+    assert(Forget.forgetFromDir(spark, dir, "doc_id", Seq(2L),
+      Seq("ingest_id")) == 1L)
+    // ... that crashed BEFORE deleting its pre-delete backup: the
+    // `__forgotten` staging sibling still holds the original partition
+    val backup = new Path(
+      new Path(qBase.getParent, "_" + qBase.getName + "__forget"),
+      "ingest_id=i1__forgotten")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(backup.toString)
+    // compaction must run swap recovery BEFORE folding: the live
+    // partition exists, so the stale backup is dropped — folding first
+    // would remove the live dir, and a LATER recovery would restore the
+    // backup wholesale (forgotten row back + kept rows duplicated)
+    graft.sources.Bucketing.compactDir(spark, dir, Seq("ingest_id"),
+      keepLast = 1)
+    assert(!fs.exists(backup), "stale backup must be cleaned before the fold")
+    val after = spark.read.parquet(dir).select("doc_id").as[Long].collect()
+    assert(after.sorted.toSeq == Seq(1L, 3L, 4L, 5L),
+      s"forgotten/duplicated rows after compaction: ${after.toSeq}")
+    // and a later forget run finds nothing left to recover
+    assert(Forget.forgetFromDir(spark, dir, "doc_id", Seq(999L),
+      Seq("ingest_id")) == 0L)
+    assert(spark.read.parquet(dir).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("forget drops an ingest partition its deletions emptied; probes stop returning forgotten vectors") {
     val rnd = new scala.util.Random(37)
     def vecs(ids: Range) =

@@ -280,4 +280,34 @@ class IvfExtensionsSpec extends AnyFunSuite {
       .select(graft.plans.TextHash.simhash(col("toks"))).as[Long].head()
     assert(r.getAs[Long]("sh") == viaCol)
   }
+
+  test("array-set SQL functions: null elements follow array_intersect semantics; wrong types fail at analysis") {
+    GraftExtensions.register(spark)
+    // null is a member VALUE: in the intersection iff in BOTH sides,
+    // in the union if in either, counted once — matching
+    // size(array_intersect(a,b)) / the composed jaccard form
+    val r = spark.sql(
+      """SELECT
+        |  graft_intersect_count(array('x', NULL, 'y', NULL), array(NULL, 'y')) AS both_null,
+        |  graft_intersect_count(array('x', NULL), array('x', 'z')) AS one_null,
+        |  size(array_intersect(array('x', NULL, 'y', NULL), array(NULL, 'y'))) AS oracle_both,
+        |  size(array_intersect(array('x', NULL), array('x', 'z'))) AS oracle_one,
+        |  graft_jaccard(array('x', NULL), array(NULL, 'y')) AS j_null
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("both_null") == r.getAs[Int]("oracle_both").toLong)
+    assert(r.getAs[Long]("one_null") == r.getAs[Int]("oracle_one").toLong)
+    assert(r.getAs[Long]("both_null") == 2L) // {NULL, 'y'}
+    assert(r.getAs[Long]("one_null") == 1L)  // {'x'}
+    // inter {NULL} = 1, union {'x', NULL, 'y'} = 3
+    assert(r.getAs[Double]("j_null") == 1.0 / 3.0)
+    // a non-string array is an ANALYSIS error, not a runtime
+    // ClassCastException mid-query (these are public SQL functions)
+    for (bad <- Seq(
+      "SELECT graft_intersect_count(array(1, 2), array(2, 3))",
+      "SELECT graft_jaccard(array(1.0d), array(2.0d))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(bad).head())
+      assert(e.getMessage.contains("array<string>"), e.getMessage)
+    }
+  }
 }
