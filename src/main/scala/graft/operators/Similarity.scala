@@ -249,21 +249,37 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                        newVecs: DataFrame, ingestId: String,
                        buckets: Int = 8): Unit = {
-    val model = loadIvfIndex(spark, name)
+    // writer: only the centroids are used; ungated by the writer rule
+    val model = loadIvfIndex(spark, name, gated = false)
     graft.sources.Bucketing.writeBucketedIngest(spark,
       newVecs.select(col("id"), col("vec"))
         .withColumn("cid", nearestCentroid(col("vec"), model.centroids)),
       s"${name}_assignments", Seq("cid"), buckets, ingestId)
   }
 
-  /** Reload a persisted IVF index. */
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): IVFModel = {
+  /** Reload a persisted IVF index. The assignments read is COMMIT-
+    * VISIBLE by default ([[graft.sources.FamilyCommit.visible]] on the
+    * `name` family — opt-in: no `{name}_commits` table means legacy-
+    * open): an IVF/ADC append writes its member tables SEQUENTIALLY,
+    * so an ungated probe between them sees a half-landed ingest —
+    * routing rows without postings (or the reverse), a transient
+    * recall dip the monitor could sample and false-trigger a retrain
+    * on. The filter is a literal partition IN, so the bucketed scan
+    * stays pruned. WRITERS pass `gated = false`: a retrain that read
+    * gated would silently DROP an uncommitted ingest's vectors from
+    * the rebuilt index — maintenance must converge from the true
+    * on-disk state (the RelabelLog principle); only consumers gate. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                   gated: Boolean = true): IVFModel = {
     val rows = spark.table(s"${name}_centroids").collect()
     val n = rows.map(_.getInt(0)).max + 1
     val dim = rows.map(_.getInt(1)).max + 1
     val cents = Array.ofDim[Double](n, dim)
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    IVFModel(cents, spark.table(s"${name}_assignments"))
+    val assigns = spark.table(s"${name}_assignments")
+    IVFModel(cents,
+      if (gated) graft.sources.FamilyCommit.visible(spark, assigns, name)
+      else assigns)
   }
 
   /** Probe: route each query to its `nProbe` nearest lists, join on the
@@ -701,7 +717,10 @@ object Similarity {
         ingestId = "base", overwrite = true)
       DerivedTables.stampAll(spark, Seq(t), fingerprint)
     }
-    spark.table(t)
+    // probe-path return: commit-visible (legacy-open without a
+    // {name}_commits table) — a probe between an append's sequential
+    // member writes must not see the half-landed ingest
+    graft.sources.FamilyCommit.visible(spark, spark.table(t), name)
   }
 
   // ------------------------------------------------ recall monitoring
@@ -779,12 +798,17 @@ object Similarity {
       .localCheckpoint(false)
     val exact = bruteForceTopK(queries, corpus, k)
     // residual = the pqName postings hold RESIDUAL codes — probe
-    // through the decomposition they were encoded under
+    // through the decomposition they were encoded under. The posting
+    // read is COMMIT-VISIBLE (the pqName family): a half-landed ADC
+    // append must not be SAMPLED by the monitor — its missing postings
+    // read as a recall dip and would false-trigger a retrain
+    val postings = graft.sources.FamilyCommit.visible(spark,
+      spark.table(s"${pqName}_adc"), pqName)
     val ann =
       if (residual) ivfAdcResidualTopK(queries, model,
-        spark.table(s"${pqName}_adc"), loadPqBooks(spark, pqName),
+        postings, loadPqBooks(spark, pqName),
         k, nProbe, shortlist, dim)
-      else ivfAdcTopK(queries, model, spark.table(s"${pqName}_adc"),
+      else ivfAdcTopK(queries, model, postings,
         loadPqBooks(spark, pqName), k, nProbe, shortlist, dim)
     RecallReport(recallAtK(ann, exact), queries.count(), k, nProbe, minRecall)
   }
@@ -807,7 +831,13 @@ object Similarity {
     // materialized BEFORE the overwrite when reading the index back:
     // saveIvfIndex replaces the very files this frame scans
     val vecs = corpus.getOrElse(
-      loadIvfIndex(spark, name).assignments.select(col("id"), col("vec"))
+      // UNGATED read-back: the retrain rebuilds the store in place, and
+      // a gated read would silently DROP any uncommitted ingest's
+      // vectors from the rebuilt index — writers converge from the true
+      // on-disk state (the fold re-bases everything to `base`, which is
+      // visible by construction, effectively committing stragglers)
+      loadIvfIndex(spark, name, gated = false).assignments
+        .select(col("id"), col("vec"))
         .localCheckpoint(true))
     saveIvfIndex(spark, ivfIndex(vecs, nCentroids, iters, portableInit),
       name, buckets)
@@ -840,7 +870,9 @@ object Similarity {
                      buckets: Int = 8,
                      corpus: Option[DataFrame] = None,
                      residual: Boolean = false): Array[Array[Array[Double]]] = {
-    val model = loadIvfIndex(spark, ivfName)
+    // ungated (writer): the re-encode below must carry EVERY held
+    // vector into the rebuilt posting table, uncommitted ones included
+    val model = loadIvfIndex(spark, ivfName, gated = false)
     // held vectors WITH their routing: read back from the assignments
     // table (cids preserved verbatim), or re-routed through the frozen
     // centroids for a caller corpus (identical by construction — the
@@ -891,7 +923,8 @@ object Similarity {
                           buckets: Int = 8): Unit = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val ivf = loadIvfIndex(spark, ivfName)
+    // writer: only centroids/books are used; ungated by the writer rule
+    val ivf = loadIvfIndex(spark, ivfName, gated = false)
     val books = loadPqBooks(spark, pqName)
     val routed = newVecs.select(col("id"), col("vec"))
       .withColumn("cid", nearestCentroid(col("vec"), ivf.centroids))
@@ -971,7 +1004,8 @@ object Similarity {
                                   buckets: Int = 8): Unit = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val ivf = loadIvfIndex(spark, ivfName)
+    // writer: only centroids/books are used; ungated by the writer rule
+    val ivf = loadIvfIndex(spark, ivfName, gated = false)
     val books = loadPqBooks(spark, pqName)
     val routed = newVecs.select(col("id"), col("vec"))
       .withColumn("cid", nearestCentroid(col("vec"), ivf.centroids))

@@ -118,12 +118,12 @@ object EdgeRunner {
     }.toMap
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
-        "neardup|recall-check|compact|audit|retrain|forget|cluster|lexical " +
-        "is required"))
+        "neardup|recall-check|compact|audit|retrain|forget|cluster|lexical|" +
+        "index is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
         "classify", "neardup", "recall-check", "compact", "audit", "retrain",
-        "forget", "cluster", "lexical")(mode),
+        "forget", "cluster", "lexical", "index")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -559,6 +559,8 @@ object EdgeRunner {
       println(s"[edge] ${runCluster(spark, cfg)}")
     case "lexical" =>
       println(s"[edge] ${runLexical(spark, cfg)}")
+    case "index" =>
+      println(s"[edge] ${runIndex(spark, cfg)}")
     case "audit" =>
       val bad = runAudit(spark, cfg)
       if (bad.isEmpty) println("[edge] audit OK: every ingest consistent")
@@ -787,6 +789,70 @@ object EdgeRunner {
         s"postings in $post"
     }
     summary
+  }
+
+  /** `--mode index`: the ANN index family's operational face —
+    * `--index <prefix>` names the IVF family; BOOTSTRAP (no
+    * `--ingest-id`) k-means the vectors at `--in parquet:<dir>`
+    * (columns `id`, `vec`) into `--centroids` cells and persists
+    * `{prefix}_centroids`/`_assignments`
+    * ([[graft.operators.Similarity.saveIvfIndex]]); APPEND
+    * (`--ingest-id X`) routes the batch through the frozen centroids
+    * and lands it replay-idempotently
+    * ([[graft.operators.Similarity.appendToIvfIndex]]), and with
+    * `--pq <pqPrefix>` (+ `--dim`) ALSO encodes the batch against the
+    * existing PQ books and appends the `{pq}_adc` postings — the two
+    * member writes are SEQUENTIAL, which is exactly why `--commits`
+    * exists: the marker lands after the LAST member write (one marker
+    * per family — IVF and ADC each get theirs), and the probe/monitor
+    * reads are commit-visible, so the half-landed window is never
+    * readable. An ingest-partitioned input is scoped to X (the
+    * runMaintain shared-landing discipline). PQ model bootstrap stays
+    * library-level (`ensurePqModel`/`ensureAdcPostings` — it needs the
+    * codebook hyperparameters); this mode maintains what exists. */
+  def runIndex(spark: SparkSession, cfg: Config): String = {
+    require(cfg.index.nonEmpty, "index mode requires --index <IVF family prefix>")
+    require(cfg.in.startsWith("parquet:"),
+      "index mode requires --in parquet:<vectors dir with (id, vec)>")
+    require(cfg.commits.isEmpty || cfg.commits == cfg.index,
+      s"--commits names the family being written (--index ${cfg.index}); " +
+        s"got '${cfg.commits}' — a typo here would mark a DIFFERENT family")
+    val raw = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
+    val scoped =
+      if (raw.columns.contains("ingest_id") && cfg.ingestId.nonEmpty)
+        raw.filter(col("ingest_id") === cfg.ingestId).drop("ingest_id")
+      else raw
+    val vecs = scoped.select(col("id"), col("vec"))
+    import graft.operators.Similarity
+    if (cfg.ingestId.isEmpty) {
+      require(cfg.pq.isEmpty,
+        "index bootstrap is IVF-only — build the PQ members with " +
+          "ensurePqModel/ensureAdcPostings, then commit their family")
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex(vecs, cfg.centroids), cfg.index)
+      if (cfg.commits.nonEmpty)
+        graft.sources.FamilyCommit.commit(spark, cfg.index, "base")
+      s"index bootstrap: ${spark.table(s"${cfg.index}_assignments").count()} " +
+        s"vectors in ${cfg.index} (${cfg.centroids} centroids)"
+    } else {
+      Similarity.appendToIvfIndex(spark, cfg.index, vecs, cfg.ingestId)
+      if (cfg.pq.nonEmpty) {
+        // subspace count comes off the existing books — an append
+        // refreshes members, it never changes the model's shape
+        val m = Similarity.loadPqBooks(spark, cfg.pq).length
+        Similarity.appendToAdcPostings(spark, cfg.index, cfg.pq, vecs,
+          m = m, ingestId = cfg.ingestId, dim = cfg.dim)
+      }
+      // markers AFTER the family's last member write: until these land,
+      // commit-visible probes and the recall monitor skip the ingest
+      if (cfg.commits.nonEmpty) {
+        graft.sources.FamilyCommit.commit(spark, cfg.index, cfg.ingestId)
+        if (cfg.pq.nonEmpty)
+          graft.sources.FamilyCommit.commit(spark, cfg.pq, cfg.ingestId)
+      }
+      s"index append ${cfg.ingestId}: ${cfg.index}" +
+        (if (cfg.pq.nonEmpty) s" + ${cfg.pq}_adc" else "")
+    }
   }
 
   /** The heal half of the audit (`--mode audit --repair true`): for
