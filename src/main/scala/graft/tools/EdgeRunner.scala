@@ -436,6 +436,13 @@ object EdgeRunner {
                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
     require(cfg.out.nonEmpty && cfg.checkpoint.nonEmpty,
       "--out and --checkpoint are required in neardup mode")
+    // the CLI's JSON docs carry no embeddings, and the suppressor's
+    // state classes key on (doc_id, text, ts) — the IVF loop-closure
+    // leg is the landAndMaintain API for orchestrators whose batches
+    // DO carry a vec column (compose your own foreachBatch)
+    require(cfg.index.isEmpty,
+      "--index on the neardup sink needs embeddings riding the stream; " +
+        "compose landAndMaintain(ivfName = ...) in a custom foreachBatch")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       graft.streaming.TtlState.RocksDbProvider)
     val docs = CorpusStream.parseDocs(readStreamEnvelopes(spark, cfg.in))
@@ -451,7 +458,8 @@ object EdgeRunner {
       writer.format("parquet").option("path", cfg.out).start()
     else
       writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        landAndMaintain(batch, batchId, cfg.out, cfg.knownKeys)
+        landAndMaintain(batch, batchId, cfg.out, cfg.knownKeys,
+          lexPrefix = Option(cfg.lex).filter(_.nonEmpty))
       }.start()
   }
 
@@ -462,9 +470,29 @@ object EdgeRunner {
     * under `ingest_id=stream<batchId>`. Both dynamic partition
     * overwrites: a replayed micro-batch (crash after write, before the
     * checkpoint commit) replaces its own partitions — no duplicate
-    * docs, no duplicate keys. */
+    * docs, no duplicate keys.
+    *
+    * `lexPrefix` / `ivfName` CLOSE THE STREAM→RETRIEVAL LOOP: without
+    * them, a stream-admitted doc lands in the corpus and suppresses
+    * re-posts, but stays invisible to s16/BM25 and the ANN probes
+    * until someone separately runs `--mode lexical` / `--mode index`
+    * — the reference's whole shape is stream-to-queryable
+    * (/root/reference/spark/jobs/stock_stream.py:169-192 writes
+    * metrics consumers read immediately), and the retrieval stores
+    * deserve the same property. With `lexPrefix`, each micro-batch's
+    * survivors ALSO append to the `{prefix}_post`/`_lexstats` lexical
+    * family; with `ivfName` (batches must carry a `vec` column), to
+    * the IVF assignments — both under the SAME zero-padded
+    * `stream<batchId>` ingest id as the keys, so the whole batch is
+    * one replay unit. After each family's last member write, its
+    * commit marker lands (only for families ALREADY enforcing markers
+    * — this body never flips a legacy-open family to enforced), so a
+    * crash mid-batch leaves the half-landed ingest invisible to
+    * bm25FromTables / ivfTopK until the replay completes it. */
   def landAndMaintain(batch: DataFrame, batchId: Long, outDir: String,
-                      keysDir: String): Unit = {
+                      keysDir: String,
+                      lexPrefix: Option[String] = None,
+                      ivfName: Option[String] = None): Unit = {
     batch.persist()
     try {
       Connectors.overwritePartitions(
@@ -489,6 +517,30 @@ object EdgeRunner {
           // that sort
           .withColumn("ingest_id", lit(f"stream$batchId%012d")),
         keysDir, Seq("ingest_id"))
+      // stream→retrieval loop closure: same ingest id, same replay
+      // discipline (dynamic partition overwrite per family member),
+      // marker after each family's LAST member write. An empty
+      // micro-batch lands nothing and commits nothing — there is no
+      // ingest to mark.
+      val ingest = f"stream$batchId%012d"
+      val spark = batch.sparkSession
+      if (!batch.isEmpty) {
+        lexPrefix.foreach { prefix =>
+          graft.operators.TextAnalysis.appendLexicalIndex(spark, prefix,
+            batch, "doc_id", "text", ingestId = ingest)
+          if (graft.sources.FamilyCommit.enabled(spark, prefix))
+            graft.sources.FamilyCommit.commit(spark, prefix, ingest)
+        }
+        ivfName.foreach { name =>
+          require(batch.columns.contains("vec"),
+            s"--index $name on the stream sink needs a 'vec' column " +
+              "riding the stream (doc embeddings)")
+          graft.operators.Similarity.appendToIvfIndex(spark, name,
+            batch.select(col("doc_id").as("id"), col("vec")), ingest)
+          if (graft.sources.FamilyCommit.enabled(spark, name))
+            graft.sources.FamilyCommit.commit(spark, name, ingest)
+        }
+      }
     } finally { batch.unpersist(); () }
   }
 

@@ -853,4 +853,81 @@ class EdgeRunnerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       EdgeRunner.parse(Array("--mode", "batch", "--in")))
   }
+
+  test("stream->retrieval loop closure: landAndMaintain appends lexical + IVF members per batch, committed, replay-idempotent") {
+    import spark.implicits._
+    import graft.operators.{Similarity, TextAnalysis}
+    import graft.sources.FamilyCommit
+    val out = Files.createTempDirectory("edge_loopc_out").toString
+    val keysDir = Files.createTempDirectory("edge_loopc_keys").toString + "/keys"
+    val lex = "edge_slex"; val ivfN = "edge_sivf"; val lexOpen = "edge_slex_open"
+    val tables = Seq(s"${lex}_post", s"${lex}_lexstats", s"${lex}_commits",
+      s"${lexOpen}_post", s"${lexOpen}_lexstats",
+      s"${ivfN}_centroids", s"${ivfN}_assignments", s"${ivfN}_commits")
+    try {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // bootstrap the retrieval families over a seed corpus; markers
+      // ENFORCED for lex/ivf (base committed), lexOpen stays legacy-open
+      val seed = Seq(
+        (1L, "alpha beta gamma delta shared corpus tokens"),
+        (2L, "totally different seed document about rainfall"))
+        .toDF("doc_id", "text")
+      TextAnalysis.saveLexicalIndex(spark, lex, seed, "doc_id", "text")
+      FamilyCommit.commit(spark, lex, "base")
+      TextAnalysis.saveLexicalIndex(spark, lexOpen, seed, "doc_id", "text")
+      val seedVecs = Seq((1L, Seq(8.0, 0.0, 0.0, 0.0)),
+        (2L, Seq(-8.0, 0.0, 0.0, 0.0))).toDF("id", "vec")
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex(seedVecs, nCentroids = 2, iters = 2), ivfN)
+      FamilyCommit.commit(spark, ivfN, "base")
+
+      // a micro-batch of stream survivors, embeddings riding
+      val ts = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
+      val batch = Seq(
+        (10L, "zeppelin quartz mamba streaming unique words", ts,
+          Seq(7.5, 0.5, 0.0, 0.0)),
+        (11L, "entirely other streaming content about quartz", ts,
+          Seq(-7.5, 0.5, 0.0, 0.0)))
+        .toDF("doc_id", "text", "ts", "vec").persist()
+      EdgeRunner.landAndMaintain(batch, 7L, out, keysDir,
+        lexPrefix = Some(lex), ivfName = Some(ivfN))
+
+      // retrievable via the PERSISTED lexical probe immediately
+      val qterms = Seq((1L, "zeppelin"), (1L, "quartz")).toDF("query_id", "term")
+      def bm25Docs(): Set[Long] =
+        TextAnalysis.bm25FromTables(spark, lex, qterms, topN = 10)
+          .select("doc_id").as[Long].collect().toSet
+      val hits = bm25Docs()
+      assert(hits.contains(10L) && hits.contains(11L),
+        s"stream-landed docs must be BM25-retrievable after the batch: $hits")
+      // ...and via the gated ANN probe
+      val probed = Similarity.ivfTopK(
+        Seq((99L, Seq(7.5, 0.5, 0.0, 0.0))).toDF("id", "vec"),
+        Similarity.loadIvfIndex(spark, ivfN), k = 1, nProbe = 1)
+        .select("neighbor_id").as[Long].head()
+      assert(probed == 10L, s"stream vector must be the nearest neighbor: $probed")
+      // one marker per family, under the batch's padded ingest id
+      val ing = "stream000000000007"
+      assert(FamilyCommit.committedIds(spark, lex).exists(_.contains(ing)))
+      assert(FamilyCommit.committedIds(spark, ivfN).exists(_.contains(ing)))
+      // a legacy-open family is NEVER flipped to enforced by the sink
+      EdgeRunner.landAndMaintain(batch, 8L, out, keysDir,
+        lexPrefix = Some(lexOpen))
+      assert(!FamilyCommit.enabled(spark, lexOpen),
+        "the stream sink must not create a _commits table for an open family")
+      assert(TextAnalysis.bm25FromTables(spark, lexOpen, qterms, topN = 10)
+        .select("doc_id").as[Long].collect().toSet.contains(10L))
+
+      // REPLAY: the same batch id replaces its own partitions — rows,
+      // postings, assignments and the bm25 answer all unchanged
+      val postBefore = spark.table(s"${lex}_post").count()
+      val assignBefore = spark.table(s"${ivfN}_assignments").count()
+      EdgeRunner.landAndMaintain(batch, 7L, out, keysDir,
+        lexPrefix = Some(lex), ivfName = Some(ivfN))
+      assert(spark.table(s"${lex}_post").count() == postBefore)
+      assert(spark.table(s"${ivfN}_assignments").count() == assignBefore)
+      assert(bm25Docs() == hits)
+      batch.unpersist()
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
