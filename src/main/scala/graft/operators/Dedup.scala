@@ -226,6 +226,123 @@ object Dedup {
         spark.table(s"${name}_bands"), name),
       idCol, textCol, numHashes, bands, shingleN, portable)
 
+  // ----- refcounted content fingerprints (strict-erasure variant) -----
+
+  /** The REFCOUNTED content-fingerprint family `{name}_normrc` — the
+    * strict-erasure alternative to the default `_norm` store. The
+    * default deliberately SURVIVES doc forget (fingerprints carry no
+    * doc attribution, and keeping them means re-posts of forgotten
+    * content stay suppressed — [[graft.operators.Forget]] header);
+    * a deployment whose erasure rules extend to content-derived
+    * hashes needs the opposite, and this family provides it.
+    *
+    * Contract: each ingest lands `(__norm_key, rc)` rows — rc = how
+    * many docs of THAT ingest carry the content — and a forget lands
+    * a NEGATIVE ledger row in its own `forget-*` ingest partition
+    * ([[graft.operators.Forget.forgetFingerprints]]). A fingerprint
+    * is LIVE while its rc sum across partitions is > 0
+    * ([[liveFingerprints]]); [[compactRcFingerprints]] folds the
+    * ledger and physically erases dead keys. The ledger design keeps
+    * both append and forget O(batch) (no full-table rewrite), makes
+    * each replay-idempotent (every write owns one directory partition
+    * under dynamic overwrite), and is crash-convergent — there is no
+    * in-place decrement whose partial application a retry could
+    * double-count. The trade: dead fingerprints persist ON DISK until
+    * the next compaction (they are already invisible to reads); run
+    * [[compactRcFingerprints]] right after a forget when the erasure
+    * clock demands it. */
+  def saveRcFingerprints(spark: org.apache.spark.sql.SparkSession, name: String,
+                         docs: DataFrame, textCol: String,
+                         buckets: Int = 8): Unit =
+    writeRcFingerprints(spark, name, docs, textCol, buckets,
+      ingestId = "base", overwrite = true)
+
+  /** Per-ingest maintenance for [[saveRcFingerprints]]: land the
+    * batch's per-fingerprint doc counts in their own ingest partition
+    * (replay-idempotent, same discipline as every other family). */
+  def appendRcFingerprints(spark: org.apache.spark.sql.SparkSession, name: String,
+                           batch: DataFrame, textCol: String, ingestId: String,
+                           buckets: Int = 8): Unit =
+    writeRcFingerprints(spark, name, batch, textCol, buckets,
+      ingestId, overwrite = false)
+
+  private def writeRcFingerprints(spark: org.apache.spark.sql.SparkSession,
+                                  name: String, docs: DataFrame,
+                                  textCol: String, buckets: Int,
+                                  ingestId: String, overwrite: Boolean): Unit =
+    graft.sources.Bucketing.writeBucketedIngest(spark,
+      rcCounts(docs, textCol), s"${name}_normrc",
+      Seq("__norm_key"), buckets, ingestId, overwrite)
+
+  /** `(__norm_key, rc)` per distinct fingerprint of `docs` — the
+    * ledger contribution one ingest (or, negated, one forget request)
+    * makes. Null texts are dropped, as in [[knownKeys]]. */
+  private[graft] def rcCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(TextOps.fingerprint(col(textCol)).as("__norm_key"))
+      .groupBy("__norm_key").agg(count(lit(1)).as("rc"))
+
+  /** The LIVE fingerprint set: keys whose ledger sum is positive.
+    * Commit-gated ([[graft.sources.FamilyCommit.visible]], no-op for
+    * legacy families) so a half-landed ingest or forget is invisible.
+    * The aggregation is bucket-aligned on `__norm_key` — exchange-free
+    * on the family's layout. */
+  def liveFingerprints(spark: org.apache.spark.sql.SparkSession,
+                       name: String): DataFrame =
+    graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${name}_normrc"), name)
+      .groupBy("__norm_key").agg(sum(col("rc")).as("__rc"))
+      .filter(col("__rc") > 0L).select("__norm_key")
+
+  /** Exact-dedup admission against the refcounted family: batch rows
+    * whose content fingerprint is LIVE are dropped; content whose
+    * every holder was forgotten ([[liveFingerprints]] sum ≤ 0) is
+    * admitted again — the strict-erasure re-post behavior, the
+    * opposite of [[incrementalKeepFromTables]]'s `_norm` leg.
+    * Within-batch dedup stays the job of d02's operator, as with
+    * [[incrementalKeep]]. */
+  def exactKeepFromRcTable(spark: org.apache.spark.sql.SparkSession,
+                           incoming: DataFrame, name: String,
+                           idCol: String, textCol: String): DataFrame =
+    incoming.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("__norm_key", TextOps.fingerprint(col(textCol)))
+      .join(liveFingerprints(spark, name), Seq("__norm_key"), "left_anti")
+      .drop("__norm_key")
+
+  /** Fold the rc ledger and PHYSICALLY ERASE dead fingerprints: every
+    * ingest partition (including `forget-*` ledgers) folds to `base`
+    * with rc summed per key, and keys at ≤ 0 are dropped from disk —
+    * the "deletes at zero" half of the strict-erasure contract. Rides
+    * [[graft.sources.Bucketing.compactIngests]]' transform hook, so
+    * erasure costs the rewrite compaction was paying anyway. keepLast
+    * defaults to 0 (fold EVERYTHING) because erasure is the point;
+    * pass the pipeline's retry horizon instead to keep recent ingests
+    * replayable — a kept negative ledger hides its keys from
+    * [[liveFingerprints]] just as well. Marker partitions (when the
+    * family enforces commits) are folded with
+    * [[graft.sources.FamilyCommit.compactMarkers]] by the caller on
+    * its own cadence. */
+  def compactRcFingerprints(spark: org.apache.spark.sql.SparkSession,
+                            name: String, keepLast: Int = 0): Unit = {
+    val table = s"${name}_normrc"
+    graft.sources.Bucketing.compactIngests(spark, table, Seq("__norm_key"),
+      graft.sources.Bucketing.bucketsOf(spark, table), keepLast,
+      transform = df => {
+        // per-(ingest, key) ledger sums — with keepLast = 0 this is
+        // one row per key in `base`
+        val summed = df.groupBy(col("ingest_id"), col("__norm_key"))
+          .agg(sum(col("rc")).as("rc"))
+        // erase by the key's GLOBAL total: a per-group filter would
+        // drop a kept partition's negative ledger row while keeping
+        // the key's positive base row — resurrecting a dead key
+        val dead = summed.groupBy("__norm_key")
+          .agg(sum(col("rc")).as("__tot"))
+          .filter(col("__tot") <= 0L).select("__norm_key")
+        summed.join(dead, Seq("__norm_key"), "left_anti")
+          .select("__norm_key", "rc", "ingest_id")
+      })
+  }
+
   private def incrementalKeepJoinReady(incoming: DataFrame, normKeys: DataFrame,
                                        knownBands: DataFrame, idCol: String,
                                        textCol: String, numHashes: Int,

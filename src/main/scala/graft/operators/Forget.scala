@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions._
   * forgotten content are still suppressed, which is what a deletion
   * request wants (the content must not come back via another upload).
   * A deployment that must ALSO forget the fingerprints needs
-  * refcounted keys — a different table contract, out of scope here.
+  * refcounted keys — the `{name}_normrc` family
+  * ([[graft.operators.Dedup.saveRcFingerprints]]): [[forgetFingerprints]]
+  * lands a negative ledger row per affected key (decrement), and
+  * [[graft.operators.Dedup.compactRcFingerprints]] physically erases
+  * keys whose refcount reached zero. CLI: `--mode forget --ids ...
+  * --fingerprints <rcName>`.
   *
   * Idempotent: a second run with the same ids finds no affected
   * partitions and rewrites nothing. Ids are a driver-side Seq — a
@@ -400,6 +405,44 @@ object Forget {
     // (present before, absent from the folded postings) are dropped by
     // the zero-doc branch of the refresh
     refreshLexStats(spark, post, stats, (before ++ after).distinct.toSeq)
+  }
+
+  /** Deletion propagation for the REFCOUNTED content-fingerprint
+    * family `{name}_normrc` ([[graft.operators.Dedup
+    * .saveRcFingerprints]] — the strict-erasure exact-dedup variant):
+    * land one NEGATIVE ledger row per distinct fingerprint of
+    * `forgotten` (the to-be-forgotten docs, read from the landing
+    * BEFORE the landing forget deletes them — call this FIRST; the
+    * reverse order loses the texts and with them the decrement). The
+    * ledger lands in its own `forget-<requestId>` ingest partition
+    * under dynamic overwrite, so a retried request replaces its own
+    * rows (replay-idempotent) — and a retry AFTER the landing delete
+    * computes zero rows, which dynamic overwrite writes as nothing,
+    * leaving the first run's ledger intact. A key whose ledger sum
+    * reaches ≤ 0 immediately vanishes from
+    * [[graft.operators.Dedup.liveFingerprints]] (re-posts admitted
+    * again); [[graft.operators.Dedup.compactRcFingerprints]] erases it
+    * from disk. When the family enforces commit markers, the ledger's
+    * marker is committed here (single-member family — this IS the last
+    * write). Returns distinct fingerprints decremented. */
+  def forgetFingerprints(spark: SparkSession, name: String,
+                         forgotten: DataFrame, textCol: String,
+                         requestId: String): Long = {
+    require(requestId.nonEmpty, "forgetFingerprints needs a requestId " +
+      "(deterministic per request — the replay key)")
+    val table = s"${name}_normrc"
+    val dec = Dedup.rcCounts(forgotten, textCol)
+      .withColumn("rc", -col("rc"))
+      .localCheckpoint(false)
+    val n = dec.count()
+    if (n > 0L) {
+      graft.sources.Bucketing.writeBucketedIngest(spark, dec, table,
+        Seq("__norm_key"), graft.sources.Bucketing.bucketsOf(spark, table),
+        ingestId = s"forget-$requestId")
+      if (graft.sources.FamilyCommit.enabled(spark, name))
+        graft.sources.FamilyCommit.commit(spark, name, s"forget-$requestId")
+    }
+    n
   }
 
   def forgetFromClusters(spark: SparkSession, table: String,

@@ -105,7 +105,8 @@ object EdgeRunner {
     commits: String = "",             // audit mode: family prefix with a _commits table
     graceSec: Long = 900L,            // audit mode: in-flight vs crashed window
     source: String = "",              // forget mode: bulk purge a whole source
-    lex: String = "")                 // forget mode: lexical-index family prefix
+    lex: String = "",                 // forget mode: lexical-index family prefix
+    fingerprints: String = "")        // forget mode: refcounted fp family prefix
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -167,7 +168,8 @@ object EdgeRunner {
       commits = kv.getOrElse("--commits", ""),
       graceSec = kv.get("--grace-sec").map(_.toLong).getOrElse(900L),
       source = kv.getOrElse("--source", ""),
-      lex = kv.getOrElse("--lex", ""))
+      lex = kv.getOrElse("--lex", ""),
+      fingerprints = kv.getOrElse("--fingerprints", ""))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -647,10 +649,14 @@ object EdgeRunner {
     *   - `--lex <lexPrefix>`: the lexical posting family (postings
     *     deleted AND the affected ingests' corpus-scalar stats rows
     *     recomputed — idf must shrink with the corpus).
-    * Content-keyed exact-dedup stores are deliberately left intact
-    * (see [[graft.operators.Forget]] — re-posts of forgotten content
-    * stay suppressed). At least one target is required; pass all that
-    * the deployment maintains. Returns total rows deleted. */
+    * Content-keyed exact-dedup stores are deliberately left intact by
+    * default (see [[graft.operators.Forget]] — re-posts of forgotten
+    * content stay suppressed); a strict-erasure deployment passes
+    * `--fingerprints <rcName>` to ALSO decrement the refcounted
+    * `{rcName}_normrc` family (keys erased at zero — the opposite
+    * re-post behavior, by choice). At least one target is required;
+    * pass all that the deployment maintains. Returns total rows
+    * deleted. */
   def runForget(spark: SparkSession, cfg: Config): Long = {
     require(cfg.ids.nonEmpty, "forget mode requires --ids id1,id2,...")
     require(cfg.in.startsWith("parquet:") || cfg.table.nonEmpty ||
@@ -659,6 +665,23 @@ object EdgeRunner {
         "--table <ndPrefix>, --index <ivfPrefix>, --pq <pqPrefix>")
     import graft.operators.Forget
     var n = 0L
+    // refcounted-fingerprint decrement FIRST: it needs the victims'
+    // TEXTS, which the landing forget below deletes. Request id is
+    // deterministic from the sorted id set, so a retried request
+    // overwrites its own ledger partition (replay-idempotent) and a
+    // retry after the landing delete is a no-op (zero matched rows).
+    if (cfg.fingerprints.nonEmpty) {
+      require(cfg.in.startsWith("parquet:"),
+        "--fingerprints needs --in parquet:<landing> — the decrement " +
+          "reads the victims' texts before the landing delete")
+      val reqId = java.security.MessageDigest.getInstance("MD5")
+        .digest(cfg.ids.sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val victims = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
+        .filter(col("doc_id").isin(cfg.ids: _*))
+      n += Forget.forgetFingerprints(spark, cfg.fingerprints, victims,
+        "text", reqId)
+    }
     if (cfg.in.startsWith("parquet:"))
       n += Forget.forgetFromDir(spark, cfg.in.stripPrefix("parquet:"),
         "doc_id", cfg.ids, cfg.partitionBy)

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Forget}
+import graft.sources.FamilyCommit
+
+/** The strict-erasure exact-dedup variant: refcounted content
+  * fingerprints (`{name}_normrc`). Forget decrements; a fingerprint
+  * whose last holder is forgotten leaves the live set immediately
+  * (re-posts ADMITTED — the opposite of the default `_norm` contract,
+  * by choice) while one still carried by another doc stays suppressed;
+  * compaction physically erases dead keys; every write is
+  * replay-idempotent. */
+class RcFingerprintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val a = "alpha content shared by two documents in this corpus"
+  private val b = "beta content held by exactly one document here"
+  private val c = "gamma content also held once in the corpus body"
+  private val novel = "entirely new content never seen by the family before"
+
+  private def live(name: String): Set[String] =
+    Dedup.liveFingerprints(spark, name).as[String].collect().toSet
+
+  /** Driver-side twin of [[graft.functions.TextOps.fingerprint]]. */
+  private def fp(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.toLowerCase.trim.replaceAll("\\s+", " ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def keptIds(name: String, batch: Seq[(Long, String)]): Set[Long] =
+    Dedup.exactKeepFromRcTable(spark, batch.toDF("doc_id", "text"),
+      name, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+
+  private def drop(name: String): Unit =
+    for (t <- Seq(s"${name}_normrc", s"${name}_commits"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+
+  test("forget decrements: fp retained while another doc holds it, gone with the last holder; re-post pinned both ways") {
+    val name = "rcspec_core"
+    try {
+      val corpus = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("doc_id", "text")
+      Dedup.saveRcFingerprints(spark, name, corpus, "text")
+      assert(live(name).size == 3) // a, b, c — a counted once, rc 2
+      // admission: known content suppressed, novel admitted
+      assert(keptIds(name, Seq((10L, a), (11L, novel))) == Set(11L))
+
+      // forget doc 1 — content `a` still held by doc 2
+      val n1 = Forget.forgetFingerprints(spark, name,
+        corpus.filter(col("doc_id") === 1L), "text", "req1")
+      assert(n1 == 1L)
+      assert(live(name).size == 3) // rc(a) = 2 - 1 = 1: still live
+      assert(keptIds(name, Seq((10L, a))) == Set.empty[Long]) // still suppressed
+
+      // forget doc 2 — the LAST holder of `a`
+      Forget.forgetFingerprints(spark, name,
+        corpus.filter(col("doc_id") === 2L), "text", "req2")
+      assert(live(name).size == 2) // a is dead
+      // strict-erasure re-post behavior: the content is admitted again
+      assert(keptIds(name, Seq((10L, a), (12L, b))) == Set(10L))
+    } finally drop(name)
+  }
+
+  test("append == rebuild; append replay is idempotent") {
+    val name = "rcspec_append"
+    val name2 = "rcspec_rebuild"
+    try {
+      val base = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val batch = Seq((3L, a), (4L, c)).toDF("doc_id", "text")
+      Dedup.saveRcFingerprints(spark, name, base, "text")
+      Dedup.appendRcFingerprints(spark, name, batch, "text", "day1")
+      Dedup.saveRcFingerprints(spark, name2, base.unionByName(batch), "text")
+      def totals(n: String): Map[String, Long] =
+        spark.table(s"${n}_normrc").groupBy("__norm_key")
+          .agg(sum("rc").as("rc")).as[(String, Long)].collect().toMap
+      assert(totals(name) == totals(name2))
+      assert(totals(name)(fp(a)) == 2L)
+      // replay: the same ingest id overwrites its own partition
+      Dedup.appendRcFingerprints(spark, name, batch, "text", "day1")
+      assert(totals(name) == totals(name2))
+    } finally { drop(name); drop(name2) }
+  }
+
+  test("forget replay is idempotent; a retry after the landing delete is a no-op") {
+    val name = "rcspec_replay"
+    try {
+      val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      Dedup.saveRcFingerprints(spark, name, corpus, "text")
+      val victims = corpus.filter(col("doc_id") === 1L)
+      Forget.forgetFingerprints(spark, name, victims, "text", "reqX")
+      val after = spark.table(s"${name}_normrc")
+        .collect().map(_.toSeq.toList).toSet
+      // identical request id → identical ledger partition
+      Forget.forgetFingerprints(spark, name, victims, "text", "reqX")
+      assert(spark.table(s"${name}_normrc")
+        .collect().map(_.toSeq.toList).toSet == after)
+      // retry AFTER the landing delete: victims are gone — zero
+      // matched rows, dynamic overwrite writes nothing, ledger intact
+      Forget.forgetFingerprints(spark, name,
+        corpus.filter(lit(false)), "text", "reqX")
+      assert(spark.table(s"${name}_normrc")
+        .collect().map(_.toSeq.toList).toSet == after)
+      assert(live(name).size == 1)
+    } finally drop(name)
+  }
+
+  test("compaction physically erases dead keys — including via a kept negative ledger — and preserves live totals") {
+    val name = "rcspec_compact"
+    try {
+      Dedup.saveRcFingerprints(spark, name,
+        Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text"), "text")
+      Dedup.appendRcFingerprints(spark, name,
+        Seq((4L, c)).toDF("doc_id", "text"), "text", "day1")
+      // kill `b` (last holder) via a forget ledger
+      Forget.forgetFingerprints(spark, name,
+        Seq((3L, b)).toDF("doc_id", "text"), "text", "reqB")
+      val fpB = fp(b)
+      assert(!live(name).contains(fpB))
+      // keepLast = 1 keeps the newest partition (the forget ledger):
+      // the key must STILL be erased — a per-partition filter would
+      // drop only the negative row and resurrect it
+      Dedup.compactRcFingerprints(spark, name, keepLast = 1)
+      val raw = spark.table(s"${name}_normrc")
+        .select("__norm_key", "rc").as[(String, Long)].collect().toSeq
+      assert(!raw.exists(_._1 == fpB)) // physically gone, every partition
+      assert(!live(name).contains(fpB))
+      val totals = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(totals(fp(a)) == 2L)
+      assert(totals(fp(c)) == 1L)
+      // full fold: everything in base, one row per live key
+      Dedup.compactRcFingerprints(spark, name)
+      assert(spark.table(s"${name}_normrc").count() == 2L)
+      assert(live(name).size == 2)
+    } finally drop(name)
+  }
+
+  test("commit markers gate the family; the forget ledger commits its own marker") {
+    val name = "rcspec_commits"
+    try {
+      Dedup.saveRcFingerprints(spark, name,
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "text")
+      FamilyCommit.commit(spark, name, "base") // opt in
+      // an UNCOMMITTED append is invisible to the live set
+      Dedup.appendRcFingerprints(spark, name,
+        Seq((3L, c)).toDF("doc_id", "text"), "text", "day1")
+      assert(live(name).size == 2)
+      FamilyCommit.commit(spark, name, "day1")
+      assert(live(name).size == 3)
+      // the forget ledger lands WITH its marker (single-member family)
+      Forget.forgetFingerprints(spark, name,
+        Seq((2L, b)).toDF("doc_id", "text"), "text", "reqM")
+      assert(live(name).size == 2)
+    } finally drop(name)
+  }
+
+  test("CLI: --mode forget --fingerprints decrements before the landing delete; rerun is a no-op") {
+    val name = "rcspec_cli"
+    val docsDir = java.nio.file.Files.createTempDirectory("rc_cli")
+      .toString + "/corpus_docs"
+    try {
+      val corpus = Seq((1L, a, "en"), (2L, a, "en"), (3L, b, "en"))
+        .toDF("doc_id", "text", "lang")
+      graft.sources.Connectors.overwritePartitions(
+        corpus.withColumn("ingest_id", lit("base")),
+        docsDir, Seq("lang", "ingest_id"))
+      Dedup.saveRcFingerprints(spark, name, corpus, "text")
+      def runOnce(): Unit = graft.tools.EdgeRunner.run(spark,
+        graft.tools.EdgeRunner.parse(Array(
+          "--mode", "forget", "--ids", "2,3",
+          "--in", s"parquet:$docsDir",
+          "--partition-by", "lang,ingest_id",
+          "--fingerprints", name)))
+      runOnce()
+      assert(spark.read.parquet(docsDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L))
+      // a still held by doc 1; b's last holder forgotten
+      assert(live(name) == Set(fp(a)))
+      val snapshot = spark.table(s"${name}_normrc")
+        .collect().map(_.toSeq.toList).toSet
+      runOnce() // replay: victims already gone — everything unchanged
+      assert(spark.table(s"${name}_normrc")
+        .collect().map(_.toSeq.toList).toSet == snapshot)
+      assert(live(name) == Set(fp(a)))
+    } finally {
+      drop(name)
+      val p = new org.apache.hadoop.fs.Path(docsDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+}
