@@ -63,6 +63,9 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   *   --table corpus_nd --sim-threshold 0.5 --warehouse /data/wh
   * runMain graft.tools.EdgeRunner --mode cluster --in parquet:/data/corpus_docs \
   *   --table corpus_nd --sim-threshold 0.5 --ingest-id day7 --warehouse /data/wh
+  * // one-stop deployment dashboard (family x ingest x status + recall):
+  * runMain graft.tools.EdgeRunner --mode status --in unused: \
+  *   --manifest /data/deployment.manifest --warehouse /data/wh --grace-sec 900
   * }}}
   */
 object EdgeRunner {
@@ -106,7 +109,8 @@ object EdgeRunner {
     graceSec: Long = 900L,            // audit mode: in-flight vs crashed window
     source: String = "",              // forget mode: bulk purge a whole source
     lex: String = "",                 // forget mode: lexical-index family prefix
-    fingerprints: String = "")        // forget mode: refcounted fp family prefix
+    fingerprints: String = "",        // forget mode: refcounted fp family prefix
+    manifest: String = "")            // status mode: deployment manifest file
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -120,11 +124,11 @@ object EdgeRunner {
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
         "neardup|recall-check|compact|audit|retrain|forget|cluster|lexical|" +
-        "index is required"))
+        "index|status is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
         "classify", "neardup", "recall-check", "compact", "audit", "retrain",
-        "forget", "cluster", "lexical", "index")(mode),
+        "forget", "cluster", "lexical", "index", "status")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -169,7 +173,8 @@ object EdgeRunner {
       graceSec = kv.get("--grace-sec").map(_.toLong).getOrElse(900L),
       source = kv.getOrElse("--source", ""),
       lex = kv.getOrElse("--lex", ""),
-      fingerprints = kv.getOrElse("--fingerprints", ""))
+      fingerprints = kv.getOrElse("--fingerprints", ""),
+      manifest = kv.getOrElse("--manifest", ""))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -615,6 +620,8 @@ object EdgeRunner {
       println(s"[edge] ${runLexical(spark, cfg)}")
     case "index" =>
       println(s"[edge] ${runIndex(spark, cfg)}")
+    case "status" =>
+      runStatus(spark, cfg) // prints the dashboard itself
     case "audit" =>
       val bad = runAudit(spark, cfg)
       if (bad.isEmpty) println("[edge] audit OK: every ingest consistent")
@@ -1050,6 +1057,105 @@ object EdgeRunner {
     * crash-between-writes half-ingest the retry discipline heals but
     * cannot itself notice. Returns the INCONSISTENT ingest ids
     * (empty = healthy); the printed verdict names them. */
+  /** `--mode status --manifest <file>`: the one-stop deployment
+    * dashboard. A full deployment maintains several families (landing,
+    * near-dup keys, exact keys, clusters, lexical, IVF, ADC) and
+    * checking them meant composing 4-5 `--mode audit` /
+    * `--mode recall-check` invocations by hand; this mode reads a
+    * declarative manifest and prints ONE table (family × ingest ×
+    * status) plus the ANN recall verdicts.
+    *
+    * Manifest grammar (plain text; `#` comments and blanks skipped):
+    * {{{
+    * # <family-prefix>: member1,member2[,...]   (catalog tables or parquet:/dir)
+    * corpus_nd:  corpus_nd_ndband,corpus_nd_ndsh
+    * corpus_lex: corpus_lex_post,corpus_lex_lexstats
+    * landing:    parquet:/data/corpus_docs
+    * # ANN recall monitors:
+    * recall: index=corpus_ivf k=10 nprobe=2 sample=64 min-recall=0.9
+    * recall: index=corpus_ivf pq=corpus_pq dim=64 residual=true
+    * }}}
+    *
+    * Classification: a family whose `_commits` marker table exists
+    * gets the marker-aware statuses (committed / in-flight / crashed /
+    * broken — [[graft.sources.FamilyCommit.status]], `--grace-sec`
+    * bounds in-flight); a legacy-open family falls back to the
+    * cross-member consistency audit
+    * ([[graft.sources.Bucketing.auditIngests]]). Recall lines ride
+    * [[runRecallCheck]] with the line's own parameters (defaults from
+    * the CLI flags). Returns the (family, ingest, status) rows —
+    * recall rows as (`recall:<index>`, "-", verdict) — so callers can
+    * alert on them; the exit summary counts crashed/broken/
+    * inconsistent/RETRAIN rows as "need attention". */
+  def runStatus(spark: SparkSession, cfg: Config): Seq[(String, String, String)] = {
+    require(cfg.manifest.nonEmpty, "status mode requires --manifest <file>")
+    import spark.implicits._
+    val src = scala.io.Source.fromFile(cfg.manifest)
+    val lines = try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
+    val rows: Seq[(String, String, String)] = lines.flatMap {
+      case l if l.startsWith("recall:") =>
+        val kv = l.stripPrefix("recall:").trim.split("\\s+")
+          .filter(_.nonEmpty).map { t =>
+            t.split("=", 2) match {
+              case Array(k, v) => k -> v
+              case _ => sys.error(s"malformed recall token '$t' — expected key=value")
+            }
+          }.toMap
+        val idx = kv.getOrElse("index",
+          sys.error(s"recall line needs index=<ivfPrefix>: '$l'"))
+        val rep = runRecallCheck(spark, cfg.copy(mode = "recall-check",
+          index = idx, pq = kv.getOrElse("pq", ""),
+          k = kv.get("k").map(_.toInt).getOrElse(cfg.k),
+          nProbe = kv.get("nprobe").map(_.toInt).getOrElse(cfg.nProbe),
+          sample = kv.get("sample").map(_.toInt).getOrElse(cfg.sample),
+          minRecall = kv.get("min-recall").map(_.toDouble).getOrElse(cfg.minRecall),
+          dim = kv.get("dim").map(_.toInt).getOrElse(cfg.dim),
+          shortlist = kv.get("shortlist").map(_.toInt).getOrElse(cfg.shortlist),
+          residual = kv.get("residual").exists(_.toBoolean)))
+        Seq((s"recall:$idx", "-",
+          f"${if (rep.retrain) "RETRAIN" else "OK"}%s (recall@${rep.k}%d " +
+            f"${rep.recall}%.3f vs floor ${rep.minRecall}%.2f)"))
+      case l =>
+        // split limit 2: member lists may hold `parquet:/dir` colons
+        val (fam, members) = l.split(":", 2) match {
+          case Array(f, ms) if f.trim.nonEmpty && ms.trim.nonEmpty =>
+            (f.trim, ms.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          case _ => sys.error(s"malformed manifest line '$l' — expected " +
+            "'<family>: member1[,member2...]' or 'recall: index=...'")
+        }
+        if (graft.sources.FamilyCommit.enabled(spark, fam))
+          graft.sources.FamilyCommit.status(spark, members, fam,
+              cfg.graceSec * 1000L)
+            .select(col("ingest_id").cast("string"), col("status"))
+            .as[(String, String)].collect().toSeq.sorted
+            .map { case (id, st) => (fam, id, st) }
+        else
+          graft.sources.Bucketing.auditIngests(spark, members)
+            .select(col("ingest_id").cast("string"), col("consistent"))
+            .as[(String, Boolean)].collect().toSeq.sortBy(_._1)
+            .map { case (id, ok) =>
+              (fam, id, if (ok) "consistent (legacy-open)" else "inconsistent")
+            }
+    }
+    val w1 = (rows.map(_._1.length) :+ "family".length).max
+    val w2 = (rows.map(_._2.length) :+ "ingest".length).max
+    println(s"[edge] %-${w1}s  %-${w2}s  %s".format("family", "ingest", "status"))
+    rows.foreach { case (f, i, s) =>
+      println(s"[edge] %-${w1}s  %-${w2}s  %s".format(f, i, s))
+    }
+    val bad = rows.filter { case (_, _, s) =>
+      s == "crashed" || s == "broken" || s == "inconsistent" ||
+        s.startsWith("RETRAIN")
+    }
+    println(s"[edge] status: ${rows.size} rows across ${lines.size} manifest " +
+      s"entries, ${bad.size} need attention" +
+      (if (bad.isEmpty) ""
+       else bad.map(b => s"${b._1}/${b._2}").mkString(" (", ", ", ")")))
+    rows
+  }
+
   def runAudit(spark: SparkSession, cfg: Config): Seq[String] = {
     require(cfg.table.nonEmpty && cfg.table.contains(","),
       "audit mode requires --table member1,member2[,...]")

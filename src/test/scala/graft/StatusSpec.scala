@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.sources.{Bucketing, FamilyCommit}
+
+/** `--mode status`: the manifest-driven deployment dashboard — every
+  * declared family's per-ingest health (marker-aware where the family
+  * enforces commits, consistency-audit fallback for legacy-open ones)
+  * plus the ANN recall verdicts, in one invocation. */
+class StatusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val w1 = "the quick brown fox jumps over the lazy dog tonight"
+  private val w2 = "completely different words fill this second document body here"
+  private val w3 = "a third unique text that matches nothing in the corpus"
+
+  test("one manifest, one table: crashed/in-flight/committed attributed per family; legacy fallback; recall verdict") {
+    val nd = "stat_nd"
+    val ex = "stat_ex"
+    val lx = "stat_lx"
+    val ivf = "stat_ivf"
+    val manifest = java.nio.file.Files.createTempFile("status", ".manifest")
+    try {
+      // family 1 (markers): committed base, one in-flight, one crashed
+      val corpus = Seq((1L, w1), (2L, w2)).toDF("doc_id", "text")
+      Dedup.saveNearDupKeys(spark, nd, corpus, "doc_id", "text")
+      FamilyCommit.commit(spark, nd, "base")
+      Dedup.appendNearDupKeys(spark, nd,
+        Seq((20L, w1.replace("dog", "cat"))).toDF("doc_id", "text"),
+        "doc_id", "text", ingestId = "liveday") // uncommitted + fresh
+      Dedup.appendNearDupKeys(spark, nd,
+        Seq((30L, w2.replace("words", "verbs"))).toDF("doc_id", "text"),
+        "doc_id", "text", ingestId = "deadday") // uncommitted + old
+      val loc = new org.apache.hadoop.fs.Path(
+        Bucketing.tableLocation(spark, s"${nd}_ndband"), "ingest_id=deadday")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(loc, System.currentTimeMillis() - 3600000L, -1)
+      val loc2 = new org.apache.hadoop.fs.Path(
+        Bucketing.tableLocation(spark, s"${nd}_ndsh"), "ingest_id=deadday")
+      fs.setTimes(loc2, System.currentTimeMillis() - 3600000L, -1)
+
+      // family 2 (markers): all committed
+      Dedup.saveIncrementalKeys(spark, ex, corpus, "text")
+      FamilyCommit.commit(spark, ex, "base")
+      Dedup.appendIncrementalKeys(spark, ex,
+        Seq((10L, w3)).toDF("doc_id", "text"), "text", "okday")
+      FamilyCommit.commit(spark, ex, "okday")
+
+      // family 3 (legacy-open, no _commits): one consistent ingest,
+      // one half-landed (only the _norm member) -> inconsistent
+      Dedup.saveIncrementalKeys(spark, lx, corpus, "text")
+      Bucketing.writeBucketedIngest(spark,
+        Seq((w3.hashCode.toString + "fp")).toDF("__norm_key"),
+        s"${lx}_norm", Seq("__norm_key"),
+        Bucketing.bucketsOf(spark, s"${lx}_norm"), "halfday")
+
+      // healthy IVF index for the recall line
+      val rnd = new scala.util.Random(7)
+      def gauss(n: Int) = Seq.fill(n)(rnd.nextGaussian() * 0.1)
+      val vecs = (0 until 20).map(i => (i.toLong, (10.0 + rnd.nextGaussian() * 0.1) +: gauss(7))) ++
+        (100 until 120).map(i => (i.toLong, (-10.0 + rnd.nextGaussian() * 0.1) +: gauss(7)))
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex(vecs.toDF("id", "vec"), nCentroids = 2, iters = 3), ivf)
+
+      java.nio.file.Files.write(manifest, java.util.Arrays.asList(
+        "# deployment manifest",
+        s"$nd: ${nd}_ndband,${nd}_ndsh",
+        s"$ex: ${ex}_norm,${ex}_bands",
+        "",
+        s"$lx: ${lx}_norm,${lx}_bands",
+        s"recall: index=$ivf k=2 nprobe=2 sample=50 min-recall=0.5"))
+
+      val rows = graft.tools.EdgeRunner.runStatus(spark,
+        graft.tools.EdgeRunner.parse(Array(
+          "--mode", "status", "--in", "unused:",
+          "--manifest", manifest.toString, "--grace-sec", "60")))
+      val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+      assert(byKey((nd, "base")) == "committed")
+      assert(byKey((nd, "liveday")) == "in-flight")
+      assert(byKey((nd, "deadday")) == "crashed")
+      assert(byKey((ex, "base")) == "committed")
+      assert(byKey((ex, "okday")) == "committed")
+      assert(byKey((lx, "base")) == "consistent (legacy-open)")
+      assert(byKey((lx, "halfday")) == "inconsistent")
+      val recallRow = byKey((s"recall:$ivf", "-"))
+      assert(recallRow.startsWith("OK"), recallRow)
+      assert(rows.size == 8)
+    } finally {
+      java.nio.file.Files.deleteIfExists(manifest)
+      for (t <- Seq(s"${nd}_ndband", s"${nd}_ndsh", s"${nd}_commits",
+        s"${ex}_norm", s"${ex}_bands", s"${ex}_commits",
+        s"${lx}_norm", s"${lx}_bands",
+        s"${ivf}_centroids", s"${ivf}_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("malformed manifest lines fail loudly") {
+    val manifest = java.nio.file.Files.createTempFile("status_bad", ".manifest")
+    try {
+      java.nio.file.Files.write(manifest,
+        java.util.Arrays.asList("justafamilywithnomembers"))
+      val e = intercept[RuntimeException] {
+        graft.tools.EdgeRunner.runStatus(spark,
+          graft.tools.EdgeRunner.parse(Array(
+            "--mode", "status", "--in", "unused:",
+            "--manifest", manifest.toString)))
+      }
+      assert(e.getMessage.contains("malformed manifest line"))
+    } finally java.nio.file.Files.deleteIfExists(manifest)
+  }
+}
