@@ -36,6 +36,14 @@ import graft.functions.TextOps
   * landed data. The stream's job is to keep re-posts and near-verbatim
   * mirrors from dominating the landing zone — the same division of
   * labor as CorpusStream's exact-fingerprint dedup, one rung fuzzier.
+  * In particular a near-dup arriving AFTER its twin's bucket state
+  * TTL'd out is falsely admitted, and that is HEALED at the next
+  * batch cluster fold: [[graft.operators.Dedup
+  * .appendClusterAssignments]] re-derives candidates from the
+  * persisted key family (which never expires) and re-verifies them
+  * exactly, so the missed pair lands as one cluster and downstream
+  * dedup/canonical selection treats the false admit as the duplicate
+  * it is (pinned by StreamTtlHealSpec).
   *
   * Requires the RocksDB state store ([[TtlState.RocksDbProvider]])
   * like every transformWithState operator.
