@@ -66,9 +66,14 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // builder-side targeted probes only (e.g. the top-5 queries at a
+    // generated sf1): run just the named queries. Unset for driver runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries
-      .filter { case (name, _) => !skip(name) }
+      .filter { case (name, _) => !skip(name) && only.forall(_(name)) }
       .flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
