@@ -4929,6 +4929,70 @@ object Queries {
     TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text")
   }
 
+  /** Gopher's duplicate-n-gram repetition signals (the n-gram half t21
+    * leaves out): per (doc, n ∈ {2,3}) total shingle occurrences, the
+    * char mass tied up in REPEATED shingles, and the char mass of the
+    * single most frequent shingle (ties broken by shingle text desc —
+    * deterministic both engines). Integer char-mass numerators; the
+    * Gopher gates cross-multiply against n_chars downstream (t21
+    * no-float discipline). */
+  val t34 = q("t34_dup_ngram_mass",
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      | SELECT doc_id, 2 AS n, unnest(CASE WHEN len(t) >= 2
+      |  THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |  ELSE [array_to_string(t, ' ')] END) AS sh FROM b
+      | UNION ALL
+      | SELECT doc_id, 3 AS n, unnest(CASE WHEN len(t) >= 3
+      |  THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |  ELSE [array_to_string(t, ' ')] END) AS sh FROM b),
+      |c AS (SELECT doc_id, n, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, n, sh),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+      |  ORDER BY c DESC, sh DESC) AS rn FROM c)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n,
+      | CAST(SUM(c) AS BIGINT) AS n_grams,
+      | CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * len(sh) END), 0) AS BIGINT) AS dup_mass,
+      | CAST(MAX(CASE WHEN rn = 1 THEN c * len(sh) END) AS BIGINT) AS top_mass
+      |FROM r GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
+    TextAnalysis.dupNgramProfile(Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("n", col("n").cast("long"))
+      .select("doc_id", "n", "n_grams", "dup_mass", "top_mass")
+  }
+
+  /** Token-rarity profile: corpus document frequency of each doc's
+    * distinct tokens folded per doc — low mean df flags jargon/noise,
+    * min_df = 1 flags corpus-unique tokens. Integer df (no idf log, no
+    * float drift); the standard tf-idf topology with a per-doc fold. */
+  val t35 = q("t35_token_rarity",
+    """WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      | CAST(SUM(df) AS BIGINT) AS sum_df, CAST(MIN(df) AS BIGINT) AS min_df
+      |FROM dt JOIN df USING (tok) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenRarity(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  /** Metadata-filtered vector search (filter = equi-join key, never a
+    * post-filter of an unfiltered top-k — which under-fills k whenever
+    * the filter is selective): top-5 same-label neighbors per query. */
+  val s18 = q("s18_filtered_ann",
+    """SELECT query_id, label, neighbor_id, cos, rn FROM (
+      | SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |    CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |     CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS BIGINT) AS rn
+      | FROM embeddings q JOIN embeddings c
+      |  ON q.label = c.label AND q.vec_id < 10 AND c.vec_id >= 10)
+      |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"), col("label"))
+    Similarity.filteredTopK(
+      emb.filter(col("id") < 10), emb.filter(col("id") >= 10), 5, "label")
+  }
+
   /** Composed CCNet-style corpus build (p09): exact dedup (d02's
     * keep-min-per-fingerprint rule) → bigram-LM perplexity tiers over
     * the DEDUPED corpus (t32 — LM stats must not be skewed by exact
@@ -4996,7 +5060,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }

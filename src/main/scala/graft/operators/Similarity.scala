@@ -34,6 +34,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** Metadata-FILTERED exact top-k — the production "vector search
+    * within a language/tenant/label" shape. The filter is an EQUI-JOIN
+    * key, not a post-filter: candidates hash-join the (broadcast)
+    * queries on the filter value, so vectors that cannot qualify are
+    * eliminated BEFORE any similarity arithmetic — at 100 TB the
+    * dominant cost of filtered search is scanning vectors the filter
+    * excludes, and the equi-join form lets partition pruning / DPP
+    * skip them entirely when the corpus is partitioned (or z-ordered)
+    * by the filter column. The common production bug this operator
+    * exists to avoid: post-filtering an UNFILTERED top-k under-fills k
+    * whenever the filter is selective (the qualifying neighbors were
+    * never in the unfiltered shortlist), and "enlarge k and hope" has
+    * no correct setting. Both frames: (id, vec, <filterCol>). Output:
+    * query_id, <filterCol>, neighbor_id, cos (rounded 6dp), rn. */
+  def filteredTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                   filterCol: String): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      col(filterCol), col("vec").as("qv"), VectorOps.norm(col("vec")).as("qn"))
+    val c = candidates.select(col("id").as("neighbor_id"),
+      col(filterCol), col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    val scored = c.join(broadcast(q), Seq(filterCol))
+      .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", filterCol, "neighbor_id", "cos", "rn")
+  }
+
   /** Deterministic pseudo-random hyperplanes: planes(p)(d) in [-1,1). */
   private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     var x = 0x853C49E6748FEA9BL

@@ -641,6 +641,73 @@ object TextAnalysis {
       .withColumn("repeat_ratio",
         col("max_repeat").cast("double") / col("n_shingles"))
 
+  /** Gopher's duplicate-n-gram REPETITION signals (Rae et al. 2021
+    * §A1.1, the n-gram half [[gopherRules]] leaves out) as exact
+    * integer char-mass accounting, one row per (doc, n):
+    *   - `n_grams`   — total shingle occurrences;
+    *   - `dup_mass`  — Σ over shingles occurring ≥ 2× of
+    *     count·len(shingle): the char mass tied up in REPEATED
+    *     n-grams (Gopher's "fraction of characters in duplicated
+    *     n-grams", as the integer numerator — consumers gate with a
+    *     cross-multiplied threshold against the doc's char count, the
+    *     t21 no-float discipline);
+    *   - `top_mass`  — count·len of the single most frequent shingle
+    *     (ties broken by the shingle text, descending — deterministic
+    *     both engines), Gopher's "fraction of characters in the most
+    *     common n-gram" numerator.
+    * One documents scan feeds every n: the token array is shingled
+    * per n and the tagged sets explode together; the per-shingle
+    * count, the top-1 window, and the final fold all hash on
+    * (doc_id, n), so the window and the aggregation reuse one
+    * exchange. Linear at 100 TB: counts are map-side combined and
+    * nothing is ever pairwise. */
+  def dupNgramProfile(docs: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty, "dupNgramProfile needs at least one n")
+    val tagged = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(array(ns.map(n =>
+        struct(lit(n).as("n"), TextOps.shingles(col("__toks"), n).as("sh"))): _*)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), explode(col("g.sh")).as("sh"))
+    val counts = tagged.groupBy("doc_id", "n", "sh")
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "n").orderBy(col("c").desc, col("sh").desc)
+    counts.withColumn("__rn", row_number().over(w))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        coalesce(sum(when(col("c") >= 2L,
+          col("c") * length(col("sh")).cast("long"))), lit(0L)).as("dup_mass"),
+        max(when(col("__rn") === 1,
+          col("c") * length(col("sh")).cast("long"))).as("top_mass"))
+  }
+
+  /** Token-rarity profile per document — the "is this doc made of
+    * common or rare vocabulary" quality signal, in exact integers: the
+    * corpus-wide DOCUMENT FREQUENCY of each of the doc's distinct
+    * tokens, folded to (n_distinct, sum_df, min_df). Low mean df
+    * (sum_df/n_distinct) flags jargon/noise/misspelling-heavy docs;
+    * min_df = 1 flags docs carrying corpus-unique tokens (typos, ids,
+    * boilerplate-busting markers). Integer df instead of float idf —
+    * no log, no rounding drift, and any idf-style gate cross-multiplies
+    * (the t21 discipline). Shape at 100 TB: the df table is
+    * vocabulary-sized (map-side combined count over distinct
+    * (doc, token) pairs), the join back is a hash join on the token
+    * key, the final fold hashes on doc_id — two linear shuffles, the
+    * standard tf-idf topology (t17) with a per-doc fold instead of a
+    * top-k. */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .localCheckpoint(false) // feeds the df agg AND the join back
+    val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    dt.join(df, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("df")).cast("long").as("sum_df"),
+        min(col("df")).cast("long").as("min_df"))
+  }
+
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (the "pack short docs into 4k-token training sequences" step).
     * Deterministic greedy fill: within a shard, documents are laid out

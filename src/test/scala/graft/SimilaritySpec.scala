@@ -86,6 +86,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(0)._3 == 1.0)
   }
 
+  test("filteredTopK: filter is an equi-join key — never under-fills like post-filtering, returns fewer than k when the slice is small") {
+    val q = Seq((0L, Seq(1.0, 0.0), "en"), (1L, Seq(0.0, 1.0), "de"))
+      .toDF("id", "vec", "lang")
+    val c = Seq(
+      (10L, Seq(1.0, 0.0), "en"),   // en, cos 1 to q0
+      (11L, Seq(1.0, 0.1), "de"),   // de: must NEVER reach q0
+      (12L, Seq(0.9, 0.1), "en"),   // en
+      (13L, Seq(0.0, 1.0), "de"),   // de, cos 1 to q1
+      (14L, Seq(0.5, 0.5), "en")    // en
+    ).toDF("id", "vec", "lang")
+    val got = Similarity.filteredTopK(q, c, 2, "lang")
+      .as[(Long, String, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(_._3).toSeq).toMap
+    // q0 sees only en candidates; the de vector at cos ~0.995 (11)
+    // would have ranked 2nd in an UNFILTERED top-k — post-filtering
+    // that shortlist would then drop it and under-fill
+    assert(got(0L) == Seq(10L, 12L))
+    // q1's slice has exactly 2 de candidates: k is honest, not padded
+    assert(got(1L) == Seq(13L, 11L))
+    val gotK1 = Similarity.filteredTopK(q, c.filter($"id" =!= 11L), 2, "lang")
+      .filter($"query_id" === 1L).count()
+    assert(gotK1 == 1L) // fewer qualifying than k -> fewer rows
+  }
+
   test("lshTopK achieves high recall vs brute force on clustered data") {
     val rnd = new scala.util.Random(7)
     val dim = 16

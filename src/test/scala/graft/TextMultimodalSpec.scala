@@ -842,6 +842,32 @@ class TextMultimodalSpec extends AnyFunSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("dupNgramProfile: exact char-mass accounting, deterministic top, short-doc collapse") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // 2-grams: "a b" x2, "b a" x2 -> all duplicated
+      (2L, "solo"))        // 1 token: whole-doc shingle at every n
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .dupNgramProfile(docs, "doc_id", "text", Seq(2))
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // doc 1: 4 shingles, dup_mass = (2+2) x len("a b")=3 = 12;
+    // top = tie on c=2 -> "b a" (desc text) x len 3 = 6
+    assert(got(1L) == ((4L, 12L, 6L)))
+    // doc 2: the whole-doc shingle, once — nothing duplicated
+    assert(got(2L) == ((1L, 0L, 4L)))
+  }
+
+  test("tokenRarity: df-exact fold per doc") {
+    val docs = Seq((1L, "x y x"), (2L, "x z")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tokenRarity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // df: x->2 (distinct per doc!), y->1, z->1
+    assert(got(1L) == ((2L, 3L, 1L))) // {x,y}: sum 2+1, min 1
+    assert(got(2L) == ((2L, 3L, 1L))) // {x,z}
+  }
+
   test("native hash exprs codegen-compile on NON-nullable input (no fallback)") {
     // nullable=false means ev.isNull is never declared; the generated
     // null-check must not reference it (janino error -> silent
