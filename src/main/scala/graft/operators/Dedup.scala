@@ -309,17 +309,22 @@ object Dedup {
       .join(liveFingerprints(spark, name), Seq("__norm_key"), "left_anti")
       .drop("__norm_key")
 
-  /** Fold the rc ledger and PHYSICALLY ERASE dead fingerprints: every
-    * ingest partition (including `forget-*` ledgers) folds to `base`
-    * with rc summed per key, and keys at ≤ 0 are dropped from disk —
+  /** Fold the rc ledger and PHYSICALLY ERASE dead fingerprints —
     * the "deletes at zero" half of the strict-erasure contract. Rides
     * [[graft.sources.Bucketing.compactIngests]]' transform hook, so
-    * erasure costs the rewrite compaction was paying anyway. keepLast
-    * defaults to 0 (fold EVERYTHING) because erasure is the point;
-    * pass the pipeline's retry horizon instead to keep recent ingests
-    * replayable — a kept negative ledger hides its keys from
-    * [[liveFingerprints]] just as well. Marker partitions (when the
-    * family enforces commits) are folded with
+    * erasure costs the rewrite compaction was paying anyway. Erasure
+    * is keepLast-INDEPENDENT: dead keys (global ledger total ≤ 0) are
+    * dropped from every partition, kept ones included — `keepLast`
+    * only governs the replay horizon, exactly as in the generic fold:
+    * a retried ingest whose partition was folded RE-APPENDS its
+    * positive counts (inflating rc — the unsafe direction for strict
+    * erasure: content then needs more forgets than holders), so fold
+    * only past the pipeline's retry horizon. Folded forget-* ledgers
+    * are immune: a replayed request recomputes its decrement from the
+    * landing, where the docs are already deleted — zero rows, no-op.
+    * keepLast defaults to 0 for the post-forget erasure call, where
+    * the operator wants the dead keys off disk NOW. Marker
+    * partitions (when the family enforces commits) are folded with
     * [[graft.sources.FamilyCommit.compactMarkers]] by the caller on
     * its own cadence. */
   def compactRcFingerprints(spark: org.apache.spark.sql.SparkSession,

@@ -385,6 +385,24 @@ object EdgeRunner {
     Connectors.overwritePartitions(
       keys.withColumn("ingest_id", lit(ingestIdOf(cfg))),
       cfg.knownKeys, Seq("ingest_id"))
+    // strict-erasure deployments also maintain the refcounted
+    // fingerprint family (--fingerprints <rcName>): bootstrap on first
+    // sight, per-ingest ledger append after — same batch, same replay
+    // key, so the rc family and the key dir stay in lockstep
+    if (cfg.fingerprints.nonEmpty) {
+      val rcIngest =
+        if (!spark.catalog.tableExists(s"${cfg.fingerprints}_normrc")) {
+          graft.operators.Dedup.saveRcFingerprints(spark, cfg.fingerprints,
+            batch, "text")
+          "base"
+        } else {
+          graft.operators.Dedup.appendRcFingerprints(spark, cfg.fingerprints,
+            batch, "text", ingestIdOf(cfg))
+          ingestIdOf(cfg)
+        }
+      if (graft.sources.FamilyCommit.enabled(spark, cfg.fingerprints))
+        graft.sources.FamilyCommit.commit(spark, cfg.fingerprints, rcIngest)
+    }
     n
   }
 
@@ -1193,9 +1211,22 @@ object EdgeRunner {
     * of a FOLDED ingest id re-appends (its partition no longer
     * exists), which is what `--keep-last` protects. */
   def runCompact(spark: SparkSession, cfg: Config): String = {
-    require(cfg.knownKeys.nonEmpty || cfg.table.nonEmpty,
-      "compact mode requires --known-keys <dir> or --table name:k1,k2")
-    if (cfg.table.nonEmpty) {
+    require(cfg.knownKeys.nonEmpty || cfg.table.nonEmpty ||
+      cfg.fingerprints.nonEmpty,
+      "compact mode requires --known-keys <dir>, --table name:k1,k2, " +
+        "or --fingerprints <rcName>")
+    if (cfg.fingerprints.nonEmpty) {
+      // the rc family's OWN compaction (not the generic fold): ledger
+      // sums collapse per key and dead fingerprints are physically
+      // erased from EVERY partition — including the --keep-last ones,
+      // so erasure is complete at any retention (the global-total
+      // filter, not a per-partition one); --keep-last only governs the
+      // replay horizon, exactly as in the other compact targets
+      graft.operators.Dedup.compactRcFingerprints(spark, cfg.fingerprints,
+        cfg.keepLast)
+      val t = s"${cfg.fingerprints}_normrc"
+      s"rc fingerprints $t (${spark.table(t).count()} ledger rows)"
+    } else if (cfg.table.nonEmpty) {
       val (name, keys) = cfg.table.split(":") match {
         case Array(n, ks) => (n, ks.split(",").toSeq.map(_.trim))
         case _ => sys.error(s"--table expects name:key1[,key2], got ${cfg.table}")

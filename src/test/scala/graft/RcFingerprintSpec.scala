@@ -155,6 +155,44 @@ class RcFingerprintSpec extends AnyFunSuite {
     } finally drop(name)
   }
 
+  test("CLI lifecycle: maintain bootstraps then appends the rc family; compact erases what forget killed") {
+    val name = "rcspec_life"
+    val tmp = java.nio.file.Files.createTempDirectory("rc_life").toString
+    val keysDir = s"$tmp/keys"
+    try {
+      // day 0: bootstrap from the base corpus
+      val day0 = s"$tmp/day0"
+      Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+        .write.parquet(day0)
+      graft.tools.EdgeRunner.runMaintain(spark, graft.tools.EdgeRunner.parse(
+        Array("--mode", "maintain", "--in", s"parquet:$day0",
+          "--known-keys", keysDir, "--ingest-id", "day0",
+          "--fingerprints", name)))
+      assert(live(name).size == 2)
+      // day 1: per-ingest ledger append
+      val day1 = s"$tmp/day1"
+      Seq((4L, c)).toDF("doc_id", "text").write.parquet(day1)
+      graft.tools.EdgeRunner.runMaintain(spark, graft.tools.EdgeRunner.parse(
+        Array("--mode", "maintain", "--in", s"parquet:$day1",
+          "--known-keys", keysDir, "--ingest-id", "day1",
+          "--fingerprints", name)))
+      assert(live(name).size == 3)
+      // forget b's last holder, then compact: the dead key leaves disk
+      Forget.forgetFingerprints(spark, name,
+        Seq((3L, b)).toDF("doc_id", "text"), "text", "reqL")
+      graft.tools.EdgeRunner.runCompact(spark, graft.tools.EdgeRunner.parse(
+        Array("--mode", "compact", "--in", "unused:",
+          "--fingerprints", name, "--keep-last", "0")))
+      assert(live(name) == Set(fp(a), fp(c)))
+      assert(!spark.table(s"${name}_normrc").select("__norm_key")
+        .as[String].collect().contains(fp(b)))
+    } finally {
+      drop(name)
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("CLI: --mode forget --fingerprints decrements before the landing delete; rerun is a no-op") {
     val name = "rcspec_cli"
     val docsDir = java.nio.file.Files.createTempDirectory("rc_cli")
