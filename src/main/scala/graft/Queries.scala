@@ -2794,6 +2794,11 @@ object Queries {
   private def ivfIndexName(dir: String): String =
     "graft_ivfp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** The label-carrying (filtered-search) IVF index — distinct name:
+    * posting-metadata columns are part of the name contract. */
+  private def ivfLblIndexName(dir: String): String =
+    "graft_ivfl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Source fingerprint of the embeddings table — staleness key for
     * every persisted ANN artifact derived from it. */
   private def embFp(dir: String): String =
@@ -2818,6 +2823,12 @@ object Queries {
     val ivf = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
       emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
       fingerprint = Some(embFp(dir)))
+    Similarity.ensureIvfIndex(s, ivfLblIndexName(dir),
+      Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"), col("label"))
+        .filter(col("id") >= 10),
+      nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)), extraCols = Seq("label"))
     val (codes, _) = Similarity.ensurePqModel(s, pqModelName(dir),
       emb.filter(col("id") >= 10)
         .select(col("id").as("vec_id"), col("vec").as("embedding")),
@@ -4993,6 +5004,40 @@ object Queries {
       emb.filter(col("id") < 10), emb.filter(col("id") >= 10), 5, "label")
   }
 
+  /** s18's 100 TB path: the filter rides the POSTING LIST (the index
+    * is built with the label in its assignments), so the probe joins
+    * on (cid, label) and filters inside the posting scan — no second
+    * corpus-wide metadata join, no post-filtered shortlist. Same IVF
+    * routing as s04; the oracle replays the clustering and applies
+    * the label gate to the probed cells. */
+  val s19 = q("s19_filtered_ivf",
+    s"""$ivfOracleCtes,
+      |lbl AS (SELECT vec_id, label FROM embeddings),
+      |probe AS (SELECT vec_id AS query_id, cid FROM (
+      | SELECT qs.vec_id, c.cid,
+      |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+      |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+      | FROM qs, c2 c) WHERE r <= 4),
+      |scored AS (SELECT p.query_id, ql.label AS label, af.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(qe.v, af.v), 6) AS cos
+      | FROM probe p JOIN af ON af.cid = p.cid
+      | JOIN e qe ON qe.vec_id = p.query_id
+      | JOIN lbl ql ON ql.vec_id = p.query_id
+      | JOIN lbl cl ON cl.vec_id = af.vec_id AND cl.label = ql.label)
+      |SELECT query_id, label, neighbor_id, cos,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      |FROM scored QUALIFY rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"), col("label"))
+    val model = Similarity.ensureIvfIndex(s, ivfLblIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2,
+      portableInit = true, fingerprint = Some(embFp(dir)),
+      extraCols = Seq("label"))
+    Similarity.ivfFilteredTopK(emb.filter(col("id") < 10), model,
+      k = 5, nProbe = 4, filterCol = "label")
+  }
+
   /** Composed CCNet-style corpus build (p09): exact dedup (d02's
     * keep-min-per-fingerprint rule) → bigram-LM perplexity tiers over
     * the DEDUPED corpus (t32 — LM stats must not be skewed by exact
@@ -5061,6 +5106,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }

@@ -172,9 +172,17 @@ object Similarity {
     * one hash aggregation; centroid updates collect only
     * nCentroids × dim doubles to the driver. */
   def ivfIndex(candidates: DataFrame, nCentroids: Int, iters: Int = 3,
-               portableInit: Boolean = false): IVFModel = {
-    // each Lloyd round re-reads the corpus; materialize it once
-    val base = candidates.select(col("id"), col("vec")).localCheckpoint(false)
+               portableInit: Boolean = false,
+               extraCols: Seq[String] = Nil): IVFModel = {
+    // each Lloyd round re-reads the corpus; materialize it once.
+    // extraCols are METADATA RIDING THE POSTING LIST (tenant, lang,
+    // label — whatever filtered search will gate on): they take no
+    // part in clustering, but landing them in the assignments table
+    // lets [[ivfFilteredTopK]] filter inside the posting scan instead
+    // of joining a second corpus-wide metadata table per probe
+    val base = candidates
+      .select((Seq("id", "vec") ++ extraCols).map(col): _*)
+      .localCheckpoint(false)
     // init: first nCentroids vectors under a deterministic pseudo-random
     // id order. portableInit orders by the md5 hex of the id string —
     // reproducible on any engine with md5 (the s04 oracle re-derives the
@@ -234,7 +242,8 @@ object Similarity {
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                      corpus: => DataFrame, nCentroids: Int, iters: Int = 3,
                      buckets: Int = 8, portableInit: Boolean = false,
-                     fingerprint: Option[String] = None): IVFModel =
+                     fingerprint: Option[String] = None,
+                     extraCols: Seq[String] = Nil): IVFModel =
     synchronized {
       import graft.sources.DerivedTables
       val tables = Seq(s"${name}_centroids", s"${name}_assignments")
@@ -244,10 +253,13 @@ object Similarity {
       val present = DerivedTables.presentOrExists(spark, tables, fingerprint)
       val existing = if (present) Some(loadIvfIndex(spark, name)) else None
       // single load on the hot path; rebuild only on absence/param
-      // drift. The init family is part of the NAME contract: callers
-      // must use distinct names for portable vs native indices.
+      // drift. The init family AND the posting-metadata columns are
+      // part of the NAME contract: callers must use distinct names for
+      // portable vs native indices and for filtered (extraCols) vs
+      // bare posting schemas.
       existing.filter(_.centroids.length == nCentroids).getOrElse {
-        saveIvfIndex(spark, ivfIndex(corpus, nCentroids, iters, portableInit),
+        saveIvfIndex(spark,
+          ivfIndex(corpus, nCentroids, iters, portableInit, extraCols),
           name, buckets)
         DerivedTables.stampAll(spark, tables, fingerprint)
         loadIvfIndex(spark, name)
@@ -276,11 +288,13 @@ object Similarity {
     * after appending. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                        newVecs: DataFrame, ingestId: String,
-                       buckets: Int = 8): Unit = {
-    // writer: only the centroids are used; ungated by the writer rule
+                       buckets: Int = 8, extraCols: Seq[String] = Nil): Unit = {
+    // writer: only the centroids are used; ungated by the writer rule.
+    // extraCols must match the index's posting schema (a filtered
+    // index appends its filter metadata with every batch).
     val model = loadIvfIndex(spark, name, gated = false)
     graft.sources.Bucketing.writeBucketedIngest(spark,
-      newVecs.select(col("id"), col("vec"))
+      newVecs.select((Seq("id", "vec") ++ extraCols).map(col): _*)
         .withColumn("cid", nearestCentroid(col("vec"), model.centroids)),
       s"${name}_assignments", Seq("cid"), buckets, ingestId)
   }
@@ -335,6 +349,41 @@ object Similarity {
     Relational.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  /** Metadata-filtered IVF probe — [[filteredTopK]]'s 100 TB path.
+    * The index must have been built with `filterCol` riding the
+    * posting list ([[ivfIndex]] `extraCols`); the probe then joins on
+    * (cid, filterCol), so the filter is applied INSIDE the posting
+    * scan — no second corpus-wide metadata join, no post-filtering of
+    * an unfiltered shortlist (which under-fills k whenever the filter
+    * is selective). Same routing as [[ivfTopK]]: recall is bounded by
+    * the probed cells exactly as in the unfiltered probe, and the
+    * recall monitor's verdict applies unchanged. */
+  def ivfFilteredTopK(queries: DataFrame, model: IVFModel, k: Int,
+                      nProbe: Int, filterCol: String): DataFrame = {
+    require(model.assignments.columns.contains(filterCol),
+      s"ivfFilteredTopK needs '$filterCol' in the posting list — build " +
+        s"the index with extraCols = Seq(\"$filterCol\")")
+    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val q = queries.select(col("id").as("query_id"), col(filterCol),
+        col("vec").as("qv"), VectorOps.norm(col("vec")).as("qn"),
+        explode(transform(slice(array_sort(dists), 1, nProbe), s => s.getField("i")))
+          .as("cid"))
+    val c = model.assignments.select(col("cid"), col(filterCol),
+      col("id").as("neighbor_id"), col("vec").as("cv"),
+      VectorOps.norm(col("vec")).as("cn"))
+    val scored = q.join(c, Seq("cid", filterCol))
+      .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .select("query_id", filterCol, "neighbor_id", "cos")
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", filterCol, "neighbor_id", "cos", "rn")
   }
 
   /** SemDeDup-style semantic dedup over an IVF clustering: within each

@@ -110,6 +110,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gotK1 == 1L) // fewer qualifying than k -> fewer rows
   }
 
+  test("ivfFilteredTopK: posting-list metadata gates the probe; labeled appends stay probeable") {
+    val name = "simspec_ivfl"
+    try {
+      val corpus = Seq(
+        (10L, Seq(1.0, 0.0), "en"),
+        (11L, Seq(0.9, 0.1), "de"),
+        (12L, Seq(0.8, 0.2), "en"),
+        (13L, Seq(-1.0, 0.0), "en")).toDF("id", "vec", "lang")
+      graft.operators.Similarity.saveIvfIndex(spark,
+        graft.operators.Similarity.ivfIndex(corpus, nCentroids = 2, iters = 2,
+          extraCols = Seq("lang")), name)
+      val model = graft.operators.Similarity.loadIvfIndex(spark, name)
+      val q = Seq((0L, Seq(1.0, 0.0), "en")).toDF("id", "vec", "lang")
+      def got(): Seq[Long] = graft.operators.Similarity
+        .ivfFilteredTopK(q, model, k = 3, nProbe = 2, filterCol = "lang")
+        .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+      // de vector 11 (2nd-closest overall) is filtered at the posting
+      assert(got() == Seq(10L, 12L, 13L))
+      // labeled append: the new en vector enters the probed lists
+      graft.operators.Similarity.appendToIvfIndex(spark, name,
+        Seq((20L, Seq(1.0, 0.05), "en")).toDF("id", "vec", "lang"),
+        ingestId = "d1", extraCols = Seq("lang"))
+      val model2 = graft.operators.Similarity.loadIvfIndex(spark, name)
+      val got2 = graft.operators.Similarity
+        .ivfFilteredTopK(q, model2, k = 4, nProbe = 2, filterCol = "lang")
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(got2 == Set(10L, 12L, 13L, 20L))
+    } finally for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("lshTopK achieves high recall vs brute force on clustered data") {
     val rnd = new scala.util.Random(7)
     val dim = 16
