@@ -5038,6 +5038,26 @@ object Queries {
       k = 5, nProbe = 4, filterCol = "label")
   }
 
+  /** IVF posting-occupancy report over the persisted s04 index — the
+    * operational imbalance metric probe cost and recall drift hide
+    * behind (one hot cell taxes every query routed to it; growing
+    * imbalance precedes a recall dip). Integer counts + deterministic
+    * size rank; the oracle replays the portable clustering. */
+  val s20 = q("s20_ivf_cell_stats",
+    s"""$ivfOracleCtes,
+      |counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      | FROM af GROUP BY cid)
+      |SELECT cid, n_vecs,
+      | CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cid) AS BIGINT) AS size_rank
+      |FROM counts""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    Similarity.ivfCellStats(model)
+  }
+
   /** Composed CCNet-style corpus build (p09): exact dedup (d02's
     * keep-min-per-fingerprint rule) → bigram-LM perplexity tiers over
     * the DEDUPED corpus (t32 — LM stats must not be skewed by exact
@@ -5106,6 +5126,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }

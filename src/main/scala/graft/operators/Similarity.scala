@@ -386,6 +386,24 @@ object Similarity {
       .select("query_id", filterCol, "neighbor_id", "cos", "rn")
   }
 
+  /** IVF posting-list occupancy report — THE operational metric behind
+    * probe cost and recall drift: a probe reads its nProbe cells in
+    * full, so one hot cell makes every query routed there pay its
+    * size, and a drifting corpus shows up as growing imbalance long
+    * before recall@k dips (cheap to watch per-ingest vs the sampled
+    * recall check). One row per centroid: vector count and the cell's
+    * size rank (ties by cid — deterministic). Integer-only output; the
+    * imbalance ratio (max/mean) is a consumer-side division of two
+    * reported integers, never a stored float. Cost: one grouped scan
+    * of the bucketed assignments — exchange-free on the cid layout. */
+  def ivfCellStats(model: IVFModel): DataFrame = {
+    val counts = model.assignments.groupBy("cid")
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    counts.withColumn("size_rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_vecs").desc, col("cid"))).cast("long"))
+  }
+
   /** SemDeDup-style semantic dedup over an IVF clustering: within each
     * centroid cluster the min-id vector is the KEEPER; every other
     * member is dropped iff its rounded cosine to the keeper exceeds

@@ -56,6 +56,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "query side must broadcast")
   }
 
+  test("t34 dup-ngram mass scans documents once; window and fold share one (doc,n) exchange") {
+    val p = plan("t34_dup_ngram_mass")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"expected a single documents scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 2,
+      s"expected exactly two exchanges (shingle count + window/fold):\n$p")
+  }
+
+  test("s18 filtered ANN: filter is a broadcast equi-join, never a cartesian or post-filter") {
+    val p = plan("s18_filtered_ann")
+    assert(p.contains("BroadcastHashJoin"), "label equi-join must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"), "top-k must push a partial group limit")
+  }
+
+  test("s19 filtered IVF probe joins postings on (cid, label), no cartesian, no second metadata join") {
+    val p = plan("s19_filtered_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the label gate rides the posting join: exactly one scan of the
+    // assignments table (a post-filter design would add a second
+    // corpus-side join against the embeddings metadata)
+    assert("Scan parquet [^\\n]*assignments".r.findAllMatchIn(p).size == 1,
+      s"expected one assignments scan:\n$p")
+  }
+
   test("t15 boilerplate dedup never cross-joins and scans documents once per branch") {
     val p = plan("t15_boilerplate_lines")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
