@@ -675,10 +675,52 @@ object ScaleSmoke {
         "cluster_append_persisted" -> tFold2)
     }
 
+    // --- round-14: strict-erasure rc ledger + filtered ANN -----------
+    // (a) rc fingerprints — the forget DECREMENT is an O(batch) ledger
+    //     append (never a table rewrite); the physical ERASE is one
+    //     compaction fold, paid at compaction cadence. Measured apart
+    //     so the request-cadence cost is visible on its own.
+    // (b) filtered ANN — the posting-metadata IVF probe vs filtered
+    //     brute force: the probe reads nProbe cells per query, brute
+    //     scores the full slice; the gap is the 100 TB argument.
+    val r14Results = {
+      spark.sql("DROP TABLE IF EXISTS graft_smoke_rc_normrc")
+      Dedup.saveRcFingerprints(spark, "graft_smoke_rc", docs, "text")
+      val victims = docs.filter(col("doc_id") % 1000 === 3).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      Forget.forgetFingerprints(spark, "graft_smoke_rc", victims, "text", "r14")
+      val tDec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] rc_forget_ledger_${nd}_docs ${tDec}%8.2f s")
+      val t1 = System.nanoTime()
+      Dedup.compactRcFingerprints(spark, "graft_smoke_rc")
+      val tErase = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] rc_compact_erase_${nd}_docs ${tErase}%8.2f s")
+      for (t <- Seq("graft_smoke_ivfl_centroids", "graft_smoke_ivfl_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      // built TWICE (fresh attribute ids): a query frame checkpointed
+      // off the same lineage as the candidates would make the lang
+      // equi-join a conflicting self-reference
+      def lembOf(): DataFrame = embOf(nDocs).withColumn("lang",
+        concat(lit("l"), pmod(col("id"), lit(8L))))
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex(lembOf().filter(col("id") >= 64), nCentroids = 64,
+          iters = 2, extraCols = Seq("lang")), "graft_smoke_ivfl")
+      val model14 = Similarity.loadIvfIndex(spark, "graft_smoke_ivfl")
+      val qs14 = lembOf().filter(col("id") < 64).localCheckpoint(true)
+      val fProbe = time(s"ann_filtered_ivf_${nd}_vecs") {
+        Similarity.ivfFilteredTopK(qs14, model14, k = 10, nProbe = 4, "lang")
+      }
+      val fBrute = time(s"ann_filtered_brute_${nd}_vecs") {
+        Similarity.filteredTopK(qs14, lembOf().filter(col("id") >= 64), 10, "lang")
+      }
+      Seq("rc_forget_ledger" -> tDec, "rc_compact_erase" -> tErase,
+        fProbe, fBrute)
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
       annResults ++ r11Results ++ r11bResults ++ r12Results ++ r13Results ++
-      r13bResults
+      r13bResults ++ r14Results
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()
