@@ -5115,6 +5115,44 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Tokenizer-TRUE sequence packing (p10): learn the BPE merges
+    * (t30), tokenize the corpus with them (t31), pack to fixed-token
+    * sequences by the TRAINED tokenizer's counts (the number a real
+    * pre-training run budgets by — whitespace counts under-fill packs
+    * exactly where BPE compresses most), and report per-(shard, pack)
+    * occupancy. The oracle rides t30's unrolled chain: seg_6 IS the
+    * trained segmentation, so learn, apply, and pack are pinned in one
+    * gate. */
+  val p10 = q("p10_bpe_pack",
+    s"""WITH b2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |b AS (SELECT t FROM b2),
+       |seg_0 AS MATERIALIZED (
+       | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
+       | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
+       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
+       |docw AS (SELECT doc_id, unnest(t) AS word FROM b2),
+       |dtok AS (SELECT d.doc_id,
+       |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+       | FROM docw d JOIN seg_${BpeRounds} s ON s.word = d.word
+       | GROUP BY d.doc_id),
+       |packed AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens,
+       |  CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+       |   - n_tokens) // 4096 AS BIGINT) AS pack_id
+       | FROM dtok)
+       |SELECT shard, pack_id, COUNT(*) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
+    TextAnalysis.packByCount(
+        TextAnalysis.bpeApply(docs, "doc_id", "text", rules),
+        "doc_id", "n_bpe_tokens", capacity = 4096, shards = 4)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5127,5 +5165,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -719,12 +719,22 @@ object TextAnalysis {
     * built locally. Output: one row per doc with (shard, pack_id,
     * n_tokens). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    capacity: Int, shards: Int): DataFrame = {
+                    capacity: Int, shards: Int): DataFrame =
+    packByCount(docs.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__n")),
+      idCol, "__n", capacity, shards)
+
+  /** [[packSequences]] against a PRECOMPUTED per-doc token count — the
+    * packing a real pre-training run does, where counts come from the
+    * trained tokenizer (t31's BPE apply), not whitespace. Same greedy
+    * deterministic fill, same sharded-prefix-sum distribution. */
+  def packByCount(counts: DataFrame, idCol: String, countCol: String,
+                  capacity: Int, shards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
-    docs.select(col(idCol).as("doc_id"),
+    counts.select(col(idCol).as("doc_id"),
         pmod(col(idCol), lit(shards.toLong)).as("shard"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+        col(countCol).cast("long").as("n_tokens"))
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           lit(capacity.toDouble)).cast("long"))
