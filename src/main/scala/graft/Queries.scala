@@ -5115,6 +5115,37 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** LSH estimator calibration (d20): the confusion curve behind the
+    * numHashes/bands choice — per signature-agreement level, how many
+    * banded candidates exist and how many clear the exact 0.5/0.7
+    * Jaccard gates (cross-multiplied integers), plus exact
+    * intersection/union mass. The oracle re-derives the portable
+    * signatures, the band join, and the exploded-shingle exact counts. */
+  val d20 = q("d20_lsh_calibration",
+    s"""$minhashCandOracleCtes,
+      |sh_e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS BIGINT) AS s
+      | FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM d),
+      |px AS (SELECT
+      |  CAST(len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS agree,
+      |  COALESCE(sh.s, 0) AS shared,
+      |  za.n + zb.n - COALESCE(sh.s, 0) AS uni
+      | FROM cand c
+      | JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b
+      | JOIN sz za ON za.doc_id = c.doc_a JOIN sz zb ON zb.doc_id = c.doc_b
+      | LEFT JOIN shared sh ON sh.doc_a = c.doc_a AND sh.doc_b = c.doc_b)
+      |SELECT agree, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      | CAST(COUNT(CASE WHEN 2*shared >= uni THEN 1 END) AS BIGINT) AS n_exact_ge_050,
+      | CAST(COUNT(CASE WHEN 10*shared >= 7*uni THEN 1 END) AS BIGINT) AS n_exact_ge_070,
+      | CAST(SUM(shared) AS BIGINT) AS sum_shared,
+      | CAST(SUM(uni) AS BIGINT) AS sum_union
+      |FROM px GROUP BY agree""".stripMargin) { (s, dir) =>
+    Dedup.estimatorCalibration(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   /** Tokenizer-TRUE sequence packing (p10): learn the BPE merges
     * (t30), tokenize the corpus with them (t31), pack to fixed-token
     * sequences by the TRAINED tokenizer's counts (the number a real
@@ -5161,7 +5192,7 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,

@@ -640,6 +640,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH estimator CALIBRATION report — the diagnostic behind choosing
+    * numHashes/bands: for every banded candidate pair, the signature
+    * AGREEMENT count (the integer behind the est-Jaccard the stream
+    * suppressor and d03 rank by) is bucketed against ground truth
+    * (exact shingle-set intersection), yielding one row per agreement
+    * level with pair counts, how many clear the 0.5 / 0.7 exact
+    * thresholds (cross-multiplied — no float gate), and the exact
+    * intersection/union mass. Read it as the estimator's confusion
+    * curve: mass above the diagonal at low agreement = wasted verify
+    * work (band too loose); true pairs at low agreement = recall paid
+    * to the estimator's variance. All-integer output; candidates come
+    * from the SAME portable band join as d03 — never O(n²). */
+  def estimatorCalibration(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 32, bands: Int = 16,
+                           shingleN: Int = 3): DataFrame = {
+    // one text scan: portable signatures AND distinct shingle sets
+    val keys = docs.select(col(idCol).as("doc_id"),
+        graft.plans.TextHash.minhashSigPortable(
+          TextOps.tokens(col(textCol)), shingleN, numHashes).as("sig"),
+        array_distinct(TextOps.shingles(
+          TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      .localCheckpoint(false)
+    val cand = bandedPairs(keys.select("doc_id", "sig"), numHashes, bands)
+      .select("doc_a", "doc_b")
+    val scored = cand
+      .join(keys.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("sh").as("sh_a")), "doc_a")
+      .join(keys.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("long").as("agree"),
+        graft.plans.SetExprs.intersectCount(col("sh_a"), col("sh_b")).as("shared"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("szsum"))
+      .withColumn("uni", col("szsum") - col("shared"))
+    scored.groupBy("agree").agg(
+      count(lit(1)).as("n_pairs"),
+      count(when(col("shared") * 2L >= col("uni"), 1)).as("n_exact_ge_050"),
+      count(when(col("shared") * 10L >= col("uni") * 7L, 1)).as("n_exact_ge_070"),
+      sum(col("shared")).as("sum_shared"),
+      sum(col("uni")).as("sum_union"))
+  }
+
   /** Two-phase fuzzy dedup with an EDIT-DISTANCE verifier: candidate
     * pairs come from the portable MinHash band join (never O(n²)),
     * then each candidate is verified with exact Levenshtein over the
