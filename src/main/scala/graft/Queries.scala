@@ -5146,6 +5146,64 @@ object Queries {
     Dedup.estimatorCalibration(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  /** IVF nProbe→recall TUNING CURVE (s21): recall@5 of the persisted
+    * index at every probe width 1..4 against brute force, in one
+    * query — the artifact an operator reads to pick nProbe (each +1
+    * probe buys recall and costs a full extra posting list per query;
+    * the curve says where it stops paying). Integer hit counts; the
+    * recall division is one correctly-rounded op of engine-identical
+    * integers. */
+  val s21 = q("s21_nprobe_curve", {
+    val annBlocks = (1 to 4).map { p =>
+      s"""ann_$p AS (SELECT query_id, neighbor_id FROM (
+         | SELECT pr.query_id, af.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(qe.v, af.v), 6) AS cos
+         | FROM pr JOIN af ON af.cid = pr.cid AND pr.r <= $p
+         | JOIN e qe ON qe.vec_id = pr.query_id)
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cos DESC, neighbor_id) <= 5)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 4).map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         | CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+         | round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM exact x LEFT JOIN ann_$p a
+         | ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""$ivfOracleCtes,
+       |pr AS (SELECT qs.vec_id AS query_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+       | FROM qs, c2 c),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+       | FROM qs q, corp c)
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) <= 5),
+       |$annBlocks
+       |$rows""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    val queries = emb.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb.filter(col("id") >= 10), 5)
+      .select("query_id", "neighbor_id").localCheckpoint(false)
+    (1 to 4).map { p =>
+      val ann = Similarity.ivfTopK(queries, model, k = 5, nProbe = p)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(lit(p.toLong).as("nprobe"), col("n_exact"), col("n_hit"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** Tokenizer-TRUE sequence packing (p10): learn the BPE merges
     * (t30), tokenize the corpus with them (t31), pack to fixed-token
     * sequences by the TRAINED tokenizer's counts (the number a real
@@ -5195,6 +5253,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }
