@@ -81,6 +81,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected one assignments scan:\n$p")
   }
 
+  test("d20 calibration candidates come from the band equi-join, never a cartesian") {
+    val p = plan("d20_lsh_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"calibration must ride the banded candidate join:\n$p")
+  }
+
   test("t15 boilerplate dedup never cross-joins and scans documents once per branch") {
     val p = plan("t15_boilerplate_lines")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

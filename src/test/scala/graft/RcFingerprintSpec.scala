@@ -155,6 +155,55 @@ class RcFingerprintSpec extends AnyFunSuite {
     } finally drop(name)
   }
 
+  test("model check: any interleaving of append/forget/compact preserves the reference live set") {
+    // reference model: docId -> content for alive docs; live fp =
+    // contents with a positive holder count. Ops drawn from a small
+    // content alphabet so refcounts collide across ingests.
+    val alphabet = Vector(a, b, c, novel,
+      "fifth distinct content string for the model alphabet here",
+      "sixth distinct content string rounding out the alphabet pool")
+    for (seed <- Seq(11, 23, 47)) {
+      val name = s"rcspec_model$seed"
+      try {
+        val rnd = new scala.util.Random(seed)
+        var nextId = 0L
+        var docs = Map.empty[Long, String] // alive docs
+        def modelLive(): Set[String] =
+          docs.values.groupBy(identity).keySet.map(fp)
+        def freshBatch(): Seq[(Long, String)] = {
+          val n = 1 + rnd.nextInt(4)
+          (0 until n).map { _ =>
+            nextId += 1
+            nextId -> alphabet(rnd.nextInt(alphabet.size))
+          }
+        }
+        val boot = freshBatch()
+        docs ++= boot
+        Dedup.saveRcFingerprints(spark, name, boot.toDF("doc_id", "text"), "text")
+        for (op <- 0 until 8) {
+          rnd.nextInt(3) match {
+            case 0 => // append a fresh ingest
+              val batch = freshBatch()
+              docs ++= batch
+              Dedup.appendRcFingerprints(spark, name,
+                batch.toDF("doc_id", "text"), "text", s"i$op")
+            case 1 => // forget a random subset (possibly stale ids)
+              val pool = docs.keys.toSeq.sorted ++ Seq(-1L)
+              val ids = rnd.shuffle(pool).take(1 + rnd.nextInt(3))
+              val victims = docs.filter { case (id, _) => ids.contains(id) }
+              Forget.forgetFingerprints(spark, name,
+                victims.toSeq.toDF("doc_id", "text"), "text", s"r$op")
+              docs --= victims.keys
+            case 2 => // compact at a random retention
+              Dedup.compactRcFingerprints(spark, name, rnd.nextInt(2))
+          }
+          assert(live(name) == modelLive(),
+            s"seed=$seed op=$op: live set diverged from the model")
+        }
+      } finally drop(name)
+    }
+  }
+
   test("CLI lifecycle: maintain bootstraps then appends the rc family; compact erases what forget killed") {
     val name = "rcspec_life"
     val tmp = java.nio.file.Files.createTempDirectory("rc_life").toString
