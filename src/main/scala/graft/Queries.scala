@@ -5115,6 +5115,45 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Held-out bigram-LM eval (t36): train the LM on one split, score
+    * the other — unseen events actually occur, so OOV rates and the
+    * smoothed floor are exercised (t16 trains and scores on the same
+    * corpus and can never see an OOV). The cross-corpus quality gate:
+    * score a candidate crawl against a trusted corpus's LM. */
+  val t36 = q("t36_lm_heldout",
+    """WITH tr AS (SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id % 5 <> 0),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |cu AS (SELECT w, COUNT(*) AS cu FROM
+      |  (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM cu),
+      |cb AS (SELECT bigram, COUNT(*) AS cb FROM
+      |  (SELECT unnest(CASE WHEN len(t) >= 2
+      |   THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |   ELSE [array_to_string(t, ' ')] END) AS bigram FROM tr) GROUP BY bigram),
+      |ebg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |  THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |  ELSE [array_to_string(t, ' ')] END) AS bigram FROM ev),
+      |scored AS (SELECT e.doc_id,
+      |  round(ln((COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cu.cu, 0) + vocab.v)), 6) AS lp,
+      |  CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS oovb,
+      |  CASE WHEN cu.cu IS NULL THEN 1 ELSE 0 END AS oovw
+      | FROM ebg e LEFT JOIN cb USING (bigram)
+      | LEFT JOIN cu ON cu.w = string_split(e.bigram, ' ')[1]
+      | CROSS JOIN vocab)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      | CAST(SUM(oovb) AS BIGINT) AS n_oov_bigrams,
+      | CAST(SUM(oovw) AS BIGINT) AS n_oov_firstwords,
+      | CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) AS sum_logprob
+      |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.bigramLmHeldOut(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text")
+  }
+
   /** LSH estimator calibration (d20): the confusion curve behind the
     * numHashes/bands choice — per signature-agreement level, how many
     * banded candidates exist and how many clear the exact 0.5/0.7
@@ -5252,7 +5291,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -927,6 +927,48 @@ object TextAnalysis {
       .withColumn("avg_logprob", col("sum_logprob") / col("n_bigrams"))
   }
 
+  /** HELD-OUT bigram-LM evaluation — [[bigramLmScore]]'s eval twin:
+    * counts train on one split, scores come from ANOTHER, so unseen
+    * events actually occur and the smoothing does real work (training
+    * and scoring on the same corpus — t16's shape — can never produce
+    * an OOV). Per eval doc: bigram count, how many bigrams were never
+    * seen in training, how many had an unseen FIRST word (the backoff
+    * case: the add-one estimate degrades to 1/V), and the exact
+    * decimal sum of 6dp-rounded log-probs (the t16 dump-the-sum
+    * discipline — the mean is derived downstream). The standard use:
+    * score a candidate crawl against a trusted corpus's LM and gate on
+    * the OOV rate + mean log-prob, CCNet's quality signal applied
+    * across corpora rather than within one.
+    *
+    * Scale shape: identical to [[bigramLmScore]] (two Zipf-shaped
+    * count tables, two equi-joins, broadcast vocab scalar) with LEFT
+    * joins so OOV events survive to be counted. */
+  def bigramLmHeldOut(train: DataFrame, eval: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val trToks = train.select(TextOps.tokens(col(textCol)).as("t"))
+    val uni = trToks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val cb = trToks.select(explode(TextOps.shingles(col("t"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    eval.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), 2)).as("bigram"))
+      .join(cb, Seq("bigram"), "left")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("v"))), 6).as("lp"),
+        col("cb").isNull.cast("long").as("oovb"),
+        col("cu").isNull.cast("long").as("oovw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oovb")).as("n_oov_bigrams"),
+        sum(col("oovw")).as("n_oov_firstwords"),
+        Exact.dsum(col("lp")).as("sum_logprob"))
+  }
+
   /** Per-source n-gram DIVERSITY profile — the repetitiveness /
     * mode-collapse diagnostic of a corpus audit (distinct-n-gram
     * ratios are the standard diversity report a data-mix owner reads
