@@ -5115,6 +5115,35 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** SimHash hamming-distance pairs (d21, Manku et al.): 4 x 15-bit
+    * band routing is LOSSLESS for hamming ≤ 3 (pigeonhole — at least
+    * one band agrees exactly), verify is one xor+popcount; each pair
+    * counted once at its first agreeing band. The oracle re-derives
+    * the portable simhash and the same band/first-agree gate. */
+  val d21 = q("d21_simhash_pairs",
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(u.w), 1, 15)) AS BIGINT) AS x
+       | FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)),
+       |s AS (SELECT doc_id, COUNT(*) AS n,
+       | $d04BitSums
+       | FROM t GROUP BY doc_id),
+       |sh2 AS (SELECT doc_id, CAST($d04BitAssemble AS BIGINT) AS h FROM s),
+       |bands AS (SELECT doc_id, h, b.range AS b, (h >> (b.range*15)) & 32767 AS k
+       | FROM sh2, range(4) b),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  xor(a.h, b.h) AS x, a.b AS b
+       | FROM bands a JOIN bands b
+       |  ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
+       |gated AS (SELECT doc_a, doc_b, x FROM cand
+       | WHERE b = (CASE WHEN (x & 32767) = 0 THEN 0
+       |   WHEN ((x >> 15) & 32767) = 0 THEN 1
+       |   WHEN ((x >> 30) & 32767) = 0 THEN 2
+       |   WHEN ((x >> 45) & 32767) = 0 THEN 3 ELSE 4 END))
+       |SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
+       |FROM gated WHERE bit_count(x) <= 3""".stripMargin) { (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   /** Held-out bigram-LM eval (t36): train the LM on one split, score
     * the other — unseen events actually occur, so OOV rates and the
     * smoothed floor are exercised (t16 trains and scores on the same
@@ -5289,7 +5318,7 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21,

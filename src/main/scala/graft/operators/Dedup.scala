@@ -416,6 +416,47 @@ object Dedup {
       graft.plans.TextHash.simhashPortable(
         TextOps.tokens(lower(col(textCol)))).as("simhash"))
 
+  /** SimHash near-duplicate PAIRS (Manku et al. 2007, the web-crawl
+    * dedup design): the 60-bit portable simhash splits into four
+    * 15-bit bands; by pigeonhole, any pair within hamming distance 3
+    * agrees EXACTLY on at least one band, so the band equi-join routes
+    * every true pair (recall 1 for the ≤3 gate — unlike MinHash
+    * banding, this blocking is lossless) and the verify is one
+    * xor+popcount per candidate. Each pair is counted once, at its
+    * FIRST agreeing band (the [[bandedPairs]] discipline — no DISTINCT
+    * shuffle). Output: (doc_a < doc_b, hamming ≤ maxHamming).
+    * `maxHamming` beyond 3 weakens the pigeonhole guarantee with 4
+    * bands — enforced. 100 TB shape: one text scan for the hashes,
+    * one hash shuffle on (band, key), per-key fanout bounded by the
+    * band-collision rate; never O(n²). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4 x 15-bit bands guarantee recall only for hamming <= 3")
+    val sh = simhashesPortable(docs, idCol, textCol).localCheckpoint(false)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("k"))): _*))
+          .as("g"))
+      .select(col("doc_id"), col("simhash"),
+        col("g.b").as("b"), col("g.k").as("k"))
+    val a = banded.select(col("b"), col("k"),
+      col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val bb = banded.select(col("b"), col("k"),
+      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val x = col("ha").bitwiseXOR(col("hb"))
+    val firstAgree = (0 until 4).foldRight(lit(4)) { (i, rest) =>
+      when(shiftright(x, i * 15).bitwiseAND(lit(32767L)) === 0L, lit(i))
+        .otherwise(rest)
+    }
+    a.join(bb.hint("shuffle_hash"), Seq("b", "k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(firstAgree === col("b"))
+      .withColumn("hamming", bit_count(x).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard over candidate pairs produced by a blocking
     * key (here: any equi-join the caller supplies). Set semantics,
     * |A∩B| / |A∪B| in integer arithmetic → deterministic. Native
