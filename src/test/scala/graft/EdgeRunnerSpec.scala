@@ -741,12 +741,26 @@ class EdgeRunnerSpec extends AnyFunSuite {
     val in4 = dayFile(4, Seq(8 -> "G", 9 -> "H"))
     assert(dedup(4, in4) == 2L)
     assert(audit() == Seq(id(4)), "half-landed ingest must be flagged")
+    // the one-stop dashboard (--mode status) attributes the same crash
+    // to the family without hand-composing the audit invocation
+    val manifest = Files.createTempFile("life_status", ".manifest")
+    Files.write(manifest, java.util.Arrays.asList(
+      s"corpus: parquet:$docsDir,parquet:$keysDir"))
+    def statusRows(): Seq[(String, String, String)] =
+      EdgeRunner.runStatus(spark, EdgeRunner.parse(Array(
+        "--mode", "status", "--in", "unused:",
+        "--manifest", manifest.toString)))
+    assert(statusRows().contains(("corpus", id(4), "inconsistent")),
+      "dashboard must attribute the half-landed ingest")
+    assert(statusRows().count(_._3 == "inconsistent") == 1)
     // ...and --repair heals it from the landed docs partition alone
     EdgeRunner.run(spark, EdgeRunner.parse(Array("--mode", "audit",
       "--in", s"parquet:$docsDir", "--table",
       s"parquet:$docsDir,parquet:$keysDir", "--known-keys", keysDir,
       "--repair", "true")))
     assert(audit() == Seq.empty, "audit must be clean after --repair")
+    assert(statusRows().forall(_._3 != "inconsistent"),
+      "dashboard must read clean after --repair")
     assert(keyRows() == 8L)
     // the healed keys are SEMANTICALLY right: day 5's re-post of day-4
     // content is dropped by the repaired key table
