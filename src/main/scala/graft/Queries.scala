@@ -5115,6 +5115,37 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** PQ codebook distortion report (s22): per (subspace, code), vector
+    * count + exact-decimal sum of 6dp-rounded squared quantization
+    * errors — codebook health next to s20's occupancy and s21's recall
+    * curve (a dominant-distortion subspace needs more codes; a
+    * zero-count code is dead capacity). The oracle replays the s10
+    * per-slice clustering and scores d² with the same three dots the
+    * assignment argmin uses. */
+  val s22 = q("s22_pq_distortion", {
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16))
+    val ds = (0 until 4).map { s =>
+      s"""d_$s AS (SELECT CAST($s AS BIGINT) AS subspace, a.code,
+         |  round(list_dot_product(c.v, c.v)
+         |   - 2.0 * list_dot_product(t.v, c.v)
+         |   + list_dot_product(t.v, t.v), 6) AS d2
+         | FROM sub$s t JOIN af_$s a ON a.vec_id = t.vec_id
+         | JOIN c2_$s c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until 4).map(s => s"SELECT * FROM d_$s").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${blocks.mkString(",\n")},
+       |$ds,
+       |ad AS ($union)
+       |SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       | CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS sum_distortion
+       |FROM ad GROUP BY subspace, code""".stripMargin
+  }) { (s, dir) =>
+    val (codes, books) = Similarity.productQuantizeModel(
+      Tables.embeddings(s, dir), m = 4, k = 8, iters = 2, dim = 64)
+    Similarity.pqDistortion(Tables.embeddings(s, dir), codes, books)
+  }
+
   /** SimHash hamming-distance pairs (d21, Manku et al.): 4 x 15-bit
     * band routing is LOSSLESS for hamming ≤ 3 (pigeonhole — at least
     * one band agrees exactly), verify is one xor+popcount; each pair
@@ -5321,6 +5352,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -662,6 +662,49 @@ object Similarity {
     (parts.map(_._1).reduce(_ unionAll _), parts.map(_._2).toArray)
   }
 
+  /** PQ codebook DISTORTION report — the quantization-health metric
+    * next to s20's cell occupancy and s21's recall curve: per
+    * (subspace, code), how many vectors the codeword represents and
+    * the exact-decimal sum of their 6dp-rounded squared quantization
+    * errors. A subspace whose distortion dwarfs the others needs more
+    * codes (or its dims re-sliced); a code with high per-vector
+    * distortion is a stretched Voronoi cell; a zero-count code is
+    * dead capacity. d² = c·c − 2·v·c + v·v (the three dots the
+    * assignment argmin already uses — engine-exact), rounded before
+    * the decimal sum (the t16 dump-the-sum discipline).
+    *
+    * Scale shape: one slice pass per subspace over (vec_id, code),
+    * codewords as broadcast plan literals (m × k × subDim doubles),
+    * one hash aggregation — no joins against the corpus. */
+  def pqDistortion(embeddings: DataFrame, codes: DataFrame,
+                   books: Array[Array[Array[Double]]],
+                   dim: Int = 64): DataFrame = {
+    val m = books.length
+    val subDim = dim / m
+    val base = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val sliced = (0 until m).map { s =>
+      base.select(col("vec_id"), lit(s.toLong).as("subspace"),
+        slice(col("v"), s * subDim + 1, subDim).as("sv"))
+    }.reduce(_ unionAll _)
+    // codeword lookup as a plan literal per subspace (m x k x subDim
+    // doubles — tiny); the when-chain keeps it one projection
+    val cw = (0 until m).foldLeft(lit(null).cast("array<double>")) { (acc, s) =>
+      when(col("subspace") === s.toLong,
+        element_at(typedlit(books(s).map(_.toSeq).toSeq),
+          (col("code") + 1L).cast("int"))).otherwise(acc)
+    }
+    sliced.join(codes, Seq("vec_id", "subspace"))
+      .withColumn("__cw", cw)
+      .select(col("subspace"), col("code"),
+        round(VectorOps.dot(col("__cw"), col("__cw"))
+          - lit(2.0) * VectorOps.dot(col("sv"), col("__cw"))
+          + VectorOps.dot(col("sv"), col("sv")), 6).as("d2"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.Exact.dsum(col("d2")).as("sum_distortion"))
+  }
+
   /** PQ-ADC two-stage retrieval: corpus vectors are scored through
     * their m codes against per-query LOOKUP TABLES (dot of each query
     * slice with each codebook centroid — m × k doubles per query,
