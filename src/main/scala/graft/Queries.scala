@@ -5123,7 +5123,11 @@ object Queries {
     * per-slice clustering and scores d² with the same three dots the
     * assignment argmin uses. */
   val s22 = q("s22_pq_distortion", {
-    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16))
+    // report over the DEPLOYED model (the s11/s12 corpus-slice
+    // codebooks, persisted build-once): the query times the report,
+    // never a retrain — the operational posture a health metric runs in
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16,
+      src = "corp"))
     val ds = (0 until 4).map { s =>
       s"""d_$s AS (SELECT CAST($s AS BIGINT) AS subspace, a.code,
          |  round(list_dot_product(c.v, c.v)
@@ -5134,6 +5138,7 @@ object Queries {
     }.mkString(",\n")
     val union = (0 until 4).map(s => s"SELECT * FROM d_$s").mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corp AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
        |${blocks.mkString(",\n")},
        |$ds,
        |ad AS ($union)
@@ -5141,9 +5146,11 @@ object Queries {
        | CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS sum_distortion
        |FROM ad GROUP BY subspace, code""".stripMargin
   }) { (s, dir) =>
-    val (codes, books) = Similarity.productQuantizeModel(
-      Tables.embeddings(s, dir), m = 4, k = 8, iters = 2, dim = 64)
-    Similarity.pqDistortion(Tables.embeddings(s, dir), codes, books)
+    val corp = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+    val (codes, books) = Similarity.ensurePqModel(s, pqModelName(dir),
+      corp, m = 4, k = 8, iters = 2, dim = 64,
+      fingerprint = Some(embFp(dir)))
+    Similarity.pqDistortion(corp, codes, books)
   }
 
   /** SimHash hamming-distance pairs (d21, Manku et al.): 4 x 15-bit
