@@ -5046,10 +5046,13 @@ object Queries {
   val s20 = q("s20_ivf_cell_stats",
     s"""$ivfOracleCtes,
       |counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
-      | FROM af GROUP BY cid)
+      | FROM af GROUP BY cid),
+      |grid AS (SELECT CAST(b.range AS BIGINT) AS cid FROM range(16) b),
+      |fullc AS (SELECT g.cid, COALESCE(c.n_vecs, 0) AS n_vecs
+      | FROM grid g LEFT JOIN counts c USING (cid))
       |SELECT cid, n_vecs,
       | CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cid) AS BIGINT) AS size_rank
-      |FROM counts""".stripMargin) { (s, dir) =>
+      |FROM fullc""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
@@ -5141,10 +5144,15 @@ object Queries {
        |corp AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
        |${blocks.mkString(",\n")},
        |$ds,
-       |ad AS ($union)
-       |SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       | CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS sum_distortion
-       |FROM ad GROUP BY subspace, code""".stripMargin
+       |ad AS ($union),
+       |aggd AS (SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS sum_distortion
+       | FROM ad GROUP BY subspace, code),
+       |grid AS (SELECT CAST(s.range AS BIGINT) AS subspace,
+       |  CAST(c.range AS BIGINT) AS code FROM range(4) s, range(8) c)
+       |SELECT g.subspace, g.code, COALESCE(a.n_vecs, 0) AS n_vecs,
+       | COALESCE(a.sum_distortion, 0.0) AS sum_distortion
+       |FROM grid g LEFT JOIN aggd a USING (subspace, code)""".stripMargin
   }) { (s, dir) =>
     val corp = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
     val (codes, books) = Similarity.ensurePqModel(s, pqModelName(dir),

@@ -253,9 +253,15 @@ object Dedup {
     * clock demands it. */
   def saveRcFingerprints(spark: org.apache.spark.sql.SparkSession, name: String,
                          docs: DataFrame, textCol: String,
-                         buckets: Int = 8): Unit =
+                         buckets: Int = 8,
+                         ingestId: String = "base"): Unit =
+    // ingestId is overridable so a CLI bootstrap can land under the
+    // SAME replay key its retry would append with: a crash right
+    // after a "base"-keyed bootstrap would make the retry's append
+    // (different key) double-count every fingerprint in the batch —
+    // rc inflation, the unsafe direction for strict erasure
     writeRcFingerprints(spark, name, docs, textCol, buckets,
-      ingestId = "base", overwrite = true)
+      ingestId = ingestId, overwrite = true)
 
   /** Per-ingest maintenance for [[saveRcFingerprints]]: land the
     * batch's per-fingerprint doc counts in their own ingest partition

@@ -397,11 +397,19 @@ object Similarity {
     * reported integers, never a stored float. Cost: one grouped scan
     * of the bucketed assignments — exchange-free on the cid layout. */
   def ivfCellStats(model: IVFModel): DataFrame = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    // EVERY cell appears, including empty ones (n_vecs = 0): an empty
+    // cell is a reportable signal (dead routing capacity), and a
+    // group-by alone would silently omit it
+    val cells = (0 until model.centroids.length).toDF("cid")
     val counts = model.assignments.groupBy("cid")
       .agg(count(lit(1)).cast("long").as("n_vecs"))
-    counts.withColumn("size_rank", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_vecs").desc, col("cid"))).cast("long"))
+    cells.join(counts, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .withColumn("size_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_vecs").desc, col("cid"))).cast("long"))
   }
 
   /** SemDeDup-style semantic dedup over an IVF clustering: within each
@@ -694,7 +702,7 @@ object Similarity {
         element_at(typedlit(books(s).map(_.toSeq).toSeq),
           (col("code") + 1L).cast("int"))).otherwise(acc)
     }
-    sliced.join(codes, Seq("vec_id", "subspace"))
+    val agg = sliced.join(codes, Seq("vec_id", "subspace"))
       .withColumn("__cw", cw)
       .select(col("subspace"), col("code"),
         round(VectorOps.dot(col("__cw"), col("__cw"))
@@ -703,6 +711,18 @@ object Similarity {
       .groupBy("subspace", "code")
       .agg(count(lit(1)).as("n_vecs"),
         graft.functions.Exact.dsum(col("d2")).as("sum_distortion"))
+    // EVERY (subspace, code) appears, including dead codes (n_vecs =
+    // 0, distortion 0): dead capacity is a reportable signal, and the
+    // group-by alone would silently omit it
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val grid = (for {
+      s <- 0 until m; c <- 0 until books(s).length
+    } yield (s.toLong, c.toLong)).toDF("subspace", "code")
+    grid.join(agg, Seq("subspace", "code"), "left")
+      .select(col("subspace"), col("code"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("sum_distortion"), lit(0.0)).as("sum_distortion"))
   }
 
   /** PQ-ADC two-stage retrieval: corpus vectors are scored through
@@ -928,7 +948,18 @@ object Similarity {
                      k: Int = 10, nProbe: Int = 2, shortlist: Int = 32,
                      sampleN: Int = 64, minRecall: Double = 0.9,
                      residual: Boolean = false): RecallReport = {
-    val model = loadIvfIndex(spark, ivfName)
+    // DOUBLE-gated views: an IVF+ADC ingest lands members in TWO
+    // families whose markers commit sequentially, so a monitor gating
+    // each read by its own family alone would half-see an ingest in
+    // the window (or after a crash) between the two commits — sampled
+    // queries/baseline including vectors whose postings are invisible
+    // (or the reverse), a guaranteed spurious recall collapse and a
+    // false RETRAIN. Gating BOTH reads by BOTH families makes an
+    // ingest visible to the monitor only once fully committed; each
+    // gate is a no-op for a family without a _commits table.
+    val model0 = loadIvfIndex(spark, ivfName)
+    val model = model0.copy(assignments = graft.sources.FamilyCommit
+      .visible(spark, model0.assignments, pqName))
     val corpus = model.assignments.select(col("id"), col("vec"))
     val queries = corpus
       .orderBy(xxhash64(col("id")), col("id"))
@@ -936,12 +967,10 @@ object Similarity {
       .localCheckpoint(false)
     val exact = bruteForceTopK(queries, corpus, k)
     // residual = the pqName postings hold RESIDUAL codes — probe
-    // through the decomposition they were encoded under. The posting
-    // read is COMMIT-VISIBLE (the pqName family): a half-landed ADC
-    // append must not be SAMPLED by the monitor — its missing postings
-    // read as a recall dip and would false-trigger a retrain
+    // through the decomposition they were encoded under
     val postings = graft.sources.FamilyCommit.visible(spark,
-      spark.table(s"${pqName}_adc"), pqName)
+      graft.sources.FamilyCommit.visible(spark,
+        spark.table(s"${pqName}_adc"), pqName), ivfName)
     val ann =
       if (residual) ivfAdcResidualTopK(queries, model,
         postings, loadPqBooks(spark, pqName),
@@ -966,18 +995,29 @@ object Similarity {
                       nCentroids: Int, iters: Int = 3, buckets: Int = 8,
                       portableInit: Boolean = false,
                       corpus: Option[DataFrame] = None): IVFModel = {
+    // posting-metadata columns (a FILTERED index's extraCols — label,
+    // tenant, lang) are derived from the existing schema and carried
+    // through the rebuild: a retrain that read back only (id, vec)
+    // would overwrite the assignments WITHOUT the filter column,
+    // breaking every ivfFilteredTopK and labeled append until a
+    // from-source rebuild. Callers passing `corpus` must supply the
+    // same columns (enforced by the select below).
+    val metaCols = loadIvfIndex(spark, name, gated = false).assignments
+      .columns.toSeq.filterNot(Set("id", "vec", "cid", "ingest_id"))
     // materialized BEFORE the overwrite when reading the index back:
     // saveIvfIndex replaces the very files this frame scans
-    val vecs = corpus.getOrElse(
-      // UNGATED read-back: the retrain rebuilds the store in place, and
-      // a gated read would silently DROP any uncommitted ingest's
-      // vectors from the rebuilt index — writers converge from the true
-      // on-disk state (the fold re-bases everything to `base`, which is
-      // visible by construction, effectively committing stragglers)
-      loadIvfIndex(spark, name, gated = false).assignments
-        .select(col("id"), col("vec"))
-        .localCheckpoint(true))
-    saveIvfIndex(spark, ivfIndex(vecs, nCentroids, iters, portableInit),
+    val vecs = corpus.map(_.select(("id" +: "vec" +: metaCols).map(col): _*))
+      .getOrElse(
+        // UNGATED read-back: the retrain rebuilds the store in place, and
+        // a gated read would silently DROP any uncommitted ingest's
+        // vectors from the rebuilt index — writers converge from the true
+        // on-disk state (the fold re-bases everything to `base`, which is
+        // visible by construction, effectively committing stragglers)
+        loadIvfIndex(spark, name, gated = false).assignments
+          .select(("id" +: "vec" +: metaCols).map(col): _*)
+          .localCheckpoint(true))
+    saveIvfIndex(spark,
+      ivfIndex(vecs, nCentroids, iters, portableInit, extraCols = metaCols),
       name, buckets)
     loadIvfIndex(spark, name)
   }

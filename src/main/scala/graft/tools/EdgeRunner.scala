@@ -390,16 +390,17 @@ object EdgeRunner {
     // sight, per-ingest ledger append after — same batch, same replay
     // key, so the rc family and the key dir stay in lockstep
     if (cfg.fingerprints.nonEmpty) {
-      val rcIngest =
-        if (!spark.catalog.tableExists(s"${cfg.fingerprints}_normrc")) {
-          graft.operators.Dedup.saveRcFingerprints(spark, cfg.fingerprints,
-            batch, "text")
-          "base"
-        } else {
-          graft.operators.Dedup.appendRcFingerprints(spark, cfg.fingerprints,
-            batch, "text", ingestIdOf(cfg))
-          ingestIdOf(cfg)
-        }
+      // the bootstrap lands under the SAME replay key the retry's
+      // append would use: a "base"-keyed bootstrap that crashed after
+      // the write would change the replay key on retry (table now
+      // exists → append branch) and double-count the batch
+      val rcIngest = ingestIdOf(cfg)
+      if (!spark.catalog.tableExists(s"${cfg.fingerprints}_normrc"))
+        graft.operators.Dedup.saveRcFingerprints(spark, cfg.fingerprints,
+          batch, "text", ingestId = rcIngest)
+      else
+        graft.operators.Dedup.appendRcFingerprints(spark, cfg.fingerprints,
+          batch, "text", rcIngest)
       if (graft.sources.FamilyCommit.enabled(spark, cfg.fingerprints))
         graft.sources.FamilyCommit.commit(spark, cfg.fingerprints, rcIngest)
     }
@@ -699,6 +700,15 @@ object EdgeRunner {
       require(cfg.in.startsWith("parquet:"),
         "--fingerprints needs --in parquet:<landing> — the decrement " +
           "reads the victims' texts before the landing delete")
+      // finish any PRIOR crashed forget swap before reading victims:
+      // a landing partition still staged as __forgetting is invisible
+      // to this read, so its victims' decrements would be silently
+      // missing — and the later retry (docs deleted by then) computes
+      // zero rows and can never add them back
+      val landing = new org.apache.hadoop.fs.Path(
+        cfg.in.stripPrefix("parquet:"))
+      val lfs = landing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Forget.recoverSwaps(lfs, lfs.makeQualified(landing))
       val reqId = java.security.MessageDigest.getInstance("MD5")
         .digest(cfg.ids.sorted.mkString(",").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
@@ -809,6 +819,28 @@ object EdgeRunner {
     *     clusters' partitions are relabeled in place). An
     *     ingest-partitioned input is scoped to X (the runMaintain
     *     shared-landing discipline). Returns the printed summary. */
+  /** The pinned cluster-fold threshold, when the table records one.
+    * Compaction's rename-based swap recreates the table, so a missing
+    * property on a pre-existing store is legal (legacy) — but when
+    * present it is ENFORCED: a fold at a different cutoff than the
+    * store was built with silently breaks rebuild-equivalence. */
+  private def clusterThresholdOf(spark: SparkSession,
+                                 tbl: String): Option[Double] =
+    try spark.sql(s"SHOW TBLPROPERTIES $tbl ('graft.sim_threshold')")
+      .collect().headOption.map(_.getString(1)).filterNot(_.contains("does not"))
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+    catch { case _: Exception => None }
+
+  private def requireClusterThreshold(spark: SparkSession, tbl: String,
+                                      given: Double): Unit =
+    clusterThresholdOf(spark, tbl).foreach { pinned =>
+      require(pinned == given,
+        s"$tbl was built with --sim-threshold $pinned but this fold was " +
+          s"given $given — edges would be derived at a different cutoff " +
+          "and the store would silently stop being rebuild-equivalent; " +
+          "pass the pinned value (or rebuild the family to change it)")
+    }
+
   def runCluster(spark: SparkSession, cfg: Config): String = {
     require(cfg.table.nonEmpty,
       "cluster mode requires --table <near-dup family prefix>")
@@ -822,8 +854,15 @@ object EdgeRunner {
             threshold = cfg.simThreshold)
           .select("doc_a", "doc_b"))
       graft.operators.Dedup.saveClusterAssignments(spark, cfg.table, assigns)
+      // PIN the fold threshold on the table: every later fold (daily
+      // append, audit --repair) must re-derive edges at the SAME
+      // cutoff or the store silently stops being rebuild-equivalent —
+      // the property is the drift detector
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        s"('graft.sim_threshold' = '${cfg.simThreshold}')")
       s"cluster bootstrap: ${spark.table(tbl).count()} assignment rows in $tbl"
     } else {
+      requireClusterThreshold(spark, tbl, cfg.simThreshold)
       // shared landing: scope to this ingest's partition (pruned scan)
       val batch =
         if (raw.columns.contains("ingest_id"))
@@ -1048,23 +1087,34 @@ object EdgeRunner {
               "doc_id", "text", ingestId = id)
           }
         })
+      // while this ingest sat crashed/uncommitted, every cluster fold
+      // in the window recorded NO edges against its docs (the
+      // marker-gated key read, Dedup.appendClusterAssignments doc) —
+      // re-fold the healed ingest to re-add exactly those edges. The
+      // fold runs BEFORE the marker commit: the batch's text is in
+      // hand and the corpus keys of every OTHER committed ingest are
+      // visible, so the fold needs nothing from this ingest's own
+      // (still-uncommitted) keys — and commit-last means a crash
+      // between fold and commit leaves the ingest flagged, so the next
+      // repair re-runs both (convergent); commit-first would mark it
+      // healthy with the withheld edges lost forever.
+      ndFams.filter(n => spark.catalog.tableExists(s"${n}_clusters"))
+        .foreach { n =>
+          // the PINNED deployment threshold, not the CLI default: a
+          // repair invoked without --sim-threshold must not re-derive
+          // the healed ingest's edges at a different cutoff than every
+          // normal fold used (rebuild-equivalence would silently break)
+          val thr = clusterThresholdOf(spark, s"${n}_clusters")
+            .getOrElse(cfg.simThreshold)
+          graft.operators.Dedup.appendClusterAssignments(
+            spark, n, batch, "doc_id", "text",
+            threshold = thr, ingestId = id)
+        }
       // a healed ingest IS fully landed — for families enforcing
-      // commit visibility, the repair is the "last member write"
+      // commit visibility, the repair's marker is the LAST write
       (exactFams ++ ndFams ++ lexFams)
         .filter(graft.sources.FamilyCommit.enabled(spark, _))
         .foreach(graft.sources.FamilyCommit.commit(spark, _, id))
-      // the cluster fold's corpus-side key read is marker-gated
-      // (Dedup.appendClusterAssignments doc): while this ingest sat
-      // crashed/uncommitted, every fold run in the window recorded NO
-      // edges against its docs — so re-fold the healed ingest AFTER its
-      // re-commit; its delta pairs re-derive against everything visible
-      // NOW (including batches folded during the outage), which
-      // re-adds exactly the edges the gate withheld. Convergent and
-      // replay-idempotent, so a spuriously-flagged ingest is harmless.
-      ndFams.filter(n => spark.catalog.tableExists(s"${n}_clusters"))
-        .foreach(n => graft.operators.Dedup.appendClusterAssignments(
-          spark, n, batch, "doc_id", "text",
-          threshold = cfg.simThreshold, ingestId = id))
     }
     (repairable, manual)
   }

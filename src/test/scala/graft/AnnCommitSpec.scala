@@ -96,6 +96,29 @@ class AnnCommitSpec extends AnyFunSuite {
         k = 3, nProbe = 1, shortlist = 64, sampleN = 200, minRecall = 0.9)
       assert(committed.recall == 1.0 && !committed.retrain)
 
+      // crash BETWEEN the two marker commits: the ingest is committed
+      // in the IVF family only. The monitor's views are DOUBLE-gated —
+      // an ingest counts only once committed in BOTH families — so the
+      // half-committed state is invisible in full, never half-seen
+      // (single-family gating would sample its vectors while their
+      // postings stay invisible: a guaranteed spurious collapse and a
+      // false RETRAIN that persists until repair)
+      val day1b = (300 until 310).map(i =>
+        (i.toLong, (if (i % 2 == 0) 8.0 else -8.0) +: gauss(rnd, dim - 1, 0.1)))
+      Similarity.appendToIvfIndex(spark, ivfN, day1b.toDF("id", "vec"),
+        ingestId = "day1b")
+      Similarity.appendToAdcPostings(spark, ivfN, pqN,
+        day1b.toDF("id", "vec"), m = m, ingestId = "day1b", dim = dim)
+      FamilyCommit.commit(spark, ivfN, "day1b") // ...crash before the pq marker
+      val half = Similarity.adcRecallCheck(spark, ivfN, pqN, dim = dim,
+        k = 3, nProbe = 1, shortlist = 64, sampleN = 200, minRecall = 0.9)
+      assert(half.recall == 1.0 && !half.retrain,
+        s"half-committed ingest false-triggered the monitor: ${half.recall}")
+      FamilyCommit.commit(spark, pqN, "day1b") // the retry completes it
+      val both = Similarity.adcRecallCheck(spark, ivfN, pqN, dim = dim,
+        k = 3, nProbe = 1, shortlist = 64, sampleN = 200, minRecall = 0.9)
+      assert(both.recall == 1.0 && !both.retrain)
+
       // the gated read stays PARTITION-PRUNED: the visibility filter is
       // a literal IN on the partition column, pushed to PartitionFilters
       val plan = Similarity.loadIvfIndex(spark, ivfN).assignments

@@ -302,6 +302,21 @@ class ClusterLifecycleSpec extends AnyFunSuite {
       // (possibly edgeless, partition-less) fold from a crashed one
       assert(graft.sources.FamilyCommit.committedIds(spark, name)
         .exists(_.contains("day7")))
+      // the bootstrap PINNED the threshold on the table: a later fold
+      // at a different cutoff would silently break rebuild-equivalence,
+      // so the dispatcher refuses it loudly
+      val e = intercept[IllegalArgumentException] {
+        graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+          "--mode", "cluster", "--in", s"parquet:$dir/landing",
+          "--table", name, "--sim-threshold", "0.7", "--ingest-id", "day8")))
+      }
+      assert(e.getMessage.contains("sim-threshold 0.5"), e.getMessage)
+      // the pinned value keeps working (replay of day7: no-op fold)
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "cluster", "--in", s"parquet:$dir/landing",
+        "--table", name, "--sim-threshold", "0.5", "--ingest-id", "day7")))
+      assert(assignments(name) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+        10L -> 1L, 11L -> 1L, 30L -> 30L, 31L -> 30L))
     } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh",
       s"${name}_clusters", s"${name}_commits"))
       spark.sql(s"DROP TABLE IF EXISTS $t")

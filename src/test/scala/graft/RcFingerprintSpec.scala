@@ -213,11 +213,21 @@ class RcFingerprintSpec extends AnyFunSuite {
       val day0 = s"$tmp/day0"
       Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
         .write.parquet(day0)
-      graft.tools.EdgeRunner.runMaintain(spark, graft.tools.EdgeRunner.parse(
-        Array("--mode", "maintain", "--in", s"parquet:$day0",
-          "--known-keys", keysDir, "--ingest-id", "day0",
-          "--fingerprints", name)))
+      def maintainDay0(): Unit = graft.tools.EdgeRunner.runMaintain(spark,
+        graft.tools.EdgeRunner.parse(
+          Array("--mode", "maintain", "--in", s"parquet:$day0",
+            "--known-keys", keysDir, "--ingest-id", "day0",
+            "--fingerprints", name)))
+      maintainDay0()
       assert(live(name).size == 2)
+      // a crashed-and-retried BOOTSTRAP must not double-count: the
+      // retry takes the append branch, but the bootstrap landed under
+      // the same replay key, so dynamic overwrite replaces it
+      maintainDay0()
+      assert(spark.table(s"${name}_normrc").groupBy("__norm_key")
+        .agg(sum("rc").as("rc")).as[(String, Long)].collect().toMap
+        .values.toSeq.sorted == Seq(1L, 2L),
+        "bootstrap retry must not inflate refcounts")
       // day 1: per-ingest ledger append
       val day1 = s"$tmp/day1"
       Seq((4L, c)).toDF("doc_id", "text").write.parquet(day1)
@@ -238,6 +248,53 @@ class RcFingerprintSpec extends AnyFunSuite {
     } finally {
       drop(name)
       val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("CLI: a prior crashed landing swap is recovered BEFORE the decrement reads victims") {
+    import org.apache.hadoop.fs.Path
+    val name = "rcspec_swap"
+    val tmp = java.nio.file.Files.createTempDirectory("rc_swap").toString
+    val docsDir = s"$tmp/landing"
+    try {
+      val corpus = Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "fr"))
+        .toDF("doc_id", "text", "lang")
+      corpus.withColumn("ingest_id", lit("base"))
+        .write.mode("overwrite").partitionBy("lang", "ingest_id")
+        .parquet(docsDir)
+      Dedup.saveRcFingerprints(spark, name, corpus, "text")
+      // fabricate a PRIOR forget's crash between its renames: the
+      // partition's complete copy sits staged as __forgetting, the
+      // live dir is gone — a victim read taken before recovery would
+      // see no texts and the decrement would be lost forever (the
+      // retry finds the docs already deleted: zero rows, no heal)
+      val base = new Path(docsDir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qBase = fs.makeQualified(base)
+      val part = fs.globStatus(new Path(qBase, "*/ingest_id=base"))
+        .map(_.getPath).find(_.toString.contains("lang=en")).get
+      val side = new Path(
+        new Path(qBase.getParent, "_" + qBase.getName + "__forget"),
+        part.toString.stripPrefix(qBase.toString).stripPrefix("/")
+          + "__forgetting")
+      fs.mkdirs(side.getParent)
+      assert(fs.rename(part, side))
+      // the staged partition is invisible; only the fr doc reads
+      assert(spark.read.parquet(docsDir).select("doc_id")
+        .as[Long].collect().toSet == Set(3L))
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "forget", "--ids", "2", "--in", s"parquet:$docsDir",
+        "--partition-by", "lang,ingest_id", "--fingerprints", name)))
+      // the recovery preamble restored the partition FIRST, so the
+      // victim's text was read and b's last holder decremented
+      assert(live(name) == Set(fp(a), fp(c)),
+        "decrement must see victims hidden by a crashed prior swap")
+      assert(spark.read.parquet(docsDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 3L))
+    } finally {
+      drop(name)
+      val p = new Path(tmp)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }

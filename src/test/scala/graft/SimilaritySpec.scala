@@ -137,8 +137,41 @@ class SimilaritySpec extends AnyFunSuite {
         .ivfFilteredTopK(q, model2, k = 4, nProbe = 2, filterCol = "lang")
         .select("neighbor_id").as[Long].collect().toSet
       assert(got2 == Set(10L, 12L, 13L, 20L))
+      // a RETRAIN must carry the posting metadata through the rebuild:
+      // dropping it would break every later filtered probe and append
+      val model3 = graft.operators.Similarity.retrainIvfIndex(spark, name,
+        nCentroids = 2, iters = 2)
+      assert(model3.assignments.columns.contains("lang"),
+        "retrain must preserve the filter column")
+      val got3 = graft.operators.Similarity
+        .ivfFilteredTopK(q, model3, k = 4, nProbe = 2, filterCol = "lang")
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(got3 == Set(10L, 12L, 13L, 20L))
     } finally for (t <- Seq(s"${name}_centroids", s"${name}_assignments"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("ivfCellStats and pqDistortion report dead capacity as zero rows") {
+    import org.apache.spark.sql.functions.col
+    // a hand-built model with an EMPTY cell 2: the report must emit it
+    val assigns = Seq((10L, Seq(1.0, 0.0), 0), (11L, Seq(0.9, 0.1), 0),
+      (12L, Seq(0.0, 1.0), 1)).toDF("id", "vec", "cid")
+    val model = graft.operators.Similarity.IVFModel(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0)), assigns)
+    val cells = graft.operators.Similarity.ivfCellStats(model)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cells(2) == ((0L, 3L)), s"empty cell must appear with n_vecs=0: $cells")
+    assert(cells(0) == ((2L, 1L)) && cells(1) == ((1L, 2L)))
+    // PQ twin: code 1 of subspace 0 is never assigned — zero row
+    val emb = Seq((10L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val codes = Seq((10L, 0L, 0L)).toDF("vec_id", "subspace", "code")
+    val books = Array(Array(Array(1.0, 0.0), Array(-1.0, 0.0)))
+    val rep = graft.operators.Similarity.pqDistortion(
+        emb.select(col("vec_id"), col("embedding")), codes, books, dim = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(rep((0L, 1L)) == ((0L, 0.0)), s"dead code must appear: $rep")
+    assert(rep((0L, 0L))._1 == 1L)
   }
 
   test("lshTopK achieves high recall vs brute force on clustered data") {
