@@ -256,7 +256,20 @@ object Similarity {
       // drift. The init family AND the posting-metadata columns are
       // part of the NAME contract: callers must use distinct names for
       // portable vs native indices and for filtered (extraCols) vs
-      // bare posting schemas.
+      // bare posting schemas — a loaded index missing a requested
+      // posting-metadata column fails FAST here (not later as a probe
+      // require or a labeled-append write error): silently returning
+      // the stale schema is the name-contract violation the check
+      // exists to catch, and rebuilding in place would discard any
+      // labeled appends landed since the build.
+      existing.foreach { m =>
+        val missing = extraCols.filterNot(m.assignments.columns.contains)
+        require(missing.isEmpty,
+          s"persisted IVF index '$name' lacks posting-metadata column(s) " +
+            s"${missing.mkString(", ")} — extraCols are part of the name " +
+            "contract; use a distinct name for the filtered index (or drop " +
+            s"${name}_centroids/${name}_assignments to rebuild)")
+      }
       existing.filter(_.centroids.length == nCentroids).getOrElse {
         saveIvfIndex(spark,
           ivfIndex(corpus, nCentroids, iters, portableInit, extraCols),

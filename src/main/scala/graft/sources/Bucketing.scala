@@ -210,12 +210,24 @@ object Bucketing {
       .withColumn("ingest_id", when(keptCond, col("ingest_id")).otherwise(lit("base"))))
     val side = s"${table}__compacting"
     val old = s"${table}__old"
+    // pinned graft.* TBLPROPERTIES (e.g. the cluster family's
+    // graft.sim_threshold drift detector) must survive the swap: the
+    // side table is a fresh CREATE, so without this copy any pin
+    // silently disarms at the first compaction — exactly the drift
+    // window the pin exists to close. Captured BEFORE the side write
+    // (the property read must not race the renames below).
+    val pinned = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._1.startsWith("graft."))
     spark.sql(s"DROP TABLE IF EXISTS $side")
     remapped.write.mode(SaveMode.Overwrite)
       .partitionBy("ingest_id")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(side)
+    pinned.foreach { case (k, v) =>
+      spark.sql(s"ALTER TABLE $side SET TBLPROPERTIES ('$k' = '$v')")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     // re-point the renamed-aside table's PARTITION locations at its

@@ -110,7 +110,8 @@ object EdgeRunner {
     source: String = "",              // forget mode: bulk purge a whole source
     lex: String = "",                 // forget mode: lexical-index family prefix
     fingerprints: String = "",        // forget mode: refcounted fp family prefix
-    manifest: String = "")            // status mode: deployment manifest file
+    manifest: String = "",            // status mode: deployment manifest file
+    rcBootstrap: Boolean = false)     // maintain: count the FULL landing into a new rc family
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -174,7 +175,8 @@ object EdgeRunner {
       source = kv.getOrElse("--source", ""),
       lex = kv.getOrElse("--lex", ""),
       fingerprints = kv.getOrElse("--fingerprints", ""),
-      manifest = kv.getOrElse("--manifest", ""))
+      manifest = kv.getOrElse("--manifest", ""),
+      rcBootstrap = kv.get("--rc-bootstrap").exists(_.toBoolean))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -386,21 +388,53 @@ object EdgeRunner {
       keys.withColumn("ingest_id", lit(ingestIdOf(cfg))),
       cfg.knownKeys, Seq("ingest_id"))
     // strict-erasure deployments also maintain the refcounted
-    // fingerprint family (--fingerprints <rcName>): bootstrap on first
-    // sight, per-ingest ledger append after — same batch, same replay
-    // key, so the rc family and the key dir stay in lockstep
+    // fingerprint family (--fingerprints <rcName>): EXPLICIT bootstrap
+    // (--rc-bootstrap true counts the FULL landing — every holder,
+    // every prior ingest), per-ingest ledger append after — same
+    // replay key as the key dir, so the two families stay in lockstep
     if (cfg.fingerprints.nonEmpty) {
       // the bootstrap lands under the SAME replay key the retry's
       // append would use: a "base"-keyed bootstrap that crashed after
       // the write would change the replay key on retry (table now
       // exists → append branch) and double-count the batch
       val rcIngest = ingestIdOf(cfg)
-      if (!spark.catalog.tableExists(s"${cfg.fingerprints}_normrc"))
+      val rcTable = s"${cfg.fingerprints}_normrc"
+      if (cfg.rcBootstrap) {
+        // the bootstrap must count the WHOLE landing, not this run's
+        // batch: enabling --fingerprints on a deployment with an
+        // existing corpus from a current-batch-only ledger would leave
+        // prior holders uncounted, so forgetting one old holder drives
+        // the key's sum ≤ 0 and erases/readmits content that still has
+        // landed copies. Retry-safe: a crashed bootstrap re-run with
+        // the flag overwrites its own partition (same replay key) —
+        // but an established family (any OTHER ingest partition
+        // present) must refuse, or the full-landing recount would
+        // double every already-appended holder.
+        if (spark.catalog.tableExists(rcTable)) {
+          import spark.implicits._
+          val others = spark.table(rcTable).select("ingest_id").distinct()
+            .as[String].collect().filterNot(_ == rcIngest)
+          require(others.isEmpty,
+            s"--rc-bootstrap on established rc family $rcTable (ingests: " +
+              s"${others.sorted.mkString(", ")}) would double-count every " +
+              "already-appended holder — bootstrap exactly once, before " +
+              "the first per-ingest append")
+        }
         graft.operators.Dedup.saveRcFingerprints(spark, cfg.fingerprints,
-          batch, "text", ingestId = rcIngest)
-      else
+          raw.filter(col("text").isNotNull), "text", ingestId = rcIngest)
+      } else {
+        // the implicit-append path FAILS when the family is missing:
+        // silently bootstrapping from the current batch only is the
+        // under-count trap described above
+        require(spark.catalog.tableExists(rcTable),
+          s"rc family $rcTable does not exist — run this maintain once " +
+            "with --rc-bootstrap true to count the full landing's " +
+            "existing holders first (a current-batch-only bootstrap " +
+            "would leave prior holders uncounted and let a single " +
+            "forget erase content that still has landed copies)")
         graft.operators.Dedup.appendRcFingerprints(spark, cfg.fingerprints,
           batch, "text", rcIngest)
+      }
       if (graft.sources.FamilyCommit.enabled(spark, cfg.fingerprints))
         graft.sources.FamilyCommit.commit(spark, cfg.fingerprints, rcIngest)
     }
@@ -692,10 +726,16 @@ object EdgeRunner {
     import graft.operators.Forget
     var n = 0L
     // refcounted-fingerprint decrement FIRST: it needs the victims'
-    // TEXTS, which the landing forget below deletes. Request id is
-    // deterministic from the sorted id set, so a retried request
-    // overwrites its own ledger partition (replay-idempotent) and a
-    // retry after the landing delete is a no-op (zero matched rows).
+    // TEXTS, which the landing forget below deletes. Request id is a
+    // deterministic hash of (--ingest-id, sorted id set) — the hash is
+    // a SAME-REQUEST retry key only (a retried request overwrites its
+    // own ledger partition, replay-idempotent; a retry after the
+    // landing delete is a no-op, zero matched rows). A genuinely NEW
+    // request over the same doc ids (ids reused across re-posts, e.g.
+    // URL-hash ids) MUST carry a distinct --ingest-id, or its negative
+    // ledger rows would land in the first request's partition and
+    // dynamic overwrite would REPLACE them — rc under-decremented, the
+    // unsafe direction for strict erasure.
     if (cfg.fingerprints.nonEmpty) {
       require(cfg.in.startsWith("parquet:"),
         "--fingerprints needs --in parquet:<landing> — the decrement " +
@@ -710,7 +750,8 @@ object EdgeRunner {
       val lfs = landing.getFileSystem(spark.sparkContext.hadoopConfiguration)
       Forget.recoverSwaps(lfs, lfs.makeQualified(landing))
       val reqId = java.security.MessageDigest.getInstance("MD5")
-        .digest(cfg.ids.sorted.mkString(",").getBytes("UTF-8"))
+        .digest((cfg.ingestId + "|" + cfg.ids.sorted.mkString(","))
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
       val victims = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
         .filter(col("doc_id").isin(cfg.ids: _*))
@@ -1162,6 +1203,17 @@ object EdgeRunner {
     val lines = try src.getLines().map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toList
     finally src.close()
+    // each manifest entry is evaluated under Try: the status tool
+    // exists precisely to REPORT broken deployments, so a dropped
+    // index table / empty recall sample / unreadable family must
+    // surface as an `error: …` row (counted as need-attention) rather
+    // than abort the dashboard and lose every other family's rows.
+    // Malformed manifest LINES still throw — a bad manifest is the
+    // operator's input error, not a deployment state to report.
+    def guarded(label: String)(body: => Seq[(String, String, String)]) =
+      scala.util.Try(body).recover { case e: Exception =>
+        Seq((label, "-", s"error: ${e.getMessage.linesIterator.next()}"))
+      }.get
     val rows: Seq[(String, String, String)] = lines.flatMap {
       case l if l.startsWith("recall:") =>
         val kv = l.stripPrefix("recall:").trim.split("\\s+")
@@ -1173,18 +1225,20 @@ object EdgeRunner {
           }.toMap
         val idx = kv.getOrElse("index",
           sys.error(s"recall line needs index=<ivfPrefix>: '$l'"))
-        val rep = runRecallCheck(spark, cfg.copy(mode = "recall-check",
-          index = idx, pq = kv.getOrElse("pq", ""),
-          k = kv.get("k").map(_.toInt).getOrElse(cfg.k),
-          nProbe = kv.get("nprobe").map(_.toInt).getOrElse(cfg.nProbe),
-          sample = kv.get("sample").map(_.toInt).getOrElse(cfg.sample),
-          minRecall = kv.get("min-recall").map(_.toDouble).getOrElse(cfg.minRecall),
-          dim = kv.get("dim").map(_.toInt).getOrElse(cfg.dim),
-          shortlist = kv.get("shortlist").map(_.toInt).getOrElse(cfg.shortlist),
-          residual = kv.get("residual").exists(_.toBoolean)))
-        Seq((s"recall:$idx", "-",
-          f"${if (rep.retrain) "RETRAIN" else "OK"}%s (recall@${rep.k}%d " +
-            f"${rep.recall}%.3f vs floor ${rep.minRecall}%.2f)"))
+        guarded(s"recall:$idx") {
+          val rep = runRecallCheck(spark, cfg.copy(mode = "recall-check",
+            index = idx, pq = kv.getOrElse("pq", ""),
+            k = kv.get("k").map(_.toInt).getOrElse(cfg.k),
+            nProbe = kv.get("nprobe").map(_.toInt).getOrElse(cfg.nProbe),
+            sample = kv.get("sample").map(_.toInt).getOrElse(cfg.sample),
+            minRecall = kv.get("min-recall").map(_.toDouble).getOrElse(cfg.minRecall),
+            dim = kv.get("dim").map(_.toInt).getOrElse(cfg.dim),
+            shortlist = kv.get("shortlist").map(_.toInt).getOrElse(cfg.shortlist),
+            residual = kv.get("residual").exists(_.toBoolean)))
+          Seq((s"recall:$idx", "-",
+            f"${if (rep.retrain) "RETRAIN" else "OK"}%s (recall@${rep.k}%d " +
+              f"${rep.recall}%.3f vs floor ${rep.minRecall}%.2f)"))
+        }
       case l =>
         // split limit 2: member lists may hold `parquet:/dir` colons
         val (fam, members) = l.split(":", 2) match {
@@ -1193,19 +1247,21 @@ object EdgeRunner {
           case _ => sys.error(s"malformed manifest line '$l' — expected " +
             "'<family>: member1[,member2...]' or 'recall: index=...'")
         }
-        if (graft.sources.FamilyCommit.enabled(spark, fam))
-          graft.sources.FamilyCommit.status(spark, members, fam,
-              cfg.graceSec * 1000L)
-            .select(col("ingest_id").cast("string"), col("status"))
-            .as[(String, String)].collect().toSeq.sorted
-            .map { case (id, st) => (fam, id, st) }
-        else
-          graft.sources.Bucketing.auditIngests(spark, members)
-            .select(col("ingest_id").cast("string"), col("consistent"))
-            .as[(String, Boolean)].collect().toSeq.sortBy(_._1)
-            .map { case (id, ok) =>
-              (fam, id, if (ok) "consistent (legacy-open)" else "inconsistent")
-            }
+        guarded(fam) {
+          if (graft.sources.FamilyCommit.enabled(spark, fam))
+            graft.sources.FamilyCommit.status(spark, members, fam,
+                cfg.graceSec * 1000L)
+              .select(col("ingest_id").cast("string"), col("status"))
+              .as[(String, String)].collect().toSeq.sorted
+              .map { case (id, st) => (fam, id, st) }
+          else
+            graft.sources.Bucketing.auditIngests(spark, members)
+              .select(col("ingest_id").cast("string"), col("consistent"))
+              .as[(String, Boolean)].collect().toSeq.sortBy(_._1)
+              .map { case (id, ok) =>
+                (fam, id, if (ok) "consistent (legacy-open)" else "inconsistent")
+              }
+        }
     }
     val w1 = (rows.map(_._1.length) :+ "family".length).max
     val w2 = (rows.map(_._2.length) :+ "ingest".length).max
@@ -1215,7 +1271,7 @@ object EdgeRunner {
     }
     val bad = rows.filter { case (_, _, s) =>
       s == "crashed" || s == "broken" || s == "inconsistent" ||
-        s.startsWith("RETRAIN")
+        s.startsWith("RETRAIN") || s.startsWith("error:")
     }
     println(s"[edge] status: ${rows.size} rows across ${lines.size} manifest " +
       s"entries, ${bad.size} need attention" +

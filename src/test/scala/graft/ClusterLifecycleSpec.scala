@@ -317,6 +317,19 @@ class ClusterLifecycleSpec extends AnyFunSuite {
         "--table", name, "--sim-threshold", "0.5", "--ingest-id", "day7")))
       assert(assignments(name) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
         10L -> 1L, 11L -> 1L, 30L -> 30L, 31L -> 30L))
+      // the pin SURVIVES compaction: the rename-based swap recreates
+      // the table, and an uncopied TBLPROPERTY would silently disarm
+      // the drift detector right when the store is oldest
+      graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+        "--mode", "compact", "--in", "unused:",
+        "--table", s"${name}_clusters:doc_id", "--keep-last", "0")))
+      val e2 = intercept[IllegalArgumentException] {
+        graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
+          "--mode", "cluster", "--in", s"parquet:$dir/landing",
+          "--table", name, "--sim-threshold", "0.7", "--ingest-id", "day9")))
+      }
+      assert(e2.getMessage.contains("sim-threshold 0.5"),
+        s"pin must survive the compaction swap: ${e2.getMessage}")
     } finally for (t <- Seq(s"${name}_ndband", s"${name}_ndsh",
       s"${name}_clusters", s"${name}_commits"))
       spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -237,6 +237,19 @@ class IvfExtensionsSpec extends AnyFunSuite {
       nCentroids = 4, iters = 2)
     assert(built.centroids.map(_.toSeq).toSeq == reused.centroids.map(_.toSeq).toSeq)
     assert(reused.assignments.count() == 40)
+    // extraCols are part of the NAME contract: reusing the bare
+    // index's name for a filtered (posting-metadata) schema must fail
+    // FAST here, not later as a probe require or an append write error
+    // — and must NOT silently return the stale metadata-less schema
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ensureIvfIndex(spark, "ivf_e",
+        sys.error("must fail before evaluating the corpus"),
+        nCentroids = 4, iters = 2, extraCols = Seq("lang"))
+    }
+    assert(e.getMessage.contains("lang") &&
+      e.getMessage.contains("name contract"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS ivf_e_centroids")
+    spark.sql("DROP TABLE IF EXISTS ivf_e_assignments")
   }
 
   test("extension-registered SQL functions evaluate") {

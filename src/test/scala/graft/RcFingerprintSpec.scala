@@ -217,12 +217,23 @@ class RcFingerprintSpec extends AnyFunSuite {
         graft.tools.EdgeRunner.parse(
           Array("--mode", "maintain", "--in", s"parquet:$day0",
             "--known-keys", keysDir, "--ingest-id", "day0",
-            "--fingerprints", name)))
+            "--fingerprints", name, "--rc-bootstrap", "true")))
+      // the bootstrap is EXPLICIT: the implicit append path on a
+      // missing family must fail loudly (a current-batch-only
+      // bootstrap would leave prior holders uncounted)
+      val noBoot = intercept[IllegalArgumentException] {
+        graft.tools.EdgeRunner.runMaintain(spark,
+          graft.tools.EdgeRunner.parse(
+            Array("--mode", "maintain", "--in", s"parquet:$day0",
+              "--known-keys", keysDir, "--ingest-id", "day0",
+              "--fingerprints", name)))
+      }
+      assert(noBoot.getMessage.contains("--rc-bootstrap"))
       maintainDay0()
       assert(live(name).size == 2)
       // a crashed-and-retried BOOTSTRAP must not double-count: the
-      // retry takes the append branch, but the bootstrap landed under
-      // the same replay key, so dynamic overwrite replaces it
+      // retry lands under the same replay key, so dynamic overwrite
+      // replaces its own partition
       maintainDay0()
       assert(spark.table(s"${name}_normrc").groupBy("__norm_key")
         .agg(sum("rc").as("rc")).as[(String, Long)].collect().toMap
@@ -236,6 +247,16 @@ class RcFingerprintSpec extends AnyFunSuite {
           "--known-keys", keysDir, "--ingest-id", "day1",
           "--fingerprints", name)))
       assert(live(name).size == 3)
+      // --rc-bootstrap on an ESTABLISHED family must refuse: a
+      // full-landing recount would double every appended holder
+      val reBoot = intercept[IllegalArgumentException] {
+        graft.tools.EdgeRunner.runMaintain(spark,
+          graft.tools.EdgeRunner.parse(
+            Array("--mode", "maintain", "--in", s"parquet:$day1",
+              "--known-keys", keysDir, "--ingest-id", "day2",
+              "--fingerprints", name, "--rc-bootstrap", "true")))
+      }
+      assert(reBoot.getMessage.contains("established"))
       // forget b's last holder, then compact: the dead key leaves disk
       Forget.forgetFingerprints(spark, name,
         Seq((3L, b)).toDF("doc_id", "text"), "text", "reqL")
@@ -332,6 +353,86 @@ class RcFingerprintSpec extends AnyFunSuite {
       val p = new org.apache.hadoop.fs.Path(docsDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
+    }
+  }
+
+  test("CLI: --rc-bootstrap counts the FULL landing, so forgetting one old holder keeps still-held content live") {
+    val name = "rcspec_boot"
+    val tmp = java.nio.file.Files.createTempDirectory("rc_boot").toString
+    val docsDir = s"$tmp/landing"
+    val keysDir = s"$tmp/keys"
+    try {
+      // a SHARED landing with two PRIOR ingests already on disk —
+      // the family is enabled late, after the corpus exists. Content
+      // `a` is held by docs in BOTH prior ingests.
+      graft.sources.Connectors.overwritePartitions(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+          .withColumn("ingest_id", lit("old0")), docsDir, Seq("ingest_id"))
+      graft.sources.Connectors.overwritePartitions(
+        Seq((3L, a)).toDF("doc_id", "text")
+          .withColumn("ingest_id", lit("old1")), docsDir, Seq("ingest_id"))
+      graft.tools.EdgeRunner.runMaintain(spark, graft.tools.EdgeRunner.parse(
+        Array("--mode", "maintain", "--in", s"parquet:$docsDir",
+          "--known-keys", keysDir, "--ingest-id", "old1",
+          "--fingerprints", name, "--rc-bootstrap", "true")))
+      // every prior holder counted: rc(a) = 2, not the scoped batch's 1
+      assert(spark.table(s"${name}_normrc").groupBy("__norm_key")
+        .agg(sum("rc").as("rc")).as[(String, Long)].collect().toMap
+        .apply(fp(a)) == 2L)
+      // forgetting the old1 holder leaves `a` live (old0's copy holds it)
+      Forget.forgetFingerprints(spark, name,
+        Seq((3L, a)).toDF("doc_id", "text"), "text", "reqB")
+      assert(live(name) == Set(fp(a), fp(b)),
+        "still-held content must survive forgetting one old holder")
+    } finally {
+      drop(name)
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("CLI: two distinct forget requests over the SAME id set land distinct ledger partitions") {
+    val name = "rcspec_reqid"
+    val tmp = java.nio.file.Files.createTempDirectory("rc_reqid").toString
+    val docsDir = s"$tmp/corpus_docs"
+    try {
+      // doc 2 shares content `a` with doc 1; ids are reused across
+      // re-posts (URL-hash ids) so a later request can carry the SAME
+      // id set as an earlier one
+      graft.sources.Connectors.overwritePartitions(
+        Seq((1L, a, "en"), (2L, a, "en")).toDF("doc_id", "text", "lang")
+          .withColumn("ingest_id", lit("base")),
+        docsDir, Seq("lang", "ingest_id"))
+      Dedup.saveRcFingerprints(spark, name,
+        Seq((1L, a), (2L, a)).toDF("doc_id", "text"), "text")
+      def forget(req: String): Unit = graft.tools.EdgeRunner.run(spark,
+        graft.tools.EdgeRunner.parse(Array(
+          "--mode", "forget", "--ids", "2", "--in", s"parquet:$docsDir",
+          "--partition-by", "lang,ingest_id",
+          "--fingerprints", name, "--ingest-id", req)))
+      forget("req-2026-01") // rc(a): 2 → 1
+      // doc 2 RE-POSTED with the same id and content, landed + appended
+      graft.sources.Connectors.overwritePartitions(
+        Seq((2L, a, "en")).toDF("doc_id", "text", "lang")
+          .withColumn("ingest_id", lit("repost")),
+        docsDir, Seq("lang", "ingest_id"))
+      Dedup.appendRcFingerprints(spark, name,
+        Seq((2L, a)).toDF("doc_id", "text"), "text", "repost") // 1 → 2
+      forget("req-2026-02") // 2 → 1 — MUST NOT overwrite req-2026-01's rows
+      assert(spark.table(s"${name}_normrc").groupBy("__norm_key")
+        .agg(sum("rc").as("rc")).as[(String, Long)].collect().toMap
+        .apply(fp(a)) == 1L,
+        "a distinct request over the same id set must add its own " +
+          "negative ledger rows, not replace the first request's")
+      // and the same request RETRIED replays into its own partition
+      forget("req-2026-02")
+      assert(spark.table(s"${name}_normrc").groupBy("__norm_key")
+        .agg(sum("rc").as("rc")).as[(String, Long)].collect().toMap
+        .apply(fp(a)) == 1L, "a retry must stay a no-op")
+    } finally {
+      drop(name)
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 }

@@ -98,6 +98,38 @@ class StatusSpec extends AnyFunSuite {
     }
   }
 
+  test("a broken deployment yields an error row, not a dead dashboard") {
+    val ex = "stat_err_ok"
+    val manifest = java.nio.file.Files.createTempFile("status_err", ".manifest")
+    try {
+      // one healthy family...
+      Dedup.saveIncrementalKeys(spark, ex,
+        Seq((1L, w1)).toDF("doc_id", "text"), "text")
+      FamilyCommit.commit(spark, ex, "base")
+      // ...listed ALONGSIDE a recall line whose index table was
+      // dropped and a family whose member tables never existed — the
+      // status tool exists to report exactly these, so it must emit
+      // error rows and keep going, not die on the first one
+      java.nio.file.Files.write(manifest, java.util.Arrays.asList(
+        "recall: index=stat_err_gone k=2",
+        s"stat_err_fam: stat_err_fam_norm,stat_err_fam_bands",
+        s"$ex: ${ex}_norm,${ex}_bands"))
+      val rows = graft.tools.EdgeRunner.runStatus(spark,
+        graft.tools.EdgeRunner.parse(Array(
+          "--mode", "status", "--in", "unused:",
+          "--manifest", manifest.toString)))
+      val byFam = rows.groupBy(_._1)
+      assert(byFam("recall:stat_err_gone").head._3.startsWith("error:"))
+      assert(byFam("stat_err_fam").head._3.startsWith("error:"))
+      // the healthy family's rows survived the earlier failures
+      assert(byFam(ex).map(r => (r._2, r._3)).contains(("base", "committed")))
+    } finally {
+      java.nio.file.Files.deleteIfExists(manifest)
+      for (t <- Seq(s"${ex}_norm", s"${ex}_bands", s"${ex}_commits"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("malformed manifest lines fail loudly") {
     val manifest = java.nio.file.Files.createTempFile("status_bad", ".manifest")
     try {
