@@ -3707,9 +3707,16 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    // the fused read is COMPOSED across the IVF and lexical families:
+    // each leg gates on the intersection of both committed sets
+    // (FamilyCommit.visibleAcross — no-op for these legacy-open
+    // fixtures), so an ingest committed in one family but not yet the
+    // other enters NEITHER leg and RRF ranks never mix a half-landed
+    // ingest (spec-locked in CrossFamilySpec)
+    val lexName = ensureLexicalIndex(s, dir)
     val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
       emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
-      fingerprint = Some(embFp(dir)))
+      fingerprint = Some(embFp(dir)), coFamilies = Seq(lexName))
     val vleg = Similarity.ivfTopK(emb.filter(col("id") < 10), model,
         k = 20, nProbe = 4)
       .select("query_id", "neighbor_id", "rn")
@@ -3724,8 +3731,8 @@ object Queries {
     // pruned term lists + summed stats rows) — corpus text is never
     // re-scanned per retrieval call; table-vs-inline equivalence is
     // spec-locked, so the oracle's from-scratch derivation still holds
-    val lleg = TextAnalysis.bm25FromTables(s, ensureLexicalIndex(s, dir),
-        qterms, topN = 20)
+    val lleg = TextAnalysis.bm25FromTables(s, lexName,
+        qterms, topN = 20, coFamilies = Seq(ivfIndexName(dir)))
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rn"))
     Relational.rrfFuse(Seq(vleg, lleg), k = 10)
   }
@@ -4296,7 +4303,16 @@ object Queries {
     val newB = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val gated = newB.filter(
       graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L)
-    val exact = gated.join(s.table(s"${keys}_norm"),
+    // the exact leg rides the SAME commit gate as the near-dup legs
+    // inside jaccardPairsBetweenFromTables: all three key tables share
+    // the `keys` family prefix, so its one marker is the UMBRELLA that
+    // makes an ingest visible to the exact-key AND near-dup-key reads
+    // atomically — a crash between the member appends leaves the
+    // composed admission consistent (the batch is judged against the
+    // previous corpus in BOTH legs). No-op for this legacy-open
+    // fixture; the production path keeps the discipline.
+    val exact = gated.join(
+      graft.sources.FamilyCommit.visible(s, s.table(s"${keys}_norm"), keys),
       TextOps.fingerprint(col("text")) === col("__norm_key"), "left_anti")
     val nearDropped = Dedup.jaccardPairsBetweenFromTables(
         s, exact, keys, "doc_id", "text", threshold = 0.5)

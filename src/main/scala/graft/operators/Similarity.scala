@@ -243,7 +243,8 @@ object Similarity {
                      corpus: => DataFrame, nCentroids: Int, iters: Int = 3,
                      buckets: Int = 8, portableInit: Boolean = false,
                      fingerprint: Option[String] = None,
-                     extraCols: Seq[String] = Nil): IVFModel =
+                     extraCols: Seq[String] = Nil,
+                     coFamilies: Seq[String] = Nil): IVFModel =
     synchronized {
       import graft.sources.DerivedTables
       val tables = Seq(s"${name}_centroids", s"${name}_assignments")
@@ -251,7 +252,9 @@ object Similarity {
       // from the data currently on disk" — an in-place regeneration of
       // the corpus invalidates the persisted index
       val present = DerivedTables.presentOrExists(spark, tables, fingerprint)
-      val existing = if (present) Some(loadIvfIndex(spark, name)) else None
+      val existing =
+        if (present) Some(loadIvfIndex(spark, name, coFamilies = coFamilies))
+        else None
       // single load on the hot path; rebuild only on absence/param
       // drift. The init family AND the posting-metadata columns are
       // part of the NAME contract: callers must use distinct names for
@@ -275,7 +278,7 @@ object Similarity {
           ivfIndex(corpus, nCentroids, iters, portableInit, extraCols),
           name, buckets)
         DerivedTables.stampAll(spark, tables, fingerprint)
-        loadIvfIndex(spark, name)
+        loadIvfIndex(spark, name, coFamilies = coFamilies)
       }
     }
 
@@ -325,15 +328,21 @@ object Similarity {
     * the rebuilt index — maintenance must converge from the true
     * on-disk state (the RelabelLog principle); only consumers gate. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
-                   gated: Boolean = true): IVFModel = {
+                   gated: Boolean = true,
+                   coFamilies: Seq[String] = Nil): IVFModel = {
     val rows = spark.table(s"${name}_centroids").collect()
     val n = rows.map(_.getInt(0)).max + 1
     val dim = rows.map(_.getInt(1)).max + 1
     val cents = Array.ofDim[Double](n, dim)
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     val assigns = spark.table(s"${name}_assignments")
+    // `coFamilies` extends the probe gate ACROSS families for composed
+    // reads ([[graft.sources.FamilyCommit.visibleAcross]]): a hybrid
+    // caller passes the lexical leg's family so an ingest committed
+    // here but not yet there stays out of BOTH legs.
     IVFModel(cents,
-      if (gated) graft.sources.FamilyCommit.visible(spark, assigns, name)
+      if (gated) graft.sources.FamilyCommit.visibleAcross(spark, assigns,
+        name +: coFamilies)
       else assigns)
   }
 

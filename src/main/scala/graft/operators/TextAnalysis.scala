@@ -444,14 +444,20 @@ object TextAnalysis {
     * scoring core. */
   def bm25FromTables(spark: org.apache.spark.sql.SparkSession, name: String,
                      qterms: DataFrame, topN: Int,
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75,
+                     coFamilies: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     // commit-visibility (no-op for families without a _commits table):
     // the writer lands postings THEN stats — an uncommitted ingest must
     // be invisible to BOTH reads or scores would mix a posting set with
-    // a mismatched corpus-scalar set
-    val Array(nDocs, sumDl) = graft.sources.FamilyCommit.visible(spark,
-        spark.table(s"${name}_lexstats"), name)
+    // a mismatched corpus-scalar set. `coFamilies` extends the gate
+    // ACROSS families for composed reads ([[graft.sources.FamilyCommit
+    // .visibleAcross]]): a hybrid-retrieval caller passes the vector
+    // leg's family so an ingest committed here but not yet there stays
+    // out of BOTH legs — fused ranks never mix a half-landed ingest.
+    val fams = name +: coFamilies
+    val Array(nDocs, sumDl) = graft.sources.FamilyCommit.visibleAcross(spark,
+        spark.table(s"${name}_lexstats"), fams)
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("sum_dl")), lit(0L)))
       .collect().head.toSeq.map(_.toString.toLong).toArray
@@ -465,8 +471,8 @@ object TextAnalysis {
     // and keeping the relation un-materialized preserves the bucketed
     // output partitioning so the per-term df aggregation plans with NO
     // exchange
-    val posting = graft.sources.FamilyCommit.visible(spark,
-        spark.table(s"${name}_post"), name)
+    val posting = graft.sources.FamilyCommit.visibleAcross(spark,
+        spark.table(s"${name}_post"), fams)
       .filter(col("term").isin(terms: _*))
       .select("doc_id", "term", "tf", "dl")
     bm25FromPostings(posting, qt, nDocs, sumDl, topN, k1, b)

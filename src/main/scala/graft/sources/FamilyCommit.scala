@@ -132,6 +132,41 @@ object FamilyCommit {
         member.filter(col("ingest_id").isin((ids + "base").toSeq: _*))
     }
 
+  /** CROSS-family visibility for COMPOSED reads. One logical ingest
+    * spans several families committed sequentially (the stream sink
+    * lands lexical then IVF; a maintain run appends family by family),
+    * and a composed reader spans families too: hybrid retrieval fuses
+    * the lexical and vector legs, incremental admission joins the
+    * exact-key and near-dup-key stores. A reader in the window between
+    * two family commits would see the ingest in one leg and not the
+    * other — a doc BM25-retrievable but absent from the vector leg
+    * skews that window's fused ranks. Gating every leg on the
+    * INTERSECTION of the involved families' committed sets makes the
+    * ingest visible ATOMICALLY: in no leg until its LAST family marker
+    * lands, in every leg after.
+    *
+    * Implemented as a fold of [[visible]] (set-intersection by
+    * composition — the filter stack stays literal-IN partition-pruned
+    * per family); a legacy-open family contributes no filter, exactly
+    * its single-family contract. PRECONDITION: the composed families
+    * share one logical ingest-id space (the same batch lands in each
+    * under the same id — the `stream<batchId>` / date-id discipline);
+    * families with unrelated id spaces have no cross-family ingest to
+    * gate and must be read per-family. */
+  def visibleAcross(spark: SparkSession, member: DataFrame,
+                    prefixes: Seq[String]): DataFrame =
+    prefixes.distinct.foldLeft(member)((df, p) => visible(spark, df, p))
+
+  /** The ids a composed read over `prefixes` may trust — the
+    * intersection of every enforcing family's committed set, or None
+    * when all are legacy-open (everything visible). `base` is always
+    * additionally visible, as in [[visible]]. */
+  def committedAcross(spark: SparkSession,
+                      prefixes: Seq[String]): Option[Set[String]] = {
+    val sets = prefixes.distinct.flatMap(committedIds(spark, _))
+    sets.reduceOption(_ intersect _)
+  }
+
   /** Classify every ingest id across the family's `members` (catalog
     * tables or `parquet:/dir`): per id, the member row-count pivot of
     * [[Bucketing.auditIngests]] plus

@@ -548,7 +548,21 @@ object EdgeRunner {
     * commit marker lands (only for families ALREADY enforcing markers
     * — this body never flips a legacy-open family to enforced), so a
     * crash mid-batch leaves the half-landed ingest invisible to
-    * bm25FromTables / ivfTopK until the replay completes it. */
+    * bm25FromTables / ivfTopK until the replay completes it.
+    *
+    * CROSS-family atomicity: the two family markers land SEQUENTIALLY
+    * (lexical, then IVF), so a crash BETWEEN the commits leaves the
+    * batch committed in one family only. Per-family readers are
+    * correct in that window by each family's own contract; a COMPOSED
+    * reader (hybrid retrieval fusing both legs) must gate each leg on
+    * the intersection of both families' committed sets —
+    * `bm25FromTables(..., coFamilies = Seq(ivfName))` and
+    * `loadIvfIndex(..., coFamilies = Seq(lexPrefix))`
+    * ([[graft.sources.FamilyCommit.visibleAcross]]) — so the batch
+    * enters BOTH legs atomically when its LAST marker lands and fused
+    * ranks never mix a half-committed batch. The window is healed by
+    * the replay (same batch, same ingest id, idempotent overwrites,
+    * markers re-land in order); spec-locked in CrossFamilySpec. */
   def landAndMaintain(batch: DataFrame, batchId: Long, outDir: String,
                       keysDir: String,
                       lexPrefix: Option[String] = None,
