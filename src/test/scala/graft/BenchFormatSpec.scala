@@ -10,14 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * from the round artifact — the rounds 4-6 failure mode this spec
   * prevents from regressing. Numbers must be Locale.ROOT-formatted: a
   * comma decimal separator under e.g. de_DE would corrupt the line.
+  *
+  * NOISE-EVIDENCE contract (round 15): calibration carries pre/MID/post
+  * samples, `reran` names queries the 3x-outlier rule re-ran, and the
+  * BENCH_LAST.json variant additionally records the sorted per-rep
+  * `spread` per query — the artifact alone distinguishes "box was busy"
+  * (spread max spikes, median stable, calibration asymmetric) from
+  * "plan regressed" (whole spread vector moves).
   */
 class BenchFormatSpec extends AnyFunSuite {
   private val line = Bench.renderJson(
     results = Seq("q01" -> 1.23456789, "q02" -> 0.5),
     failed = Seq("q99"),
     reps = 3, sfDir = "/data/sf0.1",
-    calPre = 0.31, calPost = 0.42, wallEndMs = 1755120000000L,
-    skipped = Seq("q68", "q05"))
+    calPre = 0.31, calMid = 0.33, calPost = 0.42, wallEndMs = 1755120000000L,
+    skipped = Seq("q68", "q05"),
+    reran = Seq("q02"))
 
   test("emits one parseable JSON object") {
     // no JSON lib on the classpath; structural checks pin the grammar
@@ -30,7 +38,7 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("truncation-surviving fields come after the queries dict") {
-    val order = Seq("\"queries\"", "\"failed\"", "\"skipped\"",
+    val order = Seq("\"queries\"", "\"failed\"", "\"skipped\"", "\"reran\"",
       "\"calibration\"", "\"total_sec\"", "\"wall_end_ms\"").map(line.indexOf)
     assert(order.forall(_ >= 0), line)
     assert(order == order.sorted,
@@ -47,15 +55,53 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"failed\":[\"q99\"]"))
     // skipped list is sorted so the artifact is diffable run-to-run
     assert(line.contains("\"skipped\":[\"q05\",\"q68\"]"))
+    assert(line.contains("\"reran\":[\"q02\"]"))
     assert(line.contains("\"reps\":3"))
     assert(line.contains("\"sf\":\"/data/sf0.1\""))
     assert(line.contains("\"wall_end_ms\":1755120000000"))
   }
 
+  test("calibration carries the pre/mid/post triple") {
+    assert(line.contains(
+      """"calibration":{"pre":0.3100,"mid":0.3300,"post":0.4200}"""), line)
+  }
+
+  test("the stdout line omits spread; the file variant carries sorted per-rep vectors after queries") {
+    assert(!line.contains("\"spread\""), "stdout line must stay tail-compact")
+    val full = Bench.renderJson(
+      results = Seq("q01" -> 0.6),
+      failed = Nil, reps = 3, sfDir = "/x",
+      calPre = 0.1, calMid = 0.1, calPost = 0.1, wallEndMs = 1L,
+      spread = Seq("q01" -> Seq(0.5, 0.6, 4.2)))
+    assert(full.contains(""""spread":{"q01":[0.5000,0.6000,4.2000]}"""), full)
+    // spread sits between queries and failed — tail fields stay last
+    assert(full.indexOf("\"queries\"") < full.indexOf("\"spread\"") &&
+      full.indexOf("\"spread\"") < full.indexOf("\"failed\""), full)
+    assert(full.count(_ == '{') == full.count(_ == '}'))
+  }
+
+  test("priorMedians reads a trailing line's queries dict; absent, malformed, or other-SF disables the rule") {
+    val tmp = java.nio.file.Files.createTempFile("bench_last", ".json")
+    try {
+      java.nio.file.Files.write(tmp,
+        line.getBytes("UTF-8"))
+      val prior = Bench.priorMedians(tmp.toString, "/data/sf0.1")
+      assert(prior.get("q01").exists(v => math.abs(v - 1.2346) < 1e-9))
+      assert(prior.get("q02").contains(0.5))
+      // a trailing line from a DIFFERENT SF must not feed the 3x rule:
+      // every sf0.1 query is >3x its sf0.001 twin by construction
+      assert(Bench.priorMedians(tmp.toString, "/data/sf0.001").isEmpty)
+      java.nio.file.Files.write(tmp, "not json at all".getBytes("UTF-8"))
+      assert(Bench.priorMedians(tmp.toString, "/data/sf0.1").isEmpty)
+      assert(Bench.priorMedians("/nonexistent/bench.json", "/data/sf0.1").isEmpty)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("empty surface still renders a valid line") {
-    val empty = Bench.renderJson(Nil, Nil, 1, "/x", 0.1, 0.1, 0L)
+    val empty = Bench.renderJson(Nil, Nil, 1, "/x", 0.1, 0.1, 0.1, 0L)
     assert(empty.contains("\"queries\":{}") && empty.contains("\"failed\":[]"))
     assert(empty.contains("\"skipped\":[]"))
+    assert(empty.contains("\"reran\":[]"))
     assert(empty.contains("\"value\":0.0000"))
   }
 }
