@@ -5372,6 +5372,149 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer: t37 learn / t38 apply
+
+  private val UniVocab = 48
+  private val UniRounds = 2
+  private val UniPiece = 4
+  private val UniWordLen = TextAnalysis.UnigramMaxWordLen
+
+  /** The unrolled Viterbi DP over prefix lengths 1..UniWordLen under
+    * the vocab CTE `vocab`: dp_<tag>_j holds, per word with len ≥ j,
+    * the canonical best (score, ntok, last-piece length) for the
+    * j-char prefix — ROW_NUMBER (score DESC, ntok ASC, bp ASC) is the
+    * same total order the native expression folds left-to-right
+    * ([[graft.plans.UnigramViterbi]]), so ties cannot diverge.
+    * dp_<tag> unions the stages with a pos column for the backtrace. */
+  private def uniDpCtes(tag: String, vocab: String): String = {
+    val stages = (1 to UniWordLen).map { j =>
+      val legs = (1 to math.min(UniPiece, j)).map { l =>
+        if (l == j)
+          s"""SELECT w.word, v.score AS score, 1 AS ntok, $l AS bp
+             |   FROM uwords w JOIN $vocab v ON v.piece = substr(w.word, 1, $l)
+             |   WHERE w.wl >= $j""".stripMargin
+        else
+          s"""SELECT d.word, d.score + v.score AS score, d.ntok + 1 AS ntok, $l AS bp
+             |   FROM dp_${tag}_${j - l} d JOIN uwords w ON w.word = d.word
+             |   JOIN $vocab v ON v.piece = substr(d.word, ${j - l + 1}, $l)
+             |   WHERE w.wl >= $j""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""dp_${tag}_$j AS MATERIALIZED (
+         | SELECT word, score, ntok, bp FROM (
+         |  SELECT word, score, ntok, bp, ROW_NUMBER() OVER (PARTITION BY word
+         |    ORDER BY score DESC, ntok ASC, bp ASC) AS rn
+         |  FROM ($legs)) WHERE rn = 1)""".stripMargin
+    }
+    stages.mkString(",\n") + s""",
+       |dp_$tag AS MATERIALIZED (${(1 to UniWordLen).map(j =>
+          s"SELECT word, CAST($j AS BIGINT) AS pos, score, ntok, bp FROM dp_${tag}_$j")
+          .mkString("\n UNION ALL ")})""".stripMargin
+  }
+
+  /** Linear backtrace of the canonical segmentation: walk bp from
+    * pos = len(word) down to 0, one piece per step (a recursive CTE
+    * with strictly decreasing pos — no path enumeration). */
+  private def uniBtCte(tag: String): String =
+    s"""bt_$tag(word, pos, piece) AS (
+       | SELECT w.word, CAST(w.wl - d.bp AS BIGINT),
+       |  substr(w.word, w.wl - d.bp + 1, d.bp)
+       | FROM uwords w JOIN dp_$tag d ON d.word = w.word AND d.pos = w.wl
+       | UNION ALL
+       | SELECT b.word, b.pos - d.bp,
+       |  substr(b.word, CAST(b.pos - d.bp + 1 AS INT), d.bp)
+       | FROM bt_$tag b JOIN dp_$tag d ON d.word = b.word AND d.pos = b.pos
+       | WHERE b.pos > 0)""".stripMargin
+
+  /** One hard-EM round: Viterbi DP under vocab_{r−1}, backtrace,
+    * recount pieces weighted by word frequency, prune unused
+    * multi-char pieces, floor the alphabet at 1, rescore. */
+  private def uniEmCtes(r: Int): String =
+    s"""${uniDpCtes(s"r$r", s"vocab_${r - 1}")},
+       |${uniBtCte(s"r$r")},
+       |used_$r AS MATERIALIZED (SELECT b.piece, CAST(SUM(w.cnt) AS BIGINT) AS used
+       | FROM bt_r$r b JOIN uwords w USING (word) GROUP BY b.piece),
+       |kept_$r AS MATERIALIZED (
+       | SELECT v.piece,
+       |  CASE WHEN len(v.piece) = 1 THEN greatest(coalesce(u.used, 0), 1)
+       |       ELSE u.used END AS cnt
+       | FROM vocab_${r - 1} v LEFT JOIN used_$r u ON u.piece = v.piece
+       | WHERE len(v.piece) = 1 OR coalesce(u.used, 0) > 0),
+       |vocab_$r AS MATERIALIZED (
+       | SELECT piece, cnt,
+       |  CAST(round(ln(cnt * 1.0 / (SELECT SUM(cnt) FROM kept_$r)) * 1000000.0)
+       |   AS BIGINT) AS score
+       | FROM kept_$r)""".stripMargin
+
+  /** Seed: substring candidates of the distinct-word table, all
+    * single-char pieces + top (UniVocab − alphabet) multi-char by
+    * (count desc, piece asc), scored like every round. */
+  private val uniSeedCtes: String =
+    s"""uwords AS MATERIALIZED (
+       | SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(len(word) AS INT) AS wl
+       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       | GROUP BY word),
+       |usubs AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+       |${(1 to UniPiece).map(l =>
+          s" SELECT unnest(list_transform(range(1, w.wl - $l + 2)," +
+            s" i -> substr(w.word, CAST(i AS INT), $l))) AS piece, w.cnt" +
+            s" FROM uwords w WHERE w.wl >= $l").mkString("\n UNION ALL\n")}
+       |) GROUP BY piece),
+       |kept_0 AS MATERIALIZED (
+       | SELECT piece, cnt FROM usubs WHERE len(piece) = 1
+       | UNION ALL
+       | SELECT piece, cnt FROM (
+       |  SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+       |  FROM usubs WHERE len(piece) > 1)
+       | WHERE rn <= $UniVocab - (SELECT COUNT(*) FROM usubs WHERE len(piece) = 1)),
+       |vocab_0 AS MATERIALIZED (
+       | SELECT piece, cnt,
+       |  CAST(round(ln(cnt * 1.0 / (SELECT SUM(cnt) FROM kept_0)) * 1000000.0)
+       |   AS BIGINT) AS score
+       | FROM kept_0)""".stripMargin
+
+  /** Unigram-LM tokenizer LEARNING (t37) — see
+    * [[TextAnalysis.unigramVocab]]: hard-EM (Viterbi-EM) over a
+    * substring seed vocab with pruning, integer-scaled log-prob
+    * scores, alphabet never pruned. The oracle unrolls the whole
+    * learner: seed selection, per-round 12-stage DP + linear
+    * backtrace + recount + rescore — learn ≡ learn, bit-for-bit. */
+  val t37 = q("t37_unigram_vocab",
+    s"""WITH RECURSIVE
+       |$uniSeedCtes,
+       |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")}
+       |SELECT piece, cnt, score FROM vocab_$UniRounds""".stripMargin) { (s, dir) =>
+    TextAnalysis.unigramVocab(Tables.documents(s, dir), "text",
+      vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+  }
+
+  /** Tokenize WITH the trained unigram LM (t38, the t31 shape): per
+    * doc, word/char counts and the token count under the canonical
+    * Viterbi segmentation. The oracle extends t37's chain with one
+    * more DP under the final vocab and reads each word's ntok at
+    * pos = len — learn ≡ learn AND apply ≡ apply in one gate. */
+  val t38 = q("t38_unigram_apply",
+    s"""WITH RECURSIVE
+       |$uniSeedCtes,
+       |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
+       |${uniDpCtes("ap", s"vocab_$UniRounds")},
+       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM uwords w
+       | JOIN dp_ap d ON d.word = w.word AND d.pos = w.wl),
+       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       | FROM documents)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       | CAST(SUM(t.ntok) AS BIGINT) AS n_unigram_tokens
+       |FROM docw d JOIN wtok t USING (word)
+       |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = TextAnalysis.unigramVocab(docs, "text",
+        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
+    TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
+      maxPieceLen = UniPiece)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5382,7 +5525,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -574,6 +574,131 @@ object TextAnalysis {
         sum(col("n_word_tok")).as("n_bpe_tokens"))
   }
 
+  /** Static word-length bound for the unigram-LM tokenizer: the
+    * oracle's unrolled DP has one CTE stage per prefix length, so the
+    * bound must be known at SQL-generation time; the learner REQUIRES
+    * the corpus to respect it (a production corpus raises the constant
+    * and regenerates — the DP itself is length-generic). */
+  val UnigramMaxWordLen = 12
+
+  /** Unigram-LM tokenizer LEARNING (Kudo 2018; the SentencePiece
+    * family) — the OTHER tokenizer family production pipelines train,
+    * complementing the merge-based BPE chain (t30/t31/p10): a seed
+    * vocabulary of candidate pieces is refit by EM and pruned, then
+    * words segment by Viterbi. This is the hard-EM (Viterbi-EM)
+    * variant — each round re-estimates piece counts from the CANONICAL
+    * Viterbi segmentation rather than the forward-backward posterior —
+    * chosen because the E-step then stays in 64-bit integer arithmetic
+    * (scores are round(ln(p)·10⁶) BIGINTs) and the whole learner is
+    * engine-exact: same vocab, same counts, same scores, bit-for-bit,
+    * under an unrolled-CTE DuckDB oracle (t37).
+    *
+    *   - SEED: every substring of length ≤ `maxPieceLen` of the
+    *     distinct-word table, weighted by word frequency; all
+    *     single-char pieces (the alphabet — never pruned, so every
+    *     word stays segmentable) plus the top (vocabSize − alphabet)
+    *     multi-char pieces by (count desc, piece asc).
+    *   - EM round: Viterbi-segment the distinct-word table under the
+    *     current scores ([[graft.plans.UnigramViterbi]] — one map-side
+    *     native-expression pass, no joins), recount pieces from the
+    *     canonical segmentations weighted by word frequency, PRUNE
+    *     multi-char pieces with zero count, floor alphabet counts at 1
+    *     (Laplace — an unused character keeps a finite score), rescore
+    *     against the new total.
+    *
+    * Scale shape (the BPE discipline): the corpus text is scanned
+    * ONCE (the word-frequency aggregation); seeding and every EM round
+    * run over the distinct-word table only, and the vocab (bounded by
+    * `vocabSize`) is the only thing collected. Returns the final
+    * (piece, cnt, score) vocabulary. */
+  def unigramVocab(docs: DataFrame, textCol: String, vocabSize: Int,
+                   rounds: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("wl", length(col("word")))
+      .localCheckpoint(false)
+    val maxWl = words.agg(coalesce(max(col("wl")), lit(0))).head().getInt(0)
+    require(maxWl <= UnigramMaxWordLen,
+      s"corpus carries a $maxWl-char word but the oracle DP is unrolled " +
+        s"to $UnigramMaxWordLen stages — raise UnigramMaxWordLen")
+    val subs = (1 to maxPieceLen).map { l =>
+      words.filter(col("wl") >= l)
+        .select(col("word"), col("cnt"),
+          explode(sequence(lit(1), col("wl") - l + 1)).as("i"))
+        .select(col("word").substr(col("i"), lit(l)).as("piece"), col("cnt"))
+    }.reduce(_ unionByName _)
+      .groupBy("piece").agg(sum(col("cnt")).cast("long").as("cnt"))
+      .localCheckpoint(false)
+    val singles = subs.filter(length(col("piece")) === 1)
+    // alphabet size: bounded driver scalar (distinct characters)
+    val nSingles = singles.count()
+    // global top-K over candidate pieces: a sort-limit over the
+    // substring-count table (distinct substrings of distinct words —
+    // far smaller than the corpus; the one global window in the
+    // learner, deterministic (cnt desc, piece asc))
+    val topW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("piece").asc)
+    val multis = subs.filter(length(col("piece")) > 1)
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= lit(vocabSize - nSingles)).drop("rn")
+    // integer-scaled log-prob: round(ln(cnt/total)·10⁶) — the DP then
+    // runs in pure 64-bit adds; ln-on-equal-doubles is the t16/t32
+    // cross-engine discipline
+    def rescore(v: DataFrame): DataFrame = {
+      val tot = v.agg(sum(col("cnt"))).head().getLong(0)
+      v.withColumn("score",
+        round(log(col("cnt").cast("double") / lit(tot.toDouble)) * lit(1e6))
+          .cast("long"))
+    }
+    var vocab = rescore(singles.unionByName(multis)).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      // the vocab is vocabSize-bounded by construction: collecting it
+      // into the expression is the centroids/codebooks contract
+      val vmap = vocab.select(col("piece"), col("score"))
+        .as[(String, Long)].collect().toMap
+      val used = words.select(
+          explode(graft.plans.TextHash.unigramSegment(
+            col("word"), vmap, maxPieceLen)).as("piece"),
+          col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).cast("long").as("used"))
+      val kept = vocab.select("piece").join(used, Seq("piece"), "left")
+        .withColumn("cnt",
+          when(length(col("piece")) === 1,
+            greatest(coalesce(col("used"), lit(0L)), lit(1L)))
+            .otherwise(col("used")))
+        .filter(col("cnt") > 0) // unused multi-char pieces prune (null cnt)
+        .select("piece", "cnt")
+      vocab = rescore(kept).localCheckpoint(false)
+    }
+    vocab.select("piece", "cnt", "score")
+  }
+
+  /** Tokenize WITH the trained unigram LM (the t31 shape): per doc,
+    * word/char counts and the token count under the canonical Viterbi
+    * segmentation. The segmentation runs once per DISTINCT word (one
+    * native-expression pass), then one join fans word token-counts
+    * back to documents — corpus text is scanned twice total (word
+    * table, doc join), never per piece. */
+  def unigramApply(docs: DataFrame, idCol: String, textCol: String,
+                   vocab: Map[String, Long], maxPieceLen: Int = 4): DataFrame = {
+    val wordTok = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("word"),
+        size(graft.plans.TextHash.unigramSegment(col("word"), vocab, maxPieceLen))
+          .cast("long").as("n_word_tok"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_word_tok")).as("n_unigram_tokens"))
+  }
+
   /** Per-source token-quota selection: within EACH source, keep the
     * highest-classifier-score documents until that source's token
     * quota is exhausted — the source-balanced corpus mix (every source

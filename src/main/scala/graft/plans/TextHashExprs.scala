@@ -59,6 +59,11 @@ object TextHash {
     GraftShim.column(
       HashedClassifierScore(GraftShim.expression(tokens), nBuckets))
 
+  def unigramSegment(word: Column, vocab: Map[String, Long],
+                     maxPieceLen: Int): Column =
+    GraftShim.column(
+      UnigramViterbi(GraftShim.expression(word), vocab, maxPieceLen))
+
   def rollingTokenHash(tokens: Column): Column =
     GraftShim.column(RollingTokenHash(GraftShim.expression(tokens)))
 }
@@ -437,6 +442,101 @@ case class HashedClassifierScore(child: Expression, nBuckets: Int)
     (MinHashShinglePortable.hexRange(digest, 0, 13) % nBuckets).toInt
 
   override protected def withNewChildInternal(c: Expression): HashedClassifierScore =
+    copy(child = c)
+}
+
+/** Canonical unigram-LM Viterbi segmentation of one word (string →
+  * array<string> of pieces) — the APPLY step of the SentencePiece-style
+  * tokenizer family (Kudo 2018 §3). `vocab` maps each piece to an
+  * INTEGER-scaled log-probability (round(ln(p)·10⁶), computed by
+  * [[graft.operators.TextAnalysis.unigramVocab]]), so the DP is pure
+  * 64-bit integer arithmetic — bit-exact across engines, no float
+  * accumulation order to drift. The canonical optimum is total-ordered:
+  * maximize score, then minimize token count, then prefer the SHORTEST
+  * last piece at every DP cell (the oracle's ROW_NUMBER ORDER BY
+  * score DESC, ntok ASC, bp ASC — ties cannot diverge).
+  *
+  * One tight JVM loop per word: O(len × maxPieceLen) table lookups,
+  * no joins, no window, no per-position rows — the vocab is a few
+  * hundred entries by construction (the learner's vocabSize cap), so
+  * it rides the expression as a reference object and the whole
+  * segmentation is a map-side pass over the DISTINCT-WORD table.
+  * Codegen calls straight into [[compute]] via a reference object, so
+  * surrounding operators stay in whole-stage codegen. */
+case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
+                          maxPieceLen: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniViterbi", this, classOf[UnigramViterbi].getName)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $ref.compute($w);")
+  }
+
+  def compute(w: org.apache.spark.unsafe.types.UTF8String): GenericArrayData = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // dp over prefix lengths: best (score, ntok) + the chosen last-piece
+    // length; bp = -1 marks an unreachable cell (only possible for a
+    // character outside the learned alphabet — the single-char pieces
+    // are never pruned, so corpus words are always reachable)
+    val score = new Array[Long](n + 1)
+    val ntok = new Array[Int](n + 1)
+    val bp = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bestS = Long.MinValue
+      var bestT = Int.MaxValue
+      var bestL = 0
+      val lMax = if (maxPieceLen < j) maxPieceLen else j
+      var l = 1
+      while (l <= lMax) {
+        if (bp(j - l) >= 0) {
+          val ps = table.get(s.substring(j - l, j))
+          if (ps ne null) {
+            val cs = score(j - l) + ps.longValue()
+            val ct = ntok(j - l) + 1
+            // strict improvement only: the first (smallest) l wins ties,
+            // matching the oracle's bp ASC tiebreak
+            if (cs > bestS || (cs == bestS && ct < bestT)) {
+              bestS = cs; bestT = ct; bestL = l
+            }
+          }
+        }
+        l += 1
+      }
+      if (bestL == 0) bp(j) = -1
+      else { score(j) = bestS; ntok(j) = bestT; bp(j) = bestL }
+      j += 1
+    }
+    require(bp(n) >= 0,
+      s"word '$s' is not segmentable under the vocab — it carries a " +
+        "character outside the learned alphabet (the vocab was trained " +
+        "on a different corpus)")
+    val pieces = new Array[Any](ntok(n))
+    var pos = n
+    var k = ntok(n) - 1
+    while (pos > 0) {
+      val l = bp(pos)
+      pieces(k) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s.substring(pos - l, pos))
+      pos -= l
+      k -= 1
+    }
+    new GenericArrayData(pieces)
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramViterbi =
     copy(child = c)
 }
 

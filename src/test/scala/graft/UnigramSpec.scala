@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+import graft.plans.TextHash
+
+/** Unigram-LM tokenizer (t37 learn / t38 apply): canonical Viterbi
+  * semantics, hard-EM recount/prune/floor invariants, determinism. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def segment(word: String, vocab: Map[String, Long],
+                      maxPieceLen: Int = 4): Seq[String] =
+    Seq(word).toDF("w")
+      .select(TextHash.unigramSegment(col("w"), vocab, maxPieceLen).as("p"))
+      .as[Seq[String]].head()
+
+  test("Viterbi picks the max-score segmentation; integer scores make it exact") {
+    // "abab": pieces ab(-1), a(-3), b(-3), abab(-2)
+    // abab = -2 beats ab|ab = -2? no: ab|ab = -2 equals abab = -2 ->
+    // tie broken by fewer tokens: abab (1 token) wins
+    val v = Map("a" -> -3L, "b" -> -3L, "ab" -> -1L, "abab" -> -2L)
+    assert(segment("abab", v) == Seq("abab"))
+    // without the 4-char piece the best is ab|ab (-2) over a|b|a|b (-12)
+    assert(segment("abab", v - "abab") == Seq("ab", "ab"))
+    // score dominates token count: aa|b (-2-3) beats a|ab? wait:
+    // "aab" under {a:-1, aa:-5, ab:-5, b:-1}: a|a|b = -3 beats
+    // aa|b = -6 and a|ab = -6 — more tokens but higher score wins
+    val v2 = Map("a" -> -1L, "aa" -> -5L, "ab" -> -5L, "b" -> -1L)
+    assert(segment("aab", v2) == Seq("a", "a", "b"))
+  }
+
+  test("full tie (score and ntok) resolves to the shortest last piece at every cell") {
+    // "ab" under {a:-1, b:-1, ab:-2}: a|b = -2 (2 tok) vs ab = -2
+    // (1 tok) -> ntok tiebreak picks ab. Force a FULL tie with equal
+    // ntok via a 3-char word: "abc" under {a:-1,bc:-1,ab:-1,c:-1}:
+    // a|bc = -2 (2 tok) vs ab|c = -2 (2 tok). Cell dp[3] candidates:
+    // l=1 (c after ab) and l=2 (bc after a) tie on (score, ntok) ->
+    // bp ASC keeps l=1: ab|c.
+    val v = Map("a" -> -1L, "b" -> -1L, "c" -> -1L,
+      "ab" -> -1L, "bc" -> -1L)
+    assert(segment("abc", v) == Seq("ab", "c"))
+  }
+
+  test("a word with a character outside the alphabet fails loudly") {
+    val e = intercept[Exception] {
+      segment("axz", Map("a" -> -1L, "x" -> -1L))
+    }
+    assert(e.getMessage.contains("not segmentable"), e.getMessage)
+  }
+
+  test("learner invariants: alphabet never pruned and floored at 1; unused multi-char pieces pruned; scores are round(ln(p)*1e6)") {
+    // corpus where "zz" dominates: the z-pieces absorb everything and
+    // some seeded multi-char candidates go unused after round 1
+    val docs = Seq((1L, "zzzz zzzz zzzz zzzz q"), (2L, "zzzz zzzz zzzz"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramVocab(docs, "text",
+        vocabSize = 8, rounds = 2, maxPieceLen = 4)
+      .as[(String, Long, Long)].collect()
+    val byPiece = vocab.map(v => v._1 -> v).toMap
+    // alphabet present regardless of use ('q' used once, 'z' possibly
+    // unused once zzzz wins — floor keeps it alive with cnt >= 1)
+    assert(byPiece.contains("z") && byPiece.contains("q"))
+    assert(vocab.forall(_._2 >= 1L), "every count floored at >= 1")
+    // the dominant word's whole-word piece survives with the top count
+    assert(byPiece.contains("zzzz"))
+    assert(byPiece("zzzz")._2 == 7L, s"zzzz used by all 7 occurrences: ${byPiece("zzzz")}")
+    // every score is the integer-scaled log-prob of cnt/total
+    val total = vocab.map(_._2).sum.toDouble
+    vocab.foreach { case (p, cnt, score) =>
+      val expect = math.round(math.log(cnt / total) * 1e6)
+      assert(score == expect, s"$p: $score != $expect")
+    }
+    // multi-char candidates that the Viterbi never uses are gone:
+    // seeds like "zzz" lose to zzzz and must be pruned
+    assert(!byPiece.contains("zzz"),
+      s"unused multi-char seed must prune: ${vocab.mkString(", ")}")
+  }
+
+  test("learn + apply are deterministic and apply counts match per-word segmentation") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    def learn() = TextAnalysis.unigramVocab(docs, "text",
+      vocabSize = 16, rounds = 2, maxPieceLen = 4)
+    val v1 = learn().as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val v2 = learn().as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(v1 == v2, "the learner must be run-to-run deterministic")
+    val vmap = v1.map(v => v._1 -> v._3).toMap
+    val applied = TextAnalysis.unigramApply(docs, "doc_id", "text", vmap)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 3 words, 14 chars; token count = per-word ntoks summed
+    val ntokOf = Map(
+      "alpha" -> segment("alpha", vmap).size,
+      "beta" -> segment("beta", vmap).size,
+      "gamma" -> segment("gamma", vmap).size)
+    assert(applied(1L) == ((1L, 3L, 14L,
+      (2 * ntokOf("alpha") + ntokOf("beta")).toLong)))
+    assert(applied(2L) == ((2L, 2L, 9L,
+      (ntokOf("beta") + ntokOf("gamma")).toLong)))
+  }
+
+  test("a word longer than the oracle's unrolled DP bound fails the learner loudly") {
+    val docs = Seq((1L, "a" * (TextAnalysis.UnigramMaxWordLen + 1)))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramVocab(docs, "text", vocabSize = 8, rounds = 1)
+    }
+    assert(e.getMessage.contains("unrolled"), e.getMessage)
+  }
+}
