@@ -5334,6 +5334,109 @@ object Queries {
         round(col("n_hit").cast("double") / col("n_exact"), 6))
   }
 
+  /** ADC tuning curve (s23): recall@5 over the nProbe × shortlist GRID
+    * for the residual IVF-ADC path — the 100 TB layout's actual
+    * retrieval (s17) has TWO knobs, probed cells and rerank shortlist,
+    * and their recall/cost tradeoff is the operational decision this
+    * report drives (s21 tunes plain IVF's single knob). Runs over the
+    * PERSISTED artifacts (coarse index, residual codebooks, ADC
+    * postings — never retrained inline, the s22 discipline); the
+    * oracle re-derives the whole chain (unrolled Lloyd, residual
+    * codebooks, ADC decomposition) and slices ONE scored candidate
+    * table per grid cell, so every cell's approx ranking, shortlist
+    * cut, and exact-cosine rerank are pinned against s17's spellings.
+    * Grid cost shape: candidates are generated once per probe depth
+    * (monotone supersets), each cell a rank-filter-rank over them —
+    * integer counts + one 6dp division per row. */
+  val s23 = q("s23_adc_tuning", {
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16, src = "res"))
+    val scs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      s"""sc_$s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  list_dot_product(q.v[$lo:$hi], c.v) AS d
+         | FROM qs q, af_$s a JOIN c2_$s c ON c.cid = a.code)""".stripMargin
+    }
+    val grid = for { p <- 1 to 4; sl <- Seq(5, 10, 20) } yield
+      s"""SELECT CAST($p AS BIGINT) AS nprobe, CAST($sl AS BIGINT) AS shortlist,
+         | CAST(COUNT(*) AS BIGINT) AS n_exact,
+         | CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+         | round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM exact x LEFT JOIN (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |     PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS arn
+         |    FROM scored WHERE r <= $p) WHERE arn <= $sl) WHERE rn <= 5) a
+         | ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id""".stripMargin
+    s"""$ivfOracleCtes,
+       |res AS MATERIALIZED (SELECT af.vec_id, af.cid,
+       |  list_transform(range(len(af.v)), i -> af.v[i+1] - c.v[i+1]) AS v
+       | FROM af JOIN c2 c USING (cid)),
+       |${blocks.mkString(",\n")},
+       |${scs.mkString(",\n")},
+       |pr AS (SELECT qs.vec_id AS query_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+       | FROM qs, c2 c),
+       |cd AS (SELECT q.vec_id AS query_id, c.cid,
+       |  list_dot_product(q.v, c.v) AS cd
+       | FROM qs q, c2 c),
+       |cand AS (SELECT p.query_id, af.vec_id AS neighbor_id, af.cid, p.r
+       | FROM pr p JOIN af ON af.cid = p.cid WHERE p.r <= 4),
+       |scored AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, c.r,
+       |  round(cd.cd + sc_0.d + sc_1.d + sc_2.d + sc_3.d, 6) AS approx,
+       |  round(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+       | FROM cand c JOIN cd ON cd.query_id = c.query_id AND cd.cid = c.cid
+       |  JOIN sc_0 ON sc_0.query_id = c.query_id AND sc_0.neighbor_id = c.neighbor_id
+       |  JOIN sc_1 ON sc_1.query_id = c.query_id AND sc_1.neighbor_id = c.neighbor_id
+       |  JOIN sc_2 ON sc_2.query_id = c.query_id AND sc_2.neighbor_id = c.neighbor_id
+       |  JOIN sc_3 ON sc_3.query_id = c.query_id AND sc_3.neighbor_id = c.neighbor_id
+       |  JOIN e qe ON qe.vec_id = c.query_id
+       |  JOIN e ce ON ce.vec_id = c.neighbor_id),
+       |exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+       | FROM qs q, corp c)
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) <= 5)
+       |${grid.mkString("\nUNION ALL ")}""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val corp = emb.filter(col("id") >= 10)
+    val ivf = Similarity.ensureIvfIndex(s, ivfIndexName(dir), corp,
+      nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    val (codes, books) = Similarity.ensureResidualPqModel(s, pqResModelName(dir),
+      ivf, m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
+    val postings = Similarity.ensureAdcPostings(s, pqResModelName(dir), ivf,
+      codes, m = 4, fingerprint = Some(embFp(dir)))
+    val queries = emb.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, corp, 5)
+      .select("query_id", "neighbor_id").localCheckpoint(false)
+    // score once at the deepest probe, slice 12 ways (the oracle's
+    // `scored` table, same plan shape): each grid cell is two rank
+    // filters over this checkpointed frame, not its own full probe
+    val scored = Similarity.adcResidualScoredCandidates(queries, ivf,
+        postings, books, maxProbe = 4)
+      .localCheckpoint(false)
+    (for { p <- 1 to 4; sl <- Seq(5, 10, 20) } yield {
+      val short = Relational.topKPerGroup(scored.filter(col("r") <= p),
+        Seq(col("query_id")), Seq(col("approx").desc, col("neighbor_id")),
+        sl, rankCol = "arn")
+      val ann = Relational.topKPerGroup(short, Seq(col("query_id")),
+          Seq(col("cos").desc, col("neighbor_id")), 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(lit(p.toLong).as("nprobe"), lit(sl.toLong).as("shortlist"),
+          col("n_exact"), col("n_hit"))
+    }).reduce(_ unionByName _)
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** Tokenizer-TRUE sequence packing (p10): learn the BPE merges
     * (t30), tokenize the corpus with them (t31), pack to fixed-token
     * sequences by the TRAINED tokenizer's counts (the number a real
@@ -5526,6 +5629,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -1264,6 +1264,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** The scored candidate table behind the ADC TUNING GRID (s23):
+    * every candidate a `maxProbe`-deep residual-ADC probe would touch,
+    * with its cell rank `r`, rounded approx score, and exact rerank
+    * cosine — computed ONCE, so the (nProbe, shortlist) grid slices it
+    * with rank filters instead of running one full probe per cell
+    * (12 probes → 1 candidate generation; the probe-depth-p candidate
+    * sets are monotone prefixes of this one by construction, so each
+    * slice is EXACTLY [[ivfAdcResidualTopK]]'s ranking at (p, sl) —
+    * spec-locked). Unlike the retrieval path, the rerank cosine joins
+    * the FULL candidate set (not a shortlist) against the vector
+    * table; that is the tuning report's deliberate tradeoff and is
+    * bounded because tuning runs on a SAMPLED query set by contract —
+    * candidates ≈ queries × (maxProbe / nCells) × corpus. */
+  def adcResidualScoredCandidates(queries: DataFrame, model: IVFModel,
+                                  postings: DataFrame,
+                                  books: Array[Array[Array[Double]]],
+                                  maxProbe: Int, dim: Int = 64): DataFrame = {
+    val subDim = dim / books.length
+    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        VectorOps.norm(col("vec")).as("qn"),
+        queryLut(col("vec"), books, subDim).as("lut"),
+        posexplode(transform(slice(array_sort(dists), 1, maxProbe),
+          s => s.getField("i"))))
+      .withColumnRenamed("col", "cid")
+      .withColumn("r", col("pos") + 1).drop("pos")
+      .withColumn("cd", VectorOps.dot(col("qv"),
+        element_at(typedlit(model.centroids.map(_.toSeq).toSeq),
+          col("cid").cast("int") + 1)))
+    val scored = postings.join(broadcast(q), "cid")
+      .withColumn("approx", round(col("cd") + adcScore(books), 6))
+    val corpus = model.assignments.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    broadcast(scored.select("query_id", "neighbor_id", "r", "approx",
+        "qv", "qn"))
+      .join(corpus, "neighbor_id")
+      .withColumn("cos",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .select("query_id", "neighbor_id", "r", "approx", "cos")
+  }
+
   /** IVF-ADC two-stage retrieval: queries route to their `nProbe`
     * nearest IVF cells (coarse quantizer), candidates inside those
     * cells are scored through the per-query ADC lookup table (m array

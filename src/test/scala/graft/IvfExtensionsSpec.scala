@@ -252,6 +252,39 @@ class IvfExtensionsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ivf_e_assignments")
   }
 
+  test("adcResidualScoredCandidates slices reproduce ivfAdcResidualTopK at every grid cell") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(11)
+    def vec(c: Double) = Seq.fill(8)(rnd.nextGaussian() * 0.3 + c)
+    val corp = ((0 until 30).map(i => (i.toLong + 100L, vec(i % 3 - 1))))
+      .toDF("id", "vec")
+    val queries = (0 until 5).map(i => (i.toLong, vec(i % 3 - 1)))
+      .toDF("id", "vec")
+    val ivf = Similarity.ivfIndex(corp, nCentroids = 4, iters = 2,
+      portableInit = true)
+    val (codes, books) = Similarity.residualPqModel(ivf, m = 4, k = 4,
+      iters = 2, dim = 8)
+    val postings = Similarity.adcPostings(ivf, codes, m = 4)
+    val scored = Similarity.adcResidualScoredCandidates(queries, ivf,
+      postings, books, maxProbe = 3, dim = 8).localCheckpoint(false)
+    for (p <- 1 to 3; sl <- Seq(3, 6)) {
+      val direct = Similarity.ivfAdcResidualTopK(queries, ivf, postings,
+          books, k = 3, nProbe = p, shortlist = sl, dim = 8)
+        .select("query_id", "neighbor_id", "rn")
+        .collect().map(_.toSeq).toSet
+      val short = Relational.topKPerGroup(scored.filter(col("r") <= p),
+        Seq(col("query_id")), Seq(col("approx").desc, col("neighbor_id")),
+        sl, rankCol = "arn")
+      val sliced = Relational.topKPerGroup(short, Seq(col("query_id")),
+          Seq(col("cos").desc, col("neighbor_id")), 3)
+        .select("query_id", "neighbor_id", "rn")
+        .collect().map(_.toSeq).toSet
+      assert(sliced == direct, s"grid cell (nProbe=$p, shortlist=$sl) " +
+        "must reproduce the retrieval path's ranking")
+    }
+  }
+
   test("extension-registered SQL functions evaluate") {
     GraftExtensions.register(spark)
     val r = spark.sql(
