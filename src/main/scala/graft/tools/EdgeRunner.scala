@@ -505,6 +505,20 @@ object EdgeRunner {
         "compose landAndMaintain(ivfName = ...) in a custom foreachBatch")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       graft.streaming.TtlState.RocksDbProvider)
+    // DRAIN TERMINATION: transformWithState under processing-time TTL
+    // answers shouldRunAnotherBatch=true unconditionally, so with the
+    // default no-data-micro-batches policy a `--drain`
+    // (Trigger.AvailableNow) run never stops — after the offsets
+    // drain it spins EMPTY micro-batches forever, each paying a full
+    // RocksDB checkpoint upload (observed: 700+ empty batches on a
+    // 5k-doc drain before the round-15 fix). The suppressor needs no
+    // no-data batches — TTL eviction is lazy on access, not
+    // timer-driven — so the catch-up path disables them; the
+    // steady-state ProcessingTime path keeps the default (a no-data
+    // batch there is harmless and keeps watermark-style consumers
+    // conventional). Spec-locked: "neardup --drain terminates".
+    if (trigger == Trigger.AvailableNow())
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val docs = CorpusStream.parseDocs(readStreamEnvelopes(spark, cfg.in))
       .select("doc_id", "text", "ts")
     val writer = graft.streaming.NearDupStream.suppress(docs,

@@ -496,6 +496,58 @@ class EdgeRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("--mode neardup --drain terminates once the backlog drains (no empty-batch spin)") {
+    val in = Files.createTempDirectory("edge_nddrain_log").toString
+    val out = Files.createTempDirectory("edge_nddrain_out").toString
+    val ckpt = Files.createTempDirectory("edge_nddrain_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen sleepy badgers watch from the mossy riverbank tonight"
+    def doc(i: Int, text: String) =
+      s"""{"doc_id":$i,"text":"$text","lang":"en","ts":"2025-01-01 10:0$i:00"}"""
+    writeLines(in, "docs.log",
+      Seq(doc(1, base), doc(2, base.replace("tonight", "at dusk")),
+        doc(3, "completely different content about catalyst rules tonight")))
+    val savedProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val savedNoData = spark.conf.getOption(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    try {
+      // transformWithState under processing-time TTL answers
+      // shouldRunAnotherBatch=true unconditionally; before the fix an
+      // AvailableNow drain would spin EMPTY micro-batches forever
+      // (700+ observed on a 5k-doc drain), each a full RocksDB
+      // checkpoint upload — awaitTermination never returned
+      val q = EdgeRunner.startNearDup(spark, EdgeRunner.parse(Array(
+          "--mode", "neardup", "--in", s"log:$in", "--out", out,
+          "--checkpoint", ckpt, "--drain", "true")),
+        Trigger.AvailableNow())
+      assert(q.awaitTermination(120000),
+        "an AvailableNow drain must STOP once the backlog is consumed")
+      val ids = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"suppression must still hold: $ids")
+      // and it stopped promptly: no pile of empty offsets past the data
+      val nOffsets = new java.io.File(s"$ckpt/offsets")
+        .listFiles().count(f => f.getName.forall(_.isDigit))
+      assert(nOffsets <= 5, s"empty-batch spin: $nOffsets offset files")
+    } finally {
+      savedProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      // the drain fix sets this on the SESSION (CLI semantics: one
+      // process per run); restore it for the shared test session
+      savedNoData match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   test("stream mode resumes from its checkpoint without duplicating bars") {
     val in = Files.createTempDirectory("edge_resume").toString
     val out = Files.createTempDirectory("edge_resume_out").toString
