@@ -5618,6 +5618,44 @@ object Queries {
       maxPieceLen = UniPiece)
   }
 
+  /** Unigram-tokenizer-TRUE sequence packing (p11) — p10's capstone
+    * for the OTHER tokenizer family: learn the unigram-LM vocab (t37),
+    * tokenize the corpus with the canonical Viterbi (t38), pack to
+    * fixed-token sequences by the TRAINED tokenizer's counts, report
+    * per-(shard, pack) occupancy. The oracle rides the t37/t38
+    * unrolled chain — dp_ap IS the trained segmentation — so learn,
+    * apply, and pack are pinned in one gate, the p10 discipline. */
+  val p11 = q("p11_unigram_pack",
+    s"""WITH RECURSIVE
+       |$uniSeedCtes,
+       |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
+       |${uniDpCtes("ap", s"vocab_$UniRounds")},
+       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM uwords w
+       | JOIN dp_ap d ON d.word = w.word AND d.pos = w.wl),
+       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       | FROM documents),
+       |dtok AS (SELECT d.doc_id, CAST(SUM(t.ntok) AS BIGINT) AS n_tokens
+       | FROM docw d JOIN wtok t USING (word) GROUP BY d.doc_id),
+       |packed AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens,
+       |  CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+       |   - n_tokens) // 4096 AS BIGINT) AS pack_id
+       | FROM dtok)
+       |SELECT shard, pack_id, COUNT(*) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = TextAnalysis.unigramVocab(docs, "text",
+        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
+    TextAnalysis.packByCount(
+        TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
+          maxPieceLen = UniPiece),
+        "doc_id", "n_unigram_tokens", capacity = 4096, shards = 4)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5630,5 +5668,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

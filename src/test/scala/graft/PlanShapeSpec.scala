@@ -455,4 +455,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"),
       s"vector leg must read the bucketed IVF assignments:\n$p")
   }
+
+  test("s23 tuning grid slices ONE scored-candidate checkpoint: no per-cell probes, no cartesian") {
+    val p = plan("s23_adc_tuning")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s23:\n$p")
+    // 12 grid cells over one localCheckpoint'd scored frame: the plan
+    // must carry 12 checkpoint scans (one per cell's rank-filter) and
+    // ZERO posting/assignment table scans inside the grid legs — a
+    // regression to per-cell probes would re-read the bucketed tables
+    // 12 times and re-run the ADC scoring per cell
+    assert("ExistingRDD|Scan ExistingRDD".r.findAllMatchIn(p).nonEmpty,
+      s"grid legs must read the scored checkpoint:\n$p")
+    assert(!p.contains("graft_pqres") || "Scan parquet".r.findAllMatchIn(p)
+      .size <= 4, s"grid cells must not re-probe the posting tables:\n$p")
+  }
+
+  test("t38 unigram apply: segmentation is one native-expression pass over DISTINCT words, no per-piece joins") {
+    val p = plan("t38_unigram_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in t38:\n$p")
+    // word token-counts fan back to documents through ONE hash join;
+    // the Viterbi is a projection (UnigramViterbi expression), never a
+    // join against a piece table. Tree search, not toString — wide
+    // projection lists truncate ("... 16 more fields") in plan text.
+    val lp = SparkEntry.queries("t38_unigram_apply")(spark, dir)
+      .queryExecution.optimizedPlan
+    assert(lp.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.UnigramViterbi]))),
+      s"native Viterbi expression missing from the plan:\n$lp")
+  }
 }
