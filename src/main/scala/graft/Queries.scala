@@ -5618,6 +5618,76 @@ object Queries {
       maxPieceLen = UniPiece)
   }
 
+  /** Metadata-FILTERED IVF-ADC retrieval (s24) — s19's
+    * filter-rides-the-posting discipline applied to the compressed
+    * path (s12): the label joins postings on (cid, label) INSIDE the
+    * narrow posting scan, candidates are ADC-scored (per-query LUT,
+    * m lookups each), the approx shortlist reranks by exact cosine.
+    * Post-filtering an unfiltered shortlist would under-fill k
+    * whenever the filter is selective — the gate is in the scan, and
+    * recall stays bounded by the probed cells exactly as unfiltered.
+    * The oracle re-derives the coarse index AND the sub-codebooks and
+    * scores through the same decomposition with the same label gate. */
+  val s24 = q("s24_filtered_ivfadc", {
+    val blocks = (0 until 4).map(s => pqSubCtes(s, k = 8, subDim = 16, src = "corp"))
+    val scs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      s"""sc_$s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  list_dot_product(q.v[$lo:$hi], c.v) AS d
+         | FROM qs q, af_$s a JOIN c2_$s c ON c.cid = a.code)""".stripMargin
+    }
+    s"""$ivfOracleCtes,
+       |${blocks.mkString(",\n")},
+       |${scs.mkString(",\n")},
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |probe AS (SELECT vec_id AS query_id, cid FROM (
+       | SELECT qs.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+       |   ORDER BY list_dot_product(c.v, c.v) - 2.0 * list_dot_product(qs.v, c.v), c.cid) AS r
+       | FROM qs, c2 c) WHERE r <= 4),
+       |cand AS (SELECT p.query_id, ql.label AS label, af.vec_id AS neighbor_id
+       | FROM probe p JOIN af ON af.cid = p.cid
+       | JOIN lbl ql ON ql.vec_id = p.query_id
+       | JOIN lbl cl ON cl.vec_id = af.vec_id AND cl.label = ql.label),
+       |approx AS (SELECT c.query_id, c.label, c.neighbor_id,
+       |  round(sc_0.d + sc_1.d + sc_2.d + sc_3.d, 6) AS approx
+       | FROM cand c JOIN sc_0 USING (query_id, neighbor_id)
+       |  JOIN sc_1 USING (query_id, neighbor_id)
+       |  JOIN sc_2 USING (query_id, neighbor_id)
+       |  JOIN sc_3 USING (query_id, neighbor_id)),
+       |short AS (SELECT query_id, label, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, neighbor_id) AS arn FROM approx) WHERE arn <= 20),
+       |rr AS (SELECT s.query_id, s.label, s.neighbor_id,
+       |  round(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+       | FROM short s JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ce ON ce.vec_id = s.neighbor_id)
+       |SELECT query_id, label, neighbor_id, cos,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |FROM rr QUALIFY rn <= 5""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"), col("label"))
+    val lblModel = Similarity.ensureIvfIndex(s, ivfLblIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2,
+      portableInit = true, fingerprint = Some(embFp(dir)),
+      extraCols = Seq("label"))
+    val (codes, books) = Similarity.ensurePqModel(s, pqModelName(dir),
+      emb.filter(col("id") >= 10)
+        .select(col("id").as("vec_id"), col("vec").as("embedding")),
+      m = 4, k = 8, iters = 2, dim = 64, fingerprint = Some(embFp(dir)))
+    // postings DERIVED from two persisted artifacts (labeled
+    // assignments × PQ codes) — one bucket-aligned join; a deployment
+    // at maintenance cadence lands them as a table with the same
+    // writer, extraCols riding every batch
+    val postings = Similarity.adcPostings(lblModel, codes, m = 4,
+      extraCols = Seq("label"))
+    Similarity.ivfAdcFilteredTopK(emb.filter(col("id") < 10), lblModel,
+      postings, books, k = 5, nProbe = 4, shortlist = 20,
+      filterCol = "label")
+  }
+
   /** Unigram-tokenizer-TRUE sequence packing (p11) — p10's capstone
     * for the OTHER tokenizer family: learn the unigram-LM vocab (t37),
     * tokenize the corpus with the canonical Viterbi (t38), pack to
@@ -5667,6 +5737,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

@@ -839,13 +839,19 @@ object Similarity {
       .toDF("neighbor_id" +: (0 until m).map(s => s"c$s"): _*)
 
   /** The IVF-ADC posting relation: each corpus vector's cell id next
-    * to its wide PQ codes — (cid, neighbor_id, c0..c{m-1}). */
-  def adcPostings(ivf: IVFModel, codes: DataFrame, m: Int): DataFrame =
-    ivf.assignments.select(col("cid"), col("id").as("vec_id"))
+    * to its wide PQ codes — (cid, neighbor_id, c0..c{m-1}). With
+    * `extraCols`, filter metadata from the assignments RIDES the
+    * posting row (the s19 filtered-index discipline applied to ADC):
+    * a filtered probe then joins on (cid, filter) and the gate applies
+    * inside the posting scan, never as a post-filter. */
+  def adcPostings(ivf: IVFModel, codes: DataFrame, m: Int,
+                  extraCols: Seq[String] = Nil): DataFrame =
+    ivf.assignments.select(col("cid") +: col("id").as("vec_id") +:
+        extraCols.map(col): _*)
       .join(codesWide(codes, m).withColumnRenamed("neighbor_id", "vec_id"),
         "vec_id")
       .select(col("cid") +: col("vec_id").as("neighbor_id") +:
-        (0 until m).map(s => col(s"c$s")): _*)
+        (extraCols.map(col) ++ (0 until m).map(s => col(s"c$s"))): _*)
 
   def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                    shortlist: Int, m: Int = 4, codebookK: Int = 8,
@@ -1353,6 +1359,52 @@ object Similarity {
     Relational.topKPerGroup(rr, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  /** Metadata-FILTERED IVF-ADC retrieval — [[ivfFilteredTopK]]'s
+    * discipline applied to the compressed-posting path, the production
+    * filtered-vector-search shape at 100 TB: the filter column RIDES
+    * the ADC posting row ([[adcPostings]] `extraCols`), so the probe
+    * joins postings on (cid, filterCol) and the gate applies INSIDE
+    * the narrow posting scan — never as a post-filter of an unfiltered
+    * shortlist (which under-fills k whenever the filter is selective)
+    * and never as a second corpus-wide metadata join. Scoring and
+    * rerank are exactly [[ivfAdcTopK]]'s: per-query LUT, m array
+    * lookups per FILTERED candidate, approx shortlist, exact-cosine
+    * rerank over the fetched shortlist vectors only. */
+  def ivfAdcFilteredTopK(queries: DataFrame, model: IVFModel,
+                         postings: DataFrame,
+                         books: Array[Array[Array[Double]]], k: Int,
+                         nProbe: Int, shortlist: Int, filterCol: String,
+                         dim: Int = 64): DataFrame = {
+    require(postings.columns.contains(filterCol),
+      s"ivfAdcFilteredTopK needs '$filterCol' riding the ADC postings — " +
+        s"build them with adcPostings(extraCols = Seq(\"$filterCol\"))")
+    val subDim = dim / books.length
+    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val q = queries.select(col("id").as("query_id"), col(filterCol),
+      col("vec").as("qv"), VectorOps.norm(col("vec")).as("qn"),
+      queryLut(col("vec"), books, subDim).as("lut"),
+      explode(transform(slice(array_sort(dists), 1, nProbe), s => s.getField("i")))
+        .as("cid"))
+    val scored = postings.join(broadcast(q), Seq("cid", filterCol))
+      .withColumn("approx", round(adcScore(books), 6))
+    val short = Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("approx").desc, col("neighbor_id")), shortlist, rankCol = "arn")
+    val corpus = model.assignments.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    val rr = broadcast(short.select("query_id", filterCol, "neighbor_id",
+        "qv", "qn"))
+      .join(corpus, "neighbor_id")
+      .withColumn("cos",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    Relational.topKPerGroup(rr, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      .select("query_id", filterCol, "neighbor_id", "cos", "rn")
   }
 
   /** Dense random projection (Johnson–Lindenstrauss) of the embedding

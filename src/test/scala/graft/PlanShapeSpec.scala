@@ -81,6 +81,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected one assignments scan:\n$p")
   }
 
+  test("s24 filtered IVF-ADC: the label gate rides the posting join, no cartesian, no post-filter metadata join") {
+    val p = plan("s24_filtered_ivfadc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in s24:\n$p")
+    // the filter is an equi-join key of the (cid, label) posting join;
+    // a post-filter design would join an UNFILTERED shortlist against
+    // the embeddings metadata a second time and under-fill k
+    assert(p.contains("cid") && !p.contains("Filter (label"),
+      s"label must be a join key, not a post-filter:\n$p")
+  }
+
   test("d20 calibration candidates come from the band equi-join, never a cartesian") {
     val p = plan("d20_lsh_calibration")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
