@@ -129,25 +129,37 @@ object Bench {
         // of the lower-median) or a real regression (it reproduces and
         // the number stands, now with 4 witnesses in the spread).
         // Floor 0.05 s: sub-jitter queries never trip the rule.
-        val all =
-          if (prior.get(name).exists(p => p > 0.05 && median(times) > 3 * p)) {
-            reran += name
-            times ++ timeOnce(name, fn)
-          } else times
-        spread += name -> all.sorted
-        Some(name -> median(all))
+        // A re-run rep that CRASHES marks the query failed like any
+        // other failed rep (the invariant above) — a crash-regression
+        // that trips the 3x rule must not record a normal timing.
+        if (prior.get(name).exists(p => p > 0.05 && median(times) > 3 * p)) {
+          reran += name
+          timeOnce(name, fn) match {
+            case Some(extra) =>
+              val all = times :+ extra
+              spread += name -> all.sorted
+              Some(name -> median(all))
+            case None => failed += name; None
+          }
+        } else {
+          spread += name -> times.sorted
+          Some(name -> median(times))
+        }
       }
     }
     if (calMid < 0) calMid = calibration() // tiny --only surfaces
     val calPost = calibration()
     val skippedList = SparkEntry.queries.keys.filter(skip).toSeq
+    // ONE timestamp for both renders: the file and the stdout line
+    // must be cross-checkable as the same run
+    val wallEnd = System.currentTimeMillis()
     val line = renderJson(results, failed.toSeq, reps, sfDir,
-      calPre, calMid, calPost, System.currentTimeMillis(), skippedList,
+      calPre, calMid, calPost, wallEnd, skippedList,
       reran.toSeq)
     // the FULL artifact (adds the per-rep spread) goes to the file the
     // judge reads — no 2000-char stdout-tail constraint there
     val full = renderJson(results, failed.toSeq, reps, sfDir,
-      calPre, calMid, calPost, System.currentTimeMillis(), skippedList,
+      calPre, calMid, calPost, wallEnd, skippedList,
       reran.toSeq, spread.toSeq)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),

@@ -156,6 +156,20 @@ object Similarity {
     * shuffle on centroid id at query time. */
   case class IVFModel(centroids: Array[Array[Double]], assignments: DataFrame)
 
+  /** Per-centroid (distance-surrogate, index) structs for the probe
+    * routers — array_sort over these IS the cell ranking (|c|^2 - 2 v.c
+    * ascending, ties by index). ONE definition shared by every probe
+    * variant (ivfTopK/filtered, ADC raw/residual/filtered, the tuning
+    * grid's scored-candidate pass): the s23 parity spec and the
+    * AnnCommitSpec twins are locked to bit-identical routing, so a
+    * tie-break tweak must change every consumer at once, not one copy. */
+  private def centroidDists(centroids: Array[Array[Double]], vec: Column): Column =
+    array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorOps.dot(vec, typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+
   /** argmin over centroids of the L2 distance surrogate
     * (|c|² − 2·v·c — |v|² is constant per row): array_min over
     * struct(dist, idx) picks the lowest distance, ties by index. */
@@ -349,11 +363,7 @@ object Similarity {
   /** Probe: route each query to its `nProbe` nearest lists, join on the
     * (tiny-cardinality) centroid id, exact-cosine re-rank, top-k. */
   def ivfTopK(queries: DataFrame, model: IVFModel, k: Int, nProbe: Int): DataFrame = {
-    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
-        lit(i).as("i"))
-    }: _*)
+    val dists = centroidDists(model.centroids, col("vec"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
         VectorOps.norm(col("vec")).as("qn"),
         explode(transform(slice(array_sort(dists), 1, nProbe), s => s.getField("i")))
@@ -387,11 +397,7 @@ object Similarity {
     require(model.assignments.columns.contains(filterCol),
       s"ivfFilteredTopK needs '$filterCol' in the posting list — build " +
         s"the index with extraCols = Seq(\"$filterCol\")")
-    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
-        lit(i).as("i"))
-    }: _*)
+    val dists = centroidDists(model.centroids, col("vec"))
     val q = queries.select(col("id").as("query_id"), col(filterCol),
         col("vec").as("qv"), VectorOps.norm(col("vec")).as("qn"),
         explode(transform(slice(array_sort(dists), 1, nProbe), s => s.getField("i")))
@@ -1240,11 +1246,7 @@ object Similarity {
                          nProbe: Int, shortlist: Int,
                          dim: Int = 64): DataFrame = {
     val subDim = dim / books.length
-    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
-        lit(i).as("i"))
-    }: _*)
+    val dists = centroidDists(model.centroids, col("vec"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
         VectorOps.norm(col("vec")).as("qn"),
         queryLut(col("vec"), books, subDim).as("lut"),
@@ -1288,11 +1290,7 @@ object Similarity {
                                   books: Array[Array[Array[Double]]],
                                   maxProbe: Int, dim: Int = 64): DataFrame = {
     val subDim = dim / books.length
-    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
-        lit(i).as("i"))
-    }: _*)
+    val dists = centroidDists(model.centroids, col("vec"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
         VectorOps.norm(col("vec")).as("qn"),
         queryLut(col("vec"), books, subDim).as("lut"),
@@ -1331,11 +1329,7 @@ object Similarity {
                  books: Array[Array[Array[Double]]], k: Int, nProbe: Int,
                  shortlist: Int, dim: Int = 64): DataFrame = {
     val subDim = dim / books.length
-    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
-        lit(i).as("i"))
-    }: _*)
+    val dists = centroidDists(model.centroids, col("vec"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       VectorOps.norm(col("vec")).as("qn"),
       queryLut(col("vec"), books, subDim).as("lut"),
@@ -1381,11 +1375,7 @@ object Similarity {
       s"ivfAdcFilteredTopK needs '$filterCol' riding the ADC postings — " +
         s"build them with adcPostings(extraCols = Seq(\"$filterCol\"))")
     val subDim = dim / books.length
-    val dists = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorOps.dot(col("vec"), typedlit(c.toSeq))).as("d"),
-        lit(i).as("i"))
-    }: _*)
+    val dists = centroidDists(model.centroids, col("vec"))
     val q = queries.select(col("id").as("query_id"), col(filterCol),
       col("vec").as("qv"), VectorOps.norm(col("vec")).as("qn"),
       queryLut(col("vec"), books, subDim).as("lut"),

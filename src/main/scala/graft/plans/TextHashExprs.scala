@@ -483,9 +483,17 @@ case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
   }
 
   def compute(w: org.apache.spark.unsafe.types.UTF8String): GenericArrayData = {
+    // DP over CODE POINTS, not UTF-16 units: the seed vocab and the
+    // oracle measure pieces with Spark/DuckDB substr/length (code
+    // points), so a supplementary-plane char must cost ONE position —
+    // indexing java.lang.String directly would double-count it and
+    // diverge the canonical segmentation from the oracle
     val s = w.toString
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    def sub(from: Int, until: Int): String =
+      new String(cps, from, until - from)
     // dp over prefix lengths: best (score, ntok) + the chosen last-piece
     // length; bp = -1 marks an unreachable cell (only possible for a
     // character outside the learned alphabet — the single-char pieces
@@ -502,7 +510,7 @@ case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
       var l = 1
       while (l <= lMax) {
         if (bp(j - l) >= 0) {
-          val ps = table.get(s.substring(j - l, j))
+          val ps = table.get(sub(j - l, j))
           if (ps ne null) {
             val cs = score(j - l) + ps.longValue()
             val ct = ntok(j - l) + 1
@@ -529,7 +537,7 @@ case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
     while (pos > 0) {
       val l = bp(pos)
       pieces(k) = org.apache.spark.unsafe.types.UTF8String
-        .fromString(s.substring(pos - l, pos))
+        .fromString(sub(pos - l, pos))
       pos -= l
       k -= 1
     }

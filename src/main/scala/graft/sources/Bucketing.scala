@@ -226,7 +226,11 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(side)
     pinned.foreach { case (k, v) =>
-      spark.sql(s"ALTER TABLE $side SET TBLPROPERTIES ('$k' = '$v')")
+      // SQL-escape: the copy claims to preserve ALL graft.* pins, and
+      // an unescaped quote in a value would abort the compaction after
+      // the side write, stranding a __compacting table
+      val (ek, ev) = (k.replace("'", "''"), v.replace("'", "''"))
+      spark.sql(s"ALTER TABLE $side SET TBLPROPERTIES ('$ek' = '$ev')")
     }
     spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"ALTER TABLE $table RENAME TO $old")

@@ -422,6 +422,22 @@ object EdgeRunner {
         }
         graft.operators.Dedup.saveRcFingerprints(spark, cfg.fingerprints,
           raw.filter(col("text").isNotNull), "text", ingestId = rcIngest)
+        // record WHICH landing ingests the full count covered: a later
+        // plain append for one of them (e.g. backfilling the key dir
+        // for a pre-bootstrap day with --fingerprints riding the
+        // standard flags) would land that ingest's holders a SECOND
+        // time — rc inflation, content that must erase staying live.
+        // The property survives compaction (compactIngests copies
+        // graft.* pins to the side table).
+        val covered: Set[String] =
+          if (raw.columns.contains("ingest_id")) {
+            import spark.implicits._
+            raw.select(col("ingest_id").cast("string")).distinct()
+              .as[String].collect().toSet + rcIngest
+          } else Set(rcIngest)
+        spark.sql(s"ALTER TABLE $rcTable SET TBLPROPERTIES " +
+          s"('graft.rc_bootstrap_covered' = " +
+          s"'${covered.toSeq.sorted.mkString(",").replace("'", "''")}')")
       } else {
         // the implicit-append path FAILS when the family is missing:
         // silently bootstrapping from the current batch only is the
@@ -432,6 +448,18 @@ object EdgeRunner {
             "existing holders first (a current-batch-only bootstrap " +
             "would leave prior holders uncounted and let a single " +
             "forget erase content that still has landed copies)")
+        val covered =
+          try spark.sql(
+              s"SHOW TBLPROPERTIES $rcTable ('graft.rc_bootstrap_covered')")
+            .collect().headOption.map(_.getString(1))
+            .filterNot(_.contains("does not"))
+            .map(_.split(",").toSet).getOrElse(Set.empty[String])
+          catch { case _: Exception => Set.empty[String] }
+        require(!covered(rcIngest),
+          s"ingest '$rcIngest' was already counted by the full-landing " +
+            "--rc-bootstrap — appending it again would double-count " +
+            "every holder it contributed (a bootstrap RETRY must re-run " +
+            "with --rc-bootstrap true, which replays idempotently)")
         graft.operators.Dedup.appendRcFingerprints(spark, cfg.fingerprints,
           batch, "text", rcIngest)
       }
@@ -516,25 +544,39 @@ object EdgeRunner {
     // timer-driven — so the catch-up path disables them; the
     // steady-state ProcessingTime path keeps the default (a no-data
     // batch there is harmless and keeps watermark-style consumers
-    // conventional). Spec-locked: "neardup --drain terminates".
-    if (trigger == Trigger.AvailableNow())
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val docs = CorpusStream.parseDocs(readStreamEnvelopes(spark, cfg.in))
-      .select("doc_id", "text", "ts")
-    val writer = graft.streaming.NearDupStream.suppress(docs,
-        ttl = java.time.Duration.ofMinutes(cfg.ttlMin),
-        threshold = cfg.simThreshold, bands = cfg.bands)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", cfg.checkpoint)
-      .trigger(trigger)
-    if (cfg.knownKeys.isEmpty)
-      writer.format("parquet").option("path", cfg.out).start()
-    else
-      writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        landAndMaintain(batch, batchId, cfg.out, cfg.knownKeys,
-          lexPrefix = Option(cfg.lex).filter(_.nonEmpty))
-      }.start()
+    // conventional). The override is scoped to THIS query: the stream
+    // snapshots session conf at start(), and the finally restores the
+    // session value so a later ProcessingTime stream started on the
+    // same session is untouched. Spec-locked: "neardup --drain
+    // terminates".
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val savedNoData =
+      if (trigger == Trigger.AvailableNow()) {
+        val prev = spark.conf.getOption(noDataKey)
+        spark.conf.set(noDataKey, "false")
+        Some(prev)
+      } else None
+    try {
+      val docs = CorpusStream.parseDocs(readStreamEnvelopes(spark, cfg.in))
+        .select("doc_id", "text", "ts")
+      val writer = graft.streaming.NearDupStream.suppress(docs,
+          ttl = java.time.Duration.ofMinutes(cfg.ttlMin),
+          threshold = cfg.simThreshold, bands = cfg.bands)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint)
+        .trigger(trigger)
+      if (cfg.knownKeys.isEmpty)
+        writer.format("parquet").option("path", cfg.out).start()
+      else
+        writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          landAndMaintain(batch, batchId, cfg.out, cfg.knownKeys,
+            lexPrefix = Option(cfg.lex).filter(_.nonEmpty))
+        }.start()
+    } finally savedNoData.foreach {
+      case Some(v) => spark.conf.set(noDataKey, v)
+      case None => spark.conf.unset(noDataKey)
+    }
   }
 
   /** The neardup sink's batch body — public so the replay contract is
@@ -768,6 +810,17 @@ object EdgeRunner {
       require(cfg.in.startsWith("parquet:"),
         "--fingerprints needs --in parquet:<landing> — the decrement " +
           "reads the victims' texts before the landing delete")
+      // MANDATORY request id: with ids reused across re-posts, two
+      // genuinely distinct requests over the same id set are only
+      // distinguishable by the operator-supplied id; left optional,
+      // both would hash to the same ledger partition and the second's
+      // dynamic overwrite would erase the first's negative rows
+      require(cfg.ingestId.nonEmpty,
+        "forget --fingerprints requires --ingest-id <request id> (e.g. " +
+          "the ticket/date of the deletion request): it keys the " +
+          "negative-ledger partition, so a RETRY of the same request " +
+          "replays idempotently while a NEW request over the same doc " +
+          "ids gets its own rows instead of overwriting the first's")
       // finish any PRIOR crashed forget swap before reading victims:
       // a landing partition still staged as __forgetting is invisible
       // to this read, so its victims' decrements would be silently
@@ -1240,7 +1293,13 @@ object EdgeRunner {
     // operator's input error, not a deployment state to report.
     def guarded(label: String)(body: => Seq[(String, String, String)]) =
       scala.util.Try(body).recover { case e: Exception =>
-        Seq((label, "-", s"error: ${e.getMessage.linesIterator.next()}"))
+        // e.toString, never getMessage: a bare NPE has a null message,
+        // and an empty one has no first line — the guard must not
+        // itself throw or the dashboard dies on exactly the broken
+        // deployment it exists to report
+        val msg = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
+        Seq((label, "-",
+          s"error: ${msg.linesIterator.toSeq.headOption.getOrElse(e.toString)}"))
       }.get
     val rows: Seq[(String, String, String)] = lines.flatMap {
       case l if l.startsWith("recall:") =>

@@ -521,6 +521,13 @@ class EdgeRunnerSpec extends AnyFunSuite {
           "--mode", "neardup", "--in", s"log:$in", "--out", out,
           "--checkpoint", ckpt, "--drain", "true")),
         Trigger.AvailableNow())
+      // the no-data-batch override is scoped to the drained QUERY (the
+      // stream snapshots session conf at start): the session value is
+      // restored before startNearDup returns, so a later steady-state
+      // ProcessingTime stream on this session keeps the default
+      assert(spark.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled") == savedNoData,
+        "startNearDup must restore the session's no-data-batch setting")
       assert(q.awaitTermination(120000),
         "an AvailableNow drain must STOP once the backlog is consumed")
       val ids = spark.read.parquet(out).select("doc_id")

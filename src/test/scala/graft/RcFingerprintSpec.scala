@@ -306,7 +306,8 @@ class RcFingerprintSpec extends AnyFunSuite {
         .as[Long].collect().toSet == Set(3L))
       graft.tools.EdgeRunner.run(spark, graft.tools.EdgeRunner.parse(Array(
         "--mode", "forget", "--ids", "2", "--in", s"parquet:$docsDir",
-        "--partition-by", "lang,ingest_id", "--fingerprints", name)))
+        "--partition-by", "lang,ingest_id", "--fingerprints", name,
+        "--ingest-id", "req-swap")))
       // the recovery preamble restored the partition FIRST, so the
       // victim's text was read and b's last holder decremented
       assert(live(name) == Set(fp(a), fp(c)),
@@ -336,7 +337,7 @@ class RcFingerprintSpec extends AnyFunSuite {
           "--mode", "forget", "--ids", "2,3",
           "--in", s"parquet:$docsDir",
           "--partition-by", "lang,ingest_id",
-          "--fingerprints", name)))
+          "--fingerprints", name, "--ingest-id", "req-cli")))
       runOnce()
       assert(spark.read.parquet(docsDir).select("doc_id")
         .as[Long].collect().toSet == Set(1L))
@@ -384,6 +385,27 @@ class RcFingerprintSpec extends AnyFunSuite {
         Seq((3L, a)).toDF("doc_id", "text"), "text", "reqB")
       assert(live(name) == Set(fp(a), fp(b)),
         "still-held content must survive forgetting one old holder")
+      // COVERED-SET guard: the bootstrap already counted old0's
+      // holders — a later plain append for old0 (e.g. backfilling the
+      // key dir for a pre-bootstrap day with --fingerprints riding the
+      // standard flags) would land them a SECOND time (rc inflation,
+      // content that must erase staying live) and must refuse
+      val dbl = intercept[IllegalArgumentException] {
+        graft.tools.EdgeRunner.runMaintain(spark, graft.tools.EdgeRunner.parse(
+          Array("--mode", "maintain", "--in", s"parquet:$docsDir",
+            "--known-keys", keysDir, "--ingest-id", "old0",
+            "--fingerprints", name)))
+      }
+      assert(dbl.getMessage.contains("already counted"), dbl.getMessage)
+      // a genuinely NEW ingest still appends normally
+      graft.sources.Connectors.overwritePartitions(
+        Seq((9L, novel)).toDF("doc_id", "text")
+          .withColumn("ingest_id", lit("new2")), docsDir, Seq("ingest_id"))
+      graft.tools.EdgeRunner.runMaintain(spark, graft.tools.EdgeRunner.parse(
+        Array("--mode", "maintain", "--in", s"parquet:$docsDir",
+          "--known-keys", keysDir, "--ingest-id", "new2",
+          "--fingerprints", name)))
+      assert(live(name) == Set(fp(a), fp(b), fp(novel)))
     } finally {
       drop(name)
       val p = new org.apache.hadoop.fs.Path(tmp)

@@ -44,6 +44,18 @@ class UnigramSpec extends AnyFunSuite {
     assert(segment("abc", v) == Seq("ab", "c"))
   }
 
+  test("Viterbi indexes by CODE POINTS: a supplementary-plane char costs one position, matching the oracle's substr/len") {
+    // U+1D54F (𝕏) is 2 UTF-16 units but ONE code point; the vocab and
+    // the DuckDB oracle measure pieces in code points, so a piece
+    // containing it must match and cost 1 of the piece-length budget
+    val x = new String(Character.toChars(0x1D54F))
+    val v = Map("a" -> -5L, "b" -> -5L, x -> -5L,
+      s"a${x}b" -> -1L) // 3 code points — legal at maxPieceLen 3
+    assert(segment(s"a${x}b", v, maxPieceLen = 3) == Seq(s"a${x}b"),
+      "the 3-code-point piece must match despite being 4 UTF-16 units")
+    assert(segment(s"${x}${x}", v, maxPieceLen = 3) == Seq(x, x))
+  }
+
   test("a word with a character outside the alphabet fails loudly") {
     val e = intercept[Exception] {
       segment("axz", Map("a" -> -1L, "x" -> -1L))
