@@ -5688,6 +5688,66 @@ object Queries {
       filterCol = "label")
   }
 
+  /** Tokenizer COMPARISON report (t39) — the corpus-level fertility /
+    * compression numbers a pipeline owner reads to PICK a tokenizer:
+    * for each trained family (t30's 6-rule BPE, t37's unigram LM),
+    * total words / chars / tokens plus tokens-per-word (fertility) and
+    * chars-per-token (compression), 6dp. Both tokenizers are LEARNED
+    * and APPLIED inside the query (the p10/p11 discipline), so the
+    * report is end-to-end oracle-exact: the oracle carries BOTH
+    * unrolled chains — the BPE merge rounds AND the unigram EM DP —
+    * in one statement and reads each family's trained segmentation.
+    * Corpus text is scanned once per family's word table + once per
+    * doc join; everything else runs over distinct words. */
+  val t39 = q("t39_tokenizer_compare",
+    s"""WITH RECURSIVE b AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |seg_0 AS MATERIALIZED (
+       | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
+       | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
+       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
+       |$uniSeedCtes,
+       |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
+       |${uniDpCtes("ap", s"vocab_$UniRounds")},
+       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM uwords w
+       | JOIN dp_ap d ON d.word = w.word AND d.pos = w.wl),
+       |docw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |bpet AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+       | FROM docw d JOIN seg_$BpeRounds s ON s.word = d.word),
+       |unit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(t.ntok) AS BIGINT) AS n_tokens
+       | FROM docw d JOIN wtok t USING (word))
+       |SELECT tokenizer, n_words, n_chars, n_tokens,
+       | round(n_tokens * 1.0 / n_words, 6) AS tokens_per_word,
+       | round(n_chars * 1.0 / n_tokens, 6) AS chars_per_token
+       |FROM (SELECT 'bpe' AS tokenizer, * FROM bpet
+       |      UNION ALL SELECT 'unigram', * FROM unit)""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
+    val vocab = TextAnalysis.unigramVocab(docs, "text",
+        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
+    def totals(applied: DataFrame, tokCol: String, name: String): DataFrame =
+      applied.agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col(tokCol)).as("n_tokens"))
+        .select(lit(name).as("tokenizer"), col("n_words"), col("n_chars"),
+          col("n_tokens"))
+    totals(TextAnalysis.bpeApply(docs, "doc_id", "text", rules),
+        "n_bpe_tokens", "bpe")
+      .unionByName(totals(
+        TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
+          maxPieceLen = UniPiece), "n_unigram_tokens", "unigram"))
+      .withColumn("tokens_per_word",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Unigram-tokenizer-TRUE sequence packing (p11) — p10's capstone
     * for the OTHER tokenizer family: learn the unigram-LM vocab (t37),
     * tokenize the corpus with the canonical Viterbi (t38), pack to
@@ -5736,7 +5796,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }
