@@ -294,9 +294,10 @@ object Dedup {
     * The aggregation is bucket-aligned on `__norm_key` — exchange-free
     * on the family's layout. */
   def liveFingerprints(spark: org.apache.spark.sql.SparkSession,
-                       name: String): DataFrame =
-    graft.sources.FamilyCommit.visible(spark,
-        spark.table(s"${name}_normrc"), name)
+                       name: String,
+                       coFamilies: Seq[String] = Nil): DataFrame =
+    graft.sources.FamilyCommit.visibleAcross(spark,
+        spark.table(s"${name}_normrc"), name +: coFamilies)
       .groupBy("__norm_key").agg(sum(col("rc")).as("__rc"))
       .filter(col("__rc") > 0L).select("__norm_key")
 
@@ -306,13 +307,21 @@ object Dedup {
     * admitted again — the strict-erasure re-post behavior, the
     * opposite of [[incrementalKeepFromTables]]'s `_norm` leg.
     * Within-batch dedup stays the job of d02's operator, as with
-    * [[incrementalKeep]]. */
+    * [[incrementalKeep]]. `coFamilies` extends the commit gate ACROSS
+    * families for COMPOSED admission ([[graft.sources.FamilyCommit
+    * .visibleAcross]]): a strict-erasure ingest that also runs the
+    * near-dup legs passes the nd family's prefix, so an ingest
+    * committed in one family but not yet the other is judged against
+    * the PREVIOUS corpus in BOTH legs — never admitted by one and
+    * suppressed by the other's half-landed state. */
   def exactKeepFromRcTable(spark: org.apache.spark.sql.SparkSession,
                            incoming: DataFrame, name: String,
-                           idCol: String, textCol: String): DataFrame =
+                           idCol: String, textCol: String,
+                           coFamilies: Seq[String] = Nil): DataFrame =
     incoming.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .withColumn("__norm_key", TextOps.fingerprint(col(textCol)))
-      .join(liveFingerprints(spark, name), Seq("__norm_key"), "left_anti")
+      .join(liveFingerprints(spark, name, coFamilies),
+        Seq("__norm_key"), "left_anti")
       .drop("__norm_key")
 
   /** Fold the rc ledger and PHYSICALLY ERASE dead fingerprints —

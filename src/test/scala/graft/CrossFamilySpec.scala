@@ -111,6 +111,44 @@ class CrossFamilySpec extends AnyFunSuite {
     } finally drop(tables)
   }
 
+  test("strict-erasure composed admission: an rc ingest committed ahead of the nd family is judged against the PREVIOUS corpus in the rc leg too") {
+    import graft.operators.Dedup
+    val rc = "xfam_rc"; val nd = "xfam_nd"
+    val tables = Seq(s"${rc}_normrc", s"${rc}_commits",
+      s"${nd}_ndband", s"${nd}_ndsh", s"${nd}_commits")
+    try {
+      drop(tables)
+      val base = Seq((1L, "alpha beta gamma shared seed corpus words"))
+        .toDF("doc_id", "text")
+      Dedup.saveRcFingerprints(spark, rc, base, "text")
+      FamilyCommit.commit(spark, rc, "base")
+      Dedup.saveNearDupKeys(spark, nd, base, "doc_id", "text")
+      FamilyCommit.commit(spark, nd, "base")
+      // one logical ingest lands in both families; only rc commits
+      val day = Seq((2L, "zeppelin quartz mamba unique streaming words"))
+        .toDF("doc_id", "text")
+      Dedup.appendRcFingerprints(spark, rc, day, "text", "day1")
+      FamilyCommit.commit(spark, rc, "day1")
+      Dedup.appendNearDupKeys(spark, nd, day, "doc_id", "text",
+        ingestId = "day1") // no marker — the crash window
+      // composed admission gates the rc leg on BOTH families: a
+      // re-post of day1's content is still ADMITTED (judged against
+      // the previous corpus, like the nd leg sees it)
+      val repost = Seq((3L, "zeppelin quartz mamba unique streaming words"))
+        .toDF("doc_id", "text")
+      assert(Dedup.exactKeepFromRcTable(spark, repost, rc,
+          "doc_id", "text", coFamilies = Seq(nd))
+        .count() == 1L, "half-committed ingest must not suppress in one leg only")
+      // rc leg ALONE honors its own marker (single-family contract)
+      assert(Dedup.exactKeepFromRcTable(spark, repost, rc,
+        "doc_id", "text").count() == 0L)
+      // the last marker lands -> both legs see day1 atomically
+      FamilyCommit.commit(spark, nd, "day1")
+      assert(Dedup.exactKeepFromRcTable(spark, repost, rc,
+        "doc_id", "text", coFamilies = Seq(nd)).count() == 0L)
+    } finally drop(tables)
+  }
+
   test("stream e2e: crash between the lexical and IVF commits leaves the batch out of composed reads; the replay heals without duplication") {
     val lex = "xfam_slex"; val ivf = "xfam_sivf"
     val tables = Seq(s"${lex}_post", s"${lex}_lexstats", s"${lex}_commits",
