@@ -5688,6 +5688,38 @@ object Queries {
       filterCol = "label")
   }
 
+  /** SemDeDup over the persisted IVF cells (d22 — Abbas et al. 2023):
+    * semantic near-dups are pruned WITHIN coarse-quantizer clusters
+    * only — the assignment is the blocking structure, so pairwise
+    * cosine never touches the full corpus. Keep-min per ≥θ pair (the
+    * d02/d15 discipline on semantic similarity); one row per cell
+    * incl. empty ones (the s20 rule) with vec/dropped/kept counts.
+    * The oracle replays the portable unrolled-Lloyd clustering and the
+    * same within-cell pair rule. */
+  val d22 = q("d22_semdedup", {
+    s"""$ivfOracleCtes,
+       |pairs AS (SELECT b.cid, b.vec_id FROM af a JOIN af b
+       | ON a.cid = b.cid AND a.vec_id < b.vec_id
+       | WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45),
+       |dropped AS (SELECT cid, CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+       |  AS n_dropped FROM pairs GROUP BY cid),
+       |counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       | FROM af GROUP BY cid),
+       |grid AS (SELECT CAST(b.range AS BIGINT) AS cid FROM range(16) b)
+       |SELECT g.cid, COALESCE(c.n_vecs, 0) AS n_vecs,
+       | COALESCE(d.n_dropped, 0) AS n_dropped,
+       | COALESCE(c.n_vecs, 0) - COALESCE(d.n_dropped, 0) AS n_kept
+       |FROM grid g LEFT JOIN counts c USING (cid)
+       |LEFT JOIN dropped d USING (cid)""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    Similarity.semDedupCellStats(model, threshold = 0.45)
+  }
+
   /** Tokenizer COMPARISON report (t39) — the corpus-level fertility /
     * compression numbers a pipeline owner reads to PICK a tokenizer:
     * for each trained family (t30's 6-rule BPE, t37's unigram LM),
@@ -5794,7 +5826,7 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,

@@ -414,6 +414,46 @@ object Similarity {
       .select("query_id", filterCol, "neighbor_id", "cos", "rn")
   }
 
+  /** SemDeDup-style SEMANTIC dedup over the coarse-quantizer cells
+    * (Abbas et al. 2023 §3: cluster the embedding space, then dedup
+    * only WITHIN clusters — the cluster assignment is the blocking
+    * structure that keeps pairwise cosine off the full corpus): a
+    * vector is DROPPED when a same-cell neighbor with a smaller id
+    * scores ≥ the threshold (the d02/d15 keep-min discipline applied
+    * to semantic similarity). Returns one row per cell — including
+    * empty ones, the s20 every-cell rule — with vector/dropped/kept
+    * counts.
+    *
+    * 100 TB shape: the self-join is an equi-join on cid over the
+    * BUCKETED assignments (exchange-free on the family layout), and
+    * per-cell work is quadratic IN THE CELL — the method's contract is
+    * that nCentroids scales with the corpus so cells stay bounded
+    * (SemDeDup runs k ≈ 10k-100k at web scale); the cell-occupancy
+    * report (s20) is the watchdog for cells outgrowing that bound. */
+  def semDedupCellStats(model: IVFModel, threshold: Double): DataFrame = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    val side = model.assignments.select(col("cid"), col("id"),
+      col("vec"), VectorOps.norm(col("vec")).as("nrm"))
+    val dropped = side.as("a")
+      .join(side.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(VectorOps.dot(col("a.vec"), col("b.vec")) /
+        (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") > threshold)
+      .select(col("b.cid").as("cid"), col("b.id").as("id")).distinct()
+      .groupBy("cid").agg(count(lit(1)).cast("long").as("n_dropped"))
+    val counts = model.assignments.groupBy("cid")
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    (0 until model.centroids.length).toDF("cid")
+      .join(counts, Seq("cid"), "left")
+      .join(dropped, Seq("cid"), "left")
+      .select(col("cid").cast("long").as("cid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+  }
+
   /** IVF posting-list occupancy report — THE operational metric behind
     * probe cost and recall drift: a probe reads its nProbe cells in
     * full, so one hot cell makes every query routed there pay its

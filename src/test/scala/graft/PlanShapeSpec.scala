@@ -92,6 +92,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"label must be a join key, not a post-filter:\n$p")
   }
 
+  test("d22 semdedup pairs come from the within-cell equi-join, never a cartesian") {
+    val p = plan("d22_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the cell assignment must be the blocking structure:\n$p")
+  }
+
   test("d20 calibration candidates come from the band equi-join, never a cartesian") {
     val p = plan("d20_lsh_calibration")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
