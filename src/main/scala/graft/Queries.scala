@@ -5691,8 +5691,9 @@ object Queries {
   /** SemDeDup over the persisted IVF cells (d22 — Abbas et al. 2023):
     * semantic near-dups are pruned WITHIN coarse-quantizer clusters
     * only — the assignment is the blocking structure, so pairwise
-    * cosine never touches the full corpus. Keep-min per ≥θ pair (the
-    * d02/d15 discipline on semantic similarity); one row per cell
+    * cosine never touches the full corpus. Keep-min per >θ pair (the
+    * d02/d15 discipline on semantic similarity; strict >, the d06
+    * boundary rule); one row per cell
     * incl. empty ones (the s20 rule) with vec/dropped/kept counts.
     * The oracle replays the portable unrolled-Lloyd clustering and the
     * same within-cell pair rule. */

@@ -295,11 +295,30 @@ object Dedup {
     * on the family's layout. */
   def liveFingerprints(spark: org.apache.spark.sql.SparkSession,
                        name: String,
-                       coFamilies: Seq[String] = Nil): DataFrame =
-    graft.sources.FamilyCommit.visibleAcross(spark,
-        spark.table(s"${name}_normrc"), name +: coFamilies)
-      .groupBy("__norm_key").agg(sum(col("rc")).as("__rc"))
+                       coFamilies: Seq[String] = Nil): DataFrame = {
+    val own = graft.sources.FamilyCommit.visible(spark,
+      spark.table(s"${name}_normrc"), name)
+    // the cross-family gate applies to INGEST partitions only (those
+    // share the composed families' id space — the same batch lands in
+    // each family under the same id). `forget-<request>` ledger
+    // partitions are FAMILY-LOCAL by design (a deletion request lands
+    // only here, and [[graft.operators.Forget.forgetFingerprints]]
+    // commits its marker only in this family): folding a coFamily's
+    // committed set over them would hide every decrement forever —
+    // forgotten content would stay "live" on the composed path and
+    // strict erasure would silently break. They stay gated by this
+    // family's OWN marker, nothing else.
+    val gated =
+      if (coFamilies.isEmpty) own
+      else {
+        val isForget = col("ingest_id").cast("string").startsWith("forget-")
+        graft.sources.FamilyCommit.visibleAcross(spark,
+            own.filter(!isForget), coFamilies)
+          .unionByName(own.filter(isForget))
+      }
+    gated.groupBy("__norm_key").agg(sum(col("rc")).as("__rc"))
       .filter(col("__rc") > 0L).select("__norm_key")
+  }
 
   /** Exact-dedup admission against the refcounted family: batch rows
     * whose content fingerprint is LIVE are dropped; content whose

@@ -414,15 +414,21 @@ object Similarity {
       .select("query_id", filterCol, "neighbor_id", "cos", "rn")
   }
 
-  /** SemDeDup-style SEMANTIC dedup over the coarse-quantizer cells
+  /** ALL-PAIRS SemDeDup report over the coarse-quantizer cells
     * (Abbas et al. 2023 §3: cluster the embedding space, then dedup
     * only WITHIN clusters — the cluster assignment is the blocking
     * structure that keeps pairwise cosine off the full corpus): a
     * vector is DROPPED when a same-cell neighbor with a smaller id
-    * scores ≥ the threshold (the d02/d15 keep-min discipline applied
-    * to semantic similarity). Returns one row per cell — including
-    * empty ones, the s20 every-cell rule — with vector/dropped/kept
-    * counts.
+    * scores STRICTLY ABOVE the threshold (> not ≥ — the d06 boundary
+    * rule; the d02/d15 keep-min discipline on semantic similarity).
+    * Returns one row per cell — including empty ones, the s20
+    * every-cell rule — with vector/dropped/kept counts.
+    *
+    * Companion to [[semanticDedup]] (s07), which is the LINEAR
+    * keeper-representative approximation (each member compared to the
+    * cell's min-id keeper only — one broadcast join, no within-cell
+    * pairs): s07 is the cheap continuous gate, this is the exact
+    * within-cell audit run at report cadence.
     *
     * 100 TB shape: the self-join is an equi-join on cid over the
     * BUCKETED assignments (exchange-free on the family layout), and
@@ -443,13 +449,9 @@ object Similarity {
       .filter(col("cos") > threshold)
       .select(col("b.cid").as("cid"), col("b.id").as("id")).distinct()
       .groupBy("cid").agg(count(lit(1)).cast("long").as("n_dropped"))
-    val counts = model.assignments.groupBy("cid")
-      .agg(count(lit(1)).cast("long").as("n_vecs"))
-    (0 until model.centroids.length).toDF("cid")
-      .join(counts, Seq("cid"), "left")
+    cellCounts(model)
       .join(dropped, Seq("cid"), "left")
-      .select(col("cid").cast("long").as("cid"),
-        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
   }
@@ -464,21 +466,26 @@ object Similarity {
     * imbalance ratio (max/mean) is a consumer-side division of two
     * reported integers, never a stored float. Cost: one grouped scan
     * of the bucketed assignments — exchange-free on the cid layout. */
-  def ivfCellStats(model: IVFModel): DataFrame = {
+  /** Per-cell vector counts with EVERY cell present, including empty
+    * ones (n_vecs = 0): an empty cell is a reportable signal (dead
+    * routing capacity), and a group-by alone would silently omit it.
+    * ONE definition for the s20 and d22 reports — the empty-cell rule
+    * and cid typing cannot drift between them. */
+  private def cellCounts(model: IVFModel): DataFrame = {
     val spark = model.assignments.sparkSession
     import spark.implicits._
-    // EVERY cell appears, including empty ones (n_vecs = 0): an empty
-    // cell is a reportable signal (dead routing capacity), and a
-    // group-by alone would silently omit it
     val cells = (0 until model.centroids.length).toDF("cid")
     val counts = model.assignments.groupBy("cid")
       .agg(count(lit(1)).cast("long").as("n_vecs"))
     cells.join(counts, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+  }
+
+  def ivfCellStats(model: IVFModel): DataFrame =
+    cellCounts(model)
       .withColumn("size_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_vecs").desc, col("cid"))).cast("long"))
-  }
 
   /** SemDeDup-style semantic dedup over an IVF clustering: within each
     * centroid cluster the min-id vector is the KEEPER; every other

@@ -146,6 +146,18 @@ class CrossFamilySpec extends AnyFunSuite {
       FamilyCommit.commit(spark, nd, "day1")
       assert(Dedup.exactKeepFromRcTable(spark, repost, rc,
         "doc_id", "text", coFamilies = Seq(nd)).count() == 0L)
+      // STRICT ERASURE ON THE COMPOSED PATH: forget-* ledger
+      // partitions are FAMILY-LOCAL ids (the deletion request lands
+      // only in the rc family, its marker committed only there) — the
+      // cross-family gate must EXEMPT them, or the coFamily's
+      // committed set (which never holds forget-* ids) would hide
+      // every decrement forever and a forgotten fingerprint would
+      // stay live until a compaction folds it into base
+      graft.operators.Forget.forgetFingerprints(spark, rc,
+        day, "text", "reqZ")
+      assert(Dedup.exactKeepFromRcTable(spark, repost, rc,
+          "doc_id", "text", coFamilies = Seq(nd)).count() == 1L,
+        "a forgotten fingerprint must leave the composed live set too")
     } finally drop(tables)
   }
 
