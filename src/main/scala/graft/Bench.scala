@@ -139,7 +139,13 @@ object Bench {
               val all = times :+ extra
               spread += name -> all.sorted
               Some(name -> median(all))
-            case None => failed += name; None
+            case None =>
+              // failed and reran stay DISJOINT in the artifact: a
+              // crashed re-run is a failure, full stop — listing it in
+              // both sets would make the round-over-round reran count
+              // double-read the same event
+              reran -= name
+              failed += name; None
           }
         } else {
           spread += name -> times.sorted
@@ -237,6 +243,10 @@ object Bench {
         "\"" + k + "\":" + ts.map(r4).mkString("[", ",", "]")
       }.mkString("\"spread\":{", ",", "},")
     val cal = s"""{"pre":${r4(calPre)},"mid":${r4(calMid)},"post":${r4(calPost)}}"""
-    s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,$spreadJson"failed":$failedJson,"skipped":$skippedJson,"reran":$reranJson,"calibration":$cal,"total_sec":${r4(total)},"wall_end_ms":$wallEndMs}"""
+    // estimator is self-describing in the artifact: normal queries
+    // record the lower median of `reps` samples, reran ones of reps+1
+    // (per-query rep counts are visible in spread) — so a reader
+    // comparing rounds knows the two estimators differ by design
+    s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"estimator":"lower-median; reran carry reps+1 samples","sf":"$sfDir","queries":$qs,$spreadJson"failed":$failedJson,"skipped":$skippedJson,"reran":$reranJson,"calibration":$cal,"total_sec":${r4(total)},"wall_end_ms":$wallEndMs}"""
   }
 }

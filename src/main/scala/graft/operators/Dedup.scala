@@ -311,7 +311,13 @@ object Dedup {
     val gated =
       if (coFamilies.isEmpty) own
       else {
-        val isForget = col("ingest_id").cast("string").startsWith("forget-")
+        // coalesce: under three-valued logic a NULL ingest_id would
+        // make BOTH !isForget and isForget filters drop the row —
+        // silently vanishing it from the composed path while the
+        // single-family path keeps it. Null-partition rows are not
+        // forget ledgers; they belong on the ingest (cross-gated) leg.
+        val isForget = coalesce(
+          col("ingest_id").cast("string").startsWith("forget-"), lit(false))
         graft.sources.FamilyCommit.visibleAcross(spark,
             own.filter(!isForget), coFamilies)
           .unionByName(own.filter(isForget))

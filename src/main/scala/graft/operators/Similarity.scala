@@ -278,8 +278,14 @@ object Similarity {
       // require or a labeled-append write error): silently returning
       // the stale schema is the name-contract violation the check
       // exists to catch, and rebuilding in place would discard any
-      // labeled appends landed since the build.
-      existing.foreach { m =>
+      // labeled appends landed since the build. The check applies only
+      // to an index that would actually be REUSED: one whose nCentroids
+      // has drifted is being rebuilt anyway (the self-heal path), and
+      // the rebuild lands the requested extraCols — hard-failing there
+      // would make combined drift (count + schema) stricter than
+      // either drift alone.
+      val reusable = existing.filter(_.centroids.length == nCentroids)
+      reusable.foreach { m =>
         val missing = extraCols.filterNot(m.assignments.columns.contains)
         require(missing.isEmpty,
           s"persisted IVF index '$name' lacks posting-metadata column(s) " +
@@ -287,7 +293,7 @@ object Similarity {
             "contract; use a distinct name for the filtered index (or drop " +
             s"${name}_centroids/${name}_assignments to rebuild)")
       }
-      existing.filter(_.centroids.length == nCentroids).getOrElse {
+      reusable.getOrElse {
         saveIvfIndex(spark,
           ivfIndex(corpus, nCentroids, iters, portableInit, extraCols),
           name, buckets)

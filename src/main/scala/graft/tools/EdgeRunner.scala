@@ -830,10 +830,39 @@ object EdgeRunner {
         cfg.in.stripPrefix("parquet:"))
       val lfs = landing.getFileSystem(spark.sparkContext.hadoopConfiguration)
       Forget.recoverSwaps(lfs, lfs.makeQualified(landing))
-      val reqId = java.security.MessageDigest.getInstance("MD5")
-        .digest((cfg.ingestId + "|" + cfg.ids.sorted.mkString(","))
-          .getBytes("UTF-8"))
+      def md5_16(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
+      // MIGRATION: ledger partitions written before --ingest-id became
+      // part of the key were hashed over the sorted id set ALONE. A
+      // retry of such a request under any new-style id would land a
+      // SECOND negative partition for the same holders — rc
+      // double-decremented, over-erasure for content that still has
+      // holders (the unsafe direction on this side). So: the sentinel
+      // `--ingest-id legacy` reuses the ids-only partition (retry,
+      // replay-idempotent), and a NEW-style id that would coexist with
+      // an existing ids-only partition for EXACTLY this id set is
+      // refused unless the operator acknowledges the intentional
+      // second decrement with a `new:`-prefixed request id (re-posted
+      // ids, genuinely distinct request).
+      val legacyReqId = md5_16(cfg.ids.sorted.mkString(","))
+      val reqId =
+        if (cfg.ingestId == "legacy") legacyReqId
+        else md5_16(cfg.ingestId + "|" + cfg.ids.sorted.mkString(","))
+      if (reqId != legacyReqId && !cfg.ingestId.startsWith("new:")) {
+        val ledger = s"${cfg.fingerprints}_normrc"
+        val legacyExists = spark.catalog.tableExists(ledger) &&
+          spark.table(ledger)
+            .filter(col("ingest_id") === s"forget-$legacyReqId")
+            .limit(1).count() > 0
+        require(!legacyExists,
+          s"ledger partition forget-$legacyReqId (pre-migration ids-only " +
+            "hash) already exists for exactly this id set. If this is a " +
+            "RETRY of that request, rerun with --ingest-id legacy to reuse " +
+            "it (replay-idempotent); if it is a genuinely NEW deletion " +
+            "request over re-posted ids, prefix the request id with " +
+            "'new:' to acknowledge the intentional second decrement")
+      }
       val victims = spark.read.parquet(cfg.in.stripPrefix("parquet:"))
         .filter(col("doc_id").isin(cfg.ids: _*))
       n += Forget.forgetFingerprints(spark, cfg.fingerprints, victims,

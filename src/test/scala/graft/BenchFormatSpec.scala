@@ -57,6 +57,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"skipped\":[\"q05\",\"q68\"]"))
     assert(line.contains("\"reran\":[\"q02\"]"))
     assert(line.contains("\"reps\":3"))
+    // the estimator switch (reran queries carry reps+1 samples) is
+    // self-described so round-over-round comparisons know the two
+    // estimators differ by design
+    assert(line.contains("\"estimator\":\"lower-median; reran carry reps+1 samples\""))
     assert(line.contains("\"sf\":\"/data/sf0.1\""))
     assert(line.contains("\"wall_end_ms\":1755120000000"))
   }

@@ -248,6 +248,19 @@ class IvfExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("lang") &&
       e.getMessage.contains("name contract"), e.getMessage)
+    // COMBINED drift (nCentroids changed AND extraCols missing) must
+    // take the SELF-HEAL path, not the fail-fast: the index is being
+    // rebuilt anyway, and the rebuild lands the requested posting
+    // columns — hard-failing would make combined drift stricter than
+    // either drift alone. (The fail-fast applies only to an index that
+    // would actually be REUSED.)
+    val cands2 = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()),
+        if (i % 2 == 0) "en" else "fr")).toDF("id", "vec", "lang")
+    val healed = Similarity.ensureIvfIndex(spark, "ivf_e", cands2,
+      nCentroids = 5, iters = 2, extraCols = Seq("lang"))
+    assert(healed.centroids.length == 5)
+    assert(healed.assignments.columns.contains("lang"))
     spark.sql("DROP TABLE IF EXISTS ivf_e_centroids")
     spark.sql("DROP TABLE IF EXISTS ivf_e_assignments")
   }

@@ -457,4 +457,85 @@ class RcFingerprintSpec extends AnyFunSuite {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("composed liveFingerprints keeps rows whose ingest_id is NULL") {
+    // three-valued logic regression: under coFamilies the ledger is
+    // split into forget / non-forget legs; a NULL ingest_id made BOTH
+    // startsWith filters evaluate to NULL, silently vanishing the row
+    // from the composed path while the single-family path kept it
+    val name = "rcspec_nullpart"
+    try {
+      Seq((fp(a), 1L, Option("base")), (fp(b), 1L, Option.empty[String]))
+        .toDF("__norm_key", "rc", "ingest_id")
+        .write.mode("overwrite").saveAsTable(s"${name}_normrc")
+      val single = live(name)
+      assert(single == Set(fp(a), fp(b)))
+      val composed = Dedup.liveFingerprints(spark, name,
+        coFamilies = Seq(s"${name}_other")).as[String].collect().toSet
+      assert(composed == single,
+        "a NULL-ingest_id row must land on the non-forget leg of the " +
+          "composed path, not vanish from both")
+    } finally drop(name)
+  }
+
+  test("CLI: a pre-migration ids-only ledger partition is refused under a new-style id, reused under --ingest-id legacy") {
+    val name = "rcspec_legacy"
+    val tmp = java.nio.file.Files.createTempDirectory("rc_legacy").toString
+    val docsDir = s"$tmp/corpus_docs"
+    def md5_16(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    try {
+      graft.sources.Connectors.overwritePartitions(
+        Seq((1L, a, "en"), (2L, a, "en")).toDF("doc_id", "text", "lang")
+          .withColumn("ingest_id", lit("base")),
+        docsDir, Seq("lang", "ingest_id"))
+      Dedup.saveRcFingerprints(spark, name,
+        Seq((1L, a), (2L, a)).toDF("doc_id", "text"), "text")
+      // simulate the PRE-migration request: ledger partition keyed by
+      // the sorted id set alone (it crashed before the landing delete,
+      // which is why an operator would retry it now)
+      val legacyReq = md5_16("2")
+      Forget.forgetFingerprints(spark, name,
+        Seq((2L, a)).toDF("doc_id", "text"), "text", legacyReq) // rc(a): 2→1
+      def rcOf(k: String): Long = spark.table(s"${name}_normrc")
+        .groupBy("__norm_key").agg(sum("rc").as("rc"))
+        .as[(String, Long)].collect().toMap.getOrElse(k, 0L)
+      assert(rcOf(fp(a)) == 1L)
+      def forget(req: String): Unit = graft.tools.EdgeRunner.run(spark,
+        graft.tools.EdgeRunner.parse(Array(
+          "--mode", "forget", "--ids", "2", "--in", s"parquet:$docsDir",
+          "--partition-by", "lang,ingest_id",
+          "--fingerprints", name, "--ingest-id", req)))
+      // a retry under a new-style id would double-decrement the same
+      // holders (over-erasure) — refused with migration instructions
+      val e = intercept[IllegalArgumentException] { forget("req-retry") }
+      assert(e.getMessage.contains("pre-migration") &&
+        e.getMessage.contains("legacy"), e.getMessage)
+      assert(rcOf(fp(a)) == 1L, "the refused request must not write")
+      // the documented retry path: reuse the ids-only partition —
+      // dynamic overwrite replays the same rows, rc unchanged
+      forget("legacy")
+      assert(rcOf(fp(a)) == 1L, "a legacy retry must replay idempotently")
+      // a genuinely NEW request over re-posted ids proceeds under the
+      // acknowledged `new:` prefix and lands its own partition
+      graft.sources.Connectors.overwritePartitions(
+        Seq((2L, a, "en")).toDF("doc_id", "text", "lang")
+          .withColumn("ingest_id", lit("repost")),
+        docsDir, Seq("lang", "ingest_id"))
+      Dedup.appendRcFingerprints(spark, name,
+        Seq((2L, a)).toDF("doc_id", "text"), "text", "repost") // 1→2
+      forget("new:req-2026-07")
+      assert(rcOf(fp(a)) == 1L,
+        "the acknowledged new request must decrement the re-posted holder")
+      assert(spark.table(s"${name}_normrc")
+        .select(col("ingest_id").cast("string")).distinct()
+        .as[String].collect().count(_.startsWith("forget-")) == 2,
+        "legacy and new requests must hold distinct ledger partitions")
+    } finally {
+      drop(name)
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
