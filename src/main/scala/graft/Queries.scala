@@ -5483,22 +5483,37 @@ object Queries {
   private val UniWordLen = TextAnalysis.UnigramMaxWordLen
 
   /** The unrolled Viterbi DP over prefix lengths 1..UniWordLen under
-    * the vocab CTE `vocab`: dp_<tag>_j holds, per word with len ≥ j,
-    * the canonical best (score, ntok, last-piece length) for the
-    * j-char prefix — ROW_NUMBER (score DESC, ntok ASC, bp ASC) is the
-    * same total order the native expression folds left-to-right
-    * ([[graft.plans.UnigramViterbi]]), so ties cannot diverge.
+    * the vocab CTE `vocab`, per word of the `words` table: dp_<tag>_j
+    * holds, per word with len ≥ j, the canonical best (score, ntok,
+    * last-piece length) for the j-char prefix — ROW_NUMBER (score DESC,
+    * ntok ASC, bp ASC) is the same total order the native expression
+    * folds left-to-right ([[graft.plans.UnigramViterbi]]), so ties
+    * cannot diverge. The l = 1 legs are TOTAL (LEFT JOIN + the
+    * `MIN(score) - 10000000` unk floor — the same one-definition rule
+    * as [[graft.plans.TextHash.unkScoreOf]]): an out-of-alphabet code
+    * point segments as its own unk piece, never an unreachable cell.
     * dp_<tag> unions the stages with a pos column for the backtrace. */
-  private def uniDpCtes(tag: String, vocab: String): String = {
+  private def uniDpCtes(tag: String, vocab: String,
+                        words: String = "uwords"): String = {
+    val unk = s"(SELECT MIN(score) - 10000000 FROM $vocab)"
     val stages = (1 to UniWordLen).map { j =>
       val legs = (1 to math.min(UniPiece, j)).map { l =>
-        if (l == j)
+        if (l == 1 && j == 1)
+          s"""SELECT w.word, COALESCE(v.score, $unk) AS score, 1 AS ntok, 1 AS bp
+             |   FROM $words w LEFT JOIN $vocab v ON v.piece = substr(w.word, 1, 1)
+             |   WHERE w.wl >= $j""".stripMargin
+        else if (l == j)
           s"""SELECT w.word, v.score AS score, 1 AS ntok, $l AS bp
-             |   FROM uwords w JOIN $vocab v ON v.piece = substr(w.word, 1, $l)
+             |   FROM $words w JOIN $vocab v ON v.piece = substr(w.word, 1, $l)
+             |   WHERE w.wl >= $j""".stripMargin
+        else if (l == 1)
+          s"""SELECT d.word, d.score + COALESCE(v.score, $unk) AS score, d.ntok + 1 AS ntok, 1 AS bp
+             |   FROM dp_${tag}_${j - 1} d JOIN $words w ON w.word = d.word
+             |   LEFT JOIN $vocab v ON v.piece = substr(d.word, $j, 1)
              |   WHERE w.wl >= $j""".stripMargin
         else
           s"""SELECT d.word, d.score + v.score AS score, d.ntok + 1 AS ntok, $l AS bp
-             |   FROM dp_${tag}_${j - l} d JOIN uwords w ON w.word = d.word
+             |   FROM dp_${tag}_${j - l} d JOIN $words w ON w.word = d.word
              |   JOIN $vocab v ON v.piece = substr(d.word, ${j - l + 1}, $l)
              |   WHERE w.wl >= $j""".stripMargin
       }.mkString("\n  UNION ALL\n")
@@ -5528,6 +5543,20 @@ object Queries {
        | FROM bt_$tag b JOIN dp_$tag d ON d.word = b.word AND d.pos = b.pos
        | WHERE b.pos > 0)""".stripMargin
 
+  /** Per-word out-of-alphabet code-point count under `vocab`'s
+    * single-char pieces — the oracle twin of
+    * [[graft.plans.TextHash.unigramOovCount]] (≡ the unk-piece count
+    * of the canonical total segmentation: no vocab piece contains an
+    * out-of-alphabet code point, so each is covered by exactly one
+    * unk piece). */
+  private def uniUnkCte(vocab: String, words: String): String =
+    s"""alpha AS (SELECT piece FROM $vocab WHERE len(piece) = 1),
+       |wunk AS MATERIALIZED (SELECT wc.word,
+       |  CAST(SUM(CASE WHEN a.piece IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nunk
+       | FROM (SELECT word, unnest(list_transform(range(1, wl + 1),
+       |    i -> substr(word, CAST(i AS INT), 1))) AS ch FROM $words) wc
+       | LEFT JOIN alpha a ON a.piece = wc.ch GROUP BY wc.word)""".stripMargin
+
   /** One hard-EM round: Viterbi DP under vocab_{r−1}, backtrace,
     * recount pieces weighted by word frequency, prune unused
     * multi-char pieces, floor the alphabet at 1, rescore. */
@@ -5550,11 +5579,12 @@ object Queries {
 
   /** Seed: substring candidates of the distinct-word table, all
     * single-char pieces + top (UniVocab − alphabet) multi-char by
-    * (count desc, piece asc), scored like every round. */
-  private val uniSeedCtes: String =
+    * (count desc, piece asc), scored like every round. `where`
+    * restricts the TRAINING corpus (the t40 cross-corpus split). */
+  private def uniSeedCtes(where: String = ""): String =
     s"""uwords AS MATERIALIZED (
        | SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(len(word) AS INT) AS wl
-       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents$where)
        | GROUP BY word),
        |usubs AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
        |${(1 to UniPiece).map(l =>
@@ -5583,7 +5613,7 @@ object Queries {
     * backtrace + recount + rescore — learn ≡ learn, bit-for-bit. */
   val t37 = q("t37_unigram_vocab",
     s"""WITH RECURSIVE
-       |$uniSeedCtes,
+       |${uniSeedCtes()},
        |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")}
        |SELECT piece, cnt, score FROM vocab_$UniRounds""".stripMargin) { (s, dir) =>
     TextAnalysis.unigramVocab(Tables.documents(s, dir), "text",
@@ -5597,17 +5627,19 @@ object Queries {
     * pos = len — learn ≡ learn AND apply ≡ apply in one gate. */
   val t38 = q("t38_unigram_apply",
     s"""WITH RECURSIVE
-       |$uniSeedCtes,
+       |${uniSeedCtes()},
        |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
        |${uniDpCtes("ap", s"vocab_$UniRounds")},
        |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM uwords w
        | JOIN dp_ap d ON d.word = w.word AND d.pos = w.wl),
+       |${uniUnkCte(s"vocab_$UniRounds", "uwords")},
        |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        | FROM documents)
        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        | CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
-       | CAST(SUM(t.ntok) AS BIGINT) AS n_unigram_tokens
-       |FROM docw d JOIN wtok t USING (word)
+       | CAST(SUM(t.ntok) AS BIGINT) AS n_unigram_tokens,
+       | CAST(SUM(u.nunk) AS BIGINT) AS n_unk
+       |FROM docw d JOIN wtok t USING (word) JOIN wunk u USING (word)
        |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -5738,7 +5770,7 @@ object Queries {
        | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
        | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
        |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
-       |$uniSeedCtes,
+       |${uniSeedCtes()},
        |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
        |${uniDpCtes("ap", s"vocab_$UniRounds")},
        |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM uwords w
@@ -5790,7 +5822,7 @@ object Queries {
     * apply, and pack are pinned in one gate, the p10 discipline. */
   val p11 = q("p11_unigram_pack",
     s"""WITH RECURSIVE
-       |$uniSeedCtes,
+       |${uniSeedCtes()},
        |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
        |${uniDpCtes("ap", s"vocab_$UniRounds")},
        |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM uwords w
@@ -5819,6 +5851,60 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  // t40's injected apply-split words: one mixed word carrying a
+  // supplementary-plane code point (🦜 U+1F99C) AND a BMP
+  // non-ASCII one (§ U+00A7) between likely-in-alphabet chars, plus
+  // one ALL-unk word (🦉🦉) on even doc_ids — both planes exercised,
+  // ONE shared constant so the Spark and DuckDB texts cannot drift
+  private val UnkWordMixed = " a🦜b§c"
+  private val UnkWordPure = " 🦉🦉"
+
+  /** CROSS-CORPUS unigram-tokenizer application (t40) — the operator's
+    * production purpose: train the unigram LM on the %5≠0 split, apply
+    * it to the HELD-OUT %5=0 split with novel characters injected (the
+    * t36 held-out discipline). The TOTAL Viterbi ([[graft.plans
+    * .UnigramViterbi]] unk floor) covers each out-of-alphabet code
+    * point with its own unk piece — one emoji in one document must
+    * never kill the job — and `n_unk` reports the unk mass per doc so
+    * pipelines gate on unk rate instead. The oracle trains the same
+    * EM chain on the train split only, then runs the unk-aware DP over
+    * the injected apply-word table. */
+  val t40 = q("t40_unigram_crosscorpus",
+    s"""WITH RECURSIVE
+       |${uniSeedCtes(" WHERE doc_id % 5 <> 0")},
+       |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
+       |adocs AS (SELECT doc_id, text || '$UnkWordMixed' ||
+       |  CASE WHEN doc_id % 2 = 0 THEN '$UnkWordPure' ELSE '' END AS text
+       | FROM documents WHERE doc_id % 5 = 0),
+       |awords AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS wl
+       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM adocs)
+       | GROUP BY word),
+       |${uniDpCtes("xc", s"vocab_$UniRounds", words = "awords")},
+       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM awords w
+       | JOIN dp_xc d ON d.word = w.word AND d.pos = w.wl),
+       |${uniUnkCte(s"vocab_$UniRounds", "awords")},
+       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       | FROM adocs)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       | CAST(SUM(t.ntok) AS BIGINT) AS n_unigram_tokens,
+       | CAST(SUM(u.nunk) AS BIGINT) AS n_unk
+       |FROM docw d JOIN wtok t USING (word) JOIN wunk u USING (word)
+       |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = TextAnalysis.unigramVocab(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text",
+        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
+    val applied = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(UnkWordMixed),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(UnkWordPure))
+          .otherwise(lit(""))))
+    TextAnalysis.unigramApply(applied, "doc_id", "text", vocab,
+      maxPieceLen = UniPiece)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5829,7 +5915,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

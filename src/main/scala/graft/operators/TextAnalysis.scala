@@ -678,25 +678,33 @@ object TextAnalysis {
   }
 
   /** Tokenize WITH the trained unigram LM (the t31 shape): per doc,
-    * word/char counts and the token count under the canonical Viterbi
-    * segmentation. The segmentation runs once per DISTINCT word (one
-    * native-expression pass), then one join fans word token-counts
-    * back to documents — corpus text is scanned twice total (word
-    * table, doc join), never per piece. */
+    * word/char counts, the token count under the canonical Viterbi
+    * segmentation, and `n_unk` — the count of out-of-alphabet code
+    * points, i.e. pieces the TOTAL segmentation covered with the
+    * SentencePiece-style unk transition ([[graft.plans.UnigramViterbi]]
+    * floor score). Applying a trained tokenizer to NEW ingest never
+    * throws on content; pipelines gate on the unk rate instead. The
+    * segmentation runs once per DISTINCT word (one native-expression
+    * pass), then one join fans word token-counts back to documents —
+    * corpus text is scanned twice total (word table, doc join), never
+    * per piece. */
   def unigramApply(docs: DataFrame, idCol: String, textCol: String,
                    vocab: Map[String, Long], maxPieceLen: Int = 4): DataFrame = {
     val wordTok = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .distinct()
       .select(col("word"),
         size(graft.plans.TextHash.unigramSegment(col("word"), vocab, maxPieceLen))
-          .cast("long").as("n_word_tok"))
+          .cast("long").as("n_word_tok"),
+        graft.plans.TextHash.unigramOovCount(col("word"), vocab)
+          .as("n_word_unk"))
     docs.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("word"))
       .join(wordTok, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_chars"),
-        sum(col("n_word_tok")).as("n_unigram_tokens"))
+        sum(col("n_word_tok")).as("n_unigram_tokens"),
+        sum(col("n_word_unk")).as("n_unk"))
   }
 
   /** Per-source token-quota selection: within EACH source, keep the

@@ -59,10 +59,31 @@ object TextHash {
     GraftShim.column(
       HashedClassifierScore(GraftShim.expression(tokens), nBuckets))
 
+  /** The unk floor score of a trained unigram vocab: well below the
+    * rarest real piece, so the unk transition never outcompetes an
+    * in-vocab segmentation — the SentencePiece discipline. ONE
+    * definition, mirrored verbatim by the DuckDB oracles
+    * (`MIN(score) - 10000000`). */
+  def unkScoreOf(vocab: Map[String, Long]): Long = {
+    require(vocab.nonEmpty, "unkScoreOf needs a non-empty vocab")
+    vocab.valuesIterator.min - 10000000L
+  }
+
   def unigramSegment(word: Column, vocab: Map[String, Long],
                      maxPieceLen: Int): Column =
-    GraftShim.column(
-      UnigramViterbi(GraftShim.expression(word), vocab, maxPieceLen))
+    GraftShim.column(UnigramViterbi(GraftShim.expression(word), vocab,
+      maxPieceLen, unkScoreOf(vocab)))
+
+  /** Out-of-alphabet code points of `word` under `vocab`'s single-char
+    * pieces — exactly the unk-piece count of the canonical
+    * [[UnigramViterbi]] segmentation (no vocab piece contains an
+    * out-of-alphabet code point, so each is covered by one unk
+    * piece). */
+  def unigramOovCount(word: Column, vocab: Map[String, Long]): Column =
+    GraftShim.column(UnigramOovCount(GraftShim.expression(word),
+      vocab.keysIterator
+        .filter(p => p.codePointCount(0, p.length) == 1)
+        .map(_.codePointAt(0)).toSet))
 
   def rollingTokenHash(tokens: Column): Column =
     GraftShim.column(RollingTokenHash(GraftShim.expression(tokens)))
@@ -456,6 +477,18 @@ case class HashedClassifierScore(child: Expression, nBuckets: Int)
   * last piece at every DP cell (the oracle's ROW_NUMBER ORDER BY
   * score DESC, ntok ASC, bp ASC — ties cannot diverge).
   *
+  * TOTAL over arbitrary input (the SentencePiece `<unk>` rule): a code
+  * point outside the trained alphabet segments as ITS OWN single-char
+  * piece at the floor score `unkScore` — applying a trained tokenizer
+  * to NEW ingest (the operator's production purpose) must never throw
+  * on content, exactly as the reference's stream parse never throws on
+  * wire text (reference `spark/jobs/stock_stream.py:131-143`). The unk
+  * transition exists only where the table lookup misses, so it never
+  * competes with an in-alphabet piece; downstream counts unk pieces
+  * via [[UnigramOovCount]] (≡ out-of-alphabet code points — no vocab
+  * piece contains one, so the canonical segmentation covers each with
+  * exactly one unk piece).
+  *
   * One tight JVM loop per word: O(len × maxPieceLen) table lookups,
   * no joins, no window, no per-position rows — the vocab is a few
   * hundred entries by construction (the learner's vocabSize cap), so
@@ -464,7 +497,8 @@ case class HashedClassifierScore(child: Expression, nBuckets: Int)
   * Codegen calls straight into [[compute]] via a reference object, so
   * surrounding operators stay in whole-stage codegen. */
 case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
-                          maxPieceLen: Int) extends UnaryExpression {
+                          maxPieceLen: Int, unkScore: Long)
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -495,9 +529,10 @@ case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
     def sub(from: Int, until: Int): String =
       new String(cps, from, until - from)
     // dp over prefix lengths: best (score, ntok) + the chosen last-piece
-    // length; bp = -1 marks an unreachable cell (only possible for a
-    // character outside the learned alphabet — the single-char pieces
-    // are never pruned, so corpus words are always reachable)
+    // length. Every cell is reachable: the l = 1 slot always has a
+    // candidate — the vocab single (alphabet chars are never pruned)
+    // or, for an out-of-alphabet code point, the unk transition at
+    // `unkScore` — so the DP is total over arbitrary input
     val score = new Array[Long](n + 1)
     val ntok = new Array[Int](n + 1)
     val bp = new Array[Int](n + 1)
@@ -509,28 +544,22 @@ case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
       val lMax = if (maxPieceLen < j) maxPieceLen else j
       var l = 1
       while (l <= lMax) {
-        if (bp(j - l) >= 0) {
-          val ps = table.get(sub(j - l, j))
-          if (ps ne null) {
-            val cs = score(j - l) + ps.longValue()
-            val ct = ntok(j - l) + 1
-            // strict improvement only: the first (smallest) l wins ties,
-            // matching the oracle's bp ASC tiebreak
-            if (cs > bestS || (cs == bestS && ct < bestT)) {
-              bestS = cs; bestT = ct; bestL = l
-            }
+        val ps = table.get(sub(j - l, j))
+        if ((ps ne null) || l == 1) {
+          val cs = score(j - l) +
+            (if (ps ne null) ps.longValue() else unkScore)
+          val ct = ntok(j - l) + 1
+          // strict improvement only: the first (smallest) l wins ties,
+          // matching the oracle's bp ASC tiebreak
+          if (cs > bestS || (cs == bestS && ct < bestT)) {
+            bestS = cs; bestT = ct; bestL = l
           }
         }
         l += 1
       }
-      if (bestL == 0) bp(j) = -1
-      else { score(j) = bestS; ntok(j) = bestT; bp(j) = bestL }
+      score(j) = bestS; ntok(j) = bestT; bp(j) = bestL
       j += 1
     }
-    require(bp(n) >= 0,
-      s"word '$s' is not segmentable under the vocab — it carries a " +
-        "character outside the learned alphabet (the vocab was trained " +
-        "on a different corpus)")
     val pieces = new Array[Any](ntok(n))
     var pos = n
     var k = ntok(n) - 1
@@ -545,6 +574,43 @@ case class UnigramViterbi(child: Expression, vocab: Map[String, Long],
   }
 
   override protected def withNewChildInternal(c: Expression): UnigramViterbi =
+    copy(child = c)
+}
+
+/** Count of code points outside `alphabet` (string → long) — the
+  * `n_unk` companion of [[UnigramViterbi]]: because no trained vocab
+  * piece contains an out-of-alphabet code point and alphabet singles
+  * are never pruned, this equals the unk-piece count of the canonical
+  * segmentation WITHOUT re-running the DP. One O(len) loop per word
+  * over the distinct-word table; codegen via reference object keeps
+  * the surrounding operators in whole-stage codegen. */
+case class UnigramOovCount(child: Expression, alphabet: Set[Int])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val set: java.util.HashSet[Integer] = {
+    val s = new java.util.HashSet[Integer](alphabet.size * 2)
+    alphabet.foreach(cp => s.add(Integer.valueOf(cp)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniOov", this, classOf[UnigramOovCount].getName)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $ref.compute($w);")
+  }
+
+  def compute(w: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val it = w.toString.codePoints().iterator()
+    var n = 0L
+    while (it.hasNext) if (!set.contains(it.next())) n += 1L
+    n
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramOovCount =
     copy(child = c)
 }
 

@@ -501,4 +501,20 @@ class PlanShapeSpec extends AnyFunSuite {
       _.exists(_.isInstanceOf[graft.plans.UnigramViterbi]))),
       s"native Viterbi expression missing from the plan:\n$lp")
   }
+
+  test("t40 cross-corpus apply: total Viterbi + unk count both ride the distinct-word projection, no per-piece or per-char joins") {
+    val p = plan("t40_unigram_crosscorpus")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in t40:\n$p")
+    val lp = SparkEntry.queries("t40_unigram_crosscorpus")(spark, dir)
+      .queryExecution.optimizedPlan
+    assert(lp.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.UnigramViterbi]))),
+      s"native Viterbi expression missing from the plan:\n$lp")
+    // n_unk is the O(len) OovCount expression in the SAME projection
+    // pass — not a re-run of the DP and not an exploded-char join
+    assert(lp.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.UnigramOovCount]))),
+      s"native OovCount expression missing from the plan:\n$lp")
+  }
 }

@@ -56,11 +56,42 @@ class UnigramSpec extends AnyFunSuite {
     assert(segment(s"${x}${x}", v, maxPieceLen = 3) == Seq(x, x))
   }
 
-  test("a word with a character outside the alphabet fails loudly") {
-    val e = intercept[Exception] {
-      segment("axz", Map("a" -> -1L, "x" -> -1L))
-    }
-    assert(e.getMessage.contains("not segmentable"), e.getMessage)
+  test("TOTAL segmentation: an out-of-alphabet code point becomes its own unk piece at the floor score, never a crash") {
+    // 'z' is outside the alphabet: the SentencePiece-style unk
+    // transition covers it as a single-char piece — applying a trained
+    // tokenizer to new ingest must never throw on content
+    assert(segment("axz", Map("a" -> -1L, "x" -> -1L)) ==
+      Seq("a", "x", "z"))
+    // the unk floor never outcompetes an in-vocab path: 'x' is in the
+    // alphabet, so even a terrible real score beats unk
+    assert(segment("ax", Map("a" -> -1L, "x" -> -9999999L)) ==
+      Seq("a", "x"))
+    // an ALL-unk word (supplementary-plane, the code-point discipline)
+    val owl = new String(Character.toChars(0x1F989))
+    assert(segment(owl + owl, Map("a" -> -1L)) == Seq(owl, owl))
+    // a multi-char vocab piece still wins around an embedded unk char
+    assert(segment(s"ab${owl}ab", Map("a" -> -9L, "b" -> -9L, "ab" -> -1L)) ==
+      Seq("ab", owl, "ab"))
+  }
+
+  test("cross-corpus apply: train on A, apply to B with novel characters — no throw, unk counts pinned") {
+    val trainDocs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val vmap = TextAnalysis.unigramVocab(trainDocs, "text",
+        vocabSize = 16, rounds = 2, maxPieceLen = 4)
+      .as[(String, Long, Long)].collect().map(v => v._1 -> v._3).toMap
+    // corpus B: one BMP novel char (§), one supplementary (🦜), and 'c'
+    // — also novel to the tiny alpha/beta/gamma alphabet
+    val parrot = new String(Character.toChars(0x1F99C))
+    val newDocs = Seq(
+      (10L, s"alpha a${parrot}b§c"), // 3 novel cps in one word: 🦜 § c
+      (11L, s"beta $parrot$parrot"),      // all-unk word: 2 novel cps
+      (12L, "gamma alpha")                // no novel content
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramApply(newDocs, "doc_id", "text", vmap)
+      .select("doc_id", "n_unk")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 3L, 11L -> 2L, 12L -> 0L), out.toString)
   }
 
   test("learner invariants: alphabet never pruned and floored at 1; unused multi-char pieces pruned; scores are round(ln(p)*1e6)") {
@@ -101,16 +132,17 @@ class UnigramSpec extends AnyFunSuite {
     assert(v1 == v2, "the learner must be run-to-run deterministic")
     val vmap = v1.map(v => v._1 -> v._3).toMap
     val applied = TextAnalysis.unigramApply(docs, "doc_id", "text", vmap)
-      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    // doc 1: 3 words, 14 chars; token count = per-word ntoks summed
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 3 words, 14 chars; token count = per-word ntoks summed;
+    // in-corpus application has zero unk mass by construction
     val ntokOf = Map(
       "alpha" -> segment("alpha", vmap).size,
       "beta" -> segment("beta", vmap).size,
       "gamma" -> segment("gamma", vmap).size)
     assert(applied(1L) == ((1L, 3L, 14L,
-      (2 * ntokOf("alpha") + ntokOf("beta")).toLong)))
+      (2 * ntokOf("alpha") + ntokOf("beta")).toLong, 0L)))
     assert(applied(2L) == ((2L, 2L, 9L,
-      (ntokOf("beta") + ntokOf("gamma")).toLong)))
+      (ntokOf("beta") + ntokOf("gamma")).toLong, 0L)))
   }
 
   test("a word longer than the oracle's unrolled DP bound fails the learner loudly") {
