@@ -443,11 +443,20 @@ object Similarity {
     * (SemDeDup runs k ≈ 10k-100k at web scale); the cell-occupancy
     * report (s20) is the watchdog for cells outgrowing that bound. */
   def semDedupCellStats(model: IVFModel, threshold: Double): DataFrame = {
-    val spark = model.assignments.sparkSession
-    import spark.implicits._
     val side = model.assignments.select(col("cid"), col("id"),
       col("vec"), VectorOps.norm(col("vec")).as("nrm"))
-    val dropped = side.as("a")
+    cellCounts(model)
+      .join(allPairsDropped(side, threshold), Seq("cid"), "left")
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+  }
+
+  /** Per-cell dropped counts under the exact all-pairs rule — the
+    * shared core of [[semDedupCellStats]] and the cold leg of
+    * [[semDedupCellStatsCapped]]. */
+  private def allPairsDropped(side: DataFrame, threshold: Double): DataFrame =
+    side.as("a")
       .join(side.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .withColumn("cos", round(VectorOps.dot(col("a.vec"), col("b.vec")) /
@@ -455,11 +464,55 @@ object Similarity {
       .filter(col("cos") > threshold)
       .select(col("b.cid").as("cid"), col("b.id").as("id")).distinct()
       .groupBy("cid").agg(count(lit(1)).cast("long").as("n_dropped"))
-    cellCounts(model)
+
+  /** [[semDedupCellStats]] with the HOT-CELL CAP the s20 watchdog was
+    * missing an actuator for: a cell whose occupancy exceeds `maxCell`
+    * (routing drift, a duplicate storm, a degenerate centroid) would
+    * make the within-cell all-pairs O(s²) — one hot cell holding half
+    * the corpus turns the report into a quadratic job. Cells at or
+    * under the cap run the EXACT all-pairs rule (bit-identical to the
+    * uncapped report — on a balanced corpus the two operators agree on
+    * every row); cells above it DEGRADE to the keeper rule
+    * ([[semanticDedup]]'s s07 shape): each member scores against the
+    * cell's min-id keeper only — O(s) per hot cell, one broadcast join
+    * (hot keepers are bounded by nCentroids rows). Deterministic both
+    * legs; `capped` marks the rows whose rule degraded so consumers
+    * (and the s20 report reader) see WHERE the bound bit. The
+    * principled fix for a persistently hot cell is a retrain with
+    * larger nCentroids (`--mode retrain`); the cap keeps the report
+    * cadence alive until it lands. */
+  def semDedupCellStatsCapped(model: IVFModel, threshold: Double,
+                              maxCell: Int): DataFrame = {
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    val counts = cellCounts(model)
+    // bounded by nCentroids rows — broadcast; the corpus-side split is
+    // one narrow map-side join, never a shuffle of the assignments
+    val hotCids = counts.filter(col("n_vecs") > maxCell)
+      .select(col("cid"), lit(true).as("__hot"))
+    val side = model.assignments.select(col("cid"), col("id"),
+        col("vec"), VectorOps.norm(col("vec")).as("nrm"))
+      .join(broadcast(hotCids), Seq("cid"), "left")
+    val cold = side.filter(col("__hot").isNull).drop("__hot")
+    val hot = side.filter(col("__hot") === true).drop("__hot")
+    val keepers = hot.groupBy("cid")
+      .agg(min_by(struct(col("id"), col("vec"), col("nrm")), col("id")).as("k"))
+      .select(col("cid"), col("k.id").as("keeper_id"),
+        col("k.vec").as("kv"), col("k.nrm").as("kn"))
+    val hotDropped = hot.join(broadcast(keepers), "cid")
+      .filter(col("id") =!= col("keeper_id"))
+      .withColumn("cos", round(VectorOps.dot(col("vec"), col("kv")) /
+        (col("nrm") * col("kn")), 6))
+      .filter(col("cos") > threshold)
+      .groupBy("cid").agg(count(lit(1)).cast("long").as("n_dropped"))
+    val dropped = allPairsDropped(cold, threshold).unionByName(hotDropped)
+    counts
       .join(dropped, Seq("cid"), "left")
+      .join(broadcast(hotCids), Seq("cid"), "left")
       .select(col("cid").cast("long").as("cid"), col("n_vecs"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("__hot"), lit(false)).as("capped"))
       .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .select("cid", "n_vecs", "n_dropped", "n_kept", "capped")
   }
 
   /** IVF posting-list occupancy report — THE operational metric behind

@@ -717,10 +717,34 @@ object ScaleSmoke {
         fProbe, fBrute)
     }
 
+    // --- round-16: hot-cell cap — capped vs uncapped SemDeDup cost on
+    // a deliberately skewed clustering (one cell holds ~50% of the
+    // corpus, the routing-drift failure mode s20 watches for). The
+    // uncapped report pays O((n/2)²) pairs in the hot cell; the capped
+    // one degrades that cell to the keeper rule (O(n/2)) and stays
+    // all-pairs-exact everywhere else.
+    val r16Results = {
+      val n = math.max(nDocs / 8, 2048L)
+      val assigns = embOf(n).select(col("id"), col("vec"),
+        when(pmod(col("id"), lit(2L)) === 0L, lit(0))
+          .otherwise(pmod(col("id"), lit(64L)).cast("int")).as("cid"))
+        .localCheckpoint(true)
+      val m = Similarity.IVFModel(
+        Array.tabulate(64)(i => Array.tabulate(64)(j =>
+          if (j == i) 1.0 else 0.0)), assigns)
+      val uncapped = time(s"semdedup_skewed_allpairs_${n}_vecs") {
+        Similarity.semDedupCellStats(m, 0.45)
+      }
+      val capped = time(s"semdedup_skewed_capped_${n}_vecs") {
+        Similarity.semDedupCellStatsCapped(m, 0.45, maxCell = 256)
+      }
+      Seq(uncapped, capped)
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
       annResults ++ r11Results ++ r11bResults ++ r12Results ++ r13Results ++
-      r13bResults ++ r14Results
+      r13bResults ++ r14Results ++ r16Results
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()

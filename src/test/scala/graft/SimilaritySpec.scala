@@ -262,6 +262,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out(1L) && !out(2L) && !out(11L))
   }
 
+  test("semDedupCellStatsCapped: hot cells degrade to the keeper rule deterministically; balanced corpora match the uncapped report exactly") {
+    import spark.implicits._
+    // hand-built assignments: cell 0 HOT (6 members — three orthogonal
+    // near-pairs, only one of them near the keeper), cell 1 cold,
+    // cell 2 empty (the every-cell rule)
+    def e(i: Int, eps: Double = 0.0): Seq[Double] =
+      Seq.tabulate(4)(j => (if (j == i) 1.0 else 0.0) + (if (j == 3) eps else 0.0))
+    val assigns = Seq(
+      (0L, e(0), 0), (1L, e(0, 0.05), 0),   // near keeper: dropped both rules
+      (2L, e(1), 0), (3L, e(1, 0.05), 0),   // near EACH OTHER, not keeper
+      (4L, e(2), 0), (5L, e(2, 0.05), 0),   // near each other, not keeper
+      (10L, e(0), 1), (11L, e(0, 0.05), 1), (12L, e(1), 1)
+    ).toDF("id", "vec", "cid")
+    val model = graft.operators.Similarity.IVFModel(
+      Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0), Array(0, 0, 1.0, 0)),
+      assigns)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "n_vecs", "n_dropped", "n_kept")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val uncapped = rows(graft.operators.Similarity
+      .semDedupCellStats(model, threshold = 0.9))
+    // all-pairs sees all three near-pairs in the hot cell
+    assert(uncapped == Set((0L, 6L, 3L, 3L), (1L, 3L, 1L, 2L), (2L, 0L, 0L, 0L)),
+      uncapped.toString)
+    // cap at 4: cell 0 (6 members) degrades to keeper-vs-member —
+    // bounded O(s) comparisons — so only the near-KEEPER member drops;
+    // the near-pairs away from the keeper survive (the documented
+    // degrade). Cold cells are bit-identical to the uncapped report.
+    val capped = graft.operators.Similarity
+      .semDedupCellStatsCapped(model, threshold = 0.9, maxCell = 4)
+    assert(rows(capped) == Set((0L, 6L, 1L, 5L), (1L, 3L, 1L, 2L), (2L, 0L, 0L, 0L)),
+      rows(capped).toString)
+    val flags = capped.select("cid", "capped")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(0L -> true, 1L -> false, 2L -> false),
+      s"only the hot cell may be marked capped: $flags")
+    // a cap no cell reaches: the capped operator IS the uncapped one
+    val wide = rows(graft.operators.Similarity
+      .semDedupCellStatsCapped(model, threshold = 0.9, maxCell = 100))
+    assert(wide == uncapped, s"balanced corpus must match: $wide")
+  }
+
   test("pqRerankTopK recalls the bulk of brute-force top-5") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
