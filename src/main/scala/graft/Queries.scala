@@ -5753,6 +5753,65 @@ object Queries {
     Similarity.semDedupCellStats(model, threshold = 0.45)
   }
 
+  /** Shared oracle chain for the keep-first substring REMOVAL (d23 /
+    * p12 — [[Dedup.substringDedupRewrite]], k = 8): gram keys over the
+    * `toksCte` table, keep-first marking (ROW_NUMBER per gkey ordered
+    * by (doc_id, pos) — rn 1 IS the kept first occurrence), the d11
+    * gaps-and-islands span merge widened to token-index bounds, and
+    * the covered-token set. */
+  private def substrRemovalCtes(toksCte: String): String =
+    s"""g23 AS (
+       | SELECT doc_id,
+       |  CAST(unnest(range(len(t) - 7)) AS BIGINT) AS pos,
+       |  unnest(list_transform(range(len(t) - 7),
+       |   i -> substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 16))) AS gkey
+       | FROM $toksCte WHERE len(t) >= 8),
+       |marked23 AS (
+       | SELECT doc_id, pos FROM (
+       |  SELECT doc_id, pos,
+       |   ROW_NUMBER() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rn,
+       |   COUNT(*) OVER (PARTITION BY gkey) AS n_occ
+       |  FROM g23) WHERE n_occ >= 2 AND rn > 1),
+       |flag23 AS (
+       | SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+       |   THEN 1 ELSE 0 END AS brk
+       | FROM marked23 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp23_0 AS (
+       | SELECT doc_id, pos,
+       |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       | FROM flag23),
+       |sp23 AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) + 7 AS p1
+       | FROM sp23_0 GROUP BY doc_id, span_id),
+       |tokpos23 AS (SELECT doc_id,
+       |  CAST(unnest(range(len(t))) AS BIGINT) AS i, unnest(t) AS tok
+       | FROM $toksCte),
+       |cov23 AS (SELECT DISTINCT tp.doc_id, tp.i FROM tokpos23 tp
+       | JOIN sp23 s ON s.doc_id = tp.doc_id AND tp.i BETWEEN s.p0 AND s.p1)"""
+      .stripMargin
+
+  /** Duplicated-substring REMOVAL (d23) — the production rewrite d11
+    * only profiles ([[Dedup.substringDedupRewrite]]): every repeated
+    * 8-gram keeps its corpus-order first occurrence, marked windows
+    * merge to maximal spans, covered tokens drop; per doc the cleaned
+    * text plus removed token/char counts. The oracle replays the same
+    * inverted index, keep-first rule, and span merge in SQL. */
+  val d23 = q("d23_substring_removal",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |${substrRemovalCtes("toks")}
+       |SELECT tp.doc_id,
+       | CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       | CAST(COUNT(c.i) AS BIGINT) AS n_removed_tokens,
+       | CAST(COALESCE(SUM(CASE WHEN c.i IS NOT NULL THEN len(tp.tok) END), 0)
+       |  AS BIGINT) AS n_removed_chars,
+       | COALESCE(string_agg(CASE WHEN c.i IS NULL THEN tp.tok END, ' '
+       |  ORDER BY tp.i), '') AS clean_text
+       |FROM tokpos23 tp LEFT JOIN cov23 c ON c.doc_id = tp.doc_id AND c.i = tp.i
+       |GROUP BY tp.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.substringDedupRewrite(Tables.documents(s, dir), "doc_id", "text",
+      k = 8)
+  }
+
   /** Tokenizer COMPARISON report (t39) — the corpus-level fertility /
     * compression numbers a pipeline owner reads to PICK a tokenizer:
     * for each trained family (t30's 6-rule BPE, t37's unigram LM),
@@ -5905,6 +5964,41 @@ object Queries {
       maxPieceLen = UniPiece)
   }
 
+  /** Gate → substring-dedup → pack (p12) — the d23 rewrite composed
+    * into the packing pipeline: length-gate the corpus, remove
+    * repeated substrings (keep-first), pack by the CLEANED token
+    * counts (packing by pre-rewrite counts would under-fill every
+    * pack exactly where the dedup removed most). The corpus-wide
+    * duplicate counting runs over the GATED corpus — the composed
+    * semantics, pinned by the oracle running the same chain over the
+    * same gated toks. Single documents scan (plan-locked): the gate
+    * rides the rewrite's one checkpointed token table. */
+  val p12 = q("p12_substring_dedup_pack",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 40),
+       |${substrRemovalCtes("toks")},
+       |nclean AS (SELECT tp.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) - CAST(COUNT(c.i) AS BIGINT) AS n_clean
+       | FROM tokpos23 tp LEFT JOIN cov23 c
+       |  ON c.doc_id = tp.doc_id AND c.i = tp.i
+       | GROUP BY tp.doc_id),
+       |packed AS (SELECT doc_id, doc_id % 4 AS shard, n_clean AS n_tokens,
+       |  CAST((SUM(n_clean) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+       |   - n_clean) // 2048 AS BIGINT) AS pack_id
+       | FROM nclean)
+       |SELECT shard, pack_id, COUNT(*) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
+    val gated = Tables.documents(s, dir)
+      .filter(size(TextOps.tokens(col("text"))) >= 40)
+    val clean = Dedup.substringDedupRewrite(gated, "doc_id", "text", k = 8)
+      .withColumn("n_clean", col("n_tokens") - col("n_removed_tokens"))
+    TextAnalysis.packByCount(clean, "doc_id", "n_clean",
+        capacity = 2048, shards = 4)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5913,9 +6007,9 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
 }

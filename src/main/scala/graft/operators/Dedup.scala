@@ -1221,6 +1221,78 @@ object Dedup {
           col("n_tokens")).as("dup_frac"))
   }
 
+  /** Duplicated-substring REMOVAL (the production half of
+    * [[substringDupStats]] — Lee et al. 2021's ExactSubstr dedup as a
+    * corpus REWRITE): every k-token gram occurring ≥ 2 times
+    * corpus-wide keeps its FIRST occurrence (min (doc_id, pos) — the
+    * deterministic corpus order) and every other occurrence is
+    * removal-marked; marked windows merge into maximal spans (the d11
+    * gaps-and-islands rule, gap > k splits) and the covered tokens are
+    * dropped from the document. Output per doc: `n_tokens`,
+    * `n_removed_tokens`, `n_removed_chars` (token characters dropped —
+    * the storage win), and `clean_text` (remaining tokens re-joined).
+    * Docs shorter than k tokens pass through untouched.
+    *
+    * Scale shape: same inverted-index discipline as the stats — grams
+    * shuffle ONCE as fixed 16-hex md5 keys, and the keep-first rule
+    * rides THE SAME aggregation that finds duplicates (count +
+    * min(struct(doc_id, pos)) in one groupBy — no second shuffle, no
+    * per-key sort window). The rewrite itself is one row per doc: the
+    * merged spans collect to a small per-doc array (bounded by
+    * n_tokens/k) and the token filter is a single higher-order-function
+    * pass over the already-held token array — no exploded
+    * token-vs-span join, nothing quadratic. */
+  def substringDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    // one documents scan: the gram stream and the rewrite both read
+    // this checkpointed token table
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("t"))
+      .localCheckpoint(false)
+    val grams = base.where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(col("t"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("gram")), 1, 16).as("gkey"))
+    val firsts = grams.groupBy("gkey")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("n_occ") >= 2)
+    val marked = grams.join(firsts, Seq("gkey"))
+      .where(col("doc_id") =!= col("first.doc_id")
+        || col("pos") =!= col("first.pos"))
+      .select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = marked
+      .withColumn("brk",
+        when(lag("pos", 1).over(w).isNull
+          || col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(w))
+      .groupBy("doc_id", "span_id")
+      // token-INDEX bounds: a span of windows [p0 .. p1] covers tokens
+      // [p0 .. p1 + k - 1]
+      .agg(min("pos").as("p0"), (max("pos") + lit(k - 1)).as("p1"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("p0"), col("p1"))))
+        .as("spans"))
+    def charsOf(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x))
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("t"))
+          .otherwise(filter(col("t"), (_, i) =>
+            !exists(col("spans"),
+              sp => i >= sp.getField("p0") && i <= sp.getField("p1")))))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long")
+          .as("n_removed_tokens"),
+        (charsOf(col("t")) - charsOf(col("kept"))).as("n_removed_chars"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** Inter-source n-gram overlap matrix — the cross-source duplication
     * diagnostic of a corpus audit (how much of source A's shingle set
     * recurs in source B: shared crawls, mirrored sites, licensing

@@ -386,6 +386,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 11L, 9L, 2L, 2L, 6L, 6.0 / 11)))
   }
 
+  test("substringDedupRewrite: keep-first by corpus order, span removal, cleaned text exact") {
+    // k=3 fixture: "a b c" occurs in doc 1 (pos 0) and doc 2 (pos 2) —
+    // corpus-order first is doc 1, so only doc 2's copy is removed;
+    // doc 3 is one gram repeated (5 occurrences of "m m m") — keep
+    // the first window's start, the marked tail [1..6] drops whole
+    val corpus = Seq(
+      (1L, "a b c x y z"),
+      (2L, "p q a b c r"),
+      (3L, "m m m m m m m"),
+      (4L, "u v") // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupRewrite(corpus, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 0L, 0L, "a b c x y z")),
+      s"the first occurrence's doc must be untouched: ${got(1L)}")
+    assert(got(2L) == ((2L, 6L, 3L, 3L, "p q r")), got(2L).toString)
+    assert(got(3L) == ((3L, 7L, 6L, 6L, "m")), got(3L).toString)
+    assert(got(4L) == ((4L, 2L, 0L, 0L, "u v")), got(4L).toString)
+  }
+
   test("substringDupStats plan: gram stream scanned once (reused exchange), no cartesian") {
     val df = Dedup.substringDupStats(docs, "doc_id", "text", k = 3)
     df.count() // materialize so AQE resolves its final plan + stage reuse

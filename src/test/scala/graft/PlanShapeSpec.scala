@@ -32,6 +32,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a single documents scan:\n$p")
   }
 
+  test("p12 gate -> substring-dedup -> pack scans documents exactly once, no cartesian") {
+    val p = plan("p12_substring_dedup_pack")
+    // the gram stream, the span rewrite, and the pack all ride the ONE
+    // checkpointed token table the rewrite materializes from the gated
+    // scan — a second parquet scan would re-read the corpus text
+    assert("Scan parquet".r.findAllMatchIn(p).size <= 1,
+      s"expected a single documents scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in p12:\n$p")
+  }
+
   test("q02 predicates reach the parquet scan") {
     val p = plan("q02_revenue_filter")
     assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
