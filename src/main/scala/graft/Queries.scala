@@ -4776,37 +4776,52 @@ object Queries {
     * within a run selected, position i emits the merged token when
     * selected, nothing when i-1 was selected, its own symbol
     * otherwise. */
-  private def bpeRoundCtes(r: Int): String = {
-    val p = s"seg_${r - 1}"
-    s"""p_$r AS MATERIALIZED (
+  private def bpeRoundCtes(r: Int, tag: String = ""): String = {
+    val p = s"${tag}seg_${r - 1}"
+    s"""${tag}p_$r AS MATERIALIZED (
        | SELECT syms[i] AS x, syms[i+1] AS y, CAST(SUM(cnt) AS BIGINT) AS freq
        | FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $p)
        | GROUP BY x, y),
-       |w_$r AS MATERIALIZED (
-       | SELECT x, y, freq FROM p_$r ORDER BY freq DESC, x, y LIMIT 1),
-       |h_$r AS MATERIALIZED (
+       |${tag}w_$r AS MATERIALIZED (
+       | SELECT x, y, freq FROM ${tag}p_$r ORDER BY freq DESC, x, y LIMIT 1),
+       |${tag}h_$r AS MATERIALIZED (
        | SELECT t.word, t.cnt, t.syms, t.i,
        |  (t.i < len(t.syms) AND t.syms[t.i] = w.x AND t.syms[t.i+1] = w.y) AS hit
        | FROM (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS i
        |       FROM $p) t
-       | CROSS JOIN w_$r w),
-       |sel_$r AS MATERIALIZED (
+       | CROSS JOIN ${tag}w_$r w),
+       |${tag}sel_$r AS MATERIALIZED (
        | SELECT word, i,
        |  (i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0 AS selected
        | FROM (SELECT word, i,
        |        i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
-       |       FROM h_$r WHERE hit)),
-       |seg_$r AS MATERIALIZED (
+       |       FROM ${tag}h_$r WHERE hit)),
+       |${tag}seg_$r AS MATERIALIZED (
        | SELECT h.word, h.cnt,
        |  list(CASE WHEN COALESCE(s.selected, FALSE)
        |         THEN h.syms[h.i] || h.syms[h.i+1]
        |        ELSE h.syms[h.i] END ORDER BY h.i)
        |   FILTER (WHERE NOT COALESCE(sp.selected, FALSE)) AS syms
-       | FROM h_$r h
-       | LEFT JOIN sel_$r s  ON s.word = h.word AND s.i = h.i AND s.selected
-       | LEFT JOIN sel_$r sp ON sp.word = h.word AND sp.i = h.i - 1 AND sp.selected
+       | FROM ${tag}h_$r h
+       | LEFT JOIN ${tag}sel_$r s  ON s.word = h.word AND s.i = h.i AND s.selected
+       | LEFT JOIN ${tag}sel_$r sp ON sp.word = h.word AND sp.i = h.i - 1 AND sp.selected
        | GROUP BY h.word, h.cnt)""".stripMargin
   }
+
+  /** Byte-level seed segmentation for the t41/t42 oracle chain: regex
+    * pre-tokens ([[TextAnalysis.BytePreTokenPattern]]), UTF-8 bytes as
+    * lowercase hex-pair symbols. */
+  private def byteBpeSeedCte: String =
+    s"""bseg_0 AS MATERIALIZED (
+       | SELECT word, cnt,
+       |  list_transform(range(CAST(len(h) // 2 AS INT)),
+       |   i -> substr(h, CAST(2 * i + 1 AS INT), 2)) AS syms
+       | FROM (SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |        lower(hex(encode(term))) AS h
+       |       FROM (SELECT unnest(regexp_extract_all(text,
+       |              '${TextAnalysis.BytePreTokenPattern}')) AS term
+       |             FROM documents)
+       |       GROUP BY term))""".stripMargin
 
   private val BpeRounds = 6
 
@@ -4823,7 +4838,7 @@ object Queries {
        |seg_0 AS MATERIALIZED (
        | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
        | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
-       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")}
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r)).mkString(",\n")}
        |${(1 to BpeRounds).map(r =>
           s"SELECT CAST($r AS BIGINT) AS round, x, y, x || y AS merged, freq FROM w_$r")
           .mkString("\nUNION ALL ")}""".stripMargin) { (s, dir) =>
@@ -4843,7 +4858,7 @@ object Queries {
        |seg_0 AS MATERIALIZED (
        | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
        | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
-       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r)).mkString(",\n")},
        |docw AS (SELECT doc_id, unnest(t) AS word FROM b2)
        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        | CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
@@ -4855,6 +4870,46 @@ object Queries {
     val rules = TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
       .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
     TextAnalysis.bpeApply(docs, "doc_id", "text", rules)
+  }
+
+  /** BYTE-level BPE merge learning (t41) — the GPT-2/tiktoken family:
+    * regex pre-tokenization, UTF-8 bytes as hex-pair symbols, then the
+    * SAME greedy merge loop as t30 (shared engine in
+    * [[TextAnalysis.bpeMergeLoop]]). Every input is representable as
+    * single-byte symbols, so the byte family is trivially TOTAL — the
+    * systematic answer to out-of-alphabet content that t40's unigram
+    * unk piece patches per-family. The oracle unrolls the same rounds
+    * over the same hex-pair seed. */
+  val t41 = q("t41_bytebpe_merges",
+    s"""WITH $byteBpeSeedCte,
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r, "b")).mkString(",\n")}
+       |${(1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, x, y, x || y AS merged, freq FROM bw_$r")
+          .mkString("\nUNION ALL ")}""".stripMargin) { (s, dir) =>
+    TextAnalysis.byteBpeMerges(Tables.documents(s, dir), "text",
+      rounds = BpeRounds)
+  }
+
+  /** Tokenize WITH the trained byte-level tokenizer (t42): learn the
+    * 6 byte merges (t41's machinery) and apply them — per doc,
+    * pre-token count, UTF-8 byte count, and the token count under the
+    * merged byte segmentation. The oracle rides t41's unrolled chain
+    * (bseg_6 IS the trained segmentation), the t30/t31 discipline. */
+  val t42 = q("t42_bytebpe_apply",
+    s"""WITH $byteBpeSeedCte,
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r, "b")).mkString(",\n")},
+       |docpre AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |  '${TextAnalysis.BytePreTokenPattern}')) AS word FROM documents)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretok,
+       | CAST(SUM(strlen(d.word)) AS BIGINT) AS n_bytes,
+       | CAST(SUM(len(s.syms)) AS BIGINT) AS n_byte_tokens
+       |FROM docpre d JOIN bseg_$BpeRounds s ON s.word = d.word
+       |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val rules = TextAnalysis.byteBpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
+    TextAnalysis.byteBpeApply(docs, "doc_id", "text", rules)
   }
 
   /** CCNet perplexity tiers (t32): per language, docs sorted by bigram
@@ -5451,7 +5506,7 @@ object Queries {
        |seg_0 AS MATERIALIZED (
        | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
        | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
-       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r)).mkString(",\n")},
        |docw AS (SELECT doc_id, unnest(t) AS word FROM b2),
        |dtok AS (SELECT d.doc_id,
        |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
@@ -5828,7 +5883,9 @@ object Queries {
        |seg_0 AS MATERIALIZED (
        | SELECT term AS word, COUNT(*) AS cnt, string_split(term, '') AS syms
        | FROM (SELECT unnest(t) AS term FROM b) GROUP BY term),
-       |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r)).mkString(",\n")},
+       |$byteBpeSeedCte,
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r, "b")).mkString(",\n")},
        |${uniSeedCtes()},
        |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
        |${uniDpCtes("ap", s"vocab_$UniRounds")},
@@ -5842,15 +5899,24 @@ object Queries {
        |unit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
        |  CAST(SUM(t.ntok) AS BIGINT) AS n_tokens
-       | FROM docw d JOIN wtok t USING (word))
+       | FROM docw d JOIN wtok t USING (word)),
+       |bdocw AS (SELECT unnest(regexp_extract_all(text,
+       |  '${TextAnalysis.BytePreTokenPattern}')) AS word FROM documents),
+       |bbpet AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(strlen(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+       | FROM bdocw d JOIN bseg_$BpeRounds s ON s.word = d.word)
        |SELECT tokenizer, n_words, n_chars, n_tokens,
        | round(n_tokens * 1.0 / n_words, 6) AS tokens_per_word,
        | round(n_chars * 1.0 / n_tokens, 6) AS chars_per_token
        |FROM (SELECT 'bpe' AS tokenizer, * FROM bpet
-       |      UNION ALL SELECT 'unigram', * FROM unit)""".stripMargin) { (s, dir) =>
+       |      UNION ALL SELECT 'unigram', * FROM unit
+       |      UNION ALL SELECT 'byte', * FROM bbpet)""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val rules = TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
+    val brules = TextAnalysis.byteBpeMerges(docs, "text", rounds = BpeRounds)
       .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
     val vocab = TextAnalysis.unigramVocab(docs, "text",
         vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
@@ -5866,6 +5932,14 @@ object Queries {
       .unionByName(totals(
         TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
           maxPieceLen = UniPiece), "n_unigram_tokens", "unigram"))
+      // the byte family reports pre-tokens as words and UTF-8 bytes as
+      // the character mass (its native units — the fertility and
+      // compression a byte-tokenizer owner actually budgets by)
+      .unionByName(totals(
+        TextAnalysis.byteBpeApply(docs, "doc_id", "text", brules)
+          .withColumnRenamed("n_pretok", "n_words")
+          .withColumnRenamed("n_bytes", "n_chars"),
+        "n_byte_tokens", "byte"))
       .withColumn("tokens_per_word",
         round(col("n_tokens").cast("double") / col("n_words"), 6))
       .withColumn("chars_per_token",
@@ -6009,7 +6083,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
 }

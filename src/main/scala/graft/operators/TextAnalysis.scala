@@ -500,14 +500,23 @@ object TextAnalysis {
     * sequential — each merge depends on the last — so the driver
     * loop IS the algorithm, not a scale compromise. Returns
     * (round, x, y, merged, freq). */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeMergeLoop(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", split(col("word"), "")),
+      rounds)
+
+  /** The shared greedy-merge learning loop over an initial
+    * segmentation table (word, cnt, syms) — the engine of both the
+    * char-level ([[bpeMerges]]) and byte-level ([[byteBpeMerges]])
+    * families; only the seed segmentation differs, so learn ≡ learn
+    * across families by construction. */
+  private def bpeMergeLoop(seg0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val spark = docs.sparkSession
+    val spark = seg0.sparkSession
     import spark.implicits._
-    var seg = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("syms", split(col("word"), ""))
-      .localCheckpoint(false)
+    var seg = seg0.localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var r = 1
@@ -525,18 +534,58 @@ object TextAnalysis {
       else {
         val (x, y, freq) = top.head
         merges += ((r.toLong, x, y, x + y, freq))
-        seg = seg.withColumn("syms",
-            aggregate(col("syms"), array().cast("array<string>"),
-              (acc, s) => when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(x) && s === lit(y),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
-                .otherwise(concat(acc, array(s)))))
+        seg = seg.withColumn("syms", foldRule(col("syms"), x, y))
           .localCheckpoint(false)
       }
       r += 1
     }
     merges.toSeq.toDF("round", "x", "y", "merged", "freq")
   }
+
+  /** One greedy left-to-right non-overlapping merge pass: the fold
+    * whose accumulator's last symbol only matches the UNMERGED x —
+    * ONE definition shared by learning and every apply path. */
+  private def foldRule(syms: Column, x: String, y: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(x) && s === lit(y),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+        .otherwise(concat(acc, array(s))))
+
+  /** The GPT-2-family pre-tokenization regex, portable across Java
+    * and RE2: letter/digit runs, then punctuation runs; spaces
+    * separate. The alternation's branches match DISJOINT first
+    * characters, so leftmost-first vs leftmost-longest engines cannot
+    * diverge. ONE definition — the DuckDB oracles splice this
+    * constant. */
+  val BytePreTokenPattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]+"
+
+  /** UTF-8 bytes of a word as lowercase hex-pair symbols ("61", "c3",
+    * …) — the byte-level BPE's seed alphabet. Hex pairs (not raw
+    * bytes) keep the symbol strings pure ASCII, so merge
+    * concatenation, the (freq, x, y) argmax tiebreak, and the oracle's
+    * string collation are byte-order-exact on both engines. */
+  private def byteSyms(word: Column): Column = {
+    val h = lower(hex(encode(word, "UTF-8")))
+    transform(sequence(lit(0), (length(h) / 2).cast("int") - 1),
+      i => h.substr(i * 2 + 1, lit(2)))
+  }
+
+  /** BYTE-level BPE merge learning (t41) — the GPT-2/tiktoken family:
+    * regex pre-tokenization ([[BytePreTokenPattern]]), then the same
+    * greedy merge loop as [[bpeMerges]] over UTF-8 BYTE symbols
+    * (hex-pair strings). Byte-level apply is trivially TOTAL — any
+    * input is representable as single-byte symbols, the systematic
+    * fix for out-of-alphabet content across tokenizer families (no
+    * unk piece needed at all). Returns (round, x, y, merged, freq)
+    * with hex-pair symbol strings. */
+  def byteBpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeMergeLoop(
+      docs.select(explode(regexp_extract_all(col(textCol),
+          lit(BytePreTokenPattern), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", byteSyms(col("word"))),
+      rounds)
 
   /** Apply a LEARNED merge list ([[bpeMerges]] output, in learning
     * order) to the corpus — the tokenize-with-the-trained-tokenizer
@@ -550,19 +599,11 @@ object TextAnalysis {
     * per rule. */
   def bpeApply(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
-    var seg = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .distinct()
-      .withColumn("syms", split(col("word"), ""))
-      .localCheckpoint(false)
-    merges.foreach { case (x, y) =>
-      seg = seg.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, s) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(x) && s === lit(y),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
-              .otherwise(concat(acc, array(s)))))
-        .localCheckpoint(false)
-    }
+    val seg = foldMerges(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+        .distinct()
+        .withColumn("syms", split(col("word"), "")),
+      merges)
     val wordTok = seg.select(col("word"),
       size(col("syms")).cast("long").as("n_word_tok"))
     docs.select(col(idCol).as("doc_id"),
@@ -572,6 +613,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_chars"),
         sum(col("n_word_tok")).as("n_bpe_tokens"))
+  }
+
+  /** Fold a learned merge list over a (word, syms) table — each rule
+    * one map-side [[foldRule]] pass, identical to the learning fold
+    * (apply and learn cannot drift), checkpointed per rule to keep
+    * the plan flat. */
+  private def foldMerges(seg0: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(seg0.localCheckpoint(false)) { case (seg, (x, y)) =>
+      seg.withColumn("syms", foldRule(col("syms"), x, y))
+        .localCheckpoint(false)
+    }
+
+  /** Apply LEARNED byte-level merges ([[byteBpeMerges]]) to the corpus
+    * (t42): per doc, pre-token count, UTF-8 byte count, and the token
+    * count under the merged byte segmentation. Same two-scan shape as
+    * [[bpeApply]] — fold over the DISTINCT pre-token table, one join
+    * back to documents. Total over ANY input by construction: unseen
+    * content just stays single-byte symbols. */
+  def byteBpeApply(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val pre = docs.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(col(textCol),
+        lit(BytePreTokenPattern), lit(0))).as("word"))
+    val seg = foldMerges(
+      pre.select("word").distinct().withColumn("syms", byteSyms(col("word"))),
+      merges)
+    val wordTok = seg.select(col("word"),
+      size(col("syms")).cast("long").as("n_word_tok"),
+      length(encode(col("word"), "UTF-8")).cast("long").as("n_word_bytes"))
+    pre.join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pretok"),
+        sum(col("n_word_bytes")).as("n_bytes"),
+        sum(col("n_word_tok")).as("n_byte_tokens"))
   }
 
   /** Static word-length bound for the unigram-LM tokenizer: the
