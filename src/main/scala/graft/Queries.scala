@@ -5775,6 +5775,58 @@ object Queries {
       filterCol = "label")
   }
 
+  /** Embedding-drift SEGMENT monitor (s25) — the corpus-level early
+    * warning the vector side was missing (t25's token-drift twin):
+    * old vs new ingest segments routed onto the SAME persisted
+    * centroids; per cell the occupancy shift and the squared
+    * displacement between segment means, ranked by shift. A rising
+    * report schedules `--mode retrain` BEFORE recall dips. The oracle
+    * replays the portable unrolled-Lloyd index, splits the final
+    * assignment by segment, and re-derives the decimal-exact means. */
+  val s25 = q("s25_segment_drift",
+    s"""$ivfOracleCtes,
+       |oseg AS (SELECT cid, v FROM af WHERE vec_id % 2 = 0),
+       |nseg AS (SELECT cid, v FROM af WHERE vec_id % 2 = 1),
+       |oc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_old FROM oseg GROUP BY cid),
+       |nc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new FROM nseg GROUP BY cid),
+       |om AS (SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(x) AS m
+       | FROM (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM oseg)
+       | GROUP BY cid, pos),
+       |nm AS (SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(x) AS m
+       | FROM (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM nseg)
+       | GROUP BY cid, pos),
+       |oma AS (SELECT cid, list(m ORDER BY pos) AS mv FROM om GROUP BY cid),
+       |nma AS (SELECT cid, list(m ORDER BY pos) AS mv FROM nm GROUP BY cid),
+       |dv AS (SELECT o.cid,
+       |  list_transform(range(len(o.mv)),
+       |   i -> o.mv[CAST(i + 1 AS INT)] - n.mv[CAST(i + 1 AS INT)]) AS d
+       | FROM oma o JOIN nma n USING (cid)),
+       |tot AS (SELECT (SELECT COUNT(*) FROM oseg) AS t_old,
+       |  (SELECT COUNT(*) FROM nseg) AS t_new),
+       |grid AS (SELECT CAST(b.range AS BIGINT) AS cid FROM range(16) b),
+       |rep AS (SELECT g.cid,
+       |  COALESCE(oc.n_old, 0) AS n_old, COALESCE(nc.n_new, 0) AS n_new,
+       |  round(abs(COALESCE(nc.n_new, 0) * 1.0 / t.t_new
+       |    - COALESCE(oc.n_old, 0) * 1.0 / t.t_old), 6) AS occ_shift,
+       |  round(list_dot_product(dv.d, dv.d), 6) AS disp
+       | FROM grid g LEFT JOIN oc USING (cid) LEFT JOIN nc USING (cid)
+       | LEFT JOIN dv ON dv.cid = g.cid CROSS JOIN tot t)
+       |SELECT cid, n_old, n_new, occ_shift, disp,
+       | CAST(ROW_NUMBER() OVER (ORDER BY occ_shift DESC, cid) AS BIGINT)
+       |  AS drift_rank
+       |FROM rep""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    Similarity.segmentDriftReport(model,
+      emb.filter(col("id") >= 10 && pmod(col("id"), lit(2)) === 0)
+        .select("vec"),
+      emb.filter(col("id") >= 10 && pmod(col("id"), lit(2)) === 1)
+        .select("vec"))
+  }
+
   /** SemDeDup over the persisted IVF cells (d22 — Abbas et al. 2023):
     * semantic near-dups are pruned WITHIN coarse-quantizer clusters
     * only — the assignment is the blocking structure, so pairwise
@@ -6084,6 +6136,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
 }

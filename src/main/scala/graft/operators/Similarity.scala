@@ -546,6 +546,70 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_vecs").desc, col("cid"))).cast("long"))
 
+  /** Embedding-drift SEGMENT monitor (s25) — the corpus-level early
+    * warning between s20's index-internal occupancy and the recall
+    * check's end metric (which needs query traffic): route two corpus
+    * SEGMENTS (old vs new ingest) onto the SAME persisted centroids
+    * and report, per cell,
+    *   - `n_old` / `n_new` occupancy,
+    *   - `occ_shift` = |share_new − share_old| (6dp) — mass moving
+    *     between cells,
+    *   - `disp` = squared L2 between the segments' per-cell MEAN
+    *     vectors (6dp; NULL when a segment is absent from the cell) —
+    *     mass moving WITHIN a cell, the drift occupancy can't see,
+    *   - `drift_rank` (occ_shift desc, cid — deterministic): the
+    *     top-k drifting cells an operator reads first.
+    * A rising report schedules `--mode retrain` BEFORE recall dips.
+    * Every cell present incl. empty ones (the s20 rule).
+    *
+    * 100 TB shape: one broadcast nearest-centroid pass per segment
+    * (the append-routing discipline — centroids are nCentroids × dim
+    * driver constants), one hash aggregation each for counts and
+    * per-dim decimal-exact means ([[graft.functions.Exact.davg]] —
+    * engine-exact, order-free); the report itself is nCentroids rows.
+    * Nothing rescans the index and no segment is ever joined to the
+    * other row-wise. */
+  def segmentDriftReport(model: IVFModel, oldSeg: DataFrame,
+                         newSeg: DataFrame): DataFrame = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    def cellStats(seg: DataFrame): DataFrame = {
+      val assigned = seg.select(col("vec"),
+        nearestCentroid(col("vec"), model.centroids).as("cid"))
+      val counts = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+      val means = assigned.select(col("cid"), posexplode(col("vec")))
+        .groupBy("cid", "pos")
+        .agg(graft.functions.Exact.davg(col("col")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean"))
+      counts.join(means, "cid")
+    }
+    val o = cellStats(oldSeg).select(col("cid"), col("n").as("n_old"),
+      col("mean").as("m_old"))
+    val n = cellStats(newSeg).select(col("cid"), col("n").as("n_new"),
+      col("mean").as("m_new"))
+    val totals = o.agg(sum(col("n_old")).as("__to"))
+      .crossJoin(n.agg(sum(col("n_new")).as("__tn")))
+    val cells = (0 until model.centroids.length).toDF("cid")
+    val diff = zip_with(col("m_old"), col("m_new"), (a, b) => a - b)
+    cells
+      .join(o, Seq("cid"), "left")
+      .join(n, Seq("cid"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("cid").cast("long").as("cid"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(abs(coalesce(col("n_new"), lit(0L)).cast("double") / col("__tn")
+          - coalesce(col("n_old"), lit(0L)).cast("double") / col("__to")), 6)
+          .as("occ_shift"),
+        when(col("m_old").isNull || col("m_new").isNull, lit(null))
+          .otherwise(round(VectorOps.dot(diff, diff), 6)).as("disp"))
+      .withColumn("drift_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("occ_shift").desc, col("cid"))).cast("long"))
+  }
+
   /** SemDeDup-style semantic dedup over an IVF clustering: within each
     * centroid cluster the min-id vector is the KEEPER; every other
     * member is dropped iff its rounded cosine to the keeper exceeds
