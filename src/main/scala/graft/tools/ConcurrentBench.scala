@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-query posture probe — the multiplexed-deployment shape
+  * Bench's sequential loop doesn't cover: N parallel query STREAMS
+  * against ONE SparkSession with the FAIR scheduler, each stream its
+  * own pool, each running the same 20-query mix rotated by a
+  * stream-specific offset (no lockstep). Reports, as one JSON line:
+  *
+  *   - `seq_total_sec`: one mix run sequentially (the baseline),
+  *   - `wall_sec`: N streams × the mix concurrently,
+  *   - `efficiency`: (N × seq_total) / wall — 1.0 means concurrency
+  *     is work-conserving; well below 1 is a contention cliff,
+  *   - per-stream p50/p95 query latencies and the slowest query.
+  *
+  * Streams deliberately do NOT unpersist checkpoint blocks mid-run:
+  * Bench's between-query `unpersist all` is a GLOBAL sweep that would
+  * kill another stream's in-flight localCheckpoint blocks
+  * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — the shared-state hazard this
+  * probe exists to expose; concurrent callers must scope cleanup to
+  * their own frames or defer it to a quiesced point, as done here
+  * (one sweep after all streams join).
+  *
+  * The mix spans the operator families (TPC-H agg/join/window, dedup,
+  * text, ANN probe, pipeline) but sticks to read-only queries — the
+  * shared derived artifacts (IVF index etc.) are built ONCE in the
+  * untimed warmup, so the timed phase exercises query concurrency,
+  * not builder serialization. */
+object ConcurrentBench {
+  val Mix: Seq[String] = Seq(
+    "q01_pricing_summary", "q04_region_customer_stats", "q06_rolling_vwap",
+    "q09_ohlcv_bars", "q11_sort_limit", "q18_rollup_orders",
+    "q45_returned_topn", "q61_sliding_window", "q84_cms_merge",
+    "d01_dedup_exact_stats", "d04_dedup_simhash", "d11_substring_dedup",
+    "t01_langid", "t05_token_rolling", "t09_sequence_packing",
+    "t16_lm_score", "s01_cosine_topk", "s04_ann_ivf",
+    "p03_classifier_mix", "q25_count_distinct")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val streams = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_conc_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fns = graft.SparkEntry.queries
+    val missing = Mix.filterNot(fns.contains)
+    require(missing.isEmpty, s"unknown mix queries: $missing")
+
+    def runOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sweep(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
+    // untimed warmup: codegen compile + every shared derived artifact
+    // (IVF index, …) built here, so the timed phases only read
+    Mix.foreach(runOne)
+    sweep()
+    // sequential baseline: one mix, Bench-style per-query cleanup
+    val seqTimes = Mix.map { n => val t = runOne(n); sweep(); t }
+    val seqTotal = seqTimes.sum
+
+    // concurrent: N streams, each the mix rotated by 5·i, own FAIR
+    // pool, NO mid-run global unpersist (see scaladoc)
+    val perStream = Array.fill(streams)(Vector.empty[(String, Double)])
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t0 = System.nanoTime()
+    val threads = (0 until streams).map { i =>
+      val th = new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream_$i")
+        val rotated = Mix.drop((i * 5) % Mix.size) ++ Mix.take((i * 5) % Mix.size)
+        perStream(i) = rotated.map { n =>
+          try n -> runOne(n)
+          catch { case e: Throwable => errors.add(s"$n@stream$i: $e"); n -> -1.0 }
+        }.toVector
+      }, s"conc-stream-$i")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    sweep()
+
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1))
+    }
+    def r4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val streamJson = perStream.zipWithIndex.map { case (ts, i) =>
+      val ok = ts.map(_._2).filter(_ >= 0)
+      val worst = ts.maxBy(_._2)
+      s""""stream_$i":{"p50":${r4(pct(ok, 0.50))},"p95":${r4(pct(ok, 0.95))},""" +
+        s""""worst":"${worst._1}","worst_sec":${r4(worst._2)}}"""
+    }.mkString(",")
+    val eff = streams * seqTotal / wall
+    val errJson = {
+      val it = errors.iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += "\"" + it.next().replace("\"", "'") + "\""
+      b.result().mkString("[", ",", "]")
+    }
+    println(s"""{"metric":"concurrent_bench","sf":"$sfDir","streams":$streams,""" +
+      s""""mix_size":${Mix.size},"seq_total_sec":${r4(seqTotal)},""" +
+      s""""wall_sec":${r4(wall)},"efficiency":${r4(eff)},$streamJson,""" +
+      s""""errors":$errJson}""")
+    spark.stop()
+  }
+}
