@@ -1330,15 +1330,17 @@ object EdgeRunner {
         Seq((label, "-",
           s"error: ${msg.linesIterator.toSeq.headOption.getOrElse(e.toString)}"))
       }.get
+    def kvOf(l: String, prefix: String): Map[String, String] =
+      l.stripPrefix(prefix).trim.split("\\s+").filter(_.nonEmpty).map { t =>
+        t.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case _ => sys.error(s"malformed ${prefix.stripSuffix(":")} token " +
+            s"'$t' — expected key=value")
+        }
+      }.toMap
     val rows: Seq[(String, String, String)] = lines.flatMap {
       case l if l.startsWith("recall:") =>
-        val kv = l.stripPrefix("recall:").trim.split("\\s+")
-          .filter(_.nonEmpty).map { t =>
-            t.split("=", 2) match {
-              case Array(k, v) => k -> v
-              case _ => sys.error(s"malformed recall token '$t' — expected key=value")
-            }
-          }.toMap
+        val kv = kvOf(l, "recall:")
         val idx = kv.getOrElse("index",
           sys.error(s"recall line needs index=<ivfPrefix>: '$l'"))
         guarded(s"recall:$idx") {
@@ -1354,6 +1356,39 @@ object EdgeRunner {
           Seq((s"recall:$idx", "-",
             f"${if (rep.retrain) "RETRAIN" else "OK"}%s (recall@${rep.k}%d " +
               f"${rep.recall}%.3f vs floor ${rep.minRecall}%.2f)"))
+        }
+      case l if l.startsWith("drift:") =>
+        // `drift: index=<ivfPrefix> [shift-floor=0.05]` — the s25
+        // segment monitor at dashboard cadence: post-base ingests vs
+        // the base build, both routed onto the persisted centroids.
+        // Cheaper than the recall line (no query traffic, no brute
+        // force) — the early warning that schedules a retrain BEFORE
+        // recall dips; a shift at/above the floor flags RETRAIN?.
+        val kv = kvOf(l, "drift:")
+        val idx = kv.getOrElse("index",
+          sys.error(s"drift line needs index=<ivfPrefix>: '$l'"))
+        guarded(s"drift:$idx") {
+          val model = graft.operators.Similarity.loadIvfIndex(spark, idx)
+          val asg = model.assignments
+          val oldSeg = asg
+            .filter(col("ingest_id").cast("string") === "base").select("vec")
+          val newSeg = asg
+            .filter(col("ingest_id").cast("string") =!= "base").select("vec")
+          if (newSeg.isEmpty)
+            Seq((s"drift:$idx", "-", "OK (no post-base ingest)"))
+          else {
+            val floor = kv.get("shift-floor").map(_.toDouble).getOrElse(0.05)
+            val worst = graft.operators.Similarity
+              .segmentDriftReport(model, oldSeg, newSeg)
+              .orderBy(col("drift_rank")).limit(1).collect().head
+            val shift = worst.getAs[Double]("occ_shift")
+            val disp = Option(worst.getAs[java.lang.Double]("disp"))
+              .map(d => f"${d.doubleValue()}%.6f").getOrElse("n/a")
+            Seq((s"drift:$idx", "-",
+              f"${if (shift >= floor) "RETRAIN?" else "OK"}%s (top cell " +
+                f"${worst.getAs[Long]("cid")}%d shift $shift%.6f vs floor " +
+                f"$floor%.2f, disp $disp%s)"))
+          }
         }
       case l =>
         // split limit 2: member lists may hold `parquet:/dir` colons

@@ -130,6 +130,43 @@ class StatusSpec extends AnyFunSuite {
     }
   }
 
+  test("drift manifest line: no-new-ingest OK; a skew-routed append flags RETRAIN? with the top cell's shift") {
+    val ivf = "stat_drift_ivf"
+    val manifest = java.nio.file.Files.createTempFile("status_drift", ".manifest")
+    try {
+      val rnd = new scala.util.Random(11)
+      def gauss(n: Int) = Seq.fill(n)(rnd.nextGaussian() * 0.1)
+      // base build: two tight clusters, 20 vectors each
+      val base = (0 until 20).map(i =>
+          (i.toLong, (10.0 + rnd.nextGaussian() * 0.1) +: gauss(7))) ++
+        (100 until 120).map(i =>
+          (i.toLong, (-10.0 + rnd.nextGaussian() * 0.1) +: gauss(7)))
+      Similarity.saveIvfIndex(spark,
+        Similarity.ivfIndex(base.toDF("id", "vec"), nCentroids = 2, iters = 3),
+        ivf)
+      java.nio.file.Files.write(manifest,
+        java.util.Arrays.asList(s"drift: index=$ivf"))
+      def driftRow() = graft.tools.EdgeRunner.runStatus(spark,
+        graft.tools.EdgeRunner.parse(Array(
+          "--mode", "status", "--in", "unused:",
+          "--manifest", manifest.toString, "--grace-sec", "60"))).head
+      val r1 = driftRow()
+      assert(r1._1 == s"drift:$ivf" && r1._3 == "OK (no post-base ingest)", r1)
+      // an append routing ENTIRELY into one cell: new-segment share
+      // 100/0 vs the base's 50/50 — top-cell shift 0.5 >= floor
+      val newVecs = (200 until 230).map(i =>
+        (i.toLong, (10.0 + rnd.nextGaussian() * 0.1) +: gauss(7)))
+      Similarity.appendToIvfIndex(spark, ivf, newVecs.toDF("id", "vec"), "day2")
+      val r2 = driftRow()
+      assert(r2._3.startsWith("RETRAIN?"), r2)
+      assert(r2._3.contains("shift 0.500000"), r2)
+    } finally {
+      java.nio.file.Files.deleteIfExists(manifest)
+      for (t <- Seq(s"${ivf}_centroids", s"${ivf}_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("malformed manifest lines fail loudly") {
     val manifest = java.nio.file.Files.createTempFile("status_bad", ".manifest")
     try {
