@@ -6086,6 +6086,18 @@ object Queries {
       .withColumn("text", concat(col("text"), lit(UnkWordMixed),
         when(pmod(col("doc_id"), lit(2)) === 0, lit(UnkWordPure))
           .otherwise(lit(""))))
+    // ORACLE-parity guard, not an operator limit: the oracle DP is
+    // unrolled to UniWordLen stages, and the learner's own require
+    // now covers only the TRAIN split — a longer held-out word would
+    // silently vanish from the oracle's doc join while the total
+    // native Viterbi counts it. The operator itself stays total at
+    // any length; only this gated query pins the bound, loudly.
+    val applyMaxWl = applied
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)
+    require(applyMaxWl <= UniWordLen,
+      s"t40 apply split carries a $applyMaxWl-char word but the oracle " +
+        s"DP is unrolled to $UniWordLen stages")
     TextAnalysis.unigramApply(applied, "doc_id", "text", vocab,
       maxPieceLen = UniPiece)
   }

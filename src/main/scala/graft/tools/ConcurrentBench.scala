@@ -55,26 +55,33 @@ object ConcurrentBench {
     val missing = Mix.filterNot(fns.contains)
     require(missing.isEmpty, s"unknown mix queries: $missing")
 
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // failure tolerance is PHASE-UNIFORM: a query failing in warmup or
+    // the sequential baseline is recorded and skipped exactly like one
+    // failing inside a stream — the probe must emit its artifact (with
+    // the errors array) no matter which phase a breakage lands in
+    def runSafe(name: String, phase: String): Double =
+      try runOne(name)
+      catch { case e: Throwable => errors.add(s"$name@$phase: $e"); -1.0 }
     def sweep(): Unit = spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 
     // untimed warmup: codegen compile + every shared derived artifact
     // (IVF index, …) built here, so the timed phases only read
-    Mix.foreach(runOne)
+    Mix.foreach(runSafe(_, "warmup"))
     sweep()
     // sequential baseline: one mix, Bench-style per-query cleanup
-    val seqTimes = Mix.map { n => val t = runOne(n); sweep(); t }
-    val seqTotal = seqTimes.sum
+    val seqTimes = Mix.map { n => val t = runSafe(n, "seq"); sweep(); t }
+    val seqTotal = seqTimes.filter(_ >= 0).sum
 
     // concurrent: N streams, each the mix rotated by 5·i, own FAIR
     // pool, NO mid-run global unpersist (see scaladoc)
     val perStream = Array.fill(streams)(Vector.empty[(String, Double)])
-    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val t0 = System.nanoTime()
     val threads = (0 until streams).map { i =>
       val th = new Thread(() => {
@@ -91,23 +98,33 @@ object ConcurrentBench {
     val wall = (System.nanoTime() - t0) / 1e9
     sweep()
 
-    def pct(xs: Seq[Double], p: Double): Double = {
-      val s = xs.sorted
-      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1))
-    }
+    // -1 sentinel when a stream had zero successful queries: the
+    // artifact (and its errors array) must still render — a stream
+    // wiped out by contention is exactly the run worth reading
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) -1.0
+      else {
+        val s = xs.sorted
+        s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1))
+      }
     def r4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val streamJson = perStream.zipWithIndex.map { case (ts, i) =>
-      val ok = ts.map(_._2).filter(_ >= 0)
-      val worst = ts.maxBy(_._2)
-      s""""stream_$i":{"p50":${r4(pct(ok, 0.50))},"p95":${r4(pct(ok, 0.95))},""" +
+      val ok = ts.filter(_._2 >= 0)
+      val worst = if (ok.nonEmpty) ok.maxBy(_._2) else ("none", -1.0)
+      s""""stream_$i":{"p50":${r4(pct(ok.map(_._2), 0.50))},""" +
+        s""""p95":${r4(pct(ok.map(_._2), 0.95))},""" +
         s""""worst":"${worst._1}","worst_sec":${r4(worst._2)}}"""
     }.mkString(",")
     val eff = streams * seqTotal / wall
+    // full JSON escaping (the Verify/AlertSink helper): exception
+    // messages carry newlines and backslashes, and a broken run's
+    // artifact is the one a consumer most needs to parse
     val errJson = {
       val it = errors.iterator()
       val b = Seq.newBuilder[String]
-      while (it.hasNext) b += "\"" + it.next().replace("\"", "'") + "\""
+      while (it.hasNext)
+        b += "\"" + graft.streaming.AlertSink.jsonEscape(it.next()) + "\""
       b.result().mkString("[", ",", "]")
     }
     println(s"""{"metric":"concurrent_bench","sf":"$sfDir","streams":$streams,""" +

@@ -1376,6 +1376,13 @@ object EdgeRunner {
             .filter(col("ingest_id").cast("string") =!= "base").select("vec")
           if (newSeg.isEmpty)
             Seq((s"drift:$idx", "-", "OK (no post-base ingest)"))
+          else if (oldSeg.isEmpty)
+            // 100% of index mass is post-base: there IS no base
+            // reference to drift against — that is maximal drift, not
+            // "shift 0" (occ_shift is NULL here, and getAs[Double]
+            // would silently unbox it to 0.0 → a false OK)
+            Seq((s"drift:$idx", "-",
+              "RETRAIN? (no base-ingest rows — all index mass is post-base)"))
           else {
             val floor = kv.get("shift-floor").map(_.toDouble).getOrElse(0.05)
             val worst = graft.operators.Similarity
