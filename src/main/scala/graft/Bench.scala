@@ -73,8 +73,29 @@ object Bench {
       }
       runs.sorted.apply(1) // median of 3: same jitter defense as queries
     }
+    // Second calibration AXIS (r16): a shuffle/memory-bound sort probe.
+    // The round-16 box read the SAME cpu calibration as r15's steady
+    // box (0.16-0.19) while every query — including ones untouched for
+    // rounds — ran a uniform 1.5-2x slower in ISOLATED Scratch probes:
+    // host memory/shuffle bandwidth shifted under an unchanged CPU
+    // shape, and the cpu-only probe could not see it. A full sort of
+    // 30M keyed rows (range-partitioner sample + exchange + external
+    // sort) tracks exactly the machinery the queries pay.
+    def sortCalibration(): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 30000000L, 1L, cpus.toInt)
+          .selectExpr("id * 2654435761 % 1000003 AS k", "id")
+          .sort("k")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(1)
+    }
     calibration() // untimed: first use pays codegen compile, not CPU
+    sortCalibration() // untimed warmup for the sort probe too
     val calPre = calibration()
+    val sortPre = sortCalibration()
     // the trailing run's medians, for the outlier re-run rule: a query
     // landing far above its own last-recorded value gets one extra rep
     // before its number is recorded. Absent/unparseable file -> no rule.
@@ -155,18 +176,19 @@ object Bench {
     }
     if (calMid < 0) calMid = calibration() // tiny --only surfaces
     val calPost = calibration()
+    val sortPost = sortCalibration()
     val skippedList = SparkEntry.queries.keys.filter(skip).toSeq
     // ONE timestamp for both renders: the file and the stdout line
     // must be cross-checkable as the same run
     val wallEnd = System.currentTimeMillis()
     val line = renderJson(results, failed.toSeq, reps, sfDir,
       calPre, calMid, calPost, wallEnd, skippedList,
-      reran.toSeq)
+      reran.toSeq, sortPre = sortPre, sortPost = sortPost)
     // the FULL artifact (adds the per-rep spread) goes to the file the
     // judge reads — no 2000-char stdout-tail constraint there
     val full = renderJson(results, failed.toSeq, reps, sfDir,
       calPre, calMid, calPost, wallEnd, skippedList,
-      reran.toSeq, spread.toSeq)
+      reran.toSeq, spread.toSeq, sortPre = sortPre, sortPost = sortPost)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -226,7 +248,8 @@ object Bench {
                  wallEndMs: Long,
                  skipped: Seq[String] = Nil,
                  reran: Seq[String] = Nil,
-                 spread: Seq[(String, Seq[Double])] = Nil): String = {
+                 spread: Seq[(String, Seq[Double])] = Nil,
+                 sortPre: Double = -1.0, sortPost: Double = -1.0): String = {
     def r4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
@@ -242,7 +265,10 @@ object Bench {
       else spread.map { case (k, ts) =>
         "\"" + k + "\":" + ts.map(r4).mkString("[", ",", "]")
       }.mkString("\"spread\":{", ",", "},")
-    val cal = s"""{"pre":${r4(calPre)},"mid":${r4(calMid)},"post":${r4(calPost)}}"""
+    // sort_pre/sort_post: the shuffle/memory-bandwidth axis — a box
+    // whose cpu numbers match another round's but whose sort numbers
+    // don't has shifted host bandwidth, not a plan regression
+    val cal = s"""{"pre":${r4(calPre)},"mid":${r4(calMid)},"post":${r4(calPost)},"sort_pre":${r4(sortPre)},"sort_post":${r4(sortPost)}}"""
     // estimator is self-describing in the artifact: normal queries
     // record the lower median of `reps` samples, reran ones of reps+1
     // (per-query rep counts are visible in spread) — so a reader

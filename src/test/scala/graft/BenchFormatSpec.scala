@@ -61,13 +61,17 @@ class BenchFormatSpec extends AnyFunSuite {
     // self-described so round-over-round comparisons know the two
     // estimators differ by design
     assert(line.contains("\"estimator\":\"lower-median; reran carry reps+1 samples\""))
+    // the second calibration axis (shuffle/memory-bound sort probe)
+    // rides the calibration dict — -1 when a caller omits it
+    assert(line.contains("\"sort_pre\":") && line.contains("\"sort_post\":"))
     assert(line.contains("\"sf\":\"/data/sf0.1\""))
     assert(line.contains("\"wall_end_ms\":1755120000000"))
   }
 
-  test("calibration carries the pre/mid/post triple") {
+  test("calibration carries the pre/mid/post triple plus the sort axis") {
     assert(line.contains(
-      """"calibration":{"pre":0.3100,"mid":0.3300,"post":0.4200}"""), line)
+      """"calibration":{"pre":0.3100,"mid":0.3300,"post":0.4200,""" +
+        """"sort_pre":-1.0000,"sort_post":-1.0000}"""), line)
   }
 
   test("the stdout line omits spread; the file variant carries sorted per-rep vectors after queries") {
