@@ -424,6 +424,23 @@ class DedupSpec extends AnyFunSuite {
       s"dup filter must broadcast or reuse the gram exchange:\n$s")
   }
 
+  test("substringDedupRewrite plan: gram stream shuffles once on gkey, no cartesian, no token-vs-span explode join") {
+    val df = Dedup.substringDedupRewrite(docs, "doc_id", "text", k = 3)
+    df.count() // materialize so AQE resolves its final plan + stage reuse
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s"non-equi join in rewrite:\n$s")
+    // the keep-first rule rides the SAME gkey aggregation that finds
+    // duplicates: grams shuffle on gkey for the groupBy, the marked
+    // join either broadcasts the (bounded) duplicate-firsts side or
+    // reuses that exchange — a second independent gram shuffle would
+    // scan the corpus gram stream twice
+    val gramShuffles = "hashpartitioning\\(gkey".r.findAllIn(s).size
+    assert(s.contains("BroadcastHashJoin") || s.contains("ReusedExchange")
+      || gramShuffles <= 1,
+      s"keep-first join must broadcast or reuse the gram exchange:\n$s")
+  }
+
   test("sourceOverlap counts shared shingle keys and Jaccard per source pair") {
     // a/b share the base shingles exactly; c is disjoint
     val corpus = Seq(
