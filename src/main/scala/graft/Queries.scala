@@ -6137,6 +6137,37 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  /** Byte-tokenizer-TRUE sequence packing (p13) — completes the
+    * learn/apply/pack triple for the third family (p10 = char BPE,
+    * p11 = unigram): learn the byte merges (t41), tokenize (t42),
+    * pack by the trained BYTE-token counts. The oracle rides t41's
+    * unrolled chain — bseg_6 IS the trained segmentation. */
+  val p13 = q("p13_bytebpe_pack",
+    s"""WITH $byteBpeSeedCte,
+       |${(1 to BpeRounds).map(r => bpeRoundCtes(r, "b")).mkString(",\n")},
+       |docpre AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |  '${TextAnalysis.BytePreTokenPattern}')) AS word FROM documents),
+       |dtok AS (SELECT d.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+       | FROM docpre d JOIN bseg_$BpeRounds s ON s.word = d.word
+       | GROUP BY d.doc_id),
+       |packed AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens,
+       |  CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+       |   - n_tokens) // 4096 AS BIGINT) AS pack_id
+       | FROM dtok)
+       |SELECT shard, pack_id, COUNT(*) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val rules = TextAnalysis.byteBpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
+    TextAnalysis.packByCount(
+        TextAnalysis.byteBpeApply(docs, "doc_id", "text", rules),
+        "doc_id", "n_byte_tokens", capacity = 4096, shards = 4)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -6149,5 +6180,5 @@ object Queries {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
 }
