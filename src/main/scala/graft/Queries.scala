@@ -5860,6 +5860,51 @@ object Queries {
     Similarity.semDedupCellStats(model, threshold = 0.45)
   }
 
+  /** CAPPED SemDeDup report (d24) — d22's rule with the hot-cell cap
+    * ACTIVE ([[Similarity.semDedupCellStatsCapped]], maxCell = 30 —
+    * a MIXED split at the smoke SFs, so one gate run pins both legs
+    * and the boundary between them):
+    * cells at/under the cap keep the exact all-pairs rule, cells above
+    * it degrade to the s07 keeper rule (O(s), broadcast keeper join),
+    * `capped` marks where the bound bit. The oracle replays the same
+    * split: all-pairs for cold cells, keeper-vs-member for hot ones —
+    * the degrade semantics pinned cross-engine, not just spec'd. */
+  val d24 = q("d24_semdedup_capped", {
+    s"""$ivfOracleCtes,
+       |counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       | FROM af GROUP BY cid),
+       |hot AS (SELECT cid FROM counts WHERE n_vecs > 30),
+       |coldpairs AS (SELECT b.cid, b.vec_id FROM af a JOIN af b
+       | ON a.cid = b.cid AND a.vec_id < b.vec_id
+       | WHERE a.cid NOT IN (SELECT cid FROM hot)
+       |  AND round(list_cosine_similarity(a.v, b.v), 6) > 0.45),
+       |colddrop AS (SELECT cid, CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+       |  AS n_dropped FROM coldpairs GROUP BY cid),
+       |keepers AS (SELECT af.cid, af.vec_id, af.v FROM af
+       | JOIN (SELECT cid, MIN(vec_id) AS kid FROM af GROUP BY cid) k
+       |  ON k.cid = af.cid AND k.kid = af.vec_id
+       | WHERE af.cid IN (SELECT cid FROM hot)),
+       |hotdrop AS (SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_dropped
+       | FROM af a JOIN keepers kp ON kp.cid = a.cid AND a.vec_id <> kp.vec_id
+       | WHERE round(list_cosine_similarity(a.v, kp.v), 6) > 0.45
+       | GROUP BY a.cid),
+       |drops AS (SELECT * FROM colddrop UNION ALL SELECT * FROM hotdrop),
+       |grid AS (SELECT CAST(b.range AS BIGINT) AS cid FROM range(16) b)
+       |SELECT g.cid, COALESCE(c.n_vecs, 0) AS n_vecs,
+       | COALESCE(d.n_dropped, 0) AS n_dropped,
+       | COALESCE(c.n_vecs, 0) - COALESCE(d.n_dropped, 0) AS n_kept,
+       | g.cid IN (SELECT cid FROM hot) AS capped
+       |FROM grid g LEFT JOIN counts c USING (cid)
+       |LEFT JOIN drops d USING (cid)""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    Similarity.semDedupCellStatsCapped(model, threshold = 0.45, maxCell = 30)
+  }
+
   /** Shared oracle chain for the keep-first substring REMOVAL (d23 /
     * p12 — [[Dedup.substringDedupRewrite]], k = 8): gram keys over the
     * `toksCte` table, keep-first marking (ROW_NUMBER per gkey ordered
@@ -6176,7 +6221,7 @@ object Queries {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
