@@ -6147,6 +6147,64 @@ object Queries {
       maxPieceLen = UniPiece)
   }
 
+  /** Unk-rate ADMISSION gate report (t43) — what `n_unk` exists FOR:
+    * new ingest tokenized under the trusted-corpus vocab (t40's chain)
+    * and banded by unk rate — clean (zero unk), admissible (unk ≤ 5%
+    * of tokens, integer cross-multiplied: 20·n_unk ≤ n_unigram_tokens),
+    * rejected (above). One row per band with doc count, token mass,
+    * and unk mass — the numbers an ingest gate alerts on. The oracle
+    * extends t40's unrolled chain with the same banding CASE. */
+  val t43 = q("t43_unk_gate",
+    s"""WITH RECURSIVE
+       |${uniSeedCtes(" WHERE doc_id % 5 <> 0")},
+       |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
+       |adocs AS (SELECT doc_id, text || '$UnkWordMixed' ||
+       |  CASE WHEN doc_id % 2 = 0 THEN '$UnkWordPure' ELSE '' END AS text
+       | FROM documents WHERE doc_id % 5 = 0),
+       |awords AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS wl
+       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM adocs)
+       | GROUP BY word),
+       |${uniDpCtes("xc", s"vocab_$UniRounds", words = "awords")},
+       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM awords w
+       | JOIN dp_xc d ON d.word = w.word AND d.pos = w.wl),
+       |${uniUnkCte(s"vocab_$UniRounds", "awords")},
+       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       | FROM adocs),
+       |perdoc AS (SELECT d.doc_id,
+       |  CAST(SUM(t.ntok) AS BIGINT) AS n_tok,
+       |  CAST(SUM(u.nunk) AS BIGINT) AS n_unk
+       | FROM docw d JOIN wtok t USING (word) JOIN wunk u USING (word)
+       | GROUP BY d.doc_id)
+       |SELECT CASE WHEN n_unk = 0 THEN 'clean'
+       |  WHEN 20 * n_unk <= n_tok THEN 'admissible'
+       |  ELSE 'rejected' END AS band,
+       | CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       | CAST(SUM(n_unk) AS BIGINT) AS total_unk
+       |FROM perdoc GROUP BY band""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = TextAnalysis.unigramVocab(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text",
+        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
+    val applied = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(UnkWordMixed),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(UnkWordPure))
+          .otherwise(lit(""))))
+    TextAnalysis.unigramApply(applied, "doc_id", "text", vocab,
+        maxPieceLen = UniPiece)
+      .withColumn("band",
+        when(col("n_unk") === 0L, lit("clean"))
+          .when(col("n_unk") * 20L <= col("n_unigram_tokens"),
+            lit("admissible"))
+          .otherwise(lit("rejected")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_unigram_tokens")).as("total_tokens"),
+        sum(col("n_unk")).as("total_unk"))
+  }
+
   /** Gate → substring-dedup → pack (p12) — the d23 rewrite composed
     * into the packing pipeline: length-gate the corpus, remove
     * repeated substrings (keep-first), pack by the CLEANED token
@@ -6223,7 +6281,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
 }
