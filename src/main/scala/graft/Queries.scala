@@ -5827,6 +5827,29 @@ object Queries {
         .select("vec"))
   }
 
+  /** Prototypicality selection over the coarse cells (s26 — Sorscher
+    * et al. 2022: rank by closeness to the cluster centroid, keep the
+    * top-k most prototypical per cell — the coverage-balanced corpus
+    * selection / data-pruning primitive). The oracle replays the
+    * portable unrolled-Lloyd index and ranks the final assignment
+    * against the same final centroids. */
+  val s26 = q("s26_prototype_select",
+    s"""$ivfOracleCtes,
+       |scored AS (SELECT af.cid, af.vec_id,
+       |  round(list_cosine_similarity(af.v, c.v), 6) AS cos_centroid
+       | FROM af JOIN c2 c ON c.cid = af.cid)
+       |SELECT cid, vec_id, cos_centroid,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |   ORDER BY cos_centroid DESC, vec_id) AS BIGINT) AS rn
+       |FROM scored QUALIFY rn <= 8""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
+      emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
+      fingerprint = Some(embFp(dir)))
+    Similarity.prototypeSelect(model, k = 8)
+  }
+
   /** SemDeDup over the persisted IVF cells (d22 — Abbas et al. 2023):
     * semantic near-dups are pruned WITHIN coarse-quantizer clusters
     * only — the assignment is the blocking structure, so pairwise
@@ -6282,6 +6305,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
 }

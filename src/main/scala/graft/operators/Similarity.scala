@@ -546,6 +546,36 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_vecs").desc, col("cid"))).cast("long"))
 
+  /** PROTOTYPICALITY selection over the coarse cells (Sorscher et al.
+    * 2022, "Beyond neural scaling laws": rank examples by distance to
+    * their cluster centroid and prune by prototypicality — keeping the
+    * most prototypical k per cell is the coverage-balanced corpus
+    * selection; dropping them prunes easy examples). Per cell: each
+    * member's cosine to ITS centroid (6dp), rank (cos desc, id — the
+    * deterministic tiebreak), top-`k` kept.
+    *
+    * 100 TB shape: centroids are nCentroids × dim driver constants —
+    * one broadcast join onto the bucketed assignments (exchange-free
+    * on the cid layout), then the per-cell top-k window with
+    * WindowGroupLimit trimming each partition before the shuffle.
+    * Nothing is pairwise; cost is one corpus scan. */
+  def prototypeSelect(model: IVFModel, k: Int): DataFrame = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq.toDF("cid", "cv", "cn")
+    val scored = model.assignments
+      .select(col("cid"), col("id").as("vec_id"), col("vec"),
+        VectorOps.norm(col("vec")).as("vn"))
+      .join(broadcast(cents), "cid")
+      .withColumn("cos_centroid",
+        round(VectorOps.dot(col("vec"), col("cv")) / (col("vn") * col("cn")), 6))
+      .select("cid", "vec_id", "cos_centroid")
+    Relational.topKPerGroup(scored, Seq(col("cid")),
+      Seq(col("cos_centroid").desc, col("vec_id")), k)
+  }
+
   /** Embedding-drift SEGMENT monitor (s25) — the corpus-level early
     * warning between s20's index-internal occupancy and the recall
     * check's end metric (which needs query traffic): route two corpus
