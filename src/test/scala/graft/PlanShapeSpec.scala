@@ -513,6 +513,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"native Viterbi expression missing from the plan:\n$lp")
   }
 
+  test("s26 prototype selection: one broadcast centroid join, no cartesian, window-limited top-k") {
+    val p = plan("s26_prototype_select")
+    assert(p.contains("BroadcastExchange"),
+      s"centroids must broadcast onto the assignments:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in s26:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cell top-k must trim partitions before the final shuffle:\n$p")
+  }
+
+  test("d24 capped semdedup: hot leg broadcasts the keeper side, no cartesian anywhere") {
+    val p = plan("d24_semdedup_capped")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in d24:\n$p")
+    // the keeper join (bounded by nCentroids rows) and the hot-cid
+    // split both broadcast; the cold all-pairs stays an equi-join
+    assert(p.contains("BroadcastExchange"),
+      s"keeper/hot-cid sides must broadcast:\n$p")
+  }
+
   test("t40 cross-corpus apply: total Viterbi + unk count both ride the distinct-word projection, no per-piece or per-char joins") {
     val p = plan("t40_unigram_crosscorpus")
     assert(!p.contains("CartesianProduct") &&
