@@ -167,6 +167,40 @@ class StatusSpec extends AnyFunSuite {
     }
   }
 
+  test("drift line with NO base-ingest rows reports RETRAIN?, never a false OK") {
+    // regression: occ_shift is NULL when the old segment is empty, and
+    // getAs[Double] unboxes NULL to 0.0 — which read as 'OK shift
+    // 0.000000' for an index whose ENTIRE mass is post-base
+    val ivf = "stat_nobase_ivf"
+    val manifest = java.nio.file.Files.createTempFile("status_nobase", ".manifest")
+    try {
+      // hand-built index: centroids + assignments landed ONLY under a
+      // post-base ingest id (base vectors forgotten/compacted away
+      // over the index's life)
+      Seq((0, 0, 1.0), (0, 1, 0.0), (1, 0, 0.0), (1, 1, 1.0))
+        .toDF("cid", "pos", "v")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${ivf}_centroids")
+      graft.sources.Bucketing.writeBucketedIngest(spark,
+        Seq((1L, Seq(1.0, 0.0), 0), (2L, Seq(0.0, 1.0), 1))
+          .toDF("id", "vec", "cid"),
+        s"${ivf}_assignments", Seq("cid"), buckets = 2,
+        ingestId = "day9", overwrite = true)
+      java.nio.file.Files.write(manifest,
+        java.util.Arrays.asList(s"drift: index=$ivf"))
+      val row = graft.tools.EdgeRunner.runStatus(spark,
+        graft.tools.EdgeRunner.parse(Array(
+          "--mode", "status", "--in", "unused:",
+          "--manifest", manifest.toString, "--grace-sec", "60"))).head
+      assert(row._1 == s"drift:$ivf" && row._3.startsWith("RETRAIN?") &&
+        row._3.contains("no base-ingest rows"), row)
+    } finally {
+      java.nio.file.Files.deleteIfExists(manifest)
+      for (t <- Seq(s"${ivf}_centroids", s"${ivf}_assignments"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("malformed manifest lines fail loudly") {
     val manifest = java.nio.file.Files.createTempFile("status_bad", ".manifest")
     try {
