@@ -92,10 +92,6 @@ object Bench {
       }
       runs.sorted.apply(1)
     }
-    calibration() // untimed: first use pays codegen compile, not CPU
-    sortCalibration() // untimed warmup for the sort probe too
-    val calPre = calibration()
-    val sortPre = sortCalibration()
     // the trailing run's medians, for the outlier re-run rule: a query
     // landing far above its own last-recorded value gets one extra rep
     // before its number is recorded. Absent/unparseable file -> no rule.
@@ -110,6 +106,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    calibration() // untimed: first use pays codegen compile, not CPU
+    // the sort axis exists for CROSS-BOX comparison of full-surface
+    // runs; a targeted --only debug loop shouldn't pay ~1 min of 30M-
+    // row sorts per iteration (the calMid tiny-surface discipline) —
+    // skipped probes render as -1 in the artifact
+    val sortAxis = only.isEmpty
+    if (sortAxis) sortCalibration() // untimed warmup for the sort probe
+    val calPre = calibration()
+    val sortPre = if (sortAxis) sortCalibration() else -1.0
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
     val spread = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
@@ -176,7 +181,7 @@ object Bench {
     }
     if (calMid < 0) calMid = calibration() // tiny --only surfaces
     val calPost = calibration()
-    val sortPost = sortCalibration()
+    val sortPost = if (sortAxis) sortCalibration() else -1.0
     val skippedList = SparkEntry.queries.keys.filter(skip).toSeq
     // ONE timestamp for both renders: the file and the stdout line
     // must be cross-checkable as the same run

@@ -6112,6 +6112,58 @@ object Queries {
   private val UnkWordMixed = " a🦜b§c"
   private val UnkWordPure = " 🦉🦉"
 
+  /** ONE definition of the t40/t43 cross-corpus oracle chain: train
+    * split %5≠0 (seed + EM rounds arrive separately via
+    * [[uniSeedCtes]]/[[uniEmCtes]]), apply split %5=0 with the
+    * injected novel-character words, the unk-aware DP over the
+    * apply-word table, per-word token + unk counts, and the exploded
+    * doc-word table. t43 extends the same chain with banding — the
+    * two queries cannot drift. */
+  private def uniXcCtes: String =
+    s"""adocs AS (SELECT doc_id, text || '$UnkWordMixed' ||
+       |  CASE WHEN doc_id % 2 = 0 THEN '$UnkWordPure' ELSE '' END AS text
+       | FROM documents WHERE doc_id % 5 = 0),
+       |awords AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS wl
+       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM adocs)
+       | GROUP BY word),
+       |${uniDpCtes("xc", s"vocab_$UniRounds", words = "awords")},
+       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM awords w
+       | JOIN dp_xc d ON d.word = w.word AND d.pos = w.wl),
+       |${uniUnkCte(s"vocab_$UniRounds", "awords")},
+       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       | FROM adocs)""".stripMargin
+
+  /** The t40/t43 NATIVE chain, shared: train the unigram vocab on the
+    * %5≠0 split, inject the novel-character words into the held-out
+    * split, guard the oracle's unrolled-DP word-length bound (loud,
+    * not a silent join dropout — the operator itself stays total),
+    * apply. */
+  private def uniCrossApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = TextAnalysis.unigramVocab(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text",
+        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
+    val applied = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(UnkWordMixed),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(UnkWordPure))
+          .otherwise(lit(""))))
+    // ORACLE-parity guard, not an operator limit: the oracle DP is
+    // unrolled to UniWordLen stages, and the learner's own require
+    // covers only the TRAIN split — a longer held-out word would
+    // silently vanish from the oracle's doc join while the total
+    // native Viterbi counts it
+    val applyMaxWl = applied
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)
+    require(applyMaxWl <= UniWordLen,
+      s"cross-corpus apply split carries a $applyMaxWl-char word but " +
+        s"the oracle DP is unrolled to $UniWordLen stages")
+    TextAnalysis.unigramApply(applied, "doc_id", "text", vocab,
+      maxPieceLen = UniPiece)
+  }
+
   /** CROSS-CORPUS unigram-tokenizer application (t40) — the operator's
     * production purpose: train the unigram LM on the %5≠0 split, apply
     * it to the HELD-OUT %5=0 split with novel characters injected (the
@@ -6126,48 +6178,14 @@ object Queries {
     s"""WITH RECURSIVE
        |${uniSeedCtes(" WHERE doc_id % 5 <> 0")},
        |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
-       |adocs AS (SELECT doc_id, text || '$UnkWordMixed' ||
-       |  CASE WHEN doc_id % 2 = 0 THEN '$UnkWordPure' ELSE '' END AS text
-       | FROM documents WHERE doc_id % 5 = 0),
-       |awords AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS wl
-       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM adocs)
-       | GROUP BY word),
-       |${uniDpCtes("xc", s"vocab_$UniRounds", words = "awords")},
-       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM awords w
-       | JOIN dp_xc d ON d.word = w.word AND d.pos = w.wl),
-       |${uniUnkCte(s"vocab_$UniRounds", "awords")},
-       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       | FROM adocs)
+       |$uniXcCtes
        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        | CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
        | CAST(SUM(t.ntok) AS BIGINT) AS n_unigram_tokens,
        | CAST(SUM(u.nunk) AS BIGINT) AS n_unk
        |FROM docw d JOIN wtok t USING (word) JOIN wunk u USING (word)
        |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val vocab = TextAnalysis.unigramVocab(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text",
-        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
-      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
-    val applied = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      .withColumn("text", concat(col("text"), lit(UnkWordMixed),
-        when(pmod(col("doc_id"), lit(2)) === 0, lit(UnkWordPure))
-          .otherwise(lit(""))))
-    // ORACLE-parity guard, not an operator limit: the oracle DP is
-    // unrolled to UniWordLen stages, and the learner's own require
-    // now covers only the TRAIN split — a longer held-out word would
-    // silently vanish from the oracle's doc join while the total
-    // native Viterbi counts it. The operator itself stays total at
-    // any length; only this gated query pins the bound, loudly.
-    val applyMaxWl = applied
-      .select(explode(TextOps.tokens(col("text"))).as("w"))
-      .agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)
-    require(applyMaxWl <= UniWordLen,
-      s"t40 apply split carries a $applyMaxWl-char word but the oracle " +
-        s"DP is unrolled to $UniWordLen stages")
-    TextAnalysis.unigramApply(applied, "doc_id", "text", vocab,
-      maxPieceLen = UniPiece)
+    uniCrossApply(s, dir)
   }
 
   /** Unk-rate ADMISSION gate report (t43) — what `n_unk` exists FOR:
@@ -6181,18 +6199,7 @@ object Queries {
     s"""WITH RECURSIVE
        |${uniSeedCtes(" WHERE doc_id % 5 <> 0")},
        |${(1 to UniRounds).map(uniEmCtes).mkString(",\n")},
-       |adocs AS (SELECT doc_id, text || '$UnkWordMixed' ||
-       |  CASE WHEN doc_id % 2 = 0 THEN '$UnkWordPure' ELSE '' END AS text
-       | FROM documents WHERE doc_id % 5 = 0),
-       |awords AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS wl
-       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM adocs)
-       | GROUP BY word),
-       |${uniDpCtes("xc", s"vocab_$UniRounds", words = "awords")},
-       |wtok AS MATERIALIZED (SELECT w.word, d.ntok FROM awords w
-       | JOIN dp_xc d ON d.word = w.word AND d.pos = w.wl),
-       |${uniUnkCte(s"vocab_$UniRounds", "awords")},
-       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       | FROM adocs),
+       |$uniXcCtes,
        |perdoc AS (SELECT d.doc_id,
        |  CAST(SUM(t.ntok) AS BIGINT) AS n_tok,
        |  CAST(SUM(u.nunk) AS BIGINT) AS n_unk
@@ -6205,18 +6212,7 @@ object Queries {
        | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        | CAST(SUM(n_unk) AS BIGINT) AS total_unk
        |FROM perdoc GROUP BY band""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val vocab = TextAnalysis.unigramVocab(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text",
-        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
-      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
-    val applied = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      .withColumn("text", concat(col("text"), lit(UnkWordMixed),
-        when(pmod(col("doc_id"), lit(2)) === 0, lit(UnkWordPure))
-          .otherwise(lit(""))))
-    TextAnalysis.unigramApply(applied, "doc_id", "text", vocab,
-        maxPieceLen = UniPiece)
+    uniCrossApply(s, dir)
       .withColumn("band",
         when(col("n_unk") === 0L, lit("clean"))
           .when(col("n_unk") * 20L <= col("n_unigram_tokens"),

@@ -127,8 +127,13 @@ object ConcurrentBench {
         b += "\"" + graft.streaming.AlertSink.jsonEscape(it.next()) + "\""
       b.result().mkString("[", ",", "]")
     }
+    // seq_ok < mix_size marks the efficiency number as computed over
+    // MISMATCHED workloads (seqTotal dropped a failed query's time
+    // while wall still covers every stream attempting the full mix) —
+    // a consumer must not read such a run as a contention cliff
+    val seqOk = seqTimes.count(_ >= 0)
     println(s"""{"metric":"concurrent_bench","sf":"$sfDir","streams":$streams,""" +
-      s""""mix_size":${Mix.size},"seq_total_sec":${r4(seqTotal)},""" +
+      s""""mix_size":${Mix.size},"seq_ok":$seqOk,"seq_total_sec":${r4(seqTotal)},""" +
       s""""wall_sec":${r4(wall)},"efficiency":${r4(eff)},$streamJson,""" +
       s""""errors":$errJson}""")
     spark.stop()

@@ -513,24 +513,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"native Viterbi expression missing from the plan:\n$lp")
   }
 
-  test("s26 prototype selection: one broadcast centroid join, no cartesian, window-limited top-k") {
+  test("s26 prototype selection: THE centroid join broadcasts (no merge/shuffled join exists), window-limited top-k") {
     val p = plan("s26_prototype_select")
-    assert(p.contains("BroadcastExchange"),
+    // single-join query: asserting the absence of every non-broadcast
+    // join form pins the centroid join itself, not just "some
+    // broadcast somewhere" — the weak-string-match trap
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the only join in s26 must be the broadcast centroid join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
       s"centroids must broadcast onto the assignments:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in s26:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"per-cell top-k must trim partitions before the final shuffle:\n$p")
   }
 
-  test("d24 capped semdedup: hot leg broadcasts the keeper side, no cartesian anywhere") {
-    val p = plan("d24_semdedup_capped")
+  test("d24 capped semdedup: at most the cold all-pairs self-join may merge-join; everything else broadcasts") {
+    // AQE-final plan (the DedupSpec discipline): the static plan keeps
+    // the 16-row report joins as SMJ until runtime stats convert them
+    val df = SparkEntry.queries("d24_semdedup_capped")(spark, dir)
+    df.collect() // executes THIS frame's QueryExecution so AQE
+    // finalizes it (count() would plan separately and prune the
+    // row-preserving outer joins entirely)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // the pre-AQE shape would
+    // double-count every join the runtime re-planned
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in d24:\n$p")
-    // the keeper join (bounded by nCentroids rows) and the hot-cid
-    // split both broadcast; the cold all-pairs stays an equi-join
-    assert(p.contains("BroadcastExchange"),
+    assert(p.contains("BroadcastHashJoin"),
       s"keeper/hot-cid sides must broadcast:\n$p")
+    // the CORPUS-SIZED joins are the ones that matter: exactly one
+    // vector-scoring join may merge (the cold all-pairs self-join);
+    // the keeper join (nCentroids-bounded build side) regressing to a
+    // merge join would shuffle the hot corpus leg per probe. The
+    // 16-row report joins (grid <- counts/drops) may plan as SMJ —
+    // they move nCentroids rows and are shape-irrelevant (d22 has the
+    // same tail).
+    val scoringMerges = p.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .count(_.contains("vecdot"))
+    assert(scoringMerges <= 1,
+      s"only the cold all-pairs self-join may merge-join " +
+        s"($scoringMerges vector-scoring merges found):\n$p")
   }
 
   test("t40 cross-corpus apply: total Viterbi + unk count both ride the distinct-word projection, no per-piece or per-char joins") {
