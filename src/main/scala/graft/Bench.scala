@@ -190,14 +190,20 @@ object Bench {
       calPre, calMid, calPost, wallEnd, skippedList,
       reran.toSeq, sortPre = sortPre, sortPost = sortPost)
     // the FULL artifact (adds the per-rep spread) goes to the file the
-    // judge reads — no 2000-char stdout-tail constraint there
+    // judge reads — no 2000-char stdout-tail constraint there. ONLY
+    // full-surface runs may write it: an SPARK_GRAFT_BENCH_ONLY debug
+    // loop overwriting the trailing artifact would both clobber the
+    // judge's record with a near-empty queries dict AND wipe the
+    // 3x-outlier rule's per-query baseline for the next real run
+    // (priorMedians' sf guard saves cross-SF cases, not same-SF ones).
     val full = renderJson(results, failed.toSeq, reps, sfDir,
       calPre, calMid, calPost, wallEnd, skippedList,
       reran.toSeq, spread.toSeq, sortPre = sortPre, sortPost = sortPost)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LAST.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }
