@@ -1,6 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Driver-run benchmark: times every registered query at the given SF
   * and prints one JSON line. A small warmup (table footers + a trivial
@@ -19,8 +23,200 @@ import org.apache.spark.sql.SparkSession
   *   - a query whose median lands > 3x its trailing BENCH_LAST median
   *     gets ONE extra rep before recording ("reran" lists them): a
   *     transient spike is voted out by the added sample, a real
-  *     regression reproduces and stays. */
+  *     regression reproduces and stays;
+  *   - (round 17) BENCH_LAST.json additionally records per-query WORK
+  *     metrics captured on rep 1 — shuffle read/write bytes, spilled
+  *     bytes, peak execution memory, task count, input bytes, output
+  *     rows — plus a normalized physical-plan fingerprint (AQE-final
+  *     plan string with exprIds / plan ids / locations stripped,
+  *     SHA-256/64-bit). Wall-clock wobbles with the host; bytes and
+  *     plans don't: `tools/bench_diff.py old new` separates "plan or
+  *     work changed" (a real code delta) from "time-only" (host
+  *     noise), so a co-loaded driver box can be adjudicated from the
+  *     artifacts alone. `spill`/`peak` are environment-DEPENDENT
+  *     (memory pressure) and are classified as env fields by the
+  *     differ, not work fields. */
 object Bench {
+
+  /** Per-query work record (rep 1). All byte/count fields come from
+    * task-metrics aggregation over exactly that rep's tasks (the
+    * listener bus is drained before reset and before snapshot);
+    * `rows` is the top-most numOutputRows metric in the AQE-final
+    * plan — the row count delivered to the noop sink modulo
+    * row-preserving wrappers (project/sort) that carry no metric. */
+  final case class WorkRec(sr: Long, sw: Long, spill: Long, peak: Long,
+                           tasks: Long, in: Long, rows: Long, fp: String)
+
+  /** Task-metrics aggregator for the work record. reset/snapshot are
+    * only meaningful after a listener-bus drain — events arrive async. */
+  private[graft] final class WorkListener extends SparkListener {
+    private var sr, sw, spill, peak, tasks, in = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) synchronized {
+        tasks += 1
+        sr += m.shuffleReadMetrics.totalBytesRead
+        sw += m.shuffleWriteMetrics.bytesWritten
+        spill += m.memoryBytesSpilled + m.diskBytesSpilled
+        peak = math.max(peak, m.peakExecutionMemory)
+        in += m.inputMetrics.bytesRead
+      }
+    }
+    def reset(): Unit = synchronized {
+      sr = 0; sw = 0; spill = 0; peak = 0; tasks = 0; in = 0
+    }
+    def snapshot(rows: Long, fp: String): WorkRec = synchronized {
+      WorkRec(sr, sw, spill, peak, tasks, in, rows, fp)
+    }
+  }
+
+  /** Block until the shared listener bus has delivered every queued
+    * event — the boundary that makes reset/snapshot windows exact.
+    * `SparkContext.listenerBus` and `LiveListenerBus.waitUntilEmpty`
+    * are private[spark] (public in bytecode), hence the reflection;
+    * any failure degrades to a sleep, which only blurs the work
+    * record, never the timings. */
+  private[graft] def drainBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(200) }
+
+  /** Children with AQE/stage wrappers resolved, so traversal reaches
+    * the runtime-final operators instead of stopping at the
+    * leaf-looking AdaptiveSparkPlanExec / QueryStageExec shells. */
+  private def planKids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case other => other.children
+  }
+
+  /** Top-down first numOutputRows metric — the rows handed to the
+    * sink (modulo metric-less row-preserving wrappers). -1 if the
+    * plan carries none (e.g. a pure LocalTableScan-free shape). */
+  private[graft] def firstOutputRows(p: SparkPlan): Long = {
+    val queue = scala.collection.mutable.Queue(p)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      n.metrics.get("numOutputRows") match {
+        case Some(m) => return m.value
+        case None => queue ++= planKids(n)
+      }
+    }
+    -1L
+  }
+
+  /** Normalized plan text: the AQE-FINAL section only (the embedded
+    * "== Initial Plan ==" tail double-counts re-planned joins), with
+    * the run-varying tokens stripped. Everything left is plan SHAPE:
+    * two runs of the same code on the same data produce the same
+    * string; a join-strategy or pushdown change produces a different
+    * one. Stripped classes (each observed flipping fingerprints
+    * between same-code JVM runs):
+    *   - exprIds (#123L), plan/exchange ids, file-system locations;
+    *   - lambda class names (...$$Lambda$6266/0x7f53...) and JVM
+    *     identity hashes (CmsMerge$@7624ed3d, seed array [[D@57d5c04);
+    *   - AQE stage numbers (ShuffleQueryStage 47) and whole-stage
+    *     codegen ids (*(61)) — both depend on stage SCHEDULING order;
+    *   - the multi-distinct rewrite's gid branch numbers and Expand
+    *     projection literals (RewriteDistinctAggregates iterates a
+    *     hash structure, so branch assignment is per-JVM);
+    *   - intra-bracket element ORDER (keys=[a, b] vs [b, a] — same
+    *     hash-iteration cause), sorted EXCEPT for ASC/DESC-bearing
+    *     groups, where order is the sort semantics itself. */
+  private[graft] def normalizePlan(planStr: String): String = {
+    val tok = planStr.split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=#?\\d+\\]", "[id=x]")
+      .replaceAll("(?i)(file|hdfs|s3a?)://?[^,\\]\\)\\s]*", "loc")
+      .replaceAll("Location: [^\\n]*", "Location: loc")
+      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$Lambda\\$x")
+      .replaceAll("@[0-9a-f]{4,}", "@x")
+      .replaceAll("QueryStage \\d+", "QueryStage x")
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
+      .replaceAll("gid#x = \\d+", "gid#x = N")
+      .split("\n", -1).map { l =>
+        val e = if (l.contains("Expand")) l.replaceAll("\\b\\d+\\b", "N")
+                else l
+        // distinct-rewrite machinery lines (the gid attribute is its
+        // signature): hash-iteration order ALSO leaks into
+        // hashpartitioning(...) args and the SortAggregate's required
+        // Sort keys, where any permutation is equivalent — sort paren
+        // groups and ASC-bearing groups on these lines only
+        if (e.contains("gid#x")) sortGroups(e, sortParens = true,
+          sortAsc = true)
+        else e
+      }.mkString("\n")
+    sortBrackets(tok)
+  }
+
+  /** Sort top-level comma-separated elements inside every [...] group
+    * (recursively), so hash-iteration-ordered lists (aggregate keys,
+    * Expand projections, output columns) fingerprint identically
+    * across JVMs. Groups containing ASC/DESC stay in order — there the
+    * sequence IS the semantics. Intra-bracket order is otherwise
+    * never load-bearing in a plan string, so a real plan change still
+    * moves the fingerprint through node structure or element CONTENT. */
+  private[graft] def sortBrackets(s: String): String =
+    sortGroups(s, sortParens = false, sortAsc = false)
+
+  /** The recursive group normalizer behind [[sortBrackets]].
+    * `sortParens` additionally sorts top-level elements of (...)
+    * groups; `sortAsc` drops the ASC/DESC exemption — both only safe
+    * on distinct-rewrite (gid) lines where every permutation is
+    * equivalent. Malformed splits (e.g. a quoted literal containing a
+    * comma) are fine for the fingerprint: the transform only needs to
+    * be DETERMINISTIC, not syntactically perfect. */
+  private[graft] def sortGroups(s: String, sortParens: Boolean,
+                                sortAsc: Boolean): String = {
+    val sb = new StringBuilder(s.length)
+    // returns (normalized group text incl. delimiters, index after close)
+    def group(start: Int, close: Char, sortThis: Boolean): (String, Int) = {
+      val open = s(start)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var j = start + 1
+      while (j < s.length && s(j) != close) {
+        s(j) match {
+          case '[' =>
+            val (g, nj) = group(j, ']', sortThis = true); cur ++= g; j = nj - 1
+          case '(' =>
+            val (g, nj) = group(j, ')', sortThis = sortParens)
+            cur ++= g; j = nj - 1
+          case ',' => parts += cur.toString.trim; cur.clear()
+          case c => cur += c
+        }
+        j += 1
+      }
+      parts += cur.toString.trim
+      val keepOrder = !sortThis ||
+        (!sortAsc && parts.exists(p => p.contains(" ASC") || p.contains(" DESC")))
+      val inner = if (keepOrder) parts.toSeq else parts.toSeq.sorted
+      (inner.mkString(open.toString, ", ", close.toString), j + 1)
+    }
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '[' => val (g, ni) = group(i, ']', sortThis = true)
+          sb ++= g; i = ni
+        case '(' => val (g, ni) = group(i, ')', sortThis = sortParens)
+          sb ++= g; i = ni
+        case c => sb += c; i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** 64-bit hex SHA-256 prefix of the normalized plan — compact
+    * enough for 196 entries in one JSON line, collision-safe for a
+    * per-round artifact diff. */
+  private[graft] def planFingerprint(planStr: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(normalizePlan(planStr).getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,6 +314,20 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
     val spread = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    val work = scala.collection.mutable.ArrayBuffer.empty[(String, WorkRec)]
+    // work-metrics capture (rep 1 of each query): a task-metrics
+    // aggregator plus the last completed SQL execution (FIFO bus ->
+    // after a drain the holder is the rep's noop write, whose
+    // executedPlan is the AQE-final plan)
+    val workListener = new WorkListener
+    spark.sparkContext.addSparkListener(workListener)
+    val lastQe = new java.util.concurrent.atomic.AtomicReference[QueryExecution]
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        lastQe.set(qe)
+      override def onFailure(f: String, qe: QueryExecution,
+                             e: Exception): Unit = ()
+    })
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -144,7 +354,26 @@ object Bench {
     var calMid = -1.0
     val results = surface.zipWithIndex.flatMap { case ((name, fn), i) =>
       if (i == surface.size / 2) calMid = calibration()
-      val times = (1 to reps).flatMap(_ => timeOnce(name, fn))
+      val times = (1 to reps).flatMap { r =>
+        // the work record rides rep 1: drain+reset before (no stray
+        // tasks from the previous query), drain+snapshot after — all
+        // four boundaries OUTSIDE timeOnce's timed region
+        if (r == 1) { drainBus(spark); workListener.reset(); lastQe.set(null) }
+        val t = timeOnce(name, fn)
+        if (r == 1 && t.isDefined) {
+          drainBus(spark)
+          val (rows, fp) = Option(lastQe.get()) match {
+            case Some(qe) =>
+              try {
+                val p = qe.executedPlan
+                (firstOutputRows(p), planFingerprint(p.toString))
+              } catch { case _: Throwable => (-1L, "") }
+            case None => (-1L, "")
+          }
+          work += name -> workListener.snapshot(rows, fp)
+        }
+        t
+      }
       // a failed query's time-to-crash is not a benchmark number: any
       // failed rep marks the query failed and keeps it out of timings,
       // so a regression can't read as a speedup
@@ -198,7 +427,8 @@ object Bench {
     // (priorMedians' sf guard saves cross-SF cases, not same-SF ones).
     val full = renderJson(results, failed.toSeq, reps, sfDir,
       calPre, calMid, calPost, wallEnd, skippedList,
-      reran.toSeq, spread.toSeq, sortPre = sortPre, sortPost = sortPost)
+      reran.toSeq, spread.toSeq, sortPre = sortPre, sortPost = sortPost,
+      work = work.toSeq)
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LAST.json"),
@@ -260,7 +490,8 @@ object Bench {
                  skipped: Seq[String] = Nil,
                  reran: Seq[String] = Nil,
                  spread: Seq[(String, Seq[Double])] = Nil,
-                 sortPre: Double = -1.0, sortPost: Double = -1.0): String = {
+                 sortPre: Double = -1.0, sortPost: Double = -1.0,
+                 work: Seq[(String, WorkRec)] = Nil): String = {
     def r4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
@@ -276,6 +507,18 @@ object Bench {
       else spread.map { case (k, ts) =>
         "\"" + k + "\":" + ts.map(r4).mkString("[", ",", "]")
       }.mkString("\"spread\":{", ",", "},")
+    // work records (BENCH_LAST.json variant only, like spread): the
+    // noise-free per-query axes — sr/sw = shuffle read/write bytes,
+    // spill = memory+disk spilled bytes, peak = max task execution
+    // memory, tasks, in = input bytes read, rows = sink rows, fp =
+    // normalized AQE-final plan fingerprint
+    val workJson =
+      if (work.isEmpty) ""
+      else work.map { case (k, w) =>
+        s""""$k":{"sr":${w.sr},"sw":${w.sw},"spill":${w.spill},""" +
+          s""""peak":${w.peak},"tasks":${w.tasks},"in":${w.in},""" +
+          s""""rows":${w.rows},"fp":"${w.fp}"}"""
+      }.mkString("\"work\":{", ",", "},")
     // sort_pre/sort_post: the shuffle/memory-bandwidth axis — a box
     // whose cpu numbers match another round's but whose sort numbers
     // don't has shifted host bandwidth, not a plan regression
@@ -284,6 +527,6 @@ object Bench {
     // record the lower median of `reps` samples, reran ones of reps+1
     // (per-query rep counts are visible in spread) — so a reader
     // comparing rounds knows the two estimators differ by design
-    s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"estimator":"lower-median; reran carry reps+1 samples","sf":"$sfDir","queries":$qs,$spreadJson"failed":$failedJson,"skipped":$skippedJson,"reran":$reranJson,"calibration":$cal,"total_sec":${r4(total)},"wall_end_ms":$wallEndMs}"""
+    s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"estimator":"lower-median; reran carry reps+1 samples","sf":"$sfDir","queries":$qs,$spreadJson$workJson"failed":$failedJson,"skipped":$skippedJson,"reran":$reranJson,"calibration":$cal,"total_sec":${r4(total)},"wall_end_ms":$wallEndMs}"""
   }
 }

@@ -5939,7 +5939,7 @@ object Queries {
        | SELECT doc_id,
        |  CAST(unnest(range(len(t) - 7)) AS BIGINT) AS pos,
        |  unnest(list_transform(range(len(t) - 7),
-       |   i -> substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 16))) AS gkey
+       |   i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS gkey
        | FROM $toksCte WHERE len(t) >= 8),
        |marked23 AS (
        | SELECT doc_id, pos FROM (

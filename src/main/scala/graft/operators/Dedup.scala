@@ -1231,20 +1231,32 @@ object Dedup {
     * dropped from the document. Output per doc: `n_tokens`,
     * `n_removed_tokens`, `n_removed_chars` (token characters dropped —
     * the storage win), and `clean_text` (remaining tokens re-joined).
-    * Docs shorter than k tokens pass through untouched.
+    * Docs shorter than k tokens pass through untouched. `minSpan`
+    * (token length) lets callers apply Lee et al.'s span floor —
+    * merged spans shorter than it are NOT removed (their §3 removes
+    * only sufficiently long repeats); the default 1 removes every
+    * marked span (every span is ≥ k tokens, so any `minSpan` ≤ k is
+    * a no-op).
     *
-    * Scale shape: same inverted-index discipline as the stats — grams
-    * shuffle ONCE as fixed 16-hex md5 keys, and the keep-first rule
-    * rides THE SAME aggregation that finds duplicates (count +
-    * min(struct(doc_id, pos)) in one groupBy — no second shuffle, no
-    * per-key sort window). The rewrite itself is one row per doc: the
-    * merged spans collect to a small per-doc array (bounded by
-    * n_tokens/k) and the token filter is a single higher-order-function
-    * pass over the already-held token array — no exploded
-    * token-vs-span join, nothing quadratic. */
+    * Scale shape: same inverted-index discipline as the stats, except
+    * the gram key is the FULL 128-bit md5 — unlike the d11 stats twin
+    * this operator is a destructive rewrite, and at ~10^13 grams a
+    * 64-bit key expects millions of birthday collisions, each silently
+    * deleting a unique token run (128-bit expects ~none). Grams
+    * shuffle ONCE, and the keep-first rule rides THE SAME aggregation
+    * that finds duplicates (count + min(struct(doc_id, pos)) in one
+    * groupBy — no second shuffle, no per-key sort window). The rewrite
+    * itself is one row per doc: the merged spans collect to a small
+    * sorted per-doc array (bounded by n_tokens/k) and — because merged
+    * spans are disjoint and non-touching — the kept tokens are the
+    * concatenation of the inter-span slices: one boundary walk,
+    * O(n_tokens + n_spans) per doc, not a per-token scan of the span
+    * list (a filter+exists pass is O(n·s) ≈ n²/k — a 1M-token
+    * pathological doc would pay ~10⁹ comparisons in one task). */
   def substringDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
-                            k: Int = 8): DataFrame = {
+                            k: Int = 8, minSpan: Int = 1): DataFrame = {
     require(k >= 1, s"gram width must be >= 1, got $k")
+    require(minSpan >= 1, s"min span length must be >= 1, got $minSpan")
     // one documents scan: the gram stream and the rewrite both read
     // this checkpointed token table
     val base = docs.select(col(idCol).as("doc_id"),
@@ -1253,8 +1265,7 @@ object Dedup {
     val grams = base.where(size(col("t")) >= k)
       .select(col("doc_id"),
         posexplode(TextOps.shingles(col("t"), k)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        substring(md5(col("gram")), 1, 16).as("gkey"))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gkey"))
     val firsts = grams.groupBy("gkey")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -1274,17 +1285,34 @@ object Dedup {
       // token-INDEX bounds: a span of windows [p0 .. p1] covers tokens
       // [p0 .. p1 + k - 1]
       .agg(min("pos").as("p0"), (max("pos") + lit(k - 1)).as("p1"))
+      // Lee et al.'s span floor: spans shorter than minSpan survive
+      // in the document (filtered here, BEFORE the per-doc collect,
+      // so short spans never even reach the rewrite row)
+      .where(col("p1") - col("p0") + lit(1) >= minSpan)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("p0"), col("p1"))))
         .as("spans"))
     def charsOf(arr: Column): Column =
       aggregate(arr, lit(0L), (a, x) => a + length(x))
+    // boundary walk: spans are sorted, disjoint, non-touching (the
+    // gap > k merge guarantees ≥ 1 kept token between spans), so kept
+    // = concat of the inter-span slices. Keep-interval i runs from
+    // (prev span end + 1) to (next span start − 1), with virtual
+    // sentinels at 0 and n−1; empty head/tail intervals (span at a
+    // document edge) slice to length 0.
+    def keptOf(t: Column, spans: Column): Column = {
+      val starts = concat(array(lit(0)),
+        transform(spans, sp => sp.getField("p1") + lit(1)))
+      val ends = concat(transform(spans, sp => sp.getField("p0") - lit(1)),
+        array(size(t) - lit(1)))
+      flatten(zip_with(starts, ends, (s0, e0) =>
+        when(e0 >= s0, slice(t, s0 + lit(1), e0 - s0 + lit(1)))
+          .otherwise(slice(t, lit(1), lit(0)))))
+    }
     base.join(spans, Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("spans").isNull, col("t"))
-          .otherwise(filter(col("t"), (_, i) =>
-            !exists(col("spans"),
-              sp => i >= sp.getField("p0") && i <= sp.getField("p1")))))
+          .otherwise(keptOf(col("t"), col("spans"))))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         (size(col("t")) - size(col("kept"))).cast("long")

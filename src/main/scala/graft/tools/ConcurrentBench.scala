@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
   *
   *   - `seq_total_sec`: one mix run sequentially (the baseline),
   *   - `wall_sec`: N streams × the mix concurrently,
-  *   - `efficiency`: (N × seq_total) / wall — 1.0 means concurrency
-  *     is work-conserving; well below 1 is a contention cliff,
+  *   - `efficiency`: (N × seq_total) / wall — reads against box
+  *     saturation: it approaches N when single queries under-fill the
+  *     cores and streams overlap into the idle ones (the healthy
+  *     shape on this 32-core box); on a box the sequential mix
+  *     already saturates, 1.0 means full serialization of the
+  *     streams; WELL BELOW 1 is the contention cliff (concurrency
+  *     destroying work) at any saturation level,
   *   - per-stream p50/p95 query latencies and the slowest query.
   *
   * Streams deliberately do NOT unpersist checkpoint blocks mid-run:

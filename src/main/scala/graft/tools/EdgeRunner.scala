@@ -1370,10 +1370,13 @@ object EdgeRunner {
         guarded(s"drift:$idx") {
           val model = graft.operators.Similarity.loadIvfIndex(spark, idx)
           val asg = model.assignments
-          val oldSeg = asg
-            .filter(col("ingest_id").cast("string") === "base").select("vec")
-          val newSeg = asg
-            .filter(col("ingest_id").cast("string") =!= "base").select("vec")
+          // three-valued-logic guard (the Dedup.scala:311 bug class):
+          // a NULL ingest_id must not vanish from BOTH segments —
+          // route NULLs deterministically to the post-base side
+          val isBase = coalesce(
+            col("ingest_id").cast("string") === "base", lit(false))
+          val oldSeg = asg.filter(isBase).select("vec")
+          val newSeg = asg.filter(!isBase).select("vec")
           if (newSeg.isEmpty)
             Seq((s"drift:$idx", "-", "OK (no post-base ingest)"))
           else if (oldSeg.isEmpty)

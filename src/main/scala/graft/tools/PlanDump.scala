@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Dev aid for the bench work-metrics axis: writes the NORMALIZED
+  * AQE-final plan text of named queries to files, so a fingerprint
+  * that differs across two JVM runs can be diffed down to the
+  * offending token. Not on any gate.
+  *
+  * Run: `runMain graft.tools.PlanDump OUT_DIR SF_DIR q1 [q2 ...]` */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val (outDir, sfDir, names) = (args(0), args(1), args.drop(2).toSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_pd_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.Queries.prepare(spark, sfDir) catch { case _: Throwable => () }
+    val holder = new java.util.concurrent.atomic.AtomicReference[QueryExecution]
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        holder.set(qe)
+      override def onFailure(f: String, qe: QueryExecution,
+                             e: Exception): Unit = ()
+    })
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      graft.Bench.drainBus(spark)
+      val norm = graft.Bench.normalizePlan(holder.get().executedPlan.toString)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$n.plan"), norm.getBytes("UTF-8"))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      println(s"[plandump] $n -> $outDir/$n.plan")
+    }
+    spark.stop()
+  }
+}

@@ -741,10 +741,33 @@ object ScaleSmoke {
       Seq(uncapped, capped)
     }
 
+    // --- round-17: pathological-long-doc substring-rewrite probe —
+    // the d23 boundary walk is O(n_tokens + n_spans) per doc; the old
+    // filter+exists pass was O(n·s) ≈ n²/k (a 1M-token doc with ~n/16
+    // marked spans would pay ~4·10¹⁰ span comparisons in ONE task).
+    // Content: 8-token shared "dup" blocks (repeated across AND within
+    // docs) separated by 8 per-doc-unique tokens, so marked windows sit
+    // > k apart and every block becomes its own span. Two lengths pin
+    // per-doc linearity.
+    val r17Results = {
+      def longDocs(nTok: Int): DataFrame = spark.range(2).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(nTok - 1)), i =>
+          when((i.cast("long") / 8L) % 2L === 0L,
+            concat(lit("dup"), pmod(i.cast("long"), lit(200L))))
+            .otherwise(concat(lit("u"), col("id"), lit("_"), i))))
+          .as("text"))
+      Seq(500000, 1000000).map { n =>
+        time(s"substr_rewrite_longdoc_${n}_tokens") {
+          Dedup.substringDedupRewrite(longDocs(n), "doc_id", "text", k = 8)
+        }
+      }
+    }
+
     val allResults = results ++ linearResults ++ skewResults ++ r7Results ++
       r7Linear ++ r7bResults ++ r7bLinear ++ r10Results ++ r10Linear ++
       annResults ++ r11Results ++ r11bResults ++ r12Results ++ r13Results ++
-      r13bResults ++ r14Results ++ r16Results
+      r13bResults ++ r14Results ++ r16Results ++ r17Results
     val qs = allResults.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","nEvents":$nEvents,"nDocs":$nDocs,"queries":$qs}""")
     spark.stop()

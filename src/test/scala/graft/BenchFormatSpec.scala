@@ -88,6 +88,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full.count(_ == '{') == full.count(_ == '}'))
   }
 
+  test("the stdout line omits work; the file variant carries per-query work records between spread and failed") {
+    assert(!line.contains("\"work\""), "stdout line must stay tail-compact")
+    val full = Bench.renderJson(
+      results = Seq("q01" -> 0.6),
+      failed = Nil, reps = 3, sfDir = "/x",
+      calPre = 0.1, calMid = 0.1, calPost = 0.1, wallEndMs = 1L,
+      spread = Seq("q01" -> Seq(0.5, 0.6, 4.2)),
+      work = Seq("q01" -> Bench.WorkRec(sr = 1024L, sw = 2048L, spill = 0L,
+        peak = 4096L, tasks = 12L, in = 65536L, rows = 42L,
+        fp = "00deadbeef15dead")))
+    assert(full.contains(
+      """"work":{"q01":{"sr":1024,"sw":2048,"spill":0,"peak":4096,""" +
+        """"tasks":12,"in":65536,"rows":42,"fp":"00deadbeef15dead"}}"""),
+      full)
+    // order: queries < spread < work < failed — tail fields stay last
+    val order = Seq("\"queries\"", "\"spread\"", "\"work\"", "\"failed\"",
+      "\"calibration\"").map(full.indexOf)
+    assert(order.forall(_ >= 0) && order == order.sorted, full)
+    assert(full.count(_ == '{') == full.count(_ == '}'))
+  }
+
   test("priorMedians reads a trailing line's queries dict; absent, malformed, or other-SF disables the rule") {
     val tmp = java.nio.file.Files.createTempFile("bench_last", ".json")
     try {

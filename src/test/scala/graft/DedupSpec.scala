@@ -407,6 +407,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 2L, 0L, 0L, "u v")), got(4L).toString)
   }
 
+  test("substringDedupRewrite minSpan: default equivalent to minSpan=k; larger floors keep short spans; whole-doc removal") {
+    val corpus = Seq(
+      (1L, "a b c x y z"),
+      (2L, "p q a b c r"), // 3-token span (exactly k)
+      (3L, "m m m m m m m"), // 6-token marked span
+      (4L, "u v"),
+      (5L, "a b c") // repeated whole doc: head-empty AND tail-empty slice
+    ).toDF("doc_id", "text")
+    // every merged span is >= k tokens, so any minSpan <= k is a no-op
+    val dflt = Dedup.substringDedupRewrite(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect().toSeq
+    val atK = Dedup.substringDedupRewrite(corpus, "doc_id", "text", k = 3,
+      minSpan = 3).orderBy("doc_id").collect().toSeq
+    assert(dflt == atK, s"minSpan=k must be the identity floor:\n$dflt\n$atK")
+    // doc 5 is an exact duplicate of doc 1's head gram "a b c": the
+    // whole doc drops (both boundary slices empty), clean_text ""
+    val byId = dflt.map(r => r.getLong(0) -> r).toMap
+    assert(byId(5L).getString(4) == "" && byId(5L).getLong(2) == 3L,
+      s"whole-doc removal must empty clean_text: ${byId(5L)}")
+    // minSpan=4: doc 2's 3-token span survives in the text; doc 3's
+    // 6-token span still drops
+    val floored = Dedup.substringDedupRewrite(corpus, "doc_id", "text",
+      k = 3, minSpan = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(floored(2L) == ((2L, 6L, 0L, 0L, "p q a b c r")),
+      floored(2L).toString)
+    assert(floored(3L) == ((3L, 7L, 6L, 6L, "m")), floored(3L).toString)
+  }
+
   test("substringDupStats plan: gram stream scanned once (reused exchange), no cartesian") {
     val df = Dedup.substringDupStats(docs, "doc_id", "text", k = 3)
     df.count() // materialize so AQE resolves its final plan + stage reuse
