@@ -6290,6 +6290,157 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  /** Shared oracle chain for the Stupid-Backoff trigram family (t44 /
+    * p14 — [[TextAnalysis.trigramBackoffHeldOut]], α = 0.4): train
+    * 1/2/3-gram count tables over `trainCte` (a CTE exposing a token
+    * list `t`), the eval trigram stream over `evalCte` (exposing
+    * `doc_id` and `t`), the four-leg backoff resolution with LEFT
+    * joins (so backoff legs actually fire — t36's discipline), and the
+    * per-doc rollup `doc_44`. α arithmetic is forced to DOUBLE in SQL
+    * (DuckDB parses bare 0.4 as DECIMAL, whose exact 0.16 differs from
+    * the IEEE product Spark computes). */
+  private def trigramBackoffCtes(trainCte: String, evalCte: String): String =
+    s"""c1_44 AS (SELECT w, COUNT(*) AS c1 FROM
+       |  (SELECT unnest(t) AS w FROM $trainCte) GROUP BY w),
+       |n_44 AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM c1_44),
+       |c2_44 AS (SELECT b, COUNT(*) AS c2 FROM
+       |  (SELECT unnest(list_transform(range(len(t) - 1),
+       |     i -> t[i+1] || ' ' || t[i+2])) AS b
+       |   FROM $trainCte WHERE len(t) >= 2) GROUP BY b),
+       |c3_44 AS (SELECT g, COUNT(*) AS c3 FROM
+       |  (SELECT unnest(list_transform(range(len(t) - 2),
+       |     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+       |   FROM $trainCte WHERE len(t) >= 3) GROUP BY g),
+       |eg_44 AS (SELECT doc_id, g, string_split(g, ' ') AS p FROM
+       |  (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+       |     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+       |   FROM $evalCte WHERE len(t) >= 3)),
+       |legs_44 AS (SELECT e.doc_id,
+       |  CASE WHEN t3.c3 IS NOT NULL THEN 0
+       |       WHEN b23.c2 IS NOT NULL THEN 1
+       |       WHEN u3.c1 IS NOT NULL THEN 2 ELSE 3 END AS leg,
+       |  CASE WHEN t3.c3 IS NOT NULL
+       |       THEN round(ln(CAST(t3.c3 AS DOUBLE) / b12.c2), 6)
+       |       WHEN b23.c2 IS NOT NULL
+       |       THEN round(ln((CAST(0.4 AS DOUBLE) * b23.c2) / u2.c1), 6)
+       |       WHEN u3.c1 IS NOT NULL
+       |       THEN round(ln(((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+       |         * u3.c1) / n_44.n), 6)
+       |       ELSE round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+       |         / n_44.n), 6) END AS lp
+       | FROM eg_44 e
+       | LEFT JOIN c3_44 t3 ON t3.g = e.g
+       | LEFT JOIN c2_44 b12 ON b12.b = e.p[1] || ' ' || e.p[2]
+       | LEFT JOIN c2_44 b23 ON b23.b = e.p[2] || ' ' || e.p[3]
+       | LEFT JOIN c1_44 u2 ON u2.w = e.p[2]
+       | LEFT JOIN c1_44 u3 ON u3.w = e.p[3]
+       | CROSS JOIN n_44),
+       |doc_44 AS (SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |  CAST(SUM(CASE WHEN leg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+       |  CAST(SUM(CASE WHEN leg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
+       |  CAST(SUM(CASE WHEN leg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+       |  CAST(SUM(CASE WHEN leg = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) AS sum_logscore
+       | FROM legs_44 GROUP BY doc_id)""".stripMargin
+
+  /** Held-out Stupid-Backoff trigram scoring (t44) — the production
+    * upgrade of t36's add-one bigram (CCNet's real filter is a 5-gram
+    * KenLM; Stupid Backoff is its deterministic count-ratio cousin):
+    * train on the %5≠0 split, score the held-out split's trigrams
+    * through the four backoff legs, report per doc the leg-usage
+    * profile + exact decimal log-score sum. Eval docs shorter than 3
+    * tokens report zeros (totality without pseudo-gram padding). */
+  val t44 = q("t44_trigram_backoff",
+    s"""WITH tr44 AS (SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |ev44 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |${trigramBackoffCtes("tr44", "ev44")}
+       |SELECT d.doc_id,
+       | COALESCE(doc_44.n_trigrams, 0) AS n_trigrams,
+       | COALESCE(doc_44.n_tri_hits, 0) AS n_tri_hits,
+       | COALESCE(doc_44.n_bi_backoffs, 0) AS n_bi_backoffs,
+       | COALESCE(doc_44.n_uni_backoffs, 0) AS n_uni_backoffs,
+       | COALESCE(doc_44.n_oov, 0) AS n_oov,
+       | COALESCE(doc_44.sum_logscore, CAST(0.0 AS DOUBLE)) AS sum_logscore
+       |FROM (SELECT doc_id FROM ev44) d
+       |LEFT JOIN doc_44 USING (doc_id)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.trigramBackoffHeldOut(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text")
+  }
+
+  /** Backoff-gated candidate-corpus mix (p14) — the p09 composition
+    * with the TRIGRAM scorer selected: the trusted split (%5≠0) trains
+    * the Stupid-Backoff LM, the candidate split (%5=0) scores against
+    * it, candidates tier by mean log-score within language (p09's
+    * cumulative-char-share head/middle/tail rule), the tail drops, and
+    * the rollup reports per (lang, tier) doc/char mass PLUS the
+    * backoff-leg usage totals a gate owner reads to judge whether the
+    * score is trustworthy (a tier resolved mostly at the OOV floor is
+    * a domain mismatch, not quality signal). Zero-trigram docs carry
+    * no mean and are excluded from tiering by construction. */
+  val p14 = q("p14_backoff_gate_mix",
+    s"""WITH tr44 AS (SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |ev44 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |${trigramBackoffCtes("tr44", "ev44")},
+       |r14 AS (SELECT d.doc_id, d.lang,
+       |  CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  s.n_tri_hits, s.n_bi_backoffs, s.n_uni_backoffs, s.n_oov,
+       |  s.sum_logscore / s.n_trigrams AS als
+       | FROM documents d JOIN doc_44 s ON s.doc_id = d.doc_id
+       | WHERE s.n_trigrams >= 1),
+       |c14 AS (SELECT *,
+       |  SUM(n_chars) OVER (PARTITION BY lang ORDER BY als DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum,
+       |  SUM(n_chars) OVER (PARTITION BY lang) AS tot FROM r14),
+       |tiered14 AS (SELECT *,
+       |  CASE WHEN cum * 3 <= tot THEN 'head'
+       |       WHEN cum * 3 <= tot * 2 THEN 'middle'
+       |       ELSE 'tail' END AS tier FROM c14)
+       |SELECT lang, tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       | CAST(SUM(n_tri_hits) AS BIGINT) AS n_tri_hits,
+       | CAST(SUM(n_bi_backoffs) AS BIGINT) AS n_bi_backoffs,
+       | CAST(SUM(n_uni_backoffs) AS BIGINT) AS n_uni_backoffs,
+       | CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+       | MIN(doc_id) AS min_doc
+       |FROM tiered14 WHERE tier <> 'tail'
+       |GROUP BY lang, tier""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.trigramBackoffHeldOut(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text")
+      .filter(col("n_trigrams") >= 1)
+    val r = scored.join(docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+      .withColumn("als", col("sum_logscore") / col("n_trigrams"))
+    val w = Window.partitionBy("lang").orderBy(col("als").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("lang")
+    r.withColumn("cum", sum("n_chars").over(w))
+      .withColumn("tot", sum("n_chars").over(tot))
+      .withColumn("tier",
+        when(col("cum") * 3 <= col("tot"), lit("head"))
+          .when(col("cum") * 3 <= col("tot") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .filter(col("tier") =!= "tail")
+      .groupBy("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("n_tri_hits").as("n_tri_hits"),
+        sum("n_bi_backoffs").as("n_bi_backoffs"),
+        sum("n_uni_backoffs").as("n_uni_backoffs"),
+        sum("n_oov").as("n_oov"),
+        min("doc_id").as("min_doc"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -6300,7 +6451,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14)
 }

@@ -1184,6 +1184,98 @@ object TextAnalysis {
         Exact.dsum(col("lp")).as("sum_logprob"))
   }
 
+  /** HELD-OUT trigram Stupid-Backoff scoring (Brants et al. 2007 §4,
+    * the web-scale LM CCNet-class filters actually deploy; the add-one
+    * bigram of [[bigramLmHeldOut]] is the toy tier): train raw
+    * 1/2/3-gram counts on one split, score the other's trigrams by
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)            trigram seen
+    *              | α · c(w2w3)/c(w2)            bigram backoff
+    *              | α² · c(w3)/N                 unigram backoff
+    *              | α² · 1/N                     OOV floor (count 1)
+    *
+    * with α = 0.4 — pure count ratios, no normalization, which is what
+    * makes it both web-scale cheap and oracle-exact. Per eval doc:
+    * trigram count, how many resolved at each leg (the backoff-usage
+    * profile a gate reads next to the score), and the exact decimal
+    * sum of 6dp-rounded log-scores (the t16 dump-the-sum discipline;
+    * the mean is derived downstream, unrounded). Docs shorter than 3
+    * tokens carry zero trigram mass and report zeros (their quality
+    * signal is t36's bigram eval) — no pseudo-gram padding, so the
+    * "trigram seen ⇒ its context bigram was counted" and "backoff
+    * bigram seen ⇒ its context unigram was counted" invariants hold
+    * and no leg can divide by a missing count.
+    *
+    * Scale shape: three Zipf-shaped train count tables (map-side
+    * combined), the eval trigram stream LEFT-equi-joins each ON THE
+    * GRAM KEY (t36's discipline — backoff legs actually fire), the
+    * 1-row token total rides a broadcast cross join, one per-doc
+    * aggregation, and a final left join back to the eval doc list for
+    * totality. Nothing pairwise, nothing driver-side. */
+  def trigramBackoffHeldOut(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            alpha: Double = 0.4): DataFrame = {
+    val a1 = lit(alpha)
+    val a2 = lit(alpha * alpha)
+    val trToks = train.select(TextOps.tokens(col(textCol)).as("t"))
+    val c1 = trToks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTok = c1.agg(sum(col("c1")).as("n"))
+    val c2 = trToks.where(size(col("t")) >= 2)
+      .select(explode(TextOps.shingles(col("t"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val c3 = trToks.where(size(col("t")) >= 3)
+      .select(explode(TextOps.shingles(col("t"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val ev = eval.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val eg = ev.where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(TextOps.shingles(col("t"), 3)).as("g"))
+      .withColumn("p", split(col("g"), " "))
+      .withColumn("w12", concat_ws(" ", slice(col("p"), 1, 2)))
+      .withColumn("w23", concat_ws(" ", slice(col("p"), 2, 2)))
+      .withColumn("w2", col("p").getItem(1))
+      .withColumn("w3", col("p").getItem(2))
+    val legged = eg
+      .join(c3, Seq("g"), "left")
+      .join(c2.withColumnRenamed("b", "w12").withColumnRenamed("c2", "c12"),
+        Seq("w12"), "left")
+      .join(c2.withColumnRenamed("b", "w23").withColumnRenamed("c2", "c23"),
+        Seq("w23"), "left")
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cw2"),
+        Seq("w2"), "left")
+      .join(c1.withColumnRenamed("w", "w3").withColumnRenamed("c1", "cw3"),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nTok))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, lit(0))
+          .when(col("c23").isNotNull, lit(1))
+          .when(col("cw3").isNotNull, lit(2))
+          .otherwise(lit(3)).as("leg"),
+        when(col("c3").isNotNull,
+          round(log(col("c3").cast("double") / col("c12")), 6))
+          .when(col("c23").isNotNull,
+            round(log((a1 * col("c23")) / col("cw2")), 6))
+          .when(col("cw3").isNotNull,
+            round(log((a2 * col("cw3")) / col("n")), 6))
+          .otherwise(round(log(a2 / col("n")), 6)).as("lp"))
+    val perDoc = legged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum((col("leg") === 0).cast("long")).as("n_tri_hits"),
+        sum((col("leg") === 1).cast("long")).as("n_bi_backoffs"),
+        sum((col("leg") === 2).cast("long")).as("n_uni_backoffs"),
+        sum((col("leg") === 3).cast("long")).as("n_oov"),
+        Exact.dsum(col("lp")).as("sum_logscore"))
+    ev.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_hits"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("n_bi_backoffs"), lit(0L)).as("n_bi_backoffs"),
+        coalesce(col("n_uni_backoffs"), lit(0L)).as("n_uni_backoffs"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sum_logscore"), lit(0.0)).as("sum_logscore"))
+  }
+
   /** Per-source n-gram DIVERSITY profile — the repetitiveness /
     * mode-collapse diagnostic of a corpus audit (distinct-n-gram
     * ratios are the standard diversity report a data-mix owner reads

@@ -978,4 +978,31 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 <= 2 && p._2 >= 3),
       s"opposite-content pair must not match: $got")
   }
+
+  test("trigramBackoffHeldOut: each backoff leg fires with the exact Stupid-Backoff score") {
+    // train counts: tokens N=7 (a b c d | b c x); trigrams {a b c,
+    // b c d, b c x}; bigrams {a b, b c(x2), c d, c x}; c1(b)=2, c1(d)=1
+    val train = Seq((10L, "a b c d"), (11L, "b c x")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "a b c"), // trigram hit: ln(c3/c12) = ln(1/1) = 0
+      (1L, "z b c"), // bigram backoff: ln(0.4 * c(b c)/c(b)) = ln(0.4*2/2)
+      (2L, "z z d"), // unigram backoff: ln(0.16 * c(d)/N) = ln(0.16*1/7)
+      (3L, "z z z"), // OOV floor: ln(0.16/7)
+      (4L, "u v") // < 3 tokens: zero trigram mass, still reported
+    ).toDF("doc_id", "text")
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.trigramBackoffHeldOut(train, eval, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 1L, 1L, 0L, 0L, 0L, r6(math.log(1.0 / 1)))),
+      got(0L).toString)
+    assert(got(1L) == ((1L, 1L, 0L, 1L, 0L, 0L, r6(math.log(0.4 * 2 / 2L)))),
+      got(1L).toString)
+    assert(got(2L) == ((2L, 1L, 0L, 0L, 1L, 0L,
+      r6(math.log(0.4 * 0.4 * 1 / 7L)))), got(2L).toString)
+    assert(got(3L) == ((3L, 1L, 0L, 0L, 0L, 1L,
+      r6(math.log(0.4 * 0.4 / 7L)))), got(3L).toString)
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 0L, 0L, 0.0)), got(4L).toString)
+  }
 }
