@@ -6441,6 +6441,189 @@ object Queries {
         min("doc_id").as("min_doc"))
   }
 
+  // ---- in-engine logistic-regression family (t45/t46/p15) ----------
+
+  private val LrBuckets = 4096
+  private val LrRounds = 8
+
+  /** Feature/meta CTEs for the hashed-n-gram logistic family over
+    * `docsCte` (doc_id, lang, text): t20's exact feature map (unigrams
+    * + bigrams, md5-13-hex bucket hash mod [[LrBuckets]] — the SAME
+    * 4096-bucket space as the t20 teacher, so the learned model can
+    * represent the teacher exactly) plus the reserved bias bucket
+    * (id = 4096) every doc carries once. Label y = the t20 TEACHER
+    * GATE (fixed-hash score > 0) — the in-engine distillation target:
+    * this synthetic corpus draws every language from one shared
+    * vocabulary, so `lang` is textually unlearnable, while the teacher
+    * gate is a real linear function of exactly these features. `pfx`
+    * distinguishes train/eval streams. */
+  private def lrFeatCtes(docsCte: String, pfx: String): String =
+    s"""${pfx}f45 AS MATERIALIZED (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(f), 1, 13)) AS BIGINT) % $LrBuckets AS bucket
+       | FROM (SELECT doc_id, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) < 2 THEN []
+       |     ELSE list_transform(range(1, len(toks)),
+       |       i -> toks[i] || ' ' || toks[i + 1]) END)) AS f
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $docsCte))
+       | UNION ALL SELECT doc_id, CAST($LrBuckets AS BIGINT) AS bucket
+       |  FROM $docsCte),
+       |${pfx}y45 AS (SELECT doc_id,
+       |  SUM(CAST(concat('0x', substr(md5(CAST(bucket AS VARCHAR)), 1, 13))
+       |    AS BIGINT) % 2001 - 1000) AS ts
+       | FROM ${pfx}f45 WHERE bucket < $LrBuckets GROUP BY doc_id),
+       |${pfx}m45 AS MATERIALIZED (SELECT d.doc_id,
+       |  CAST(CASE WHEN t.ts > 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |  CAST((CASE WHEN len(string_split(d.text, ' ')) < 2
+       |   THEN len(string_split(d.text, ' '))
+       |   ELSE len(string_split(d.text, ' ')) * 2 - 1 END) + 1 AS BIGINT)
+       |    AS n_feats
+       | FROM $docsCte d JOIN ${pfx}y45 t USING (doc_id))""".stripMargin
+
+  /** One unrolled gradient-descent round (the t30 discipline): score
+    * sum per doc (exact decimal over the prior round's weights), 6dp
+    * logistic link, per-bucket decimal gradient, 6dp weight update
+    * with lr = 1024 (full-batch mean class-balanced gradients are tiny). w45_0 is the empty table (all weights 0). */
+  private def lrRoundCtes(r: Int): String =
+    s"""s45_$r AS (SELECT f.doc_id,
+       |  CAST(SUM(CAST(COALESCE(w.w, CAST(0.0 AS DOUBLE)) AS DECIMAL(30,10)))
+       |    AS DOUBLE) AS sw
+       | FROM trf45 f LEFT JOIN w45_${r - 1} w USING (bucket)
+       | GROUP BY f.doc_id),
+       |e45_$r AS (SELECT m.doc_id,
+       |  (round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |    + exp(-(s.sw / m.n_feats))), 6) - m.y)
+       |   * (CASE WHEN m.y = 1
+       |      THEN CAST(nd45.nd AS DOUBLE) / (CAST(2.0 AS DOUBLE) * nd45.np)
+       |      ELSE CAST(nd45.nd AS DOUBLE) / (CAST(2.0 AS DOUBLE) * nd45.nn)
+       |      END) AS err,
+       |  m.n_feats
+       | FROM trm45 m JOIN s45_$r s USING (doc_id) CROSS JOIN nd45),
+       |g45_$r AS (SELECT f.bucket,
+       |  CAST(SUM(CAST(round(e.err / e.n_feats, 6) AS DECIMAL(30,10)))
+       |    AS DOUBLE) AS g
+       | FROM trf45 f JOIN e45_$r e USING (doc_id) GROUP BY f.bucket),
+       |w45_$r AS MATERIALIZED (SELECT g.bucket,
+       |  round(COALESCE(w.w, CAST(0.0 AS DOUBLE))
+       |    - (CAST(1024.0 AS DOUBLE) * g.g) / nd45.nd, 6) AS w
+       | FROM g45_$r g LEFT JOIN w45_${r - 1} w USING (bucket)
+       | CROSS JOIN nd45)""".stripMargin
+
+  private def lrTrainChain(trainCte: String): String =
+    s"""${lrFeatCtes(trainCte, "tr")},
+       |nd45 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |  CAST(SUM(y) AS BIGINT) AS np,
+       |  CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn FROM trm45),
+       |w45_0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+       |  CAST(NULL AS DOUBLE) AS w WHERE 1 = 0),
+       |${(1 to LrRounds).map(lrRoundCtes).mkString(",\n")}""".stripMargin
+
+  /** In-engine logistic-regression TRAINING (t45): learn the hashed
+    * n-gram quality classifier's weights — 8 full-batch class-balanced GD
+    * rounds over
+    * t20's feature space, label = the t20 teacher gate (the in-engine
+    * distillation target — see lrFeatCtes), every round boundary
+    * 6dp-rounded and decimal-summed so the unrolled oracle replays the
+    * exact trajectory. Output: per observed bucket, occurrence count
+    * and learned weight. */
+  val t45 = q("t45_logistic_train",
+    s"""WITH ${lrTrainChain("documents")}
+       |SELECT w.bucket, c.n_occ, w.w
+       |FROM w45_$LrRounds w
+       |JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occ
+       |  FROM trf45 GROUP BY bucket) c USING (bucket)""".stripMargin) { (s, dir) =>
+    TextAnalysis.logisticTrainReport(Tables.documents(s, dir), "doc_id",
+      "text", graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
+      nBuckets = LrBuckets, rounds = LrRounds)
+  }
+
+  /** Held-out application of the trained classifier (t46): weights
+    * learn on the %5≠0 split, the %5=0 split scores under them — per
+    * doc the exact decimal weight sum, the sign gate `pred`, and the
+    * label comparison (the generalization read: pred vs the teacher
+    * gate on docs the learner never saw). */
+  val t46 = q("t46_logistic_apply",
+    s"""WITH tr45 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |ev45 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |${lrTrainChain("tr45")},
+       |${lrFeatCtes("ev45", "ev")},
+       |esc45 AS (SELECT f.doc_id,
+       |  CAST(SUM(CAST(COALESCE(w.w, CAST(0.0 AS DOUBLE)) AS DECIMAL(30,10)))
+       |    AS DOUBLE) AS sum_w
+       | FROM evf45 f LEFT JOIN w45_$LrRounds w USING (bucket)
+       | GROUP BY f.doc_id)
+       |SELECT m.doc_id, m.n_feats, s.sum_w, m.y,
+       | s.sum_w > CAST(0.0 AS DOUBLE) AS pred,
+       | (s.sum_w > CAST(0.0 AS DOUBLE)) = (m.y = 1) AS correct
+       |FROM evm45 m JOIN esc45 s USING (doc_id)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = TextAnalysis.logisticTrain(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
+      nBuckets = LrBuckets, rounds = LrRounds)
+    TextAnalysis.logisticApply(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L, model)
+  }
+
+  /** Trained-classifier corpus build (p15) — p03's composition with
+    * the TRAINED gate: weights learn on the trusted %5≠0 split
+    * in-engine (t45's learner), the WHOLE corpus gates on the trained
+    * sign (pred), survivors exact-dedup keep-first (d02's rule) and
+    * shard-assign; the rollup carries the exact decimal score mass per
+    * shard. The oracle replays the full training trajectory AND the
+    * gate/dedup/shard tail in one statement. */
+  val p15 = q("p15_trained_gate_shards",
+    s"""WITH tr45 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |${lrTrainChain("tr45")},
+       |${lrFeatCtes("documents", "all")},
+       |asc45 AS (SELECT f.doc_id,
+       |  SUM(CAST(COALESCE(w.w, CAST(0.0 AS DOUBLE)) AS DECIMAL(30,10))) AS swd
+       | FROM allf45 f LEFT JOIN w45_$LrRounds w USING (bucket)
+       | GROUP BY f.doc_id),
+       |fp45 AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |kept45 AS (SELECT a.doc_id, a.swd, p.fp
+       | FROM asc45 a JOIN fp45 p USING (doc_id)
+       | WHERE a.swd > 0),
+       |k145 AS (SELECT doc_id, swd FROM (
+       | SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       | FROM kept45) WHERE rn = 1),
+       |sh45 AS (SELECT doc_id, swd,
+       |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+       |    AS BIGINT) % 8 AS shard
+       | FROM k145)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(swd) AS DOUBLE) AS sum_score, MIN(doc_id) AS min_doc
+       |FROM sh45 GROUP BY shard""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = TextAnalysis.logisticTrain(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
+      nBuckets = LrBuckets, rounds = LrRounds)
+    // gate + dedup + shard on the trained sign: the decimal score sum
+    // stays DECIMAL through the rollup (sum-of-sums stays exact; the
+    // one double cast happens at the output edge)
+    val scored = TextAnalysis.logisticScoreDecimal(docs, "doc_id", "text",
+      model)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    scored
+      .join(docs.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")), Seq("doc_id"))
+      .filter(col("swd") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("swd"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+          16, 10).cast("long"), lit(8L)).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("swd")).cast("double").as("sum_score"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -6451,7 +6634,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14, p15)
 }

@@ -1685,6 +1685,166 @@ object TextAnalysis {
         graft.plans.TextHash.classifierScore(col("__t"), nBuckets).as("score"))
       .withColumn("keep", col("score") > 0L)
 
+  /** Trained weights of the in-engine logistic quality classifier
+    * (t45/t46/p15). `weights` holds every bucket observed in training
+    * (≤ nBuckets entries — bounded by the same contract that lets
+    * vocab/codebook loads collect), missing buckets are 0. */
+  final case class LogisticModel(weights: Map[Long, Double], nBuckets: Int,
+                                 nDocs: Long, rounds: Int, lr: Double)
+
+  /** (doc_id, y, n_feats) + exploded (doc_id, bucket) feature stream
+    * for the hashed-n-gram logistic family — t20's exact feature map
+    * (unigrams + bigrams, md5-13-hex bucket hash) so the learned and
+    * fixed-weight classifiers score the same feature space. Both
+    * frames are localCheckpointed: training reads each one per round. */
+  private def logisticFrames(docs: DataFrame, idCol: String, textCol: String,
+                             label: Column, nBuckets: Int,
+                             materialize: Boolean): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t"),
+      label.cast("long").as("y"))
+    // +1: the reserved BIAS bucket (id = nBuckets, outside the hash
+    // range) every doc carries once — without an intercept the feature
+    // weights are forced to encode the class base rate and a 40/60
+    // corpus never crosses the sign gate
+    val meta0 = base.select(col("doc_id"), col("y"),
+      (when(size(col("t")) < 2, size(col("t")))
+        .otherwise(size(col("t")) * 2 - 1) + 1).cast("long").as("n_feats"))
+    val feats0 = base.select(col("doc_id"),
+      explode(concat(col("t"),
+        when(size(col("t")) < 2, array().cast("array<string>"))
+          .otherwise(TextOps.shingles(col("t"), 2)))).as("f"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("f")), 1, 13), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("bucket"))
+      .unionAll(base.select(col("doc_id"),
+        lit(nBuckets.toLong).as("bucket")))
+    // training reads each frame once per round — checkpoint; one-pass
+    // consumers (scoring, the n_occ report) skip the materialization
+    if (materialize) (meta0.localCheckpoint(false),
+      feats0.localCheckpoint(false))
+    else (meta0, feats0)
+  }
+
+  /** Per-bucket weight lookup: the trained table rides a broadcast
+    * literal map (MLlib's driver-held-coefficients shape), so scoring
+    * is ZERO-join — one codegen'd map probe per feature row. */
+  private def weightCol(w: Map[Long, Double]): Column =
+    if (w.isEmpty) lit(0.0)
+    else coalesce(element_at(typedLit(w), col("bucket")), lit(0.0))
+
+  /** In-engine logistic-regression TRAINING over the hashed n-gram
+    * features (the learner [[hashedLinearScore]] lacks — its weights
+    * are supplied; these are learned): `rounds` fixed full-batch
+    * gradient-descent passes, each one per-doc aggregation + one
+    * per-bucket aggregation over the checkpointed feature stream.
+    * Per round r:
+    *
+    *   m(doc)  = (Σ_f w(bucket(f)))/n_feats         exact-decimal sum
+    *   p(doc)  = round(1/(1+exp(−m)), 6)            the logistic link
+    *   err     = (p − y) · cw(y)                    class-balanced
+    *   g(b)    = Σ_{(doc,f): f∈b} round(err/n_feats, 6)   decimal sum
+    *   w'(b)   = round(w(b) − lr·g(b)/nDocs, 6)
+    *
+    * cw(y) = nDocs/(2·n_class) is the standard inverse-class-frequency
+    * balance — without it a skewed corpus (this one gates ~90/10) takes
+    * 10× the rounds to move past the base rate. Full-batch mean
+    * gradients are ~1/(n_feats·nDocs)-scale, so the usable lr is large
+    * (default 1024); every doc also carries the reserved bias bucket so
+    * the intercept, not the features, absorbs the base rate.
+    *
+    * — the t30 unrolled-round oracle discipline: every round boundary
+    * is 6dp-rounded, every sum decimal, so both engines make identical
+    * decisions. The per-round driver round-trip collects ≤ nBuckets
+    * weight rows (the MLlib treeAggregate→driver→broadcast shape);
+    * everything corpus-sized stays distributed — per round one shuffle
+    * to doc_id, one to bucket, weights broadcast as a literal map.
+    *
+    * Scale: K passes over a checkpointed (doc_id, bucket) stream —
+    * O(K · corpus tokens); nothing pairwise, no growing lineage (the
+    * weight map resets the plan each round). */
+  def logisticTrain(train: DataFrame, idCol: String, textCol: String,
+                    label: Column, nBuckets: Int = 512, rounds: Int = 8,
+                    lr: Double = 1024.0): LogisticModel = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (meta, feats) = logisticFrames(train, idCol, textCol, label,
+      nBuckets, materialize = true)
+    val counts = meta.agg(count(lit(1)), sum(col("y"))).collect().head
+    val nDocs = counts.getLong(0)
+    val nPos = counts.getLong(1)
+    val nNeg = nDocs - nPos
+    // single-class corpora (toy fixtures) degrade to unweighted
+    val cwPos = if (nPos == 0 || nNeg == 0) 1.0
+                else nDocs.toDouble / (2.0 * nPos)
+    val cwNeg = if (nPos == 0 || nNeg == 0) 1.0
+                else nDocs.toDouble / (2.0 * nNeg)
+    var w = Map.empty[Long, Double]
+    for (_ <- 1 to rounds) {
+      val sw = feats.select(col("doc_id"), weightCol(w).as("wf"))
+        .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sw"))
+      val err = meta.join(sw, Seq("doc_id"))
+        .select(col("doc_id").as("__did"),
+          ((round(lit(1.0) / (lit(1.0) +
+            exp(-(col("sw") / col("n_feats")))), 6)
+            - col("y").cast("double"))
+            * when(col("y") === 1L, lit(cwPos)).otherwise(lit(cwNeg)))
+            .as("err"),
+          col("n_feats").as("__nf"))
+      val upd = feats.join(err, col("doc_id") === col("__did"))
+        .select(col("bucket"), round(col("err") / col("__nf"), 6).as("c"))
+        .groupBy("bucket").agg(Exact.dsum(col("c")).as("g"))
+        .select(col("bucket"),
+          round(weightCol(w) - (lit(lr) * col("g")) / lit(nDocs), 6).as("w"))
+        .collect()
+      w = upd.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    LogisticModel(w, nBuckets, nDocs, rounds, lr)
+  }
+
+  /** The t45 report over a trained model: per observed bucket its
+    * training-corpus occurrence count and learned weight. */
+  def logisticTrainReport(train: DataFrame, idCol: String, textCol: String,
+                          label: Column, nBuckets: Int = 512,
+                          rounds: Int = 8, lr: Double = 1024.0): DataFrame = {
+    val model = logisticTrain(train, idCol, textCol, label, nBuckets,
+      rounds, lr)
+    val (_, feats) = logisticFrames(train, idCol, textCol, label, nBuckets,
+      materialize = false)
+    feats.groupBy("bucket").agg(count(lit(1)).as("n_occ"))
+      .select(col("bucket"), col("n_occ"),
+        weightCol(model.weights).as("w"))
+  }
+
+  /** Score `docs` under a trained model (t46): per doc the exact
+    * decimal weight sum (`pred` gates on its sign — sum > 0 ⟺ mean
+    * score > 0, no float mean needed) plus the label comparison for
+    * held-out accuracy reads. Scoring is one aggregation over the
+    * feature stream with the weight map broadcast — zero joins. */
+  /** Per-doc decimal weight sum under a trained model — the p15 gate
+    * feed: the score stays exact DECIMAL through downstream rollups
+    * (sum-of-sums stays exact; callers cast to double only at the
+    * output edge). */
+  def logisticScoreDecimal(docs: DataFrame, idCol: String, textCol: String,
+                           model: LogisticModel): DataFrame = {
+    val (_, feats) = logisticFrames(docs, idCol, textCol, lit(false),
+      model.nBuckets, materialize = false)
+    feats.select(col("doc_id"), weightCol(model.weights).as("wf"))
+      .groupBy("doc_id")
+      .agg(sum(col("wf").cast(Exact.D)).as("swd"))
+  }
+
+  def logisticApply(docs: DataFrame, idCol: String, textCol: String,
+                    label: Column, model: LogisticModel): DataFrame = {
+    val (meta, feats) = logisticFrames(docs, idCol, textCol, label,
+      model.nBuckets, materialize = false)
+    val sw = feats.select(col("doc_id"), weightCol(model.weights).as("wf"))
+      .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sum_w"))
+    meta.join(sw, Seq("doc_id"))
+      .select(col("doc_id"), col("n_feats"), col("sum_w"), col("y"),
+        (col("sum_w") > lit(0.0)).as("pred"))
+      .withColumn("correct", col("pred") === (col("y") === 1L))
+  }
+
   /** Budget-capped quality selection — "take the best documents until
     * the token budget is spent" (the fixed-token-count curation step
     * of a training-data refresh): rank docs by (classifier score desc,

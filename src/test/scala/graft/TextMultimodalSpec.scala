@@ -1005,4 +1005,48 @@ class TextMultimodalSpec extends AnyFunSuite {
       r6(math.log(0.4 * 0.4 / 7L)))), got(3L).toString)
     assert(got(4L) == ((4L, 0L, 0L, 0L, 0L, 0L, 0.0)), got(4L).toString)
   }
+
+  test("logisticTrain converges on a separable toy corpus and generalizes to held-out docs") {
+    val goodW = Seq("wonderful", "excellent", "great", "superb")
+    val badW = Seq("awful", "terrible", "poor", "nasty")
+    // 20 docs per class, each 6 tokens drawn deterministically from its
+    // class vocabulary — linearly separable in unigram space
+    def doc(ws: Seq[String], i: Int): String =
+      (0 until 6).map(j => ws((i + j) % ws.length)).mkString(" ")
+    val train = ((0 until 20).map(i => (i.toLong, doc(goodW, i), 1L)) ++
+      (0 until 20).map(i => (i + 100L, doc(badW, i), 0L)))
+      .toDF("doc_id", "text", "y")
+    val eval = ((0 until 5).map(i => (i + 200L, doc(goodW, i + 2), 1L)) ++
+      (0 until 5).map(i => (i + 300L, doc(badW, i + 3), 0L)))
+      .toDF("doc_id", "text", "y")
+    val model = TextAnalysis.logisticTrain(train, "doc_id", "text",
+      col("y") === 1L, nBuckets = 4096, rounds = 8, lr = 256.0)
+    // the learner must separate: every held-out doc classified right
+    val got = TextAnalysis.logisticApply(eval, "doc_id", "text",
+      col("y") === 1L, model)
+      .select("doc_id", "pred", "correct")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(got.length == 10 && got.forall(_._3),
+      s"held-out toy docs must all classify correctly: ${got.mkString(", ")}")
+    // and the weights carry the signal, not just the bias: a pure-good
+    // unigram bucket ends positive, a pure-bad one negative
+    def bucketOf(wrd: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(wrd.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(13), 16) % 4096L
+    }
+    assert(model.weights(bucketOf("wonderful")) > 0.0 &&
+      model.weights(bucketOf("awful")) < 0.0,
+      s"class-marker weights must carry sign: ${model.weights(bucketOf("wonderful"))} / ${model.weights(bucketOf("awful"))}")
+    // convergence, not a lucky init: more rounds keep it correct and
+    // grow the margin (|sum_w| of the top doc)
+    val m2 = TextAnalysis.logisticTrain(train, "doc_id", "text",
+      col("y") === 1L, nBuckets = 4096, rounds = 2, lr = 256.0)
+    val margin2 = TextAnalysis.logisticApply(eval, "doc_id", "text",
+      col("y") === 1L, m2).agg(avg(abs(col("sum_w")))).collect().head.getDouble(0)
+    val margin8 = TextAnalysis.logisticApply(eval, "doc_id", "text",
+      col("y") === 1L, model).agg(avg(abs(col("sum_w")))).collect().head.getDouble(0)
+    assert(margin8 > margin2,
+      s"margin must grow with rounds: $margin2 -> $margin8")
+  }
 }
