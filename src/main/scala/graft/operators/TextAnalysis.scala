@@ -1726,12 +1726,24 @@ object TextAnalysis {
     else (meta0, feats0)
   }
 
-  /** Per-bucket weight lookup: the trained table rides a broadcast
-    * literal map (MLlib's driver-held-coefficients shape), so scoring
-    * is ZERO-join — one codegen'd map probe per feature row. */
-  private def weightCol(w: Map[Long, Double]): Column =
-    if (w.isEmpty) lit(0.0)
-    else coalesce(element_at(typedLit(w), col("bucket")), lit(0.0))
+  /** Per-bucket weight lookup: the ≤ nBuckets+1-row weight table rides
+    * a BROADCAST HASH JOIN (O(1) probe per feature row). A literal-map
+    * `element_at` would be zero-join but Catalyst's GetMapValue does a
+    * LINEAR scan of the map per row — O(nBuckets) per feature, a scale
+    * killer the moment the bucket space grows. Missing buckets read 0. */
+  private def withWeights(feats: DataFrame,
+                          wDf: Option[DataFrame]): DataFrame = wDf match {
+    case None => feats.withColumn("wf", lit(0.0))
+    case Some(w) => feats.join(broadcast(w), Seq("bucket"), "left")
+      .withColumn("wf", coalesce(col("w"), lit(0.0))).drop("w")
+  }
+
+  private def weightsDf(docs: DataFrame,
+                        model: LogisticModel): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    model.weights.toSeq.toDF("bucket", "w")
+  }
 
   /** In-engine logistic-regression TRAINING over the hashed n-gram
     * features (the learner [[hashedLinearScore]] lacks — its weights
@@ -1778,9 +1790,12 @@ object TextAnalysis {
                 else nDocs.toDouble / (2.0 * nPos)
     val cwNeg = if (nPos == 0 || nNeg == 0) 1.0
                 else nDocs.toDouble / (2.0 * nNeg)
-    var w = Map.empty[Long, Double]
+    // weights stay a DISTRIBUTED ≤ nBuckets+1-row table between rounds
+    // (localCheckpointed so lineage stays flat); the driver collects
+    // exactly once, at the end, for the model contract
+    var wDf: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val sw = feats.select(col("doc_id"), weightCol(w).as("wf"))
+      val sw = withWeights(feats, wDf).select(col("doc_id"), col("wf"))
         .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sw"))
       val err = meta.join(sw, Seq("doc_id"))
         .select(col("doc_id").as("__did"),
@@ -1790,14 +1805,19 @@ object TextAnalysis {
             * when(col("y") === 1L, lit(cwPos)).otherwise(lit(cwNeg)))
             .as("err"),
           col("n_feats").as("__nf"))
-      val upd = feats.join(err, col("doc_id") === col("__did"))
+      val g = feats.join(err, col("doc_id") === col("__did"))
         .select(col("bucket"), round(col("err") / col("__nf"), 6).as("c"))
         .groupBy("bucket").agg(Exact.dsum(col("c")).as("g"))
-        .select(col("bucket"),
-          round(weightCol(w) - (lit(lr) * col("g")) / lit(nDocs), 6).as("w"))
-        .collect()
-      w = upd.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val withPrev = wDf match {
+        case None => g.withColumn("w", lit(0.0))
+        case Some(w) => g.join(broadcast(w), Seq("bucket"), "left")
+          .withColumn("w", coalesce(col("w"), lit(0.0)))
+      }
+      wDf = Some(withPrev.select(col("bucket"),
+        round(col("w") - (lit(lr) * col("g")) / lit(nDocs), 6).as("w"))
+        .localCheckpoint(false))
     }
+    val w = wDf.get.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     LogisticModel(w, nBuckets, nDocs, rounds, lr)
   }
 
@@ -1811,15 +1831,10 @@ object TextAnalysis {
     val (_, feats) = logisticFrames(train, idCol, textCol, label, nBuckets,
       materialize = false)
     feats.groupBy("bucket").agg(count(lit(1)).as("n_occ"))
-      .select(col("bucket"), col("n_occ"),
-        weightCol(model.weights).as("w"))
+      .join(broadcast(weightsDf(train, model)), Seq("bucket"))
+      .select(col("bucket"), col("n_occ"), col("w"))
   }
 
-  /** Score `docs` under a trained model (t46): per doc the exact
-    * decimal weight sum (`pred` gates on its sign — sum > 0 ⟺ mean
-    * score > 0, no float mean needed) plus the label comparison for
-    * held-out accuracy reads. Scoring is one aggregation over the
-    * feature stream with the weight map broadcast — zero joins. */
   /** Per-doc decimal weight sum under a trained model — the p15 gate
     * feed: the score stays exact DECIMAL through downstream rollups
     * (sum-of-sums stays exact; callers cast to double only at the
@@ -1828,16 +1843,21 @@ object TextAnalysis {
                            model: LogisticModel): DataFrame = {
     val (_, feats) = logisticFrames(docs, idCol, textCol, lit(false),
       model.nBuckets, materialize = false)
-    feats.select(col("doc_id"), weightCol(model.weights).as("wf"))
+    withWeights(feats, Some(weightsDf(docs, model)))
       .groupBy("doc_id")
       .agg(sum(col("wf").cast(Exact.D)).as("swd"))
   }
 
+  /** Score `docs` under a trained model (t46): per doc the exact
+    * decimal weight sum (`pred` gates on its sign — sum > 0 ⟺ mean
+    * score > 0, no float mean needed) plus the label comparison for
+    * held-out accuracy reads. Scoring is one broadcast weight join +
+    * one aggregation over the feature stream. */
   def logisticApply(docs: DataFrame, idCol: String, textCol: String,
                     label: Column, model: LogisticModel): DataFrame = {
     val (meta, feats) = logisticFrames(docs, idCol, textCol, label,
       model.nBuckets, materialize = false)
-    val sw = feats.select(col("doc_id"), weightCol(model.weights).as("wf"))
+    val sw = withWeights(feats, Some(weightsDf(docs, model)))
       .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sum_w"))
     meta.join(sw, Seq("doc_id"))
       .select(col("doc_id"), col("n_feats"), col("sum_w"), col("y"),

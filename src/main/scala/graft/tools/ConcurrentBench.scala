@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * Bench's sequential loop doesn't cover: N parallel query STREAMS
   * against ONE SparkSession with the FAIR scheduler, each stream its
   * own pool, each running the same 20-query mix rotated by a
-  * stream-specific offset (no lockstep). Reports, as one JSON line:
+  * stream-specific offset (no lockstep). Runs a CONTENTION CURVE —
+  * one point per stream width (default 2/4/8) against ONE shared
+  * sequential baseline — and reports, as one JSON line:
   *
   *   - `seq_total_sec`: one mix run sequentially (the baseline),
-  *   - `wall_sec`: N streams × the mix concurrently,
+  *   - per width in `widths`: `wall_sec` (N streams × the mix
+  *     concurrently), `efficiency`, per-stream p50/p95 + worst query,
   *   - `efficiency`: (N × seq_total) / wall — reads against box
   *     saturation: it approaches N when single queries under-fill the
   *     cores and streams overlap into the idle ones (the healthy
@@ -44,7 +47,11 @@ object ConcurrentBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val streams = if (args.length > 1) args(1).toInt else 4
+    // contention-curve widths (comma list); a single int still works
+    val widths = (if (args.length > 1) args(1) else "2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    require(widths.nonEmpty && widths.forall(_ >= 1),
+      s"stream widths must be >= 1: $widths")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,28 +87,10 @@ object ConcurrentBench {
     // (IVF index, …) built here, so the timed phases only read
     Mix.foreach(runSafe(_, "warmup"))
     sweep()
-    // sequential baseline: one mix, Bench-style per-query cleanup
+    // sequential baseline: one mix, Bench-style per-query cleanup —
+    // shared across all widths (the workload is identical per stream)
     val seqTimes = Mix.map { n => val t = runSafe(n, "seq"); sweep(); t }
     val seqTotal = seqTimes.filter(_ >= 0).sum
-
-    // concurrent: N streams, each the mix rotated by 5·i, own FAIR
-    // pool, NO mid-run global unpersist (see scaladoc)
-    val perStream = Array.fill(streams)(Vector.empty[(String, Double)])
-    val t0 = System.nanoTime()
-    val threads = (0 until streams).map { i =>
-      val th = new Thread(() => {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream_$i")
-        val rotated = Mix.drop((i * 5) % Mix.size) ++ Mix.take((i * 5) % Mix.size)
-        perStream(i) = rotated.map { n =>
-          try n -> runOne(n)
-          catch { case e: Throwable => errors.add(s"$n@stream$i: $e"); n -> -1.0 }
-        }.toVector
-      }, s"conc-stream-$i")
-      th.start(); th
-    }
-    threads.foreach(_.join())
-    val wall = (System.nanoTime() - t0) / 1e9
-    sweep()
 
     // -1 sentinel when a stream had zero successful queries: the
     // artifact (and its errors array) must still render — a stream
@@ -114,14 +103,43 @@ object ConcurrentBench {
       }
     def r4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val streamJson = perStream.zipWithIndex.map { case (ts, i) =>
-      val ok = ts.filter(_._2 >= 0)
-      val worst = if (ok.nonEmpty) ok.maxBy(_._2) else ("none", -1.0)
-      s""""stream_$i":{"p50":${r4(pct(ok.map(_._2), 0.50))},""" +
-        s""""p95":${r4(pct(ok.map(_._2), 0.95))},""" +
-        s""""worst":"${worst._1}","worst_sec":${r4(worst._2)}}"""
-    }.mkString(",")
-    val eff = streams * seqTotal / wall
+
+    // one contention point: N streams, each the mix rotated by 5·i,
+    // own FAIR pool, NO mid-run global unpersist (see scaladoc)
+    def runWidth(streams: Int): String = {
+      val perStream = Array.fill(streams)(Vector.empty[(String, Double)])
+      val t0 = System.nanoTime()
+      val threads = (0 until streams).map { i =>
+        val th = new Thread(() => {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream_$i")
+          val rotated = Mix.drop((i * 5) % Mix.size) ++ Mix.take((i * 5) % Mix.size)
+          perStream(i) = rotated.map { n =>
+            try n -> runOne(n)
+            catch { case e: Throwable => errors.add(s"$n@w${streams}s$i: $e"); n -> -1.0 }
+          }.toVector
+        }, s"conc-w$streams-s$i")
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      val streamJson = perStream.zipWithIndex.map { case (ts, i) =>
+        val ok = ts.filter(_._2 >= 0)
+        val worst = if (ok.nonEmpty) ok.maxBy(_._2) else ("none", -1.0)
+        s""""stream_$i":{"p50":${r4(pct(ok.map(_._2), 0.50))},""" +
+          s""""p95":${r4(pct(ok.map(_._2), 0.95))},""" +
+          s""""worst":"${worst._1}","worst_sec":${r4(worst._2)}}"""
+      }.mkString(",")
+      val eff = streams * seqTotal / wall
+      s"""{"streams":$streams,"wall_sec":${r4(wall)},""" +
+        s""""efficiency":${r4(eff)},$streamJson}"""
+    }
+
+    // the CONTENTION CURVE: one point per width is a posture, one
+    // width is a point — widths run ascending so the heavier phases
+    // inherit a maximally warm cache like a steady multiplexed box
+    val widthJsons = widths.map(runWidth)
+
     // full JSON escaping (the Verify/AlertSink helper): exception
     // messages carry newlines and backslashes, and a broken run's
     // artifact is the one a consumer most needs to parse
@@ -132,14 +150,14 @@ object ConcurrentBench {
         b += "\"" + graft.streaming.AlertSink.jsonEscape(it.next()) + "\""
       b.result().mkString("[", ",", "]")
     }
-    // seq_ok < mix_size marks the efficiency number as computed over
+    // seq_ok < mix_size marks the efficiency numbers as computed over
     // MISMATCHED workloads (seqTotal dropped a failed query's time
     // while wall still covers every stream attempting the full mix) —
     // a consumer must not read such a run as a contention cliff
     val seqOk = seqTimes.count(_ >= 0)
-    println(s"""{"metric":"concurrent_bench","sf":"$sfDir","streams":$streams,""" +
+    println(s"""{"metric":"concurrent_bench","sf":"$sfDir",""" +
       s""""mix_size":${Mix.size},"seq_ok":$seqOk,"seq_total_sec":${r4(seqTotal)},""" +
-      s""""wall_sec":${r4(wall)},"efficiency":${r4(eff)},$streamJson,""" +
+      s""""widths":${widthJsons.mkString("[", ",", "]")},""" +
       s""""errors":$errJson}""")
     spark.stop()
   }

@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-factor replicator for the builder-side sf1 bench probe:
+/** Scale-factor replicator for the builder-side sf1+ bench probes:
   * `runMain graft.tools.MakeScale <srcSfDir> <destDir> <factor>`
-  * writes `factor`× copies of the tables the headline-expensive
-  * queries read (documents, orders), with keys remapped per replica.
+  * writes `factor`× copies of EVERY fact table with keys remapped per
+  * replica (round 17: grew from documents+orders to the full star so
+  * the whole 196-query surface can ratio-sweep — SCALE_r{N}.json).
   *
   * Construction matters more than volume here. Document TEXT is
   * salted per replica at the TOKEN level (`word` → `word_rN`), so:
@@ -18,12 +19,23 @@ import org.apache.spark.sql.functions._
   *     measure the fixture, not the engine);
   *   - within-replica structure is byte-for-byte isomorphic to the
   *     source, so per-replica work is the source workload repeated.
-  * `n_chars` is recomputed from the salted text. Orders remap both
-  * o_orderkey and o_custkey (disjoint customers per replica), so q70's
-  * recursion DEPTH stays the per-customer maximum (25) while its row
-  * count scales with the factor — depth-bounded recursion is the
-  * contract being probed. Replica 0 is the source verbatim. */
+  * `n_chars` is recomputed from the salted text. EMBEDDINGS cannot be
+  * salted (cloned vectors are genuinely identical points), so
+  * vector-PAIR queries (s07, s13) stay excluded from replica ratio
+  * sweeps — the documented d05-family rule's remaining members.
+  *
+  * Every key column shifts by `replica × STRIDE` with ONE shared
+  * stride (> any key in the shipped SFs), so every foreign-key family
+  * stays consistent without a per-family step map: lineitem replica i
+  * joins orders/part/supplier replica i and only it; q70's recursion
+  * DEPTH stays the per-customer maximum while its row count scales.
+  * Dimension tables (region, nation) copy once, keys untouched — star
+  * joins fan out factor×, which is the point. doc_id splits on %5
+  * survive replication (STRIDE % 5 = 0). Replica 0 is the source
+  * verbatim. */
 object MakeScale {
+  val Stride = 10000000L // > every key max in the shipped SFs (~2.4M at sf0.1)
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: MakeScale <srcSfDir> <destDir> <factor>")
     val Array(src, dest, factorS) = args
@@ -38,33 +50,39 @@ object MakeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(table: String, remap: (DataFrame, Int, Long) => DataFrame,
-                  keyCol: String): Unit = {
+    def replicate(table: String, keyCols: Seq[String],
+                  extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
-      val step = df.agg(max(col(keyCol))).head.getLong(0) + 1L
-      (0 until factor).map(i => remap(df, i, step))
-        .reduce(_ unionByName _)
+      (0 until factor).map { i =>
+        keyCols.foldLeft(extra(df, i)) { (d, k) =>
+          d.withColumn(k, col(k) + lit(i * Stride))
+        }
+      }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dest/$table.parquet")
       val n = spark.read.parquet(s"$dest/$table.parquet").count()
       println(s"[makescale] $table: ${df.count()} x $factor -> $n rows")
     }
 
-    replicate("documents", (df, i, step) => {
-      val salted =
-        if (i == 0) df
-        else df.withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", "$1_r" + i))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      salted.withColumn("doc_id", col("doc_id") + lit(i * step))
-    }, "doc_id")
+    // dims: one copy, keys untouched (star joins fan out factor-x)
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      println(s"[makescale] $t: copied once")
+    }
 
-    val custStep = spark.read.parquet(s"$src/orders.parquet")
-      .agg(max(col("o_custkey"))).head.getLong(0) + 1L
-    replicate("orders", (df, i, step) => df
-      .withColumn("o_orderkey", col("o_orderkey") + lit(i * step))
-      .withColumn("o_custkey", col("o_custkey") + lit(i * custStep)),
-      "o_orderkey")
+    replicate("documents", Seq("doc_id"), (df, i) =>
+      if (i == 0) df
+      else df.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1_r" + i))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("embeddings", Seq("vec_id"))
 
     spark.stop()
   }

@@ -14,6 +14,43 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("t44 trigram backoff: all legs are LEFT equi-joins on gram keys; only nested-loop is the 1-row token total") {
+    val p = plan("t44_trigram_backoff")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t44:\n$p")
+    // the N scalar rides a broadcast nested loop by construction (the
+    // t16 vocab pattern); every count-table leg must be an equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected extra nested-loop joins:\n$p")
+  }
+
+  test("p14 backoff gate mix inherits t44's join shape, no cartesian") {
+    val p = plan("p14_backoff_gate_mix")
+    assert(!p.contains("CartesianProduct"), s"cartesian in p14:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"unexpected extra nested-loop joins:\n$p")
+  }
+
+  test("t46 trained-classifier scoring: weights ride a broadcast hash join, zero nested loops") {
+    val p = plan("t46_logistic_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"scoring must be equi-joins only:\n$p")
+    // the <= nBuckets+1-row weight table must broadcast — a shuffled
+    // weight join would exchange the corpus-sized feature stream; a
+    // literal-map lookup would be an O(nBuckets) linear scan per row
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight lookup must be a broadcast hash join:\n$p")
+  }
+
+  test("p15 trained gate: broadcast weight join, no cartesian through gate/dedup/shard") {
+    val p = plan("p15_trained_gate_shards")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"trained gate must stay equi-join shaped:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight lookup must be a broadcast hash join:\n$p")
+  }
+
   test("d06 embedding pairs come from bucket equi-joins, never a cartesian") {
     val p = plan("d06_dedup_embedding")
     assert(!p.contains("CartesianProduct"), "cartesian product in d06")

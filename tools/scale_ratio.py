@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Full-surface replica ratio gate: SCALE_r{N}.json builder.
+
+Takes two BENCH_LAST.json artifacts — the sf0.1 baseline and the
+token-salted 10x replica run (tools/MakeScale) — and emits one JSON
+file with per-query {base_sec, repl_sec, ratio}, the skip list (with
+the documented reason), and a worst-ratio summary. Sub-second
+baselines are ratio-unstable (fixed per-query overhead dominates), so
+queries with base < `--floor` (default 0.15 s) are reported but kept
+out of the worst-ratio ranking.
+
+Usage: python3 tools/scale_ratio.py BASE.json REPL.json OUT.json \
+           [--factor 10] [--floor 0.15]
+"""
+import json, sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.loads(f.read().strip().splitlines()[-1])
+
+
+def main():
+    pos, argv, i = [], sys.argv[1:], 0
+    factor, floor = 10, 0.15
+    while i < len(argv):
+        if argv[i] == "--factor":
+            factor = int(argv[i + 1]); i += 2
+        elif argv[i] == "--floor":
+            floor = float(argv[i + 1]); i += 2
+        else:
+            pos.append(argv[i]); i += 1
+    base, repl = load(pos[0]), load(pos[1])
+    out_path = pos[2]
+    bq, rq = base["queries"], repl["queries"]
+    shared = sorted(set(bq) & set(rq))
+    rows = {}
+    ranked = []
+    for n in shared:
+        b, r = bq[n], rq[n]
+        ratio = round(r / b, 3) if b > 0 else None
+        rows[n] = {"base_sec": b, "repl_sec": r, "ratio": ratio}
+        if b >= floor and ratio is not None:
+            ranked.append((ratio, n))
+    ranked.sort(reverse=True)
+    worst = [{"query": n, "ratio": ra, "base_sec": bq[n], "repl_sec": rq[n]}
+             for ra, n in ranked[:10]]
+    skipped = sorted(set(repl.get("skipped", [])))
+    doc = {
+        "metric": "scale_ratio",
+        "factor": factor,
+        "base_sf": base.get("sf"),
+        "repl_sf": repl.get("sf"),
+        "reps": [base.get("reps"), repl.get("reps")],
+        "base_calibration": base.get("calibration"),
+        "repl_calibration": repl.get("calibration"),
+        "n_queries": len(shared),
+        "ratio_floor_sec": floor,
+        "worst": worst,
+        "skipped": skipped,
+        "skip_reason": ("cloned-EMBEDDING pair queries grow with copies^2 "
+                        "(vectors cannot be token-salted like documents) "
+                        "plus the q68 densified output grid — the documented "
+                        "d05-family replica rule, narrowed to its remaining "
+                        "members now that MakeScale salts document text"),
+        "failed": sorted(set(base.get("failed", []) + repl.get("failed", []))),
+        "queries": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+    print(f"{len(shared)} queries; worst (base >= {floor}s):")
+    for w in worst:
+        print(f"  {w['query']}: {w['base_sec']} -> {w['repl_sec']} "
+              f"(x{w['ratio']})")
+    print(f"skipped at replica: {', '.join(skipped) or 'none'}")
+
+
+if __name__ == "__main__":
+    main()
