@@ -83,6 +83,23 @@ object Bench {
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
     } catch { case _: Throwable => Thread.sleep(200) }
 
+  /** Register a listener capturing the LAST completed SQL execution
+    * (FIFO bus: after a [[drainBus]] the holder is the most recent
+    * action's QueryExecution — the rep's noop write in the bench
+    * loop). Shared by Bench, PlanDump, and WorkMetricsSpec so the
+    * capture protocol cannot drift. */
+  private[graft] def captureLastExecution(spark: SparkSession)
+      : java.util.concurrent.atomic.AtomicReference[QueryExecution] = {
+    val ref = new java.util.concurrent.atomic.AtomicReference[QueryExecution]
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        ref.set(qe)
+      override def onFailure(f: String, qe: QueryExecution,
+                             e: Exception): Unit = ()
+    })
+    ref
+  }
+
   /** Children with AQE/stage wrappers resolved, so traversal reaches
     * the runtime-final operators instead of stopping at the
     * leaf-looking AdaptiveSparkPlanExec / QueryStageExec shells. */
@@ -321,13 +338,7 @@ object Bench {
     // executedPlan is the AQE-final plan)
     val workListener = new WorkListener
     spark.sparkContext.addSparkListener(workListener)
-    val lastQe = new java.util.concurrent.atomic.AtomicReference[QueryExecution]
-    spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
-        lastQe.set(qe)
-      override def onFailure(f: String, qe: QueryExecution,
-                             e: Exception): Unit = ()
-    })
+    val lastQe = captureLastExecution(spark)
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

@@ -6444,7 +6444,7 @@ object Queries {
   // ---- in-engine logistic-regression family (t45/t46/p15) ----------
 
   private val LrBuckets = 4096
-  private val LrRounds = 8
+  private val LrRounds = 4
 
   /** Feature/meta CTEs for the hashed-n-gram logistic family over
     * `docsCte` (doc_id, lang, text): t20's exact feature map (unigrams
@@ -6518,7 +6518,7 @@ object Queries {
        |${(1 to LrRounds).map(lrRoundCtes).mkString(",\n")}""".stripMargin
 
   /** In-engine logistic-regression TRAINING (t45): learn the hashed
-    * n-gram quality classifier's weights — 8 full-batch class-balanced GD
+    * n-gram quality classifier's weights — 4 full-batch class-balanced GD
     * rounds over
     * t20's feature space, label = the t20 teacher gate (the in-engine
     * distillation target — see lrFeatCtes), every round boundary

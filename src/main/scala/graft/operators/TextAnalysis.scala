@@ -1719,10 +1719,15 @@ object TextAnalysis {
           lit(nBuckets.toLong)).as("bucket"))
       .unionAll(base.select(col("doc_id"),
         lit(nBuckets.toLong).as("bucket")))
-    // training reads each frame once per round — checkpoint; one-pass
-    // consumers (scoring, the n_occ report) skip the materialization
-    if (materialize) (meta0.localCheckpoint(false),
-      feats0.localCheckpoint(false))
+    // training reads each frame TWICE per round — checkpoint, and
+    // checkpoint PRE-PARTITIONED on doc_id: LogicalRDD preserves the
+    // partitioning, so every round's per-doc aggregation and err-join
+    // probe run exchange-free (the K-round loop would otherwise
+    // re-shuffle the corpus-sized feature stream 2K times). One-pass
+    // consumers (scoring, the n_occ report) skip both.
+    if (materialize) (
+      meta0.repartition(col("doc_id")).localCheckpoint(false),
+      feats0.repartition(col("doc_id")).localCheckpoint(false))
     else (meta0, feats0)
   }
 
@@ -1776,7 +1781,7 @@ object TextAnalysis {
     * O(K · corpus tokens); nothing pairwise, no growing lineage (the
     * weight map resets the plan each round). */
   def logisticTrain(train: DataFrame, idCol: String, textCol: String,
-                    label: Column, nBuckets: Int = 512, rounds: Int = 8,
+                    label: Column, nBuckets: Int = 512, rounds: Int = 4,
                     lr: Double = 1024.0): LogisticModel = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val (meta, feats) = logisticFrames(train, idCol, textCol, label,
@@ -1785,15 +1790,24 @@ object TextAnalysis {
     val nDocs = counts.getLong(0)
     val nPos = counts.getLong(1)
     val nNeg = nDocs - nPos
-    // single-class corpora (toy fixtures) degrade to unweighted
-    val cwPos = if (nPos == 0 || nNeg == 0) 1.0
-                else nDocs.toDouble / (2.0 * nPos)
-    val cwNeg = if (nPos == 0 || nNeg == 0) 1.0
-                else nDocs.toDouble / (2.0 * nNeg)
-    // weights stay a DISTRIBUTED ≤ nBuckets+1-row table between rounds
-    // (localCheckpointed so lineage stays flat); the driver collects
-    // exactly once, at the end, for the model contract
-    var wDf: Option[DataFrame] = None
+    // fail loudly, not divergently: a silent single-class degrade here
+    // would have no counterpart in the unrolled SQL oracle (which
+    // always computes nd/(2·n_class)) — the two engines would train
+    // different trajectories instead of erroring
+    require(nPos > 0 && nNeg > 0,
+      s"logistic training needs both classes: nPos=$nPos nNeg=$nNeg")
+    val cwPos = nDocs.toDouble / (2.0 * nPos)
+    val cwNeg = nDocs.toDouble / (2.0 * nNeg)
+    // weights round-trip through the driver each round (≤ nBuckets+1
+    // rows — the MLlib treeAggregate→driver→broadcast shape): the next
+    // round's weight table is a LOCAL relation, so its broadcast build
+    // is driver-only and no checkpoint job lands on the round's
+    // critical path. The UPDATE arithmetic stays in-frame so the
+    // rounding is Spark's `round`, exactly as the oracle spells it.
+    val sp = train.sparkSession
+    import sp.implicits._
+    var w: Option[Seq[(Long, Double)]] = None
+    def wDf: Option[DataFrame] = w.map(_.toDF("bucket", "w"))
     for (_ <- 1 to rounds) {
       val sw = withWeights(feats, wDf).select(col("doc_id"), col("wf"))
         .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sw"))
@@ -1810,22 +1824,21 @@ object TextAnalysis {
         .groupBy("bucket").agg(Exact.dsum(col("c")).as("g"))
       val withPrev = wDf match {
         case None => g.withColumn("w", lit(0.0))
-        case Some(w) => g.join(broadcast(w), Seq("bucket"), "left")
+        case Some(prev) => g.join(broadcast(prev), Seq("bucket"), "left")
           .withColumn("w", coalesce(col("w"), lit(0.0)))
       }
-      wDf = Some(withPrev.select(col("bucket"),
+      w = Some(withPrev.select(col("bucket"),
         round(col("w") - (lit(lr) * col("g")) / lit(nDocs), 6).as("w"))
-        .localCheckpoint(false))
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
     }
-    val w = wDf.get.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    LogisticModel(w, nBuckets, nDocs, rounds, lr)
+    LogisticModel(w.get.toMap, nBuckets, nDocs, rounds, lr)
   }
 
   /** The t45 report over a trained model: per observed bucket its
     * training-corpus occurrence count and learned weight. */
   def logisticTrainReport(train: DataFrame, idCol: String, textCol: String,
                           label: Column, nBuckets: Int = 512,
-                          rounds: Int = 8, lr: Double = 1024.0): DataFrame = {
+                          rounds: Int = 4, lr: Double = 1024.0): DataFrame = {
     val model = logisticTrain(train, idCol, textCol, label, nBuckets,
       rounds, lr)
     val (_, feats) = logisticFrames(train, idCol, textCol, label, nBuckets,

@@ -53,6 +53,14 @@ object MakeScale {
     def replicate(table: String, keyCols: Seq[String],
                   extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
+      // the shared stride only keeps replicas disjoint if every source
+      // key is below it — chaining MakeScale onto its own output (sf1
+      // -> sf10) would otherwise silently overlap key ranges
+      keyCols.foreach { k =>
+        val mx = df.agg(max(col(k))).head.getLong(0)
+        require(mx < Stride,
+          s"$table.$k max $mx >= stride $Stride — source keys would collide across replicas")
+      }
       (0 until factor).map { i =>
         keyCols.foldLeft(extra(df, i)) { (d, k) =>
           d.withColumn(k, col(k) + lit(i * Stride))

@@ -1,8 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Dev aid for the bench work-metrics axis: writes the NORMALIZED
   * AQE-final plan text of named queries to files, so a fingerprint
@@ -24,24 +22,31 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.Queries.prepare(spark, sfDir) catch { case _: Throwable => () }
-    val holder = new java.util.concurrent.atomic.AtomicReference[QueryExecution]
-    spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
-        holder.set(qe)
-      override def onFailure(f: String, qe: QueryExecution,
-                             e: Exception): Unit = ()
-    })
+    val holder = graft.Bench.captureLastExecution(spark)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { n =>
-      graft.SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      graft.Bench.drainBus(spark)
-      val norm = graft.Bench.normalizePlan(holder.get().executedPlan.toString)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outDir, s"$n.plan"), norm.getBytes("UTF-8"))
-      spark.sparkContext.getPersistentRDDs.values
+      // per-name failure tolerance: a crashing query (or one whose
+      // name resolves but leaves the holder stale/null) must not
+      // abort the rest of a forensics dump list
+      try {
+        holder.set(null)
+        graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        graft.Bench.drainBus(spark)
+        Option(holder.get()) match {
+          case Some(qe) =>
+            val norm = graft.Bench.normalizePlan(qe.executedPlan.toString)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"$n.plan"),
+              norm.getBytes("UTF-8"))
+            println(s"[plandump] $n -> $outDir/$n.plan")
+          case None =>
+            println(s"[plandump] $n: no completed execution captured, skipped")
+        }
+      } catch {
+        case e: Throwable => println(s"[plandump] $n FAILED: $e")
+      } finally spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      println(s"[plandump] $n -> $outDir/$n.plan")
     }
     spark.stop()
   }

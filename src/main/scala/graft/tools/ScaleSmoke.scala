@@ -752,8 +752,12 @@ object ScaleSmoke {
     val r17Results = {
       def longDocs(nTok: Int): DataFrame = spark.range(2).select(
         col("id").as("doc_id"),
+        // pmod(i,16) < 8, NOT `/ 8 % 2`: Spark '/' on integrals is
+        // DOUBLE division, which made the first cut of this probe emit
+        // isolated dup tokens (no duplicated 8-gram anywhere) and time
+        // the trivial zero-span path
         concat_ws(" ", transform(sequence(lit(0), lit(nTok - 1)), i =>
-          when((i.cast("long") / 8L) % 2L === 0L,
+          when(pmod(i, lit(16)) < lit(8),
             concat(lit("dup"), pmod(i.cast("long"), lit(200L))))
             .otherwise(concat(lit("u"), col("id"), lit("_"), i))))
           .as("text"))

@@ -1,9 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.util.QueryExecutionListener
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench work-metrics contract (round 17): wall-clock wobbles with
@@ -16,22 +14,14 @@ class WorkMetricsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   /** Run df to the noop sink and capture (rows, fingerprint) off the
-    * completed execution's AQE-final plan — the Bench rep-1 path. */
+    * completed execution's AQE-final plan — the Bench rep-1 path,
+    * through the SAME shared capture helper Bench/PlanDump use. */
   private def capture(df: DataFrame): (Long, String) = {
-    val holder = new java.util.concurrent.atomic.AtomicReference[QueryExecution]
-    val l = new QueryExecutionListener {
-      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
-        holder.set(qe)
-      override def onFailure(f: String, qe: QueryExecution,
-                             e: Exception): Unit = ()
-    }
-    spark.listenerManager.register(l)
-    try {
-      df.write.format("noop").mode("overwrite").save()
-      Bench.drainBus(spark)
-      val p = holder.get().executedPlan
-      (Bench.firstOutputRows(p), Bench.planFingerprint(p.toString))
-    } finally spark.listenerManager.unregister(l)
+    val holder = Bench.captureLastExecution(spark)
+    df.write.format("noop").mode("overwrite").save()
+    Bench.drainBus(spark)
+    val p = holder.get().executedPlan
+    (Bench.firstOutputRows(p), Bench.planFingerprint(p.toString))
   }
 
   test("fingerprint is run-stable for the same plan, distinct across plans; sink rows exact") {

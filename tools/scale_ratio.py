@@ -30,6 +30,9 @@ def main():
             floor = float(argv[i + 1]); i += 2
         else:
             pos.append(argv[i]); i += 1
+    if len(pos) != 3:
+        print(__doc__)
+        sys.exit(1)
     base, repl = load(pos[0]), load(pos[1])
     out_path = pos[2]
     bq, rq = base["queries"], repl["queries"]
