@@ -88,17 +88,27 @@ object Bench {
     * action's QueryExecution — the rep's noop write in the bench
     * loop). Shared by Bench, PlanDump, and WorkMetricsSpec so the
     * capture protocol cannot drift. */
-  private[graft] def captureLastExecution(spark: SparkSession)
-      : java.util.concurrent.atomic.AtomicReference[QueryExecution] = {
-    val ref = new java.util.concurrent.atomic.AtomicReference[QueryExecution]
-    spark.listenerManager.register(new QueryExecutionListener {
+  private[graft] final class ExecutionCapture(spark: SparkSession) {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[QueryExecution]
+    private val listener = new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
         ref.set(qe)
       override def onFailure(f: String, qe: QueryExecution,
                              e: Exception): Unit = ()
-    })
-    ref
+    }
+    spark.listenerManager.register(listener)
+    def get(): QueryExecution = ref.get()
+    def clear(): Unit = ref.set(null)
+    /** Session-lifetime users (Bench, PlanDump) never call this;
+      * short-lived users (tests) MUST, or every later execution in the
+      * shared session keeps notifying the leaked listener and pinning
+      * its last plan tree. */
+    def unregister(): Unit = spark.listenerManager.unregister(listener)
   }
+
+  private[graft] def captureLastExecution(spark: SparkSession): ExecutionCapture =
+    new ExecutionCapture(spark)
 
   /** Children with AQE/stage wrappers resolved, so traversal reaches
     * the runtime-final operators instead of stopping at the
@@ -369,7 +379,7 @@ object Bench {
         // the work record rides rep 1: drain+reset before (no stray
         // tasks from the previous query), drain+snapshot after — all
         // four boundaries OUTSIDE timeOnce's timed region
-        if (r == 1) { drainBus(spark); workListener.reset(); lastQe.set(null) }
+        if (r == 1) { drainBus(spark); workListener.reset(); lastQe.clear() }
         val t = timeOnce(name, fn)
         if (r == 1 && t.isDefined) {
           drainBus(spark)
@@ -450,9 +460,13 @@ object Bench {
     // the work dict — at an explicit path that never clobbers the
     // trailing record
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      // an EXPLICITLY requested artifact must not vanish silently
+      // (unlike the best-effort trailing BENCH_LAST.json write)
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (full + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_OUT write to $p failed: $e")
+      }
     }
     println(line)
     spark.stop()

@@ -55,11 +55,15 @@ object MakeScale {
       val df = spark.read.parquet(s"$src/$table.parquet")
       // the shared stride only keeps replicas disjoint if every source
       // key is below it — chaining MakeScale onto its own output (sf1
-      // -> sf10) would otherwise silently overlap key ranges
-      keyCols.foreach { k =>
-        val mx = df.agg(max(col(k))).head.getLong(0)
-        require(mx < Stride,
-          s"$table.$k max $mx >= stride $Stride — source keys would collide across replicas")
+      // -> sf10) would otherwise silently overlap key ranges. ONE
+      // combined aggregation (not one scan per key column); a null max
+      // = empty table = trivially collision-free
+      val maxes = df.agg(max(col(keyCols.head)),
+        keyCols.tail.map(k => max(col(k))): _*).head
+      keyCols.zipWithIndex.foreach { case (k, i) =>
+        if (!maxes.isNullAt(i)) require(maxes.getLong(i) < Stride,
+          s"$table.$k max ${maxes.getLong(i)} >= stride $Stride — " +
+            "source keys would collide across replicas")
       }
       (0 until factor).map { i =>
         keyCols.foldLeft(extra(df, i)) { (d, k) =>

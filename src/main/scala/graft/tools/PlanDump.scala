@@ -29,7 +29,7 @@ object PlanDump {
       // name resolves but leaves the holder stale/null) must not
       // abort the rest of a forensics dump list
       try {
-        holder.set(null)
+        holder.clear()
         graft.SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         graft.Bench.drainBus(spark)

@@ -18,10 +18,12 @@ class WorkMetricsSpec extends AnyFunSuite {
     * through the SAME shared capture helper Bench/PlanDump use. */
   private def capture(df: DataFrame): (Long, String) = {
     val holder = Bench.captureLastExecution(spark)
-    df.write.format("noop").mode("overwrite").save()
-    Bench.drainBus(spark)
-    val p = holder.get().executedPlan
-    (Bench.firstOutputRows(p), Bench.planFingerprint(p.toString))
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      Bench.drainBus(spark)
+      val p = holder.get().executedPlan
+      (Bench.firstOutputRows(p), Bench.planFingerprint(p.toString))
+    } finally holder.unregister() // shared session — never leak listeners
   }
 
   test("fingerprint is run-stable for the same plan, distinct across plans; sink rows exact") {
