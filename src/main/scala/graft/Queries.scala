@@ -6624,6 +6624,63 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Gopher intra-doc repetition profile (t47 — Rae et al. 2021 §A1.1
+    * Table A1, the n-gram repetition rules t02/gopherRules' token
+    * arithmetic can't express): per doc the top bigram (deterministic
+    * tie), its occurrence count + multiplicative char mass, the
+    * ONCE-counted char coverage of duplicated 5-grams (d11 span-merge
+    * + d23 boundary-walk semantics), and the integer-cross-multiplied
+    * gate at Gopher's 0.20 / 0.15 thresholds. */
+  val t47 = q("t47_repetition_profile",
+    """WITH tk47 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st47 AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(length(array_to_string(t, '')) AS BIGINT) AS n_chars FROM tk47),
+      |bg47 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+      |    i -> t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM tk47 WHERE len(t) >= 2) GROUP BY 1, 2),
+      |top47 AS (SELECT doc_id, g AS top_gram, n AS top_count,
+      |  CAST(n * (length(g) - 1) AS BIGINT) AS top_chars FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY n DESC, g) AS rn FROM bg47) WHERE rn = 1),
+      |p47 AS (SELECT doc_id, CAST(unnest(range(len(t) - 4)) AS BIGINT) AS pos,
+      |  unnest(list_transform(range(len(t) - 4), i ->
+      |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |      || ' ' || t[i+5])) AS g
+      | FROM tk47 WHERE len(t) >= 5),
+      |d47 AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+      |  COUNT(*) OVER (PARTITION BY doc_id, g) AS c FROM p47) WHERE c >= 2),
+      |f47 AS (SELECT doc_id, pos,
+      |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+      |   THEN 1 ELSE 0 END AS brk
+      | FROM d47 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |s47a AS (SELECT doc_id, pos,
+      |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM f47),
+      |s47 AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) + 4 AS p1
+      | FROM s47a GROUP BY doc_id, span_id),
+      |tp47 AS (SELECT doc_id, CAST(unnest(range(len(t))) AS BIGINT) AS i,
+      |  unnest(t) AS tok FROM tk47),
+      |cv47 AS (SELECT DISTINCT tp.doc_id, tp.i FROM tp47 tp
+      | JOIN s47 s ON s.doc_id = tp.doc_id AND tp.i BETWEEN s.p0 AND s.p1),
+      |cov47 AS (SELECT tp.doc_id,
+      |  CAST(COUNT(c.i) AS BIGINT) AS dup_tokens,
+      |  CAST(COALESCE(SUM(CASE WHEN c.i IS NOT NULL THEN len(tp.tok) END), 0)
+      |    AS BIGINT) AS dup_chars
+      | FROM tp47 tp LEFT JOIN cv47 c ON c.doc_id = tp.doc_id AND c.i = tp.i
+      | GROUP BY tp.doc_id)
+      |SELECT st.doc_id, st.n_tokens, st.n_chars,
+      | COALESCE(t.top_gram, '') AS top_gram,
+      | CAST(COALESCE(t.top_count, 0) AS BIGINT) AS top_count,
+      | CAST(COALESCE(t.top_chars, 0) AS BIGINT) AS top_chars,
+      | CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      | CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+      | (COALESCE(t.top_chars, 0) * 5 <= st.n_chars
+      |  AND COALESCE(c.dup_chars, 0) * 20 <= st.n_chars * 3) AS rep_ok
+      |FROM st47 st LEFT JOIN top47 t USING (doc_id)
+      |LEFT JOIN cov47 c USING (doc_id)""".stripMargin) { (s, dir) =>
+    TextAnalysis.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -6634,7 +6691,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
     m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14, p15)
 }

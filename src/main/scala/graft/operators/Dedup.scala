@@ -1253,6 +1253,24 @@ object Dedup {
     * O(n_tokens + n_spans) per doc, not a per-token scan of the span
     * list (a filter+exists pass is O(n·s) ≈ n²/k — a 1M-token
     * pathological doc would pay ~10⁹ comparisons in one task). */
+  /** Boundary walk over a SORTED array of disjoint, non-touching
+    * token-index spans (struct p0/p1): the tokens NOT covered by any
+    * span, as the concatenation of the inter-span slices —
+    * O(n_tokens + n_spans), never a per-token scan of the span list.
+    * Keep-interval i runs from (prev span end + 1) to (next span
+    * start − 1), with virtual sentinels at 0 and n−1; empty head/tail
+    * intervals (span at a document edge) slice to length 0. Shared by
+    * the d23 rewrite and the t47 repetition-coverage profile. */
+  private[operators] def keptBySpans(t: Column, spans: Column): Column = {
+    val starts = concat(array(lit(0)),
+      transform(spans, sp => sp.getField("p1") + lit(1)))
+    val ends = concat(transform(spans, sp => sp.getField("p0") - lit(1)),
+      array(size(t) - lit(1)))
+    flatten(zip_with(starts, ends, (s0, e0) =>
+      when(e0 >= s0, slice(t, s0 + lit(1), e0 - s0 + lit(1)))
+        .otherwise(slice(t, lit(1), lit(0)))))
+  }
+
   def substringDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, minSpan: Int = 1): DataFrame = {
     require(k >= 1, s"gram width must be >= 1, got $k")
@@ -1294,25 +1312,10 @@ object Dedup {
         .as("spans"))
     def charsOf(arr: Column): Column =
       aggregate(arr, lit(0L), (a, x) => a + length(x))
-    // boundary walk: spans are sorted, disjoint, non-touching (the
-    // gap > k merge guarantees ≥ 1 kept token between spans), so kept
-    // = concat of the inter-span slices. Keep-interval i runs from
-    // (prev span end + 1) to (next span start − 1), with virtual
-    // sentinels at 0 and n−1; empty head/tail intervals (span at a
-    // document edge) slice to length 0.
-    def keptOf(t: Column, spans: Column): Column = {
-      val starts = concat(array(lit(0)),
-        transform(spans, sp => sp.getField("p1") + lit(1)))
-      val ends = concat(transform(spans, sp => sp.getField("p0") - lit(1)),
-        array(size(t) - lit(1)))
-      flatten(zip_with(starts, ends, (s0, e0) =>
-        when(e0 >= s0, slice(t, s0 + lit(1), e0 - s0 + lit(1)))
-          .otherwise(slice(t, lit(1), lit(0)))))
-    }
     base.join(spans, Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("spans").isNull, col("t"))
-          .otherwise(keptOf(col("t"), col("spans"))))
+          .otherwise(keptBySpans(col("t"), col("spans"))))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         (size(col("t")) - size(col("kept"))).cast("long")

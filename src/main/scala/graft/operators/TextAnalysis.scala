@@ -1685,6 +1685,88 @@ object TextAnalysis {
         graft.plans.TextHash.classifierScore(col("__t"), nBuckets).as("score"))
       .withColumn("keep", col("score") > 0L)
 
+  /** Gopher-style intra-document REPETITION profile (Rae et al. 2021
+    * §A1.1 Table A1 — the rules [[gopherRules]] left out because they
+    * need n-gram machinery, not token arithmetic): per doc,
+    *
+    *   - the single most frequent `topN`-gram (count desc, gram asc —
+    *     deterministic tie), its occurrence count, and its CHARACTER
+    *     mass (count × gram token chars) — Gopher counts top-n-gram
+    *     occurrences multiplicatively;
+    *   - the token/char COVERAGE of duplicated `dupN`-grams (grams
+    *     occurring ≥ 2× within the doc): covered positions merge to
+    *     maximal spans (the d11 gaps-and-islands rule) and each
+    *     covered character counts ONCE — Gopher's "fraction of
+    *     characters inside duplicate n-grams" semantics;
+    *   - the conjunction gate at Gopher's thresholds via integer
+    *     cross-multiplication (top-2-gram fraction ≤ 0.20 ⟺
+    *     5·top_chars ≤ n_chars; dup-5-gram fraction ≤ 0.15 ⟺
+    *     20·dup_chars ≤ 3·n_chars) — no float ever gates.
+    *
+    * Docs shorter than the gram widths report zeros and pass.
+    *
+    * Scale shape: ONE materialized token table feeds all three legs;
+    * both n-gram streams aggregate per (doc, gram) — map-side
+    * combinable, keys never leave the doc's partition semantics — and
+    * the coverage walk reuses the d23 boundary-walk discipline
+    * (O(n + s) per doc, no token-vs-span explode join). */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"gram widths must be >= 1: $topN/$dupN")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t"))
+      .localCheckpoint(false)
+    val stats = base.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      length(array_join(col("t"), "")).cast("long").as("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("n").desc, col("g"))
+    val top = base.where(size(col("t")) >= topN)
+      .select(col("doc_id"), explode(TextOps.shingles(col("t"), topN)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_gram"),
+        col("n").as("top_count"),
+        (col("n") * (length(col("g")) - lit(topN - 1))).as("top_chars"))
+    val pos = base.where(size(col("t")) >= dupN)
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(col("t"), dupN)).as(Seq("pos", "g")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "g")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = pos.withColumn("c", count(lit(1)).over(wc))
+      .where(col("c") >= 2).select("doc_id", "pos")
+      .withColumn("brk",
+        when(lag("pos", 1).over(wd).isNull
+          || col("pos") - lag("pos", 1).over(wd) > dupN, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(wd))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("p0"), (max("pos") + lit(dupN - 1)).as("p1"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("p0"), col("p1"))))
+        .as("spans"))
+    def charsOf(arr: Column): Column = length(array_join(arr, ""))
+    val cov = base.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("t"))
+          .otherwise(Dedup.keptBySpans(col("t"), col("spans"))))
+      .select(col("doc_id"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("dup_tokens"),
+        (charsOf(col("t")) - charsOf(col("kept"))).cast("long")
+          .as("dup_chars"))
+    stats.join(top, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("top_chars"), lit(0L)).cast("long").as("top_chars"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("rep_ok",
+        col("top_chars") * 5L <= col("n_chars") &&
+          col("dup_chars") * 20L <= col("n_chars") * 3L)
+  }
+
   /** Trained weights of the in-engine logistic quality classifier
     * (t45/t46/p15). `weights` holds every bucket observed in training
     * (≤ nBuckets entries — bounded by the same contract that lets

@@ -1006,6 +1006,35 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 0L, 0L, 0L, 0L, 0L, 0.0)), got(4L).toString)
   }
 
+  test("repetitionProfile: top-bigram mass, once-counted dup-5-gram coverage, integer gates") {
+    val corpus = Seq(
+      // "a b" occurs 3x (6 chars: 3 x 2) out of 13 token chars; no
+      // 5-gram repeats -> dup zeros; 30 > 13 so the top gate FAILS
+      (1L, "a b a b a b x"),
+      // one repeated 5-gram "p q r s t": windows at 0 and 5 touch
+      // (gap 5 = dupN) -> ONE merged span covering all 10 tokens
+      (2L, "p q r s t p q r s t"),
+      // no repetition at all, long enough that a single top-bigram
+      // occurrence (2 chars) clears the 20% gate: 10 <= 12
+      (3L, "a b c d e f g h i j k l"),
+      // shorter than both gram widths: zeros, passes
+      (4L, "k")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 7L, 7L, "a b", 3L, 6L, 0L, 0L, false)),
+      got(1L).toString)
+    // doc 2: top bigram "p q" (2 occurrences, 4 chars of 10); all 10
+    // tokens covered by the merged dup span -> dup gate fails
+    assert(got(2L) == ((2L, 10L, 10L, "p q", 2L, 4L, 10L, 10L, false)),
+      got(2L).toString)
+    assert(got(3L) == ((3L, 12L, 12L, "a b", 1L, 2L, 0L, 0L, true)),
+      got(3L).toString)
+    assert(got(4L) == ((4L, 1L, 1L, "", 0L, 0L, 0L, 0L, true)),
+      got(4L).toString)
+  }
+
   test("logisticTrain converges on a separable toy corpus and generalizes to held-out docs") {
     val goodW = Seq("wonderful", "excellent", "great", "superb")
     val badW = Seq("awful", "terrible", "poor", "nasty")
