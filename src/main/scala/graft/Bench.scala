@@ -174,9 +174,72 @@ object Bench {
         // groups and ASC-bearing groups on these lines only
         if (e.contains("gid#x")) sortGroups(e, sortParens = true,
           sortAsc = true)
-        else e
+        // join lines carry PAIRED [leftKeys], [rightKeys] lists —
+        // sorted jointly so the pairing survives normalization
+        else if (e.contains("Join")) sortJoinLine(e)
+        else sortBrackets(e)
       }.mkString("\n")
-    sortBrackets(tok)
+    tok
+  }
+
+  /** Fingerprint-normalizer version, recorded in the artifact:
+    * fingerprints only compare across artifacts carrying the SAME
+    * version (bench_diff notes a version mismatch and adjudicates
+    * from the work axes instead). v2: join key pairs sort jointly
+    * (v1 sorted left/right key lists independently, conflating
+    * semantically different pairings). */
+  private[graft] val FpVersion = 2
+
+  /** Joint-pair key-list sort for join operator lines. A join's first
+    * two adjacent bracket groups are leftKeys/rightKeys — POSITIONALLY
+    * paired, so sorting each independently (as [[sortBrackets]] would)
+    * maps different pairings (e.g. [a, b]/[c, d] vs [a, b]/[d, c]) to
+    * one fingerprint. Here the zipped (left, right) pairs sort as
+    * units; the rest of the line still gets plain bracket sorting.
+    * Lines without an adjacent pair (nested-loop joins) or with
+    * mismatched arity fall back to [[sortBrackets]]. */
+  private[graft] def sortJoinLine(l: String): String = {
+    def closeOf(start: Int): Int = {
+      var depth = 0
+      var j = start
+      while (j < l.length) {
+        l(j) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) return j
+          case _ =>
+        }
+        j += 1
+      }
+      -1
+    }
+    def splitTop(s: String): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case c @ ('[' | '(') => depth += 1; cur += c
+        case c @ (']' | ')') => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.toString.trim; cur.clear()
+        case c => cur += c
+      }
+      parts += cur.toString.trim
+      parts.toSeq
+    }
+    val i1 = l.indexOf('[')
+    if (i1 < 0) return l
+    val c1 = closeOf(i1)
+    if (c1 < 0 || !l.regionMatches(c1 + 1, ", [", 0, 3))
+      return sortBrackets(l)
+    val i2 = c1 + 3
+    val c2 = closeOf(i2)
+    if (c2 < 0) return sortBrackets(l)
+    val lk = splitTop(l.substring(i1 + 1, c1))
+    val rk = splitTop(l.substring(i2 + 1, c2))
+    if (lk.length != rk.length) return sortBrackets(l)
+    val (sl, sr) = lk.zip(rk).sorted.unzip
+    sortBrackets(l.substring(0, i1)) +
+      sl.mkString("[", ", ", "]") + ", " + sr.mkString("[", ", ", "]") +
+      sortBrackets(l.substring(c2 + 1))
   }
 
   /** Sort top-level comma-separated elements inside every [...] group
@@ -552,7 +615,7 @@ object Bench {
         s""""$k":{"sr":${w.sr},"sw":${w.sw},"spill":${w.spill},""" +
           s""""peak":${w.peak},"tasks":${w.tasks},"in":${w.in},""" +
           s""""rows":${w.rows},"fp":"${w.fp}"}"""
-      }.mkString("\"work\":{", ",", "},")
+      }.mkString(s""""fp_version":$FpVersion,"work":{""", ",", "},")
     // sort_pre/sort_post: the shuffle/memory-bandwidth axis — a box
     // whose cpu numbers match another round's but whose sort numbers
     // don't has shifted host bandwidth, not a plan regression

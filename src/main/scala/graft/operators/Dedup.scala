@@ -1221,6 +1221,24 @@ object Dedup {
           col("n_tokens")).as("dup_frac"))
   }
 
+  /** Boundary walk over a SORTED array of disjoint, non-touching
+    * token-index spans (struct p0/p1): the tokens NOT covered by any
+    * span, as the concatenation of the inter-span slices —
+    * O(n_tokens + n_spans), never a per-token scan of the span list.
+    * Keep-interval i runs from (prev span end + 1) to (next span
+    * start − 1), with virtual sentinels at 0 and n−1; empty head/tail
+    * intervals (span at a document edge) slice to length 0. Shared by
+    * the d23 rewrite and the t47 repetition-coverage profile. */
+  private[operators] def keptBySpans(t: Column, spans: Column): Column = {
+    val starts = concat(array(lit(0)),
+      transform(spans, sp => sp.getField("p1") + lit(1)))
+    val ends = concat(transform(spans, sp => sp.getField("p0") - lit(1)),
+      array(size(t) - lit(1)))
+    flatten(zip_with(starts, ends, (s0, e0) =>
+      when(e0 >= s0, slice(t, s0 + lit(1), e0 - s0 + lit(1)))
+        .otherwise(slice(t, lit(1), lit(0)))))
+  }
+
   /** Duplicated-substring REMOVAL (the production half of
     * [[substringDupStats]] — Lee et al. 2021's ExactSubstr dedup as a
     * corpus REWRITE): every k-token gram occurring ≥ 2 times
@@ -1253,24 +1271,6 @@ object Dedup {
     * O(n_tokens + n_spans) per doc, not a per-token scan of the span
     * list (a filter+exists pass is O(n·s) ≈ n²/k — a 1M-token
     * pathological doc would pay ~10⁹ comparisons in one task). */
-  /** Boundary walk over a SORTED array of disjoint, non-touching
-    * token-index spans (struct p0/p1): the tokens NOT covered by any
-    * span, as the concatenation of the inter-span slices —
-    * O(n_tokens + n_spans), never a per-token scan of the span list.
-    * Keep-interval i runs from (prev span end + 1) to (next span
-    * start − 1), with virtual sentinels at 0 and n−1; empty head/tail
-    * intervals (span at a document edge) slice to length 0. Shared by
-    * the d23 rewrite and the t47 repetition-coverage profile. */
-  private[operators] def keptBySpans(t: Column, spans: Column): Column = {
-    val starts = concat(array(lit(0)),
-      transform(spans, sp => sp.getField("p1") + lit(1)))
-    val ends = concat(transform(spans, sp => sp.getField("p0") - lit(1)),
-      array(size(t) - lit(1)))
-    flatten(zip_with(starts, ends, (s0, e0) =>
-      when(e0 >= s0, slice(t, s0 + lit(1), e0 - s0 + lit(1)))
-        .otherwise(slice(t, lit(1), lit(0)))))
-  }
-
   def substringDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, minSpan: Int = 1): DataFrame = {
     require(k >= 1, s"gram width must be >= 1, got $k")

@@ -57,9 +57,11 @@ object MakeScale {
       // key is below it — chaining MakeScale onto its own output (sf1
       // -> sf10) would otherwise silently overlap key ranges. ONE
       // combined aggregation (not one scan per key column); a null max
-      // = empty table = trivially collision-free
-      val maxes = df.agg(max(col(keyCols.head)),
-        keyCols.tail.map(k => max(col(k))): _*).head
+      // = empty table = trivially collision-free. Keys cast to long so
+      // an int-typed key in a foreign fixture hits the intended guard
+      // message, not a getLong ClassCastException
+      val maxes = df.agg(max(col(keyCols.head).cast("long")),
+        keyCols.tail.map(k => max(col(k).cast("long"))): _*).head
       keyCols.zipWithIndex.foreach { case (k, i) =>
         if (!maxes.isNullAt(i)) require(maxes.getLong(i) < Stride,
           s"$table.$k max ${maxes.getLong(i)} >= stride $Stride — " +

@@ -62,6 +62,23 @@ class WorkMetricsSpec extends AnyFunSuite {
     assert(Bench.normalizePlan(c) != Bench.normalizePlan(a))
   }
 
+  test("join key lists normalize as PAIRS: permuted pairings converge, different pairings stay distinct") {
+    // same pairing, hash-permuted order -> one fingerprint
+    val p1 = "SortMergeJoin [b#1L, a#2L], [d#3L, c#4L], Inner"
+    val p2 = "SortMergeJoin [a#2L, b#1L], [c#4L, d#3L], Inner"
+    assert(Bench.normalizePlan(p1) == Bench.normalizePlan(p2),
+      s"permuted same-pairing keys must normalize identically:\n" +
+        s"${Bench.normalizePlan(p1)}\n--\n${Bench.normalizePlan(p2)}")
+    // a=d/b=c is a DIFFERENT join than a=c/b=d — must not conflate
+    val p3 = "SortMergeJoin [a#2L, b#1L], [d#3L, c#4L], Inner"
+    assert(Bench.normalizePlan(p1) != Bench.normalizePlan(p3),
+      "cross-pairing must move the fingerprint")
+    // no-bracket join lines and non-join lines pass through the
+    // fallback path unchanged in content
+    val nl = "BroadcastNestedLoopJoin BuildRight, Inner"
+    assert(Bench.normalizePlan(nl).contains("BroadcastNestedLoopJoin"))
+  }
+
   test("WorkListener aggregates exactly the drained window's tasks") {
     val wl = new Bench.WorkListener
     spark.sparkContext.addSparkListener(wl)

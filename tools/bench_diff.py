@@ -52,16 +52,26 @@ WORK_FIELDS = ("sr", "sw", "in", "rows", "tasks")  # noise-free axes
 ENV_FIELDS = ("spill", "peak")                      # pressure-dependent
 
 
-def classify(old, new, name, time_ratio, bytes_tol):
+def classify(old, new, name, time_ratio, bytes_tol, fp_ok=True):
     to, tn = old["queries"].get(name), new["queries"].get(name)
     wo = old.get("work", {}).get(name, {})
     wn = new.get("work", {}).get(name, {})
     out = {"old_sec": to, "new_sec": tn}
     if to and tn:
         out["ratio"] = round(tn / to, 3) if to > 0 else None
-    if wo.get("fp") and wn.get("fp") and wo["fp"] != wn["fp"]:
+    fo, fn = wo.get("fp") or None, wn.get("fp") or None
+    if (fo is None) != (fn is None):
+        # capture failed on exactly one side: plan comparison is
+        # IMPOSSIBLE, not "unchanged" — mark it so a silent capture
+        # failure can't read as plan stability
+        out["note"] = "no-fp"
+    elif fo and fn and not fp_ok:
+        # normalizer versions differ: fingerprints are incomparable by
+        # construction; adjudicate from the work axes below
+        out["note"] = "fp-version"
+    elif fo and fn and fo != fn:
         out["class"] = "plan"
-        out["fp"] = [wo["fp"], wn["fp"]]
+        out["fp"] = [fo, fn]
         return out
     moved, minor = {}, {}
     for f in WORK_FIELDS:
@@ -115,12 +125,20 @@ def main():
         print(f"NOTE: artifacts are from different SFs "
               f"({old.get('sf')} vs {new.get('sf')}) — work deltas are "
               f"expected, only fingerprints compare meaningfully.")
+    vo, vn = old.get("fp_version", 1), new.get("fp_version", 1)
+    fp_ok = vo == vn
+    if not fp_ok:
+        print(f"NOTE: fingerprint normalizer versions differ ({vo} vs "
+              f"{vn}) — fingerprints are incomparable; classification "
+              f"falls back to the work axes (queries carry note "
+              f"'fp-version').")
     co, cn = old.get("calibration", {}), new.get("calibration", {})
     print(f"calibration old={co} \n            new={cn}")
     names = sorted(set(old.get("queries", {})) & set(new.get("queries", {})))
     only_old = sorted(set(old.get("queries", {})) - set(new.get("queries", {})))
     only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
-    rows = {n: classify(old, new, n, time_ratio, bytes_tol) for n in names}
+    rows = {n: classify(old, new, n, time_ratio, bytes_tol, fp_ok)
+            for n in names}
     by_class = {}
     for n, r in rows.items():
         by_class.setdefault(r["class"], []).append(n)
@@ -146,6 +164,16 @@ def main():
                     f"{f}:{a}->{b}" for f, (a, b) in r["moved"].items())
             print(f"  {n}: {r['old_sec']}s -> {r['new_sec']}s "
                   f"(x{r.get('ratio')}){extra}")
+    noted = {}
+    for n, r in rows.items():
+        if "note" in r:
+            noted.setdefault(r["note"], []).append(n)
+    for note, members in sorted(noted.items()):
+        label = ("plan comparison impossible (fp missing on one side)"
+                 if note == "no-fp" else
+                 "fingerprints incomparable (normalizer version)")
+        print(f"\nnote {note} — {label} ({len(members)}): "
+              + ", ".join(sorted(members)))
     tot_o = sum(v for v in old.get("queries", {}).values())
     tot_n = sum(v for v in new.get("queries", {}).values())
     n_noise = len(by_class.get("time-only", []))
