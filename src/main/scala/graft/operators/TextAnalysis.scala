@@ -1960,6 +1960,117 @@ object TextAnalysis {
       .withColumn("correct", col("pred") === (col("y") === 1L))
   }
 
+  // ---- persisted logistic model family (the production half of the
+  // t45/t46/p15 trainers: train once, score many) --------------------
+
+  /** Persist a trained [[LogisticModel]] as a maintained catalog
+    * family: `{name}_weights` (bucket, w — ≤ nBuckets+1 rows, one
+    * file) and `{name}_meta` (the training hyper-parameters, one row).
+    * Same build-once discipline the ANN indexes get from
+    * `Similarity.ensureIvfIndex`: the oracle-checked t45/t46/p15 twins
+    * rightly retrain per invocation (the gate replays the trajectory),
+    * but production scoring loads the landed weight table instead of
+    * paying 4 corpus passes per run. */
+  def saveLogisticModel(spark: org.apache.spark.sql.SparkSession,
+                        name: String, model: LogisticModel): Unit = {
+    import spark.implicits._
+    // coalesce(1): a ≤4097-row weight table is ONE file by design —
+    // a scorer reads it whole, never prunes it
+    model.weights.toSeq.toDF("bucket", "w").coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_weights")
+    Seq((model.nBuckets, model.nDocs, model.rounds, model.lr))
+      .toDF("n_buckets", "n_docs", "rounds", "lr")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Load a persisted model. The collect is the weight-table contract
+    * (≤ nBuckets+1 rows — the same bound that lets training round-trip
+    * the driver each GD round); 6dp weights survive parquet doubles
+    * bit-exactly, so a loaded model scores ROW-IDENTICALLY to the
+    * in-memory one it was saved from (spec-locked). */
+  def loadLogisticModel(spark: org.apache.spark.sql.SparkSession,
+                        name: String): LogisticModel = {
+    val metaRows = spark.table(s"${name}_meta").collect()
+    require(metaRows.length == 1,
+      s"model '$name': expected exactly one meta row, got ${metaRows.length}")
+    val m = metaRows.head
+    val ws = spark.table(s"${name}_weights").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    LogisticModel(ws, m.getAs[Int]("n_buckets"), m.getAs[Long]("n_docs"),
+      m.getAs[Int]("rounds"), m.getAs[Double]("lr"))
+  }
+
+  /** Build-once / score-many entry (the `ensureIvfIndex` pattern):
+    * return the model named `name`, training it from `train` (by-name
+    * — not evaluated on the hot path) and persisting it only when the
+    * catalog doesn't already hold a fresh one. With a `fingerprint`
+    * (see `DerivedTables.sourceFingerprint`), "fresh" additionally
+    * means "trained on the data currently on disk" — an in-place
+    * corpus regeneration invalidates the persisted model. A persisted
+    * model whose hyper-parameters disagree with the request is
+    * retrained rather than silently returned (the nCentroids-drift
+    * rule: scoring under a silently-different shape is the bug the
+    * check exists to catch). */
+  def ensureLogisticModel(spark: org.apache.spark.sql.SparkSession,
+                          name: String, train: => DataFrame,
+                          idCol: String, textCol: String, label: => Column,
+                          nBuckets: Int = 512, rounds: Int = 4,
+                          lr: Double = 1024.0,
+                          fingerprint: Option[String] = None): LogisticModel =
+    synchronized {
+      import graft.sources.DerivedTables
+      val tables = Seq(s"${name}_weights", s"${name}_meta")
+      val present = DerivedTables.presentOrExists(spark, tables, fingerprint)
+      val existing =
+        if (present) Some(loadLogisticModel(spark, name)) else None
+      val reusable = existing.filter(m =>
+        m.nBuckets == nBuckets && m.rounds == rounds && m.lr == lr)
+      reusable.getOrElse {
+        saveLogisticModel(spark, name,
+          logisticTrain(train, idCol, textCol, label, nBuckets, rounds, lr))
+        DerivedTables.stampAll(spark, tables, fingerprint)
+        loadLogisticModel(spark, name)
+      }
+    }
+
+  /** Per-ROW exact-decimal weight sum under a trained model — the
+    * STREAMING-ADMISSION form of [[logisticScoreDecimal]] (which
+    * explodes + aggregates, a shape a landing stream can't run without
+    * watermark-delayed emission). Weights land ONCE in a dense
+    * (nBuckets+1)-slot array literal — `element_at` on an ARRAY is an
+    * O(1) ordinal access, unlike the map-literal GetMapValue linear
+    * scan the plan locks forbid — and the per-doc sum accumulates in
+    * exact DECIMAL, so it is order-independent and equals the batch
+    * scorer's `sum(cast(wf as decimal))` bit-for-bit: the sign gate
+    * admits EXACTLY the docs batch `logisticApply` would keep
+    * (spec-locked). Stateless, codegen'd, O(features) per row. */
+  def trainedScoreDecimal(text: Column, model: LogisticModel): Column = {
+    val wArr: Seq[Double] =
+      (0L to model.nBuckets.toLong).map(model.weights.getOrElse(_, 0.0))
+    val wLit = typedlit(wArr)
+    val toks = TextOps.tokens(text)
+    val feats = concat(toks,
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(TextOps.shingles(toks, 2)))
+    def bucketOf(f: Column): Column =
+      pmod(conv(substring(md5(f), 1, 13), 16, 10).cast("long"),
+        lit(model.nBuckets.toLong))
+    val hashed = aggregate(feats,
+      lit(java.math.BigDecimal.ZERO).cast(Exact.D),
+      (acc, f) => (acc + element_at(wLit,
+        (bucketOf(f) + lit(1L)).cast("int")).cast(Exact.D)).cast(Exact.D))
+    // + the reserved bias bucket (id = nBuckets) every doc carries once
+    hashed + lit(model.weights.getOrElse(model.nBuckets.toLong, 0.0))
+      .cast(Exact.D)
+  }
+
+  /** The admission gate over [[trainedScoreDecimal]]: sum > 0 ⟺ batch
+    * `logisticApply`'s `pred` (exact decimal on both sides). */
+  def trainedGate(text: Column, model: LogisticModel): Column =
+    trainedScoreDecimal(text, model) > lit(java.math.BigDecimal.ZERO)
+
   /** Budget-capped quality selection — "take the best documents until
     * the token budget is spent" (the fixed-token-count curation step
     * of a training-data refresh): rank docs by (classifier score desc,

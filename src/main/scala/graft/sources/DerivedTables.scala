@@ -20,14 +20,20 @@ object DerivedTables {
     * identical-bytes rewrite with a newer mtime reads as changed,
     * which errs on the safe side (rebuild) at O(directory listing)
     * cost, never O(data). */
-  def sourceFingerprint(dir: String, table: String): String = {
+  def sourceFingerprint(dir: String, table: String): String =
+    sourceFingerprintPath(new java.io.File(dir, s"$table.parquet").toString)
+
+  /** [[sourceFingerprint]] for a bare parquet path (the EdgeRunner
+    * `file:/dir` inputs, which don't follow the `<dir>/<table>.parquet`
+    * testdata layout). */
+  def sourceFingerprintPath(path: String): String = {
     // A nonexistent path (typo'd dir, non-local URI) would otherwise
     // fold to the CONSTANT "n0-sz0-mt0-x0" fingerprint — every build
     // would then stamp and match it, silently reinstating the very
     // stale-artifact failure mode this guard exists to catch. Local
     // java.io listing is the fingerprint's contract; remote stores
     // need a FileSystem-based fingerprint, not a silent constant.
-    val root = new java.io.File(dir, s"$table.parquet")
+    val root = new java.io.File(path)
     require(root.exists(),
       s"sourceFingerprint: $root does not exist (or is not a local " +
         "path) — refusing to fingerprint; a constant print would mark " +

@@ -117,8 +117,38 @@ object CorpusStream {
             trigger: Trigger = Trigger.ProcessingTime("1 minute"),
             watermark: String = "10 minutes",
             knownKeys: Option[DataFrame] = None): StreamingQuery =
-    prepare(parseDocs(lines), watermark, knownKeys)
-      .writeStream
+    sink(prepare(parseDocs(lines), watermark, knownKeys),
+      outDir, checkpoint, trigger)
+
+  /** [[prepare]] with the TRAINED logistic gate (a persisted model
+    * from `TextAnalysis.ensureLogisticModel`) in place of the
+    * heuristic/fixed-hash gates: the ≤ nBuckets+1 learned weights load
+    * ONCE at stream build into a dense array literal, and admission is
+    * a stateless per-row exact-decimal sign gate
+    * ([[TextAnalysis.trainedGate]]) — O(1) per feature, no per-row map
+    * scan, no state beyond the dedup map. The admitted set is EXACTLY
+    * what batch `logisticApply` keeps on the same rows (spec-locked),
+    * so a corpus can move between streaming admission and the batch
+    * refresh (p15) without semantic drift. */
+  def prepareTrained(docs: DataFrame, model: TextAnalysis.LogisticModel,
+                     watermark: String = "10 minutes",
+                     knownKeys: Option[DataFrame] = None): DataFrame =
+    prepareGated(docs, TextAnalysis.trainedGate(col("text"), model),
+      watermark, knownKeys)
+
+  /** [[start]] with the trained-model admission gate — the
+    * `--mode corpus --model <name>` path. */
+  def startTrained(lines: DataFrame, outDir: String, checkpoint: String,
+                   model: TextAnalysis.LogisticModel,
+                   trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                   watermark: String = "10 minutes",
+                   knownKeys: Option[DataFrame] = None): StreamingQuery =
+    sink(prepareTrained(parseDocs(lines), model, watermark, knownKeys),
+      outDir, checkpoint, trigger)
+
+  private def sink(df: DataFrame, outDir: String, checkpoint: String,
+                   trigger: Trigger): StreamingQuery =
+    df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -63,6 +63,15 @@ import graft.streaming.{AlertSink, CorpusStream, MinuteStream}
   *   --table corpus_nd --sim-threshold 0.5 --warehouse /data/wh
   * runMain graft.tools.EdgeRunner --mode cluster --in parquet:/data/corpus_docs \
   *   --table corpus_nd --sim-threshold 0.5 --ingest-id day7 --warehouse /data/wh
+  * // classifier lifecycle: bootstrap-train once, then score/stream
+  * // from the PERSISTED model (no retrain per run):
+  * runMain graft.tools.EdgeRunner --mode train --in file:/data/corpus \
+  *   --model corpus_lr --warehouse /data/wh
+  * runMain graft.tools.EdgeRunner --mode classify --in file:/data/corpus \
+  *   --model corpus_lr --out /data/scored --warehouse /data/wh
+  * runMain graft.tools.EdgeRunner --mode corpus --in log:/var/log/docs \
+  *   --model corpus_lr --out /data/landed --checkpoint /ckpt/corpus \
+  *   --warehouse /data/wh
   * // one-stop deployment dashboard (family x ingest x status + recall):
   * runMain graft.tools.EdgeRunner --mode status --in unused: \
   *   --manifest /data/deployment.manifest --warehouse /data/wh --grace-sec 900
@@ -111,7 +120,9 @@ object EdgeRunner {
     lex: String = "",                 // forget mode: lexical-index family prefix
     fingerprints: String = "",        // forget mode: refcounted fp family prefix
     manifest: String = "",            // status mode: deployment manifest file
-    rcBootstrap: Boolean = false)     // maintain: count the FULL landing into a new rc family
+    rcBootstrap: Boolean = false,     // maintain: count the FULL landing into a new rc family
+    model: String = "",               // train/classify/corpus: persisted LR model family prefix
+    rounds: Int = 4)                  // train mode: GD rounds
 
   def parse(args: Array[String]): Config = {
     require(args.length % 2 == 0,
@@ -125,11 +136,11 @@ object EdgeRunner {
     val mode = kv.getOrElse("--mode",
       sys.error("--mode batch|stream|meta|corpus|dedup|maintain|zorder|classify|" +
         "neardup|recall-check|compact|audit|retrain|forget|cluster|lexical|" +
-        "index|status is required"))
+        "index|status|train is required"))
     require(
       Set("batch", "stream", "meta", "corpus", "dedup", "maintain", "zorder",
         "classify", "neardup", "recall-check", "compact", "audit", "retrain",
-        "forget", "cluster", "lexical", "index", "status")(mode),
+        "forget", "cluster", "lexical", "index", "status", "train")(mode),
       s"unknown mode $mode")
     Config(
       mode = mode,
@@ -176,7 +187,9 @@ object EdgeRunner {
       lex = kv.getOrElse("--lex", ""),
       fingerprints = kv.getOrElse("--fingerprints", ""),
       manifest = kv.getOrElse("--manifest", ""),
-      rcBootstrap = kv.get("--rc-bootstrap").exists(_.toBoolean))
+      rcBootstrap = kv.get("--rc-bootstrap").exists(_.toBoolean),
+      model = kv.getOrElse("--model", ""),
+      rounds = kv.get("--rounds").map(_.toInt).getOrElse(4))
   }
 
   /** One raw-JSON column `json`, batch flavor, from any source kind.
@@ -498,8 +511,17 @@ object EdgeRunner {
     // whole corpus and recompute fingerprints
     val knownKeys = Option(cfg.known).filter(_.nonEmpty)
       .map(p => CorpusStream.knownFingerprints(spark.read.parquet(p)).persist())
-    CorpusStream.start(readStreamEnvelopes(spark, cfg.in), cfg.out,
-      cfg.checkpoint, trigger, knownKeys = knownKeys)
+    // --model <family>: admission gates on the PERSISTED trained
+    // classifier instead of the heuristic — weights load once here at
+    // stream start (≤ 4097 rows), each micro-batch scores via the
+    // stateless per-row decimal gate (≡ batch logisticApply's sign)
+    if (cfg.model.nonEmpty)
+      CorpusStream.startTrained(readStreamEnvelopes(spark, cfg.in), cfg.out,
+        cfg.checkpoint, loadModelOrExplain(spark, cfg.model), trigger,
+        knownKeys = knownKeys)
+    else
+      CorpusStream.start(readStreamEnvelopes(spark, cfg.in), cfg.out,
+        cfg.checkpoint, trigger, knownKeys = knownKeys)
   }
 
   /** `--mode neardup`: streaming NEAR-duplicate suppression — the
@@ -699,6 +721,9 @@ object EdgeRunner {
     case "zorder" => println(s"[edge] zorder files written: ${runZorder(spark, cfg)}")
     case "classify" =>
       println(s"[edge] docs scored: ${runClassify(spark, cfg)}")
+    case "train" =>
+      println(s"[edge] model '${cfg.model}' trained+persisted: " +
+        s"${runTrain(spark, cfg)} weight rows")
     case "recall-check" =>
       val r = runRecallCheck(spark, cfg)
       println(f"[edge] recall@${r.k}=${r.recall}%.4f over ${r.nQueries} queries " +
@@ -1400,6 +1425,19 @@ object EdgeRunner {
                 f"$floor%.2f, disp $disp%s)"))
           }
         }
+      case l if l.startsWith("model:") =>
+        // `model: name=<prefix>` — the persisted classifier family:
+        // shape + training provenance at dashboard cadence (a dropped
+        // weight table or half-landed save surfaces as an error row)
+        val kv = kvOf(l, "model:")
+        val nm = kv.getOrElse("name",
+          sys.error(s"model line needs name=<prefix>: '$l'"))
+        guarded(s"model:$nm") {
+          val m = graft.operators.TextAnalysis.loadLogisticModel(spark, nm)
+          Seq((s"model:$nm", "-",
+            s"OK (${m.weights.size} weights over ${m.nBuckets} buckets, " +
+              s"trained ${m.rounds} rounds on ${m.nDocs} docs, lr ${m.lr})"))
+        }
       case l =>
         // split limit 2: member lists may hold `parquet:/dir` colons
         val (fam, members) = l.split(":", 2) match {
@@ -1539,18 +1577,77 @@ object EdgeRunner {
         cfg.k, cfg.nProbe, cfg.sample, cfg.minRecall)
   }
 
-  /** `--mode classify`: the t20 model-inference gate as an operational
-    * job — score every document in a parquet dir with the hashed
-    * n-gram linear classifier (shuffle-free map) and land
+  /** The 4096-bucket feature space every member of the logistic family
+    * shares (the t20 teacher, the t45 learner, the persisted models) —
+    * a persisted model trained here scores under the exact hash space
+    * the fixed-weight gate uses, so the two are swappable. */
+  private val ModelBuckets = 4096
+
+  /** `--mode train`: bootstrap-train the in-engine logistic quality
+    * classifier on a parquet corpus and PERSIST it as a maintained
+    * model family (`<model>_weights` / `<model>_meta` in --warehouse).
+    * Label = the t20 fixed-hash teacher gate (the same distillation
+    * target the oracle-checked t45 trainer uses — swap in a labeled
+    * column upstream when human labels exist). The persisted model
+    * then serves `--mode classify --model` and the trained streaming
+    * admission gate (`--mode corpus --model`) WITHOUT retraining per
+    * run. Idempotent: the DerivedTables source fingerprint makes a
+    * re-run over unchanged data a catalog no-op, while a regenerated
+    * corpus triggers a retrain (the staleness guard). */
+  def runTrain(spark: SparkSession, cfg: Config): Long = {
+    require(cfg.in.startsWith("file:"), "train mode requires --in file:/dir")
+    require(cfg.model.nonEmpty, "train mode requires --model <family>")
+    val path = cfg.in.stripPrefix("file:")
+    val fp = graft.sources.DerivedTables.sourceFingerprintPath(path)
+    val model = graft.operators.TextAnalysis.ensureLogisticModel(spark,
+      cfg.model, spark.read.parquet(path), "doc_id", "text",
+      graft.plans.TextHash.classifierScore(
+        graft.functions.TextOps.tokens(col("text"))) > 0L,
+      nBuckets = ModelBuckets, rounds = cfg.rounds, fingerprint = Some(fp))
+    model.weights.size.toLong
+  }
+
+  /** `--mode classify`: the model-inference gate as an operational
+    * job — score every document in a parquet dir and land
     * (doc_id, n_feats, score, keep) partitioned by the keep flag, so
-    * downstream mixes read only the `keep=true` branch. */
-  private def runClassify(spark: SparkSession, cfg: Config): Long = {
+    * downstream mixes read only the `keep=true` branch. Without
+    * `--model`: the t20 fixed-hash linear classifier. With
+    * `--model <family>`: the PERSISTED trained model — loaded once
+    * (≤ 4097 weight rows), scored via the stateless per-row
+    * exact-decimal expression, so both paths are one shuffle-free
+    * codegen'd scan; nothing retrains per run. */
+  def runClassify(spark: SparkSession, cfg: Config): Long = {
     require(cfg.in.startsWith("file:"), "classify mode requires --in file:/dir")
     val docs = spark.read.parquet(cfg.in.stripPrefix("file:"))
-    writeAndCount(cfg,
-      graft.operators.TextAnalysis.hashedLinearScore(docs, "doc_id", "text"),
-      "classified", SaveMode.Overwrite, Seq("keep"))
+    val scored =
+      if (cfg.model.isEmpty)
+        graft.operators.TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      else {
+        val m = loadModelOrExplain(spark, cfg.model)
+        val t = graft.functions.TextOps.tokens(col("text"))
+        docs.select(col("doc_id"),
+            (when(size(t) < 2, size(t)).otherwise(size(t) * 2 - 1) + 1)
+              .cast("long").as("n_feats"),
+            graft.operators.TextAnalysis
+              .trainedScoreDecimal(col("text"), m).as("swd"))
+          .withColumn("keep", col("swd") > lit(java.math.BigDecimal.ZERO))
+          .select(col("doc_id"), col("n_feats"),
+            col("swd").cast("double").as("score"), col("keep"))
+      }
+    writeAndCount(cfg, scored, "classified", SaveMode.Overwrite, Seq("keep"))
   }
+
+  /** Load a persisted model with an actionable error: a missing family
+    * should tell the operator the bootstrap command, not throw a bare
+    * TABLE_OR_VIEW_NOT_FOUND. */
+  private def loadModelOrExplain(spark: SparkSession,
+                                 name: String): graft.operators.TextAnalysis.LogisticModel =
+    try graft.operators.TextAnalysis.loadLogisticModel(spark, name)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      sys.error(s"model family '$name' not loadable from the warehouse " +
+        s"(${e.getMessage.linesIterator.next()}); bootstrap it with " +
+        s"--mode train --in file:/corpus --model $name --warehouse <dir>")
+    }
 
   /** `--mode zorder`: OPTIMIZE-ZORDER for a parquet table — read
     * `--in file:/dir`, cluster on the Morton key of `--dims` (see
