@@ -2813,6 +2813,23 @@ object Queries {
   private def pqResModelName(dir: String): String =
     "graft_pqr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Persisted logistic-model family name, unique per SF directory. */
+  private def lrModelName(dir: String): String =
+    "graft_lrm_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The PERSISTED t45-family model for `dir`: trained once on the
+    * trusted %5≠0 split under the t45 hyper-params, staleness-guarded
+    * on the documents fingerprint — p16's production path (and the
+    * Bench prepare hook, so the timed p16 is pure scoring). */
+  def ensureCorpusModel(s: SparkSession, dir: String): TextAnalysis.LogisticModel =
+    TextAnalysis.ensureLogisticModel(s, lrModelName(dir),
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text",
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
+      nBuckets = LrBuckets, rounds = LrRounds,
+      fingerprint = Some(
+        graft.sources.DerivedTables.sourceFingerprint(dir, "documents")))
+
   /** One-time artifact builds that should not land in any timed query:
     * the s04 IVF index and the d07/d08 near-dup cluster table.
     * Idempotent; Bench calls it during warmup, and a cold Verify run
@@ -2845,6 +2862,7 @@ object Queries {
     ensureIngestKeys(s, dir)
     ensureCorpusClusters(s, dir)
     ensureLexicalIndex(s, dir)
+    ensureCorpusModel(s, dir)
     ()
   }
 
@@ -6567,14 +6585,12 @@ object Queries {
       graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L, model)
   }
 
-  /** Trained-classifier corpus build (p15) — p03's composition with
-    * the TRAINED gate: weights learn on the trusted %5≠0 split
-    * in-engine (t45's learner), the WHOLE corpus gates on the trained
-    * sign (pred), survivors exact-dedup keep-first (d02's rule) and
-    * shard-assign; the rollup carries the exact decimal score mass per
-    * shard. The oracle replays the full training trajectory AND the
-    * gate/dedup/shard tail in one statement. */
-  val p15 = q("p15_trained_gate_shards",
+  /** The p15/p16 oracle: full training trajectory + gate/dedup/shard
+    * tail in one statement. IDENTICAL for both queries by design —
+    * p15 trains per invocation (the oracle-replayable twin), p16
+    * scores from the PERSISTED model; same weights either way, so the
+    * same expected output proves the persisted path faithful. */
+  private def trainedShardsSql: String =
     s"""WITH tr45 AS (SELECT doc_id, lang, text FROM documents
        |  WHERE doc_id % 5 <> 0),
        |${lrTrainChain("tr45")},
@@ -6596,15 +6612,16 @@ object Queries {
        | FROM k145)
        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
        | CAST(SUM(swd) AS DOUBLE) AS sum_score, MIN(doc_id) AS min_doc
-       |FROM sh45 GROUP BY shard""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val model = TextAnalysis.logisticTrain(
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
-      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
-      nBuckets = LrBuckets, rounds = LrRounds)
-    // gate + dedup + shard on the trained sign: the decimal score sum
-    // stays DECIMAL through the rollup (sum-of-sums stays exact; the
-    // one double cast happens at the output edge)
+       |FROM sh45 GROUP BY shard""".stripMargin
+
+  /** The gate/dedup/shard tail shared by p15 (freshly trained model)
+    * and p16 (persisted model): gate the WHOLE corpus on the trained
+    * sign, survivors exact-dedup keep-first (d02's rule) and
+    * shard-assign; the rollup carries the exact decimal score mass per
+    * shard (sum-of-sums stays exact; the one double cast happens at
+    * the output edge). */
+  private def trainedGateShards(docs: DataFrame,
+                                model: TextAnalysis.LogisticModel): DataFrame = {
     val scored = TextAnalysis.logisticScoreDecimal(docs, "doc_id", "text",
       model)
     val w = org.apache.spark.sql.expressions.Window
@@ -6622,6 +6639,145 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("swd")).cast("double").as("sum_score"),
         min(col("doc_id")).as("min_doc"))
+  }
+
+  /** Trained-classifier corpus build (p15) — p03's composition with
+    * the TRAINED gate: weights learn on the trusted %5≠0 split
+    * in-engine (t45's learner), the WHOLE corpus gates on the trained
+    * sign (pred), survivors exact-dedup keep-first (d02's rule) and
+    * shard-assign. The oracle replays the full training trajectory AND
+    * the gate/dedup/shard tail in one statement. */
+  val p15 = q("p15_trained_gate_shards", trainedShardsSql) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = TextAnalysis.logisticTrain(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
+      nBuckets = LrBuckets, rounds = LrRounds)
+    trainedGateShards(docs, model)
+  }
+
+  /** PERSISTED-model corpus build (p16) — p15's exact semantics
+    * through the PRODUCTION scoring path: the model comes from
+    * [[ensureCorpusModel]] (warehouse-persisted, fingerprint-guarded,
+    * built once in Bench prepare / on first use), so the timed query
+    * is ONE broadcast-weight scoring pass + the gate/dedup/shard tail
+    * — no training in the loop. Same oracle as p15: identical output
+    * proves the persisted path faithful to the in-memory trainer. */
+  val p16 = q("p16_persisted_gate_shards", trainedShardsSql) { (s, dir) =>
+    trainedGateShards(Tables.documents(s, dir), ensureCorpusModel(s, dir))
+  }
+
+  /** Learning-curve diagnostic (t49): held-out confusion counts after
+    * EVERY training round (0 = untrained all-zero weights, the
+    * base-rate floor; LrRounds = t46's committed point) — the
+    * convergence evidence behind TESTDATA's "4 rounds is the committed
+    * point" claim, now oracle-checked: one trajectory train (same cost
+    * as t45 — the per-round snapshots are the weight tables the loop
+    * already holds), then one scoring pass per round over the %5=0
+    * split. The oracle scores the SAME w45_r tables its training chain
+    * already materializes. */
+  val t49 = q("t49_learning_curve",
+    s"""WITH tr45 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |ev45 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |${lrTrainChain("tr45")},
+       |${lrFeatCtes("ev45", "ev")},
+       |${(0 to LrRounds).map(r =>
+        s"""acc49_$r AS (SELECT CAST($r AS BIGINT) AS round,
+           |  CAST(SUM(CASE WHEN s.swd > CAST(0.0 AS DOUBLE) AND m.y = 1
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(SUM(CASE WHEN s.swd > CAST(0.0 AS DOUBLE) AND m.y = 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(SUM(CASE WHEN NOT s.swd > CAST(0.0 AS DOUBLE) AND m.y = 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |  CAST(SUM(CASE WHEN NOT s.swd > CAST(0.0 AS DOUBLE) AND m.y = 1
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           | FROM evm45 m JOIN (SELECT f.doc_id,
+           |    CAST(SUM(CAST(COALESCE(w.w, CAST(0.0 AS DOUBLE))
+           |      AS DECIMAL(30,10))) AS DOUBLE) AS swd
+           |   FROM evf45 f LEFT JOIN w45_$r w USING (bucket)
+           |   GROUP BY f.doc_id) s USING (doc_id))""".stripMargin)
+        .mkString(",\n")}
+       |${(0 to LrRounds).map(r => s"SELECT * FROM acc49_$r")
+        .mkString("\nUNION ALL\n")}""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val teacher =
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L
+    val traj = TextAnalysis.logisticTrainTrajectory(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      teacher, nBuckets = LrBuckets, rounds = LrRounds)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val round0 = TextAnalysis.LogisticModel(Map.empty, LrBuckets,
+      traj.head.nDocs, 0, traj.head.lr)
+    (round0 +: traj).map { m =>
+      TextAnalysis.logisticApply(evalDocs, "doc_id", "text", teacher, m)
+        .agg(
+          count(when(col("pred") && col("y") === 1L, 1)).as("tp"),
+          count(when(col("pred") && col("y") === 0L, 1)).as("fp"),
+          count(when(!col("pred") && col("y") === 0L, 1)).as("tn"),
+          count(when(!col("pred") && col("y") === 1L, 1)).as("fn"))
+        .select(lit(m.rounds.toLong).as("round"),
+          col("tp"), col("fp"), col("tn"), col("fn"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The t48 mean-score cutoffs: exact 6dp decimals spanning the
+    * observed held-out operating region (5%-quantile mean score ≈
+    * −0.01, 95% ≈ 1.07 at the driver SFs) — low cutoffs show the
+    * recall-heavy end, high ones the precision-heavy end. */
+  private val CalibCutoffs = Seq(
+    "-0.5", "-0.25", "0.0", "0.25", "0.5", "0.75", "1.0")
+
+  /** Classifier calibration sweep (t48): the d18 discipline applied to
+    * the TRAINED score — per mean-score cutoff over the held-out %5=0
+    * split, integer confusion counts (TP/FP/TN/FN) of the gate
+    * `swd > c·n_feats`, every cutoff answered from ONE scored pass
+    * (broadcast cutoff grid, no per-cutoff rescan — plan-locked). The
+    * pick-a-threshold evidence a gate owner reads before a p15-style
+    * corpus build; precision/recall derive exactly from the integers. */
+  val t48 = q("t48_calibration_sweep",
+    s"""WITH tr45 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |ev45 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |${lrTrainChain("tr45")},
+       |${lrFeatCtes("ev45", "ev")},
+       |escd48 AS (SELECT f.doc_id,
+       |  SUM(CAST(COALESCE(w.w, CAST(0.0 AS DOUBLE)) AS DECIMAL(30,10)))
+       |    AS swd
+       | FROM evf45 f LEFT JOIN w45_$LrRounds w USING (bucket)
+       | GROUP BY f.doc_id),
+       |sc48 AS (SELECT m.doc_id, m.n_feats, m.y, s.swd
+       | FROM evm45 m JOIN escd48 s USING (doc_id)),
+       |cut48 AS (SELECT CAST(c AS DECIMAL(8,6)) AS cutoff
+       | FROM (VALUES ${CalibCutoffs.map(c => s"('$c')").mkString(", ")})
+       |   v(c))
+       |SELECT CAST(cutoff AS DOUBLE) AS cutoff,
+       | CAST(SUM(CASE WHEN swd > cutoff * n_feats AND y = 1
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       | CAST(SUM(CASE WHEN swd > cutoff * n_feats AND y = 0
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       | CAST(SUM(CASE WHEN NOT swd > cutoff * n_feats AND y = 0
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       | CAST(SUM(CASE WHEN NOT swd > cutoff * n_feats AND y = 1
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |FROM sc48 CROSS JOIN cut48 GROUP BY cutoff""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = TextAnalysis.logisticTrain(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
+      nBuckets = LrBuckets, rounds = LrRounds)
+    val eval = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val t = TextOps.tokens(col("text"))
+    val meta = eval.select(col("doc_id"),
+      (when(size(t) < 2, size(t)).otherwise(size(t) * 2 - 1) + 1)
+        .cast("long").as("n_feats"),
+      (graft.plans.TextHash.classifierScore(t) > 0L).cast("long").as("y"))
+    val scored = meta.join(
+      TextAnalysis.logisticScoreDecimal(eval, "doc_id", "text", model),
+      Seq("doc_id"))
+    TextAnalysis.calibrationSweep(scored, CalibCutoffs)
   }
 
   /** Gopher intra-doc repetition profile (t47 — Rae et al. 2021 §A1.1
@@ -6691,7 +6847,7 @@ object Queries {
     q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14, p15)
+    m01, m02, m03, p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14, p15, p16)
 }

@@ -1864,7 +1864,20 @@ object TextAnalysis {
     * weight map resets the plan each round). */
   def logisticTrain(train: DataFrame, idCol: String, textCol: String,
                     label: Column, nBuckets: Int = 512, rounds: Int = 4,
-                    lr: Double = 1024.0): LogisticModel = {
+                    lr: Double = 1024.0): LogisticModel =
+    logisticTrainTrajectory(train, idCol, textCol, label, nBuckets,
+      rounds, lr).last
+
+  /** [[logisticTrain]] exposing the WHOLE training trajectory: the
+    * model after every GD round (element r-1 = weights after round r,
+    * its `rounds` field = r). Same cost as training to `rounds` — the
+    * per-round snapshot is the ≤ nBuckets+1-row weight seq the loop
+    * already holds on the driver; nothing re-trains. Feeds the t49
+    * learning-curve diagnostic (did training converge, and when). */
+  def logisticTrainTrajectory(train: DataFrame, idCol: String,
+                              textCol: String, label: Column,
+                              nBuckets: Int = 512, rounds: Int = 4,
+                              lr: Double = 1024.0): Seq[LogisticModel] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val (meta, feats) = logisticFrames(train, idCol, textCol, label,
       nBuckets, materialize = true)
@@ -1890,7 +1903,8 @@ object TextAnalysis {
     import sp.implicits._
     var w: Option[Seq[(Long, Double)]] = None
     def wDf: Option[DataFrame] = w.map(_.toDF("bucket", "w"))
-    for (_ <- 1 to rounds) {
+    val trajectory = Seq.newBuilder[LogisticModel]
+    for (r <- 1 to rounds) {
       val sw = withWeights(feats, wDf).select(col("doc_id"), col("wf"))
         .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sw"))
       val err = meta.join(sw, Seq("doc_id"))
@@ -1912,8 +1926,9 @@ object TextAnalysis {
       w = Some(withPrev.select(col("bucket"),
         round(col("w") - (lit(lr) * col("g")) / lit(nDocs), 6).as("w"))
         .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+      trajectory += LogisticModel(w.get.toMap, nBuckets, nDocs, r, lr)
     }
-    LogisticModel(w.get.toMap, nBuckets, nDocs, rounds, lr)
+    trajectory.result()
   }
 
   /** The t45 report over a trained model: per observed bucket its
@@ -1958,6 +1973,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_feats"), col("sum_w"), col("y"),
         (col("sum_w") > lit(0.0)).as("pred"))
       .withColumn("correct", col("pred") === (col("y") === 1L))
+  }
+
+  /** Classifier CALIBRATION sweep (t48) — the pick-a-threshold
+    * evidence a gate owner reads before a p15-style corpus build, the
+    * d18 one-pass-sweep discipline applied to the trained score:
+    * per cutoff c (a mean-score threshold, exact decimal), the integer
+    * confusion counts of the gate `swd > c · n_feats` against the
+    * label, all cutoffs answered from ONE scored pass — the corpus
+    * scores once, a ≤ |cutoffs|-row broadcast grid fans each scored
+    * row out, and one aggregation lands every operating point. No
+    * per-cutoff rescan exists in the plan (spec-locked: exactly one
+    * broadcast nested-loop over the tiny grid).
+    *
+    * `scored` must carry `swd` (the exact-DECIMAL weight sum —
+    * [[logisticScoreDecimal]]), `n_feats`, and `y` ∈ {0, 1}. The gate
+    * cross-multiplies (swd > c·n_feats ⟺ mean score > c) so no float
+    * division ever gates; counts are integers — precision/recall
+    * curves derive exactly downstream. */
+  def calibrationSweep(scored: DataFrame,
+                       cutoffs: Seq[String]): DataFrame = {
+    require(cutoffs.nonEmpty, "calibration needs at least one cutoff")
+    val sp = scored.sparkSession
+    import sp.implicits._
+    // string → decimal(8,6): exact 6dp literals, never a double detour
+    val cuts = cutoffs.toDF("cutoff")
+      .select(col("cutoff").cast(org.apache.spark.sql.types
+        .DecimalType(8, 6)).as("cutoff"))
+    val pred = col("swd") > col("cutoff") * col("n_feats")
+    scored.crossJoin(broadcast(cuts))
+      .groupBy("cutoff")
+      .agg(
+        count(when(pred && col("y") === 1L, 1)).as("tp"),
+        count(when(pred && col("y") === 0L, 1)).as("fp"),
+        count(when(!pred && col("y") === 0L, 1)).as("tn"),
+        count(when(!pred && col("y") === 1L, 1)).as("fn"))
+      .select(col("cutoff").cast("double").as("cutoff"),
+        col("tp"), col("fp"), col("tn"), col("fn"))
   }
 
   // ---- persisted logistic model family (the production half of the

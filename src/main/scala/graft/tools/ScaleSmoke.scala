@@ -58,13 +58,27 @@ object ScaleSmoke {
         i => (pmod(xxhash64(col("id"), i, lit(7)), lit(2000L)).cast("double") - 1000.0) / 1000.0).as("vec"))
     val embeddings = embOf(nDocs)
 
+    // every probe line carries the NOISE-FREE work axes beside
+    // wall-clock (the bench work-metrics discipline, VERDICT r17 #6):
+    // shuffle bytes and task counts don't wobble with a co-loaded
+    // host, so cross-round probe comparisons adjudicate on bytes
+    val wl = new graft.Bench.WorkListener
+    spark.sparkContext.addSparkListener(wl)
+    val cap = graft.Bench.captureLastExecution(spark)
     def time(name: String)(body: => DataFrame): (String, Double) = {
+      graft.Bench.drainBus(spark); wl.reset(); cap.clear()
       val t0 = System.nanoTime()
       // noop sink materializes all columns (count() would let Catalyst
       // prune unused window/projection expressions)
       body.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-28s ${dt}%8.2f s")
+      graft.Bench.drainBus(spark)
+      val rows = Option(cap.get())
+        .map(qe => graft.Bench.firstOutputRows(qe.executedPlan))
+        .getOrElse(-1L)
+      val w = wl.snapshot(rows, "")
+      println(f"[scale] $name%-28s ${dt}%8.2f s  sr=${w.sr} sw=${w.sw} " +
+        s"in=${w.in} spill=${w.spill} tasks=${w.tasks} rows=${w.rows}")
       (name, dt)
     }
 

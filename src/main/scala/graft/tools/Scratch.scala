@@ -98,9 +98,23 @@ object Scratch {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
+    // the steady-state read carries the NOISE-FREE work axes beside
+    // wall-clock (the bench work-metrics discipline): a probe whose
+    // seconds moved but whose bytes/tasks didn't is host noise
+    val wl = new graft.Bench.WorkListener
+    spark.sparkContext.addSparkListener(wl)
+    val cap = graft.Bench.captureLastExecution(spark)
+    graft.Bench.drainBus(spark); wl.reset(); cap.clear()
     val t1 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
-    println(s"second_run=${(System.nanoTime() - t1) / 1e9}s")
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    graft.Bench.drainBus(spark)
+    val rows = Option(cap.get())
+      .map(qe => graft.Bench.firstOutputRows(qe.executedPlan))
+      .getOrElse(-1L)
+    val w = wl.snapshot(rows, "")
+    println(s"second_run=${dt1}s sr=${w.sr} sw=${w.sw} in=${w.in} " +
+      s"spill=${w.spill} tasks=${w.tasks} sink_rows=${w.rows}")
     spark.stop()
   }
 }

@@ -51,6 +51,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"weight lookup must be a broadcast hash join:\n$p")
   }
 
+  test("t48 calibration: ONE scored subtree fanned over the broadcast cutoff grid, no per-cutoff rescan") {
+    val p = plan("t48_calibration_sweep")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t48:\n$p")
+    // the cutoff grid is the single sanctioned nested-loop (a ≤7-row
+    // broadcast); a second one would mean the scored pass re-runs per
+    // cutoff instead of fanning out once
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size == 1,
+      s"exactly one broadcast nested-loop (the cutoff grid) expected:\n$p")
+    // scoring itself stays the t46 shape: weights on a broadcast hash
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight lookup must be a broadcast hash join:\n$p")
+  }
+
   test("d06 embedding pairs come from bucket equi-joins, never a cartesian") {
     val p = plan("d06_dedup_embedding")
     assert(!p.contains("CartesianProduct"), "cartesian product in d06")

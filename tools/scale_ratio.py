@@ -14,6 +14,18 @@ Usage: python3 tools/scale_ratio.py BASE.json REPL.json OUT.json \
 """
 import json, sys
 
+# The CODIFIED replica skip set (round 18): pass as
+# SPARK_GRAFT_BENCH_SKIP to the replica Bench run. q68's output is a
+# keys x horizon densified grid (output-sized, not work-sized); the
+# s07/s13 vector-PAIR queries grow with copies^2 because embeddings
+# cannot be token-salted; d06 joined in r18 — its measured x31.6 r17
+# ratio was the same cloned-embedding artifact (pair growth x100,
+# time SUBLINEAR in pairs — the engine outperformed the fixture, but
+# the ratio measures the fixture, so it leaves the measured set).
+REPLICA_SKIP = sorted([
+    "q68_gap_fill", "s07_semantic_dedup", "s13_knn_classify",
+    "d06_dedup_embedding"])
+
 
 def load(path):
     with open(path) as f:
@@ -49,6 +61,14 @@ def main():
     worst = [{"query": n, "ratio": ra, "base_sec": bq[n], "repl_sec": rq[n]}
              for ra, n in ranked[:10]]
     skipped = sorted(set(repl.get("skipped", [])))
+    # the rule is canonical here, not in whoever typed the env var: a
+    # replica run whose skip set strays from REPLICA_SKIP is flagged in
+    # the artifact (measured clone-artifact queries would poison the
+    # worst-ratio ranking; over-skipping hides real coverage)
+    rule_drift = {
+        "not_skipped_but_should_be": sorted(set(REPLICA_SKIP) - set(skipped)),
+        "skipped_beyond_rule": sorted(set(skipped) - set(REPLICA_SKIP)),
+    }
     doc = {
         "metric": "scale_ratio",
         "factor": factor,
@@ -61,11 +81,15 @@ def main():
         "ratio_floor_sec": floor,
         "worst": worst,
         "skipped": skipped,
+        "skip_rule": REPLICA_SKIP,
+        "skip_rule_drift": rule_drift,
         "skip_reason": ("cloned-EMBEDDING pair queries grow with copies^2 "
                         "(vectors cannot be token-salted like documents) "
                         "plus the q68 densified output grid — the documented "
                         "d05-family replica rule, narrowed to its remaining "
-                        "members now that MakeScale salts document text"),
+                        "members now that MakeScale salts document text; "
+                        "d06 codified into the set in r18 (its r17 x31.6 "
+                        "was pair growth x100, time sublinear in pairs)"),
         "failed": sorted(set(base.get("failed", []) + repl.get("failed", []))),
         "queries": rows,
     }
@@ -76,6 +100,8 @@ def main():
         print(f"  {w['query']}: {w['base_sec']} -> {w['repl_sec']} "
               f"(x{w['ratio']})")
     print(f"skipped at replica: {', '.join(skipped) or 'none'}")
+    if rule_drift["not_skipped_but_should_be"] or rule_drift["skipped_beyond_rule"]:
+        print(f"WARNING skip-rule drift: {rule_drift}")
 
 
 if __name__ == "__main__":
