@@ -46,7 +46,7 @@ object Queries {
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir)
+    Tables.lineitemFanned(s, dir)
       .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -1440,7 +1440,7 @@ object Queries {
        |$scores
        |FROM documents)""".stripMargin
   }) { (s, dir) =>
-    TextAnalysis.langIdCharNgram(Tables.documents(s, dir), "doc_id", "text")
+    TextAnalysis.langIdCharNgram(Tables.documentsFanned(s, dir), "doc_id", "text")
   }
 
   /** Deterministic hash-based dataset splitting (train/val/test by
@@ -1535,7 +1535,7 @@ object Queries {
       | COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
       | CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_tokens AS dup_frac
       |FROM base b LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
-    Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text", k = 8)
+    Dedup.substringDupStats(Tables.documentsFanned(s, dir), "doc_id", "text", k = 8)
   }
 
   /** Inter-source shingle-overlap matrix (cross-source duplication
@@ -1560,7 +1560,7 @@ object Queries {
       | round(CAST(n_shared AS DOUBLE) / (ta.total + tb.total - n_shared), 6) AS jacc
       |FROM p JOIN tot ta ON ta.src = p.src_a JOIN tot tb ON tb.src = p.src_b""".stripMargin) {
     (s, dir) =>
-      Dedup.sourceOverlap(Tables.documents(s, dir), "text", "source",
+      Dedup.sourceOverlap(Tables.documentsFanned(s, dir), "text", "source",
         shingleN = 3, maxSources = 16)
   }
 
@@ -1609,7 +1609,7 @@ object Queries {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
       | GROUP BY doc_id, sh)
       |GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+    TextAnalysis.repetition(Tables.documentsFanned(s, dir), "doc_id", "text")
   }
 
   /** PII-style scrubbing over text with REAL matches. The slimmed test
@@ -1713,7 +1713,7 @@ object Queries {
       | CAST(SUM(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
       | coalesce(string_agg(CASE WHEN n <= 2 THEN line END, ' ' ORDER BY pos), '') AS clean_text
       |FROM fl GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    TextAnalysis.dropBoilerplateLines(Tables.documents(s, dir), "doc_id",
+    TextAnalysis.dropBoilerplateLines(Tables.documentsFanned(s, dir), "doc_id",
       TextAnalysis.tokenChunkLines(col("text"), 8), maxDocs = 2, joinSep = " ")
   }
 
@@ -1760,7 +1760,7 @@ object Queries {
       | CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
       |   ORDER BY tfidf DESC, term) AS BIGINT) AS rn
       |FROM sc QUALIFY rn <= 3""".stripMargin) { (s, dir) =>
-    TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
+    TextAnalysis.tfidfTopK(Tables.documentsFanned(s, dir), "doc_id", "text", k = 3)
   }
 
   /** Weighted sampling without replacement, 20 docs per language,
@@ -2195,7 +2195,7 @@ object Queries {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |   CAST(b.embedding AS DOUBLE[])), 6) > 0.45""".stripMargin) { (s, dir) =>
-    Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), 0.45, dim = 64)
+    Similarity.embeddingNearDupPairsLsh(Tables.embeddingsFanned(s, dir), 0.45, dim = 64)
   }
 
   /** IVF-probed ANN, FULLY oracle-checked: the index is built with the
@@ -4691,7 +4691,7 @@ object Queries {
       |SELECT doc_id, n_feats, log_importance, sel_key,
       | CAST(ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rn
       |FROM keyed QUALIFY rn <= 100""".stripMargin) { (s, dir) =>
-    TextAnalysis.dsirResample(Tables.documents(s, dir), "doc_id", "text",
+    TextAnalysis.dsirResample(Tables.documentsFanned(s, dir), "doc_id", "text",
       targetCol = col("lang") === "en", buckets = 1024, k = 100)
   }
 
@@ -4740,7 +4740,7 @@ object Queries {
       |   - len(string_split(text, ' '))) // 512 AS BIGINT) AS pack_id
       | FROM kept)
       |GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsFanned(s, dir)
     val sel = TextAnalysis.dsirResample(docs, "doc_id", "text",
         targetCol = col("lang") === "en", buckets = 1024, k = 100)
       .select("doc_id")
@@ -4775,7 +4775,7 @@ object Queries {
       | CAST(COUNT(CASE WHEN j >= 0.8 THEN 1 END) AS BIGINT) AS n_080,
       | CAST(COUNT(CASE WHEN j >= 0.9 THEN 1 END) AS BIGINT) AS n_090
       |FROM p""".stripMargin) { (s, dir) =>
-    val pairs = Dedup.jaccardPairs(Tables.documents(s, dir),
+    val pairs = Dedup.jaccardPairs(Tables.documentsFanned(s, dir),
       "doc_id", "text", threshold = 0.5).select("jaccard")
     pairs.agg(count(lit(1)).as("n_050"),
       count(when(col("jaccard") >= 0.6, 1)).as("n_060"),
@@ -5054,7 +5054,7 @@ object Queries {
       | CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * len(sh) END), 0) AS BIGINT) AS dup_mass,
       | CAST(MAX(CASE WHEN rn = 1 THEN c * len(sh) END) AS BIGINT) AS top_mass
       |FROM r GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
-    TextAnalysis.dupNgramProfile(Tables.documents(s, dir), "doc_id", "text")
+    TextAnalysis.dupNgramProfile(Tables.documentsFanned(s, dir), "doc_id", "text")
       .withColumn("n", col("n").cast("long"))
       .select("doc_id", "n", "n_grams", "dup_mass", "top_mass")
   }
@@ -5243,7 +5243,7 @@ object Queries {
        | COALESCE(a.sum_distortion, 0.0) AS sum_distortion
        |FROM grid g LEFT JOIN aggd a USING (subspace, code)""".stripMargin
   }) { (s, dir) =>
-    val corp = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+    val corp = Tables.embeddingsFanned(s, dir).filter(col("vec_id") >= 10)
     val (codes, books) = Similarity.ensurePqModel(s, pqModelName(dir),
       corp, m = 4, k = 8, iters = 2, dim = 64,
       fingerprint = Some(embFp(dir)))
@@ -5346,7 +5346,7 @@ object Queries {
       | CAST(SUM(shared) AS BIGINT) AS sum_shared,
       | CAST(SUM(uni) AS BIGINT) AS sum_union
       |FROM px GROUP BY agree""".stripMargin) { (s, dir) =>
-    Dedup.estimatorCalibration(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.estimatorCalibration(Tables.documentsFanned(s, dir), "doc_id", "text")
   }
 
   /** IVF nProbe→recall TUNING CURVE (s21): recall@5 of the persisted
@@ -5833,7 +5833,7 @@ object Queries {
        | CAST(ROW_NUMBER() OVER (ORDER BY occ_shift DESC, cid) AS BIGINT)
        |  AS drift_rank
        |FROM rep""".stripMargin) { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.embeddingsFanned(s, dir)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val model = Similarity.ensureIvfIndex(s, ivfIndexName(dir),
       emb.filter(col("id") >= 10), nCentroids = 16, iters = 2, portableInit = true,
@@ -6001,7 +6001,7 @@ object Queries {
        |  ORDER BY tp.i), '') AS clean_text
        |FROM tokpos23 tp LEFT JOIN cov23 c ON c.doc_id = tp.doc_id AND c.i = tp.i
        |GROUP BY tp.doc_id""".stripMargin) { (s, dir) =>
-    Dedup.substringDedupRewrite(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.substringDedupRewrite(Tables.documentsFanned(s, dir), "doc_id", "text",
       k = 8)
   }
 
@@ -6267,7 +6267,7 @@ object Queries {
        |SELECT shard, pack_id, COUNT(*) AS n_docs,
        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
-    val gated = Tables.documents(s, dir)
+    val gated = Tables.documentsFanned(s, dir)
       .filter(size(TextOps.tokens(col("text"))) >= 40)
     val clean = Dedup.substringDedupRewrite(gated, "doc_id", "text", k = 8)
       .withColumn("n_clean", col("n_tokens") - col("n_removed_tokens"))
@@ -6549,7 +6549,7 @@ object Queries {
        |FROM w45_$LrRounds w
        |JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occ
        |  FROM trf45 GROUP BY bucket) c USING (bucket)""".stripMargin) { (s, dir) =>
-    TextAnalysis.logisticTrainReport(Tables.documents(s, dir), "doc_id",
+    TextAnalysis.logisticTrainReport(Tables.documentsFanned(s, dir), "doc_id",
       "text", graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
       nBuckets = LrBuckets, rounds = LrRounds)
   }
@@ -6575,7 +6575,7 @@ object Queries {
        | s.sum_w > CAST(0.0 AS DOUBLE) AS pred,
        | (s.sum_w > CAST(0.0 AS DOUBLE)) = (m.y = 1) AS correct
        |FROM evm45 m JOIN esc45 s USING (doc_id)""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsFanned(s, dir)
     val model = TextAnalysis.logisticTrain(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
       graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
@@ -6648,7 +6648,7 @@ object Queries {
     * shard-assign. The oracle replays the full training trajectory AND
     * the gate/dedup/shard tail in one statement. */
   val p15 = q("p15_trained_gate_shards", trainedShardsSql) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsFanned(s, dir)
     val model = TextAnalysis.logisticTrain(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
       graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
@@ -6664,7 +6664,7 @@ object Queries {
     * — no training in the loop. Same oracle as p15: identical output
     * proves the persisted path faithful to the in-memory trainer. */
   val p16 = q("p16_persisted_gate_shards", trainedShardsSql) { (s, dir) =>
-    trainedGateShards(Tables.documents(s, dir), ensureCorpusModel(s, dir))
+    trainedGateShards(Tables.documentsFanned(s, dir), ensureCorpusModel(s, dir))
   }
 
   /** Learning-curve diagnostic (t49): held-out confusion counts after
@@ -6701,17 +6701,23 @@ object Queries {
         .mkString(",\n")}
        |${(0 to LrRounds).map(r => s"SELECT * FROM acc49_$r")
         .mkString("\nUNION ALL\n")}""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsFanned(s, dir)
     val teacher =
       graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L
     val traj = TextAnalysis.logisticTrainTrajectory(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
       teacher, nBuckets = LrBuckets, rounds = LrRounds)
     val evalDocs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // ONE materialized eval feature stream scores all 5 trajectory
+    // snapshots (r18: logisticApply per round re-tokenized the split
+    // 5×; the stream is checkpointed pre-partitioned on doc_id so each
+    // round's scoring aggregation runs exchange-free)
+    val (evalMeta, evalFeats) = TextAnalysis.logisticFrames(evalDocs,
+      "doc_id", "text", teacher, LrBuckets, materialize = true)
     val round0 = TextAnalysis.LogisticModel(Map.empty, LrBuckets,
       traj.head.nDocs, 0, traj.head.lr)
     (round0 +: traj).map { m =>
-      TextAnalysis.logisticApply(evalDocs, "doc_id", "text", teacher, m)
+      TextAnalysis.logisticApplyFrames(evalMeta, evalFeats, m)
         .agg(
           count(when(col("pred") && col("y") === 1L, 1)).as("tp"),
           count(when(col("pred") && col("y") === 0L, 1)).as("fp"),
@@ -6763,20 +6769,22 @@ object Queries {
        | CAST(SUM(CASE WHEN NOT swd > cutoff * n_feats AND y = 1
        |   THEN 1 ELSE 0 END) AS BIGINT) AS fn
        |FROM sc48 CROSS JOIN cut48 GROUP BY cutoff""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsFanned(s, dir)
     val model = TextAnalysis.logisticTrain(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
       graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
       nBuckets = LrBuckets, rounds = LrRounds)
     val eval = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-    val t = TextOps.tokens(col("text"))
-    val meta = eval.select(col("doc_id"),
-      (when(size(t) < 2, size(t)).otherwise(size(t) * 2 - 1) + 1)
-        .cast("long").as("n_feats"),
-      (graft.plans.TextHash.classifierScore(t) > 0L).cast("long").as("y"))
-    val scored = meta.join(
-      TextAnalysis.logisticScoreDecimal(eval, "doc_id", "text", model),
-      Seq("doc_id"))
+    // ONE materialized eval feature stream feeds BOTH the meta
+    // (n_feats, y) side and the decimal score side (r18: previously
+    // three separate tokenize passes over the eval split — meta's own
+    // select, plus the score's unmaterialized frames); the join is
+    // colocated on the checkpointed doc_id partitioning
+    val (meta, feats) = TextAnalysis.logisticFrames(eval, "doc_id", "text",
+      graft.plans.TextHash.classifierScore(TextOps.tokens(col("text"))) > 0L,
+      LrBuckets, materialize = true)
+    val scored = meta.select("doc_id", "n_feats", "y").join(
+      TextAnalysis.logisticScoreDecimalFrames(feats, model), Seq("doc_id"))
     TextAnalysis.calibrationSweep(scored, CalibCutoffs)
   }
 

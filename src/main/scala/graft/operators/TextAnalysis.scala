@@ -1779,7 +1779,7 @@ object TextAnalysis {
     * (unigrams + bigrams, md5-13-hex bucket hash) so the learned and
     * fixed-weight classifiers score the same feature space. Both
     * frames are localCheckpointed: training reads each one per round. */
-  private def logisticFrames(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def logisticFrames(docs: DataFrame, idCol: String, textCol: String,
                              label: Column, nBuckets: Int,
                              materialize: Boolean): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("doc_id"),
@@ -1878,9 +1878,20 @@ object TextAnalysis {
                               textCol: String, label: Column,
                               nBuckets: Int = 512, rounds: Int = 4,
                               lr: Double = 1024.0): Seq[LogisticModel] = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val (meta, feats) = logisticFrames(train, idCol, textCol, label,
       nBuckets, materialize = true)
+    logisticTrainLoop(meta, feats, nBuckets, rounds, lr)
+  }
+
+  /** The GD loop over PRE-BUILT (meta, feats) frames — split out
+    * (r18 optimization) so callers that also need the feature stream
+    * AFTER training (t45's n_occ report) reuse the checkpointed frames
+    * instead of re-tokenizing the corpus. Semantics identical to the
+    * pre-split trajectory — same rounds, same rounding boundaries. */
+  private[graft] def logisticTrainLoop(meta: DataFrame, feats: DataFrame,
+                                       nBuckets: Int, rounds: Int,
+                                       lr: Double): Seq[LogisticModel] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val counts = meta.agg(count(lit(1)), sum(col("y"))).collect().head
     val nDocs = counts.getLong(0)
     val nPos = counts.getLong(1)
@@ -1899,14 +1910,27 @@ object TextAnalysis {
     // is driver-only and no checkpoint job lands on the round's
     // critical path. The UPDATE arithmetic stays in-frame so the
     // rounding is Spark's `round`, exactly as the oracle spells it.
-    val sp = train.sparkSession
+    val sp = meta.sparkSession
     import sp.implicits._
     var w: Option[Seq[(Long, Double)]] = None
     def wDf: Option[DataFrame] = w.map(_.toDF("bucket", "w"))
     val trajectory = Seq.newBuilder[LogisticModel]
     for (r <- 1 to rounds) {
+      // r18 (measured in Scratch `_lr_round_exp`, outputs proved
+      // bit-identical): (a) the per-round sums ride the LONG-SCALED
+      // exact form — every addend is a 6dp decimal by construction
+      // (weights and c are round(·, 6)) and the scaled per-group sums
+      // sit far inside the 2^53 exactness envelope, so dsumL ≡ the
+      // DECIMAL(30,10) sum the oracle spells, at a 64-bit add instead
+      // of a BigDecimal-backed one; (b) the gradient join hints
+      // SHUFFLE_HASH — both sides are already co-partitioned on
+      // doc_id (zero exchange either way), but the default sort-merge
+      // re-SORTED the corpus-sized feature stream every round; the
+      // hash build side is err (one row per doc per partition), the
+      // textbook §3.1 shuffled-hash case. Together: ~1.4 s → ~0.5 s
+      // per round at sf0.1/32 cores.
       val sw = withWeights(feats, wDf).select(col("doc_id"), col("wf"))
-        .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sw"))
+        .groupBy("doc_id").agg(Exact.dsumL(col("wf"), 6).as("sw"))
       val err = meta.join(sw, Seq("doc_id"))
         .select(col("doc_id").as("__did"),
           ((round(lit(1.0) / (lit(1.0) +
@@ -1915,31 +1939,40 @@ object TextAnalysis {
             * when(col("y") === 1L, lit(cwPos)).otherwise(lit(cwNeg)))
             .as("err"),
           col("n_feats").as("__nf"))
-      val g = feats.join(err, col("doc_id") === col("__did"))
+      val g = feats.join(err.hint("shuffle_hash"),
+          col("doc_id") === col("__did"))
         .select(col("bucket"), round(col("err") / col("__nf"), 6).as("c"))
-        .groupBy("bucket").agg(Exact.dsum(col("c")).as("g"))
+        .groupBy("bucket").agg(Exact.dsumL(col("c"), 6).as("g"))
       val withPrev = wDf match {
         case None => g.withColumn("w", lit(0.0))
         case Some(prev) => g.join(broadcast(prev), Seq("bucket"), "left")
           .withColumn("w", coalesce(col("w"), lit(0.0)))
       }
+      val t0 = System.nanoTime()
       w = Some(withPrev.select(col("bucket"),
         round(col("w") - (lit(lr) * col("g")) / lit(nDocs), 6).as("w"))
         .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+      // dev trace (env-gated, off in every gate/bench path): per-round
+      // wall time of the collect that drives the whole round's DAG
+      if (sys.env.contains("GRAFT_LR_TRACE"))
+        System.err.println(
+          f"[lr-trace] round $r ${(System.nanoTime() - t0) / 1e9}%.3f s")
       trajectory += LogisticModel(w.get.toMap, nBuckets, nDocs, r, lr)
     }
     trajectory.result()
   }
 
   /** The t45 report over a trained model: per observed bucket its
-    * training-corpus occurrence count and learned weight. */
+    * training-corpus occurrence count and learned weight. The n_occ
+    * aggregation reads the SAME checkpointed feature stream training
+    * just consumed (r18: previously it re-tokenized the corpus into a
+    * second, unmaterialized stream — one full extra pass). */
   def logisticTrainReport(train: DataFrame, idCol: String, textCol: String,
                           label: Column, nBuckets: Int = 512,
                           rounds: Int = 4, lr: Double = 1024.0): DataFrame = {
-    val model = logisticTrain(train, idCol, textCol, label, nBuckets,
-      rounds, lr)
-    val (_, feats) = logisticFrames(train, idCol, textCol, label, nBuckets,
-      materialize = false)
+    val (meta, feats) = logisticFrames(train, idCol, textCol, label,
+      nBuckets, materialize = true)
+    val model = logisticTrainLoop(meta, feats, nBuckets, rounds, lr).last
     feats.groupBy("bucket").agg(count(lit(1)).as("n_occ"))
       .join(broadcast(weightsDf(train, model)), Seq("bucket"))
       .select(col("bucket"), col("n_occ"), col("w"))
@@ -1953,10 +1986,18 @@ object TextAnalysis {
                            model: LogisticModel): DataFrame = {
     val (_, feats) = logisticFrames(docs, idCol, textCol, lit(false),
       model.nBuckets, materialize = false)
-    withWeights(feats, Some(weightsDf(docs, model)))
+    logisticScoreDecimalFrames(feats, model)
+  }
+
+  /** [[logisticScoreDecimal]] over a PRE-BUILT feature stream — the
+    * r18 shape for callers that already hold (meta, feats) frames
+    * (t48 scores the same eval stream its meta comes from, one
+    * tokenize pass instead of three). */
+  private[graft] def logisticScoreDecimalFrames(feats: DataFrame,
+                                                model: LogisticModel): DataFrame =
+    withWeights(feats, Some(weightsDf(feats, model)))
       .groupBy("doc_id")
       .agg(sum(col("wf").cast(Exact.D)).as("swd"))
-  }
 
   /** Score `docs` under a trained model (t46): per doc the exact
     * decimal weight sum (`pred` gates on its sign — sum > 0 ⟺ mean
@@ -1967,8 +2008,19 @@ object TextAnalysis {
                     label: Column, model: LogisticModel): DataFrame = {
     val (meta, feats) = logisticFrames(docs, idCol, textCol, label,
       model.nBuckets, materialize = false)
-    val sw = withWeights(feats, Some(weightsDf(docs, model)))
-      .groupBy("doc_id").agg(Exact.dsum(col("wf")).as("sum_w"))
+    logisticApplyFrames(meta, feats, model)
+  }
+
+  /** [[logisticApply]] over PRE-BUILT (meta, feats) frames — the r18
+    * shape for multi-model scoring loops (t49 scores 5 trajectory
+    * snapshots against ONE materialized eval stream instead of
+    * re-tokenizing the split per round). */
+  private[graft] def logisticApplyFrames(meta: DataFrame, feats: DataFrame,
+                                         model: LogisticModel): DataFrame = {
+    // long-scaled exact sum — same 6dp-addend envelope argument as the
+    // training loop; proved ≡ the decimal sum (oracle-checked at both SFs)
+    val sw = withWeights(feats, Some(weightsDf(feats, model)))
+      .groupBy("doc_id").agg(Exact.dsumL(col("wf"), 6).as("sum_w"))
     meta.join(sw, Seq("doc_id"))
       .select(col("doc_id"), col("n_feats"), col("sum_w"), col("y"),
         (col("sum_w") > lit(0.0)).as("pred"))

@@ -20,6 +20,98 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Natural unique(-ish) key per FACT/CORPUS table, used by the scan
+    * fan-out below. Dimension tables (region..part) are deliberately
+    * absent: they are broadcast-sized by the star-schema contract, and
+    * fanning a broadcast side would only add an exchange job in front
+    * of every broadcast build. */
+  private val fanOutKey: Map[String, String] = Map(
+    "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** Footer summary of a single parquet file: (rowGroups, bytes,
+    * rows). Cached on (path, length, mtime) — a driver-side footer
+    * read costs ~1 ms and each bench rep re-opens the table. */
+  private final case class FileMeta(rowGroups: Int, bytes: Long, rows: Long)
+
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FileMeta]
+
+  private def fileMetaOf(spark: SparkSession, path: String): FileMeta = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    footerCache.computeIfAbsent((path, st.getLen, st.getModificationTime),
+      { _ =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, fs.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          FileMeta(blocks.size, st.getLen, blocks.map(_.getRowCount).sum)
+        } finally r.close()
+      })
+  }
+
+  /** Scale-adaptive SCAN FAN-OUT (optimization guide §2.5 input skew,
+    * §8 "use what you know that the optimizer does not"): a parquet
+    * ROW GROUP is the minimum read unit, so a single-row-group file
+    * scans in ONE task no matter how the splits are configured — and
+    * the driver's testdata files are exactly that shape (sf0.1
+    * lineitem: 600k rows, 1 row group), which serialized every
+    * downstream tokenize/aggregate onto one core of a 32-core box.
+    *
+    * When the file's row groups cannot feed half the cores AND the
+    * file is big enough for downstream work to matter (≥ 256 KB —
+    * sf0.001, unit fixtures and the plan-lock specs stay untouched),
+    * hash-repartition on the table's natural key to
+    * K = min(defaultParallelism, rows/150). Design notes:
+    *
+    *  - Keyed repartition, not round-robin: skips the
+    *    sortBeforeRepartition local sort and aligns with the dominant
+    *    downstream partitioning (per-doc/per-order aggregations at
+    *    spark.sql.shuffle.partitions == K reuse the exchange).
+    *  - Row-count-aware K: tiny tables (embeddings, 2000 rows) do not
+    *    fan into 32 near-empty partitions whose per-task overhead
+    *    dominates iterative (k-means/PQ) consumers.
+    *  - A UNION of K disjoint key-range scans (no exchange at all) was
+    *    measured as the alternative and REJECTED: with self-joining /
+    *    multi-reference consumers the K-leg union multiplies into
+    *    16 MB task binaries and minute-long plans (q60 1 s → 41 s) —
+    *    see OPTIMIZATION_r18.md. The exchange costs one serialized
+    *    pass of the (column-pruned, filter-pushed — both still reach
+    *    the scan through the repartition) row stream; the win is every
+    *    downstream tokenize/aggregate/window running K-wide instead of
+    *    serially.
+    *  - At production scale files carry many row groups, so the rule
+    *    self-disables: plain scan, zero overhead. Key distributions
+    *    are unique-ish (≥ 150k orderkeys, 5k doc_ids against ≤ 32-way
+    *    fan-out), so hash balance holds (guide §2.5).
+    *
+    * Env `SPARK_GRAFT_SCAN_FANOUT`: `auto` (default) | `off` | an
+    * integer forcing K. */
+  private def fanOut(spark: SparkSession, df: DataFrame, name: String,
+                     path: String): DataFrame = {
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "auto")
+    if (mode == "off") return df
+    val keyOpt = fanOutKey.get(name)
+    if (keyOpt.isEmpty) return df
+    val key = keyOpt.get
+    val par = spark.sparkContext.defaultParallelism
+    val forced = mode.toIntOption
+    val meta =
+      try fileMetaOf(spark, path)
+      catch { case _: Throwable => return df } // unreadable footer: plain scan
+    val auto = meta.rowGroups < math.max(par / 2, 1) &&
+      meta.bytes >= 256L * 1024
+    val k = forced.getOrElse(
+      math.min(par.toLong, math.max(1L, meta.rows / 150L)).toInt)
+    if ((forced.isEmpty && !auto) || k <= 1) df
+    else df.repartition(k, org.apache.spark.sql.functions.col(key))
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Legacy testdata generations carried events.ts as TIMESTAMP(NANOS),
     // which Spark rejects at schema conversion unless this conf is set
@@ -32,6 +124,30 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** [[apply]] + [[fanOut]]: the OPT-IN fan-out reader. Deliberately a
+    * separate entry instead of a blanket rule inside [[apply]] — a
+    * full-surface A/B (OPTIMIZATION_r18.md) showed fan-out is a clear
+    * win only for consumers whose per-row work dwarfs one exchange of
+    * the rows (feature/shingle EXPLODE pipelines, multi-pass trainers,
+    * heavy decimal aggregations) and a net loss for
+    * reduce-immediately consumers (sketch aggregates, small word-table
+    * pipelines), so each call site chooses. */
+  def fanned(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    fanOut(spark, apply(spark, dir, name), name, path)
+  }
+
+  def documentsFanned(s: SparkSession, d: String): DataFrame =
+    fanned(s, d, "documents")
+  def embeddingsFanned(s: SparkSession, d: String): DataFrame =
+    fanned(s, d, "embeddings")
+  def lineitemFanned(s: SparkSession, d: String): DataFrame =
+    fanned(s, d, "lineitem")
+  /** Fanned events goes through [[events]] (the ts-layout normalizer),
+    * then the same fan-out rule. */
+  def eventsFanned(s: SparkSession, d: String): DataFrame =
+    fanOut(s, events(s, d), "events", s"$d/events.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -39,7 +39,16 @@ object PlanDump {
             java.nio.file.Files.write(
               java.nio.file.Paths.get(outDir, s"$n.plan"),
               norm.getBytes("UTF-8"))
-            println(s"[plandump] $n -> $outDir/$n.plan")
+            // the POST-EXECUTION formatted plan (AQE-final: executed
+            // once, so join strategies / coalesced reads are the
+            // runtime ones) — the optimization-round evidence format
+            // (plans/r*/<query>_{before,after}.txt)
+            val fmt = qe.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"$n.fmt"),
+              fmt.getBytes("UTF-8"))
+            println(s"[plandump] $n -> $outDir/$n.plan + .fmt")
           case None =>
             println(s"[plandump] $n: no completed execution captured, skipped")
         }

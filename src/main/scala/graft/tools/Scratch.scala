@@ -8,8 +8,9 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // temp warehouse (the Verify/Bench discipline): a repo-local
       // ./spark-warehouse leftover makes the NEXT run's fresh
@@ -45,6 +46,91 @@ object Scratch {
       val fullE = Similarity.embeddingNearDupPairs(emb, 0.45)
       println(s"d06 lsh=${lshE.count()} full=${fullE.count()} " +
         s"missed=${fullE.exceptAll(lshE).count()} extra=${lshE.exceptAll(fullE).count()}")
+      spark.stop()
+      return
+    }
+    if (name == "_lr_profile") {
+      // r18 optimization forensics: where do the LR-family seconds go —
+      // feature-stream build, per-GD-round passes, or scoring?
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(spark, dir)
+      val label = graft.plans.TextHash.classifierScore(
+        graft.functions.TextOps.tokens(col("text"))) > 0L
+      def t[A](lbl: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[lr] $lbl ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      (1 to 2).foreach { rep =>
+        println(s"[lr] --- rep $rep ---")
+        val (meta, feats) = t("frames(lazy)")(TextAnalysis.logisticFrames(
+          docs, "doc_id", "text", label, 4096, materialize = true))
+        t("materialize meta")(meta.count())
+        t("materialize feats")(feats.count())
+        val counts = t("counts collect")(
+          meta.agg(count(lit(1)), sum(col("y"))).collect().head)
+        println(s"[lr] nDocs=${counts.getLong(0)} nPos=${counts.getLong(1)}")
+        val model = t("train 4 rounds")(TextAnalysis.logisticTrain(
+          docs, "doc_id", "text", label, 4096, 4))
+        t("apply pass")(TextAnalysis.logisticApply(
+          docs, "doc_id", "text", label, model)
+          .write.format("noop").mode("overwrite").save())
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop()
+      return
+    }
+    if (name == "_lr_round_exp") {
+      // r18: one GD round's cost decomposition — is the per-round
+      // wall in (a) the feats⋈err sort-merge sort, (b) the
+      // Decimal(30,10) sums, or (c) fixed stage latency? Variants must
+      // produce IDENTICAL w1 tables (checked) or they're not eligible.
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextAnalysis
+      import graft.functions.Exact
+      val docs = Tables.documentsFanned(spark, dir)
+      val label = graft.plans.TextHash.classifierScore(
+        graft.functions.TextOps.tokens(col("text"))) > 0L
+      val (meta, feats) = TextAnalysis.logisticFrames(
+        docs, "doc_id", "text", label, 4096, materialize = true)
+      meta.count(); feats.count()
+      val nDocs = 5000L
+      def roundOnce(dsumF: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                    hintErr: Boolean): org.apache.spark.sql.DataFrame = {
+        val sw = feats.withColumn("wf", lit(0.0))
+          .select(col("doc_id"), col("wf"))
+          .groupBy("doc_id").agg(dsumF(col("wf")).as("sw"))
+        val err0 = meta.join(sw, Seq("doc_id"))
+          .select(col("doc_id").as("__did"),
+            ((round(lit(1.0) / (lit(1.0) + exp(-(col("sw") / col("n_feats")))), 6)
+              - col("y").cast("double")) * when(col("y") === 1L,
+              lit(0.5460899)).otherwise(lit(5.9241706))).as("err"),
+            col("n_feats").as("__nf"))
+        val err = if (hintErr) err0.hint("shuffle_hash") else err0
+        feats.join(err, col("doc_id") === col("__did"))
+          .select(col("bucket"), round(col("err") / col("__nf"), 6).as("c"))
+          .groupBy("bucket").agg(dsumF(col("c")).as("g"))
+      }
+      def time(lbl: String)(f: => Unit): Unit = (1 to 4).foreach { i =>
+        val t0 = System.nanoTime()
+        f
+        println(f"[exp] $lbl rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      time("A dsum+smj") { roundOnce(Exact.dsum, hintErr = false)
+        .write.format("noop").mode("overwrite").save() }
+      time("B dsum+shj") { roundOnce(Exact.dsum, hintErr = true)
+        .write.format("noop").mode("overwrite").save() }
+      time("C dsumL+shj") { roundOnce(Exact.dsumL(_, 6), hintErr = true)
+        .write.format("noop").mode("overwrite").save() }
+      val a = roundOnce(Exact.dsum, hintErr = false).orderBy("bucket").collect()
+      val b = roundOnce(Exact.dsum, hintErr = true).orderBy("bucket").collect()
+      val c = roundOnce(Exact.dsumL(_, 6), hintErr = true).orderBy("bucket").collect()
+      println(s"[exp] a==b ${a.sameElements(b)} a==c ${a.sameElements(c)}")
+      a.zip(c).filter { case (x, y) => x != y }.take(3)
+        .foreach { case (x, y) => println(s"[exp] DIFF $x vs $y") }
       spark.stop()
       return
     }
