@@ -314,6 +314,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // r18 (guide §2.2/§2.5): AQE's coalescing floor. The default
+      // 1 MB minPartitionSize assumes bytes ≈ work; the text/vector
+      // operators here do 100x more CPU per byte (tokenize, array
+      // intersect, window sort), so a few-MB shuffle coalesced to 1-8
+      // partitions serializes a CPU-heavy stage on an idle box. With
+      // parallelismFirst (default on) the target is already
+      // total/defaultParallelism — the floor below keeps that
+      // core-derived target in charge instead of overriding it at
+      // small shuffle sizes (256 KB measured best: 64 KB over-split
+      // d12's distinct aggregations, 1 MB serialized d19/q67). At production shuffle sizes the floor
+      // never binds (total/cores >> 64k), so the setting is inert at
+      // 100 TB. Env-parameterised; same value wired in Verify/PlanDump
+      // so measured plans match verified plans.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "262144"))
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .config("spark.ui.enabled", "false")

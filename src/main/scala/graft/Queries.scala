@@ -837,11 +837,11 @@ object Queries {
        | FROM lineitem GROUP BY l_orderkey
        | HAVING ${dsumMSql("l_quantity")} > 150.0) big
        | ON o.o_orderkey = big.l_orderkey""".stripMargin) { (s, dir) =>
-    val big = Tables.lineitem(s, dir)
+    val big = Tables.lineitemFanned(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(dsumM(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 150.0)
-    Tables.orders(s, dir)
+    Tables.fanned(s, dir, "orders")
       .join(big, col("o_orderkey") === col("l_orderkey"))
       .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
   }
@@ -2360,9 +2360,20 @@ object Queries {
     val seqd = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // r18: every recursion LEVEL maps once over this table probing
+      // the broadcast frontier — with the window's shuffle.partitions
+      // partitioning that was levels × partitions near-empty tasks
+      // (25 × 32 at sf0.1; task overhead, not work). Coalesce the
+      // checkpoint to a handful of level-pass partitions; the conf
+      // (default cores/4) scales the per-level pass back up when the
+      // per-partition slice of orders stops being trivial.
+      val levelParts = s.conf
+        .getOption("spark.graft.q70.seqdPartitions").map(_.toInt)
+        .getOrElse(math.max(1, s.sparkContext.defaultParallelism / 4))
       Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice") * 10000.0).cast("long").as("price_l"),
           row_number().over(w).cast("long").as("rn"))
+        .coalesce(levelParts)
         .localCheckpoint(false)
     }
     val frontierRows = q70FrontierCache.get(dir) match {
@@ -2415,7 +2426,7 @@ object Queries {
       | FROM lineitem GROUP BY 1) d ON d.l_orderkey = l.l_orderkey""".stripMargin) {
     (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
-      Tables.lineitem(s, dir)
+      Tables.lineitemFanned(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           size(collect_set(col("l_suppkey")).over(w)).cast("long").as("n_supp"))
   }
@@ -5396,8 +5407,24 @@ object Queries {
     val queries = emb.filter(col("id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb.filter(col("id") >= 10), 5)
       .select("query_id", "neighbor_id").localCheckpoint(false)
+    // r18: ONE routed+scored candidate pass at the deepest probe —
+    // shallower depths are prefix filters (r <= p, monotone-superset
+    // routing), and each depth's top-5 rank is a CONDITIONAL running
+    // count in a single shared window pass: rank among {r <= p} under
+    // (cos desc, neighbor_id) ≡ ivfTopK's row_number on the filtered
+    // set. Previously each depth re-routed and re-scored its own
+    // candidate subtree (4 probe plans per run).
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = Similarity.ivfScoredCandidates(queries, model, maxProbe = 4)
+      .select(Seq(col("query_id"), col("neighbor_id"), col("r")) ++
+        (1 to 4).map(p =>
+          sum(when(col("r") <= p, 1)).over(wWin).as(s"crk_$p")): _*)
+      .localCheckpoint(false)
     (1 to 4).map { p =>
-      val ann = Similarity.ivfTopK(queries, model, k = 5, nProbe = p)
+      val ann = ranked.filter(col("r") <= p && col(s"crk_$p") <= 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       exact.join(ann, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
@@ -5489,23 +5516,42 @@ object Queries {
     val exact = Similarity.bruteForceTopK(queries, corp, 5)
       .select("query_id", "neighbor_id").localCheckpoint(false)
     // score once at the deepest probe, slice 12 ways (the oracle's
-    // `scored` table, same plan shape): each grid cell is two rank
-    // filters over this checkpointed frame, not its own full probe
+    // `scored` table). r18: the 12 grid cells' two-level ranks are
+    // CONDITIONAL running counts over TWO shared window passes —
+    //   arn_p  = rank by (approx desc, neighbor) among {r <= p}
+    //   rn_p_sl = rank by (cos desc, neighbor) among {r <= p, arn_p <= sl}
+    // ≡ each cell's rank-filter-rank over its own filtered subtree
+    // (24 window plans before; the rank-within-filtered-set identity
+    // is the same one s21 uses).
+    val grid = for { p <- 1 to 4; sl <- Seq(5, 10, 20) } yield (p, sl)
+    val uw = org.apache.spark.sql.expressions.Window
+    def runWin(order: Seq[Column]) = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(order: _*)
+      .rowsBetween(uw.unboundedPreceding, uw.currentRow)
+    val wApprox = runWin(Seq(col("approx").desc, col("neighbor_id")))
+    val wCos = runWin(Seq(col("cos").desc, col("neighbor_id")))
     val scored = Similarity.adcResidualScoredCandidates(queries, ivf,
         postings, books, maxProbe = 4)
+      .select(Seq(col("query_id"), col("neighbor_id"), col("r"),
+        col("cos")) ++
+        (1 to 4).map(p =>
+          sum(when(col("r") <= p, 1)).over(wApprox).as(s"arn_$p")): _*)
+    val ranked = scored.select(Seq(col("query_id"), col("neighbor_id"),
+        col("r")) ++ (1 to 4).map(p => col(s"arn_$p")) ++
+        grid.map { case (p, sl) =>
+          sum(when(col("r") <= p && col(s"arn_$p") <= sl, 1)).over(wCos)
+            .as(s"rn_${p}_$sl")
+        }: _*)
       .localCheckpoint(false)
-    (for { p <- 1 to 4; sl <- Seq(5, 10, 20) } yield {
-      val short = Relational.topKPerGroup(scored.filter(col("r") <= p),
-        Seq(col("query_id")), Seq(col("approx").desc, col("neighbor_id")),
-        sl, rankCol = "arn")
-      val ann = Relational.topKPerGroup(short, Seq(col("query_id")),
-          Seq(col("cos").desc, col("neighbor_id")), 5)
+    grid.map { case (p, sl) =>
+      val ann = ranked.filter(col("r") <= p && col(s"arn_$p") <= sl &&
+          col(s"rn_${p}_$sl") <= 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       exact.join(ann, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
         .select(lit(p.toLong).as("nprobe"), lit(sl.toLong).as("shortlist"),
           col("n_exact"), col("n_hit"))
-    }).reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
       .withColumn("recall",
         round(col("n_hit").cast("double") / col("n_exact"), 6))
   }
@@ -6052,13 +6098,25 @@ object Queries {
        |      UNION ALL SELECT 'byte', * FROM bbpet)""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
-      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
-    val brules = TextAnalysis.byteBpeMerges(docs, "text", rounds = BpeRounds)
-      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq
-    val vocab = TextAnalysis.unigramVocab(docs, "text",
+    // The three tokenizer trainings are INDEPENDENT driver loops of
+    // small sequential jobs (argmax collect per merge round / EM
+    // round), each leaving most cores idle between actions — so run
+    // them as concurrent jobs from a thread pool (optimization guide
+    // §2.6 "overlap independent jobs"; r18). Each training is
+    // deterministic and untouched; only their wall-clocks overlap.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rulesF = Future(TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq)
+    val brulesF = Future(TextAnalysis.byteBpeMerges(docs, "text", rounds = BpeRounds)
+      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq)
+    val vocabF = Future(TextAnalysis.unigramVocab(docs, "text",
         vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
-      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
+      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap)
+    val rules = Await.result(rulesF, Duration.Inf)
+    val brules = Await.result(brulesF, Duration.Inf)
+    val vocab = Await.result(vocabF, Duration.Inf)
     def totals(applied: DataFrame, tokCol: String, name: String): DataFrame =
       applied.agg(sum(col("n_words")).as("n_words"),
           sum(col("n_chars")).as("n_chars"),

@@ -389,6 +389,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** Scored IVF candidates with their probe DEPTH `r` (the routing
+    * rank of the candidate's cell for that query, 1-based) — the
+    * nprobe-curve primitive (r18): candidates at `maxProbe` are
+    * monotone supersets of every shallower probe, so ONE scored pass
+    * answers all depths by filtering `r <= p` (s21's four-probe recall
+    * curve previously re-routed and re-scored per depth; the ADC twin
+    * [[adcResidualScoredCandidates]] already had this shape). Routing,
+    * scoring, and tie rules are [[ivfTopK]]'s exactly. */
+  def ivfScoredCandidates(queries: DataFrame, model: IVFModel,
+                          maxProbe: Int): DataFrame = {
+    val dists = centroidDists(model.centroids, col("vec"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        VectorOps.norm(col("vec")).as("qn"),
+        posexplode(transform(slice(array_sort(dists), 1, maxProbe),
+          s => s.getField("i"))).as(Seq("r0", "cid")))
+      .withColumn("r", (col("r0") + 1).cast("int")).drop("r0")
+    val c = model.assignments.select(col("cid"), col("id").as("neighbor_id"),
+      col("vec").as("cv"), VectorOps.norm(col("vec")).as("cn"))
+    q.join(c, "cid")
+      .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .select("query_id", "neighbor_id", "cos", "r")
+  }
+
   /** Metadata-filtered IVF probe — [[filteredTopK]]'s 100 TB path.
     * The index must have been built with `filterCol` riding the
     * posting list ([[ivfIndex]] `extraCols`); the probe then joins on

@@ -615,16 +615,19 @@ object TextAnalysis {
         sum(col("n_word_tok")).as("n_bpe_tokens"))
   }
 
-  /** Fold a learned merge list over a (word, syms) table — each rule
-    * one map-side [[foldRule]] pass, identical to the learning fold
-    * (apply and learn cannot drift), checkpointed per rule to keep
-    * the plan flat. */
+  /** Fold a learned merge list over a (word, syms) table — the rules
+    * COMPOSE into one projection (rule r's [[foldRule]] expression
+    * nests over rule r-1's), identical per-row semantics to the
+    * learning fold (apply and learn cannot drift), evaluated in ONE
+    * map pass. r18: previously each rule was localCheckpoint'd — one
+    * materialization job per rule, 2·rounds sequential driver jobs per
+    * apply query for work that is a single narrow projection; at any
+    * scale the fused form does strictly less (one pass over the
+    * bounded distinct-word table, no block-store round-trips). */
   private def foldMerges(seg0: DataFrame,
                          merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(seg0.localCheckpoint(false)) { case (seg, (x, y)) =>
-      seg.withColumn("syms", foldRule(col("syms"), x, y))
-        .localCheckpoint(false)
-    }
+    seg0.withColumn("syms",
+      merges.foldLeft(col("syms")) { case (c, (x, y)) => foldRule(c, x, y) })
 
   /** Apply LEARNED byte-level merges ([[byteBpeMerges]]) to the corpus
     * (t42): per doc, pre-token count, UTF-8 byte count, and the token
