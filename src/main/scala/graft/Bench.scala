@@ -514,9 +514,16 @@ object Bench {
     // ONE timestamp for both renders: the file and the stdout line
     // must be cross-checkable as the same run
     val wallEnd = System.currentTimeMillis()
-    val line = renderJson(results, failed.toSeq, reps, sfDir,
-      calPre, calMid, calPost, wallEnd, skippedList,
-      reran.toSeq, sortPre = sortPre, sortPost = sortPost)
+    // r19: the stdout line is the COMPACT driver contract (per-query
+    // seconds + total + failed/reran only). The old stdout variant
+    // (reps/estimator/skipped/calibration/wall_end_ms) overflowed the
+    // driver's small stdout-tail capture every round since the suite
+    // passed ~70 queries — `parsed: null` in BENCH_r14..r18.json — so
+    // the ground-truth instrument never saw per-query numbers. All of
+    // those fields still live in the fat BENCH_LAST.json record below,
+    // which is byte-compatible with every prior round's artifact.
+    val line = renderCompactJson(results, failed.toSeq, sfDir,
+      cpus.toInt, reran.toSeq)
     // the FULL artifact (adds the per-rep spread) goes to the file the
     // judge reads — no 2000-char stdout-tail constraint there. ONLY
     // full-surface runs may write it: an SPARK_GRAFT_BENCH_ONLY debug
@@ -585,7 +592,32 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-  /** The one JSON line the driver parses. Contract (spec-locked in
+  /** The COMPACT one-line JSON the driver parses from stdout (r19).
+    * Contract fields only — metric/value/unit/sf/queries — plus cpus,
+    * failed, reran, and a trailing duplicate total_sec so the headline
+    * survives even a harsh tail truncation. ~5.3 KB at 205 queries
+    * (names dominate; they are part of the cross-round contract and
+    * cannot shrink). Per-query seconds print at 3 decimals: 1 ms
+    * granularity, an order of magnitude below the box's noise floor,
+    * and 205 bytes shorter than the file variant's 4-decimal form.
+    * Everything else (reps, estimator, skipped, calibration axes,
+    * spread, work records, wall_end_ms) stays in the fat
+    * BENCH_LAST.json / SPARK_GRAFT_BENCH_OUT record, unchanged. */
+  def renderCompactJson(results: Seq[(String, Double)],
+                        failed: Seq[String], sfDir: String, cpus: Int,
+                        reran: Seq[String] = Nil): String = {
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val reranJson = reran.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"queries":$qs,"failed":$failedJson,"reran":$reranJson,"total_sec":${r3(total)}}"""
+  }
+
+  /** The full-record JSON renderer (BENCH_LAST.json /
+    * SPARK_GRAFT_BENCH_OUT; the stdout line before r19). Contract (spec-locked in
     * BenchFormatSpec): 4-decimal Locale.ROOT numbers keep the line short
     * (the driver stores only a 2000-char stdout TAIL, and full-precision
     * doubles pushed earlier fields out of rounds 4-6's artifacts);

@@ -4,12 +4,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Locks the bench artifact contract without running a bench.
   *
-  * The driver keeps only a 2000-char stdout TAIL of the bench run, so the
-  * JSON field ORDER is load-bearing: calibration / total_sec /
-  * wall_end_ms must come after the (long) queries dict or they vanish
-  * from the round artifact — the rounds 4-6 failure mode this spec
-  * prevents from regressing. Numbers must be Locale.ROOT-formatted: a
-  * comma decimal separator under e.g. de_DE would corrupt the line.
+  * r19: stdout carries the COMPACT line (renderCompactJson — contract
+  * fields + cpus/failed/reran only, ~5.3 KB at 205 queries) because
+  * the driver keeps only a small stdout TAIL of the bench run and the
+  * old stdout variant overflowed it every round since ~r07 (`parsed:
+  * null` in BENCH_r14..r18.json). The fat record (renderJson — reps,
+  * estimator, skipped, calibration, spread, work, wall_end_ms) is
+  * file-only: BENCH_LAST.json / SPARK_GRAFT_BENCH_OUT. Field ORDER in
+  * both stays truncation-aware: the headline total comes after the
+  * (long) queries dict so a harsh tail still carries it. Numbers must
+  * be Locale.ROOT-formatted: a comma decimal separator under e.g.
+  * de_DE would corrupt the line.
   *
   * NOISE-EVIDENCE contract (round 15): calibration carries pre/MID/post
   * samples, `reran` names queries the 3x-outlier rule re-ran, and the
@@ -26,6 +31,46 @@ class BenchFormatSpec extends AnyFunSuite {
     calPre = 0.31, calMid = 0.33, calPost = 0.42, wallEndMs = 1755120000000L,
     skipped = Seq("q68", "q05"),
     reran = Seq("q02"))
+
+  private val compact = Bench.renderCompactJson(
+    results = Seq("q01" -> 1.23456789, "q02" -> 0.5),
+    failed = Seq("q99"), sfDir = "/data/sf0.1", cpus = 32,
+    reran = Seq("q02"))
+
+  test("compact stdout line: contract fields, nothing else, tight") {
+    assert(compact.startsWith("{") && compact.endsWith("}"))
+    assert(!compact.contains("\n"))
+    assert(compact.count(_ == '{') == compact.count(_ == '}'))
+    // contract fields, in a truncation-aware order (total_sec last)
+    val order = Seq("\"metric\"", "\"value\"", "\"unit\"", "\"sf\"",
+      "\"cpus\"", "\"queries\"", "\"failed\"", "\"reran\"",
+      "\"total_sec\"").map(compact.indexOf)
+    assert(order.forall(_ >= 0), compact)
+    assert(order == order.sorted, compact)
+    assert(compact.contains("\"metric\":\"total\""))
+    assert(compact.contains("\"unit\":\"sec\""))
+    assert(compact.contains("\"sf\":\"/data/sf0.1\""))
+    assert(compact.contains("\"cpus\":32"))
+    // 3-decimal per-query values, locale-safe
+    assert(compact.contains("\"q01\":1.235"), compact)
+    assert(compact.contains("\"q02\":0.500"), compact)
+    assert(compact.contains("\"value\":1.735"))
+    assert(compact.contains("\"total_sec\":1.735"))
+    assert(compact.contains("\"failed\":[\"q99\"]"))
+    assert(compact.contains("\"reran\":[\"q02\"]"))
+    assert(!compact.matches(""".*\d,\d{3}[,}].*"""), s"locale comma in: $compact")
+    // the whole reason this line exists: no fat fields may sneak in —
+    // every byte added per query risks overflowing the driver capture
+    for (absent <- Seq("\"spread\"", "\"work\"", "\"calibration\"",
+        "\"skipped\"", "\"estimator\"", "\"reps\"", "\"wall_end_ms\""))
+      assert(!compact.contains(absent), s"$absent must stay file-only")
+    // byte budget: per-query cost is name + 9 chars; with the 205-name
+    // contract surface (3468 name chars committed in BENCH_LAST.json)
+    // the real line lands ~5.3 KB — lock the fixed overhead here
+    val overhead = compact.length -
+      Seq("q01", "q02", "q99", "q02").map(_.length + 9).sum
+    assert(overhead < 160, s"fixed overhead grew to $overhead: $compact")
+  }
 
   test("emits one parseable JSON object") {
     // no JSON lib on the classpath; structural checks pin the grammar
