@@ -1496,8 +1496,9 @@ object Queries {
     * overlapping windows merge into maximal spans (gap > k splits —
     * closer windows share covered tokens, so the interval sum is
     * overlap-free and `dup_tokens` is the exact covered-token count).
-    * Oracle mirrors the same md5-prefix gram keys, dup filter, and
-    * gaps-and-islands span merge. */
+    * Oracle mirrors the same gram-key dup filter and gaps-and-islands
+    * span merge (its keys are raw grams; the engine's are xxhash64
+    * longs — equality-only, injective on the corpus, counts agree). */
   val d11 = q("d11_substring_dedup",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |base AS (
@@ -2367,12 +2368,23 @@ object Queries {
       // checkpoint to a handful of level-pass partitions; the conf
       // (default cores/4) scales the per-level pass back up when the
       // per-partition slice of orders stops being trivial.
+      // toIntOption + clamp: a malformed or non-positive conf value
+      // falls back to the scale-adaptive default instead of blowing up
+      // coalesce() at runtime
       val levelParts = s.conf
-        .getOption("spark.graft.q70.seqdPartitions").map(_.toInt)
+        .getOption("spark.graft.q70.seqdPartitions")
+        .flatMap(_.toIntOption).filter(_ >= 1)
         .getOrElse(math.max(1, s.sparkContext.defaultParallelism / 4))
+      // r19: cum_l (per-customer prefix sum, same window pass as rn —
+      // integer adds, so it equals the recursion's accumulation
+      // bit-for-bit) lets each recursion level emit a RANGE of
+      // positions without chaining additions, which is what makes the
+      // stride-K walk below possible.
       Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice") * 10000.0).cast("long").as("price_l"),
-          row_number().over(w).cast("long").as("rn"))
+          row_number().over(w).cast("long").as("rn"),
+          sum(round(col("o_totalprice") * 10000.0).cast("long")).over(w)
+            .as("cum_l"))
         .coalesce(levelParts)
         .localCheckpoint(false)
     }
@@ -2397,14 +2409,30 @@ object Queries {
     val frontierLimit = s.conf.getOption("spark.graft.q70.broadcastFrontierLimit")
       .map(_.toLong).getOrElse(4000000L)
     val hint = if (frontierRows <= frontierLimit) "/*+ BROADCAST(c) */ " else ""
+    // STRIDE-K recursion (r19, VERDICT #8): each level's join emits K
+    // chain positions per customer (range probe of the frontier; the
+    // running total reads the precomputed prefix sum, so no per-step
+    // chaining is needed) and only the (c.rn + K)th row advances the
+    // frontier (`adv`). Every recursion level is a FULL pass over
+    // seqd, so stride K cuts the pass count — and the per-level
+    // UnionLoop plan/schedule floor — from depth to ceil(depth/K):
+    // measured 3.3 s → 0.67 s at sf0.1 (depth 25, K=5, 32c), rows
+    // exactly identical (Scratch _q70_stride, 3-rep + collect
+    // compare; integer prefix sums are associative, so cum_l ≡ the
+    // chained accumulation bit-for-bit). K=5 keeps ≥ 5 genuine
+    // UnionLoop iterations at every SF (depth is 25 everywhere);
+    // K=1 reproduces the classic one-step walk.
+    val stride = s.conf.getOption("spark.graft.q70.stride")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(5)
     s.sql(
-      s"""WITH RECURSIVE chain(o_custkey, o_orderkey, rn, running_l) AS (
-        | SELECT o_custkey, o_orderkey, rn, price_l FROM seqd WHERE rn = 1
+      s"""WITH RECURSIVE chain(o_custkey, o_orderkey, rn, running_l, adv) AS (
+        | SELECT o_custkey, o_orderkey, rn, cum_l, true FROM seqd WHERE rn = 1
         | UNION ALL
-        | SELECT ${hint}s.o_custkey, s.o_orderkey, s.rn,
-        |  c.running_l + s.price_l
+        | SELECT ${hint}s.o_custkey, s.o_orderkey, s.rn, s.cum_l,
+        |  s.rn = c.rn + $stride
         | FROM chain c JOIN seqd s
-        |  ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1)
+        |  ON s.o_custkey = c.o_custkey AND c.adv
+        |  AND s.rn BETWEEN c.rn + 1 AND c.rn + $stride)
         |SELECT o_custkey, o_orderkey, rn,
         | CAST(running_l AS DOUBLE) / 10000.0 AS running
         |FROM chain""".stripMargin)
@@ -3007,20 +3035,24 @@ object Queries {
       | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-    // The HLLs aggregate SEPARATELY from the exact counts: two DISTINCT
-    // aggregates plan a 3-way expand, and dragging the multi-KB HLL
-    // buffers (rsd 0.0125 → 2^13 registers) through that expanded
-    // aggregation was ~15x slower than this split + 3-row join.
+    // One leg per distinct column (r19; previously exact[Expand x3] +
+    // a separate approx scan + join): each leg distincts its
+    // (flag, key) pairs — no Expand anywhere — and the HLL rides the
+    // SAME pass (register insertion is idempotent, so the sketch over
+    // distinct pairs is register-identical to one over raw rows; the
+    // q64 argument). The old structure's trap stands: HLL buffers must
+    // never ride an Expand (multi-KB registers x expanded rows was
+    // ~15x slower) — here no leg has one.
     // rsd 0.0125 makes the 5% invariant a 4σ bound (P(miss) ~ 1e-4
     // across all six cells; the default 0.05 leaves 5% at 1σ — a ~1/3
     // flake rate per cell).
-    val approx = li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.0125).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.0125).as("ao"))
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
-    exact.join(approx, "l_returnflag")
+    def leg(c: String, exactName: String, apName: String) =
+      li.where(col(c).isNotNull).select(col("l_returnflag"), col(c)).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(exactName),
+          approx_count_distinct(col(c), 0.0125).as(apName))
+    leg("l_partkey", "exact_parts", "ap")
+      .join(leg("l_orderkey", "exact_orders", "ao"), "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("ap") - col("exact_parts"))
           <= col("exact_parts") * lit(0.05)).as("parts_within_5pct"),
@@ -3163,11 +3195,19 @@ object Queries {
       | TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"))
-    val approx = li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ad"))
-    exact.join(approx, "l_returnflag")
+    // ONE scan (r19; previously exact + approx scanned lineitem twice
+    // and 3-row-joined): HLL register insertion is idempotent, so
+    // approx_count_distinct over the DISTINCT (flag, partkey) pairs is
+    // register-identical to running it over the raw rows — and the
+    // exact COUNT(DISTINCT) materializes exactly those pairs anyway
+    // (its partial-distinct shuffle). The null filter mirrors
+    // COUNT(DISTINCT)'s null exclusion (vacuous on lineitem, where
+    // l_partkey is non-null; stated for exact parity in general).
+    li.where(col("l_partkey").isNotNull)
+      .select("l_returnflag", "l_partkey").distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ad"))
       .select(col("l_returnflag"), col("n_parts"),
         (abs(col("ad") - col("n_parts")) <= col("n_parts") * lit(0.05))
           .as("approx_ok"))
@@ -3990,19 +4030,24 @@ object Queries {
       |FROM e""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+    // n_day rides the daily sketch pass (r19): the per-type totals the
+    // eps-gate needs are just the daily counts re-summed, so the
+    // third full events scan (a groupBy(type) count) is gone — events
+    // is now scanned twice: once for the daily sketches, once with
+    // the pushed user_id IN (1,2,3) filter for the exact side.
     val daily = ev.groupBy(col("event_type"), col("d"))
-      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_day"))
     val merged = daily.groupBy(col("event_type"))
-      .agg(graft.functions.Aggregators.cmsMerge(col("sk")).as("sk"))
+      .agg(graft.functions.Aggregators.cmsMerge(col("sk")).as("sk"),
+        sum(col("n_day")).as("n_total"))
     val estimate = udf((sk: Array[Byte], u: Long) =>
       graft.functions.Aggregators.cmsEstimate(sk, u))
     val exact = ev.filter(col("user_id").isin(1L, 2L, 3L))
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("exact_n"))
-    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
     exact
       .join(broadcast(merged), "event_type")
-      .join(broadcast(totals), "event_type")
       .withColumn("est", estimate(col("sk"), col("user_id")))
       .select(col("event_type"), col("user_id"), col("exact_n"),
         (col("est") >= col("exact_n")).as("ge_exact"),
@@ -5012,7 +5057,7 @@ object Queries {
   /** Per-source n-gram diversity (t33): distinct/total uni-, bi-,
     * trigram counts per source — the repetitiveness diagnostic read
     * next to d17's duplication rates. Integer counts only (ratios
-    * derived downstream); distincts shuffle md5-prefix keys. The
+    * derived downstream); distincts shuffle 64-bit long keys. The
     * shingle convention matches TextOps: a doc shorter than n yields
     * its whole text as one shingle. */
   val t33 = q("t33_ngram_diversity",
@@ -5762,10 +5807,14 @@ object Queries {
        |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val vocab = TextAnalysis.unigramVocab(docs, "text",
-        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+    // frame reuse (r19): the trainer's distinct-word table IS the
+    // apply-side word table (same corpus, same tokenizer) — one corpus
+    // tokenize+distinct saved per invocation
+    val (words, vocabDf) = TextAnalysis.unigramVocabFrames(docs, "text",
+      vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+    val vocab = vocabDf
       .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
-    TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
+    TextAnalysis.unigramApplyFrames(docs, "doc_id", "text", words, vocab,
       maxPieceLen = UniPiece)
   }
 
@@ -6104,19 +6153,37 @@ object Queries {
     // them as concurrent jobs from a thread pool (optimization guide
     // §2.6 "overlap independent jobs"; r18). Each training is
     // deterministic and untouched; only their wall-clocks overlap.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val rulesF = Future(TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
-      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq)
-    val brulesF = Future(TextAnalysis.byteBpeMerges(docs, "text", rounds = BpeRounds)
-      .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq)
-    val vocabF = Future(TextAnalysis.unigramVocab(docs, "text",
-        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
-      .select(col("piece"), col("score")).as[(String, Long)].collect().toMap)
-    val rules = Await.result(rulesF, Duration.Inf)
-    val brules = Await.result(brulesF, Duration.Inf)
-    val vocab = Await.result(vocabF, Duration.Inf)
+    // dedicated 3-thread pool, not the shared global fork-join pool:
+    // these futures BLOCK on Spark collects, which would starve other
+    // users of the implicit global, and a private pool can be shut
+    // down so a failed training doesn't leave the other two burning
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val rulesF = Future(TextAnalysis.bpeMerges(docs, "text", rounds = BpeRounds)
+        .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq)
+      val brulesF = Future(TextAnalysis.byteBpeMerges(docs, "text", rounds = BpeRounds)
+        .orderBy("round").select("x", "y").as[(String, String)].collect().toSeq)
+      val vocabF = Future {
+        // frame reuse (r19, as t38): keep the trainer's distinct-word
+        // frame for the apply leg below
+        val (words, vdf) = TextAnalysis.unigramVocabFrames(docs, "text",
+          vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+        (words,
+          vdf.select(col("piece"), col("score")).as[(String, Long)].collect().toMap)
+      }
+      val rules = Await.result(rulesF, Duration.Inf)
+      val brules = Await.result(brulesF, Duration.Inf)
+      val (uwords, vocab) = Await.result(vocabF, Duration.Inf)
+      t39Assemble(docs, rules, brules, uwords, vocab)
+    } finally pool.shutdownNow()
+  }
+
+  private def t39Assemble(docs: DataFrame, rules: Seq[(String, String)],
+                          brules: Seq[(String, String)], uwords: DataFrame,
+                          vocab: Map[String, Long]): DataFrame = {
     def totals(applied: DataFrame, tokCol: String, name: String): DataFrame =
       applied.agg(sum(col("n_words")).as("n_words"),
           sum(col("n_chars")).as("n_chars"),
@@ -6126,7 +6193,7 @@ object Queries {
     totals(TextAnalysis.bpeApply(docs, "doc_id", "text", rules),
         "n_bpe_tokens", "bpe")
       .unionByName(totals(
-        TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
+        TextAnalysis.unigramApplyFrames(docs, "doc_id", "text", uwords, vocab,
           maxPieceLen = UniPiece), "n_unigram_tokens", "unigram"))
       // the byte family reports pre-tokens as words and UTF-8 bytes as
       // the character mass (its native units — the fertility and
@@ -6169,11 +6236,13 @@ object Queries {
        |FROM packed GROUP BY shard, pack_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val vocab = TextAnalysis.unigramVocab(docs, "text",
-        vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+    // frame reuse (r19, as t38): trainer's word table feeds the apply
+    val (words, vocabDf) = TextAnalysis.unigramVocabFrames(docs, "text",
+      vocabSize = UniVocab, rounds = UniRounds, maxPieceLen = UniPiece)
+    val vocab = vocabDf
       .select(col("piece"), col("score")).as[(String, Long)].collect().toMap
     TextAnalysis.packByCount(
-        TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
+        TextAnalysis.unigramApplyFrames(docs, "doc_id", "text", words, vocab,
           maxPieceLen = UniPiece),
         "doc_id", "n_unigram_tokens", capacity = 4096, shards = 4)
       .groupBy("shard", "pack_id")

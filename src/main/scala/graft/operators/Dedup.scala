@@ -1120,14 +1120,21 @@ object Dedup {
       "containment threshold is a fraction num/den")
     // one text scan: distinct shingle-KEY sets (verify side) and their
     // exploded form (candidate side) both derive from it. Shingles are
-    // hashed to 16-hex keys AT BUILD (the d11/d12 key discipline): the
-    // verify join then ships and hash-compares fixed 16-byte keys
-    // instead of raw n-gram text — set sizes and intersections are
-    // unchanged (distinct-after-hash), the bytes are ~half
+    // hashed to 64-bit LONG keys at build (r19 — previously 16-hex md5
+    // prefixes, i.e. the same 64 bits as strings): set sizes and
+    // intersections are unchanged (distinct-after-hash, the same
+    // injectivity-on-the-corpus argument either way, oracle-checked at
+    // every SF), but candidates now shuffle/compare 8-byte longs
+    // instead of 16-byte UTF8 strings, and the sets are SORTED once
+    // per document so the verify stage's |∩| is an allocation-free
+    // merge scan per pair instead of a hash-set build over strings
+    // (guide §2.3 narrower types + §4.2 native per-task work; the
+    // verify stage was the slowest genuinely-data-bound path left
+    // after r18).
     val sets = docs.select(col(idCol).as("doc_id"),
-        array_distinct(transform(
+        sort_array(array_distinct(transform(
           TextOps.shingles(TextOps.tokens(col(textCol)), shingleN),
-          s => substring(md5(s), 1, 16))).as("sh"))
+          s => xxhash64(s)))).as("sh"))
       .localCheckpoint(false)
     val keys = sets.select(col("doc_id"), explode(col("sh")).as("gk"))
     val rare = keys.groupBy("gk")
@@ -1146,8 +1153,10 @@ object Dedup {
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"),
         // native one-pass |∩| (no intermediate intersection array in
-        // the verify join's inner loop — the ArrayJaccard lesson)
-        graft.plans.SetExprs.intersectCount(col("sh_a"), col("sh_b"))
+        // the verify join's inner loop — the ArrayJaccard lesson);
+        // the sets are distinct + sorted by construction above, so the
+        // typed merge-scan twin applies (no per-pair hash set at all)
+        graft.plans.SetExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b"))
           .as("n_shared"))
       .where(col("n_shared") * thresholdDen >=
         least(col("n_a"), col("n_b")) * thresholdNum)
@@ -1167,7 +1176,7 @@ object Dedup {
     * `dup_frac` (= dup_tokens / n_tokens). Docs shorter than k tokens
     * report zeros.
     *
-    * Scale shape: grams shuffle as 16-hex-char md5 prefixes (fixed
+    * Scale shape: grams shuffle as 64-bit xxhash64 longs (fixed
     * 64-bit keys, never raw k-gram text); the corpus-wide occurrence
     * count gets map-side partial aggregation, and the duplicate filter
     * is a semi join against that count on the SAME child plan — both
@@ -1188,7 +1197,13 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(TextOps.shingles(col("t"), k)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
-        substring(md5(col("gram")), 1, 16).as("gkey"))
+        // 64-bit LONG gram keys (r19; previously 16-hex md5 prefixes —
+        // the same 64 bits as strings): equality-only use, so the
+        // injectivity-on-the-corpus argument is unchanged while every
+        // shuffle/compare moves an 8-byte long instead of a 16-byte
+        // UTF8 string and the hash itself is one xxhash pass instead
+        // of md5 + hex + substring (guide §2.3 narrower types)
+        xxhash64(col("gram")).as("gkey"))
     val dupKeys = grams.groupBy("gkey")
       .agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2)
@@ -1348,7 +1363,10 @@ object Dedup {
     val keys = docs
       .select(col(srcCol).as("src"),
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
-      .select(col("src"), substring(md5(col("sh")), 1, 16).as("gkey"))
+      // 64-bit LONG shingle keys (r19, the d11/d19 switch): equality-
+      // only use — distinct universe, cap count, self-join — so longs
+      // replace the 16-hex md5 prefixes at identical key strength
+      .select(col("src"), xxhash64(col("sh")).as("gkey"))
       .distinct()
       .localCheckpoint(false)
     // (src, gkey) is distinct, so a plain count per key IS the number

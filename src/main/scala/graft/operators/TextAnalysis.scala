@@ -691,7 +691,18 @@ object TextAnalysis {
     * `vocabSize`) is the only thing collected. Returns the final
     * (piece, cnt, score) vocabulary. */
   def unigramVocab(docs: DataFrame, textCol: String, vocabSize: Int,
-                   rounds: Int, maxPieceLen: Int = 4): DataFrame = {
+                   rounds: Int, maxPieceLen: Int = 4): DataFrame =
+    unigramVocabFrames(docs, textCol, vocabSize, rounds, maxPieceLen)._2
+
+  /** [[unigramVocab]] exposing its internal distinct-word frame
+    * (word, cnt, wl — localCheckpointed) alongside the vocab (r19
+    * frame-reuse, the logisticFrames discipline): train-then-apply
+    * consumers over the SAME corpus (t38, p11, t39's unigram leg)
+    * previously re-tokenized and re-distincted the whole corpus inside
+    * [[unigramApply]] just to rebuild the word table the trainer
+    * already materialized. One corpus tokenize pass feeds both. */
+  def unigramVocabFrames(docs: DataFrame, textCol: String, vocabSize: Int,
+                         rounds: Int, maxPieceLen: Int = 4): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     val spark = docs.sparkSession
@@ -753,7 +764,7 @@ object TextAnalysis {
         .select("piece", "cnt")
       vocab = rescore(kept).localCheckpoint(false)
     }
-    vocab.select("piece", "cnt", "score")
+    (words, vocab.select("piece", "cnt", "score"))
   }
 
   /** Tokenize WITH the trained unigram LM (the t31 shape): per doc,
@@ -768,9 +779,21 @@ object TextAnalysis {
     * corpus text is scanned twice total (word table, doc join), never
     * per piece. */
   def unigramApply(docs: DataFrame, idCol: String, textCol: String,
-                   vocab: Map[String, Long], maxPieceLen: Int = 4): DataFrame = {
-    val wordTok = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .distinct()
+                   vocab: Map[String, Long], maxPieceLen: Int = 4): DataFrame =
+    unigramApplyFrames(docs, idCol, textCol,
+      docs.select(explode(TextOps.tokens(col(textCol))).as("word")).distinct(),
+      vocab, maxPieceLen)
+
+  /** [[unigramApply]] over a CALLER-SUPPLIED distinct-word frame (r19
+    * frame-reuse): `words` must carry a `word` column covering exactly
+    * the distinct tokens of `docs` under [[TextOps.tokens]] — which is
+    * precisely what [[unigramVocabFrames]] returns for a same-corpus
+    * train-then-apply, saving the full corpus re-tokenize + distinct
+    * that [[unigramApply]] pays to rebuild it. */
+  def unigramApplyFrames(docs: DataFrame, idCol: String, textCol: String,
+                         words: DataFrame, vocab: Map[String, Long],
+                         maxPieceLen: Int = 4): DataFrame = {
+    val wordTok = words
       .select(col("word"),
         size(graft.plans.TextHash.unigramSegment(col("word"), vocab, maxPieceLen))
           .cast("long").as("n_word_tok"),
@@ -1289,7 +1312,7 @@ object TextAnalysis {
     * all BIGINT, hash-exact by construction; the ratios are derived
     * downstream (the t16 dump-the-sum discipline). Scale shape: one
     * unioned explode per n (each a pruned (source, text) scan) into a
-    * single per-(source, n) aggregation; distincts shuffle 16-hex md5
+    * single per-(source, n) aggregation; distincts shuffle 64-bit long
     * gram keys, never raw n-gram text (the d11/d12 key discipline). */
   def ngramDiversity(docs: DataFrame, srcCol: String,
                      textCol: String): DataFrame = {
@@ -1298,7 +1321,10 @@ object TextAnalysis {
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("g"))
     }.reduce(_ unionByName _)
     val perN = grams
-      .select(col("source"), col("n"), substring(md5(col("g")), 1, 16).as("gk"))
+      // 64-bit LONG gram keys (r19, the d11/d12/d19 switch): the key
+      // only feeds COUNT(DISTINCT ...), so equality is all that is
+      // used — longs halve the distinct-shuffle bytes vs 16-hex md5
+      .select(col("source"), col("n"), xxhash64(col("g")).as("gk"))
       .groupBy("source", "n")
       .agg(count(lit(1)).as("total"), countDistinct(col("gk")).as("dist"))
       .groupBy("source")

@@ -62,6 +62,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ArrayIntersectCount].getName,
         "graft_intersect_count"),
       (args: Seq[Expression]) => ArrayIntersectCount(args.head, args(1))),
+    ("graft_sorted_intersect_count",
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedLongIntersectCount(args.head, args(1))),
     ("graft_minhash_portable",
       new ExpressionInfo(classOf[MinHashShinglePortable].getName, "graft_minhash_portable"),
       (args: Seq[Expression]) =>

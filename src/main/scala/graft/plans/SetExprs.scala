@@ -27,6 +27,10 @@ object SetExprs {
     GraftShim.column(ArrayIntersectCount(
       GraftShim.expression(a), GraftShim.expression(b)))
 
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    GraftShim.column(SortedLongIntersectCount(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
   /** Analysis-time input check for the public array-set SQL functions:
     * both operands must be array<string> — a non-string array would
     * otherwise ClassCastException at RUNTIME inside getUTF8String
@@ -99,6 +103,78 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** |A ∩ B| over DISTINCT, ASCENDING-SORTED long arrays (long) — the
+  * typed twin of [[ArrayIntersectCount]] for the d19 containment
+  * verify stage (r19, optimization guide §4.2/codegen): with 64-bit
+  * shingle keys (xxhash64) pre-sorted once per document at set build,
+  * each candidate pair costs ONE allocation-free merge scan of two
+  * long arrays — no hash-set build, no UTF8String hashing/equality
+  * per element, no boxing. PRECONDITION (the caller's contract, not
+  * checked at runtime): both arrays are element-distinct and sorted
+  * ascending with nulls FIRST — exactly `sort_array(array_distinct(
+  * ...), asc)`. Null elements follow array_intersect set semantics
+  * (null is a member value, in the intersection iff present in both
+  * sides, counted once); leading-null runs are tolerated so the
+  * precondition degrades gracefully to set semantics on the null
+  * member. Registered as the public SQL
+  * `graft_sorted_intersect_count` with analysis-time type checking
+  * (array<bigint> only). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_count expects (array<bigint>, " +
+          s"array<bigint>), got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = compute(
+    l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val nA = a.numElements()
+    val nB = b.numElements()
+    var i = 0
+    var j = 0
+    // sort_array(asc) places nulls first: consume the null prefix of
+    // each side, counting the null member once if both sides carry it
+    var aHadNull = false
+    while (i < nA && a.isNullAt(i)) { aHadNull = true; i += 1 }
+    var inter = 0L
+    if (aHadNull) {
+      var bHadNull = false
+      while (j < nB && b.isNullAt(j)) { bHadNull = true; j += 1 }
+      if (bHadNull) inter += 1
+    } else {
+      while (j < nB && b.isNullAt(j)) j += 1
+    }
+    while (i < nA && j < nB) {
+      val av = a.getLong(i)
+      val bv = b.getLong(j)
+      if (av == bv) { inter += 1; i += 1; j += 1 }
+      else if (av < bv) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sic", this,
+      classOf[SortedLongIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
     copy(left = l, right = r)
 }
 

@@ -103,7 +103,9 @@ object Tables {
     val forced = mode.toIntOption
     val meta =
       try fileMetaOf(spark, path)
-      catch { case _: Throwable => return df } // unreadable footer: plain scan
+      // unreadable footer: plain scan. NonFatal only — swallowing OOM/
+      // LinkageError here would mask a real failure as a perf change.
+      catch { case scala.util.control.NonFatal(_) => return df }
     val auto = meta.rowGroups < math.max(par / 2, 1) &&
       meta.bytes >= 256L * 1024
     val k = forced.getOrElse(
@@ -144,10 +146,9 @@ object Tables {
     fanned(s, d, "embeddings")
   def lineitemFanned(s: SparkSession, d: String): DataFrame =
     fanned(s, d, "lineitem")
-  /** Fanned events goes through [[events]] (the ts-layout normalizer),
-    * then the same fan-out rule. */
-  def eventsFanned(s: SparkSession, d: String): DataFrame =
-    fanOut(s, events(s, d), "events", s"$d/events.parquet")
+  // (an eventsFanned variant existed in r18 but every events consumer
+  // measured neutral-to-loss under fan-out — the window exchange
+  // dominates — so no call site ever adopted it; dropped as dead code)
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -134,6 +134,57 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "_q70_stride") {
+      // r19 (VERDICT #8): can the 25-level UnionLoop walk the chains
+      // in stride-K steps — each recursion level emitting K positions
+      // per customer from a precomputed per-customer prefix sum — so
+      // the recursion pays depth/K full passes over seqd instead of
+      // depth? Equality vs the shipped q70 is checked exactly.
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val seqd = Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 10000.0).cast("long").as("price_l"),
+          row_number().over(w).cast("long").as("rn"))
+        .withColumn("cum_l", sum(col("price_l")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey").orderBy("rn")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+        .localCheckpoint(false)
+      seqd.createOrReplaceTempView("seqd_s")
+      def strided(k: Int) = spark.sql(
+        s"""WITH RECURSIVE chain(o_custkey, o_orderkey, rn, running_l, adv) AS (
+           | SELECT o_custkey, o_orderkey, rn, cum_l, true FROM seqd_s WHERE rn = 1
+           | UNION ALL
+           | SELECT /*+ BROADCAST(c) */ s.o_custkey, s.o_orderkey, s.rn,
+           |  s.cum_l, s.rn = c.rn + $k
+           | FROM chain c JOIN seqd_s s
+           |  ON s.o_custkey = c.o_custkey AND c.adv
+           |  AND s.rn BETWEEN c.rn + 1 AND c.rn + $k)
+           |SELECT o_custkey, o_orderkey, rn,
+           | CAST(running_l AS DOUBLE) / 10000.0 AS running
+           |FROM chain""".stripMargin)
+      def rep(label: String)(f: => org.apache.spark.sql.DataFrame): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          f.write.format("noop").mode("overwrite").save()
+          println(f"[exp] $label rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      rep("shipped")(graft.SparkEntry.queries("q70_recursive_chains")(spark, dir))
+      for (k <- Seq(1, 2, 5, 8)) rep(s"stride$k")(strided(k))
+      val base = graft.SparkEntry.queries("q70_recursive_chains")(spark, dir)
+        .orderBy("o_custkey", "rn").collect()
+      for (k <- Seq(2, 5, 8)) {
+        val got = strided(k).orderBy("o_custkey", "rn").collect()
+        println(s"[exp] stride$k identical=${base.sameElements(got)} " +
+          s"rows=${got.length}/${base.length}")
+      }
+      spark.stop()
+      return
+    }
     if (name == "_dsuml_exp") {
       // VERDICT r3 #8: does long-scaled integer accumulation
       // (sum(round(x*1e4) as long)/1e4) beat the DECIMAL(18,4) sums the

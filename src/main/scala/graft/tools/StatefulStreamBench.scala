@@ -160,6 +160,51 @@ object StatefulStreamBench {
       f"batch_ms_med=${if (fDur.nonEmpty) fDur(fDur.length / 2) else 0L}%d " +
       f"batch_ms_max=${if (fDur.nonEmpty) fDur.last else 0L}%d " +
       f"state=value-per-user(3 stages)")
+
+    // ---- 3. trained-gate corpus admission (r19, VERDICT item 7): the
+    // CorpusStream.startTrained path — watermarked dedup + the trained
+    // logistic admission gate (per-row exact-decimal broadcast-weight
+    // scorer, TextAnalysis.trainedScoreDecimal) + partitioned parquet
+    // sink — over the SAME generated doc log as probe 1, so the two
+    // rates bracket the admission pipeline with and without the
+    // MinHash/RocksDB near-dup state. The model trains (untimed) on a
+    // batch read of the log, the same corpus the stream replays.
+    val batchDocs = spark.read.text(docLog)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType, nullable = false)))).as("d"))
+      .select("d.*")
+    val teacher = graft.plans.TextHash.classifierScore(
+      graft.functions.TextOps.tokens(col("text"))) > 0L
+    val model = graft.operators.TextAnalysis.logisticTrain(
+      batchDocs, "doc_id", "text", teacher, nBuckets = 512, rounds = 2)
+    val cOut = s"$work/corpus_out"
+    val docLines = spark.readStream.format("graftlog")
+      .option("path", docLog)
+      .option("maxLinesPerTrigger", math.max(1L, nLines / batches))
+      .load()
+      .selectExpr("value")
+    val t2 = System.nanoTime()
+    val cq = graft.streaming.CorpusStream.startTrained(docLines, cOut,
+      s"$work/c_ckpt", model, trigger = Trigger.AvailableNow())
+    cq.awaitTermination()
+    val cSec = (System.nanoTime() - t2) / 1e9
+    val cBatches = cq.recentProgress.filter(_.numInputRows > 0)
+    val cDur = cBatches.map(_.durationMs.get("triggerExecution").toLong).sorted
+    val cAdmitted = spark.read.parquet(cOut).count()
+    println(f"[statefulbench] corpus-trained docs=$nDocs%d wall=$cSec%.1fs " +
+      f"rate=${nDocs / cSec}%.0f docs/s admitted=$cAdmitted%d " +
+      f"batches=${cDur.length}%d " +
+      f"batch_ms_med=${if (cDur.nonEmpty) cDur(cDur.length / 2) else 0L}%d " +
+      f"batch_ms_max=${if (cDur.nonEmpty) cDur.last else 0L}%d " +
+      f"state=dedup-map(watermark 10m), gate=trained-512b")
     spark.stop()
   }
 }

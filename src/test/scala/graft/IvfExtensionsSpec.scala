@@ -369,4 +369,48 @@ class IvfExtensionsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("array<string>"), e.getMessage)
     }
   }
+
+  test("sorted-long intersect count (d19 r19): merge scan == set intersect, nulls, type check") {
+    GraftExtensions.register(spark)
+    // the d19 build form — sort_array(array_distinct(xxhash64 keys)) —
+    // must agree with size(array_intersect) on the same sets
+    val r = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_count(
+        |    sort_array(array_distinct(array(xxhash64('a'), xxhash64('b'), xxhash64('c')))),
+        |    sort_array(array_distinct(array(xxhash64('b'), xxhash64('c'), xxhash64('d'))))) AS ic,
+        |  size(array_intersect(
+        |    array(xxhash64('a'), xxhash64('b'), xxhash64('c')),
+        |    array(xxhash64('b'), xxhash64('c'), xxhash64('d')))) AS oracle,
+        |  graft_sorted_intersect_count(
+        |    sort_array(array(CAST(NULL AS BIGINT), 1L, 5L)),
+        |    sort_array(array(CAST(NULL AS BIGINT), 5L, 9L))) AS with_null,
+        |  graft_sorted_intersect_count(
+        |    sort_array(array(CAST(NULL AS BIGINT), 1L)), array(1L, 2L)) AS one_null,
+        |  graft_sorted_intersect_count(array(1L, 2L),
+        |    CAST(array() AS ARRAY<BIGINT>)) AS vs_empty
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("ic") == 2L)
+    assert(r.getAs[Int]("oracle") == 2)
+    assert(r.getAs[Long]("with_null") == 2L) // {NULL, 5}
+    assert(r.getAs[Long]("one_null") == 1L)  // {1}
+    assert(r.getAs[Long]("vs_empty") == 0L)
+    // randomized agreement with the hash-set twin's semantics: for
+    // sorted-distinct long arrays the merge scan must equal
+    // size(array_intersect) on every draw
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(12))(rnd.nextInt(16).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(12))(rnd.nextInt(16).toLong).distinct.sorted
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.plans.SetExprs.sortedLongIntersectCount(col("a"), col("b")))
+        .as[Long].head()
+      assert(got == a.toSet.intersect(b.toSet).size.toLong,
+        s"merge-scan mismatch on a=$a b=$b")
+    }
+    // a non-long array is an ANALYSIS error (public SQL function)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_sorted_intersect_count(array('x'), array('y'))").head())
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
 }

@@ -221,16 +221,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"verify pass must not re-scan per branch:\n$p")
   }
 
-  test("q64 HLL aggregates split from the exact distinct (q29 shape)") {
+  test("q64 one-pass distinct-pairs shape: single scan, no Expand, HLL over the distinct pairs") {
     val p = plan("q64_approx_distinct")
-    // co-planning countDistinct + approx_count_distinct would carry a
-    // ~12 KB HLL partial per distinct (flag, partkey) group through an
-    // Expand; the split shape pays one extra scan and a 3-row join but
-    // merges HLL buffers map-side — the shape that survives 100 TB
+    // r19: the HLL rides the SAME pass as the exact count, over the
+    // DISTINCT (flag, partkey) pairs (register insertion is
+    // idempotent, so the sketch equals one over raw rows). What must
+    // never come back: an Expand (a multi-distinct co-plan would drag
+    // ~12 KB HLL partials through rows x groups copies — the measured
+    // 15x regression), or a second lineitem scan (the pre-r19 split
+    // shape's extra pass + 3-row join).
     assert(!p.contains("Expand"),
-      s"q64 must not co-plan the HLL with the exact distinct:\n$p")
-    assert("Scan parquet".r.findAllMatchIn(p).size == 2,
-      s"expected the two split-aggregate scans:\n$p")
+      s"q64 must not plan an Expand (HLL through Expand is the 15x trap):\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"expected ONE lineitem scan (one-pass shape):\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -29,7 +29,17 @@ class ScanFanOutSpec extends AnyFunSuite {
   private val sf01 = "/root/testdata/sf0.01"
   private val sf0 = "/root/testdata/sf0.001"
 
+  /** The auto rule (rowGroups < max(par/2, 1)) can only fire on a
+    * 1-row-group file when defaultParallelism ≥ 4 — on a 1-2 core box
+    * fan-out correctly stays off, so the fires-here assertions are
+    * vacuous there. `assume` keeps the spec environment-independent. */
+  private def assumeFanOutCanFire(): Unit =
+    org.scalatest.Assertions.assume(
+      spark.sparkContext.defaultParallelism >= 4,
+      "fan-out auto rule needs >= 4 cores to fire on a 1-RG file")
+
   test("fanned == plain, row for row (lineitem at sf0.01, where the rule fires)") {
+    assumeFanOutCanFire()
     val plain = Tables.lineitem(spark, sf01)
     val fanned = Tables.lineitemFanned(spark, sf01)
     // the rule must actually fire at this size (1.1 MB single-RG file)
@@ -45,6 +55,7 @@ class ScanFanOutSpec extends AnyFunSuite {
   }
 
   test("fan-out partition count is row-aware (≤ rows/150), keys balance") {
+    assumeFanOutCanFire()
     val fanned = Tables.lineitemFanned(spark, sf01)
     val n = fanned.rdd.getNumPartitions
     assert(n >= 2 && n <= spark.sparkContext.defaultParallelism)

@@ -153,4 +153,20 @@ class UnigramSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unrolled"), e.getMessage)
   }
+
+  test("apply over the trainer's word frame == apply from docs (r19 frame reuse, the t38/p11 path)") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "gamma gamma delta"))
+      .toDF("doc_id", "text")
+    val (words, vocabDf) = TextAnalysis.unigramVocabFrames(docs, "text",
+      vocabSize = 12, rounds = 2, maxPieceLen = 3)
+    val vocab = vocabDf.select(col("piece"), col("score"))
+      .as[(String, Long)].collect().toMap
+    val direct = TextAnalysis.unigramApply(docs, "doc_id", "text", vocab,
+      maxPieceLen = 3).orderBy("doc_id").collect()
+    val framed = TextAnalysis.unigramApplyFrames(docs, "doc_id", "text",
+      words, vocab, maxPieceLen = 3).orderBy("doc_id").collect()
+    assert(direct.sameElements(framed),
+      "frame-based apply must equal the re-derive-from-docs twin row for row")
+  }
 }
